@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB against the
+testdata parquet tables, loads the Spark result parquet from
+<outdir>/<name>/, and compares: schema (column names), row count, and a
+hash over the value matrix with columns sorted by name and rows sorted.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+(Only a dev-loop tool: the production library is pure Scala/Spark.)
+"""
+import hashlib
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # shortest repr, stable across engines for identical doubles
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            ocur = con.sql(sql)
+            ocols = [c.lower() for c in ocur.columns]
+            orows = ocur.fetchall()
+            scur = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = [c.lower() for c in scur.columns]
+            srows = scur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(ocols) != sorted(scols):
+            problems.append(f"schema: oracle={sorted(ocols)} spark={sorted(scols)}")
+        if len(orows) != len(srows):
+            problems.append(f"rows: oracle={len(orows)} spark={len(srows)}")
+        if not problems:
+            oh = table_hash(ocols, orows)
+            sh = table_hash(scols, srows)
+            if oh != sh:
+                # find first differing row for debugging
+                oset = {"\x01".join(norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows}
+                sset = {"\x01".join(norm_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows}
+                only_o = list(oset - sset)[:2]
+                only_s = list(sset - oset)[:2]
+                problems.append(f"hash: oracle_only={only_o} spark_only={only_s}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
