@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exactly-once processed-file ledger (`cdc_processed_files`).
+  *
+  * Re-expresses the reference's file tracking
+  * (reference: lambda/handler.py:664-703) as a small append-only parquet
+  * table: `file_key, status, error_message, processed_at`. Status values
+  * `completed | failed | batch_processed` with the processed-check set
+  * being {completed, batch_processed} (handler.py:666-668).
+  *
+  * Scale: the reference sizes this at ~300k rows / ~150 MB steady-state
+  * with 30-day retention (AUTOMATIC_CLEANUP.md:68-87) — a driver-side
+  * broadcastable table, not a big-data table. Appends are one tiny file
+  * per processed input; `cleanup` compacts and applies retention.
+  */
+final class FileLedger(spark: SparkSession, path: String) {
+
+  import FileLedger._
+
+  def records: DataFrame =
+    if (exists) spark.read.schema(Schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schema)
+
+  private def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** Processed ⇔ a `completed`/`batch_processed` row exists
+    * (reference: handler.py:664-676).
+    */
+  def isProcessed(fileKey: String): Boolean =
+    exists && !records
+      .filter(col("file_key") === fileKey && col("status").isin(ProcessedStatuses: _*))
+      .isEmpty
+
+  /** Bulk variant for backfills: the subset of `fileKeys` already done. */
+  def processedAmong(fileKeys: Seq[String]): Set[String] =
+    if (!exists) Set.empty
+    else records
+      .filter(col("status").isin(ProcessedStatuses: _*) && col("file_key").isin(fileKeys: _*))
+      .select("file_key").distinct.collect().map(_.getString(0)).toSet
+
+  def markCompleted(fileKey: String): Unit = append(fileKey, "completed", None)
+
+  /** Error message truncated to 500 chars (reference: handler.py:694). */
+  def markFailed(fileKey: String, error: String): Unit =
+    append(fileKey, "failed", Some(Option(error).getOrElse("").take(500)))
+
+  def markBatchProcessed(fileKeys: Seq[String]): Unit = {
+    val now = new Timestamp(System.currentTimeMillis())
+    val rows = fileKeys.map(k => Row(k, "batch_processed", null, now))
+    write(rows, SaveMode.Append)
+  }
+
+  private def append(fileKey: String, status: String, error: Option[String]): Unit =
+    write(Seq(Row(fileKey, status, error.orNull, new Timestamp(System.currentTimeMillis()))),
+      SaveMode.Append)
+
+  private def write(rows: Seq[Row], mode: SaveMode): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Schema)
+      .write.mode(mode).parquet(path)
+
+  /** Retention cleanup: drop rows older than `retentionDays` and compact
+    * the append-files (reference: AUTOMATIC_CLEANUP.md:279-281 —
+    * `DELETE ... WHERE processed_at < now - INTERVAL '30' DAY`).
+    */
+  def cleanup(retentionDays: Int = 30): Long = {
+    if (!exists) return 0L
+    val keep = records
+      .filter(col("processed_at") >= date_sub(current_timestamp(), retentionDays))
+    val kept = keep.collect() // ledger is small by design (~300k rows max)
+    val removed = records.count() - kept.length
+    spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq, 1), Schema)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    removed
+  }
+}
+
+object FileLedger {
+  val ProcessedStatuses: Seq[String] = Seq("completed", "batch_processed")
+
+  val Schema: StructType = StructType(Seq(
+    StructField("file_key", StringType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("error_message", StringType, nullable = true),
+    StructField("processed_at", TimestampType, nullable = false)))
+}

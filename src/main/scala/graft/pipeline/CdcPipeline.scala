@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.TableKeys
+import graft.operators.{CdcDedup, CdcMerge, FileLedger, SchemaEvolution}
+import graft.routing.CdcPath
+import graft.sources.BucketedTableStore
+
+/** Batch CDC pipeline: one file (or micro-batch of files) applied to one
+  * target table — the reference's `lambda_handler` re-expressed
+  * (reference: lambda/handler.py:736-1000; SURVEY §3.1):
+  *
+  *   route → key lookup → ledger check → stage (+ingestion_seq) →
+  *   schema-evolve → dedup (cascade) → MERGE → ledger mark
+  *
+  * Differences by design (SURVEY §4): Firebolt staging tables collapse
+  * into lazy DataFrames; the MVCC retry loop collapses into deterministic
+  * single-writer semantics per table; exactly-once comes from the ledger +
+  * idempotent merge instead of engine MVCC.
+  */
+final class CdcPipeline(
+    spark: SparkSession,
+    storeRoot: String,
+    tableKeys: TableKeys,
+    numBuckets: Int = 64,
+    deleteCol: String = "Op",
+    deleteVals: Seq[String] = Seq("D"),
+    pathRoot: String = "fair") {
+
+  val ledger = new FileLedger(spark, s"$storeRoot/_ledger")
+
+  def storeFor(table: String, keys: Seq[String]): BucketedTableStore =
+    new BucketedTableStore(spark, s"$storeRoot/$table", keys, numBuckets)
+
+  import CdcPipeline._
+
+  /** Process one CDC file end-to-end. `fileKey` is the path (may be a
+    * local absolute path whose suffix matches the reference layout
+    * `{root}/{table}/YYYY/MM/DD/name.parquet`).
+    */
+  def processFile(fileKey: String): Outcome = {
+    // STEP 0: route (handler.py:765-783)
+    CdcPath.parse(fileKey, pathRoot) match {
+      case Left(skip) => Skipped(skip.message)
+      case Right(cdcFile) =>
+        // key lookup (handler.py:786-789); null ⇒ skip
+        tableKeys.keysFor(cdcFile.table) match {
+          case None => Skipped(CdcPath.NoKeys.message)
+          case Some(keys) =>
+            // ledger check (handler.py:800-804)
+            if (ledger.isProcessed(fileKey)) Skipped(CdcPath.AlreadyProcessed.message)
+            else applyFile(fileKey, cdcFile.table, keys)
+        }
+    }
+  }
+
+  private def applyFile(fileKey: String, table: String, keys: Seq[String]): Outcome = {
+    try {
+      // STEP 1: stage with ingestion_seq (handler.py:486-546)
+      val staging = CdcDedup.readCdcFiles(spark, Seq(fileKey)).persist()
+      val store = storeFor(table, keys)
+      if (!store.exists)
+        throw new IllegalStateException(s"target table '$table' not initialized at ${store.path}")
+
+      // STEP 2: schema evolution (handler.py:250-338). Safe new columns
+      // evolve the target schema; on plain parquet the evolved columns
+      // materialize with the merged slice (absent columns read as null).
+      val evolution = SchemaEvolution.diff(staging.schema, store.schema)
+
+      // STEP 3: dedup via the cascade (handler.py:407-479)
+      val dedup = CdcDedup.dedup(staging, keys, gate = true)
+
+      // STEP 4+5: column prep + MERGE (handler.py:876-946) inside the
+      // bucketed store — rewrites only affected buckets.
+      val touched = store.merge(dedup, deleteCol, deleteVals)
+
+      // STEP 7: ledger (handler.py:962-967)
+      ledger.markCompleted(fileKey)
+      staging.unpersist()
+      Applied(table, touched, evolution)
+    } catch {
+      case e: Throwable =>
+        ledger.markFailed(fileKey, e.getMessage)
+        Failed(table, e)
+    }
+  }
+
+  /** Backfill driver: apply every unprocessed CDC file under `root`,
+    * per-table in path (= binlog) order — replaces the reference's
+    * retrigger scripts (retrigger_lambda_for_old_files.py:88-158).
+    */
+  def backfill(files: Seq[String]): Seq[(String, Outcome)] = {
+    val done = ledger.processedAmong(files)
+    files.sorted.filterNot(done.contains).map(f => f -> processFile(f))
+  }
+
+  /** Full-load path: initialize a target table from `LOAD*` (or any) data
+    * (reference skips LOAD files in CDC and loads them separately;
+    * handler.py:781-783, CHANGELOG.md:9-14).
+    */
+  def initialLoad(table: String, df: DataFrame): BucketedTableStore = {
+    val keys = tableKeys.keysFor(table)
+      .getOrElse(throw new IllegalArgumentException(s"no keys for $table"))
+    BucketedTableStore.create(spark, s"$storeRoot/$table", keys,
+      df.drop((CdcDedup.MetaCols + "__source_file").toSeq: _*), numBuckets)
+  }
+}
+
+object CdcPipeline {
+  sealed trait Outcome
+  final case class Skipped(reason: String) extends Outcome
+  final case class Applied(table: String, touchedBuckets: Int,
+      evolution: SchemaEvolution.EvolutionResult) extends Outcome
+  final case class Failed(table: String, error: Throwable) extends Outcome
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.CdcMerge
+
+/** Hash-bucketed CDC target table on plain parquet — the 100 TB merge path.
+  *
+  * The reference merges each CDC file into a Firebolt table whose engine
+  * handles physical layout (reference: lambda/handler.py:563-614). With
+  * parquet as the target format, a naive merge would rewrite the whole
+  * table per batch — at 100 TB that is absurd. Instead the table is laid
+  * out as hash buckets of the primary key:
+  *
+  *   path/__bucket=0..N-1/part-*.parquet,  __bucket = pmod(hash(keys), N)
+  *
+  * A merge then:
+  *   1. computes the distinct buckets touched by the staged keys (≤ batch
+  *      size, usually ≪ N);
+  *   2. reads ONLY those partitions (partition-pruned scan);
+  *   3. runs the broadcast [[CdcMerge]] against that slice;
+  *   4. writes the slice to a temp dir and atomically swaps the affected
+  *      bucket directories (write-temp-then-rename — the moral equivalent
+  *      of the reference's backup-rename, FIX_36_TABLES_SCHEMA.sql:18).
+  *
+  * Cost per batch ∝ touched buckets, not table size. Rerunning the same
+  * batch is a no-op state-wise (merge idempotency), which preserves the
+  * reference's retry invariant (CRITICAL_FIX_DUPLICATES_ON_MERGE.md:60-63).
+  * A crash mid-swap leaves some buckets new and some old; the ledger marks
+  * the file processed only after all swaps, so the retry re-merges — each
+  * bucket merge is itself idempotent.
+  *
+  * Sizing: pick `numBuckets` so a bucket ≈ 100-500 MB at target scale
+  * (100 TB / 256 MB ≈ 400k buckets; the bucket column is a directory
+  * partition, so very large N costs listing time — at true 100 TB this
+  * layout maps onto a partitioned catalog table with the same key scheme).
+  */
+final class BucketedTableStore(
+    spark: SparkSession,
+    val path: String,
+    val keys: Seq[String],
+    val numBuckets: Int) {
+
+  import BucketedTableStore._
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(path))
+
+  private def bucketOf(df: DataFrame) =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Initial (full) load — the reference's `LOAD*` path
+    * (handler.py:781-783 skips these in CDC; they seed the table).
+    */
+  def initialize(df: DataFrame): Unit =
+    df.withColumn(BucketCol, bucketOf(df))
+      .repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(path)
+
+  /** Full-table read (partition column dropped). */
+  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol)
+
+  /** Table schema without the bucket column. */
+  def schema: StructType = read().schema
+
+  /** Merge one deduplicated staging batch. Returns touched bucket count. */
+  def merge(
+      staging: DataFrame,
+      deleteCol: String = "Op",
+      deleteVals: Seq[String] = Seq("D")): Int = {
+    require(exists, s"target $path not initialized")
+
+    // 1. buckets touched by this batch (small: ≤ distinct staged keys)
+    val stagingB = staging.withColumn(BucketCol, bucketOf(staging)).persist()
+    val affected = stagingB.select(BucketCol).distinct().collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) { stagingB.unpersist(); return 0 }
+
+    // 2. partition-pruned scan of only the affected buckets
+    val slice = spark.read.parquet(path)
+      .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toSeq: _*))
+      .drop(BucketCol)
+
+    // 3. broadcast merge on the slice
+    val merged = CdcMerge(slice, stagingB.drop(BucketCol), keys, deleteCol, deleteVals)
+
+    // 4. temp write + per-bucket atomic swap
+    val tmp = new Path(path, s".merge-tmp-${UUID.randomUUID().toString.take(8)}")
+    merged.withColumn(BucketCol, bucketOf(merged))
+      .repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(tmp.toString)
+
+    affected.foreach { b =>
+      val live = new Path(path, s"$BucketCol=$b")
+      val fresh = new Path(tmp, s"$BucketCol=$b")
+      if (fs.exists(live)) fs.delete(live, true)
+      if (fs.exists(fresh)) fs.rename(fresh, live)
+      // a bucket can vanish entirely (all rows deleted): live dir removed,
+      // nothing to rename — correct.
+    }
+    fs.delete(tmp, true)
+    stagingB.unpersist()
+    affected.length
+  }
+}
+
+object BucketedTableStore {
+  val BucketCol = "__bucket"
+
+  def create(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      initial: DataFrame,
+      numBuckets: Int = 64): BucketedTableStore = {
+    val store = new BucketedTableStore(spark, path, keys, numBuckets)
+    store.initialize(initial)
+    store
+  }
+}
