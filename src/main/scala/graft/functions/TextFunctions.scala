@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, counting, quality scoring, language-ID scoring.
+  *
+  * All are compositions of built-in (whole-stage-codegen'd) functions —
+  * no UDFs in the hot path. Definitions are deliberately simple and
+  * *portable* (expressible in ANSI-ish SQL) so every operator can be
+  * oracle-checked.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed lowercase text; empty text → empty array. */
+  def tokens(c: Column): Column = {
+    val t = trim(lower(c))
+    when(t === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Distinct-token set. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** BPE-ish subword count: tokens re-segmented by a simple
+    * letters/digits/other regex, ~the usual `\w+|[^\w\s]` pre-tokenizer.
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(split(lower(c), "[^a-z0-9]+"), x => x =!= ""))
+
+  /** Punctuation characters (non-word, non-space). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^\\w\\s]", ""))
+
+  /** Uppercase letters. */
+  def upperCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[A-Z]", ""))
+
+  /** Mean token length in characters (0 for empty docs); a single double
+    * division so it hash-compares across engines.
+    */
+  def meanTokenLength(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / n)
+  }
+
+  /** Stopword hit ratio against a wordlist (set semantics). */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokenSet(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_intersect(toks, array(stopwords.map(lit): _*))).cast(DoubleType) / size(toks))
+  }
+
+  /** Heuristic quality score in [0,1]: long-enough, low-punctuation,
+    * reasonable mean token length, some stopwords — the standard cheap
+    * pre-filter shape for LLM corpus cleaning. Deterministic arithmetic
+    * over integer counts (portable to the oracle).
+    */
+  def qualityScore(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val len = length(c).cast(DoubleType)
+    val lenScore = least(len / 200.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctCount(c).cast(DoubleType) / greatest(len, lit(1.0)) * 4.0, lit(1.0))
+    val mtl = meanTokenLength(c)
+    val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio(c, stopwords) * 4.0, lit(1.0))
+    lenScore * 0.3 + punctScore * 0.3 + mtlScore * 0.2 + stopScore * 0.2
+  }
+
+  /** Language profiles: high-frequency marker words per language. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "por", "con", "una", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "pour", "que", "une"))
+
+  val EnglishStopwords: Seq[String] = LangProfiles.head._2
+
+  /** Per-language marker-hit score (distinct-token intersection size). */
+  def langScore(c: Column, profile: Seq[String]): Column =
+    size(array_intersect(tokenSet(c), array(profile.map(lit): _*)))
+
+  /** Argmax language over [[LangProfiles]]; ties and zero-score docs
+    * resolve to "und" (undetermined) / first-alphabetical winner —
+    * deterministic by construction.
+    */
+  def langId(c: Column): Column = {
+    // struct-max trick: (score, reverse-alpha lang) max = highest score,
+    // alphabetically-first language on ties
+    val scored = LangProfiles.sortBy(_._1).map { case (lang, words) =>
+      struct(langScore(c, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = scored.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Word n-grams (shingles) of the token stream, space-joined, distinct.
+    * Documents shorter than n tokens yield their full token string as the
+    * single shingle (so tiny docs still participate in dedup).
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val count = size(toks)
+    val grams = transform(
+      sequence(lit(0), greatest(count - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(count === 0, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(grams))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches.
+  *
+  * The Spark-side machinery — schema, partition-batched iteration, typed
+  * encoders, metadata structs — is real and tested. The *codec* step
+  * (actual JPEG/WAV/MP4 decoding) is STUBBED with a deterministic fake
+  * (this container has no image/audio libraries): `decodeStub` derives
+  * width/height/channels/duration arithmetically from the payload bytes.
+  * Swapping in a real codec changes only the function body passed to
+  * [[processBatches]] — the distribution, batching and schema contracts
+  * are unchanged.
+  */
+object Multimodal {
+
+  /** Typed media record: payload + envelope metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      content: Array[Byte],
+      source: String)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_size: Long,
+      width: Int,            // image/video; 0 for audio
+      height: Int,
+      channels: Int,
+      duration_ms: Long,     // audio/video; 0 for image
+      checksum: Long)        // content hash for dedup joins
+
+  val mediaSchema: StructType = Encoders.product[MediaRecord].schema
+  val featureSchema: StructType = Encoders.product[MediaFeatures].schema
+
+  /** Wrap a text table as fake media payloads (test/demo corpus): the
+    * document bytes become the "image" content. Deterministic.
+    */
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col(idCol), lit(3)) + 1).cast(IntegerType)).as("kind"),
+        encode(col(textCol), "UTF-8").as("content"),
+        col(sourceCol).as("source"))
+      .as[MediaRecord]
+  }
+
+  /** ═══ STUB ═══ deterministic fake decode: derives plausible media
+    * dimensions arithmetically from the byte payload. A real
+    * implementation would parse the container format here.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.content.length.toLong
+    // cheap rolling checksum over the bytes (deterministic, order-aware)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < r.content.length) { h = 31 * h + r.content(i); i += 1 }
+    r.kind match {
+      case "image" =>
+        MediaFeatures(r.media_id, r.kind, n,
+          width = (64 + n % 577).toInt, height = (64 + n % 419).toInt,
+          channels = 3, duration_ms = 0L, checksum = h)
+      case "audio" =>
+        MediaFeatures(r.media_id, r.kind, n,
+          width = 0, height = 0, channels = 2,
+          duration_ms = n * 8, checksum = h)
+      case _ =>
+        MediaFeatures(r.media_id, r.kind, n,
+          width = (64 + n % 577).toInt, height = (64 + n % 419).toInt,
+          channels = 3, duration_ms = n * 40, checksum = h)
+    }
+  }
+
+  /** Partition-batched feature extraction: the Scala analogue of the
+    * arrow-batched UDF pattern — the codec fn sees one batch (partition
+    * iterator chunk) at a time, so a real decoder can amortize model/
+    * codec init per batch instead of per row.
+    */
+  def processBatches(
+      media: Dataset[MediaRecord],
+      batchSize: Int = 64,
+      decode: MediaRecord => MediaFeatures = decodeStub): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch init hook would go here (codec/session setup)
+        batch.iterator.map(decode)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th byte window
+    * stands in for a frame (STUB — a real impl samples decoded frames).
+    * Demonstrates the explode-to-frames schema: one row per sampled frame.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 1000,
+      maxFrames: Int = 8): DataFrame = {
+    media.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(slice(
+          sequence(lit(0), ((length(col("content")) - 1) / stride).cast(IntegerType)),
+          1, maxFrames)))
+      .select(col("media_id"), col("pos").as("frame_no"),
+        (col("col") * stride).as("byte_offset"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  * - brute-force cosine top-k — the exact baseline; one broadcast of the
+  *   query set against a full scan (no shuffle of the corpus), then a
+  *   per-query top-k window;
+  * - hyperplane-LSH bucketing — the scale path: each vector maps to a
+  *   `numPlanes`-bit signature (sign of dot with each hyperplane);
+  *   search probes only its bucket. Sub-linear candidate sets at the cost
+  *   of recall; candidates are re-ranked exactly.
+  *
+  * All dot products run through `zip_with` + `aggregate` in double
+  * precision — built-in higher-order functions, codegen-friendly, no UDF.
+  */
+object VectorSearch {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 for zero vectors, avoiding NaN). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    * @param corpus  (idCol, vecCol) table — the big side, never shuffled;
+    *                the query set is broadcast into a single BHJ cross join
+    * @param queries (queryIdCol, vecCol) — small
+    * @return (query_id, rank, id, cosine) with rank 1..k, ties broken by id
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"))
+      .join(q, if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", cosine(col("__cvec"), col("__qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Hyperplane-LSH signature: bit i = (dot(v, plane_i) > 0). */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) > 0.0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Bucketed ANN: corpus bucketed by LSH signature; each query probes
+    * only its own bucket, then candidates re-rank exactly. The bucket join
+    * broadcasts the (small) query side, so the corpus is scanned once with
+    * no shuffle.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      planes: Seq[Seq[Double]], k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+      lshSignature(col(vecCol), planes).as("__bucket"))
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+      lshSignature(col(vecCol), planes).as("__bucket")))
+    val joined = c.join(q, "__bucket")
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", cosine(col("__cvec"), col("__qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ `threshold`, id_a < id_b.
+    * `bucketed=true` prunes via LSH signatures (near-identical vectors
+    * collide with overwhelming probability at tight thresholds);
+    * `bucketed=false` is the exact all-pairs baseline for small corpora.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Seq[Seq[Double]] = Nil): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+    val withBucket =
+      if (planes.nonEmpty) base.withColumn("__bucket", lshSignature(col("__vec"), planes))
+      else base.withColumn("__bucket", lit(0L))
+    val pairs = withBucket.as("a").join(withBucket.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.__vec"), col("b.__vec")).as("cosine"))
+    pairs.filter(col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+  }
+}

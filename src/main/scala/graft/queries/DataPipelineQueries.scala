@@ -1,0 +1,424 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{TextFunctions, WinnowedFingerprint}
+import graft.operators.{Multimodal, TextDedup, VectorSearch}
+
+/** The training-data-pipeline operator suite (dedup, similarity search,
+  * text analysis, multimodal) as driver-checked queries.
+  *
+  * The documents/embeddings testdata has no organic duplicates, so dedup
+  * queries run over a *planted* corpus: the original table unioned with
+  * deterministic exact-dup copies (+100000 ids) and near-dup copies
+  * (+200000 ids, slightly perturbed) — both expressible identically in
+  * the DuckDB oracle.
+  *
+  * Determinism: no raw floating-point aggregate ever reaches a hashed
+  * output — pair membership and ranks are decided far from numeric
+  * boundaries, and doubles in outputs come from single-division or
+  * identical-op-sequence arithmetic.
+  */
+object DataPipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── shared planted corpora ──────────────────────────────────────────
+
+  /** documents ∪ exact copies (ids %10=0 → +100000) ∪ near-dup copies
+    * (ids %10=5 → +200000, first two chars replaced).
+    */
+  def dupDocCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionAll(
+        d.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+  }
+
+  val DupDocCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
+      |)""".stripMargin
+
+  /** embeddings (as DOUBLE[]) ∪ exact copies (%10=5 → +200000) ∪ near-dup
+    * copies (%10=0 → +100000, first component +0.5).
+    */
+  def dupVecCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
+    e.unionAll(
+        e.filter(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("vec")))
+      .unionAll(
+        e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            concat(array(element_at(col("vec"), 1) + 0.5),
+              slice(col("vec"), 2, 10000)).as("vec")))
+  }
+
+  val DupVecCorpusSql: String =
+    """vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 200000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 5
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |         list_concat([CAST(embedding[1] AS DOUBLE) + 0.5], CAST(embedding[2:] AS DOUBLE[]))
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |)""".stripMargin
+
+  /** Shingle definition shared by the Jaccard oracles (must mirror
+    * TextFunctions.wordNgrams with n=3).
+    */
+  val ShinglesSql: String =
+    """shingles AS (
+      |  SELECT id, unnest(grams) AS shingle FROM (
+      |    SELECT id,
+      |           list_distinct(list_transform(range(0, GREATEST(len(toks) - 3, 0) + 1),
+      |             i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS grams
+      |    FROM (SELECT doc_id AS id,
+      |                 string_split_regex(trim(lower(text)), '\s+') AS toks
+      |          FROM corpus) t
+      |  ) g
+      |)""".stripMargin
+
+  val JaccardPairsSql: String =
+    """sizes AS (SELECT id, COUNT(*) AS n_shingles FROM shingles GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+      |  GROUP BY a.id, b.id
+      |),
+      |pairs AS (
+      |  SELECT i.id_a, i.id_b,
+      |         CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.id = i.id_a
+      |  JOIN sizes sb ON sb.id = i.id_b
+      |)
+      |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  // ── deduplication ───────────────────────────────────────────────────
+
+  /** Exact dedup groups over the planted corpus: md5 content identity,
+    * min-id survivor.
+    */
+  val d01_dedup_exact: Q = (s, dir) => {
+    TextDedup.exactGroups(dupDocCorpus(s, dir), "doc_id", "text")
+      .orderBy(col("survivor_id"))
+  }
+
+  val d01_sql: String =
+    s"""WITH $DupDocCorpusSql
+       |SELECT md5(text) AS content_hash, COUNT(*) AS group_size, MIN(doc_id) AS survivor_id
+       |FROM corpus
+       |GROUP BY md5(text)
+       |ORDER BY survivor_id""".stripMargin
+
+  /** Exact all-pairs 3-gram Jaccard ≥ 0.8 (inverted-index join). */
+  val d02_ngram_jaccard: Q = (s, dir) => {
+    TextDedup.ngramJaccardPairs(dupDocCorpus(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d02_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |$ShinglesSql,
+       |$JaccardPairsSql""".stripMargin
+
+  /** MinHash+LSH near-dup (128 hashes, 32 bands) with exact verification —
+    * must equal the exact operator at these margins, so it shares d02's
+    * oracle.
+    */
+  val d03_minhash_lsh: Q = (s, dir) => {
+    TextDedup.minhashLshPairs(dupDocCorpus(s, dir), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d03_sql: String = d02_sql
+
+  /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures, banded
+    * candidates). Signature depends on xxhash64 — not expressible in the
+    * oracle, so this is a rows-only query; correctness is covered by
+    * planted-pair unit tests.
+    */
+  val d04_simhash: Q = (s, dir) => {
+    TextDedup.simhashPairs(dupDocCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs over the planted vector corpus:
+    * threshold 0.9 sits far above the organic max (~0.51) and below the
+    * planted pairs (≥0.96) — membership is FP-robust; no float in output.
+    */
+  val d05_embedding_neardup: Q = (s, dir) => {
+    VectorSearch.cosineNearDupPairs(dupVecCorpus(s, dir), "vec_id", "vec", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d05_sql: String =
+    s"""WITH $DupVecCorpusSql
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ── similarity search ───────────────────────────────────────────────
+
+  /** Brute-force cosine top-10 for query vectors 0-4 over the corpus —
+    * ranks only in the output (gaps between random-vector cosines dwarf
+    * double-vs-float noise).
+    */
+  val s01_ann_topk: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.bruteForceTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 10)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s01_sql: String =
+    """SELECT query_id, rank, id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+      |                    c.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Number of hyperplanes for the LSH-bucketed ANN (data-derived planes:
+    * the 8 highest-id embedding vectors).
+    */
+  private val LshPlanes = 8
+
+  /** LSH-bucketed ANN: corpus bucketed by 8-bit hyperplane signature;
+    * each query re-ranks only its bucket. Approximate by design — but
+    * deterministically so, and the oracle computes the same approximation.
+    */
+  val s02_ann_lsh: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val planes: Seq[Seq[Double]] = e
+      .filter(col("vec_id") > maxId - LshPlanes)
+      .orderBy(col("vec_id"))
+      .select(transform(col("embedding"), _.cast(DoubleType)))
+      .collect().toSeq
+      .map(_.getSeq[Double](0).toSeq)
+    VectorSearch.lshTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        planes = planes, k = 10)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s02_sql: String =
+    """WITH planes AS (
+      |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS plane_no,
+      |         CAST(embedding AS DOUBLE[]) AS pvec
+      |  FROM embeddings
+      |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+      |),
+      |sigs AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec,
+      |         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pvec) > 0.0
+      |                  THEN CAST(1 AS BIGINT) << p.plane_no ELSE 0 END) AS bucket
+      |  FROM embeddings e CROSS JOIN planes p
+      |  GROUP BY e.vec_id, e.embedding
+      |)
+      |SELECT query_id, rank, id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, c.vec_id ASC) AS rank
+      |  FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ── text analysis ───────────────────────────────────────────────────
+
+  /** Token/subword counts, punctuation, mean token length, stopword ratio,
+    * quality score — the cheap corpus-cleaning statistics. Doubles in the
+    * output come from identical op sequences; quality is floored to µunits.
+    */
+  val t01_text_stats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val text = col("text")
+    d.select(
+        col("doc_id"),
+        length(text).as("n_chars"),
+        TextFunctions.tokenCount(text).as("n_tokens"),
+        size(TextFunctions.tokenSet(text)).as("n_distinct_tokens"),
+        TextFunctions.subwordCount(text).as("n_subwords"),
+        TextFunctions.punctCount(text).as("n_punct"),
+        TextFunctions.meanTokenLength(text).as("mean_token_len"),
+        floor(TextFunctions.qualityScore(text) * 1e6).cast(LongType).as("quality_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t01_sql: String = {
+    val stop = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT doc_id, text, toks,
+       |         CAST(length(text) AS INT) AS n_chars,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS INT) AS n_subwords,
+       |         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct,
+       |         CASE WHEN len(toks) = 0 THEN 0.0
+       |              ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks)
+       |         END AS mean_token_len,
+       |         CASE WHEN len(list_distinct(toks)) = 0 THEN 0.0
+       |              ELSE CAST(len(list_intersect(list_distinct(toks), $stop)) AS DOUBLE) / len(list_distinct(toks))
+       |         END AS stop_ratio
+       |  FROM t
+       |)
+       |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_subwords, n_punct, mean_token_len,
+       |       CAST(FLOOR((
+       |          LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.3
+       |        + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+       |        + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       |        + LEAST(stop_ratio * 4.0, 1.0) * 0.2) * 1e6) AS BIGINT) AS quality_micro
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Heuristic language-ID over marker-word profiles (argmax, ties →
+    * alphabetically first, zero → "und"). Deterministic scoring — the
+    * oracle recomputes the same profiles.
+    */
+  val t02_langid: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    d.select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("detected"),
+        TextFunctions.langScore(col("text"), TextFunctions.LangProfiles.toMap.apply("en")).as("en_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t02_sql: String = {
+    def prof(lang: String): String =
+      TextFunctions.LangProfiles.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+       |  FROM documents
+       |),
+       |sc AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_intersect(toks, ${prof("de")})) AS INT) AS s_de,
+       |         CAST(len(list_intersect(toks, ${prof("en")})) AS INT) AS s_en,
+       |         CAST(len(list_intersect(toks, ${prof("es")})) AS INT) AS s_es,
+       |         CAST(len(list_intersect(toks, ${prof("fr")})) AS INT) AS s_fr
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       |            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |            WHEN s_es >= s_fr THEN 'es'
+       |            ELSE 'fr' END AS detected,
+       |       s_en AS en_score
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Winnowed rolling-hash fingerprints via the custom Catalyst
+    * expression — near-dup docs share fingerprint members. Hash values
+    * are engine-internal (rows-only check); the pair-detection behavior
+    * is covered in unit tests.
+    */
+  val t03_fingerprint: Q = (s, dir) => {
+    val fp = WinnowedFingerprint(col("text"), k = 8, w = 4)
+    dupDocCorpus(s, dir)
+      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+        element_at(col("fp"), 1).as("min_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── multimodal ──────────────────────────────────────────────────────
+
+  /** Multimodal plumbing: text bytes wrapped as media payloads, features
+    * extracted per-partition in batches through the typed Dataset path.
+    * The decode step is a deterministic stub (no codecs in-container) with
+    * arithmetic the oracle mirrors; checksum (not SQL-portable) is
+    * excluded here and covered by unit tests.
+    */
+  val m01_multimodal_features: Q = (s, dir) => {
+    val media = Multimodal.syntheticMedia(
+      Tables(s, dir, "documents"), "doc_id", "text", "source")
+    Multimodal.processBatches(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_size"),
+        col("width"), col("height"), col("channels"), col("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  val m01_sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS byte_size,
+      |  CASE doc_id % 3
+      |    WHEN 1 THEN 0
+      |    ELSE CAST(64 + octet_length(encode(text)) % 577 AS INT) END AS width,
+      |  CASE doc_id % 3
+      |    WHEN 1 THEN 0
+      |    ELSE CAST(64 + octet_length(encode(text)) % 419 AS INT) END AS height,
+      |  CASE doc_id % 3 WHEN 1 THEN 2 ELSE 3 END AS channels,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 0
+      |    WHEN 1 THEN octet_length(encode(text)) * 8
+      |    ELSE octet_length(encode(text)) * 40 END AS duration_ms
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  // ── registry ────────────────────────────────────────────────────────
+
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01_dedup_exact,
+    "d02_ngram_jaccard" -> d02_ngram_jaccard,
+    "d03_minhash_lsh" -> d03_minhash_lsh,
+    "d04_simhash" -> d04_simhash,
+    "d05_embedding_neardup" -> d05_embedding_neardup,
+    "s01_ann_topk" -> s01_ann_topk,
+    "s02_ann_lsh" -> s02_ann_lsh,
+    "t01_text_stats" -> t01_text_stats,
+    "t02_langid" -> t02_langid,
+    "t03_fingerprint" -> t03_fingerprint,
+    "m01_multimodal_features" -> m01_multimodal_features)
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01_sql,
+    "d02_ngram_jaccard" -> d02_sql,
+    "d03_minhash_lsh" -> d03_sql,
+    "d05_embedding_neardup" -> d05_sql,
+    "s01_ann_topk" -> s01_sql,
+    "s02_ann_lsh" -> s02_sql,
+    "t01_text_stats" -> t01_sql,
+    "t02_langid" -> t02_sql,
+    "m01_multimodal_features" -> m01_sql)
+}

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, WinnowedFingerprint}
+import graft.operators.{Multimodal, TextDedup, VectorSearch}
+
+/** Unit tests for the training-data operators: planted-duplicate recovery,
+  * ANN sanity, text functions, fingerprint sensitivity, multimodal
+  * batch plumbing.
+  */
+class DataPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+
+  def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  val corpus: DataFrame = docs(
+    1L -> "the quick brown fox jumps over the lazy dog and runs far away today",
+    2L -> "the quick brown fox jumps over the lazy dog and runs far away today", // exact dup of 1
+    3L -> "a quick brown fox jumps over the lazy dog and runs far away today",   // near dup of 1
+    4L -> "completely different content about spark catalyst optimizer rules engine",
+    5L -> "")
+
+  test("exact dedup keeps min-id survivor per content group") {
+    val out = TextDedup.exact(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = TextDedup.exactGroups(corpus, "doc_id", "text")
+      .filter(col("group_size") > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("survivor_id") == 1L)
+  }
+
+  test("ngram jaccard finds exact + near dup pairs, not unrelated docs") {
+    val pairs = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the same pairs as exact jaccard at high threshold") {
+    val exact = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs hamming 0; near dups close; different docs far") {
+    val sigs = TextDedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) <= 6)
+    assert(ham(1L, 4L) > 10)
+  }
+
+  test("vector search: brute-force top-k exact ordering, self excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorSearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 2L), (2, 3L))) // nearest 2, then 3; never self or 4
+  }
+
+  test("vector search: LSH bucket join finds near-identical vectors") {
+    import spark.implicits._
+    val base = (1L to 50L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)))
+    val vecs = (base :+ ((1001L, base.head._2.map(x => x * 1.001f)))).toDF("vec_id", "embedding")
+    val planes = Seq.tabulate(6)(p => Seq.tabulate(8)(d => math.cos(p * 13 + d * 3)))
+    val out = VectorSearch.lshTopK(vecs, vecs.filter($"vec_id" === 1001L),
+        "vec_id", "embedding", "vec_id", planes, k = 1)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(2) == 1L) // its near-copy tops the bucket
+  }
+
+  test("cosine near-dup pairs with LSH pruning vs exact") {
+    import spark.implicits._
+    val base = (1L to 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7))))
+    val vecs = (base :+ ((2001L, base.head._2.map(_ * 2.0)))).toDF("vec_id", "vec") // scaled copy: cosine 1
+    val exact = VectorSearch.cosineNearDupPairs(vecs, "vec_id", "vec", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2001L)))
+    val planes = Seq.tabulate(6)(p => Seq.tabulate(8)(d => math.cos(p * 13 + d * 3)))
+    val pruned = VectorSearch.cosineNearDupPairs(vecs, "vec_id", "vec", 0.999, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.contains((1L, 2001L))) // identical direction ⇒ same bucket always
+  }
+
+  test("text functions: tokens, counts, quality, langid") {
+    val df = docs(
+      1L -> "The quick brown fox, it jumps over the lazy dog!",
+      2L -> "der die und das ist ein test von der sache",
+      3L -> "")
+    val out = df.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.punctCount(col("text")).as("p"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out(0)._2 == 10 && out(0)._3 == 2 && out(0)._4 == "en")
+    assert(out(1)._4 == "de")
+    assert(out(2)._2 == 0 && out(2)._4 == "und")
+    assert(out.forall(t => t._5 >= 0.0 && t._5 <= 1.0))
+  }
+
+  test("word ngrams: standard, short-doc, and empty-doc edges") {
+    val out = docs(1L -> "a b c d", 2L -> "a b", 3L -> "")
+      .select(col("doc_id"), TextFunctions.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out(1L) == Set("a b c", "b c d"))
+    assert(out(2L) == Set("a b"))
+    assert(out(3L) == Set.empty[String])
+  }
+
+  test("winnowed fingerprint: deterministic, shared substrings detected, edit-local") {
+    val df = docs(
+      1L -> ("spark catalyst optimizer " * 10 + "unique tail one"),
+      2L -> ("spark catalyst optimizer " * 10 + "other ending two"),
+      3L -> "totally unrelated short text")
+    val fp = df.select(col("doc_id"), WinnowedFingerprint(col("text"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // determinism across evaluations
+    val fp2 = df.select(col("doc_id"), WinnowedFingerprint(col("text"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp == fp2)
+    val overlap12 = (fp(1L) intersect fp(2L)).size.toDouble / (fp(1L) union fp(2L)).size
+    val overlap13 = (fp(1L) intersect fp(3L)).size.toDouble / (fp(1L) union fp(3L)).size
+    assert(overlap12 >= 0.5, s"shared-prefix docs should share fingerprints ($overlap12)")
+    assert(overlap13 < 0.2, s"unrelated docs should not ($overlap13)")
+    // empty + shorter-than-k inputs
+    val edges = docs(7L -> "", 8L -> "abc")
+      .select(col("doc_id"), WinnowedFingerprint(col("text"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(edges(7L).isEmpty && edges(8L).length == 1)
+  }
+
+  test("multimodal: batch plumbing preserves ids, stub features deterministic") {
+    val d = docs(
+      0L -> "abcdefgh", 1L -> "0123456789", 2L -> "xyz")
+      .withColumn("source", lit("s"))
+    val media = Multimodal.syntheticMedia(d, "doc_id", "text", "source")
+    val feats = Multimodal.processBatches(media, batchSize = 2).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(0L, 1L, 2L))
+    assert(feats.map(_.kind).toSeq == Seq("image", "audio", "video"))
+    assert(feats(0).byte_size == 8 && feats(0).width == 64 + 8 % 577 && feats(0).channels == 3)
+    assert(feats(1).duration_ms == 10 * 8 && feats(1).channels == 2)
+    // checksum is order-aware and deterministic
+    val again = Multimodal.processBatches(media, batchSize = 1).collect().sortBy(_.media_id)
+    assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+    // frame sampling explodes video payloads only
+    val frames = Multimodal.sampleFrames(media, stride = 2, maxFrames = 2).collect()
+    assert(frames.forall(_.getLong(0) == 2L) && frames.length == 2)
+  }
+}
