@@ -68,6 +68,25 @@ final class FileLedger(spark: SparkSession, path: String) {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Schema)
       .write.mode(mode).parquet(path)
 
+  /** UPDATE sink: reset old `failed` rows to `pending` so they are retried
+    * (reference: DEPLOY_FILE_DEDUPLICATION.md:266-270 —
+    * `UPDATE cdc_processed_files SET status='pending' WHERE
+    * status='failed' AND processed_at < ...`). Read-modify-overwrite on
+    * the small ledger.
+    */
+  def resetFailed(olderThanMinutes: Long = 60): Long = {
+    if (!exists) return 0L
+    val cutoff = new Timestamp(System.currentTimeMillis() - olderThanMinutes * 60000L)
+    val updated = records.withColumn("status",
+      when(col("status") === "failed" && col("processed_at") < lit(cutoff), "pending")
+        .otherwise(col("status")))
+    val rows = updated.collect() // small by design
+    val nReset = rows.count(_.getString(1) == "pending")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), Schema)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    nReset.toLong
+  }
+
   /** Retention cleanup: drop rows older than `retentionDays` and compact
     * the append-files (reference: AUTOMATIC_CLEANUP.md:279-281 —
     * `DELETE ... WHERE processed_at < now - INTERVAL '30' DAY`).

@@ -58,7 +58,9 @@ object TextDedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // the shingle relation feeds both join sides and the size aggregate —
+    // materialize it once (shingling re-tokenizes every document)
+    val sh = shingles(df, idCol, textCol, n).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
 
     val inter = sh.as("a").join(sh.as("b"),
@@ -78,21 +80,29 @@ object TextDedup {
   // ───────────────────────────────────────────── MinHash + LSH
 
   /** MinHash signature columns: `numHashes` independent min-hashes of the
-    * shingle set, h_i(doc) = min over shingles of xxhash64(shingle, i).
+    * shingle set. The shingle string is hashed to a long ONCE (`__h`);
+    * each of the `numHashes` functions is a cheap rehash of that long —
+    * hashing a 30-byte string 128× per shingle would dominate the
+    * signature pass.
     */
   private def minhashAggs(numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
 
   /** (id, band, band_key) — LSH bucket keys: signature split into `bands`
     * bands of `numHashes/bands` rows, each band hashed to one key.
     */
   def lshBands(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int): DataFrame = {
+      n: Int, numHashes: Int, bands: Int): DataFrame =
+    lshBandsFromShingles(shingles(df, idCol, textCol, n), numHashes, bands)
+
+  private def lshBandsFromShingles(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = shingles(df, idCol, textCol, n)
-      .groupBy("id").agg(minhashAggs(numHashes).head, minhashAggs(numHashes).tail: _*)
+    val aggs = minhashAggs(numHashes)
+    val sigs = sh.withColumn("__h", xxhash64(col("shingle")))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("band_key"))
@@ -110,7 +120,9 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    val bk = lshBands(df, idCol, textCol, n, numHashes, bands)
+    // one shingle pass feeds signatures, sizes and verification joins
+    val sh = shingles(df, idCol, textCol, n).persist()
+    val bk = lshBandsFromShingles(sh, numHashes, bands).persist()
     val candidates = bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
@@ -119,7 +131,6 @@ object TextDedup {
       .distinct()
 
     // verify candidates with exact Jaccard (only candidate docs touched)
-    val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")

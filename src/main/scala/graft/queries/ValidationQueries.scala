@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The reference's 18-validation corpus
+  * (reference: DATA_VALIDATION_QUERIES.sql:1-311) ported onto the
+  * testdata tables. Validations already embodied by q01-q16 (counts,
+  * conditional aggregates, duplicate finder, month buckets, checksum,
+  * freshness-union, top-k) are not duplicated; this module covers the
+  * remainder: catalog/schema introspection (V11/V12/V14/V18), per-table
+  * checksums (V8 over many tables), status breakdowns (V9), freshness
+  * with an explicit minute-difference (V10), date-range distribution with
+  * distinct users (V13), NULL-count audit (V5), and the §2.8 scalar
+  * function set (LEFT/POSITION/ROUND/INTERVAL/DATEDIFF).
+  *
+  * Determinism: "now" is a fixed literal (the reference compares two live
+  * systems; the rebuild compares two engines — wall-clock must not leak
+  * into hashed output); minute differences use an explicit epoch-floor
+  * formula because engine DATEDIFF boundary semantics differ.
+  */
+object ValidationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ScalarTables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** V1+V14+V18: per-table row/column counts with a summary row —
+    * the catalog sweep, schema read from the engine, not hardcoded.
+    */
+  val v01_table_summary: Q = (s, dir) => {
+    val perTable: Seq[DataFrame] = ScalarTables.map { t =>
+      val df = Tables(s, dir, t)
+      df.agg(count(lit(1)).as("row_count"))
+        .select(lit(t).as("table_name"), col("row_count"),
+          lit(df.schema.length).cast(LongType).as("column_count"))
+    }
+    perTable.reduce(_.unionAll(_))
+      .orderBy(col("table_name"))
+  }
+
+  val v01_sql: String = {
+    val branches = ScalarTables.map { t =>
+      s"""SELECT '$t' AS table_name, COUNT(*) AS row_count,
+         |  (SELECT COUNT(*) FROM pragma_table_info('$t')) AS column_count
+         |FROM $t""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
+  /** V8 across tables: row count + key checksum per keyed table. */
+  val v02_checksums: Q = (s, dir) => {
+    val keyed = Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "part" -> "p_partkey", "supplier" -> "s_suppkey", "events" -> "event_id")
+    keyed.map { case (t, k) =>
+      Tables(s, dir, t).agg(
+          count(lit(1)).as("row_count"),
+          sum(col(k).cast(LongType)).as("sum_ids"))
+        .select(lit(t).as("table_name"), col("row_count"), col("sum_ids"),
+          md5(col("sum_ids").cast(StringType)).as("checksum"))
+    }.reduce(_.unionAll(_)).orderBy(col("table_name"))
+  }
+
+  val v02_sql: String = {
+    val keyed = Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "part" -> "p_partkey", "supplier" -> "s_suppkey", "events" -> "event_id")
+    keyed.map { case (t, k) =>
+      s"""SELECT '$t' AS table_name, COUNT(*) AS row_count,
+         |  SUM(CAST($k AS BIGINT)) AS sum_ids,
+         |  MD5(CAST(SUM(CAST($k AS BIGINT)) AS VARCHAR)) AS checksum
+         |FROM $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
+  /** V9: record count by status/category with first/last seen. */
+  val v03_status_breakdown: Q = (s, dir) => {
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+      .orderBy(col("cnt").desc, col("event_type"))
+  }
+
+  val v03_sql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS first_seen,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS last_seen
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY cnt DESC, event_type""".stripMargin
+
+  /** V10: freshness — minutes between each table's newest record and a
+    * fixed "now" (epoch-floor minute difference; see module doc).
+    */
+  val v04_freshness: Q = (s, dir) => {
+    val now = "2026-01-01 00:00:00"
+    def branch(t: String, tsCol: String): DataFrame =
+      Tables(s, dir, t).agg(
+          count(lit(1)).as("total_rows"),
+          max(col(tsCol).cast(TimestampType)).as("latest_record"))
+        .select(lit(t).as("table_name"), col("total_rows"), col("latest_record"),
+          floor((unix_timestamp(to_timestamp(lit(now))) - unix_timestamp(col("latest_record"))) / 60)
+            .as("minutes_old"))
+    branch("orders", "o_orderdate")
+      .unionAll(branch("lineitem", "l_shipdate"))
+      .unionAll(branch("events", "ts"))
+      .orderBy(col("table_name"))
+  }
+
+  val v04_sql: String = {
+    def branch(t: String, tsCol: String) =
+      s"""SELECT '$t' AS table_name, COUNT(*) AS total_rows,
+         |  CAST(MAX($tsCol) AS TIMESTAMP) AS latest_record,
+         |  CAST(FLOOR((CAST(FLOOR(date_part('epoch', TIMESTAMP '2026-01-01 00:00:00')) AS BIGINT)
+         |      - CAST(FLOOR(date_part('epoch', CAST(MAX($tsCol) AS TIMESTAMP))) AS BIGINT)) / 60) AS BIGINT) AS minutes_old
+         |FROM $t""".stripMargin
+    Seq(branch("orders", "o_orderdate"), branch("lineitem", "l_shipdate"),
+      branch("events", "ts")).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
+  /** V11/V12: full schema introspection — table, column, type, position —
+    * read from the engine catalog (df.schema), checked against DuckDB's
+    * view of the same parquet (type names normalized).
+    */
+  val v05_schema_info: Q = (s, dir) => {
+    val rows: Seq[Row] = ScalarTables.flatMap { t =>
+      Tables(s, dir, t).schema.fields.zipWithIndex.map { case (f, i) =>
+        // parquet NTZ timestamps surface as timestamp_ntz in Spark 4 and
+        // TIMESTAMP in DuckDB — one wall-clock type, one catalog name
+        val typeName = f.dataType.simpleString.replace("timestamp_ntz", "timestamp")
+        Row(t, f.name, typeName, f.nullable, i + 1)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("table_name", StringType), StructField("column_name", StringType),
+      StructField("data_type", StringType), StructField("is_nullable", BooleanType),
+      StructField("ordinal_position", IntegerType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(col("table_name"), col("ordinal_position"))
+  }
+
+  val v05_sql: String = {
+    val branches = ScalarTables.map { t =>
+      s"""SELECT '$t' AS table_name, name AS column_name,
+         |  CASE type
+         |    WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+         |    WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+         |    WHEN 'FLOAT' THEN 'float' WHEN 'TIMESTAMP' THEN 'timestamp'
+         |    WHEN 'FLOAT[]' THEN 'array<float>' ELSE lower(type) END AS data_type,
+         |  (NOT "notnull") AS is_nullable,
+         |  cid + 1 AS ordinal_position
+         |FROM pragma_table_info('$t')""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, ordinal_position")
+  }
+
+  /** V5: NULL-value audit over key business columns. */
+  val v06_null_counts: Q = (s, dir) => {
+    Tables(s, dir, "events").agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("user_id").isNull, 1).otherwise(0)).as("null_user_id"),
+      sum(when(col("event_type").isNull, 1).otherwise(0)).as("null_event_type"),
+      sum(when(col("props").isNull, 1).otherwise(0)).as("null_props"),
+      sum(when(col("value").isNull, 1).otherwise(0)).as("null_value"))
+  }
+
+  val v06_sql: String =
+    """SELECT COUNT(*) AS total_rows,
+      |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+      |  SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+      |  SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+      |  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value
+      |FROM events""".stripMargin
+
+  /** V13: month distribution with distinct-entity counts, range-bounded. */
+  val v07_date_distribution: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(count(lit(1)).as("row_count"),
+        count_distinct(col("o_custkey")).as("unique_customers"))
+      .orderBy(col("month").desc)
+  }
+
+  val v07_sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS row_count,
+      |  COUNT(DISTINCT o_custkey) AS unique_customers
+      |FROM orders
+      |WHERE o_orderdate >= '1997-01-01'
+      |GROUP BY 1
+      |ORDER BY month DESC""".stripMargin
+
+  /** §2.8 scalar-function sweep: LEFT/substring, POSITION/locate, ROUND,
+    * date +INTERVAL, day difference — every remaining scalar from the
+    * reference's generated SQL and ops docs
+    * (DEPLOY_FILE_DEDUPLICATION.md:201; AUTOMATIC_CLEANUP.md:247).
+    */
+  val v08_scalar_functions: Q = (s, dir) => {
+    Tables(s, dir, "part")
+      .filter(col("p_partkey") <= 1000)
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("name_left8"),
+        locate(" ", col("p_name")).as("first_space"),
+        round(col("p_size").cast(DoubleType) / 7.0, 2).as("size_ratio"),
+        upper(substring(col("p_brand"), 1, 5)).as("brand_upper"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val v08_sql: String =
+    """SELECT p_partkey,
+      |  substr(p_name, 1, 8) AS name_left8,
+      |  CAST(position(' ' IN p_name) AS INT) AS first_space,
+      |  ROUND(CAST(p_size AS DOUBLE) / 7.0, 2) AS size_ratio,
+      |  upper(substr(p_brand, 1, 5)) AS brand_upper,
+      |  concat_ws('-', p_brand, p_type) AS brand_type
+      |FROM part
+      |WHERE p_partkey <= 1000
+      |ORDER BY p_partkey""".stripMargin
+
+  /** P6: INTERVAL arithmetic + explicit day difference on dates. */
+  val v09_interval_arith: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 400)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_shipdate") + expr("INTERVAL 30 DAYS")).as("ship_plus_30d"),
+        datediff(to_date(lit("2000-01-01")), to_date(col("l_shipdate"))).as("days_to_y2k"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val v09_sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_shipdate + INTERVAL 30 DAY AS ship_plus_30d,
+      |  CAST(date_diff('day', CAST(l_shipdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+      |FROM lineitem
+      |WHERE l_orderkey <= 400
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "v01_table_summary" -> v01_table_summary,
+    "v02_checksums" -> v02_checksums,
+    "v03_status_breakdown" -> v03_status_breakdown,
+    "v04_freshness" -> v04_freshness,
+    "v05_schema_info" -> v05_schema_info,
+    "v06_null_counts" -> v06_null_counts,
+    "v07_date_distribution" -> v07_date_distribution,
+    "v08_scalar_functions" -> v08_scalar_functions,
+    "v09_interval_arith" -> v09_interval_arith)
+
+  val oracles: Map[String, String] = Map(
+    "v01_table_summary" -> v01_sql,
+    "v02_checksums" -> v02_sql,
+    "v03_status_breakdown" -> v03_sql,
+    "v04_freshness" -> v04_sql,
+    "v05_schema_info" -> v05_sql,
+    "v06_null_counts" -> v06_sql,
+    "v07_date_distribution" -> v07_sql,
+    "v08_scalar_functions" -> v08_sql,
+    "v09_interval_arith" -> v09_sql)
+}
