@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DoubleDot, WinnowedFingerprint}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same surface as the Column API:
+  *
+  *   SELECT double_dot(a, b)                      -- array<double> dot
+  *   SELECT winnowed_fingerprint(text[, k, w])    -- rolling-hash winnowing
+  *
+  * Wire up with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("double_dot"),
+      new ExpressionInfo(classOf[DoubleDot].getName, "double_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "double_dot(a, b) takes two arrays")
+        DoubleDot(args.head, args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("winnowed_fingerprint"),
+      new ExpressionInfo(classOf[WinnowedFingerprint].getName, "winnowed_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WinnowedFingerprint(text, 8, 4)
+        case Seq(text, k, w) =>
+          WinnowedFingerprint(text, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "winnowed_fingerprint(text[, k, w])")
+      }))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions registration: custom expressions reachable
+  * from SQL text, not just the Column API.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // getOrCreate reuses the suite-shared session and would skip the
+    // extensions — clear the registry so a fresh session (same
+    // SparkContext) is built with them applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("double_dot callable from SQL") {
+    val r = spark.sql(
+      "SELECT double_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("winnowed_fingerprint callable from SQL, defaults and explicit args") {
+    val n = spark.sql(
+      "SELECT size(winnowed_fingerprint('the quick brown fox jumps over the lazy dog')) AS n")
+      .head().getInt(0)
+    assert(n > 0)
+    val n2 = spark.sql(
+      "SELECT size(winnowed_fingerprint('the quick brown fox jumps over the lazy dog', 4, 2)) AS n")
+      .head().getInt(0)
+    assert(n2 >= n)
+  }
+}

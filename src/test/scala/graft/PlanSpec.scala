@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards (the 100 TB contract): filters reach the
+  * parquet scan, small sides broadcast, the CDC merge never exchanges the
+  * target, hot paths stay inside whole-stage codegen. These assertions
+  * catch structural performance regressions that row-count tests cannot.
+  */
+class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Pre-execution plan: selective queries can AQE-collapse to
+    * EmptyRelation after running, hiding the scan node.
+    */
+  def initialPlanString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate stack pushes filters into the parquet scan") {
+    val plan = initialPlanString(queries.CoreQueries.q11_predicate_stack(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(2000))
+    assert(plan.contains("StringContains(p_type,BRASS)"),
+      "LIKE filter should be pushed:\n" + plan.take(2000))
+    assert(plan.contains("In(p_size"), "IN filter should be pushed:\n" + plan.take(2000))
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = initialPlanString(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan.take(2000))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val df = queries.CoreQueries.q07_join_revenue_by_nation(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("CDC merge plan: broadcast joins only — the target is never exchanged") {
+    import spark.implicits._
+    val target = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val staging = Seq((1L, "v1b", "U"), (2000L, "new", "I")).toDF("id", "v", "Op")
+    val merged = operators.CdcMerge(target, staging, Seq("id"))
+    val plan = executedPlan(merged)
+    val bhj = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastHashJoin") => p
+    }
+    val shuffles = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("ShuffleExchange") => p
+    }
+    assert(bhj.size >= 3, s"expected ≥3 broadcast joins, plan:\n$plan")
+    assert(shuffles.isEmpty, s"CDC merge must not shuffle, plan:\n$plan")
+  }
+
+  test("window dedup plans one exchange by key then in-partition sort") {
+    import spark.implicits._
+    val staging = (1L to 100L).map(i => (i % 10, s"v$i", i))
+      .toDF("id", "v", "ingestion_seq")
+    val plan = planString(operators.CdcDedup.dedup(staging, Seq("id"), gate = false))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"),
+      "rn=1 filter should push a group-limit below the window:\n" + plan.take(2000))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planString(queries.CoreQueries.q13_topk(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    // parquet-backed input: a local relation would be constant-folded
+    import org.apache.spark.sql.functions.{col, transform}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .select(functions.DoubleDot(col("v"), col("v")).as("d"))
+    val plan = planString(e)
+    // the `*(n)` prefix marks operators inside WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project [double_dot"),
+      "double_dot must run inside a codegen stage (no fallback):\n" + plan)
+    assert(e.collect().forall(_.getDouble(0) > 0.0))
+  }
+}

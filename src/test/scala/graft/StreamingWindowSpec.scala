@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventWindows
+
+/** The windowed-aggregation plan must produce identical results in batch
+  * and streaming execution (same code path, `readStream` + watermark).
+  */
+class StreamingWindowSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming tumbling windows ≡ batch tumbling windows") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables(spark, dir, "events")
+    val batch = EventWindows.windowedStats(batchEvents, "1 hour")
+      .collect().map(_.toSeq).toSet
+
+    // stream the same parquet through the same plan (complete mode so the
+    // final state table carries every window)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventWindows.windowedStats(streamEvents, "1 hour", watermark = Some("1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName("win_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sliding windows place each event in windowLength/slide windows") {
+    import spark.implicits._
+    val one = Seq(("2026-01-01 10:07:00", "click", 1.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(org.apache.spark.sql.functions.to_timestamp($"ts_s").as("ts"),
+        $"event_type", $"value")
+    val out = EventWindows.windowedStats(one, "1 hour", slide = Some("15 minutes"))
+      .collect()
+    assert(out.length == 4) // 60/15 overlapping windows contain the event
+  }
+}
