@@ -79,14 +79,9 @@ object TextDedup {
 
   // ───────────────────────────────────────────── MinHash + LSH
 
-  /** MinHash signature columns: `numHashes` independent min-hashes of the
-    * shingle set. The shingle string is hashed to a long ONCE (`__h`);
-    * each of the `numHashes` functions is a cheap rehash of that long —
-    * hashing a 30-byte string 128× per shingle would dominate the
-    * signature pass.
-    */
-  private def minhashAggs(numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
+  // (signatures are computed by the MinHashAgg typed imperative
+  // aggregate — one primitive buffer per doc instead of numHashes
+  // separate min(...) aggregates; see graft.functions.MinHashAgg)
 
   /** (id, band, band_key) — LSH bucket keys: signature split into `bands`
     * bands of `numHashes/bands` rows, each band hashed to one key.
@@ -100,11 +95,10 @@ object TextDedup {
       sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val aggs = minhashAggs(numHashes)
-    val sigs = sh.withColumn("__h", xxhash64(col("shingle")))
-      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sigs = sh.groupBy("id")
+      .agg(graft.functions.MinHashAgg(col("shingle"), numHashes).as("sig"))
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      val parts = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("band_key"))
     }
     sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))

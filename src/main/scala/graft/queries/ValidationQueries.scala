@@ -244,7 +244,58 @@ object ValidationQueries {
       |WHERE l_orderkey <= 400
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** J4 (the reference's cross-system comparison join,
+    * validate_data_redshift_firebolt.py:102-116): two per-key count
+    * relations full-outer-joined with indicator semantics and zero-fill.
+    * Here: per-customer order counts vs per-customer lineitem-order
+    * counts — mismatch rows surface exactly like the count-diff report.
+    */
+  val v10_fullouter_compare: Q = (s, dir) => {
+    val orders = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("order_cnt"))
+    val bigOrders = Tables(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("big_cnt"))
+    orders.join(bigOrders, Seq("custkey"), "full_outer")
+      .na.fill(0, Seq("order_cnt", "big_cnt"))
+      .withColumn("diff", col("order_cnt") - col("big_cnt"))
+      .filter(col("diff") > 0)
+      .orderBy(col("custkey"))
+  }
+
+  val v10_sql: String =
+    """WITH a AS (SELECT o_custkey AS custkey, COUNT(*) AS order_cnt FROM orders GROUP BY 1),
+      |b AS (SELECT o_custkey AS custkey, COUNT(*) AS big_cnt FROM orders
+      |      WHERE o_totalprice > 100000.0 GROUP BY 1)
+      |SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+      |       COALESCE(order_cnt, 0) AS order_cnt,
+      |       COALESCE(big_cnt, 0) AS big_cnt,
+      |       COALESCE(order_cnt, 0) - COALESCE(big_cnt, 0) AS diff
+      |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+      |WHERE COALESCE(order_cnt, 0) - COALESCE(big_cnt, 0) > 0
+      |ORDER BY custkey""".stripMargin
+
+  /** U2 (set difference, schema_evolution_tracker.py:111-118): customers
+    * present in the base table but absent from the active-order set.
+    */
+  val v11_set_difference: Q = (s, dir) => {
+    val all = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+    val active = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    all.except(active).orderBy(col("custkey"))
+  }
+
+  val v11_sql: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "v10_fullouter_compare" -> v10_fullouter_compare,
+    "v11_set_difference" -> v11_set_difference,
     "v01_table_summary" -> v01_table_summary,
     "v02_checksums" -> v02_checksums,
     "v03_status_breakdown" -> v03_status_breakdown,
@@ -256,6 +307,8 @@ object ValidationQueries {
     "v09_interval_arith" -> v09_interval_arith)
 
   val oracles: Map[String, String] = Map(
+    "v10_fullouter_compare" -> v10_sql,
+    "v11_set_difference" -> v11_sql,
     "v01_table_summary" -> v01_sql,
     "v02_checksums" -> v02_sql,
     "v03_status_breakdown" -> v03_sql,
