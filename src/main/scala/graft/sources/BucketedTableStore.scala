@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
 
 import graft.operators.CdcMerge
 
@@ -58,16 +58,51 @@ final class BucketedTableStore(
 
   /** Initial (full) load — the reference's `LOAD*` path
     * (handler.py:781-783 skips these in CDC; they seed the table).
+    * A schema sidecar (`_graft_schema.json`) makes the table readable
+    * even when every row has been deleted (no part files to infer from) —
+    * the file-based analogue of the reference's schema-metadata snapshot
+    * (lambda_schema_evolution_integration.py:32-68).
     */
-  def initialize(df: DataFrame): Unit =
+  def initialize(df: DataFrame): Unit = {
     df.withColumn(BucketCol, bucketOf(df))
       .repartition(col(BucketCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol)
       .parquet(path)
+    writeSchemaSidecar(df.schema)
+  }
+
+  private def sidecarPath = new Path(path, "_graft_schema.json")
+
+  private def writeSchemaSidecar(s: StructType): Unit = {
+    val out = fs.create(sidecarPath, true)
+    out.write(s.json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSchemaSidecar(): Option[StructType] =
+    if (!fs.exists(sidecarPath)) None
+    else {
+      val in = fs.open(sidecarPath)
+      val bytes = new Array[Byte](fs.getFileStatus(sidecarPath).getLen.toInt)
+      in.readFully(bytes)
+      in.close()
+      Some(DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType])
+    }
+
+  /** Raw read including the bucket partition column; survives a fully
+    * emptied table via the sidecar schema.
+    */
+  private def readRaw(): DataFrame = readSchemaSidecar() match {
+    case Some(s) =>
+      spark.read
+        .schema(s.add(StructField(BucketCol, IntegerType, nullable = true)))
+        .parquet(path)
+    case None => spark.read.parquet(path)
+  }
 
   /** Full-table read (partition column dropped). */
-  def read(): DataFrame = spark.read.parquet(path).drop(BucketCol)
+  def read(): DataFrame = readRaw().drop(BucketCol)
 
   /** Table schema without the bucket column. */
   def schema: StructType = read().schema
@@ -85,7 +120,7 @@ final class BucketedTableStore(
     if (affected.isEmpty) { stagingB.unpersist(); return 0 }
 
     // 2. partition-pruned scan of only the affected buckets
-    val slice = spark.read.parquet(path)
+    val slice = readRaw()
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toSeq: _*))
       .drop(BucketCol)
 
