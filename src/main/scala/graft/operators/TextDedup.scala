@@ -124,12 +124,15 @@ object TextDedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard (only candidate docs touched)
+    // verify candidates with exact Jaccard. The candidate set is tiny
+    // relative to the corpus, so both verification joins broadcast it —
+    // the shingle relation is scanned, never shuffled.
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b"), "id_b")
-      .filter(col("sh_a") === col("sh_b"))
+    val pairShingles = sh.join(broadcast(candidates), col("id") === col("id_a"))
+      .select(col("id_a"), col("id_b").as("__cand_b"), col("shingle").as("__cand_sh"))
+    val inter = sh.join(broadcast(pairShingles),
+        col("id") === col("__cand_b") && col("shingle") === col("__cand_sh"))
+      .select(col("id_a"), col("__cand_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")

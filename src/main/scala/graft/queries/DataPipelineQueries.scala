@@ -40,6 +40,11 @@ object DataPipelineQueries {
         d.filter(col("doc_id") % 10 === 5)
           .select((col("doc_id") + 200000L).as("doc_id"),
             concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+      // the documents parquet is a single small file → 1-3 input
+      // partitions; spread the (expression-heavy) shingling across cores.
+      // At real scale the input already has ≥ parallelism partitions and
+      // callers skip this.
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   val DupDocCorpusSql: String =
