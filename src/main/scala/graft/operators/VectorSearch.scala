@@ -103,6 +103,57 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is assigned to its nearest
+    * centroid; each query probes only the `nProbe` centroids nearest to
+    * it, then re-ranks candidates exactly. Centroids are caller-provided
+    * (e.g. sampled vectors refined offline) — the operator is the
+    * partition-and-probe plan, which is where the scale structure lives:
+    * assignment is one scan with a broadcast centroid table, the probe
+    * join shuffles only by centroid id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      centroids: Seq[Seq[Double]], k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty && nProbe >= 1)
+    // nearest-centroid expression: argmin over squared distance
+    def centroidCol(p: Seq[Double]): Column = array(p.map(lit): _*)
+    def dist2(vec: Column, p: Seq[Double]): Column = {
+      val d = dot(vec, vec) - lit(2.0) * dot(vec, centroidCol(p)) +
+        lit(p.map(x => x * x).sum)
+      d
+    }
+    def nearest(vec: Column): Column =
+      centroids.zipWithIndex
+        .map { case (p, i) => struct(dist2(vec, p).as("d"), lit(i).as("c")) }
+        .reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+        .getField("c")
+    // query side: the nProbe nearest centroids
+    def probes(vec: Column): Column = {
+      val ranked = array(centroids.zipWithIndex.map { case (p, i) =>
+        struct(dist2(vec, p).as("d"), lit(i).as("c"))
+      }: _*)
+      slice(transform(array_sort(ranked), s => s.getField("c")), 1, nProbe)
+    }
+
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+      norm(col(vecCol)).as("__cnorm"), nearest(col(vecCol)).as("__cell"))
+    val q = broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+        norm(col(vecCol)).as("__qnorm"),
+        explode(probes(col(vecCol))).as("__cell")))
+    val joined = c.join(q, "__cell")
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", cosineFromParts(
+        dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, id_a < id_b.
     * `bucketed=true` prunes via LSH signatures (near-identical vectors
     * collide with overwhelming probability at tight thresholds);

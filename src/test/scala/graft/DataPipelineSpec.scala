@@ -95,6 +95,24 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(2) == 1L) // its near-copy tops the bucket
   }
 
+  test("IVF top-k: probes only nearby cells, finds cluster neighbors") {
+    import spark.implicits._
+    // two tight clusters around (1,0,...) and (0,1,...)
+    def around(base: Int, i: Long): Array[Float] =
+      Array.tabulate(8)(d => (if (d == base) 1.0 else 0.0).toFloat +
+        (math.sin(i * 13 + d) * 0.01).toFloat)
+    val vecs = ((1L to 20L).map(i => (i, around(0, i))) ++
+      (21L to 40L).map(i => (i, around(1, i)))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0.0, 1, 0, 0, 0, 0, 0, 0))
+    val out = VectorSearch.ivfTopK(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "vec_id", centroids, k = 5, nProbe = 1)
+      .collect().map(_.getLong(2))
+    assert(out.length == 5)
+    assert(out.forall(_ <= 20L), s"neighbors must come from the same cluster: ${out.toSeq}")
+  }
+
   test("cosine near-dup pairs with LSH pruning vs exact") {
     import spark.implicits._
     val base = (1L to 30L).map(i =>
