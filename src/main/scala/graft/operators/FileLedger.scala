@@ -41,12 +41,23 @@ final class FileLedger(spark: SparkSession, path: String) {
       .filter(col("file_key") === fileKey && col("status").isin(ProcessedStatuses: _*))
       .isEmpty
 
-  /** Bulk variant for backfills: the subset of `fileKeys` already done. */
-  def processedAmong(fileKeys: Seq[String]): Set[String] =
-    if (!exists) Set.empty
-    else records
-      .filter(col("status").isin(ProcessedStatuses: _*) && col("file_key").isin(fileKeys: _*))
-      .select("file_key").distinct.collect().map(_.getString(0)).toSet
+  /** Bulk variant for backfills: the subset of `fileKeys` already done.
+    * Large key lists (reference backfills replay whole history) go
+    * through a join instead of a giant IN expression.
+    */
+  def processedAmong(fileKeys: Seq[String]): Set[String] = {
+    if (!exists) return Set.empty
+    val processed = records.filter(col("status").isin(ProcessedStatuses: _*))
+    val matched =
+      if (fileKeys.size <= 1000) processed.filter(col("file_key").isin(fileKeys: _*))
+      else {
+        val keysDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(fileKeys.map(Row(_)), 4),
+          StructType(Seq(StructField("file_key", StringType, nullable = false))))
+        processed.join(keysDf, "file_key")
+      }
+    matched.select("file_key").distinct.collect().map(_.getString(0)).toSet
+  }
 
   def markCompleted(fileKey: String): Unit = append(fileKey, "completed", None)
 

@@ -27,7 +27,10 @@ final class CdcPipeline(
     numBuckets: Int = 64,
     deleteCol: String = "Op",
     deleteVals: Seq[String] = Seq("D"),
-    pathRoot: String = "fair") {
+    pathRoot: String = "fair",
+    cleanupProbability: Double = 0.0,
+    cleanupRetentionDays: Int = 30,
+    cleanupRng: () => Double = () => math.random()) {
 
   val ledger = new FileLedger(spark, s"$storeRoot/_ledger")
 
@@ -79,6 +82,13 @@ final class CdcPipeline(
       // STEP 7: ledger (handler.py:962-967)
       ledger.markCompleted(fileKey)
       staging.unpersist()
+
+      // probabilistic maintenance: with small probability per invocation,
+      // apply ledger retention (reference: AUTOMATIC_CLEANUP.md:12-63 —
+      // CLEANUP_PROBABILITY=0.01, CLEANUP_DAYS_TO_KEEP=30)
+      if (cleanupProbability > 0.0 && cleanupRng() < cleanupProbability)
+        ledger.cleanup(cleanupRetentionDays)
+
       Applied(table, touched, evolution)
     } catch {
       case e: Throwable =>

@@ -113,6 +113,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.processFile("/nope/random.parquet") == CdcPipeline.Skipped("Not a CDC file"))
   }
 
+  test("pipeline: empty CDC file applies as a no-op and is ledgered") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 4)
+    pipe.initialLoad("users", Seq((1L, "alice", 1.0)).toDF("id", "v", "amount"))
+    val fileDir = s"$root/fair/users/2026/08/12/empty.parquet"
+    writeCdcFile(fileDir, Seq.empty)
+    val out = pipe.processFile(fileDir)
+    assert(out.isInstanceOf[CdcPipeline.Applied])
+    assert(out.asInstanceOf[CdcPipeline.Applied].touchedBuckets == 0)
+    assert(snapshot(pipe.storeFor("users", Seq("id")).read()) == Seq((1L, "alice", 1.0)))
+    assert(pipe.ledger.isProcessed(fileDir))
+  }
+
+  test("pipeline: probabilistic cleanup triggers under injected RNG") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 4,
+      cleanupProbability = 1.0, cleanupRng = () => 0.0)
+    pipe.initialLoad("users", Seq((1L, "alice", 1.0)).toDF("id", "v", "amount"))
+    val fileDir = s"$root/fair/users/2026/08/12/b.parquet"
+    writeCdcFile(fileDir, Seq((2L, "bob", 2.0, "I", "2026-08-02 00:00:00", 0L)))
+    assert(pipe.processFile(fileDir).isInstanceOf[CdcPipeline.Applied])
+    // cleanup ran (retention keeps today's rows; the ledger was compacted)
+    assert(pipe.ledger.records.count() == 1)
+  }
+
   test("pipeline: null-PK table skipped") {
     val keys = TableKeys.parse("""{"log_table": null}""")
     val pipe = new CdcPipeline(spark, tmpDir(), keys)
