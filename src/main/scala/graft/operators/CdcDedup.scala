@@ -56,7 +56,12 @@ object CdcDedup {
     *   2. Op priority DESC — D(3) > U(2) > I(1) > other(0): deletes win ties
     *   3. `COALESCE(updated, 0)` DESC
     *   4. `COALESCE(created, 0)` DESC
-    *   5. `ingestion_seq` DESC — file row order, final tie-break
+    *   5. `__source_file` DESC — multi-file batches only: `ingestion_seq`
+    *      restarts per file, so without this a cross-FILE full tie would
+    *      be nondeterministic. The reference applies files one at a time
+    *      (later file processed later ⇒ wins); DMS file names ascend with
+    *      time, so descending path order reproduces that.
+    *   6. `ingestion_seq` DESC — file row order, final tie-break
     *
     * The reference's `COALESCE(x, 0)` is valid in Firebolt for both
     * TIMESTAMP and BIGINT-epoch columns; in Spark the null-filler must
@@ -80,6 +85,7 @@ object CdcDedup {
           .otherwise(0).desc) else Nil)
       .++= (if (names("updated")) Seq(coalesced("updated")) else Nil)
       .++= (if (names("created")) Seq(coalesced("created")) else Nil)
+      .++= (if (names("__source_file")) Seq(col("__source_file").desc) else Nil)
       .++= (if (names(IngestionSeqCol)) Seq(col(IngestionSeqCol).desc) else Nil)
       .result()
   }

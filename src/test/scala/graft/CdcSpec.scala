@@ -91,6 +91,23 @@ class CdcSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[String]("payload") == "newer")
   }
 
+  test("dedup cross-file tie: later-named file wins a multi-file batch") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", StringType),
+      StructField("load_timestamp", TimestampType),
+      StructField("ingestion_seq", LongType),
+      StructField("__source_file", StringType)))
+    // same key, same load_timestamp, seq restarts per file — the
+    // sequential-processing semantics require the later file to win
+    val rows = Seq(
+      Row(1L, "from-file-1", ts("2024-01-01 00:00:00"), 5L, "s3://b/t/2026/01/01/f001.parquet"),
+      Row(1L, "from-file-2", ts("2024-01-01 00:00:00"), 0L, "s3://b/t/2026/01/01/f002.parquet"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = CdcDedup.dedup(df, Seq("id")).collect()
+    assert(out.length == 1 && out(0).getAs[String]("payload") == "from-file-2")
+  }
+
   test("dedup gate: key-unique batch passes through without a window") {
     val df = stagingDf(Seq(
       (1L, "a", "I", "2024-01-01 00:00:00", 1L),
