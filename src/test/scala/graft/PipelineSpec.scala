@@ -177,6 +177,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.requiresManual.map(_._1) == Seq("geo"))
   }
 
+  test("schema registry: snapshot, change detection, new-table onboarding") {
+    import org.apache.spark.sql.types._
+    val reg = new graft.operators.SchemaRegistry(spark, tmpDir() + "/schema_metadata")
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    assert(reg.detectChanges("users", v1).isNewTable)
+    assert(reg.onboard("users", v1).contains(Seq("id")))
+    assert(reg.load("users").contains(v1))
+
+    val v2 = StructType(Seq(
+      StructField("id", LongType), StructField("v", IntegerType),
+      StructField("added", TimestampType)))
+    val ch = reg.detectChanges("users", v2)
+    assert(!ch.isNewTable)
+    assert(ch.newColumns == Seq("added"))
+    assert(ch.removedColumns.isEmpty)
+    assert(ch.typeChanges.map(_._1) == Seq("v"))
+    reg.save("users", v2)
+    assert(!reg.detectChanges("users", v2).hasChanges)
+    // no-PK table: onboarding yields None (⇒ CDC skip)
+    assert(reg.onboard("weird", StructType(Seq(StructField("x", LongType)))).isEmpty)
+  }
+
   test("ledger: mark/check/bulk/cleanup") {
     val dir = tmpDir()
     val ledger = new FileLedger(spark, s"$dir/ledger")
