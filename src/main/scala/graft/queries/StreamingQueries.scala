@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.streaming.EventWindows
+import graft.streaming.{CdcStateStream, EventWindows}
 
 /** Windowed event aggregation in batch mode — the same plans run under
   * `readStream` (proved in StreamingWindowSpec); here the driver checks
@@ -38,10 +38,57 @@ object StreamingQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** The flatMapGroupsWithState net-change view, run in batch mode over a
+    * synthetic change stream (empty initial state): per key the cascade
+    * winner is emitted as an upsert unless it is a delete (a delete with
+    * no prior state emits nothing) — all SQL-expressible, so the keyed
+    * state-transition logic itself sits under the oracle.
+    */
+  val w03_state_view: Q = (s, dir) => {
+    import s.implicits._
+    val changes = Tables(s, dir, "orders").select(
+        (col("o_orderkey") % 1000).as("key"),
+        when(col("o_orderkey") % 7 === 0, "D")
+          .when(col("o_orderkey") % 7 < 4, "U").otherwise("I").as("op"),
+        unix_timestamp(col("o_orderdate")).as("loadTs"),
+        col("o_orderkey").as("seq"),
+        col("o_orderpriority").as("payload"))
+      .as[CdcStateStream.Change]
+    CdcStateStream.netChanges(changes).toDF()
+      .orderBy(col("key"))
+  }
+
+  val w03_sql: String =
+    """WITH changes AS (
+      |  SELECT o_orderkey % 1000 AS key,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+      |              WHEN o_orderkey % 7 < 4 THEN 'U' ELSE 'I' END AS op,
+      |         CAST(FLOOR(date_part('epoch', o_orderdate)) AS BIGINT) AS load_ts,
+      |         o_orderkey AS seq,
+      |         o_orderpriority AS payload
+      |  FROM orders
+      |),
+      |winners AS (
+      |  SELECT key, op, payload FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY key
+      |      ORDER BY load_ts DESC,
+      |        CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 WHEN 'I' THEN 1 ELSE 0 END DESC,
+      |        seq DESC) AS rn
+      |    FROM changes) t
+      |  WHERE rn = 1
+      |)
+      |SELECT key, 'upsert' AS event, payload
+      |FROM winners
+      |WHERE op <> 'D'
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumbling_windows" -> w01_tumbling_windows,
-    "w02_sliding_windows" -> w02_sliding_windows)
+    "w02_sliding_windows" -> w02_sliding_windows,
+    "w03_state_view" -> w03_state_view)
 
   val oracles: Map[String, String] = Map(
-    "w01_tumbling_windows" -> w01_sql)
+    "w01_tumbling_windows" -> w01_sql,
+    "w03_state_view" -> w03_sql)
 }
