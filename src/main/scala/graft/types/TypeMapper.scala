@@ -106,8 +106,13 @@ object TypeMapper {
 
     def decimalOf(default: (Int, Int)): DecimalType =
       extractPrecision(sourceType) match {
-        case Some((p, s)) => DecimalType(math.min(p, 38), math.min(s.getOrElse(0), 38))
-        case None         => DecimalType(default._1, default._2)
+        case Some((p0, s0)) =>
+          // cap precision at Spark's max (38) and scale at the precision —
+          // DECIMAL(5,10) is representable in MySQL DDL text but not as a
+          // Spark DecimalType
+          val p = math.min(p0, 38)
+          DecimalType(p, math.min(s0.getOrElse(0), p))
+        case None => DecimalType(default._1, default._2)
       }
 
     if (DecimalTypes.contains(base))

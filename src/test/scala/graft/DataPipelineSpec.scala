@@ -127,6 +127,22 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(pruned.contains((1L, 2001L))) // identical direction ⇒ same bucket always
   }
 
+  test("salted join ≡ plain join; salted distinct count exact") {
+    import spark.implicits._
+    // skew: key 1 dominates
+    val big = ((1L to 900L).map(i => (1L, i)) ++ (1L to 100L).map(i => (2L, i)))
+      .toDF("k", "v")
+    val small = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = graft.operators.SkewJoin.saltedJoin(big, small, Seq("k"), 8)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.size == 1000)
+
+    val dc = graft.operators.SkewJoin.saltedDistinctCount(big, Seq("k"), "v", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dc == Map(1L -> 900L, 2L -> 100L))
+  }
+
   test("text functions: tokens, counts, quality, langid") {
     val df = docs(
       1L -> "The quick brown fox, it jumps over the lazy dog!",

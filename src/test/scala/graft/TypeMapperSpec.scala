@@ -39,6 +39,9 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.toSparkType("NUMERIC(50,2)").dataType.contains(DecimalType(38, 2)))
     assert(TypeMapper.toSparkType("DECIMAL(12)").dataType.contains(DecimalType(12, 0)))
     assert(TypeMapper.toSparkType("DECIMAL").dataType.contains(DecimalType(38, 10)))
+    // scale exceeding precision is capped (not a valid Spark DecimalType)
+    assert(TypeMapper.toSparkType("DECIMAL(5,10)").dataType.contains(DecimalType(5, 5)))
+    assert(TypeMapper.toSparkType("NUMERIC(50,45)").dataType.contains(DecimalType(38, 38)))
     assert(TypeMapper.toSparkType("MONEY").dataType.contains(DecimalType(19, 4)))
     assert(TypeMapper.toSparkType("SMALLMONEY").dataType.contains(DecimalType(10, 4)))
   }
