@@ -108,7 +108,7 @@ object CdcDedup {
     *             window shuffle if the batch is already key-unique.
     */
   def dedup(df: DataFrame, keys: Seq[String], gate: Boolean = true): DataFrame = {
-    val dropCols = df.columns.filter(c => c == "rn" || c == IngestionSeqCol || c == "__source_file")
+    val dropCols = df.columns.filter(c => c == "rn" || c == IngestionSeqCol || c == "__source_file").toSeq
     if (gate && !needsDedup(df, keys)) {
       df.drop(dropCols: _*)
     } else {

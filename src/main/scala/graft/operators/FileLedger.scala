@@ -56,7 +56,7 @@ final class FileLedger(spark: SparkSession, path: String) {
           StructType(Seq(StructField("file_key", StringType, nullable = false))))
         processed.join(keysDf, "file_key")
       }
-    matched.select("file_key").distinct.collect().map(_.getString(0)).toSet
+    matched.select("file_key").distinct().collect().map(_.getString(0)).toSet
   }
 
   def markCompleted(fileKey: String): Unit = append(fileKey, "completed", None)
