@@ -101,6 +101,13 @@ object CdcMerge {
     * @param broadcastStaging hint the staging side (and derived key sets)
     *                         as broadcast — correct for CDC-file-sized
     *                         batches; disable for huge backfills
+    * @param persistStaging   materialize the staging plan once (it feeds
+    *                         three joins). Callers that already persist
+    *                         the batch themselves — notably the bucketed
+    *                         store inside a long-running stream, where an
+    *                         un-released persist per micro-batch would
+    *                         accumulate without bound — pass false and
+    *                         own the lifecycle.
     * @return the post-merge target content, with the target's schema
     */
   def merge(
@@ -109,7 +116,8 @@ object CdcMerge {
       keys: Seq[String],
       mergeCols: Seq[String],
       deleteOn: Option[(String, Seq[String])],
-      broadcastStaging: Boolean = true): DataFrame = {
+      broadcastStaging: Boolean = true,
+      persistStaging: Boolean = true): DataFrame = {
 
     val targetSchema = target.schema
     val targetCols = targetSchema.fieldNames.toSeq
@@ -119,7 +127,8 @@ object CdcMerge {
     // The staging plan is referenced by three joins; a CDC batch is small,
     // so materialize it once instead of recomputing its lineage per use.
     // (For the non-broadcast/backfill path, leave lineage to Catalyst.)
-    val stagingOnce = if (broadcastStaging) staging.persist() else staging
+    val stagingOnce =
+      if (broadcastStaging && persistStaging) staging.persist() else staging
 
     def hinted(df: DataFrame): DataFrame = if (broadcastStaging) broadcast(df) else df
 
@@ -178,11 +187,12 @@ object CdcMerge {
       keys: Seq[String],
       deleteCol: String = "Op",
       deleteVals: Seq[String] = Seq("D"),
-      broadcastStaging: Boolean = true): DataFrame = {
+      broadcastStaging: Boolean = true,
+      persistStaging: Boolean = true): DataFrame = {
     val plan = prepareMergeColumns(target.schema, staging.schema, keys)
     val del =
       if (deleteActive(staging.schema, deleteCol, deleteVals)) Some((deleteCol, deleteVals))
       else None
-    merge(target, staging, keys, plan.cols, del, broadcastStaging)
+    merge(target, staging, keys, plan.cols, del, broadcastStaging, persistStaging)
   }
 }

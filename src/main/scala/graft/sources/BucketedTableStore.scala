@@ -124,26 +124,39 @@ final class BucketedTableStore(
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toSeq: _*))
       .drop(BucketCol)
 
-    // 3. broadcast merge on the slice
-    val merged = CdcMerge(slice, stagingB.drop(BucketCol), keys, deleteCol, deleteVals)
+    // 3. broadcast merge on the slice (the store owns the staging persist
+    // lifecycle — no inner persist that would leak across micro-batches)
+    val merged = CdcMerge(slice, stagingB.drop(BucketCol), keys, deleteCol, deleteVals,
+      persistStaging = false)
 
-    // 4. temp write + per-bucket atomic swap
-    val tmp = new Path(path, s".merge-tmp-${UUID.randomUUID().toString.take(8)}")
+    // 4. temp write + per-bucket swap. Renames only, in two phases with a
+    // trash dir: a crash mid-swap always leaves every bucket's data in
+    // either its live or its trash location (never deleted before the
+    // replacement landed); the ledger marks the file processed only after
+    // all swaps, so an interrupted merge is retried/recovered.
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = new Path(path, s".merge-tmp-$runId")
+    val trash = new Path(path, s".merge-trash-$runId")
     merged.withColumn(BucketCol, bucketOf(merged))
       .repartition(col(BucketCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol)
       .parquet(tmp.toString)
 
+    fs.mkdirs(trash)
+    // phase 1: retire affected live buckets into the trash
     affected.foreach { b =>
       val live = new Path(path, s"$BucketCol=$b")
+      if (fs.exists(live)) fs.rename(live, new Path(trash, s"$BucketCol=$b"))
+    }
+    // phase 2: land the fresh buckets (a bucket whose rows were all
+    // deleted has no fresh dir — correct: it stays absent)
+    affected.foreach { b =>
       val fresh = new Path(tmp, s"$BucketCol=$b")
-      if (fs.exists(live)) fs.delete(live, true)
-      if (fs.exists(fresh)) fs.rename(fresh, live)
-      // a bucket can vanish entirely (all rows deleted): live dir removed,
-      // nothing to rename — correct.
+      if (fs.exists(fresh)) fs.rename(fresh, new Path(path, s"$BucketCol=$b"))
     }
     fs.delete(tmp, true)
+    fs.delete(trash, true)
     stagingB.unpersist()
     affected.length
   }

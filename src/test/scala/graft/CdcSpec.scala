@@ -183,6 +183,17 @@ class CdcSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "one-v2", Some("extra1")), (2L, "two", None)))
   }
 
+  test("merge: non-broadcast (backfill) path produces identical results") {
+    val target = targetDf(Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0)))
+    val staging = mergeStaging(Seq(
+      (1L, "one-v2", 11.0, "U"), (2L, "gone", 0.0, "D"), (4L, "four", 40.0, "I")))
+    val viaBroadcast = CdcMerge(target, staging, Seq("id"))
+      .collect().map(_.toSeq).toSet
+    val viaShuffle = CdcMerge(target, staging, Seq("id"), broadcastStaging = false)
+      .collect().map(_.toSeq).toSet
+    assert(viaBroadcast == viaShuffle)
+  }
+
   // ─────────────────────────────────────────────── decimal gate
 
   test("decimal gate: mismatched non-key decimal dropped from merge set") {
