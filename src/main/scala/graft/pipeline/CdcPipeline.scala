@@ -106,6 +106,29 @@ final class CdcPipeline(
     files.sorted.filterNot(done.contains).map(f => f -> processFile(f))
   }
 
+  /** Recursive `.parquet` discovery under a root — the filesystem
+    * analogue of the retrigger scripts' S3 listing
+    * (retrigger_lambda_for_old_files.py:23-67). Routing/LOAD/ledger
+    * filtering happens per file inside [[processFile]].
+    */
+  def discoverFiles(root: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_"))
+        out += f.getPath.toUri.getPath
+    }
+    out.result().sorted
+  }
+
+  /** Discover + backfill in one call. */
+  def backfillRoot(root: String): Seq[(String, Outcome)] =
+    backfill(discoverFiles(root))
+
   /** Full-load path: initialize a target table from `LOAD*` (or any) data
     * (reference skips LOAD files in CDC and loads them separately;
     * handler.py:781-783, CHANGELOG.md:9-14).

@@ -142,6 +142,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.ledger.records.count() == 1)
   }
 
+  test("backfill: discovers files recursively, applies in path order, skips LOAD/processed") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 4)
+    pipe.initialLoad("users", Seq((1L, "v0", 0.0)).toDF("id", "v", "amount"))
+
+    // two days of files + one LOAD file that must be skipped; path order
+    // is chronological, so day-2 overwrites day-1
+    writeCdcFile(s"$root/fair/users/2026/01/01/b1.parquet",
+      Seq((1L, "day1", 1.0, "U", "2026-01-01 00:00:00", 0L)))
+    writeCdcFile(s"$root/fair/users/2026/01/02/b2.parquet",
+      Seq((1L, "day2", 2.0, "U", "2026-01-02 00:00:00", 0L)))
+    writeCdcFile(s"$root/fair/users/2026/01/02/LOAD9.parquet",
+      Seq((9L, "ghost", 9.0, "I", "2026-01-02 00:00:00", 0L)))
+
+    val out1 = pipe.backfillRoot(s"$root/fair")
+    assert(out1.map(_._2).count(_.isInstanceOf[CdcPipeline.Applied]) == 2)
+    assert(out1.collect { case (f, CdcPipeline.Skipped(r)) if f.contains("LOAD") => r }
+      == Seq("LOAD file"))
+    assert(snapshot(pipe.storeFor("users", Seq("id")).read()) == Seq((1L, "day2", 2.0)))
+
+    // second backfill: everything already processed (or LOAD-skipped)
+    val out2 = pipe.backfillRoot(s"$root/fair")
+    assert(!out2.exists(_._2.isInstanceOf[CdcPipeline.Applied]))
+  }
+
   test("pipeline: null-PK table skipped") {
     val keys = TableKeys.parse("""{"log_table": null}""")
     val pipe = new CdcPipeline(spark, tmpDir(), keys)
