@@ -39,9 +39,16 @@ object CdcDedup {
     * routing and cross-file ordering.
     */
   def readCdcFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.parquet(paths: _*)
+    spark.read.parquet(paths.map(escapeGlob): _*)
       .withColumn(IngestionSeqCol, col("_metadata.row_index"))
       .withColumn("__source_file", col("_metadata.file_path"))
+
+  /** The read path is interpreted as a Hadoop glob — escape the
+    * metacharacters so a literal file name like `batch[1].parquet` reads
+    * that exact file rather than expanding as a pattern.
+    */
+  private def escapeGlob(path: String): String =
+    path.replaceAll("([\\[\\]{}*?])", "\\\\$1")
 
   /** Attach `ingestion_seq` to an in-memory staging DataFrame that already
     * has a stable per-row order column; used by tests/synthetic streams.

@@ -40,10 +40,15 @@ final class CdcPipeline(
   import CdcPipeline._
 
   /** Process one CDC file end-to-end. `fileKey` is the path (may be a
-    * local absolute path whose suffix matches the reference layout
-    * `{root}/{table}/YYYY/MM/DD/name.parquet`).
+    * local absolute path or full URI whose suffix matches the reference
+    * layout `{root}/{table}/YYYY/MM/DD/name.parquet`). Ledger entries use
+    * the canonical scheme-stripped key ([[CdcPath.ledgerKey]]) so the
+    * streaming side (URI-form `_metadata.file_path`) and backfill side
+    * (listing paths) agree on processed state.
     */
-  def processFile(fileKey: String): Outcome = {
+  def processFile(fileKey: String): Outcome = processFile(fileKey, checkLedger = true)
+
+  private[pipeline] def processFile(fileKey: String, checkLedger: Boolean): Outcome = {
     // STEP 0: route (handler.py:765-783)
     CdcPath.parse(fileKey, pathRoot) match {
       case Left(skip) => Skipped(skip.message)
@@ -53,7 +58,8 @@ final class CdcPipeline(
           case None => Skipped(CdcPath.NoKeys.message)
           case Some(keys) =>
             // ledger check (handler.py:800-804)
-            if (ledger.isProcessed(fileKey)) Skipped(CdcPath.AlreadyProcessed.message)
+            if (checkLedger && ledger.isProcessed(CdcPath.ledgerKey(fileKey)))
+              Skipped(CdcPath.AlreadyProcessed.message)
             else applyFile(fileKey, cdcFile.table, keys)
         }
     }
@@ -80,7 +86,7 @@ final class CdcPipeline(
       val touched = store.merge(dedup, deleteCol, deleteVals)
 
       // STEP 7: ledger (handler.py:962-967)
-      ledger.markCompleted(fileKey)
+      ledger.markCompleted(CdcPath.ledgerKey(fileKey))
       staging.unpersist()
 
       // probabilistic maintenance: with small probability per invocation,
@@ -92,7 +98,7 @@ final class CdcPipeline(
       Applied(table, touched, evolution)
     } catch {
       case e: Throwable =>
-        ledger.markFailed(fileKey, e.getMessage)
+        ledger.markFailed(CdcPath.ledgerKey(fileKey), e.getMessage)
         Failed(table, e)
     }
   }
@@ -100,10 +106,26 @@ final class CdcPipeline(
   /** Backfill driver: apply every unprocessed CDC file under `root`,
     * per-table in path (= binlog) order — replaces the reference's
     * retrigger scripts (retrigger_lambda_for_old_files.py:88-158).
+    *
+    * The processed set is computed ONCE up front (per-file ledger
+    * re-reads would make a whole-history replay quadratic in ledger
+    * size); per-file processing then skips the redundant check.
+    *
+    * Retry semantics match the reference: `failed` files are retried,
+    * and MERGE is last-write-wins with no recency guard (the reference's
+    * WHEN MATCHED THEN UPDATE is equally unconditional, handler.py:
+    * 605-607) — so a file that failed in an earlier run and is retried
+    * after newer files re-applies its older values. The reference relies
+    * on near-immediate Lambda retries rather than delayed replays for
+    * the same reason; schedule backfills accordingly.
     */
   def backfill(files: Seq[String]): Seq[(String, Outcome)] = {
-    val done = ledger.processedAmong(files)
-    files.sorted.filterNot(done.contains).map(f => f -> processFile(f))
+    val done = ledger.processedAmong(files.map(CdcPath.ledgerKey))
+    files.sorted.map {
+      case f if done.contains(CdcPath.ledgerKey(f)) =>
+        f -> (Skipped(CdcPath.AlreadyProcessed.message): Outcome)
+      case f => f -> processFile(f, checkLedger = false)
+    }
   }
 
   /** Recursive `.parquet` discovery under a root — the filesystem
@@ -112,17 +134,21 @@ final class CdcPipeline(
     * filtering happens per file inside [[processFile]].
     */
   def discoverFiles(root: String): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val it = fs.listFiles(rootPath, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_"))
-        out += f.getPath.toUri.getPath
+      // exclude hidden/in-flight files AND any hidden ancestor segment
+      // (a concurrent writer's _temporary tree must never be ingested)
+      val segments = f.getPath.toUri.getPath.split('/').filter(_.nonEmpty)
+      val hidden = segments.exists(s => s.startsWith(".") || s.startsWith("_"))
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden)
+        out += f.getPath.toString // fully-qualified: readable on any FS
     }
-    out.result().sorted
+    out.result()
   }
 
   /** Discover + backfill in one call. */

@@ -33,4 +33,17 @@ object CdcPath {
         if (file.startsWith("LOAD")) Left(LoadFile)
         else Right(CdcFile(m.group(1), s"${m.group(2)}-${m.group(3)}-${m.group(4)}", file))
     }
+
+  /** Canonical ledger key for a file path: scheme/authority stripped,
+    * path only. The reference's ledger keys are bucket-relative S3 keys
+    * (handler.py:752-759); a URI-ish path (`file:///root/fair/...` from
+    * `_metadata.file_path`) and a plain listing path (`/root/fair/...`)
+    * must produce the SAME key or the streaming and backfill sides stop
+    * recognizing each other's processed files.
+    */
+  def ledgerKey(path: String): String =
+    scala.util.Try(new java.net.URI(path).getPath).toOption match {
+      case Some(p) if p != null && p.nonEmpty => p
+      case _ => path
+    }
 }

@@ -66,7 +66,8 @@ object CdcStream {
         if (!batch.isEmpty) {
           val files =
             if (cfg.writeLedger)
-              batch.select("__source_file").distinct().collect().map(_.getString(0)).toSeq
+              batch.select("__source_file").distinct().collect()
+                .map(r => graft.routing.CdcPath.ledgerKey(r.getString(0))).toSeq
             else Nil
           val dedup = CdcDedup.dedup(batch, cfg.keys, gate = true)
           store.merge(dedup, cfg.deleteCol, cfg.deleteVals)

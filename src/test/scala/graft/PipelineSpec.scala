@@ -169,6 +169,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out2.exists(_._2.isInstanceOf[CdcPipeline.Applied]))
   }
 
+  test("ledger-key parity: a stream-processed file is skipped by backfill") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    // pipeline rooted at the same layout the stream reads ("in/<table>/...")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 4, pathRoot = "in")
+    pipe.initialLoad("users", Seq((1L, "alice", 1.0)).toDF("id", "v", "amount"))
+
+    writeCdcFile(s"$root/in/users/2026/08/12/b1.parquet", Seq(
+      (2L, "bob", 2.0, "I", "2026-08-02 00:00:00", 0L)))
+    val schema = spark.read.parquet(s"$root/in/users/2026/08/12/b1.parquet").schema
+    val cfg = CdcStream.Config(
+      root = s"$root/in", table = "users", keys = Seq("id"),
+      storeRoot = s"$root/store", checkpointRoot = s"$root/ckpt", numBuckets = 4)
+    val q = CdcStream.start(spark, cfg, schema)
+    q.awaitTermination(60000)
+    assert(snapshot(pipe.storeFor("users", Seq("id")).read())
+      == Seq((1L, "alice", 1.0), (2L, "bob", 2.0)))
+
+    // backfill over the same root: the stream's ledger entry (canonical
+    // key from the URI-form _metadata path) must match the listing path
+    val out = pipe.backfillRoot(s"$root/in")
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 == CdcPipeline.Skipped("Already processed")), out.toString)
+    assert(snapshot(pipe.storeFor("users", Seq("id")).read())
+      == Seq((1L, "alice", 1.0), (2L, "bob", 2.0))) // no double-apply
+  }
+
   test("pipeline: null-PK table skipped") {
     val keys = TableKeys.parse("""{"log_table": null}""")
     val pipe = new CdcPipeline(spark, tmpDir(), keys)
