@@ -64,13 +64,21 @@ final class BucketedTableStore(
     * (lambda_schema_evolution_integration.py:32-68).
     */
   def initialize(df: DataFrame): Unit = {
-    df.withColumn(BucketCol, bucketOf(df))
-      .repartition(col(BucketCol))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol)
-      .parquet(path)
+    writeBuckets(df, path)
     writeSchemaSidecar(df.schema)
   }
+
+  /** Bucket-partitioned write, rows sorted by key within each bucket —
+    * parquet column min/max stats then let key-predicate scans skip whole
+    * row groups (free point-lookup pruning on top of the bucket pruning).
+    */
+  private def writeBuckets(df: DataFrame, dest: String): Unit =
+    df.withColumn(BucketCol, bucketOf(df))
+      .repartition(col(BucketCol))
+      .sortWithinPartitions((BucketCol +: keys).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(dest)
 
   private def sidecarPath = new Path(path, "_graft_schema.json")
 
@@ -137,11 +145,7 @@ final class BucketedTableStore(
     val runId = UUID.randomUUID().toString.take(8)
     val tmp = new Path(path, s".merge-tmp-$runId")
     val trash = new Path(path, s".merge-trash-$runId")
-    merged.withColumn(BucketCol, bucketOf(merged))
-      .repartition(col(BucketCol))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol)
-      .parquet(tmp.toString)
+    writeBuckets(merged, tmp.toString)
 
     fs.mkdirs(trash)
     // phase 1: retire affected live buckets into the trash
