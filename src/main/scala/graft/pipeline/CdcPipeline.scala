@@ -74,9 +74,13 @@ final class CdcPipeline(
         throw new IllegalStateException(s"target table '$table' not initialized at ${store.path}")
 
       // STEP 2: schema evolution (handler.py:250-338). Safe new columns
-      // evolve the target schema; on plain parquet the evolved columns
-      // materialize with the merged slice (absent columns read as null).
+      // are ADDED to the target schema BEFORE the merge — the reference
+      // ALTERs production then refreshes its column list so staged values
+      // for the new columns flow through the merge intersection
+      // (handler.py:846-850). Un-evolved parquet files read the column as
+      // null; merged buckets materialize it.
       val evolution = SchemaEvolution.diff(staging.schema, store.schema)
+      store.evolveSchema(evolution)
 
       // STEP 3: dedup via the cascade (handler.py:407-479)
       val dedup = CdcDedup.dedup(staging, keys, gate = true)

@@ -115,6 +115,15 @@ final class BucketedTableStore(
   /** Table schema without the bucket column. */
   def schema: StructType = read().schema
 
+  /** Apply schema evolution: append safe new columns (nullable) to the
+    * stored schema — the ALTER TABLE ADD COLUMN ... NULL of the reference
+    * (handler.py:290-292). Existing parquet files simply lack the column
+    * and read as null; merged buckets materialize it with values.
+    */
+  def evolveSchema(result: graft.operators.SchemaEvolution.EvolutionResult): Unit =
+    if (result.columnsAdded.nonEmpty)
+      writeSchemaSidecar(graft.operators.SchemaEvolution.evolve(schema, result))
+
   /** Merge one deduplicated staging batch. Returns touched bucket count. */
   def merge(
       staging: DataFrame,

@@ -204,6 +204,36 @@ class PipelineSpec extends AnyFunSuite {
       == CdcPipeline.Skipped("No primary keys configured"))
   }
 
+  test("pipeline: safe new column evolves the store and its values merge in") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 4)
+    pipe.initialLoad("users",
+      Seq((1L, "alice", 1.0), (2L, "bob", 2.0)).toDF("id", "v", "amount"))
+
+    // CDC file carrying a brand-new column `email` (safe type)
+    val tmp = tmpDir() + "/out"
+    Seq((1L, "alice", 1.5, "a@x.io", "U"), (3L, "carol", 3.0, "c@x.io", "I"))
+      .toDF("id", "v", "amount", "email", "Op")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$root/fair/users/2026/08/12/evo.parquet")
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath)
+
+    val out = pipe.processFile(dest.toString)
+    val applied = out.asInstanceOf[CdcPipeline.Applied]
+    assert(applied.evolution.columnsAdded.map(_.name) == Seq("email"))
+
+    val store = pipe.storeFor("users", Seq("id"))
+    assert(store.schema.fieldNames.contains("email"))
+    val state = store.read().collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("email")))).sortBy(_._1)
+    // merged rows carry the new column; untouched rows read it as null
+    assert(state.toSeq == Seq((1L, Some("a@x.io")), (2L, None), (3L, Some("c@x.io"))))
+  }
+
   test("schema evolution: safe add, manual flag, removed, type change") {
     import org.apache.spark.sql.types._
     val prod = StructType(Seq(
