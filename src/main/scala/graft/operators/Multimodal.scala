@@ -100,6 +100,50 @@ object Multimodal {
     }
   }
 
+  /** ═══ STUB ═══ resize planning: target dimensions preserving aspect
+    * ratio, capped at `maxDim` (a real impl would transform pixels; the
+    * dimension arithmetic and schema are the real contract).
+    */
+  def resizePlan(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
+    features.toDF()
+      .filter(col("width") > 0)
+      .withColumn("__scale",
+        when(greatest(col("width"), col("height")) <= maxDim, lit(1.0))
+          .otherwise(lit(maxDim.toDouble) / greatest(col("width"), col("height"))))
+      .select(col("media_id"), col("width"), col("height"),
+        floor(col("width") * col("__scale")).cast("int").as("target_width"),
+        floor(col("height") * col("__scale")).cast("int").as("target_height"))
+  }
+
+  /** ═══ STUB ═══ feature extraction: a deterministic pseudo-embedding
+    * derived from the payload bytes (a real impl runs an encoder model
+    * per batch). Output plugs straight into [[VectorSearch]]:
+    * (media_id, embedding: Array[Float]).
+    */
+  def embedStub(r: MediaRecord, dim: Int = 16): (Long, Array[Float]) = {
+    val vec = new Array[Float](dim)
+    var h = 0x9E3779B97F4A7C15L * (r.media_id + 1)
+    var i = 0
+    while (i < r.content.length) { h = 31 * h + r.content(i); i += 1 }
+    i = 0
+    while (i < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      vec(i) = ((h >>> 40).toInt / 8388608.0f) - 1.0f // [-1, 1)
+      i += 1
+    }
+    (r.media_id, vec)
+  }
+
+  /** Batched embedding extraction (same partition-batch shape as
+    * [[processBatches]]).
+    */
+  def embedBatches(media: Dataset[MediaRecord], dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(64).flatMap(_.iterator.map(embedStub(_, dim))))
+      .toDF("media_id", "embedding")
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th byte window
     * stands in for a frame (STUB — a real impl samples decoded frames).
     * Demonstrates the explode-to-frames schema: one row per sampled frame.

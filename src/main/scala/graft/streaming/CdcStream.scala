@@ -22,6 +22,12 @@ import graft.sources.BucketedTableStore
   *
   * `Trigger.AvailableNow` replays everything outstanding then stops —
   * the backfill path (retrigger_lambda_*.py) for free.
+  *
+  * Schema evolution note: a file-source stream reads with the schema
+  * fixed at start, so columns added mid-stream surface on the next
+  * restart (streams restart cheaply from the checkpoint); the batch
+  * pipeline ([[graft.pipeline.CdcPipeline]]) evolves per file like the
+  * reference.
   */
 object CdcStream {
 

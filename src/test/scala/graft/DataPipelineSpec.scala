@@ -193,6 +193,33 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(edges(7L).isEmpty && edges(8L).length == 1)
   }
 
+  test("multimodal: resize plan and embedding extraction feed the ANN path") {
+    val d = docs(
+      0L -> ("x" * 2000), 3L -> ("y" * 50), 6L -> ("z" * 800))
+      .withColumn("source", lit("s"))
+    val media = Multimodal.syntheticMedia(d, "doc_id", "text", "source") // all "image" (ids %3==0)
+    val feats = Multimodal.processBatches(media)
+    val resized = Multimodal.resizePlan(feats, maxDim = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    resized.foreach { case (_, (w, h, tw, th)) =>
+      assert(tw <= 256 && th <= 256)
+      assert(tw == w && th == h || math.max(tw, th) == 256 ||
+        math.abs(tw.toDouble / th - w.toDouble / h) < 0.05) // aspect preserved
+    }
+
+    val emb = Multimodal.embedBatches(media, dim = 8)
+    assert(emb.schema.fieldNames.toSeq == Seq("media_id", "embedding"))
+    // embeddings deterministic + usable by VectorSearch
+    val top = VectorSearch.bruteForceTopK(emb, emb.filter(col("media_id") === 0L),
+      "media_id", "embedding", "media_id", k = 2)
+    assert(top.collect().length == 2)
+    val emb2 = Multimodal.embedBatches(media, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val emb1 = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb1 == emb2)
+  }
+
   test("multimodal: batch plumbing preserves ids, stub features deterministic") {
     val d = docs(
       0L -> "abcdefgh", 1L -> "0123456789", 2L -> "xyz")
