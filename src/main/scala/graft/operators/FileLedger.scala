@@ -112,14 +112,18 @@ final class FileLedger(spark: SparkSession, path: String) {
   def resetFailed(olderThanMinutes: Long = 60): Long = {
     if (!exists) return 0L
     val cutoff = new Timestamp(System.currentTimeMillis() - olderThanMinutes * 60000L)
-    val updated = records.withColumn("status",
-      when(col("status") === "failed" && col("processed_at") < lit(cutoff), "pending")
-        .otherwise(col("status")))
-    val rows = updated.collect() // small by design
-    val nReset = rows.count(_.getString(1) == "pending")
+    val all = records.collect() // small by design
+    // count only rows flipped by THIS reset, not rows already pending
+    val eligible = all.count(r =>
+      r.getString(1) == "failed" && r.getTimestamp(3).before(cutoff))
+    val rows = all.map { r =>
+      if (r.getString(1) == "failed" && r.getTimestamp(3).before(cutoff))
+        Row(r.getString(0), "pending", r.getString(2), r.getTimestamp(3))
+      else r
+    }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), Schema)
       .write.mode(SaveMode.Overwrite).parquet(path)
-    nReset.toLong
+    eligible.toLong
   }
 
   /** Retention cleanup: drop rows older than `retentionDays` and compact

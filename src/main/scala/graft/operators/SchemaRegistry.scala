@@ -41,23 +41,11 @@ final class SchemaRegistry(spark: SparkSession, dir: String) {
     val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     in.readFully(bytes)
     in.close()
-    val text = new String(bytes, "UTF-8")
-    // the schema value is the only JSON object with a "type":"struct" root
-    val start = text.indexOf("""{"type":"struct"""")
-    if (start < 0) None
-    else {
-      // balanced-brace extraction of the schema object
-      var depth = 0; var i = start; var end = -1
-      while (end < 0 && i < text.length) {
-        text.charAt(i) match {
-          case '{' => depth += 1
-          case '}' => depth -= 1; if (depth == 0) end = i
-          case _ =>
-        }
-        i += 1
-      }
-      Some(DataType.fromJson(text.substring(start, end + 1)).asInstanceOf[StructType])
-    }
+    // real JSON parse (hand-scanning braces breaks on '{'/'}' inside
+    // quoted column names); the "schema" field holds the Spark schema
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Option(mapper.readTree(new String(bytes, "UTF-8")).get("schema"))
+      .map(node => DataType.fromJson(node.toString).asInstanceOf[StructType])
   }
 
   /** Diff an incoming schema against the stored snapshot (does not save).

@@ -66,7 +66,38 @@ final class BucketedTableStore(
   def initialize(df: DataFrame): Unit = {
     writeBuckets(df, path)
     writeSchemaSidecar(df.schema)
+    writeMetaSidecar()
   }
+
+  private def metaPath = new Path(path, "_graft_meta.json")
+
+  private def writeMetaSidecar(): Unit = {
+    val out = fs.create(metaPath, true)
+    out.write(s"""{"numBuckets": $numBuckets}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Opening a store with a different bucket count than it was written
+    * with would prune the wrong partitions and silently produce duplicate
+    * keys — validate against the persisted layout before any merge.
+    */
+  private def validateBucketCount(): Unit =
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val bytes = new Array[Byte](fs.getFileStatus(metaPath).getLen.toInt)
+      in.readFully(bytes)
+      in.close()
+      val m = raw""""numBuckets"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(new String(bytes, "UTF-8")).map(_.group(1).toInt)
+      m.foreach { persisted =>
+        require(persisted == numBuckets,
+          s"store at $path was written with numBuckets=$persisted " +
+            s"but opened with numBuckets=$numBuckets")
+      }
+    }
+
+  private def renameOrFail(src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
 
   /** Bucket-partitioned write, rows sorted by key within each bucket —
     * parquet column min/max stats then let key-predicate scans skip whole
@@ -130,6 +161,8 @@ final class BucketedTableStore(
       deleteCol: String = "Op",
       deleteVals: Seq[String] = Seq("D")): Int = {
     require(exists, s"target $path not initialized")
+    validateBucketCount()
+    recoverInterruptedSwaps()
 
     // 1. buckets touched by this batch (small: ≤ distinct staged keys)
     val stagingB = staging.withColumn(BucketCol, bucketOf(staging)).persist()
@@ -160,18 +193,40 @@ final class BucketedTableStore(
     // phase 1: retire affected live buckets into the trash
     affected.foreach { b =>
       val live = new Path(path, s"$BucketCol=$b")
-      if (fs.exists(live)) fs.rename(live, new Path(trash, s"$BucketCol=$b"))
+      if (fs.exists(live)) renameOrFail(live, new Path(trash, s"$BucketCol=$b"))
     }
     // phase 2: land the fresh buckets (a bucket whose rows were all
     // deleted has no fresh dir — correct: it stays absent)
     affected.foreach { b =>
       val fresh = new Path(tmp, s"$BucketCol=$b")
-      if (fs.exists(fresh)) fs.rename(fresh, new Path(path, s"$BucketCol=$b"))
+      if (fs.exists(fresh)) renameOrFail(fresh, new Path(path, s"$BucketCol=$b"))
     }
     fs.delete(tmp, true)
     fs.delete(trash, true)
     stagingB.unpersist()
     affected.length
+  }
+
+  /** Crash recovery for an interrupted swap: a crash between phase 1 and
+    * phase 2 leaves a bucket's only copy in a `.merge-trash-*` dir (its
+    * fresh replacement never landed). Restore any trashed bucket whose
+    * live dir is missing, then clear leftover tmp/trash dirs — the
+    * interrupted file was never ledgered, so its retry re-merges cleanly
+    * on the restored state.
+    */
+  private def recoverInterruptedSwaps(): Unit = {
+    val leftovers = fs.listStatus(new Path(path))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(".merge-trash-") || p.getName.startsWith(".merge-tmp-"))
+    leftovers.filter(_.getName.startsWith(".merge-trash-")).foreach { trash =>
+      fs.listStatus(trash).map(_.getPath)
+        .filter(_.getName.startsWith(s"$BucketCol="))
+        .foreach { trashedBucket =>
+          val live = new Path(path, trashedBucket.getName)
+          if (!fs.exists(live)) renameOrFail(trashedBucket, live)
+        }
+    }
+    leftovers.foreach(fs.delete(_, true))
   }
 }
 

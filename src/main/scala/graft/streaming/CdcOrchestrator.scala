@@ -35,16 +35,19 @@ object CdcOrchestrator {
       schemas: Map[String, StructType],
       numBuckets: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): Seq[Running] = {
-    tableKeys.entries.toSeq.sortBy(_._1).flatMap {
-      case (_, None) => None // null-PK ⇒ CDC skipped for this table
-      case (table, Some(keys)) =>
-        schemas.get(table).map { schema =>
+    // iterate the table universe (the schemas map), not just explicit
+    // config entries — an unconfigured table takes the default key `id`
+    // via keysFor, matching the reference's lookup (handler.py:710-729)
+    schemas.keys.toSeq.sorted.flatMap { table =>
+      tableKeys.keysFor(table) match {
+        case None => None // explicit null PK ⇒ CDC skipped for this table
+        case Some(keys) =>
           val cfg = CdcStream.Config(
             root = root, table = table, keys = keys,
             storeRoot = storeRoot, checkpointRoot = checkpointRoot,
             numBuckets = numBuckets)
-          Running(table, CdcStream.start(spark, cfg, schema, trigger))
-        }
+          Some(Running(table, CdcStream.start(spark, cfg, schemas(table), trigger)))
+      }
     }
   }
 

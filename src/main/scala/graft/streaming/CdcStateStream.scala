@@ -32,7 +32,12 @@ object CdcStateStream {
       seq: Long,               // ingestion_seq (within-file order)
       payload: String)
 
-  final case class KeyState(loadTs: Long, seq: Long, payload: String, deleted: Boolean)
+  /** Carried per-key state. `op` is kept so cross-batch staleness uses
+    * the full cascade (a delete must win a load-timestamp tie, exactly as
+    * in the batch path); deleted tombstones carry no payload (bounded
+    * state growth on churn-heavy keys — see note on [[netChanges]]).
+    */
+  final case class KeyState(loadTs: Long, seq: Long, op: String, payload: String, deleted: Boolean)
 
   final case class StateEvent(key: Long, event: String, payload: String)
 
@@ -63,19 +68,21 @@ object CdcStateStream {
       case None => Iterator.empty
       case Some(w) =>
         val prev = state.getOption
-        // late-batch rule: an existing state with a newer (loadTs, seq)
-        // wins over the incoming batch winner
+        // late-batch rule via the SAME cascade as within a batch: the
+        // incoming winner is stale only if the carried state strictly
+        // beats it (so a delete still wins a load-timestamp tie, and a
+        // full tie goes to the later arrival — sequential-apply order)
         val stale = prev.exists(p =>
-          p.loadTs > w.loadTs || (p.loadTs == w.loadTs && p.seq >= w.seq))
+          beats(Change(key, p.op, p.loadTs, p.seq, p.payload), w))
         if (stale) Iterator.empty
         else if (w.op == "D") {
           val existed = prev.exists(!_.deleted)
-          state.update(KeyState(w.loadTs, w.seq, w.payload, deleted = true))
+          state.update(KeyState(w.loadTs, w.seq, w.op, "", deleted = true))
           if (existed) Iterator.single(StateEvent(key, "delete", w.payload))
           else Iterator.empty
         } else {
           val changed = !prev.exists(p => !p.deleted && p.payload == w.payload)
-          state.update(KeyState(w.loadTs, w.seq, w.payload, deleted = false))
+          state.update(KeyState(w.loadTs, w.seq, w.op, w.payload, deleted = false))
           if (changed) Iterator.single(StateEvent(key, "upsert", w.payload))
           else Iterator.empty
         }
@@ -85,6 +92,12 @@ object CdcStateStream {
   /** Lift a (possibly streaming) Dataset of changes into the stateful
     * net-change view. Works identically on batch Datasets (Spark runs the
     * same state logic per group).
+    *
+    * State growth: one entry per key ever seen; delete tombstones are
+    * payload-free but are retained (NoTimeout) so late updates stay
+    * correctly ordered. For unbounded-key streams wire a
+    * `GroupStateTimeout`/TTL policy appropriate to the table's late-data
+    * horizon.
     */
   def netChanges(changes: Dataset[Change]): Dataset[StateEvent] = {
     implicit val stateEnc = Encoders.product[KeyState]

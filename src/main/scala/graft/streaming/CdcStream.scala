@@ -31,6 +31,14 @@ import graft.sources.BucketedTableStore
   */
 object CdcStream {
 
+  /** @param pathGlobFilter source file-name filter. The default admits
+    *        every parquet file and LOAD* full-load files are dropped by a
+    *        row-level filter AFTER the scan — fine when LOAD files share
+    *        the CDC schema. If full-load files are schema-incompatible
+    *        (common with DMS: no Op column, different decimals), narrow
+    *        the glob so they are never scanned, e.g. `"2*.parquet"` for
+    *        DMS timestamp-named CDC files or `"[!L]*.parquet"`.
+    */
   final case class Config(
       root: String,
       table: String,
@@ -41,7 +49,8 @@ object CdcStream {
       deleteCol: String = "Op",
       deleteVals: Seq[String] = Seq("D"),
       maxFilesPerTrigger: Int = 100,
-      writeLedger: Boolean = true)
+      writeLedger: Boolean = true,
+      pathGlobFilter: String = "*.parquet")
 
   /** Start the per-table CDC stream. Caller owns the returned query
     * (`processAllAvailable()` in tests, `awaitTermination()` in prod).
@@ -56,7 +65,7 @@ object CdcStream {
       .schema(schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.parquet")
+      .option("pathGlobFilter", cfg.pathGlobFilter)
       .parquet(s"${cfg.root}/${cfg.table}")
       // ingestion_seq = row order within each file (binlog order); LOAD*
       // full-load files skipped (reference: handler.py:781-783)
@@ -69,16 +78,21 @@ object CdcStream {
       .option("checkpointLocation", s"${cfg.checkpointRoot}/${cfg.table}")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val files =
-            if (cfg.writeLedger)
-              batch.select("__source_file").distinct().collect()
-                .map(r => graft.routing.CdcPath.ledgerKey(r.getString(0))).toSeq
-            else Nil
-          val dedup = CdcDedup.dedup(batch, cfg.keys, gate = true)
-          store.merge(dedup, cfg.deleteCol, cfg.deleteVals)
-          if (cfg.writeLedger) ledger.markBatchProcessed(files)
-        }
+        // the batch feeds four consumers (emptiness, ledger file list,
+        // dedup gate, merge) — materialize it once per micro-batch
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            val files =
+              if (cfg.writeLedger)
+                b.select("__source_file").distinct().collect()
+                  .map(r => graft.routing.CdcPath.ledgerKey(r.getString(0))).toSeq
+              else Nil
+            val dedup = CdcDedup.dedup(b, cfg.keys, gate = true)
+            store.merge(dedup, cfg.deleteCol, cfg.deleteVals)
+            if (cfg.writeLedger) ledger.markBatchProcessed(files)
+          }
+        } finally b.unpersist()
       }
       .start()
   }

@@ -72,6 +72,18 @@ class CdcStateStreamSpec extends AnyFunSuite {
     assert(out(2).isEmpty) // unchanged payload ⇒ no net change
   }
 
+  test("cross-batch load-timestamp tie: delete still wins (full cascade staleness)") {
+    val out = runStream(Seq(
+      // batch 0 installs the row at loadTs 100, seq 5
+      Seq(Change(1L, "I", 100L, 5L, "one")),
+      // batch 1 delivers a delete with the SAME loadTs but lower seq —
+      // the cascade says delete wins a load-timestamp tie, and cross-file
+      // seq comparison is meaningless (it restarts per file)
+      Seq(Change(1L, "D", 100L, 3L, "one"))))
+    assert(out(0).map(e => (e.key, e.event)) == Seq((1L, "upsert")))
+    assert(out(1).map(e => (e.key, e.event)) == Seq((1L, "delete")))
+  }
+
   test("delete of unknown key emits nothing; reinsert after delete emits upsert") {
     val out = runStream(Seq(
       Seq(Change(9L, "D", 100L, 0L, "ghost")),

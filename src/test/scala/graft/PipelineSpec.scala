@@ -80,6 +80,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(before.keys.toSet.subsetOf(afterCounts.keys.toSet ++ Set.empty))
   }
 
+  test("bucketed store: reopening with a different bucket count is refused") {
+    import spark.implicits._
+    val root = tmpDir()
+    BucketedTableStore.create(spark, s"$root/t", Seq("id"),
+      Seq((1L, "a")).toDF("id", "v"), numBuckets = 16)
+    val wrong = new BucketedTableStore(spark, s"$root/t", Seq("id"), numBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      wrong.merge(Seq((1L, "a2", "U")).toDF("id", "v", "Op"))
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
+  test("bucketed store: interrupted swap recovered from trash before next merge") {
+    import spark.implicits._
+    val root = tmpDir()
+    val store = BucketedTableStore.create(spark, s"$root/t", Seq("id"),
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), numBuckets = 4)
+    // simulate a crash between swap phases: one live bucket sits only in trash
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t"))
+      .map(_.getPath).filter(_.getName.startsWith("__bucket="))
+    val victim = bucketDirs.head
+    val trash = new org.apache.hadoop.fs.Path(s"$root/t/.merge-trash-dead")
+    fs.mkdirs(trash)
+    assert(fs.rename(victim, new org.apache.hadoop.fs.Path(trash, victim.getName)))
+    assert(store.read().count() < 50) // bucket really missing
+
+    // next merge must first restore the trashed bucket, then apply
+    store.merge(Seq((1L, "v1-new", "U")).toDF("id", "v", "Op"))
+    val state = store.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state.size == 50 && state(1L) == "v1-new")
+    assert(!fs.exists(trash))
+  }
+
+  test("ledger: resetFailed counts only newly flipped rows") {
+    val ledger = new FileLedger(spark, tmpDir() + "/ledger")
+    ledger.markFailed("f1", "boom")
+    ledger.markFailed("f2", "boom")
+    Thread.sleep(5)
+    assert(ledger.resetFailed(olderThanMinutes = 0) == 2L)
+    assert(ledger.resetFailed(olderThanMinutes = 0) == 0L) // already pending
+  }
+
   test("pipeline: route → stage → dedup → merge → ledger, then idempotent rerun") {
     import spark.implicits._
     val root = tmpDir()
