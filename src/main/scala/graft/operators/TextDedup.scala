@@ -145,19 +145,25 @@ object TextDedup {
 
   // ───────────────────────────────────────────── SimHash
 
-  /** 64-bit SimHash of the distinct-token set: bit i of the signature is
-    * set iff Σ over tokens of (token-hash bit i ? +1 : −1) > 0.
-    * One explode + one groupBy with 64 conditional-sum aggregates —
-    * map-side combined, no all-pairs anywhere.
+  /** SimHash bit width: 60 bits, from the leading 15 hex chars of the
+    * token's md5 — an engine-portable hash (both Spark and the DuckDB
+    * oracle compute the identical value), unlike xxhash64.
+    */
+  val SimhashBits = 60
+
+  /** SimHash of the distinct-token set: bit i of the signature is set iff
+    * Σ over tokens of (token-hash bit i ? +1 : −1) > 0.
+    * One explode + one groupBy with `SimhashBits` conditional-sum
+    * aggregates — map-side combined, no all-pairs anywhere.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
     }
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until SimhashBits).map { i =>
       when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
@@ -165,16 +171,18 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`,
-    * candidates via 4×16-bit chunk equality (any pair within hamming ≤ 3
+    * candidates via 4×15-bit chunk equality (any pair within hamming ≤ 3
     * must agree on ≥1 chunk — pigeonhole), verified with exact popcount.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = simhash(df, idCol, textCol)
+    val chunkBits = SimhashBits / 4
+    val mask = (1L << chunkBits) - 1
     val chunks = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))): _*)).as("ck"))
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask).as("ckey"))): _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
     val popcount: Column => Column = c => bit_count(c)
     chunks.as("a").join(chunks.as("b"),

@@ -154,14 +154,48 @@ object DataPipelineQueries {
 
   val d03_sql: String = d02_sql
 
-  /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures, banded
-    * candidates). Signature depends on xxhash64 — not expressible in the
-    * oracle, so this is a rows-only query; correctness is covered by
-    * planted-pair unit tests.
+  /** SimHash near-dup pairs (hamming ≤ 3 on 60-bit md5-based signatures,
+    * banded candidates + exact popcount). The hash is engine-portable, so
+    * the oracle recomputes the identical signatures and pairs.
     */
   val d04_simhash: Q = (s, dir) => {
     TextDedup.simhashPairs(dupDocCorpus(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d04_sql: String = {
+    val bits = TextDedup.SimhashBits
+    val bitSums = (0 until bits).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i").mkString(",\n    ")
+    val sigTerms = (0 until bits).map(i =>
+      s"(CASE WHEN b_$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE 0 END)").mkString(" + ")
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1
+    s"""WITH $DupDocCorpusSql,
+       |toks AS (
+       |  SELECT id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+       |  FROM (SELECT doc_id AS id, text FROM corpus) t
+       |),
+       |h AS (
+       |  SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+       |),
+       |bits AS (
+       |  SELECT id,
+       |    $bitSums
+       |  FROM h GROUP BY id
+       |),
+       |sigs AS (SELECT id, $sigTerms AS sig FROM bits),
+       |chunks AS (
+       |  SELECT id, sig, c.chunk, (sig >> (c.chunk * $chunkBits)) & $mask AS ckey
+       |  FROM sigs, (VALUES (0), (1), (2), (3)) c(chunk)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM chunks a
+       |  JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+       |)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Embedding-cosine near-dup pairs over the planted vector corpus:
@@ -420,6 +454,7 @@ object DataPipelineQueries {
     "d01_dedup_exact" -> d01_sql,
     "d02_ngram_jaccard" -> d02_sql,
     "d03_minhash_lsh" -> d03_sql,
+    "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
