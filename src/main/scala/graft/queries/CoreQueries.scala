@@ -41,8 +41,8 @@ object CoreQueries {
 
   val q01_sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-      |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -65,9 +65,9 @@ object CoreQueries {
   val q02_sql: String =
     """SELECT c_mktsegment,
       |  COUNT(*) AS n_customers,
-      |  SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
-      |  SUM(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS n_rich,
-      |  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+      |  CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+      |  CAST(SUM(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
       |FROM customer
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
@@ -87,7 +87,7 @@ object CoreQueries {
   val q03_sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
       |  COUNT(*) AS n_orders,
-      |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders
       |GROUP BY 1
       |ORDER BY order_month""".stripMargin
@@ -101,7 +101,7 @@ object CoreQueries {
   }
 
   val q04_sql: String =
-    """SELECT SUM(o_orderkey) AS key_sum,
+    """SELECT CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
       |  MD5(CAST(SUM(o_orderkey) AS VARCHAR)) AS key_checksum
       |FROM orders""".stripMargin
 
@@ -140,7 +140,7 @@ object CoreQueries {
       |  COUNT(DISTINCT event_type) AS n_types,
       |  CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
       |  CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
-      |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events""".stripMargin
 
   // ──────────────────────────────────────────────────────────────── joins
@@ -165,7 +165,7 @@ object CoreQueries {
   val q07_sql: String =
     """SELECT n_name,
       |  COUNT(*) AS n_orders,
-      |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey

@@ -25,7 +25,7 @@ object StreamingQueries {
       |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
       |       event_type,
       |       COUNT(*) AS n_events,
-      |       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin

@@ -70,7 +70,7 @@ object ValidationQueries {
       "part" -> "p_partkey", "supplier" -> "s_suppkey", "events" -> "event_id")
     keyed.map { case (t, k) =>
       s"""SELECT '$t' AS table_name, COUNT(*) AS row_count,
-         |  SUM(CAST($k AS BIGINT)) AS sum_ids,
+         |  CAST(SUM(CAST($k AS BIGINT)) AS BIGINT) AS sum_ids,
          |  MD5(CAST(SUM(CAST($k AS BIGINT)) AS VARCHAR)) AS checksum
          |FROM $t""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
@@ -171,10 +171,10 @@ object ValidationQueries {
 
   val v06_sql: String =
     """SELECT COUNT(*) AS total_rows,
-      |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-      |  SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
-      |  SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
-      |  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value
+      |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+      |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+      |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+      |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value
       |FROM events""".stripMargin
 
   /** V13: month distribution with distinct-entity counts, range-bounded. */

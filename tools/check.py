@@ -54,12 +54,15 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            ocur = con.sql(sql)
-            ocols = [c.lower() for c in ocur.columns]
-            orows = ocur.fetchall()
-            scur = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols = [c.lower() for c in scur.columns]
-            srows = scur.fetchall()
+            # Fetch via pandas (.df()) to mirror the driver's hasher exactly:
+            # DuckDB HUGEINT (e.g. SUM over integers) becomes float64 there,
+            # so a fetchall() path would mask typing mismatches (round-1 bug).
+            odf = con.sql(sql).df()
+            ocols = [c.lower() for c in odf.columns]
+            orows = list(odf.itertuples(index=False, name=None))
+            sdf = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            scols = [c.lower() for c in sdf.columns]
+            srows = list(sdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
             n_fail += 1
