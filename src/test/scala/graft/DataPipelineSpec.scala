@@ -125,6 +125,28 @@ class DataPipelineSpec extends AnyFunSuite {
     val pruned = VectorSearch.cosineNearDupPairs(vecs, "vec_id", "vec", 0.999, planes)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned.contains((1L, 2001L))) // identical direction ⇒ same bucket always
+    // banded variant (3 bands × 2 bits): candidates are the union over
+    // bands, so recall can only improve on the conjunctive signature;
+    // pairs must come out deduplicated across bands
+    val banded = VectorSearch.cosineNearDupPairs(vecs, "vec_id", "vec", 0.999,
+      planes, bands = 3)
+    val bandedPairs = banded.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bandedPairs.length == bandedPairs.distinct.length, "pairs must be distinct")
+    assert(bandedPairs.toSet.subsetOf(exact) && pruned.subsetOf(bandedPairs.toSet))
+  }
+
+  test("banded near-dup LSH equals the exact oracle on the planted corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.queries.DataPipelineQueries.dupVecCorpus(spark, dir)
+    val planes = graft.queries.DataPipelineQueries.derivedPlanes(spark, dir, 128)
+    val exact = VectorSearch.cosineNearDupPairs(corpus, "vec_id", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = VectorSearch.cosineNearDupPairs(corpus, "vec_id", "vec", 0.9,
+        planes, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted corpus must contain near-dup pairs")
+    assert(banded == exact,
+      s"banded LSH must be lossless here: missed=${exact -- banded} extra=${banded -- exact}")
   }
 
   test("salted join ≡ plain join; salted distinct count exact") {

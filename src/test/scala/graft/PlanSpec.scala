@@ -89,6 +89,25 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("embedding near-dup join keys are non-constant banded signatures") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val corpus = queries.DataPipelineQueries.dupVecCorpus(spark, dir)
+    val planes = queries.DataPipelineQueries.derivedPlanes(spark, dir, 128)
+    val pairs = operators.VectorSearch.cosineNearDupPairs(
+      corpus, "vec_id", "vec", threshold = 0.9, planes = planes, bands = 16)
+    val plan = executedPlan(pairs)
+    val joins = collectWithSubqueries(plan) { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, "expected a join in the near-dup plan:\n" + plan)
+    val pairJoin = joins.find(_.leftKeys.nonEmpty)
+    assert(pairJoin.isDefined,
+      "pair join must be an equi-join on band keys (not a cartesian):\n" + plan)
+    // a single-bucket degenerate plan would fold the key to a literal
+    assert(pairJoin.get.leftKeys.exists(k =>
+        !k.isInstanceOf[Literal] && k.references.exists(_.name == "__bkey")),
+      s"pair join keys must include the non-constant __bkey, got ${pairJoin.get.leftKeys}")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // parquet-backed input: a local relation would be constant-folded
     import org.apache.spark.sql.functions.{col, transform}
