@@ -8,21 +8,28 @@ import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Winnowed rolling-hash document fingerprint as a native Catalyst
-  * expression.
+/** Winnowed document fingerprint as a native Catalyst expression.
   *
-  * Algorithm (Schleimer/Wilkerson/Aiken winnowing): polynomial rolling
-  * hash over every `k`-byte window of the UTF-8 text; within each window
-  * of `w` consecutive k-gram hashes select the minimum (rightmost on
-  * ties); output the sorted distinct selected hashes. Two documents
-  * sharing a sufficiently long substring share fingerprint members, so
-  * containment joins on `explode(fingerprint)` find copied passages —
-  * the standard content-defined dedup primitive for training corpora.
+  * Algorithm (Schleimer/Wilkerson/Aiken winnowing): hash every `k`-char
+  * window of the text; within each window of `w` consecutive k-gram
+  * hashes select the minimum; output the sorted distinct selected
+  * hashes. Two documents sharing a sufficiently long substring share
+  * fingerprint members, so containment joins on `explode(fingerprint)`
+  * find copied passages — the standard content-defined dedup primitive
+  * for training corpora.
   *
-  * Implementation notes: one rolling pass plus an O(len·w) winnow (w is
-  * a small constant), all in primitive longs; `doGenCode` emits a static
-  * call so the expression stays inside whole-stage codegen (no fallback
-  * interpreter, no UDF serialization).
+  * The k-gram hash is the top 60 bits of `md5(substring)` — the same
+  * engine-portable construction as [[graft.operators.TextDedup]]'s
+  * SimHash token hash: any engine with md5 + character substrings
+  * (e.g. the DuckDB oracle, `CAST('0x'||substr(md5(g),1,15) AS
+  * BIGINT)`) replays the whole fingerprint bit-for-bit, so the
+  * operator sits fully under the cross-engine correctness gate. A
+  * faster non-portable polynomial rolling hash would buy ~nothing at
+  * scale: the md5 cost is linear in input size, embarrassingly
+  * parallel, and dwarfed by the downstream explode/join.
+  *
+  * `doGenCode` emits a static call so the expression stays inside
+  * whole-stage codegen (no fallback interpreter, no UDF serialization).
   */
 case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -44,34 +51,37 @@ case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
 
 object WinnowedFingerprint {
 
-  private val Base = 1000003L
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  /** Static kernel, called from both interpreted and generated code. */
-  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val bytes = text.getBytes
-    val n = bytes.length
-    if (n == 0) return new GenericArrayData(Array.empty[Long])
-    if (n <= k) {
-      var h = 0L
-      var i = 0
-      while (i < n) { h = h * Base + (bytes(i) & 0xff); i += 1 }
-      return new GenericArrayData(Array(h))
-    }
-
-    // rolling k-gram hashes
-    val m = n - k + 1
-    val hashes = new Array[Long](m)
-    var pow = 1L
-    var i = 1
-    while (i < k) { pow *= Base; i += 1 }
+  /** Top 60 bits of md5 — identical to parsing the first 15 hex chars
+    * of the digest (the SimHash trick, TextDedup.scala `SimhashBits`).
+    */
+  private def hash60(md: java.security.MessageDigest, s: UTF8String): Long = {
+    val d = md.digest(s.getBytes)
     var h = 0L
-    i = 0
-    while (i < k) { h = h * Base + (bytes(i) & 0xff); i += 1 }
-    hashes(0) = h
-    i = 1
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** Static kernel, called from both interpreted and generated code.
+    * Character-based windows (not bytes) so any UTF-8 engine's
+    * `substr` replays the identical grams.
+    */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numChars()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val md = md5Local.get()
+
+    // md5-60 k-gram hashes; a single clamped gram when n <= k
+    val m = math.max(n - k + 1, 1)
+    val hashes = new Array[Long](m)
+    var i = 0
     while (i < m) {
-      h = (h - (bytes(i - 1) & 0xff) * pow) * Base + (bytes(i + k - 1) & 0xff)
-      hashes(i) = h
+      hashes(i) = hash60(md, text.substring(i, i + k))
       i += 1
     }
 

@@ -408,10 +408,12 @@ object DataPipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Winnowed rolling-hash fingerprints via the custom Catalyst
-    * expression — near-dup docs share fingerprint members. Hash values
-    * are engine-internal (rows-only check); the pair-detection behavior
-    * is covered in unit tests.
+  /** Winnowed fingerprints via the custom Catalyst expression —
+    * near-dup docs share fingerprint members. The k-gram hash is the
+    * md5-60-bit construction (engine-portable, like SimHash's token
+    * hash), so the oracle replays the ENTIRE algorithm — gram hashing,
+    * window minima, distinct-sort — in SQL and the hash values
+    * themselves sit under the gate.
     */
   val t03_fingerprint: Q = (s, dir) => {
     val fp = WinnowedFingerprint(col("text"), k = 8, w = 4)
@@ -421,6 +423,32 @@ object DataPipelineQueries {
         element_at(col("fp"), 1).as("min_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Full winnowing replay: k-gram md5-60 hashes per char position
+    * (substr clamps the tail gram exactly like the kernel when
+    * n ≤ k), then the min of each w-window of gram hashes, distinct +
+    * sorted. `GREATEST(..., 0) + 2` reproduces the kernel's
+    * `max(n - k + 1, 1)` gram count and `max(m - w + 1, 1)` window
+    * count (range upper bounds are exclusive).
+    */
+  val t03_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, GREATEST(length(text) - 8, 0) + 2),
+       |      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS hs
+       |  FROM corpus
+       |),
+       |fps AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(
+       |      range(1, GREATEST(length(hs) - 4, 0) + 2),
+       |      s -> list_min(list_slice(hs, s, s + 3))))) AS fp
+       |  FROM grams
+       |)
+       |SELECT doc_id, CAST(length(fp) AS INT) AS n_fingerprints, fp[1] AS min_fp
+       |FROM fps
+       |ORDER BY doc_id""".stripMargin
 
   // ── multimodal ──────────────────────────────────────────────────────
 
@@ -482,5 +510,6 @@ object DataPipelineQueries {
     "s02_ann_lsh" -> s02_sql,
     "t01_text_stats" -> t01_sql,
     "t02_langid" -> t02_sql,
+    "t03_fingerprint" -> t03_sql,
     "m01_multimodal_features" -> m01_sql)
 }

@@ -30,13 +30,42 @@ object StreamingQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
 
-  /** 1-hour windows sliding every 15 minutes (each event lands in 4
-    * windows) — rows-only check; streaming equivalence covered in tests.
+  /** 1-hour windows sliding every 15 minutes (each event lands in
+    * exactly length/slide = 4 windows) — streaming equivalence covered
+    * in StreamingWindowSpec.
     */
   val w02_sliding_windows: Q = (s, dir) => {
     EventWindows.windowedStats(Tables(s, dir, "events"), "1 hour", slide = Some("15 minutes"))
       .orderBy(col("window_start"), col("event_type"))
   }
+
+  /** Sliding-window replay in exact integer microseconds: each event's
+    * four window starts are `floor₁₅ₘᵢₙ(ts) − k·15min`, k ∈ 0..3 —
+    * unnested via `list_transform(range(...))` (DuckDB has no lateral
+    * generate_series over columns), then aggregated like w01. Integer
+    * µs arithmetic mirrors Spark's epoch-aligned window assignment with
+    * no FP epoch rounding.
+    */
+  val w02_sql: String =
+    """WITH ev AS (
+      |  SELECT (epoch_us(ts) // 900000000) * 900000000 AS slot_us,
+      |         event_type,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |),
+      |exploded AS (
+      |  SELECT unnest(list_transform(range(0, 4), k -> slot_us - k * 900000000)) AS ws_us,
+      |         event_type, cents
+      |  FROM ev
+      |)
+      |SELECT make_timestamp(ws_us) AS window_start,
+      |       make_timestamp(ws_us + 3600000000) AS window_end,
+      |       event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM exploded
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
 
   /** The flatMapGroupsWithState net-change view, run in batch mode over a
     * synthetic change stream (empty initial state): per key the cascade
@@ -90,5 +119,6 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
+    "w02_sliding_windows" -> w02_sql,
     "w03_state_view" -> w03_sql)
 }

@@ -194,9 +194,12 @@ class DataPipelineSpec extends AnyFunSuite {
   }
 
   test("winnowed fingerprint: deterministic, shared substrings detected, edit-local") {
+    // varied shared passage (a periodic prefix collapses to ~one period
+    // of distinct grams, under-weighting the shared region)
+    val shared = (1 to 40).map(i => s"catalyst$i optimizer$i").mkString(" ") + " "
     val df = docs(
-      1L -> ("spark catalyst optimizer " * 10 + "unique tail one"),
-      2L -> ("spark catalyst optimizer " * 10 + "other ending two"),
+      1L -> (shared + "unique tail one"),
+      2L -> (shared + "other ending two"),
       3L -> "totally unrelated short text")
     val fp = df.select(col("doc_id"), WinnowedFingerprint(col("text"), 8, 4).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
