@@ -315,6 +315,59 @@ object DataPipelineQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Centroid count for the IVF query (data-derived like the LSH
+    * planes: the 8 highest-id embedding vectors).
+    */
+  private val IvfCentroids = 8
+
+  /** IVF-partitioned ANN: corpus assigned to its nearest centroid (one
+    * scan, broadcast centroid table), queries probe their 2 nearest
+    * cells, candidates re-rank exactly. Centroids are deterministic
+    * data-derived vectors (the derivedPlanes recipe), so the oracle
+    * replays the identical argmin assignment + probe + re-rank; rank
+    * decisions sit far from FP boundaries (same argument as s01/s02).
+    */
+  val s03_ann_ivf: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.ivfTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        centroids = derivedPlanes(s, dir, IvfCentroids), k = 10, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Replay: same centroids (8 highest-id vectors, cell = row-number by
+    * id), same squared-distance formula term order
+    * (`v·v − 2·v·c + c·c`), argmin cell per vector, 2 nearest cells per
+    * query, exact cosine re-rank within probed cells.
+    */
+  val s03_sql: String =
+    """WITH cents AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+      |         CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings
+      |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+      |),
+      |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |dists AS (
+      |  SELECT v.vec_id, v.vec, c.c,
+      |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |           ORDER BY list_inner_product(v.vec, v.vec)
+      |                    - 2.0 * list_inner_product(v.vec, c.cvec)
+      |                    + list_inner_product(c.cvec, c.cvec) ASC, c.c ASC) AS rn
+      |  FROM vecs v CROSS JOIN cents c
+      |),
+      |assign AS (SELECT vec_id, vec, c FROM dists WHERE rn = 1),
+      |probes AS (SELECT vec_id, vec, c FROM dists WHERE rn <= 2 AND vec_id < 5)
+      |SELECT query_id, rank, id FROM (
+      |  SELECT q.vec_id AS query_id, a.vec_id AS id,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(q.vec, a.vec) DESC, a.vec_id ASC) AS rank
+      |  FROM probes q JOIN assign a ON q.c = a.c AND a.vec_id <> q.vec_id) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────
 
   /** Token/subword counts, punctuation, mean token length, stopword ratio,
@@ -495,6 +548,7 @@ object DataPipelineQueries {
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "s01_ann_topk" -> s01_ann_topk,
     "s02_ann_lsh" -> s02_ann_lsh,
+    "s03_ann_ivf" -> s03_ann_ivf,
     "t01_text_stats" -> t01_text_stats,
     "t02_langid" -> t02_langid,
     "t03_fingerprint" -> t03_fingerprint,
@@ -508,6 +562,7 @@ object DataPipelineQueries {
     "d05_embedding_neardup" -> d05_sql,
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
+    "s03_ann_ivf" -> s03_sql,
     "t01_text_stats" -> t01_sql,
     "t02_langid" -> t02_sql,
     "t03_fingerprint" -> t03_sql,
