@@ -22,6 +22,23 @@ final case class TableKeys(entries: Map[String, Option[Seq[String]]]) {
 
   def withTable(table: String, keys: Option[Seq[String]]): TableKeys =
     copy(entries = entries + (table -> keys))
+
+  /** Serialize back to the reference's config shape: single-column keys
+    * as a plain string, composites as a JSON array, null for no-PK
+    * tables. Keys sorted for diff-stable config files.
+    */
+  def toJson: String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    entries.toSeq.sortBy(_._1).foreach {
+      case (t, None)            => root.putNull(t)
+      case (t, Some(Seq(one)))  => root.put(t, one)
+      case (t, Some(many))      =>
+        val arr = root.putArray(t)
+        many.foreach(arr.add)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
 }
 
 object TableKeys {

@@ -75,33 +75,16 @@ final class FileLedger(spark: SparkSession, path: String) {
     write(Seq(Row(fileKey, status, error.orNull, new Timestamp(System.currentTimeMillis()))),
       SaveMode.Append)
 
-  /** Appends write an independently-named file moved in atomically —
-    * Spark's output committer shares one `_temporary` dir per target, so
-    * concurrent per-table streams appending the shared ledger would
-    * clobber each other mid-commit (the reference's equivalent is
-    * concurrent Lambdas INSERTing into one table, which the database
-    * serializes). Overwrite (maintenance) keeps the standard committer —
-    * cleanup/reset are single-writer operations.
+  /** Appends go through [[ParquetAppend]] (uniquely-named files moved in
+    * atomically) so concurrent per-table streams can share the ledger;
+    * Overwrite (maintenance) keeps the standard committer — cleanup/reset
+    * are single-writer operations.
     */
-  private def write(rows: Seq[Row], mode: SaveMode): Unit = {
-    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Schema)
-    if (mode == SaveMode.Overwrite) {
-      df.write.mode(mode).parquet(path)
-    } else {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val id = java.util.UUID.randomUUID().toString.take(12)
-      val tmp = new org.apache.hadoop.fs.Path(path + s".append-$id")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
-      fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-      // must not start with '_' or '.' — Spark hides such files on read
-      fs.rename(part, new org.apache.hadoop.fs.Path(path, s"part-append-$id.parquet"))
-      fs.delete(tmp, true)
-    }
-  }
+  private def write(rows: Seq[Row], mode: SaveMode): Unit =
+    if (mode == SaveMode.Overwrite)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Schema)
+        .write.mode(mode).parquet(path)
+    else ParquetAppend.append(spark, path, rows, Schema)
 
   /** UPDATE sink: reset old `failed` rows to `pending` so they are retried
     * (reference: DEPLOY_FILE_DEDUPLICATION.md:266-270 —

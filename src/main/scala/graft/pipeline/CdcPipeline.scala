@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.TableKeys
-import graft.operators.{CdcDedup, CdcMerge, FileLedger, SchemaEvolution}
+import graft.operators.{CdcDedup, CdcMerge, EvolutionLog, FileLedger, SchemaEvolution}
 import graft.routing.CdcPath
 import graft.sources.BucketedTableStore
 
@@ -33,6 +33,7 @@ final class CdcPipeline(
     cleanupRng: () => Double = () => math.random()) {
 
   val ledger = new FileLedger(spark, s"$storeRoot/_ledger")
+  val evolutionLog = new EvolutionLog(spark, s"$storeRoot/_evolution_log")
 
   def storeFor(table: String, keys: Seq[String]): BucketedTableStore =
     new BucketedTableStore(spark, s"$storeRoot/$table", keys, numBuckets)
@@ -81,6 +82,15 @@ final class CdcPipeline(
       // null; merged buckets materialize it.
       val evolution = SchemaEvolution.diff(staging.schema, store.schema)
       store.evolveSchema(evolution)
+      // durable notification channel (SNS parity, handler.py:313-336):
+      // findings — especially requiresManual — land in _evolution_log;
+      // a logging failure must never fail the merge it describes
+      // (the reference's publish is try/except-warning too)
+      if (evolution.hasChanges)
+        try evolutionLog.log(table, CdcPath.ledgerKey(fileKey), evolution)
+        catch { case e: Throwable =>
+          System.err.println(s"[graft] evolution-log append failed for $table: ${e.getMessage}")
+        }
 
       // STEP 3: dedup via the cascade (handler.py:407-479)
       val dedup = CdcDedup.dedup(staging, keys, gate = true)
@@ -123,12 +133,26 @@ final class CdcPipeline(
     * on near-immediate Lambda retries rather than delayed replays for
     * the same reason; schedule backfills accordingly.
     */
-  def backfill(files: Seq[String]): Seq[(String, Outcome)] = {
-    val done = ledger.processedAmong(files.map(CdcPath.ledgerKey))
-    files.sorted.map {
-      case f if done.contains(CdcPath.ledgerKey(f)) =>
-        f -> (Skipped(CdcPath.AlreadyProcessed.message): Outcome)
-      case f => f -> processFile(f, checkLedger = false)
+  def backfill(files: Seq[String]): Seq[(String, Outcome)] = processFiles(files.sorted)
+
+  /** Micro-batch driver: apply a batch of event-delivered files with ONE
+    * ledger scan for the whole batch — the per-event ledger SELECT of the
+    * reference (handler.py:800-804), amortized. Given order is preserved
+    * (backfill passes path-sorted = binlog order). Intra-batch duplicate
+    * deliveries (at-least-once event sources re-deliver) skip after the
+    * first successful apply, matching the cross-batch ledger semantics.
+    */
+  def processFiles(files: Seq[String]): Seq[(String, Outcome)] = {
+    val done = scala.collection.mutable.Set.empty[String] ++=
+      ledger.processedAmong(files.map(CdcPath.ledgerKey))
+    files.map { f =>
+      val key = CdcPath.ledgerKey(f)
+      if (done.contains(key)) f -> (Skipped(CdcPath.AlreadyProcessed.message): Outcome)
+      else {
+        val out = processFile(f, checkLedger = false)
+        if (out.isInstanceOf[Applied]) done += key
+        f -> out
+      }
     }
   }
 

@@ -212,6 +212,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out2.exists(_._2.isInstanceOf[CdcPipeline.Applied]))
   }
 
+  test("processFiles: duplicate delivery within one micro-batch applies once") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 4)
+    pipe.initialLoad("users", Seq((1L, "alice", 1.0)).toDF("id", "v", "amount"))
+    val f = s"$root/fair/users/2026/08/12/dup.parquet"
+    writeCdcFile(f, Seq((2L, "bob", 2.0, "I", "2026-08-02 00:00:00", 0L)))
+
+    val out = pipe.processFiles(Seq(f, f)) // at-least-once delivery
+    assert(out.map(_._2).count(_.isInstanceOf[CdcPipeline.Applied]) == 1)
+    assert(out.map(_._2).count(_ == CdcPipeline.Skipped("Already processed")) == 1)
+    // next batch: the cross-batch ledger skip
+    assert(pipe.processFiles(Seq(f)).head._2 == CdcPipeline.Skipped("Already processed"))
+  }
+
   test("ledger-key parity: a stream-processed file is skipped by backfill") {
     import spark.implicits._
     val root = tmpDir()
@@ -275,6 +291,40 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("email")))).sortBy(_._1)
     // merged rows carry the new column; untouched rows read it as null
     assert(state.toSeq == Seq((1L, Some("a@x.io")), (2L, None), (3L, Some("c@x.io"))))
+  }
+
+  test("pipeline: unsafe column lands in _evolution_log and does not block the safe merge") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 4)
+    pipe.initialLoad("users",
+      Seq((1L, "alice", 1.0), (2L, "bob", 2.0)).toDF("id", "v", "amount"))
+
+    // CDC file carrying a safe new column AND an unsafe (array) column
+    val tmp = tmpDir() + "/out"
+    Seq((1L, "alice", 1.5, "a@x.io", Seq(1, 2), "U"))
+      .toDF("id", "v", "amount", "email", "tags", "Op")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$root/fair/users/2026/08/12/mixed.parquet")
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath)
+
+    val applied = pipe.processFile(dest.toString).asInstanceOf[CdcPipeline.Applied]
+    // merge proceeded: safe column evolved, unsafe column flagged not added
+    assert(applied.evolution.columnsAdded.map(_.name) == Seq("email"))
+    assert(applied.evolution.requiresManual.map(_._1) == Seq("tags"))
+    val store = pipe.storeFor("users", Seq("id"))
+    assert(store.schema.fieldNames.contains("email"))
+    assert(!store.schema.fieldNames.contains("tags"))
+
+    // the finding is durable — SNS-notify parity (handler.py:313-336)
+    val logged = pipe.evolutionLog.records
+      .select("table", "kind", "column_name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(logged.contains(("users", "manual_required", "tags")))
+    assert(logged.contains(("users", "column_added", "email")))
   }
 
   test("schema evolution: safe add, manual flag, removed, type change") {
