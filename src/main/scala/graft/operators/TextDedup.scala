@@ -109,11 +109,21 @@ object TextDedup {
     * verified with exact Jaccard ≥ `threshold` over their shingle sets.
     * With rows-per-band=4, bands=32 the miss probability at j≥0.8 is
     * ~5e-8 — the verified output matches the exact operator.
+    *
+    * Verification join strategy is size-gated: a normal corpus yields a
+    * candidate set tiny relative to the corpus, so both verification
+    * joins broadcast it and the shingle relation is scanned, never
+    * shuffled. But `pairShingles` grows ∝ candidates × shingles/doc — a
+    * k-member duplicate cluster alone contributes k(k−1)/2 candidates —
+    * so past `broadcastCandidateLimit` pairs the same plan runs as
+    * shuffle joins (keys: id, then (id, shingle)); correctness is
+    * identical, only the exchange strategy changes. The gating count is
+    * one cheap job over the already-persisted band keys.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, broadcastCandidateLimit: Long = 100000L): DataFrame = {
     // one shingle pass feeds signatures, sizes and verification joins
     val sh = shingles(df, idCol, textCol, n).persist()
     val bk = lshBandsFromShingles(sh, numHashes, bands).persist()
@@ -123,14 +133,14 @@ object TextDedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .persist()
+    val small = candidates.count() <= broadcastCandidateLimit
+    val gate: DataFrame => DataFrame = if (small) broadcast else identity
 
-    // verify candidates with exact Jaccard. The candidate set is tiny
-    // relative to the corpus, so both verification joins broadcast it —
-    // the shingle relation is scanned, never shuffled.
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val pairShingles = sh.join(broadcast(candidates), col("id") === col("id_a"))
+    val pairShingles = sh.join(gate(candidates), col("id") === col("id_a"))
       .select(col("id_a"), col("id_b").as("__cand_b"), col("shingle").as("__cand_sh"))
-    val inter = sh.join(broadcast(pairShingles),
+    val inter = sh.join(gate(pairShingles),
         col("id") === col("__cand_b") && col("shingle") === col("__cand_sh"))
       .select(col("id_a"), col("__cand_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))

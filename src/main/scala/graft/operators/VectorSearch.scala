@@ -165,11 +165,11 @@ object VectorSearch {
     * splits a true pair on some plane with high probability, while
     * per-band misses decay geometrically with the band count: at
     * θ/π = 0.144 (cos = 0.90) an 8-bit band matches with p = 0.857⁸ ≈
-    * 0.29, so 16 bands miss with (1−p)¹⁶ ≈ 4e-3 per worst-case pair —
-    * and measured misses on the planted corpora are zero at every test
-    * scale. Work distributes across bands × 2^bits join keys (no
-    * single-reducer quadratic); candidate volume measured ≈ 7% of
-    * all-pairs on the test corpora.
+    * 0.29, so 32 bands miss with (1−p)³² ≈ 1.7e-5 per worst-case pair
+    * (16 bands: ≈ 4e-3) — and measured misses on the planted corpora
+    * are zero at every test scale. Work distributes across bands ×
+    * 2^bits join keys (no single-reducer quadratic); candidate volume
+    * measured ≈ 7% of all-pairs on the test corpora.
     *
     * With `planes = Nil` this is the exact all-pairs baseline — a
     * deliberate O(n²) single-key self-join for small corpora only.

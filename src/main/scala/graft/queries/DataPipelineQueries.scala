@@ -198,17 +198,21 @@ object DataPipelineQueries {
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Plane/centroid count for the banded near-dup LSH (16 bands × 8 bits). */
-  private val NearDupPlanes = 128
+  /** Plane count for the banded near-dup LSH (32 bands × 8 bits). */
+  private val NearDupPlanes = 256
+  private val NearDupBands = 32
 
   /** Embedding-cosine near-dup pairs over the planted vector corpus via
-    * banded hyperplane LSH (128 data-derived planes, 16 bands of 8 bits)
+    * banded hyperplane LSH (256 data-derived planes, 32 bands of 8 bits)
     * with exact cosine verification.
     *
     * Oracle parity: the oracle is the EXACT all-pairs query — measured
     * on the planted corpora the banded candidates lose zero pairs at
-    * every test scale (worst planted pair sits at cos ≈ 0.90, where the
-    * 16-band miss probability is ~4e-3 per pair; see
+    * every test scale, and the margin is sized so that holds at any sf:
+    * the worst admissible pair sits at the cos = 0.90 threshold, where a
+    * per-band match is p = (1 − θ/π)⁸ ≈ 0.29 and 32 bands miss with
+    * (1−p)³² ≈ 1.7e-5 per pair (≈4e-3 with 16 bands — too close for an
+    * untested sf with many planted pairs; see
     * [[VectorSearch.cosineNearDupPairs]]). Membership margins: planted
     * pair cosines measured 0.876–0.923 (those below 0.9 are excluded by
     * both engines), organic max ~0.60 at sf0.1 — and both engines fold
@@ -217,7 +221,7 @@ object DataPipelineQueries {
     */
   val d05_embedding_neardup: Q = (s, dir) => {
     VectorSearch.cosineNearDupPairs(dupVecCorpus(s, dir), "vec_id", "vec",
-        threshold = 0.9, planes = derivedPlanes(s, dir, NearDupPlanes), bands = 16)
+        threshold = 0.9, planes = derivedPlanes(s, dir, NearDupPlanes), bands = NearDupBands)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -52,6 +52,25 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash LSH: over-limit candidate set verifies via shuffle joins, same result") {
+    import spark.implicits._
+    // a 200-member duplicate cluster alone yields 19,900 candidate pairs;
+    // with the broadcast limit forced below that the verification joins
+    // must run as shuffles and produce the identical pair set
+    val cluster = (1L to 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val distinctDocs = (1001L to 1010L).map(i =>
+      (i, s"doc$i has entirely separate content block number five$i six$i seven$i"))
+    val df = (cluster ++ distinctDocs).toDF("doc_id", "text")
+    val viaShuffle = TextDedup.minhashLshPairs(df, "doc_id", "text",
+        broadcastCandidateLimit = 10L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = TextDedup.minhashLshPairs(df, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaShuffle.size == 200 * 199 / 2, s"expected full cluster, got ${viaShuffle.size}")
+    assert(viaShuffle == viaBroadcast)
+  }
+
   test("minhash LSH recovers the same pairs as exact jaccard at high threshold") {
     val exact = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -136,13 +155,16 @@ class DataPipelineSpec extends AnyFunSuite {
   }
 
   test("banded near-dup LSH equals the exact oracle on the planted corpus") {
-    val dir = "/root/testdata/sf0.001"
+    // largest locally-available sf (most planted near-threshold pairs);
+    // override with GRAFT_TESTDATA_SF_DIR to re-run the guard elsewhere
+    val dir = DataPipelineSpec.TestDataDir
     val corpus = graft.queries.DataPipelineQueries.dupVecCorpus(spark, dir)
-    val planes = graft.queries.DataPipelineQueries.derivedPlanes(spark, dir, 128)
+    // same parameters as the d05 driver query (256 planes, 32 bands)
+    val planes = graft.queries.DataPipelineQueries.derivedPlanes(spark, dir, 256)
     val exact = VectorSearch.cosineNearDupPairs(corpus, "vec_id", "vec", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val banded = VectorSearch.cosineNearDupPairs(corpus, "vec_id", "vec", 0.9,
-        planes, bands = 16)
+        planes, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "planted corpus must contain near-dup pairs")
     assert(banded == exact,
@@ -262,4 +284,12 @@ class DataPipelineSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, stride = 2, maxFrames = 2).collect()
     assert(frames.forall(_.getLong(0) == 2L) && frames.length == 2)
   }
+}
+
+object DataPipelineSpec {
+  /** Shared testdata dir for the oracle-parity guards: the largest
+    * locally-available sf, overridable for ad-hoc re-runs elsewhere.
+    */
+  val TestDataDir: String =
+    sys.env.getOrElse("GRAFT_TESTDATA_SF_DIR", "/root/testdata/sf0.1")
 }

@@ -23,6 +23,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm_cell(v):
     if v is None:
         return "NULL"
+    # the .df() fetch path yields numpy scalars/arrays: unwrap to Python
+    # values BEFORE the type checks, otherwise arrays fall to str() (which
+    # numpy truncates to ~8 sig digits and summarizes with '...')
+    if hasattr(v, "tolist") and not isinstance(v, (bytes, str)):
+        v = v.tolist()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
