@@ -5,10 +5,21 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale smoke for the CDC path: initialize a bucketed store from the
-  * sf0.1 lineitem (~600k rows, composite key), then merge a ~1.2M-row
-  * CDC batch (2× updates on every row + deletes + inserts) and a small
-  * 10k-row batch, timing each. Dev tool: numbers land in COVERAGE.md.
+/** Scale smoke, two parts (select with arg `cdc` / `lsh` / default both):
+  *
+  * - CDC: initialize a bucketed store from the sf0.1 lineitem (~600k
+  *   rows, composite key), then merge a ~1.2M-row CDC batch (2× updates
+  *   on every row + deletes + inserts) and a small 10k-row batch.
+  * - LSH: run d03 (MinHash+LSH text dedup) and d05 (banded embedding
+  *   near-dup) over synthetic clustered corpora at 5k and 50k
+  *   docs/vectors — wall-time growth should be near-linear (fixed
+  *   cluster size ⇒ candidate volume ∝ n); a candidate explosion shows
+  *   up here long before sf-gated correctness would catch it. The 50k
+  *   doc corpus plants a 1000-member duplicate cluster (~500k candidate
+  *   pairs), driving the verification joins through the over-limit
+  *   shuffle fallback.
+  *
+  * Dev tool: numbers land in COVERAGE.md.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -19,11 +30,79 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    val mode = args.headOption.getOrElse("all")
+    if (mode == "lsh" || mode == "all") lshSmoke(spark)
+    if (mode == "cdc" || mode == "all") cdcSmoke(spark, "/root/testdata/sf0.1")
+    spark.stop()
+  }
+
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  /** d03/d05 at 5k and 50k: clustered synthetic corpora (10-member
+    * duplicate clusters, so candidate volume grows linearly with n).
+    */
+  private def lshSmoke(spark: SparkSession): Unit = {
+    // integer floor-div for cluster ids (`col/10` alone is DOUBLE division
+    // — every row would get a unique "cluster")
+    def concept(n: Int, bigCluster: Int) =
+      when(col("id") < bigCluster, lit(0L)).otherwise(floor(col("id") / 10).cast("long"))
+    def synthDocs(n: Int, bigCluster: Int): org.apache.spark.sql.DataFrame = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(concept(n, bigCluster).cast("string"), lit(s"_$j"))), 1, 7))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
     }
+    def synthVecs(n: Int): org.apache.spark.sql.DataFrame = {
+      // hash-derived pseudo-random components (a sinusoid family like
+      // sin(c·31 + 7d) is heavily self-correlated — cos(31Δc) swings to
+      // ±1 — and floods the corpus with accidental "near-dups");
+      // ±0.02 noise keeps within-cluster cosine ≈ 0.999
+      val comps = (0 until 64).map { d =>
+        val h = conv(substring(md5(concat(concept(n, 0).cast("string"), lit(s"_d$d"))), 1, 15), 16, 10)
+        (h.cast("double") / lit(math.pow(2, 60)) - 0.5) + sin(col("id") * 97 + d) * 0.02
+      }
+      spark.range(n).select(col("id").as("vec_id"), array(comps: _*).as("vec"))
+    }
+    Seq(5000, 50000).foreach { n =>
+      val docs = synthDocs(n, bigCluster = if (n >= 50000) 1000 else 0)
+        .repartition(32).persist()
+      docs.count()
+      time(s"d03 minhash+LSH dedup, $n docs (10-member clusters" +
+          (if (n >= 50000) " + one 1000-member cluster ⇒ shuffle fallback)" else ")")) {
+        val pairs = graft.operators.TextDedup
+          .minhashLshPairs(docs, "doc_id", "text")
+        println(s"[scale]   pairs: ${pairs.count()}")
+      }
+      docs.unpersist()
+
+      // band width scales with corpus size (8 bits at 5k, 16 at 50k):
+      // keeping bits ∝ log n holds per-band bucket occupancy — and so
+      // candidate volume — near-linear; a fixed width would admit a
+      // constant FRACTION of all pairs (quadratic growth). Planes are
+      // corpus vectors sampled with a stride so they span distinct
+      // clusters (the first-128 prefix would yield ~13 near-identical
+      // normals and degenerate band keys).
+      val bands = 16
+      val bitsPerBand = if (n >= 50000) 16 else 8
+      val vecs = synthVecs(n).repartition(32).persist()
+      vecs.count()
+      time(s"d05 banded near-dup LSH, $n vectors (64-dim, $bands bands × $bitsPerBand bits)") {
+        val numPlanes = bands * bitsPerBand
+        val planes = vecs.filter(col("vec_id") % (n / numPlanes) === 0)
+          .orderBy("vec_id").limit(numPlanes)
+          .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
+        val pairs = graft.operators.VectorSearch
+          .cosineNearDupPairs(vecs, "vec_id", "vec", 0.9, planes, bands = bands)
+        println(s"[scale]   pairs: ${pairs.count()}")
+      }
+      vecs.unpersist()
+    }
+  }
+
+  private def cdcSmoke(spark: SparkSession, dir: String): Unit = {
 
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val keys = Seq("l_orderkey", "l_linenumber")
@@ -60,6 +139,5 @@ object ScaleSmoke {
     time("merge 10k-row batch (partition-pruned)") {
       println(s"[scale] touched: ${store.merge(small)}")
     }
-    spark.stop()
   }
 }
