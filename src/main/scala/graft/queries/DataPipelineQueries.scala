@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{TextFunctions, WinnowedFingerprint}
-import graft.operators.{Multimodal, TextDedup, VectorSearch}
+import graft.operators.{ConnectedComponents, Multimodal, TextDedup, VectorSearch}
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
   * text analysis, multimodal) as driver-checked queries.
@@ -98,7 +98,10 @@ object DataPipelineQueries {
       |  ) g
       |)""".stripMargin
 
-  val JaccardPairsSql: String =
+  /** CTE block ending in `pairs(id_a, id_b, jaccard)` — composed by the
+    * pair queries (d02/d03) and the group-resolution query (d06).
+    */
+  val JaccardCtesSql: String =
     """sizes AS (SELECT id, COUNT(*) AS n_shingles FROM shingles GROUP BY id),
       |inter AS (
       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
@@ -111,8 +114,11 @@ object DataPipelineQueries {
       |  FROM inter i
       |  JOIN sizes sa ON sa.id = i.id_a
       |  JOIN sizes sb ON sb.id = i.id_b
-      |)
-      |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+      |)""".stripMargin
+
+  val JaccardPairsSql: String =
+    JaccardCtesSql +
+      "\nSELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY id_a, id_b"
 
   // ── deduplication ───────────────────────────────────────────────────
 
@@ -232,6 +238,41 @@ object DataPipelineQueries {
        |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup GROUP resolution: MinHash+LSH pairs (the scale path,
+    * oracle-proven equal to exact Jaccard at these margins — d03) fed
+    * through connected components, labeling every corpus doc with its
+    * dup-group survivor (min id; itself when unique). This is the step
+    * that actually drops duplicates: pairs alone cannot pick survivors
+    * when duplicates chain (a~b, b~c, a≁c must collapse to one keeper).
+    * The oracle replays the closure with a recursive CTE over the exact
+    * pair graph.
+    */
+  val d06_dedup_groups: Q = (s, dir) => {
+    val corpus = dupDocCorpus(s, dir)
+    val pairs = TextDedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    ConnectedComponents.dedupGroups(corpus, pairs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val d06_sql: String =
+    s"""WITH RECURSIVE $DupDocCorpusSql,
+       |$ShinglesSql,
+       |$JaccardCtesSql,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.8),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+       |  UNION
+       |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT c.doc_id,
+       |       COALESCE(mp.component, c.doc_id) AS component,
+       |       COALESCE(mp.component, c.doc_id) = c.doc_id AS is_survivor
+       |FROM corpus c LEFT JOIN comp mp ON mp.id = c.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   // ── similarity search ───────────────────────────────────────────────
 
@@ -550,6 +591,7 @@ object DataPipelineQueries {
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
+    "d06_dedup_groups" -> d06_dedup_groups,
     "s01_ann_topk" -> s01_ann_topk,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
@@ -564,6 +606,7 @@ object DataPipelineQueries {
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,
+    "d06_dedup_groups" -> d06_sql,
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,

@@ -67,6 +67,49 @@ object StreamingQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Per-user 30-minute session windows (session_window aggregation) —
+    * the third windowing mode beyond tumbling/sliding.
+    */
+  val w04_session_windows: Q = (s, dir) => {
+    EventWindows.sessionStats(Tables(s, dir, "events"), "30 minutes")
+      .orderBy(col("session_start"), col("user_id"))
+  }
+
+  /** Gaps-and-islands replay in exact integer microseconds: a new
+    * session starts where the gap since the previous event EXCEEDS
+    * 30 min — an event exactly gap-after the last one still MERGES
+    * (session_window extends through its closed end; proven by the
+    * boundary case in StreamingWindowSpec); session id = running count
+    * of starts; end = last event + gap.
+    */
+  val w04_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |),
+      |marked AS (
+      |  SELECT user_id, tus, cents,
+      |    CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+      |           OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev
+      |),
+      |sess AS (
+      |  SELECT user_id, tus, cents,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |)
+      |SELECT make_timestamp(MIN(tus)) AS session_start,
+      |       make_timestamp(MAX(tus) + 1800000000) AS session_end,
+      |       user_id,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY session_start, user_id""".stripMargin
+
   /** The flatMapGroupsWithState net-change view, run in batch mode over a
     * synthetic change stream (empty initial state): per key the cascade
     * winner is emitted as an upsert unless it is a delete (a delete with
@@ -115,10 +158,12 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
-    "w03_state_view" -> w03_state_view)
+    "w03_state_view" -> w03_state_view,
+    "w04_session_windows" -> w04_session_windows)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
     "w02_sliding_windows" -> w02_sql,
-    "w03_state_view" -> w03_sql)
+    "w03_state_view" -> w03_sql,
+    "w04_session_windows" -> w04_sql)
 }

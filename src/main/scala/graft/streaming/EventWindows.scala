@@ -36,4 +36,26 @@ object EventWindows {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("value_cents"))
   }
+
+  /** Per-user session windows: events closer than `gap` merge into one
+    * session; session end = last event + gap (Spark's `session_window`
+    * semantics — a new session starts when the next event lands ON or
+    * after the previous window's exclusive end). Same plan runs
+    * streaming with a watermark, where sessions finalize once the
+    * watermark passes their end.
+    */
+  def sessionStats(
+      events: DataFrame,
+      gap: String,
+      userCol: String = "user_id",
+      watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(events)(events.withWatermark("ts", _))
+    withWm
+      .groupBy(session_window(col("ts"), gap).as("w"), col(userCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col(userCol), col("n_events"), col("value_cents"))
+  }
 }

@@ -80,6 +80,31 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("connected components: chains collapse, cliques collapse, singletons survive") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 only transitively), clique 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // corpus view: docs without pairs label themselves and survive
+    val corpus = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val groups = graft.operators.ConnectedComponents
+      .dedupGroups(corpus, pairs.filter($"id_a" < 10), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(groups == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (99L, 99L, true)))
+
+    // convergence guard: a long chain exceeds a tiny iteration bound loudly
+    val chain = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.components(chain, "id_a", "id_b", maxIterations = 2)
+        .collect()
+    }
+  }
+
   test("simhash: identical docs hamming 0; near dups close; different docs far") {
     val sigs = TextDedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

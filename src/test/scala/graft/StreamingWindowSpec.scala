@@ -56,4 +56,33 @@ class StreamingWindowSpec extends AnyFunSuite {
       .collect()
     assert(out.length == 4) // 60/15 overlapping windows contain the event
   }
+
+  test("session windows: gap merge, closed-end boundary, per-user isolation") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: third event lands exactly AT the session's end — the
+      // closed end still MERGES it (the > gap rule, mirrored by the
+      // oracle's gaps-and-islands replay)
+      (1L, "2026-01-01 10:00:00", 1.0),
+      (1L, "2026-01-01 10:10:00", 2.0),
+      (1L, "2026-01-01 10:40:00", 4.0),
+      // user 2: same instant as user 1's first event — separate session
+      (2L, "2026-01-01 10:00:00", 8.0),
+      // user 3: 1 µs beyond the gap — a new session
+      (3L, "2026-01-01 10:00:00", 1.0),
+      (3L, "2026-01-01 10:30:00.000001", 2.0))
+      .toDF("user_id", "ts_s", "value")
+      .select($"user_id", org.apache.spark.sql.functions.to_timestamp($"ts_s").as("ts"),
+        org.apache.spark.sql.functions.lit("click").as("event_type"), $"value")
+    val out = EventWindows.sessionStats(ev, "30 minutes")
+      .collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, "2026-01-01 10:00:00.0", "2026-01-01 11:10:00.0", 3L, 700L),
+      (2L, "2026-01-01 10:00:00.0", "2026-01-01 10:30:00.0", 1L, 800L),
+      (3L, "2026-01-01 10:00:00.0", "2026-01-01 10:30:00.0", 1L, 100L),
+      (3L, "2026-01-01 10:30:00.000001", "2026-01-01 11:00:00.000001", 1L, 200L)))
+  }
 }
