@@ -58,12 +58,14 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
         .persist()
-      next.count() // materialize before comparing/unpersisting the parent
-      converged = next.as("n").join(labels.as("o"), "id")
+      // one job per round: the change-count join materializes (and
+      // caches) `next` before the parent is unpersisted
+      val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
+        .count()
       labels.unpersist()
       labels = next
+      converged = changed == 0
     }
     edges.unpersist()
     labels
