@@ -34,14 +34,29 @@ object ConnectedComponents {
   def components(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist()
+    // persist the directed projection so the (possibly expensive — LSH,
+    // joins) pair pipeline upstream is computed once, not once per
+    // union branch
+    // Iterative plans re-derive their whole lineage on every reuse unless
+    // it is cut: checkpoint the edge set once (so the possibly-expensive
+    // pair pipeline upstream — LSH, joins — runs exactly once) and the
+    // label frame every round (so round N never re-executes rounds
+    // 1..N-1, and the returned frame is a flat scan for the caller).
+    // localCheckpoint stores executor-resident blocks — the right trade
+    // for a frame that is orders of magnitude smaller than the corpus;
+    // clusters needing fault-tolerant recompute set a checkpoint dir and
+    // these become reliable checkpoints automatically.
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = cut(
+      directed.unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
     var converged = false
     var iter = 0
     while (!converged) {
@@ -54,20 +69,16 @@ object ConnectedComponents {
       // each node pulls the smallest label among its neighbors
       val pulled = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("component")).as("__nbr"))
-      val next = labels.join(pulled, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
-        .persist()
-      // one job per round: the change-count join materializes (and
-      // caches) `next` before the parent is unpersisted
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
+      val joined = cut(labels.join(pulled, col("id") === col("src"), "left"))
+      // labels only ever decrease, so "pulled a smaller label" IS the
+      // convergence test — one job per round over the checkpointed frame
+      val changed = joined
+        .filter(coalesce(col("__nbr"), col("component")) < col("component"))
         .count()
-      labels.unpersist()
-      labels = next
+      labels = joined.select(col("id"),
+        least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
       converged = changed == 0
     }
-    edges.unpersist()
     labels
   }
 
