@@ -112,4 +112,17 @@ object TextFunctions {
     when(count === 0, array().cast(ArrayType(StringType)))
       .otherwise(array_distinct(grams))
   }
+
+  /** Frequency-preserving variant of [[wordNgrams]] (repeats kept) —
+    * the input to repetition metrics and corpus gram counts, where how
+    * often a gram occurs is the signal.
+    */
+  def wordNgramsAll(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val count = size(toks)
+    val grams = transform(
+      sequence(lit(0), greatest(count - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(count === 0, array().cast(ArrayType(StringType))).otherwise(grams)
+  }
 }

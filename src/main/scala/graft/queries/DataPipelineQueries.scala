@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{TextFunctions, WinnowedFingerprint}
-import graft.operators.{ConnectedComponents, Multimodal, TextDedup, VectorSearch}
+import graft.operators.{ConnectedComponents, Decontaminate, Multimodal, Sampling, TextDedup, VectorSearch}
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
   * text analysis, multimodal) as driver-checked queries.
@@ -548,6 +548,139 @@ object DataPipelineQueries {
        |FROM fps
        |ORDER BY doc_id""".stripMargin
 
+  // ── corpus curation ─────────────────────────────────────────────────
+
+  /** Benchmark decontamination: docs with `doc_id % 37 = 0` play the
+    * eval suite; the pool is the planted corpus minus the eval docs
+    * themselves. Planted copies of eval docs are the contamination the
+    * report must find (8-word grams — chance collisions between
+    * independent docs are ~(1/V)⁸, vanishing). Eval grams broadcast;
+    * the corpus is never shuffled before the matched-rows-only agg.
+    */
+  val d07_decontaminate: Q = (s, dir) => {
+    val evalSet = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"))
+    val pool = dupDocCorpus(s, dir)
+      .join(broadcast(evalSet.select(col("doc_id").as("__eid"))),
+        col("doc_id") === col("__eid"), "left_anti")
+    Decontaminate.report(pool, evalSet, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** 8-gram shingles with wordNgrams' short-doc convention, as a SQL
+    * select body over (doc_id, text) relation `src`.
+    */
+  private def gramsSql(src: String, n: Int): String =
+    s"""SELECT doc_id AS id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id,
+       |           list_distinct(list_transform(range(0, GREATEST(len(toks) - $n, 0) + 1),
+       |             i -> array_to_string(toks[i + 1 : i + $n], ' '))) AS grams
+       |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |          FROM $src) t
+       |  ) g""".stripMargin
+
+  val d07_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |evaldocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+       |pool AS (SELECT doc_id, text FROM corpus
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM evaldocs)),
+       |pgrams AS (
+       |  ${gramsSql("pool", 8)}
+       |),
+       |egrams AS (
+       |  SELECT DISTINCT id AS eval_id, shingle FROM (${gramsSql("evaldocs", 8)}) e
+       |)
+       |SELECT p.id AS doc_id,
+       |       COUNT(DISTINCT p.shingle) AS matched_grams,
+       |       COUNT(DISTINCT e.eval_id) AS matched_eval_docs
+       |FROM pgrams p JOIN egrams e ON p.shingle = e.shingle
+       |GROUP BY p.id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: even-numbered sources at 10%,
+    * odd at 30%, membership a pure md5 function of doc_id — identical
+    * row set on any engine, partitioning, or rerun. One narrow
+    * codegen'd filter: the 100 TB path has no shuffle at all.
+    */
+  val d08_stratified_sample: Q = (s, dir) => {
+    val rate = when(
+      col("source").substr(lit(4), lit(8)).cast(IntegerType) % 2 === 0, 10)
+      .otherwise(30)
+    Sampling.stratifiedSample(Tables(s, dir, "documents"), "doc_id", rate)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d08_sql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      |      < CASE WHEN CAST(substr(source, 4, 8) AS INT) % 2 = 0 THEN 10 ELSE 30 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition gate: per-doc token/2-gram duplication
+    * counts and a keep flag (≤10% duplicate 2-grams). The flag compares
+    * integers — no FP boundary can flip it cross-engine.
+    */
+  val t04_repetition: Q = (s, dir) => {
+    val text = col("text")
+    val n2 = size(TextFunctions.wordNgramsAll(text, 2))
+    val d2 = size(TextFunctions.wordNgrams(text, 2))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(text).as("n_tokens"),
+        size(TextFunctions.tokenSet(text)).as("n_distinct_tokens"),
+        n2.as("n_2grams"),
+        d2.as("n_distinct_2grams"),
+        ((n2 - d2) * 10 <= n2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t04_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS INT) AS n_tokens,
+      |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+      |         CAST(GREATEST(len(toks) - 2, 0) + 1 AS INT) AS n_2grams,
+      |         CAST(len(list_distinct(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
+      |           i -> array_to_string(toks[i + 1 : i + 2], ' ')))) AS INT) AS n_distinct_2grams
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, n_distinct_tokens, n_2grams, n_distinct_2grams,
+      |       (n_2grams - n_distinct_2grams) * 10 <= n_2grams AS keep
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-wide 2-gram frequency top-100 (heavy hitters): explode →
+    * map-side-combined count → TakeOrderedAndProject. Total order
+    * (count DESC, gram) makes the limit boundary deterministic.
+    */
+  val t05_gram_topk: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .select(explode(TextFunctions.wordNgramsAll(col("text"), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(100)
+  }
+
+  val t05_sql: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+      |),
+      |g AS (
+      |  SELECT unnest(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
+      |           i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS gram
+      |  FROM t
+      |)
+      |SELECT gram, COUNT(*) AS occurrences FROM g
+      |GROUP BY gram
+      |ORDER BY occurrences DESC, gram
+      |LIMIT 100""".stripMargin
+
   // ── multimodal ──────────────────────────────────────────────────────
 
   /** Multimodal plumbing: text bytes wrapped as media payloads, features
@@ -592,12 +725,16 @@ object DataPipelineQueries {
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d06_dedup_groups" -> d06_dedup_groups,
+    "d07_decontaminate" -> d07_decontaminate,
+    "d08_stratified_sample" -> d08_stratified_sample,
     "s01_ann_topk" -> s01_ann_topk,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
     "t01_text_stats" -> t01_text_stats,
     "t02_langid" -> t02_langid,
     "t03_fingerprint" -> t03_fingerprint,
+    "t04_repetition" -> t04_repetition,
+    "t05_gram_topk" -> t05_gram_topk,
     "m01_multimodal_features" -> m01_multimodal_features)
 
   val oracles: Map[String, String] = Map(
@@ -607,11 +744,15 @@ object DataPipelineQueries {
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,
     "d06_dedup_groups" -> d06_sql,
+    "d07_decontaminate" -> d07_sql,
+    "d08_stratified_sample" -> d08_sql,
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
     "t01_text_stats" -> t01_sql,
     "t02_langid" -> t02_sql,
     "t03_fingerprint" -> t03_sql,
+    "t04_repetition" -> t04_sql,
+    "t05_gram_topk" -> t05_sql,
     "m01_multimodal_features" -> m01_sql)
 }

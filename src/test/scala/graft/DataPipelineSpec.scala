@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, WinnowedFingerprint}
-import graft.operators.{Multimodal, TextDedup, VectorSearch}
+import graft.operators.{Decontaminate, Multimodal, Sampling, TextDedup, VectorSearch}
 
 /** Unit tests for the training-data operators: planted-duplicate recovery,
   * ANN sanity, text functions, fingerprint sensitivity, multimodal
@@ -238,6 +238,58 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out(1L) == Set("a b c", "b c d"))
     assert(out(2L) == Set("a b"))
     assert(out(3L) == Set.empty[String])
+  }
+
+  test("decontaminate: flags only docs overlapping the eval set; clean() drops them") {
+    val evalSet = docs(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val pool = docs(
+      1L -> "prefix words alpha beta gamma delta epsilon zeta eta theta suffix", // 8-gram overlap
+      2L -> "alpha beta gamma delta different tail here now ok fine",            // <8 shared tokens
+      3L -> "totally unrelated content with no shared words at all today")
+    val report = Decontaminate.report(pool, evalSet, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.keySet == Set(1L))
+    assert(report(1L) >= 1L)
+    val kept = Decontaminate.clean(pool, evalSet, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("stratified sample: deterministic across partitionings, nested rates, exact bounds") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "stratum")
+    val rate = when(col("stratum") === "even", 10).otherwise(50)
+    val once = Sampling.stratifiedSample(df, "doc_id", rate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.stratifiedSample(df.repartition(7), "doc_id", rate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "membership must not depend on partitioning")
+    // rate p ⊆ rate q for p < q (bucket < p ⇒ bucket < q)
+    val wider = Sampling.stratifiedSample(df, "doc_id", lit(50))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once.subsetOf(wider))
+    assert(Sampling.stratifiedSample(df, "doc_id", lit(0)).count() == 0L)
+    assert(Sampling.stratifiedSample(df, "doc_id", lit(100)).count() == 1000L)
+    // md5 buckets are uniform: each stratum lands near its rate
+    val evens = once.count(_ % 2 == 0)
+    val odds = once.size - evens
+    assert(evens > 20 && evens < 80, s"~50 expected, got $evens")
+    assert(odds > 175 && odds < 325, s"~250 expected, got $odds")
+  }
+
+  test("repetition metrics: duplicated 2-grams fail the keep gate") {
+    val loop = Array.fill(20)("spam ham").mkString(" ")            // 2 grams repeated 20×
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")           // all distinct
+    val df = docs(1L -> loop, 2L -> varied)
+    val n2 = size(TextFunctions.wordNgramsAll(col("text"), 2))
+    val d2 = size(TextFunctions.wordNgrams(col("text"), 2))
+    val out = df.select(col("doc_id"), n2.as("n"), d2.as("d"),
+        (((n2 - d2) * 10) <= n2).as("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 == 39 && out(1L)._2 == 2 && !out(1L)._3)
+    assert(out(2L)._1 == 39 && out(2L)._2 == 39 && out(2L)._3)
   }
 
   test("winnowed fingerprint: deterministic, shared substrings detected, edit-local") {

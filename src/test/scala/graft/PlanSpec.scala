@@ -108,6 +108,25 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"pair join keys must include the non-constant __bkey, got ${pairJoin.get.leftKeys}")
   }
 
+  test("stratified sample is a shuffle-free codegen'd scan+filter") {
+    // drop the presentation orderBy — the operator itself must not exchange
+    val df = operators.Sampling.stratifiedSample(
+      Tables(spark, dir, "documents"),
+      "doc_id", org.apache.spark.sql.functions.lit(50))
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"), "sampling must not shuffle:\n" + plan.take(3000))
+    assert(plan.contains("*(1)"), // compact form of a WholeStageCodegen stage
+      "filter should be codegen'd:\n" + plan.take(3000))
+  }
+
+  test("decontamination broadcasts the eval gram set, never the corpus") {
+    val plan = planString(queries.DataPipelineQueries.d07_decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval grams should broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side must not be sort-merge joined:\n" + plan.take(3000))
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // parquet-backed input: a local relation would be constant-folded
     import org.apache.spark.sql.functions.{col, transform}
