@@ -91,7 +91,7 @@ object TextDedup {
       n: Int, numHashes: Int, bands: Int): DataFrame =
     lshBandsFromShingles(shingles(df, idCol, textCol, n), numHashes, bands)
 
-  private def lshBandsFromShingles(
+  private[operators] def lshBandsFromShingles(
       sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{TextFunctions, WinnowedFingerprint}
-import graft.operators.{ConnectedComponents, Decontaminate, Multimodal, Sampling, TextDedup, VectorSearch}
+import graft.operators.{ConnectedComponents, Decontaminate, IncrementalDedup, Multimodal, Sampling, TextDedup, VectorSearch}
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
   * text analysis, multimodal) as driver-checked queries.
@@ -598,6 +598,55 @@ object DataPipelineQueries {
        |GROUP BY p.id
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental ingestion dedup: the planted copies arrive as a NEW
+    * BATCH against the original documents as the already-ingested store
+    * with a precomputed band index. Output: which incoming docs
+    * duplicate something already in the corpus, with exact Jaccard.
+    * The oracle replays the exact batch×store Jaccard join — LSH
+    * banding at 128/32 loses < 5e-8 of pairs at j ≥ 0.8, the same
+    * parity argument as d03.
+    */
+  val d09_incremental_dedup: Q = (s, dir) => {
+    val store = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = store.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionAll(store.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+    val storeIndex = IncrementalDedup.bandIndex(
+      store.repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
+    IncrementalDedup.dedupAgainst(storeIndex, store, batch, "doc_id", "text")
+      .orderBy(col("batch_id"), col("store_id"))
+  }
+
+  val d09_sql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
+       |),
+       |bsh AS (
+       |  ${gramsSql("batch", 3)}
+       |),
+       |ssh AS (
+       |  ${gramsSql("documents", 3)}
+       |),
+       |bsz AS (SELECT id, COUNT(*) AS n_b FROM bsh GROUP BY id),
+       |ssz AS (SELECT id, COUNT(*) AS n_s FROM ssh GROUP BY id),
+       |inter AS (
+       |  SELECT b.id AS batch_id, s.id AS store_id, COUNT(*) AS n_inter
+       |  FROM bsh b JOIN ssh s ON b.shingle = s.shingle
+       |  GROUP BY b.id, s.id
+       |)
+       |SELECT i.batch_id, i.store_id,
+       |       CAST(i.n_inter AS DOUBLE) / (bsz.n_b + ssz.n_s - i.n_inter) AS jaccard
+       |FROM inter i
+       |JOIN bsz ON bsz.id = i.batch_id
+       |JOIN ssz ON ssz.id = i.store_id
+       |WHERE CAST(i.n_inter AS DOUBLE) / (bsz.n_b + ssz.n_s - i.n_inter) >= 0.8
+       |ORDER BY batch_id, store_id""".stripMargin
+
   /** Deterministic stratified sampling: even-numbered sources at 10%,
     * odd at 30%, membership a pure md5 function of doc_id — identical
     * row set on any engine, partitioning, or rerun. One narrow
@@ -660,6 +709,10 @@ object DataPipelineQueries {
     */
   val t05_gram_topk: Q = (s, dir) => {
     Tables(s, dir, "documents")
+      // single small parquet → 1 input partition; spread the explode
+      // (the expensive step) across cores. Real corpora arrive with
+      // ≥ parallelism partitions and skip this.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(TextFunctions.wordNgramsAll(col("text"), 2)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("occurrences"))
@@ -727,6 +780,7 @@ object DataPipelineQueries {
     "d06_dedup_groups" -> d06_dedup_groups,
     "d07_decontaminate" -> d07_decontaminate,
     "d08_stratified_sample" -> d08_stratified_sample,
+    "d09_incremental_dedup" -> d09_incremental_dedup,
     "s01_ann_topk" -> s01_ann_topk,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
@@ -746,6 +800,7 @@ object DataPipelineQueries {
     "d06_dedup_groups" -> d06_sql,
     "d07_decontaminate" -> d07_sql,
     "d08_stratified_sample" -> d08_sql,
+    "d09_incremental_dedup" -> d09_sql,
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, WinnowedFingerprint}
-import graft.operators.{Decontaminate, Multimodal, Sampling, TextDedup, VectorSearch}
+import graft.operators.{Decontaminate, IncrementalDedup, Multimodal, Sampling, TextDedup, VectorSearch}
 
 /** Unit tests for the training-data operators: planted-duplicate recovery,
   * ANN sanity, text functions, fingerprint sensitivity, multimodal
@@ -238,6 +238,27 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out(1L) == Set("a b c", "b c d"))
     assert(out(2L) == Set("a b"))
     assert(out(3L) == Set.empty[String])
+  }
+
+  test("incremental dedup: batch vs store index finds planted dups; index appends compose") {
+    val store = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and runs far away today",
+      2L -> "completely different content about spark catalyst optimizer rules engine",
+      3L -> "yet another unrelated document discussing parquet column pruning today ok")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog and runs far away today", // dup of 1
+      11L -> "nothing like anything in the existing corpus whatsoever right now")
+    val index = IncrementalDedup.bandIndex(store, "doc_id", "text")
+    val hits = IncrementalDedup.dedupAgainst(index, store, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((10L, 1L)))
+    // the index is append-only: signing slices independently equals
+    // signing the whole store (per-doc signatures don't cross docs)
+    val sliced = IncrementalDedup.bandIndex(store.filter(col("doc_id") < 3), "doc_id", "text")
+      .unionAll(IncrementalDedup.bandIndex(store.filter(col("doc_id") >= 3), "doc_id", "text"))
+    val whole = index.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val parts = sliced.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(whole == parts)
   }
 
   test("decontaminate: flags only docs overlapping the eval set; clean() drops them") {
