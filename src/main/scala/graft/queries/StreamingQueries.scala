@@ -116,6 +116,25 @@ object StreamingQueries {
     * no prior state emits nothing) — all SQL-expressible, so the keyed
     * state-transition logic itself sits under the oracle.
     */
+  /** Stream-stream interval join: purchases within 30 min after a click
+    * by the same user. Oracle replays the range join with both
+    * timestamps truncated to µs (Spark's native precision).
+    */
+  val w05_interval_join: Q = (s, dir) =>
+    EventWindows.followWithin(Tables(s, dir, "events"), "click", "purchase", "30 minutes")
+      .orderBy(col("lead_id"), col("follow_id"))
+
+  val w05_sql: String =
+    """SELECT l.user_id, l.event_id AS lead_id, r.event_id AS follow_id,
+      |       (epoch_us(CAST(r.ts AS TIMESTAMP)) - epoch_us(CAST(l.ts AS TIMESTAMP))) // 1000000
+      |         AS seconds_after
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'click' AND r.event_type = 'purchase'
+      | AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP)
+      | AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY lead_id, follow_id""".stripMargin
+
   val w03_state_view: Q = (s, dir) => {
     import s.implicits._
     val changes = Tables(s, dir, "orders").select(
@@ -159,11 +178,13 @@ object StreamingQueries {
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
     "w03_state_view" -> w03_state_view,
-    "w04_session_windows" -> w04_session_windows)
+    "w04_session_windows" -> w04_session_windows,
+    "w05_interval_join" -> w05_interval_join)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
     "w02_sliding_windows" -> w02_sql,
     "w03_state_view" -> w03_sql,
-    "w04_session_windows" -> w04_sql)
+    "w04_session_windows" -> w04_sql,
+    "w05_interval_join" -> w05_sql)
 }

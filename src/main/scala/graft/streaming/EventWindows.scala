@@ -58,4 +58,31 @@ object EventWindows {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col(userCol), col("n_events"), col("value_cents"))
   }
+
+  /** Funnel step: every `followType` event landing within `horizon`
+    * AFTER a `leadType` event of the same user — the stream-stream
+    * interval join. In streaming both sides inherit the watermark and
+    * the time bound caps join state (a lead row is droppable once the
+    * watermark passes lead_ts + horizon); in batch the same plan is a
+    * plain range-condition equi-join on user_id. Timestamps compare at
+    * µs precision on both engines.
+    */
+  def followWithin(
+      events: DataFrame, leadType: String, followType: String,
+      horizon: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    val lead = src.filter(col("event_type") === leadType)
+      .select(col("user_id"), col("event_id").as("lead_id"), col("ts").as("lead_ts"))
+    val follow = src.filter(col("event_type") === followType)
+      .select(col("user_id").as("__f_user"), col("event_id").as("follow_id"),
+        col("ts").as("follow_ts"))
+    lead.join(follow,
+        col("user_id") === col("__f_user") &&
+        col("follow_ts") > col("lead_ts") &&
+        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("lead_id"), col("follow_id"),
+        expr("(unix_micros(follow_ts) - unix_micros(lead_ts)) div 1000000")
+          .as("seconds_after"))
+  }
 }

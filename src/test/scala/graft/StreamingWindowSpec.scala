@@ -46,6 +46,33 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming interval join ≡ batch interval join (append mode)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventWindows.followWithin(
+        Tables(spark, dir, "events"), "click", "purchase", "30 minutes")
+      .collect().map(_.toSeq).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventWindows.followWithin(streamEvents, "click", "purchase",
+        "30 minutes", watermark = Some("1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName("ivj_out")
+      .outputMode("append") // the only mode stream-stream joins support
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ivj_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sliding windows place each event in windowLength/slide windows") {
     import spark.implicits._
     val one = Seq(("2026-01-01 10:07:00", "click", 1.0))
