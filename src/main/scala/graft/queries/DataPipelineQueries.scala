@@ -647,6 +647,102 @@ object DataPipelineQueries {
        |WHERE CAST(i.n_inter AS DOUBLE) / (bsz.n_b + ssz.n_s - i.n_inter) >= 0.8
        |ORDER BY batch_id, store_id""".stripMargin
 
+  /** The full curation pipeline as one run — what a training-data team
+    * actually executes nightly: exact dedup → near-dup group
+    * resolution (LSH + connected components) → benchmark
+    * decontamination → repetition quality gate, each stage evaluated
+    * on the previous stage's survivors. Output labels EVERY corpus doc
+    * with the stage that dropped it ('kept' if none) — the auditable
+    * artifact, not just the surviving subset. Eval docs are external
+    * (excluded from the corpus), so planted copies of them reach the
+    * decontamination stage alive and must be caught there.
+    */
+  val d10_curation_pipeline: Q = (s, dir) => {
+    val evalSet = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = dupDocCorpus(s, dir)
+      .join(broadcast(evalSet.select(col("doc_id").as("__eid"))),
+        col("doc_id") === col("__eid"), "left_anti")
+    val s1docs = TextDedup.exact(corpus, "doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(s1docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    val comps = ConnectedComponents.dedupGroups(s1docs, pairs, "doc_id")
+    val s2docs = s1docs.join(
+      comps.filter(col("is_survivor")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val contam = Decontaminate.report(s2docs, evalSet, "doc_id", "text", n = 8)
+      .select("doc_id")
+    val s3docs = s2docs.join(broadcast(contam), Seq("doc_id"), "left_anti")
+    val n2 = size(TextFunctions.wordNgramsAll(col("text"), 2))
+    val d2 = size(TextFunctions.wordNgrams(col("text"), 2))
+    val lowq = s3docs.filter(!(((n2 - d2) * 10) <= n2)).select("doc_id")
+    corpus.select(col("doc_id"))
+      .join(s1docs.select(col("doc_id"), lit(true).as("__s1")), Seq("doc_id"), "left")
+      .join(comps.select(col("doc_id"), col("is_survivor").as("__s2")), Seq("doc_id"), "left")
+      .join(broadcast(contam.withColumn("__c", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(lowq.withColumn("__lq", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__s1").isNull, "exact_dup")
+          .when(!col("__s2"), "near_dup")
+          .when(col("__c").isNotNull && col("__c"), "contaminated")
+          .when(col("__lq").isNotNull && col("__lq"), "low_quality")
+          .otherwise("kept").as("stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d10_sql: String =
+    s"""WITH RECURSIVE $DupDocCorpusSql,
+       |evaldocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+       |pool0 AS (SELECT doc_id, text FROM corpus
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM evaldocs)),
+       |s1surv AS (SELECT MIN(doc_id) AS doc_id FROM pool0 GROUP BY md5(text)),
+       |s1docs AS (SELECT p.doc_id, p.text FROM pool0 p JOIN s1surv USING (doc_id)),
+       |shingles AS (
+       |  ${gramsSql("s1docs", 3)}
+       |),
+       |$JaccardCtesSql,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.8),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+       |  UNION
+       |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |s2docs AS (
+       |  SELECT d.doc_id, d.text FROM s1docs d
+       |  LEFT JOIN comp ON comp.id = d.doc_id
+       |  WHERE COALESCE(comp.component, d.doc_id) = d.doc_id
+       |),
+       |pgrams AS (
+       |  ${gramsSql("s2docs", 8)}
+       |),
+       |egrams AS (
+       |  SELECT DISTINCT shingle FROM (${gramsSql("evaldocs", 8)}) e
+       |),
+       |contam AS (SELECT DISTINCT id AS doc_id FROM pgrams JOIN egrams USING (shingle)),
+       |s3docs AS (SELECT doc_id, text FROM s2docs
+       |           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |rep AS (
+       |  SELECT doc_id,
+       |         GREATEST(len(toks) - 2, 0) + 1 AS n_2g,
+       |         len(list_distinct(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
+       |           i -> array_to_string(toks[i + 1 : i + 2], ' ')))) AS d_2g
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM s3docs) t
+       |),
+       |lowq AS (SELECT doc_id FROM rep WHERE (n_2g - d_2g) * 10 > n_2g)
+       |SELECT p.doc_id,
+       |       CASE
+       |         WHEN p.doc_id NOT IN (SELECT doc_id FROM s1surv) THEN 'exact_dup'
+       |         WHEN p.doc_id NOT IN (SELECT doc_id FROM s2docs) THEN 'near_dup'
+       |         WHEN p.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+       |         WHEN p.doc_id IN (SELECT doc_id FROM lowq) THEN 'low_quality'
+       |         ELSE 'kept'
+       |       END AS stage
+       |FROM pool0 p
+       |ORDER BY p.doc_id""".stripMargin
+
   /** Deterministic stratified sampling: even-numbered sources at 10%,
     * odd at 30%, membership a pure md5 function of doc_id — identical
     * row set on any engine, partitioning, or rerun. One narrow
@@ -781,6 +877,7 @@ object DataPipelineQueries {
     "d07_decontaminate" -> d07_decontaminate,
     "d08_stratified_sample" -> d08_stratified_sample,
     "d09_incremental_dedup" -> d09_incremental_dedup,
+    "d10_curation_pipeline" -> d10_curation_pipeline,
     "s01_ann_topk" -> s01_ann_topk,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
@@ -801,6 +898,7 @@ object DataPipelineQueries {
     "d07_decontaminate" -> d07_sql,
     "d08_stratified_sample" -> d08_sql,
     "d09_incremental_dedup" -> d09_sql,
+    "d10_curation_pipeline" -> d10_sql,
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
