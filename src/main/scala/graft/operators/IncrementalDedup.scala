@@ -39,7 +39,7 @@ object IncrementalDedup {
       storeIndex: DataFrame, storeDocs: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, broadcastCandidateLimit: Long = 100000L): DataFrame = {
     // one batch shingle pass feeds signatures, sizes, and verification
     val bsh = TextDedup.shingles(batch, idCol, textCol, n).persist()
     val bbk = TextDedup.lshBandsFromShingles(bsh, numHashes, bands)
@@ -51,10 +51,18 @@ object IncrementalDedup {
       .select(col("batch_id"), col("id").as("store_id"))
       .distinct()
       .persist()
+    // batch-sized frames (bsh, bbk, bsz) always broadcast; the
+    // candidate-driven ones grow with collisions — a boilerplate-heavy
+    // batch matching huge store clusters can exceed broadcast limits,
+    // so past `broadcastCandidateLimit` pairs the same plan runs as
+    // shuffle joins (identical results, different exchange strategy —
+    // the d03 gate, mirrored)
+    val small = candidates.count() <= broadcastCandidateLimit
+    val gate: DataFrame => DataFrame = if (small) broadcast else identity
 
-    // store text only for candidate ids: broadcast semi join, then shingle
+    // store text only for candidate ids: semi join, then shingle
     val candStoreDocs = storeDocs.join(
-        broadcast(candidates.select(col("store_id")).distinct()),
+        gate(candidates.select(col("store_id")).distinct()),
         col(idCol) === col("store_id"), "left_semi")
     val ssh = TextDedup.shingles(candStoreDocs, idCol, textCol, n).persist()
 
@@ -62,15 +70,15 @@ object IncrementalDedup {
       .withColumnRenamed("id", "batch_id")
     val ssz = ssh.groupBy("id").agg(count(lit(1)).as("n_s"))
       .withColumnRenamed("id", "store_id")
-    val pairShingles = bsh.join(broadcast(candidates), col("id") === col("batch_id"))
+    val pairShingles = bsh.join(gate(candidates), col("id") === col("batch_id"))
       .select(col("batch_id"), col("store_id").as("__cand_s"), col("shingle").as("__cand_sh"))
-    val inter = ssh.join(broadcast(pairShingles),
+    val inter = ssh.join(gate(pairShingles),
         col("id") === col("__cand_s") && col("shingle") === col("__cand_sh"))
       .select(col("batch_id"), col("__cand_s").as("store_id"))
       .groupBy("batch_id", "store_id").agg(count(lit(1)).as("n_inter"))
     inter
       .join(broadcast(bsz), "batch_id")
-      .join(broadcast(ssz), "store_id")
+      .join(gate(ssz), "store_id")
       .withColumn("jaccard",
         col("n_inter").cast(DoubleType) / (col("n_b") + col("n_s") - col("n_inter")))
       .filter(col("jaccard") >= threshold)

@@ -261,6 +261,22 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(whole == parts)
   }
 
+  test("incremental dedup: over-limit candidates verify via shuffle joins, same result") {
+    import spark.implicits._
+    val clusterText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val store = (1L to 60L).map(i => (i, clusterText)).toDF("doc_id", "text")
+    val batch = (1001L to 1010L).map(i => (i, clusterText)).toDF("doc_id", "text")
+    val index = IncrementalDedup.bandIndex(store, "doc_id", "text")
+    def run(limit: Long) = IncrementalDedup
+      .dedupAgainst(index, store, batch, "doc_id", "text", broadcastCandidateLimit = limit)
+      .select("batch_id", "store_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaShuffle = run(10L)     // 600 candidates ≫ 10 → shuffle path
+    val viaBroadcast = run(100000L)
+    assert(viaShuffle.size == 600, s"10 batch × 60 store dups, got ${viaShuffle.size}")
+    assert(viaShuffle == viaBroadcast)
+  }
+
   test("decontaminate: flags only docs overlapping the eval set; clean() drops them") {
     val evalSet = docs(
       100L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
