@@ -76,6 +76,28 @@ object ScaleSmoke {
           .minhashLshPairs(docs, "doc_id", "text")
         println(s"[scale]   pairs: ${pairs.count()}")
       }
+      // d09: a FIXED 500-doc batch against this store's band index — the
+      // per-batch cost must track batch + candidates, not store size.
+      // Batch concepts 0-499 duplicate store clusters (at 50k, concept 0
+      // alone matches the planted 1000-member cluster; the shuffle
+      // fallback itself is spec-covered in DataPipelineSpec).
+      val batch = {
+        val words = (0 until 15).map(j =>
+          substring(md5(concat(col("id").cast("string"), lit(s"_$j"))), 1, 7))
+        spark.range(500).select((col("id") + 10000000L).as("doc_id"),
+          concat_ws(" ", words: _*).as("text"))
+      }
+      val index = graft.operators.IncrementalDedup
+        .bandIndex(docs, "doc_id", "text").persist()
+      time(s"d09 band-index build, $n docs (amortized across batches)") {
+        index.count()
+      }
+      time(s"d09 incremental dedup, 500-doc batch vs $n-doc index") {
+        val hits = graft.operators.IncrementalDedup
+          .dedupAgainst(index, docs, batch, "doc_id", "text")
+        println(s"[scale]   batch hits: ${hits.count()}")
+      }
+      index.unpersist()
       docs.unpersist()
 
       // band width scales with corpus size (8 bits at 5k, 16 at 50k):
