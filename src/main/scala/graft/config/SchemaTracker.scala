@@ -1,6 +1,6 @@
 package graft.config
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
@@ -64,8 +64,12 @@ final class SchemaTracker(
     if (recommendations.nonEmpty) {
       if (Files.exists(path)) {
         val stamp = BackupStamp.format(clock().atZone(ZoneOffset.UTC))
-        Files.copy(path, Paths.get(s"$configPath.backup.$stamp"),
-          StandardCopyOption.REPLACE_EXISTING)
+        // never overwrite an earlier backup (two syncs can share a
+        // second) — suffix until the name is free
+        val target = Iterator.from(0)
+          .map(i => Paths.get(s"$configPath.backup.$stamp" + (if (i == 0) "" else s"_$i")))
+          .find(!Files.exists(_)).get
+        Files.copy(path, target)
       }
       Option(path.getParent).foreach(Files.createDirectories(_))
       Files.writeString(path, updated.toJson)

@@ -34,9 +34,6 @@ object ConnectedComponents {
   def components(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIterations: Int = 20): DataFrame = {
-    // persist the directed projection so the (possibly expensive — LSH,
-    // joins) pair pipeline upstream is computed once, not once per
-    // union branch
     // Iterative plans re-derive their whole lineage on every reuse unless
     // it is cut: checkpoint the edge set once (so the possibly-expensive
     // pair pipeline upstream — LSH, joins — runs exactly once) and the

@@ -40,7 +40,7 @@ final class EvolutionLog(spark: SparkSession, path: String) {
     val rows =
       result.requiresManual.map { case (c, reason) => row("manual_required", c, reason) } ++
       result.columnsAdded.map(c => row("column_added", c.name, c.dataType.simpleString)) ++
-      result.removedColumns.map(c => row("removed_column", c, "in production, missing from staging")) ++
+      result.removedColumns.map(c => row("column_removed", c, "in production, missing from staging")) ++
       result.typeChanges.map(tc =>
         row("type_change", tc.name, s"${tc.from.simpleString} -> ${tc.to.simpleString}"))
     if (rows.nonEmpty) ParquetAppend.append(spark, path, rows, Schema)

@@ -57,7 +57,15 @@ object IncrementalDedup {
     // so past `broadcastCandidateLimit` pairs the same plan runs as
     // shuffle joins (identical results, different exchange strategy —
     // the d03 gate, mirrored)
-    val small = candidates.count() <= broadcastCandidateLimit
+    val candCount = candidates.count()
+    val bStats = bsh.agg(countDistinct(col("id")), count(lit(1))).head()
+    val avgShingles =
+      if (bStats.getLong(0) == 0L) 1L
+      else math.max(1L, bStats.getLong(1) / bStats.getLong(0))
+    // bound broadcast ROWS (pairShingles ≈ candidates × shingles/doc),
+    // not just the pair count — long docs widen every candidate
+    val small = candCount <= broadcastCandidateLimit &&
+      candCount * avgShingles <= TextDedup.PairShingleBroadcastRows
     val gate: DataFrame => DataFrame = if (small) broadcast else identity
 
     // store text only for candidate ids: semi join, then shingle

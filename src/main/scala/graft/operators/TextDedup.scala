@@ -46,6 +46,23 @@ object TextDedup {
 
   // ───────────────────────────────────────────── n-gram Jaccard (exact)
 
+  /** Row bound for broadcasting pair-expanded shingle relations (~50 B/row
+    * ⇒ a couple hundred MB worst case, far under broadcast limits).
+    */
+  private[operators] val PairShingleBroadcastRows = 4000000L
+
+  /** Per-doc n-gram repetition stats: (id, n_grams, n_distinct_grams),
+    * docs with zero grams omitted. Explode + aggregate rather than
+    * array-expression arithmetic: higher-order functions run
+    * interpreted and re-evaluate outer refs per element (~50 ms/doc),
+    * while the Generate + hash-agg path is codegen'd end to end.
+    */
+  def gramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.wordNgramsAll(col(textCol), n)).as("__g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("__g")).as("n_distinct_grams"))
+
   /** Distinct word-`n`-gram shingles per document: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
@@ -134,7 +151,17 @@ object TextDedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
       .persist()
-    val small = candidates.count() <= broadcastCandidateLimit
+    // the relation actually broadcast is pairShingles ≈ candidates ×
+    // shingles/doc, so the gate must bound ROWS, not just pair count —
+    // long documents make each candidate hundreds of rows wide
+    val candCount = candidates.count()
+    bk.unpersist() // dead once candidates materialized
+    val shStats = sh.agg(countDistinct(col("id")), count(lit(1))).head()
+    val avgShingles =
+      if (shStats.getLong(0) == 0L) 1L
+      else math.max(1L, shStats.getLong(1) / shStats.getLong(0))
+    val small = candCount <= broadcastCandidateLimit &&
+      candCount * avgShingles <= PairShingleBroadcastRows
     val gate: DataFrame => DataFrame = if (small) broadcast else identity
 
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))

@@ -90,10 +90,11 @@ object DataPipelineQueries {
     """shingles AS (
       |  SELECT id, unnest(grams) AS shingle FROM (
       |    SELECT id,
-      |           list_distinct(list_transform(range(0, GREATEST(len(toks) - 3, 0) + 1),
-      |             i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS grams
+      |           CASE WHEN len(toks) = 0 THEN []
+      |                ELSE list_distinct(list_transform(range(0, GREATEST(len(toks) - 3, 0) + 1),
+      |                  i -> array_to_string(toks[i + 1 : i + 3], ' '))) END AS grams
       |    FROM (SELECT doc_id AS id,
-      |                 string_split_regex(trim(lower(text)), '\s+') AS toks
+      |                 list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
       |          FROM corpus) t
       |  ) g
       |)""".stripMargin
@@ -179,7 +180,7 @@ object DataPipelineQueries {
     val mask = (1L << chunkBits) - 1
     s"""WITH $DupDocCorpusSql,
        |toks AS (
-       |  SELECT id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+       |  SELECT id, unnest(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))) AS tok
        |  FROM (SELECT doc_id AS id, text FROM corpus) t
        |),
        |h AS (
@@ -438,7 +439,7 @@ object DataPipelineQueries {
     val stop = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (
        |  SELECT doc_id, text,
-       |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
        |  FROM documents
        |),
        |m AS (
@@ -484,7 +485,7 @@ object DataPipelineQueries {
       TextFunctions.LangProfiles.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (
        |  SELECT doc_id,
-       |         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+       |         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS toks
        |  FROM documents
        |),
        |sc AS (
@@ -533,8 +534,9 @@ object DataPipelineQueries {
     s"""WITH $DupDocCorpusSql,
        |grams AS (
        |  SELECT doc_id,
-       |    list_transform(range(1, GREATEST(length(text) - 8, 0) + 2),
-       |      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS hs
+       |    CASE WHEN length(text) = 0 THEN []
+       |         ELSE list_transform(range(1, GREATEST(length(text) - 8, 0) + 2),
+       |           i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) END AS hs
        |  FROM corpus
        |),
        |fps AS (
@@ -574,9 +576,10 @@ object DataPipelineQueries {
   private def gramsSql(src: String, n: Int): String =
     s"""SELECT doc_id AS id, unnest(grams) AS shingle FROM (
        |    SELECT doc_id,
-       |           list_distinct(list_transform(range(0, GREATEST(len(toks) - $n, 0) + 1),
-       |             i -> array_to_string(toks[i + 1 : i + $n], ' '))) AS grams
-       |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |           CASE WHEN len(toks) = 0 THEN []
+       |                ELSE list_distinct(list_transform(range(0, GREATEST(len(toks) - $n, 0) + 1),
+       |                  i -> array_to_string(toks[i + 1 : i + $n], ' '))) END AS grams
+       |    FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
        |          FROM $src) t
        |  ) g""".stripMargin
 
@@ -664,18 +667,28 @@ object DataPipelineQueries {
     val corpus = dupDocCorpus(s, dir)
       .join(broadcast(evalSet.select(col("doc_id").as("__eid"))),
         col("doc_id") === col("__eid"), "left_anti")
-    val s1docs = TextDedup.exact(corpus, "doc_id", "text")
+      .localCheckpoint() // read once: feeds s1 AND the final labeling join
+    // cut the lineage after the md5-window shuffle — s1docs feeds four
+    // subtrees (LSH, CC corpus, decontamination, quality gate) across
+    // independent jobs, which would otherwise each re-run exact dedup
+    val s1docs = TextDedup.exact(corpus, "doc_id", "text").localCheckpoint()
     val pairs = TextDedup.minhashLshPairs(s1docs, "doc_id", "text",
       n = 3, numHashes = 128, bands = 32, threshold = 0.8)
     val comps = ConnectedComponents.dedupGroups(s1docs, pairs, "doc_id")
+    // AQE coalesces the tiny semi-join output to one partition; spread
+    // it back out before the expression-heavy gram stages
     val s2docs = s1docs.join(
-      comps.filter(col("is_survivor")).select("doc_id"), Seq("doc_id"), "left_semi")
+        comps.filter(col("is_survivor")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .repartition(s.sparkContext.defaultParallelism)
+    // contam/lowq are tiny id lists each referenced twice (stage filter
+    // + final labeling) with an expensive gram-join lineage — cut them
     val contam = Decontaminate.report(s2docs, evalSet, "doc_id", "text", n = 8)
-      .select("doc_id")
+      .select("doc_id").localCheckpoint()
     val s3docs = s2docs.join(broadcast(contam), Seq("doc_id"), "left_anti")
-    val n2 = size(TextFunctions.wordNgramsAll(col("text"), 2))
-    val d2 = size(TextFunctions.wordNgrams(col("text"), 2))
-    val lowq = s3docs.filter(!(((n2 - d2) * 10) <= n2)).select("doc_id")
+    val lowq = TextDedup.gramStats(s3docs, "doc_id", "text", n = 2)
+      .filter(!((col("n_grams") - col("n_distinct_grams")) * 10 <= col("n_grams")))
+      .select(col("id").as("doc_id"))
+      .localCheckpoint()
     corpus.select(col("doc_id"))
       .join(s1docs.select(col("doc_id"), lit(true).as("__s1")), Seq("doc_id"), "left")
       .join(comps.select(col("doc_id"), col("is_survivor").as("__s2")), Seq("doc_id"), "left")
@@ -725,10 +738,12 @@ object DataPipelineQueries {
        |           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
        |rep AS (
        |  SELECT doc_id,
-       |         GREATEST(len(toks) - 2, 0) + 1 AS n_2g,
-       |         len(list_distinct(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
-       |           i -> array_to_string(toks[i + 1 : i + 2], ' ')))) AS d_2g
-       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |         CASE WHEN len(toks) = 0 THEN 0
+       |              ELSE GREATEST(len(toks) - 2, 0) + 1 END AS n_2g,
+       |         CASE WHEN len(toks) = 0 THEN 0
+       |              ELSE len(list_distinct(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
+       |                i -> array_to_string(toks[i + 1 : i + 2], ' ')))) END AS d_2g
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
        |        FROM s3docs) t
        |),
        |lowq AS (SELECT doc_id FROM rep WHERE (n_2g - d_2g) * 10 > n_2g)
@@ -769,29 +784,36 @@ object DataPipelineQueries {
     */
   val t04_repetition: Q = (s, dir) => {
     val text = col("text")
-    val n2 = size(TextFunctions.wordNgramsAll(text, 2))
-    val d2 = size(TextFunctions.wordNgrams(text, 2))
-    Tables(s, dir, "documents")
-      .select(col("doc_id"),
+    val d = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val stats = TextDedup.gramStats(d, "doc_id", "text", n = 2)
+      .withColumnRenamed("id", "doc_id")
+    val n2 = coalesce(col("n_grams"), lit(0L))
+    val d2 = coalesce(col("n_distinct_grams"), lit(0L))
+    d.select(col("doc_id"),
         TextFunctions.tokenCount(text).as("n_tokens"),
-        size(TextFunctions.tokenSet(text)).as("n_distinct_tokens"),
-        n2.as("n_2grams"),
-        d2.as("n_distinct_2grams"),
+        size(TextFunctions.tokenSet(text)).as("n_distinct_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        n2.cast(IntegerType).as("n_2grams"),
+        d2.cast(IntegerType).as("n_distinct_2grams"),
         ((n2 - d2) * 10 <= n2).as("keep"))
       .orderBy(col("doc_id"))
   }
 
   val t04_sql: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents
       |),
       |g AS (
       |  SELECT doc_id,
       |         CAST(len(toks) AS INT) AS n_tokens,
       |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
-      |         CAST(GREATEST(len(toks) - 2, 0) + 1 AS INT) AS n_2grams,
-      |         CAST(len(list_distinct(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
-      |           i -> array_to_string(toks[i + 1 : i + 2], ' ')))) AS INT) AS n_distinct_2grams
+      |         CAST(CASE WHEN len(toks) = 0 THEN 0
+      |              ELSE GREATEST(len(toks) - 2, 0) + 1 END AS INT) AS n_2grams,
+      |         CAST(CASE WHEN len(toks) = 0 THEN 0
+      |              ELSE len(list_distinct(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
+      |                i -> array_to_string(toks[i + 1 : i + 2], ' ')))) END AS INT) AS n_distinct_2grams
       |  FROM t
       |)
       |SELECT doc_id, n_tokens, n_distinct_tokens, n_2grams, n_distinct_2grams,
@@ -818,11 +840,12 @@ object DataPipelineQueries {
 
   val t05_sql: String =
     """WITH t AS (
-      |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+      |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents
       |),
       |g AS (
-      |  SELECT unnest(list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
-      |           i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS gram
+      |  SELECT unnest(CASE WHEN len(toks) = 0 THEN []
+      |           ELSE list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
+      |             i -> array_to_string(toks[i + 1 : i + 2], ' ')) END) AS gram
       |  FROM t
       |)
       |SELECT gram, COUNT(*) AS occurrences FROM g

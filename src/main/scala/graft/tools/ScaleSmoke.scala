@@ -47,11 +47,11 @@ object ScaleSmoke {
   private def lshSmoke(spark: SparkSession): Unit = {
     // integer floor-div for cluster ids (`col/10` alone is DOUBLE division
     // — every row would get a unique "cluster")
-    def concept(n: Int, bigCluster: Int) =
+    def concept(bigCluster: Int) =
       when(col("id") < bigCluster, lit(0L)).otherwise(floor(col("id") / 10).cast("long"))
     def synthDocs(n: Int, bigCluster: Int): org.apache.spark.sql.DataFrame = {
       val words = (0 until 15).map(j =>
-        substring(md5(concat(concept(n, bigCluster).cast("string"), lit(s"_$j"))), 1, 7))
+        substring(md5(concat(concept(bigCluster).cast("string"), lit(s"_$j"))), 1, 7))
       spark.range(n).select(col("id").as("doc_id"),
         concat_ws(" ", words: _*).as("text"))
     }
@@ -61,7 +61,7 @@ object ScaleSmoke {
       // ±1 — and floods the corpus with accidental "near-dups");
       // ±0.02 noise keeps within-cluster cosine ≈ 0.999
       val comps = (0 until 64).map { d =>
-        val h = conv(substring(md5(concat(concept(n, 0).cast("string"), lit(s"_d$d"))), 1, 15), 16, 10)
+        val h = conv(substring(md5(concat(concept(0).cast("string"), lit(s"_d$d"))), 1, 15), 16, 10)
         (h.cast("double") / lit(math.pow(2, 60)) - 0.5) + sin(col("id") * 97 + d) * 0.02
       }
       spark.range(n).select(col("id").as("vec_id"), array(comps: _*).as("vec"))
