@@ -159,4 +159,32 @@ object Multimodal {
       .select(col("media_id"), col("pos").as("frame_no"),
         (col("col") * stride).as("byte_offset"))
   }
+
+  /** Per-frame content signatures: md5 of each sampled frame's byte
+    * window — the dedup key space for video near-dup. (With a real
+    * decoder the hash would cover decoded pixels; the byte-window STUB
+    * keeps the join/aggregation shape identical.)
+    */
+  def frameSignatures(media: Dataset[MediaRecord], stride: Int = 1000,
+      maxFrames: Int = 8): DataFrame =
+    sampleFrames(media, stride, maxFrames)
+      .join(media.toDF().select(col("media_id"), col("content")), "media_id")
+      .select(col("media_id"), col("frame_no"),
+        md5(expr(s"substring(content, byte_offset + 1, $stride)")).as("frame_sig"))
+
+  /** Near-dup videos: pairs agreeing on ≥ `minShared` same-position
+    * frame signatures. One shuffle on (frame_no, signature) — videos
+    * only meet where frames collide, never all-pairs.
+    */
+  def videoNearDupPairs(media: Dataset[MediaRecord], stride: Int = 1000,
+      maxFrames: Int = 8, minShared: Int = 4): DataFrame = {
+    val f = frameSignatures(media, stride, maxFrames)
+    f.as("a").join(f.as("b"),
+        col("a.frame_no") === col("b.frame_no") &&
+        col("a.frame_sig") === col("b.frame_sig") &&
+        col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
 }

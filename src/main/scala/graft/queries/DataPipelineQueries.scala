@@ -870,6 +870,41 @@ object DataPipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Video near-dup over the planted corpus as all-video payloads:
+    * pairs agreeing on ≥ 4 same-position frame signatures (32-byte
+    * stub "frames", ≤ 8 per video). Exact copies share every frame;
+    * 'zz'-perturbed near copies share all but frame 0. The oracle
+    * replays the identical byte windows over the text (ASCII ⇒ byte
+    * and char windows coincide).
+    */
+  val m02_video_neardup: Q = (s, dir) => {
+    import s.implicits._
+    val media = dupDocCorpus(s, dir).select(
+        col("doc_id").cast(LongType).as("media_id"),
+        lit("video").as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("corpus").as("source"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.videoNearDupPairs(media, stride = 32, maxFrames = 8, minShared = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m02_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |frames AS (
+       |  SELECT doc_id, f.frame_no,
+       |         md5(substr(text, f.frame_no * 32 + 1, 32)) AS sig
+       |  FROM corpus, (SELECT unnest(range(0, 8)) AS frame_no) f
+       |  WHERE f.frame_no * 32 < length(text)
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       COUNT(*) AS shared_frames
+       |FROM frames a JOIN frames b
+       |  ON a.frame_no = b.frame_no AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(*) >= 4
+       |ORDER BY id_a, id_b""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -909,7 +944,8 @@ object DataPipelineQueries {
     "t03_fingerprint" -> t03_fingerprint,
     "t04_repetition" -> t04_repetition,
     "t05_gram_topk" -> t05_gram_topk,
-    "m01_multimodal_features" -> m01_multimodal_features)
+    "m01_multimodal_features" -> m01_multimodal_features,
+    "m02_video_neardup" -> m02_video_neardup)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -930,5 +966,6 @@ object DataPipelineQueries {
     "t03_fingerprint" -> t03_sql,
     "t04_repetition" -> t04_sql,
     "t05_gram_topk" -> t05_sql,
-    "m01_multimodal_features" -> m01_sql)
+    "m01_multimodal_features" -> m01_sql,
+    "m02_video_neardup" -> m02_sql)
 }

@@ -381,6 +381,25 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(emb1 == emb2)
   }
 
+  test("video near-dup: same-position frame agreement, prefix edit costs one frame") {
+    import spark.implicits._
+    val base = ("x" * 200)
+    val media = Seq(
+      (1L, base),                        // original
+      (2L, base),                        // exact copy — shares all frames
+      (3L, "zz" + base.substring(2)),    // frame 0 differs, rest shared
+      (4L, "y" * 200))                   // no shared frames
+      .map { case (id, t) => (id, "video", t.getBytes("UTF-8"), "src") }
+      .toDF("media_id", "kind", "content", "source")
+      .as[Multimodal.MediaRecord]
+    val pairs = Multimodal.videoNearDupPairs(media, stride = 32, maxFrames = 8, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 200 bytes / 32 ⇒ 7 frames
+    assert(pairs((1L, 2L)) == 7L)
+    assert(pairs((1L, 3L)) == 6L && pairs((2L, 3L)) == 6L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("multimodal: batch plumbing preserves ids, stub features deterministic") {
     val d = docs(
       0L -> "abcdefgh", 1L -> "0123456789", 2L -> "xyz")
