@@ -275,6 +275,41 @@ object DataPipelineQueries {
        |FROM corpus c LEFT JOIN comp mp ON mp.id = c.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Embedding dedup GROUP resolution — the vector analog of d06:
+    * banded near-dup pairs (d05's scale path, oracle-proven lossless at
+    * these margins) through connected components, labeling every vector
+    * with its dup-group survivor. Every dedup modality ends in groups,
+    * not just pairs — pairs can't pick survivors when duplicates chain.
+    */
+  val d11_embedding_groups: Q = (s, dir) => {
+    val corpus = dupVecCorpus(s, dir)
+    val pairs = VectorSearch.cosineNearDupPairs(corpus, "vec_id", "vec",
+      threshold = 0.9, planes = derivedPlanes(s, dir, NearDupPlanes), bands = NearDupBands)
+    ConnectedComponents.dedupGroups(corpus, pairs, "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  val d11_sql: String =
+    s"""WITH RECURSIVE $DupVecCorpusSql,
+       |vpairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9
+       |),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM vpairs
+       |        UNION SELECT id_b, id_a FROM vpairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+       |  UNION
+       |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT v.vec_id,
+       |       COALESCE(mp.component, v.vec_id) AS component,
+       |       COALESCE(mp.component, v.vec_id) = v.vec_id AS is_survivor
+       |FROM vecs v LEFT JOIN comp mp ON mp.id = v.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   // ── similarity search ───────────────────────────────────────────────
 
   /** Brute-force cosine top-10 for query vectors 0-4 over the corpus —
@@ -821,6 +856,35 @@ object DataPipelineQueries {
       |FROM g
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-(source, lang) corpus report: doc counts, char/token volume,
+    * distinct contents — the nightly corpus-composition dashboard. One
+    * map-side-combined aggregation; all-integer outputs.
+    */
+  val t06_corpus_report: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("__nt"),
+        md5(col("text")).as("__h"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("__nt").cast(LongType)).as("total_tokens"),
+        countDistinct(col("__h")).as("distinct_contents"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val t06_sql: String =
+    """SELECT source, lang,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+      |       COUNT(DISTINCT md5(text)) AS distinct_contents
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** Corpus-wide 2-gram frequency top-100 (heavy hitters): explode →
     * map-side-combined count → TakeOrderedAndProject. Total order
     * (count DESC, gram) makes the limit boundary deterministic.
@@ -936,6 +1000,7 @@ object DataPipelineQueries {
     "d08_stratified_sample" -> d08_stratified_sample,
     "d09_incremental_dedup" -> d09_incremental_dedup,
     "d10_curation_pipeline" -> d10_curation_pipeline,
+    "d11_embedding_groups" -> d11_embedding_groups,
     "s01_ann_topk" -> s01_ann_topk,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
@@ -944,6 +1009,7 @@ object DataPipelineQueries {
     "t03_fingerprint" -> t03_fingerprint,
     "t04_repetition" -> t04_repetition,
     "t05_gram_topk" -> t05_gram_topk,
+    "t06_corpus_report" -> t06_corpus_report,
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_video_neardup" -> m02_video_neardup)
 
@@ -958,6 +1024,7 @@ object DataPipelineQueries {
     "d08_stratified_sample" -> d08_sql,
     "d09_incremental_dedup" -> d09_sql,
     "d10_curation_pipeline" -> d10_sql,
+    "d11_embedding_groups" -> d11_sql,
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
@@ -966,6 +1033,7 @@ object DataPipelineQueries {
     "t03_fingerprint" -> t03_sql,
     "t04_repetition" -> t04_sql,
     "t05_gram_topk" -> t05_sql,
+    "t06_corpus_report" -> t06_sql,
     "m01_multimodal_features" -> m01_sql,
     "m02_video_neardup" -> m02_sql)
 }
