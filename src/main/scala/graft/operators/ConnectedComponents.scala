@@ -47,7 +47,10 @@ object ConnectedComponents {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
 
-    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // cut BEFORE the union too: `directed` appears in both branches, and
+    // an uncut plan would execute the (possibly expensive — LSH, joins)
+    // pair pipeline twice inside the edges job
+    val directed = cut(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = cut(
       directed.unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
