@@ -135,6 +135,36 @@ object StreamingQueries {
       | AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY lead_id, follow_id""".stripMargin
 
+  /** Delivery dedup: the events table with every 10th event redelivered
+    * (and every 100th twice more), deduped by event_id, aggregated per
+    * type. The oracle replays with DISTINCT over full rows — equivalent
+    * because redeliveries are exact copies of unique-id originals.
+    */
+  val w06_delivery_dedup: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val delivered = e
+      .unionAll(e.filter(col("event_id") % 10 === 0))
+      .unionAll(e.filter(col("event_id") % 100 === 0))
+    EventWindows.dedupEvents(delivered)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val w06_sql: String =
+    """WITH delivered AS (
+      |  SELECT * FROM events
+      |  UNION ALL SELECT * FROM events WHERE event_id % 10 = 0
+      |  UNION ALL SELECT * FROM events WHERE event_id % 100 = 0
+      |),
+      |deduped AS (SELECT DISTINCT * FROM delivered)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM deduped
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val w03_state_view: Q = (s, dir) => {
     import s.implicits._
     val changes = Tables(s, dir, "orders").select(
@@ -179,12 +209,14 @@ object StreamingQueries {
     "w02_sliding_windows" -> w02_sliding_windows,
     "w03_state_view" -> w03_state_view,
     "w04_session_windows" -> w04_session_windows,
-    "w05_interval_join" -> w05_interval_join)
+    "w05_interval_join" -> w05_interval_join,
+    "w06_delivery_dedup" -> w06_delivery_dedup)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
     "w02_sliding_windows" -> w02_sql,
     "w03_state_view" -> w03_sql,
     "w04_session_windows" -> w04_sql,
-    "w05_interval_join" -> w05_sql)
+    "w05_interval_join" -> w05_sql,
+    "w06_delivery_dedup" -> w06_sql)
 }

@@ -59,6 +59,21 @@ object EventWindows {
         col(userCol), col("n_events"), col("value_cents"))
   }
 
+  /** At-least-once delivery dedup: one row per event id. Streaming uses
+    * `dropDuplicatesWithinWatermark` so the id-set state is dropped once
+    * the watermark passes (redeliveries arrive close to the original);
+    * batch uses plain `dropDuplicates`. Redelivered rows are exact
+    * copies, so whichever copy survives carries identical values and
+    * the result is deterministic.
+    */
+  def dedupEvents(
+      events: DataFrame, idCol: String = "event_id",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    if (src.isStreaming) src.dropDuplicatesWithinWatermark(idCol)
+    else src.dropDuplicates(idCol)
+  }
+
   /** Funnel step: every `followType` event landing within `horizon`
     * AFTER a `leadType` event of the same user — the stream-stream
     * interval join. In streaming both sides inherit the watermark and

@@ -73,6 +73,37 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming delivery dedup ≡ batch delivery dedup") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables(spark, dir, "events")
+    val dupd = batchEvents.unionAll(
+      batchEvents.filter(org.apache.spark.sql.functions.col("event_id") % 10 === 0))
+    val batch = EventWindows.dedupEvents(dupd)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val streamDupd = streamEvents.unionAll(
+      streamEvents.filter(org.apache.spark.sql.functions.col("event_id") % 10 === 0))
+    val q = EventWindows.dedupEvents(streamDupd, watermark = Some("1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName("dd_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dd_out")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sliding windows place each event in windowLength/slide windows") {
     import spark.implicits._
     val one = Seq(("2026-01-01 10:07:00", "click", 1.0))
