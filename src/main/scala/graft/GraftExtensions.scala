@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DoubleDot, WinnowedFingerprint}
+import graft.functions.{DoubleDot, IntDot, WinnowedFingerprint}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
   * same surface as the Column API:
   *
   *   SELECT double_dot(a, b)                      -- array<double> dot
+  *   SELECT int_dot(a, b)                         -- array<int> dot (quantized ANN)
   *   SELECT winnowed_fingerprint(text[, k, w])    -- rolling-hash winnowing
   *
   * Wire up with
@@ -33,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "double_dot(a, b) takes two arrays")
         DoubleDot(args.head, args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "int_dot(a, b) takes two arrays")
+        IntDot(args.head, args(1))
       }))
 
     ext.injectFunction((

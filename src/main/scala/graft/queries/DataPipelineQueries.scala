@@ -449,6 +449,43 @@ object DataPipelineQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Int8-quantized top-10 (s01's memory-lean sibling): corpus-global
+    * max-|component| scale, q = round(v/scale×127), ranking by the
+    * exact INTEGER dot product (IntDot codegen kernel) — replayed
+    * verbatim by the oracle, since integer scores cannot drift across
+    * engines the way float scores can.
+    */
+  val s04_ann_quantized: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.quantizedTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s04_sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |sc AS (SELECT MAX(list_max(list_transform(vec, x -> ABS(x)))) AS scale FROM v),
+      |q AS (
+      |  SELECT v.vec_id,
+      |         list_transform(v.vec, x -> CAST(ROUND(x / sc.scale * 127) AS INT)) AS qvec
+      |  FROM v, sc
+      |),
+      |dots AS (
+      |  SELECT qr.vec_id AS query_id, c.vec_id AS id,
+      |         CAST(list_sum(list_transform(range(1, len(qr.qvec) + 1),
+      |           i -> qr.qvec[i] * c.qvec[i])) AS BIGINT) AS qdot
+      |  FROM q qr JOIN q c ON c.vec_id <> qr.vec_id
+      |  WHERE qr.vec_id < 5
+      |)
+      |SELECT query_id, rank, id, qdot FROM (
+      |  SELECT query_id, id, qdot,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY qdot DESC, id ASC) AS rank
+      |  FROM dots) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────
 
   /** Token/subword counts, punctuation, mean token length, stopword ratio,
@@ -1004,6 +1041,7 @@ object DataPipelineQueries {
     "s01_ann_topk" -> s01_ann_topk,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
+    "s04_ann_quantized" -> s04_ann_quantized,
     "t01_text_stats" -> t01_text_stats,
     "t02_langid" -> t02_langid,
     "t03_fingerprint" -> t03_fingerprint,
@@ -1028,6 +1066,7 @@ object DataPipelineQueries {
     "s01_ann_topk" -> s01_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
+    "s04_ann_quantized" -> s04_sql,
     "t01_text_stats" -> t01_sql,
     "t02_langid" -> t02_sql,
     "t03_fingerprint" -> t03_sql,

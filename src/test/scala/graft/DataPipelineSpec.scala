@@ -157,6 +157,31 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out.forall(_ <= 20L), s"neighbors must come from the same cluster: ${out.toSeq}")
   }
 
+  test("quantized top-k matches exact ranking on separated vectors") {
+    import spark.implicits._
+    // unit-norm vectors: dot ranking (quantized metric) == cosine
+    // ranking (exact metric)
+    val vecs = (1L to 40L).map { i =>
+      val raw = Array.tabulate(16)(d => math.sin(i * 31 + d * 7))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / nrm).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = VectorSearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "vec_id", k = 5)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val quant = VectorSearch.quantizedTopK(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "vec_id", k = 5)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // int8 keeps ~2 decimal digits of each component; random vectors'
+    // cosine gaps dwarf that, so the top-5 ordering must survive
+    assert(quant == exact)
+    // quantization is a pure function of the corpus: rerun identical
+    val again = VectorSearch.quantizedTopK(vecs.repartition(5), vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "vec_id", k = 5)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(again == quant)
+  }
+
   test("cosine near-dup pairs with LSH pruning vs exact") {
     import spark.implicits._
     val base = (1L to 30L).map(i =>

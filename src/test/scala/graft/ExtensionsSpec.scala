@@ -30,6 +30,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("int_dot callable from SQL, long accumulator") {
+    val r = spark.sql(
+      "SELECT int_dot(array(100000, -2, 3), array(100000, 5, 6)) AS d")
+      .head().getLong(0)
+    assert(r == 10000000008L)
+  }
+
   test("winnowed_fingerprint callable from SQL, defaults and explicit args") {
     val n = spark.sql(
       "SELECT size(winnowed_fingerprint('the quick brown fox jumps over the lazy dog')) AS n")
