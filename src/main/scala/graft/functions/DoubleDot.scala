@@ -48,9 +48,15 @@ case class DoubleDot(left: Expression, right: Expression) extends BinaryExpressi
 
 object DoubleDot {
 
-  /** Static kernel shared by interpreted and generated paths. */
+  /** Static kernel shared by interpreted and generated paths. Unequal
+    * lengths are an upstream bug (a dropped dimension) — fail loudly
+    * instead of silently truncating to a plausible-but-wrong score.
+    */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"double_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -45,9 +45,15 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object IntDot {
 
-  /** Static kernel shared by interpreted and generated paths. */
+  /** Static kernel shared by interpreted and generated paths. Unequal
+    * lengths are an upstream bug (a dropped dimension) — fail loudly
+    * instead of silently truncating to a plausible-but-wrong score.
+    */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"int_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }

@@ -151,7 +151,7 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 1000,
       maxFrames: Int = 8): DataFrame = {
     media.toDF()
-      .filter(col("kind") === "video")
+      .filter(col("kind") === "video" && length(col("content")) > 0)
       .select(col("media_id"),
         posexplode(slice(
           sequence(lit(0), ((length(col("content")) - 1) / stride).cast(IntegerType)),
@@ -172,19 +172,27 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"),
         md5(expr(s"substring(content, byte_offset + 1, $stride)")).as("frame_sig"))
 
-  /** Near-dup videos: pairs agreeing on ≥ `minShared` same-position
-    * frame signatures. One shuffle on (frame_no, signature) — videos
-    * only meet where frames collide, never all-pairs.
+  /** Near-dup videos: pairs agreeing on ≥ `least(minShared, frames_a,
+    * frames_b)` same-position frame signatures — the bound shrinks to
+    * the shorter video's frame count so byte-identical SHORT videos
+    * (fewer than `minShared` sampled frames) still pair. One shuffle on
+    * (frame_no, signature) — videos only meet where frames collide,
+    * never all-pairs.
     */
   def videoNearDupPairs(media: Dataset[MediaRecord], stride: Int = 1000,
       maxFrames: Int = 8, minShared: Int = 4): DataFrame = {
     val f = frameSignatures(media, stride, maxFrames)
+    val counts = f.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
     f.as("a").join(f.as("b"),
         col("a.frame_no") === col("b.frame_no") &&
         col("a.frame_sig") === col("b.frame_sig") &&
         col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
       .agg(count(lit(1)).as("shared_frames"))
-      .filter(col("shared_frames") >= minShared)
+      .join(counts.select(col("media_id").as("id_a"), col("__nf").as("__nf_a")), "id_a")
+      .join(counts.select(col("media_id").as("id_b"), col("__nf").as("__nf_b")), "id_b")
+      .filter(col("shared_frames") >=
+        least(lit(minShared), col("__nf_a"), col("__nf_b")))
+      .select(col("id_a"), col("id_b"), col("shared_frames"))
   }
 }

@@ -44,6 +44,18 @@ object VectorSearch {
     when(denom === 0.0, lit(0.0)).otherwise(d / denom)
   }
 
+  /** Shared ranking tail for every top-k variant: per-query rank by
+    * (score DESC, id ASC), keep k — one definition so tie-breaking and
+    * the output contract cannot diverge across ANN paths.
+    */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col(scoreCol))
+  }
+
   /** Exact top-k neighbors for each query vector.
     * @param corpus  (idCol, vecCol) table — the big side, never shuffled;
     *                the query set is broadcast into a single BHJ cross join
@@ -62,11 +74,7 @@ object VectorSearch {
       .join(q, if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("cosine", cosineFromParts(
         dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+    rankTopK(scored, "cosine", k)
   }
 
   /** Symmetric int8 quantization: q_i = round(v_i / scale × 127) with a
@@ -76,9 +84,14 @@ object VectorSearch {
     * any engine. Returns (id, qvec array<int>); `scale` is computed by
     * [[quantScale]] (one max-aggregate over the corpus).
     */
-  def quantScale(df: DataFrame, vecCol: String): Double =
-    df.agg(max(array_max(transform(col(vecCol),
-        v => abs(v.cast(DoubleType)))))).head().getDouble(0)
+  def quantScale(df: DataFrame, vecCol: String): Double = {
+    val row = df.agg(max(array_max(transform(col(vecCol),
+      v => abs(v.cast(DoubleType)))))).head()
+    require(!row.isNullAt(0), "quantScale: empty corpus")
+    val scale = row.getDouble(0)
+    require(scale > 0.0, "quantScale: all-zero corpus (scale would be 0)")
+    scale
+  }
 
   def quantize(df: DataFrame, idCol: String, vecCol: String, scale: Double): DataFrame =
     df.select(col(idCol).as("id"),
@@ -102,11 +115,7 @@ object VectorSearch {
     val scored = qc.join(qq,
         if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("qdot", graft.functions.IntDot(col("qvec"), col("__qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("qdot"))
+    rankTopK(scored, "qdot", k)
   }
 
   /** Hyperplane-LSH signature: bit i = (dot(v, plane_i) > 0). */
@@ -136,11 +145,7 @@ object VectorSearch {
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("cosine", cosineFromParts(
         dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+    rankTopK(joined, "cosine", k)
   }
 
   /** IVF (inverted-file) ANN: the corpus is assigned to its nearest
@@ -187,11 +192,7 @@ object VectorSearch {
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("cosine", cosineFromParts(
         dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+    rankTopK(joined, "cosine", k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, id_a < id_b.

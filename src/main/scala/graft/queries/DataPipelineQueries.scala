@@ -997,13 +997,19 @@ object DataPipelineQueries {
        |         md5(substr(text, f.frame_no * 32 + 1, 32)) AS sig
        |  FROM corpus, (SELECT unnest(range(0, 8)) AS frame_no) f
        |  WHERE f.frame_no * 32 < length(text)
+       |),
+       |nf AS (SELECT doc_id, COUNT(*) AS n FROM frames GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_frames
+       |  FROM frames a JOIN frames b
+       |    ON a.frame_no = b.frame_no AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
        |)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |       COUNT(*) AS shared_frames
-       |FROM frames a JOIN frames b
-       |  ON a.frame_no = b.frame_no AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |GROUP BY a.doc_id, b.doc_id
-       |HAVING COUNT(*) >= 4
+       |SELECT p.id_a, p.id_b, p.shared_frames
+       |FROM p
+       |JOIN nf na ON na.doc_id = p.id_a
+       |JOIN nf nb ON nb.doc_id = p.id_b
+       |WHERE p.shared_frames >= LEAST(4, na.n, nb.n)
        |ORDER BY id_a, id_b""".stripMargin
 
   val m01_sql: String =

@@ -37,6 +37,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 10000000008L)
   }
 
+  test("dot kernels reject dimension mismatch instead of truncating") {
+    val ei = intercept[Exception] {
+      spark.sql("SELECT int_dot(array(1, 2, 3), array(1, 2))").head()
+    }
+    assert(ei.getMessage.contains("dimension mismatch") ||
+      ei.getCause != null && ei.getCause.getMessage.contains("dimension mismatch"))
+    val ed = intercept[Exception] {
+      spark.sql("SELECT double_dot(array(1.0d), array(1.0d, 2.0d))").head()
+    }
+    assert(ed.getMessage.contains("dimension mismatch") ||
+      ed.getCause != null && ed.getCause.getMessage.contains("dimension mismatch"))
+  }
+
   test("winnowed_fingerprint callable from SQL, defaults and explicit args") {
     val n = spark.sql(
       "SELECT size(winnowed_fingerprint('the quick brown fox jumps over the lazy dog')) AS n")

@@ -46,6 +46,52 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sliding windows ≡ batch sliding windows") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventWindows.windowedStats(
+        Tables(spark, dir, "events"), "1 hour", slide = Some("15 minutes"))
+      .collect().map(_.toSeq).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventWindows.windowedStats(streamEvents, "1 hour",
+        slide = Some("15 minutes"), watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("slw_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("slw_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming session windows ≡ batch session windows") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventWindows.sessionStats(
+        Tables(spark, dir, "events"), "30 minutes")
+      .collect().map(_.toSeq).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventWindows.sessionStats(streamEvents, "30 minutes",
+        watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("ssw_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssw_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming interval join ≡ batch interval join (append mode)") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventWindows.followWithin(
