@@ -38,13 +38,28 @@ object Bench {
       name -> runs
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + median(v) }
-      .mkString("{", ",", "}")
-    val rs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    def fmt(d: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
     val total = results.values.map(median).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
+    // Per-run detail first (may be long); the harness only keeps the LAST
+    // ~2000 characters of stdout, so the machine-readable summary must be
+    // the final line and must be short enough to survive that tail cut —
+    // medians only, trimmed decimals. (Rounds 1-3 emitted one giant line
+    // with all runs inline and the harness never managed to parse it.)
+    val rs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(fmt(_, 3)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"runs","unit":"sec","runs":$rs,"sf":"$sfDir"}""")
+    def summary(decimals: Int): String = {
+      val qs = results
+        .map { case (k, v) => "\"" + k + "\":" + fmt(median(v), decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Stop Spark BEFORE the final line: executor/shutdown log noise must
+    // not land after the summary, or the tail cut could clip it.
     spark.stop()
+    val line = summary(3)
+    println(if (line.length <= 1800) line else summary(1))
   }
 }
