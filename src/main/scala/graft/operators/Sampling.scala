@@ -29,4 +29,49 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, idCol: String, ratePct: Column): DataFrame =
     df.filter(hashBucket(col(idCol)) < ratePct)
+
+  /** Fine-grained bucket (parts-per-million) for mixture targets where
+    * the 0-99 bucket is too coarse.
+    */
+  def ppmBucket(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 1000000L
+
+  /** Resample a corpus toward a target group mixture — the "domain
+    * weighting" step of a training-data pipeline: given integer percent
+    * weights per group (language, source domain, quality band) and a
+    * token/doc budget of `budgetNum/budgetDen` of the corpus, keep each
+    * group at acceptance rate min(1, weight·budget / groupShare).
+    *
+    * All arithmetic is 64-bit integer (rates live in a 10⁶ bucket
+    * space), so membership is a pure function of the row id that the
+    * DuckDB oracle replays exactly — no float rate ever decides a row.
+    * The data path is shuffle-free: one tiny per-group count aggregate
+    * is broadcast back onto the corpus and the keep rule is a single
+    * codegen'd filter, which is the only shape that works when the
+    * corpus side is 100 TB (at that scale the counts come from table
+    * metadata or a sketch instead; the filter is unchanged). Groups
+    * absent from `weightsPct` are dropped. Intermediate products stay
+    * within Long for corpora under ~10¹² rows at percent weights.
+    */
+  def domainMix(df: DataFrame, idCol: String, groupCol: String,
+      weightsPct: Map[String, Long],
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(weightsPct.values.forall(w => w > 0 && w <= 100))
+    require(budgetNum > 0 && budgetDen >= budgetNum)
+    val wcol = weightsPct.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (k, w)) => when(col(groupCol) === k, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(sum(col("__n")).as("__total"))))
+      .withColumn("__w", wcol)
+      .filter(col("__w").isNotNull)
+      .withColumn("__thr", least(lit(1000000L),
+        expr(s"__w * ((__total * $budgetNum) div $budgetDen) * 1000000 div (100 * __n)")))
+      .select(col(groupCol), col("__thr"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(ppmBucket(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

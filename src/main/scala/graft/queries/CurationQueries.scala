@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Redaction, TextFunctions}
+import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking}
+
+/** Round-4 curation/enrichment operators as driver-checked queries:
+  * as-of join, domain-mixture resampling, sequence packing, exact
+  * length quantiles, PII redaction. Same determinism rules as
+  * [[DataPipelineQueries]]: no raw floating-point aggregate reaches a
+  * hashed output — every decision is integer or pass-through.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB mirror of TextFunctions.tokens (shared with t01/t04). */
+  private val ToksExpr =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
+
+  // ── w07: as-of join ─────────────────────────────────────────────────
+
+  /** Each purchase enriched with the latest strictly-prior click by the
+    * same user (event id, time, value; nulls when none) — the
+    * attribution query, as a single-shuffle as-of join
+    * ([[AsofJoin.asofLookup]]) instead of a per-user range join. The
+    * oracle replays it with DuckDB's native ASOF LEFT JOIN over
+    * tie-collapsed build rows.
+    */
+  val w07_asof_join: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("b_event_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+    AsofJoin.asofLookup(purchases, clicks, Seq("user_id"), "ts",
+        Seq("b_event_id", "b_ts", "b_value"), strict = true)
+      .orderBy(col("event_id"))
+  }
+
+  val w07_sql: String =
+    """WITH a AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |b AS (
+      |  SELECT user_id, ts, b_event_id, b_ts, b_value FROM (
+      |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |           event_id AS b_event_id, CAST(ts AS TIMESTAMP) AS b_ts,
+      |           value AS b_value,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click')
+      |  WHERE rn = 1
+      |)
+      |SELECT a.event_id, a.user_id, a.ts, a.value,
+      |       b.b_event_id, b.b_ts, b.b_value
+      |FROM a ASOF LEFT JOIN b
+      |  ON a.user_id = b.user_id AND a.ts > b.ts
+      |ORDER BY a.event_id""".stripMargin
+
+  // ── d12: domain-mixture resampling ──────────────────────────────────
+
+  /** Per-language mixture weights (percent) and the corpus budget used
+    * by d12 — English-heavy, like a typical pre-training mixture.
+    */
+  val MixWeights: Map[String, Long] =
+    Map("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
+
+  /** Resample documents toward the target language mixture at half the
+    * corpus budget ([[Sampling.domainMix]]) — membership a pure integer
+    * function of doc_id, the data path a single broadcast-join filter.
+    */
+  val d12_domain_mix: Q = (s, dir) =>
+    Sampling.domainMix(Tables(s, dir, "documents"), "doc_id", "lang",
+        MixWeights, budgetNum = 1L, budgetDen = 2L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val d12_sql: String = {
+    val values = MixWeights.toSeq.sorted
+      .map { case (k, w) => s"('$k', $w)" }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+       |),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+       |w(lang, wpct) AS (VALUES $values),
+       |thr AS (
+       |  SELECT c.lang,
+       |         LEAST(1000000, CAST(w.wpct AS BIGINT) * ((tot.total * 1) // 2)
+       |                        * 1000000 // (100 * c.n)) AS thr
+       |  FROM c, tot, w WHERE w.lang = c.lang
+       |)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN thr ON thr.lang = d.lang
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % 1000000 < thr.thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ── d13: sequence packing ───────────────────────────────────────────
+
+  private val PackCtx = 512
+  private val PackShards = 8
+
+  /** Pack tokenized documents into 512-token training windows across 8
+    * hash shards ([[SequencePacking.pack]]) — shard-local running sums,
+    * pure integer outputs.
+    */
+  val d13_sequence_packing: Q = (s, dir) =>
+    SequencePacking.pack(Tables(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), ctx = PackCtx, shards = PackShards)
+      .orderBy(col("doc_id"))
+
+  val d13_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         CAST(len($ToksExpr) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+       |           - n_tokens AS start
+       |  FROM t
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |       CAST(shard * ${SequencePacking.PackIdSpace} + start // $PackCtx AS BIGINT) AS pack_id,
+       |       CAST(start % $PackCtx AS BIGINT) AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ── t07: exact length deciles ───────────────────────────────────────
+
+  /** Exact per-language deciles of document length
+    * ([[Quantiles.exactQuantiles]], q = 10) — rank-based, integer
+    * outputs; approx_percentile is the documented 100 TB path.
+    */
+  val t07_quantiles: Q = (s, dir) =>
+    Quantiles.exactQuantiles(Tables(s, dir, "documents"),
+        Seq("lang"), "n_chars", "doc_id", q = 10)
+      .orderBy(col("lang"), col("quantile"))
+
+  val t07_sql: String =
+    """WITH r AS (
+      |  SELECT lang, n_chars, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(p AS INT) AS quantile, n_chars
+      |FROM r, range(1, 10) t(p)
+      |WHERE rn = (p * cnt + 9) // 10
+      |ORDER BY lang, quantile""".stripMargin
+
+  // ── t08: PII redaction ──────────────────────────────────────────────
+
+  /** PII scrub over a corpus with deterministically-planted e-mails
+    * (doc_id %7=0) and phone numbers (%11=0): placeholder replacement
+    * plus per-doc hit counts ([[Redaction]]). The synthetic documents
+    * carry no organic PII, so planting makes the assertion real; both
+    * engines plant and scrub with identical expressions.
+    */
+  val t08_pii_redaction: Q = (s, dir) => {
+    val planted = Tables(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            (col("doc_id") % 10000).cast("string"))).otherwise(lit("")))
+        .as("text"))
+    planted.select(col("doc_id"),
+        Redaction.emailCount(col("text")).as("n_emails"),
+        Redaction.phoneCount(col("text")).as("n_phones"),
+        Redaction.redact(col("text")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t08_sql: String = {
+    val email = Redaction.EmailPattern
+    val phone = Redaction.PhonePattern
+    s"""WITH p AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR)
+       |         ELSE '' END AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
+       |       regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |                      '$phone', '<PHONE>', 'g') AS redacted
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ── registry ────────────────────────────────────────────────────────
+
+  val queries: Map[String, Q] = Map(
+    "w07_asof_join" -> w07_asof_join,
+    "d12_domain_mix" -> d12_domain_mix,
+    "d13_sequence_packing" -> d13_sequence_packing,
+    "t07_quantiles" -> t07_quantiles,
+    "t08_pii_redaction" -> t08_pii_redaction)
+
+  val oracles: Map[String, String] = Map(
+    "w07_asof_join" -> w07_sql,
+    "d12_domain_mix" -> d12_sql,
+    "d13_sequence_packing" -> d13_sql,
+    "t07_quantiles" -> t07_sql,
+    "t08_pii_redaction" -> t08_sql)
+}

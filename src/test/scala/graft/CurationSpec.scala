@@ -1,0 +1,164 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Redaction
+import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking}
+
+/** Unit tests for the round-4 curation operators: as-of join semantics,
+  * domain-mixture thresholds, sequence packing, exact quantiles, PII
+  * redaction.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // ── AsofJoin ────────────────────────────────────────────────────────
+
+  private def asofFixture: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, ts(100)), // before any build row
+      (2L, 10L, ts(200)), // exactly at a build ts (strict: must miss it)
+      (3L, 10L, ts(300)), // after two build rows
+      (4L, 20L, ts(300))  // key with no build rows
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts(200), 91L),
+      (10L, ts(250), 92L),
+      (10L, ts(250), 93L) // tie on (key, ts): greatest payload must win
+    ).toDF("user_id", "ts", "b_id")
+    (probe, build)
+  }
+
+  test("asof strict: latest strictly-prior build row per probe") {
+    val (probe, build) = asofFixture
+    val out = AsofJoin.asofLookup(probe, build, Seq("user_id"), "ts", Seq("b_id"))
+      .orderBy("event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(1L -> -1L, 2L -> -1L, 3L -> 93L, 4L -> -1L))
+  }
+
+  test("asof non-strict: equal-ts build row is visible") {
+    val (probe, build) = asofFixture
+    val out = AsofJoin.asofLookup(probe, build, Seq("user_id"), "ts", Seq("b_id"),
+        strict = false)
+      .orderBy("event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(1L -> -1L, 2L -> 91L, 3L -> 93L, 4L -> -1L))
+  }
+
+  test("asof plans a single exchange before the window (no range join)") {
+    val (probe, build) = asofFixture
+    val df = AsofJoin.asofLookup(probe, build, Seq("user_id"), "ts", Seq("b_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of must not fall back to a product join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one key shuffle, got $exchanges:\n$plan")
+  }
+
+  // ── SequencePacking ─────────────────────────────────────────────────
+
+  test("packing fills contiguous windows and spills long docs") {
+    import spark.implicits._
+    // one shard (ids all ≡ 0 mod 1) → pure contiguous semantics
+    val df = Seq((0L, 3L), (1L, 4L), (2L, 10L), (3L, 2L))
+      .toDF("doc_id", "n")
+    val out = SequencePacking.pack(df, "doc_id", col("n"), ctx = 8, shards = 1)
+      .orderBy("doc_id")
+      .select("pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // starts: 0, 3, 7, 17 → packs 0,0,0,2 offsets 0,3,7,1
+    assert(out.toSeq == Seq((0L, 0L), (0L, 3L), (0L, 7L), (2L, 1L)))
+  }
+
+  test("packing is shard-disjoint and partitioning-invariant") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, 5L + i % 7)).toDF("doc_id", "n")
+    val a = SequencePacking.pack(df, "doc_id", col("n"), 64, 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = SequencePacking.pack(df.repartition(13), "doc_id", col("n"), 64, 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val shards = a.map(r => (r.getLong(1), r.getLong(3) / SequencePacking.PackIdSpace))
+    assert(shards.forall { case (shard, packShard) => shard == packShard })
+  }
+
+  // ── Quantiles ───────────────────────────────────────────────────────
+
+  test("exact quantiles pick the rank-ceil element per group") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("a", i)) ++ Seq(("b", 5), ("b", 9)))
+      .toDF("g", "v").withColumn("tie", col("v"))
+    val out = Quantiles.exactQuantiles(df, Seq("g"), "v", "tie", q = 4)
+      .orderBy("g", "quantile").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    // group a (n=10): positions ceil(2.5)=3, ceil(5)=5, ceil(7.5)=8
+    // group b (n=2): positions 1, 1, 2
+    assert(out.toSeq == Seq(
+      ("a", 1, 3), ("a", 2, 5), ("a", 3, 8),
+      ("b", 1, 5), ("b", 2, 5), ("b", 3, 9)))
+  }
+
+  test("approx quantiles agree with exact on a large uniform group") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", i)).toDF("g", "v")
+    val approx = Quantiles.approxQuantiles(df, Seq("g"), "v", Seq(0.5))
+      .collect()(0).getSeq[Int](1).head
+    assert(math.abs(approx - 500) <= 5)
+  }
+
+  // ── Sampling.domainMix ──────────────────────────────────────────────
+
+  test("domain mix keeps ~weight·budget per group, drops unweighted groups") {
+    import spark.implicits._
+    val df = ((0L until 800L).map(i => (i, "en")) ++
+      (800L until 1000L).map(i => (i, "de")) ++
+      (1000L until 1100L).map(i => (i, "xx"))).toDF("doc_id", "lang")
+    val out = Sampling.domainMix(df, "doc_id", "lang",
+      Map("en" -> 60L, "de" -> 40L), budgetNum = 1L, budgetDen = 2L)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("xx"))
+    // budget T = 550; targets: en 330/800, de 220/200 → capped at 200
+    assert(counts("de") == 200L) // rate capped at 100%: everything kept
+    assert(math.abs(counts("en") - 330L) < 60L) // binomial around target
+    // determinism: same membership on rerun with different partitioning
+    val again = Sampling.domainMix(df.repartition(7), "doc_id", "lang",
+      Map("en" -> 60L, "de" -> 40L), budgetNum = 1L, budgetDen = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  // ── Redaction ───────────────────────────────────────────────────────
+
+  test("redaction replaces planted PII and counts hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or bob@x.io today"),
+      (2L, "call +1-555-0199 then +1-555-7 tomorrow"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Redaction.emailCount(col("text")).as("e"),
+        Redaction.phoneCount(col("text")).as("p"),
+        Redaction.redact(col("text")).as("r"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 0)
+    assert(out(0).getString(3) == "write to <EMAIL> or <EMAIL> today")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 2)
+    assert(out(1).getString(3) == "call <PHONE> then <PHONE> tomorrow")
+    assert(out(2).getString(3) == "no pii here at all")
+  }
+}
