@@ -3,9 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.LongType
+
 import graft.Tables
 import graft.functions.{Redaction, TextFunctions}
-import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking}
+import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking, SkewJoin}
 
 /** Round-4 curation/enrichment operators as driver-checked queries:
   * as-of join, domain-mixture resampling, sequence packing, exact
@@ -202,6 +204,97 @@ object CurationQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // ── q19: salted skew join ───────────────────────────────────────────
+
+  /** Revenue rollup of the events stream against the customer dimension
+    * through [[SkewJoin.saltedJoin]] (8 salt buckets): the hot-key
+    * treatment for fact×dim joins where one key dominates — every user's
+    * events spread over 8 reducers, the dimension replicated 8×. Salting
+    * is invisible to the result, so the oracle is the plain join.
+    */
+  val q19_skew_join: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    SkewJoin.saltedJoin(ev, dim, Seq("user_id"), saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q19_sql: String =
+    """SELECT c.c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
+  // ── t09: per-language quality-percentile gate ───────────────────────
+
+  /** Keep documents at or above their language's 2nd-decile quality —
+    * the relative-threshold filter curation pipelines use instead of a
+    * global cutoff (each language's quality distribution differs).
+    * Composes t01's integer quality score with t07's rank-based decile;
+    * the 5-row threshold table broadcasts back onto a codegen filter.
+    */
+  val t09_quality_filter: Q = (s, dir) => {
+    val scored = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+      floor(TextFunctions.qualityScore(col("text")) * 1e6).cast(LongType)
+        .as("quality_micro"))
+    val thr = Quantiles.exactQuantiles(scored, Seq("lang"), "quality_micro",
+        "doc_id", q = 10)
+      .filter(col("quantile") === 2)
+      .select(col("lang"), col("quality_micro").as("__thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("quality_micro") >= col("__thr"))
+      .select(col("doc_id"), col("lang"), col("quality_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t09_sql: String = {
+    val stop = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |         CAST(length(text) AS INT) AS n_chars,
+       |         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct,
+       |         CASE WHEN len(toks) = 0 THEN 0.0
+       |              ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks)
+       |         END AS mean_token_len,
+       |         CASE WHEN len(list_distinct(toks)) = 0 THEN 0.0
+       |              ELSE CAST(len(list_intersect(list_distinct(toks), $stop)) AS DOUBLE) / len(list_distinct(toks))
+       |         END AS stop_ratio
+       |  FROM t
+       |),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |         CAST(FLOOR((
+       |            LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.3
+       |          + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+       |          + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       |          + LEAST(stop_ratio * 4.0, 1.0) * 0.2) * 1e6) AS BIGINT) AS quality_micro
+       |  FROM m
+       |),
+       |r AS (
+       |  SELECT lang, quality_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_micro, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM q
+       |),
+       |thr AS (SELECT lang, quality_micro AS thr FROM r WHERE rn = (2 * cnt + 9) // 10)
+       |SELECT q.doc_id, q.lang, q.quality_micro
+       |FROM q JOIN thr ON thr.lang = q.lang
+       |WHERE q.quality_micro >= thr.thr
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -209,12 +302,16 @@ object CurationQueries {
     "d12_domain_mix" -> d12_domain_mix,
     "d13_sequence_packing" -> d13_sequence_packing,
     "t07_quantiles" -> t07_quantiles,
-    "t08_pii_redaction" -> t08_pii_redaction)
+    "t08_pii_redaction" -> t08_pii_redaction,
+    "q19_skew_join" -> q19_skew_join,
+    "t09_quality_filter" -> t09_quality_filter)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
     "d12_domain_mix" -> d12_sql,
     "d13_sequence_packing" -> d13_sql,
     "t07_quantiles" -> t07_sql,
-    "t08_pii_redaction" -> t08_sql)
+    "t08_pii_redaction" -> t08_sql,
+    "q19_skew_join" -> q19_sql,
+    "t09_quality_filter" -> t09_sql)
 }

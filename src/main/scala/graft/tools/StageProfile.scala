@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{ConnectedComponents, Decontaminate, TextDedup}
+import graft.queries.DataPipelineQueries
+
+/** Dev-loop stage timing for the d10 composite; not part of the library
+  * surface.
+  */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stage] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val evalSet = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 37 === 0).select(col("doc_id"), col("text"))
+    // warm the JVM/codegen once
+    DataPipelineQueries.d10_curation_pipeline(spark, dir).count()
+    spark.catalog.clearCache()
+
+    val corpus = DataPipelineQueries.dupDocCorpus(spark, dir)
+      .join(broadcast(evalSet.select(col("doc_id").as("__eid"))),
+        col("doc_id") === col("__eid"), "left_anti")
+      .localCheckpoint()
+    time("corpus (checkpoint)") { corpus.count() }
+    val s1 = TextDedup.exact(corpus, "doc_id", "text").localCheckpoint()
+    time("s1 exact dedup") { s1.count() }
+    var pairs: DataFrame = null
+    time("s2a minhash pairs") {
+      pairs = TextDedup.minhashLshPairs(s1, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8).localCheckpoint()
+      pairs.count()
+    }
+    var comps: DataFrame = null
+    time("s2b connected components") {
+      comps = ConnectedComponents.dedupGroups(s1, pairs, "doc_id")
+      comps.count()
+    }
+    val s2 = s1.join(comps.filter(col("is_survivor")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .repartition(spark.sparkContext.defaultParallelism)
+    var contam: DataFrame = null
+    time("s3 decontaminate") {
+      contam = Decontaminate.report(s2, evalSet, "doc_id", "text", n = 8)
+        .select("doc_id").localCheckpoint()
+      contam.count()
+    }
+    val s3 = s2.join(broadcast(contam), Seq("doc_id"), "left_anti")
+    time("s4 gram quality gate") {
+      TextDedup.gramStats(s3, "doc_id", "text", n = 2)
+        .filter(!((col("n_grams") - col("n_distinct_grams")) * 10 <= col("n_grams")))
+        .count()
+    }
+    spark.stop()
+  }
+}
