@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventWindows
+import graft.streaming.{AsofStream, EventWindows}
 
 /** The windowed-aggregation plan must produce identical results in batch
   * and streaming execution (same code path, `readStream` + watermark).
@@ -188,5 +188,77 @@ class StreamingWindowSpec extends AnyFunSuite {
       (2L, "2026-01-01 10:00:00.0", "2026-01-01 10:30:00.0", 1L, 800L),
       (3L, "2026-01-01 10:00:00.0", "2026-01-01 10:30:00.0", 1L, 100L),
       (3L, "2026-01-01 10:30:00.000001", "2026-01-01 11:00:00.000001", 1L, 200L)))
+  }
+
+  /** Batch reference for the as-of proofs: the AsofJoin single-shuffle
+    * plan on the same probe/build split (w07's shape plus probe value).
+    */
+  private def batchAsof(events: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val probe = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val build = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("b_event_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+    graft.operators.AsofJoin.asofLookup(probe, build, Seq("user_id"), "ts",
+      Seq("b_event_id", "b_ts", "b_value"))
+  }
+
+  test("streaming as-of enrich ≡ batch as-of join (stateful, single batch)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = batchAsof(Tables(spark, dir, "events"))
+      .collect().map(_.toSeq).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val q = AsofStream.enrich(streamEvents, "purchase", "click")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("asof_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming as-of enrich carries state across in-order micro-batches") {
+    import spark.implicits._
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("purchase", "click"))
+      .select($"event_id".cast("long"), $"user_id".cast("long"), $"ts",
+        $"event_type", $"value".cast("double"))
+      .as[AsofStream.Ev]
+    val all = events.collect().sortBy(_.ts.getTime)
+    val (first, second) = all.splitAt(all.length / 2) // time-ordered halves
+    val batch = batchAsof(events.toDF()).collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsofStream.Ev]
+    val q = AsofStream.enrich(ms.toDF(), "purchase", "click")
+      .writeStream.format("memory").queryName("asof_mb_out")
+      .outputMode("append").start()
+    ms.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("asof_mb_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // the split must actually cross state: some purchase in batch 2
+    // matches a click from batch 1
+    val firstClickIds = first.filter(_.event_type == "click").map(_.event_id).toSet
+    val secondPurchases = second.filter(_.event_type == "purchase").map(_.event_id).toSet
+    val crossMatches = spark.table("asof_mb_out")
+      .collect().filter(r => !r.isNullAt(4))
+      .count(r => secondPurchases.contains(r.getLong(0)) &&
+        firstClickIds.contains(r.getLong(4)))
+    assert(crossMatches > 0, "time split produced no cross-batch matches")
   }
 }
