@@ -396,6 +396,84 @@ object DataPipelineQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** ANN quality measured IN the gate: per query, how many of the exact
+    * top-10 (s01's ranking) the LSH-bucketed search (s02's ranking)
+    * returns — recall@10 as integer counts, the acceptance metric every
+    * ANN deployment needs before trading exactness for speed. Both
+    * rankings tie-break identically (score DESC, id ASC) and their
+    * memberships are oracle-proven (s01/s02), so the overlap count is
+    * engine-portable. Queries whose LSH bucket is empty drop out on
+    * both sides.
+    */
+  val s05_ann_recall: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 5)
+    val exact = VectorSearch.bruteForceTopK(
+        corpus = e, queries = qs,
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 10)
+      .select(col("query_id"), col("id"))
+    val approx = VectorSearch.lshTopK(
+        corpus = e, queries = qs,
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        planes = derivedPlanes(s, dir, LshPlanes), k = 10)
+      .select(col("query_id").as("__aq"), col("id").as("__aid"))
+    val nApprox = approx.groupBy(col("__aq").as("query_id"))
+      .agg(count(lit(1)).as("n_approx"))
+    val nHits = exact.join(approx,
+        col("query_id") === col("__aq") && col("id") === col("__aid"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    nApprox.join(nHits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("query_id"))
+  }
+
+  val s05_sql: String =
+    """WITH planes AS (
+      |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS plane_no,
+      |         CAST(embedding AS DOUBLE[]) AS pvec
+      |  FROM embeddings
+      |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+      |),
+      |sigs AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec,
+      |         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pvec) > 0.0
+      |                  THEN CAST(1 AS BIGINT) << p.plane_no ELSE 0 END) AS bucket
+      |  FROM embeddings e CROSS JOIN planes p
+      |  GROUP BY e.vec_id, e.embedding
+      |),
+      |ex AS (
+      |  SELECT query_id, id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |           ROW_NUMBER() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+      |                      c.vec_id ASC) AS rank
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rank <= 10
+      |),
+      |ap AS (
+      |  SELECT query_id, id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |           ROW_NUMBER() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, c.vec_id ASC) AS rank
+      |    FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rank <= 10
+      |),
+      |apc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM ap GROUP BY query_id),
+      |hits AS (
+      |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM ex e JOIN ap a ON a.query_id = e.query_id AND a.id = e.id
+      |  GROUP BY e.query_id
+      |)
+      |SELECT apc.query_id, apc.n_approx, COALESCE(hits.n_hits, 0) AS n_hits
+      |FROM apc LEFT JOIN hits ON hits.query_id = apc.query_id
+      |ORDER BY apc.query_id""".stripMargin
+
   /** Centroid count for the IVF query (data-derived like the LSH
     * planes: the 8 highest-id embedding vectors).
     */
@@ -1048,6 +1126,7 @@ object DataPipelineQueries {
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
     "s04_ann_quantized" -> s04_ann_quantized,
+    "s05_ann_recall" -> s05_ann_recall,
     "t01_text_stats" -> t01_text_stats,
     "t02_langid" -> t02_langid,
     "t03_fingerprint" -> t03_fingerprint,
@@ -1073,6 +1152,7 @@ object DataPipelineQueries {
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
     "s04_ann_quantized" -> s04_sql,
+    "s05_ann_recall" -> s05_sql,
     "t01_text_stats" -> t01_sql,
     "t02_langid" -> t02_sql,
     "t03_fingerprint" -> t03_sql,

@@ -140,4 +140,24 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "double_dot must run inside a codegen stage (no fallback):\n" + plan)
     assert(e.collect().forall(_.getDouble(0) > 0.0))
   }
+
+  test("bucket filter prunes partitions at the store scan (not post-read)") {
+    // the merge-path read (`isin` over the hive-partitioned __bucket
+    // column) must become a PartitionFilter — at 10⁵ buckets the scan
+    // lists only the touched directories instead of reading the table
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("planspec_bucket").toString
+    val store = new sources.BucketedTableStore(spark, s"$root/t", Seq("k"), numBuckets = 16)
+    import spark.implicits._
+    store.initialize((1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // the same hive-partitioned layout the merge path filters with isin
+    val pruned = spark.read.parquet(s"$root/t")
+      .filter(col(sources.BucketedTableStore.BucketCol)
+        .isin(Integer.valueOf(3), Integer.valueOf(7)))
+    val plan = initialPlanString(pruned)
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("__bucket"),
+      "bucket isin must prune partitions:\n" + plan.take(3000))
+  }
 }
