@@ -295,6 +295,94 @@ object CurationQueries {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  // ── d14: document chunking ──────────────────────────────────────────
+
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
+  /** Split documents into overlapping character windows (200 chars,
+    * stride 150) — the chunking step in embedding/RAG pipelines. The
+    * chunk count is a pure function of the length, so the explode is a
+    * codegen `sequence` + `substr` projection (NOT a higher-order
+    * lambda over an outer column, which Spark evaluates interpreted per
+    * element), one narrow pass at any corpus size. Empty documents are
+    * excluded on both engines (integer-division floor/truncation agrees
+    * only for non-negative operands).
+    */
+  val d14_chunking: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      // single small parquet → 1 input partition; spread the explode
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          expr(s"(length(text) - 1) div $ChunkStride").cast("int"))).as("cno"))
+      .select(col("doc_id"), col("cno"),
+        expr(s"substr(text, cno * $ChunkStride + 1, $ChunkSize)").as("chunk"))
+      .orderBy(col("doc_id"), col("cno"))
+
+  val d14_sql: String =
+    s"""WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+       |c AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(0, (length(text) - 1) // $ChunkStride + 1)) AS cno
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST(cno AS INT) AS cno,
+       |       substr(text, cno * $ChunkStride + 1, $ChunkSize) AS chunk
+       |FROM c ORDER BY doc_id, cno""".stripMargin
+
+  // ── t10: out-of-vocabulary rate ─────────────────────────────────────
+
+  /** Vocabulary size for the OOV gate — small because the synthetic
+    * corpus has a small word inventory; a real corpus uses 10⁴-10⁵.
+    */
+  private val VocabK = 20
+
+  /** Per-document out-of-vocabulary token count against the corpus
+    * top-[[VocabK]] vocabulary — the cheap LM-free proxy for "does this
+    * document look like the corpus" used in quality filtering. The
+    * vocabulary is a map-side-combined count + deterministic top-k
+    * (count DESC, token ASC) broadcast back as an anti join: one
+    * shuffle for the per-doc counts, nothing corpus-sized ever moves.
+    */
+  val t10_oov: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(VocabK)
+      .select(col("tok").as("__v"))
+    val oov = toks.join(broadcast(vocab), col("tok") === col("__v"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t10_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $ToksExpr AS toks FROM documents
+       |),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS n FROM tok
+       |    GROUP BY tok ORDER BY n DESC, tok LIMIT $VocabK)
+       |),
+       |oov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov FROM tok
+       |  WHERE tok NOT IN (SELECT tok FROM vocab)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       |       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov
+       |FROM t LEFT JOIN oov o ON o.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -304,7 +392,9 @@ object CurationQueries {
     "t07_quantiles" -> t07_quantiles,
     "t08_pii_redaction" -> t08_pii_redaction,
     "q19_skew_join" -> q19_skew_join,
-    "t09_quality_filter" -> t09_quality_filter)
+    "t09_quality_filter" -> t09_quality_filter,
+    "d14_chunking" -> d14_chunking,
+    "t10_oov" -> t10_oov)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -313,5 +403,7 @@ object CurationQueries {
     "t07_quantiles" -> t07_sql,
     "t08_pii_redaction" -> t08_sql,
     "q19_skew_join" -> q19_sql,
-    "t09_quality_filter" -> t09_sql)
+    "t09_quality_filter" -> t09_sql,
+    "d14_chunking" -> d14_sql,
+    "t10_oov" -> t10_sql)
 }

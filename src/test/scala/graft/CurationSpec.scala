@@ -142,6 +142,34 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  // ── Chunking (d14 semantics on a handmade doc) ──────────────────────
+
+  test("chunking covers the text with stride overlap and exact tails") {
+    import spark.implicits._
+    // 200-char window, 150 stride on a 380-char doc → chunks at 0, 150,
+    // 300; the last is a 80-char tail
+    val text = ("a" * 150) + ("b" * 150) + ("c" * 80)
+    val df = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val out = df
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), expr("(length(text) - 1) div 150").cast("int"))).as("cno"))
+      .select(col("doc_id"), col("cno"),
+        expr("substr(text, cno * 150 + 1, 200)").as("chunk"))
+      .orderBy("doc_id", "cno").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.length == 4)
+    assert(out(0) == ((1L, 0, ("a" * 150) + ("b" * 50))))
+    assert(out(1) == ((1L, 1, ("b" * 150) + ("c" * 50))))
+    assert(out(2) == ((1L, 2, "c" * 80)))
+    assert(out(3) == ((2L, 0, "short")))
+    // overlap reconstruction: stripping the 50-char overlap from every
+    // non-first chunk re-yields the document
+    val rebuilt = out.filter(_._1 == 1L).map { case (_, cno, c) =>
+      if (cno == 0) c else c.drop(50)
+    }.mkString
+    assert(rebuilt == text)
+  }
+
   // ── Redaction ───────────────────────────────────────────────────────
 
   test("redaction replaces planted PII and counts hits") {
