@@ -39,9 +39,15 @@ object AsofJoin {
       payload: Seq[String], strict: Boolean = true): DataFrame = {
     require(keys.nonEmpty && payload.nonEmpty, "keys and payload required")
     val probeCols = probe.columns.toSeq
+    require(payload.forall(!probeCols.contains(_)),
+      s"payload columns ${payload.mkString(",")} must not collide with probe columns")
 
-    val b = build.select((keys :+ tsCol).map(col) :+
-      struct(payload.map(col): _*).as("__p"): _*)
+    // a null-ts build row has no position on the time axis — unfiltered
+    // it would sort NULLS FIRST, ahead of every probe row, and be
+    // carried into all of them
+    val b = build.filter(col(tsCol).isNotNull)
+      .select((keys :+ tsCol).map(col) :+
+        struct(payload.map(col): _*).as("__p"): _*)
     val payloadType = b.schema("__p").dataType
 
     // strict: a build row at the probe's exact ts must NOT be visible,

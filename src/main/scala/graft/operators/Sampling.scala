@@ -62,7 +62,11 @@ object Sampling {
     val wcol = weightsPct.foldLeft(lit(null).cast(LongType)) {
       case (acc, (k, w)) => when(col(groupCol) === k, lit(w)).otherwise(acc)
     }
+    // cut the lineage: `counts` feeds both the per-group thresholds and
+    // the total — uncut, each consumer re-runs the corpus-wide count
+    // scan (two full passes at 100 TB); checkpointed it is |groups| rows
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val thresholds = counts
       .crossJoin(broadcast(counts.agg(sum(col("__n")).as("__total"))))
       .withColumn("__w", wcol)

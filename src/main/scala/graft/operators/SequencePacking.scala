@@ -27,7 +27,11 @@ object SequencePacking {
     */
   val PackIdSpace: Long = 1000000000000L
 
-  /** @param tokens  integer token count expression for a row
+  /** @param idCol   unique, non-negative row id — uniqueness makes the
+    *                 per-shard order total (ties would make the running
+    *                 sum partition-dependent), non-negativity keeps `%`
+    *                 sharding and integer division engine-portable
+    * @param tokens  integer token count expression for a row
     * @return idCol, shard, n_tokens, pack_id, pack_offset (all integers)
     */
   def pack(df: DataFrame, idCol: String, tokens: Column,

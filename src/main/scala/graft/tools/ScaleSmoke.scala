@@ -33,7 +33,42 @@ object ScaleSmoke {
     val mode = args.headOption.getOrElse("all")
     if (mode == "lsh" || mode == "all") lshSmoke(spark)
     if (mode == "cdc" || mode == "all") cdcSmoke(spark, "/root/testdata/sf0.1")
+    if (mode == "curation" || mode == "all") curationSmoke(spark)
     spark.stop()
+  }
+
+  /** as-of join and sequence packing at synthetic volume (orders of
+    * magnitude above the testdata): growth must track the input
+    * near-linearly — the single-shuffle / shard-local-window contracts.
+    */
+  private def curationSmoke(spark: SparkSession): Unit = {
+    def events(n: Int) = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") % 50000L).as("user_id"),
+      org.apache.spark.sql.functions.expr(
+        "timestamp_micros(1700000000000000 + id * 1000)").as("ts"),
+      when(col("id") % 3 === 0, "purchase").otherwise("click").as("event_type"),
+      (col("id") % 97).cast("double").as("value"))
+    Seq(1000000, 10000000).foreach { n =>
+      val ev = events(n)
+      val probe = ev.filter(col("event_type") === "purchase")
+      val build = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("b_event_id"))
+      time(s"asof join, $n events, 50k users") {
+        graft.operators.AsofJoin
+          .asofLookup(probe, build, Seq("user_id"), "ts", Seq("b_event_id"))
+          .filter(col("b_event_id").isNotNull).count()
+      }
+    }
+    Seq(500000, 5000000).foreach { n =>
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 900 + 100).as("n"))
+      time(s"sequence packing, $n docs, 64 shards") {
+        graft.operators.SequencePacking
+          .pack(docs, "doc_id", col("n"), ctx = 2048, shards = 64)
+          .agg(countDistinct(col("pack_id"))).collect()
+      }
+    }
   }
 
   private def time[T](label: String)(f: => T): T = {

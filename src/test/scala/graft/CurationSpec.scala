@@ -59,6 +59,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L -> -1L, 2L -> 91L, 3L -> 93L, 4L -> -1L))
   }
 
+  test("asof ignores null-ts build rows (no time-axis position)") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, ts(100))).toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, Option.empty[Timestamp], 91L), (10L, Some(ts(50)), 92L))
+      .toDF("user_id", "ts", "b_id")
+    val out = AsofJoin.asofLookup(probe, build, Seq("user_id"), "ts", Seq("b_id"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(3) == 92L,
+      "null-ts build row must not be carried") // NOT 91
+  }
+
   test("asof plans a single exchange before the window (no range join)") {
     val (probe, build) = asofFixture
     val df = AsofJoin.asofLookup(probe, build, Seq("user_id"), "ts", Seq("b_id"))
