@@ -295,6 +295,32 @@ object CurationQueries {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  // ── q20: ROLLUP grouping sets ───────────────────────────────────────
+
+  /** Hierarchical revenue rollup over orders — detail, per-status
+    * subtotal, grand total in ONE aggregation pass (Spark `rollup` =
+    * grouping-sets expand + a single hash aggregate with map-side
+    * partials; never one job per level). `grouping_id` and DuckDB's
+    * `GROUPING` share the bitmask convention, so the oracle replays
+    * levels exactly; sums are integer cents.
+    */
+  val q20_rollup: Q = (s, dir) =>
+    Tables(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("revenue_cents"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  val q20_sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   // ── d14: document chunking ──────────────────────────────────────────
 
   private val ChunkSize = 200
@@ -394,7 +420,8 @@ object CurationQueries {
     "q19_skew_join" -> q19_skew_join,
     "t09_quality_filter" -> t09_quality_filter,
     "d14_chunking" -> d14_chunking,
-    "t10_oov" -> t10_oov)
+    "t10_oov" -> t10_oov,
+    "q20_rollup" -> q20_rollup)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -405,5 +432,6 @@ object CurationQueries {
     "q19_skew_join" -> q19_sql,
     "t09_quality_filter" -> t09_sql,
     "d14_chunking" -> d14_sql,
-    "t10_oov" -> t10_sql)
+    "t10_oov" -> t10_sql,
+    "q20_rollup" -> q20_sql)
 }
