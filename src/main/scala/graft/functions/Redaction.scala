@@ -19,9 +19,13 @@ object Redaction {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+1-555-[0-9]{1,4}"
 
-  /** Both PII classes replaced by placeholder tokens. E-mails first:
-    * the phone pattern cannot occur inside an e-mail, so order only
-    * matters for determinism, not correctness.
+  /** Both PII classes replaced by placeholder tokens. Order is
+    * correctness-bearing, not just cosmetic: `+`, `-` and digits are
+    * all legal in an e-mail local-part, so a phone-shaped substring CAN
+    * sit inside an address ("a+1-555-1234@x.co"). E-mails must go
+    * first — phone-first would splice "<PHONE>" into the middle of an
+    * address and corrupt both redactions. The oracle SQL replays the
+    * same order.
     */
   def redact(c: Column): Column =
     regexp_replace(

@@ -81,6 +81,42 @@ object TextFunctions {
 
   val EnglishStopwords: Seq[String] = LangProfiles.head._2
 
+  /** DuckDB mirror of the token split used by the text metrics — the
+    * `toks` column every quality CTE starts from. Shared by the t01 and
+    * t09 oracles so the formula exists exactly once per engine.
+    */
+  val ToksSql: String =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
+
+  /** DuckDB mirror of the [[qualityScore]] inputs — SELECT items
+    * computing `n_chars`, `n_punct`, `mean_token_len`, `stop_ratio`
+    * from `text` and `toks`. Any change to the Scala metrics must
+    * change this fragment in lockstep. (Defined after
+    * [[EnglishStopwords]] — object vals initialize in order.)
+    */
+  val QualityMetricsSql: String = {
+    val stop = EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CAST(length(text) AS INT) AS n_chars,
+       |CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct,
+       |CASE WHEN len(toks) = 0 THEN 0.0
+       |     ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks)
+       |END AS mean_token_len,
+       |CASE WHEN len(list_distinct(toks)) = 0 THEN 0.0
+       |     ELSE CAST(len(list_intersect(list_distinct(toks), $stop)) AS DOUBLE) / len(list_distinct(toks))
+       |END AS stop_ratio""".stripMargin
+  }
+
+  /** DuckDB mirror of `floor(`[[qualityScore]]`·1e6)` over the
+    * [[QualityMetricsSql]] columns — the weights/clamps here and in the
+    * Scala function are the same formula and must move together.
+    */
+  val QualityMicroSql: String =
+    """CAST(FLOOR((
+      |   LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.3
+      | + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      | + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+      | + LEAST(stop_ratio * 4.0, 1.0) * 0.2) * 1e6) AS BIGINT)""".stripMargin
+
   /** Per-language marker-hit score (distinct-token intersection size). */
   def langScore(c: Column, profile: Seq[String]): Column =
     size(array_intersect(tokenSet(c), array(profile.map(lit): _*)))

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *  - [[exactQuantiles]]: rank-based, discrete (the value AT position
   *    ceil(p·n/q), never an interpolated float) — integer in, integer
   *    out, so the DuckDB oracle replays it bit-for-bit. Cost is one
-  *    shuffle by group plus an in-partition sort; the explode×(q−1)
-  *    then rank filter prunes to q−1 rows per group before anything
-  *    else runs. Sane even at scale when groups are few and rows per
-  *    group fit a sorted window partition.
+  *    shuffle by group plus an in-partition sort; an array_contains
+  *    filter on the target positions prunes to ≤q−1 rows per group
+  *    BEFORE the explode, so the generate inflates only survivors,
+  *    never the corpus. Sane even at scale when groups are few and
+  *    rows per group fit a sorted window partition.
   *  - [[approxQuantiles]]: `percentile_approx` — single pass, mergeable
   *    sketches, no per-group sort; the 100 TB default when a bounded
   *    rank error is acceptable.
@@ -34,8 +35,13 @@ object Quantiles {
         Window.partitionBy(grp: _*).orderBy(col(valueCol), col(tieCol))))
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(grp: _*)))
     ranked
+      // prune to the ≤q−1 target-position rows per group first — the
+      // explode below then inflates only survivors, not every ranked row
+      .filter(expr(s"array_contains(transform(sequence(1, ${q - 1})," +
+        s" p -> (p * __cnt + ${q - 1}) div $q), cast(__rn as bigint))"))
       .withColumn("quantile", explode(array((1 until q).map(lit): _*)))
       // position of the p/q-quantile: ceil(p·cnt/q) in pure integers
+      // (re-checked per p: with cnt < q−1 one row can carry several p's)
       .filter(col("__rn") === expr(s"(quantile * __cnt + ${q - 1}) div $q"))
       .select(grp ++ Seq(col("quantile"), col(valueCol)): _*)
   }

@@ -51,8 +51,11 @@ object Sampling {
     * codegen'd filter, which is the only shape that works when the
     * corpus side is 100 TB (at that scale the counts come from table
     * metadata or a sketch instead; the filter is unchanged). Groups
-    * absent from `weightsPct` are dropped. Intermediate products stay
-    * within Long for corpora under ~10¹² rows at percent weights.
+    * absent from `weightsPct` are dropped. The w·budget·10⁶ product is
+    * computed in decimal(38,0) (the oracle mirrors with HUGEINT), so the
+    * only Long-bounded value is the per-group threshold itself —
+    * safe while w·(total·num/den)·10⁶/(100·n) < 2⁶³, i.e. corpora to
+    * ~10¹³ rows even in the worst single-row-group stratum.
     */
   def domainMix(df: DataFrame, idCol: String, groupCol: String,
       weightsPct: Map[String, Long],
@@ -72,7 +75,7 @@ object Sampling {
       .withColumn("__w", wcol)
       .filter(col("__w").isNotNull)
       .withColumn("__thr", least(lit(1000000L),
-        expr(s"__w * ((__total * $budgetNum) div $budgetDen) * 1000000 div (100 * __n)")))
+        expr(s"cast(__w as decimal(38,0)) * ((cast(__total as decimal(38,0)) * $budgetNum) div $budgetDen) * 1000000 div (100 * __n)")))
       .select(col(groupCol), col("__thr"))
     df.join(broadcast(thresholds), groupCol)
       .filter(ppmBucket(col(idCol)) < col("__thr"))

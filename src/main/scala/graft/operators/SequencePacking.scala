@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
 object SequencePacking {
 
   /** Per-shard pack-id namespace width; shards stay disjoint as long as
-    * no shard exceeds this many packs (≈ 5e17 tokens per shard at
-    * ctx 512 — far beyond any corpus).
+    * no shard exceeds this many packs (≈ 5×10¹⁴ tokens per shard at
+    * ctx 512 — ample for a 100 TB corpus spread over even a handful of
+    * shards, but raise it before packing more tokens per shard than
+    * that: overflow would silently merge adjacent shards' id ranges).
     */
   val PackIdSpace: Long = 1000000000000L
 

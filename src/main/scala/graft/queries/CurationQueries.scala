@@ -73,13 +73,18 @@ object CurationQueries {
   val MixWeights: Map[String, Long] =
     Map("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
 
+  // single source of truth for the d12 corpus budget — interpolated into
+  // BOTH the Spark call and the oracle SQL so they cannot desynchronize
+  private val MixBudgetNum = 1L
+  private val MixBudgetDen = 2L
+
   /** Resample documents toward the target language mixture at half the
     * corpus budget ([[Sampling.domainMix]]) — membership a pure integer
     * function of doc_id, the data path a single broadcast-join filter.
     */
   val d12_domain_mix: Q = (s, dir) =>
     Sampling.domainMix(Tables(s, dir, "documents"), "doc_id", "lang",
-        MixWeights, budgetNum = 1L, budgetDen = 2L)
+        MixWeights, budgetNum = MixBudgetNum, budgetDen = MixBudgetDen)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
@@ -93,7 +98,7 @@ object CurationQueries {
        |w(lang, wpct) AS (VALUES $values),
        |thr AS (
        |  SELECT c.lang,
-       |         LEAST(1000000, CAST(w.wpct AS BIGINT) * ((tot.total * 1) // 2)
+       |         LEAST(1000000, CAST(w.wpct AS HUGEINT) * ((tot.total * $MixBudgetNum) // $MixBudgetDen)
        |                        * 1000000 // (100 * c.n)) AS thr
        |  FROM c, tot, w WHERE w.lang = c.lang
        |)
@@ -167,7 +172,12 @@ object CurationQueries {
     * engines plant and scrub with identical expressions.
     */
   val t08_pii_redaction: Q = (s, dir) => {
-    val planted = Tables(s, dir, "documents").select(col("doc_id"),
+    // spread the 4-regex-passes-per-row projection across all cores —
+    // the single-file corpus otherwise scans as one partition and the
+    // whole scrub runs in one task (same fix as d14/t10)
+    val planted = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 7 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -255,31 +265,21 @@ object CurationQueries {
   }
 
   val t09_sql: String = {
-    val stop = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // quality formula interpolated from TextFunctions — the same single
+    // SQL copy the t01 oracle uses, so the score can't drift between
+    // the two gates
     s"""WITH t AS (
-       |  SELECT doc_id, lang, text,
-       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |  SELECT doc_id, lang, text, ${TextFunctions.ToksSql} AS toks
        |  FROM documents
        |),
        |m AS (
        |  SELECT doc_id, lang,
-       |         CAST(length(text) AS INT) AS n_chars,
-       |         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct,
-       |         CASE WHEN len(toks) = 0 THEN 0.0
-       |              ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks)
-       |         END AS mean_token_len,
-       |         CASE WHEN len(list_distinct(toks)) = 0 THEN 0.0
-       |              ELSE CAST(len(list_intersect(list_distinct(toks), $stop)) AS DOUBLE) / len(list_distinct(toks))
-       |         END AS stop_ratio
+       |         ${TextFunctions.QualityMetricsSql}
        |  FROM t
        |),
        |q AS (
        |  SELECT doc_id, lang,
-       |         CAST(FLOOR((
-       |            LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.3
-       |          + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
-       |          + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
-       |          + LEAST(stop_ratio * 4.0, 1.0) * 0.2) * 1e6) AS BIGINT) AS quality_micro
+       |         ${TextFunctions.QualityMicroSql} AS quality_micro
        |  FROM m
        |),
        |r AS (

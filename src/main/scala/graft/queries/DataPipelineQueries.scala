@@ -586,33 +586,22 @@ object DataPipelineQueries {
   }
 
   val t01_sql: String = {
-    val stop = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // toks / metrics / score fragments shared with the t09 oracle —
+    // single SQL copy of the qualityScore formula (TextFunctions)
     s"""WITH t AS (
-       |  SELECT doc_id, text,
-       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |  SELECT doc_id, text, ${TextFunctions.ToksSql} AS toks
        |  FROM documents
        |),
        |m AS (
        |  SELECT doc_id, text, toks,
-       |         CAST(length(text) AS INT) AS n_chars,
        |         CAST(len(toks) AS INT) AS n_tokens,
        |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
        |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS INT) AS n_subwords,
-       |         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct,
-       |         CASE WHEN len(toks) = 0 THEN 0.0
-       |              ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks)
-       |         END AS mean_token_len,
-       |         CASE WHEN len(list_distinct(toks)) = 0 THEN 0.0
-       |              ELSE CAST(len(list_intersect(list_distinct(toks), $stop)) AS DOUBLE) / len(list_distinct(toks))
-       |         END AS stop_ratio
+       |         ${TextFunctions.QualityMetricsSql}
        |  FROM t
        |)
        |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_subwords, n_punct, mean_token_len,
-       |       CAST(FLOOR((
-       |          LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.3
-       |        + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
-       |        + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
-       |        + LEAST(stop_ratio * 4.0, 1.0) * 0.2) * 1e6) AS BIGINT) AS quality_micro
+       |       ${TextFunctions.QualityMicroSql} AS quality_micro
        |FROM m
        |ORDER BY doc_id""".stripMargin
   }

@@ -48,18 +48,33 @@ object AsofStream {
 
     def sweep(user: Long, rows: Iterator[Ev],
         state: GroupState[LastBuild]): Iterator[Enriched] = {
+      // Null-ts rows have no position on the time axis: build rows are
+      // dropped and probe rows emit null enrichment, matching the batch
+      // operator (null build filtered; null probe __ts sorts NULLS FIRST
+      // ahead of every build row, so its ignore-nulls last() is null).
+      val (valid, nullTs) = rows.toIndexedSeq.partition(_.ts != null)
       // (ts, side, event_id): probe (side 0) before build at equal ts →
       // strictly-prior semantics; build ties sweep in id order so the
       // greatest id is the one left in state
-      val sorted = rows.toIndexedSeq.sortBy(e =>
+      val sorted = valid.sortBy(e =>
         (e.ts.getTime, e.ts.getNanos, if (e.event_type == buildType) 1 else 0, e.event_id))
       var last = state.getOption.orNull
       val out = Seq.newBuilder[Enriched]
+      nullTs.foreach { e =>
+        if (e.event_type != buildType)
+          out += Enriched(e.event_id, e.user_id, e.ts, e.value, None, None, None)
+      }
       sorted.foreach { e =>
         if (e.event_type == buildType) last = LastBuild(e.event_id, e.ts, e.value)
-        else out += Enriched(e.event_id, e.user_id, e.ts, e.value,
-          Option(last).map(_.event_id), Option(last).map(_.ts),
-          Option(last).map(_.value))
+        else {
+          // State carried from a prior batch may tie the probe's ts;
+          // strictly-prior semantics require build.ts < probe.ts
+          // (Timestamp.before compares nanos too), same as the in-batch
+          // sort placing probe ahead of an equal-ts build.
+          val m = Option(last).filter(_.ts.before(e.ts))
+          out += Enriched(e.event_id, e.user_id, e.ts, e.value,
+            m.map(_.event_id), m.map(_.ts), m.map(_.value))
+        }
       }
       if (last != null) state.update(last)
       out.result().iterator

@@ -233,7 +233,10 @@ class StreamingWindowSpec extends AnyFunSuite {
       .select($"event_id".cast("long"), $"user_id".cast("long"), $"ts",
         $"event_type", $"value".cast("double"))
       .as[AsofStream.Ev]
-    val all = events.collect().sortBy(_.ts.getTime)
+    // Sort by (millis, nanos) like the sweep does — a millis-only sort
+    // could let microsecond ties straddle the split out of true time
+    // order, violating the in-order delivery contract.
+    val all = events.collect().sortBy(e => (e.ts.getTime, e.ts.getNanos))
     val (first, second) = all.splitAt(all.length / 2) // time-ordered halves
     val batch = batchAsof(events.toDF()).collect().map(_.toSeq).toSet
 
