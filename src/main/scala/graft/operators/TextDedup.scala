@@ -44,6 +44,40 @@ object TextDedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("survivor_id"))
 
+  // ───────────────────────────────────────────── edit distance
+
+  /** Near-dup pairs by edit distance ≤ `maxDist`, lossless length-band
+    * blocking instead of all-pairs: two strings within distance k differ
+    * in length by ≤ k, so with band = len div bandWidth (bandWidth > k)
+    * a qualifying pair's bands differ by at most 1. The probe side keeps
+    * its home band, the build side fans out to {b−1, b, b+1}; the join
+    * on the band key plus an id order makes each pair appear exactly
+    * once, and a |Δlen| ≤ k filter runs before the distance call. The
+    * verify step uses Spark's threshold levenshtein — banded
+    * O((2k+1)·n) with early exit, not the O(n²) full matrix — so the
+    * cost is (candidates within a 3-band window) × k·len, never
+    * corpus². At 100 TB the band key shuffles both sides; no band is
+    * larger than the corpus slice sharing a length range, and skew is
+    * bounded by `maxLen`.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, maxLen: Int, bandWidth: Int = 16): DataFrame = {
+    require(maxDist < bandWidth, "bandWidth must exceed maxDist for lossless banding")
+    val short = df
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"))
+      .filter(col("__len") <= maxLen)
+    val probe = short.withColumn("__band", expr(s"__len div $bandWidth").cast(LongType))
+    val build = probe
+      .withColumn("__band", explode(array(col("__band") - 1, col("__band"), col("__band") + 1)))
+    probe.as("a").join(build.as("b"),
+        col("a.__band") === col("b.__band") && col("a.id") < col("b.id") &&
+        abs(col("a.__len") - col("b.__len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.__t"), col("b.__t"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+  }
+
   // ───────────────────────────────────────────── n-gram Jaccard (exact)
 
   /** Row bound for broadcasting pair-expanded shingle relations (~50 B/row

@@ -255,4 +255,27 @@ object VectorSearch {
       else verified.distinct().select("id_a", "id_b", "cosine")
     }
   }
+
+  /** Per-group centroid statistics over int8-quantized vectors: one row
+    * per group with the element-wise component sums (`dim_sums`,
+    * `array<long>`) and the group size — callers divide for the mean or
+    * feed the sums straight into an IVF coarse quantizer. The sums are
+    * exact integers, so the result is engine-replayable, unlike a float
+    * mean whose accumulation order would differ.
+    *
+    * Scale shape: ONE custom typed aggregate
+    * ([[graft.functions.VectorSumAgg]]) with map-side partials — the
+    * shuffle carries |groups| × dims longs regardless of corpus size.
+    * The posexplode/groupBy(pos) alternative would shuffle corpus × dims
+    * rows; `collect_list` would pull whole groups onto one executor.
+    */
+  def quantizedCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val scale = quantScale(df, vecCol)
+    df.select(col(groupCol),
+        transform(col(vecCol),
+          v => round(v.cast(DoubleType) / scale * 127).cast(IntegerType)).as("__qvec"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorSumAgg(col("__qvec")).as("dim_sums"),
+        count(lit(1)).as("n_vecs"))
+  }
 }

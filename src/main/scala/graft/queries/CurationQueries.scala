@@ -409,6 +409,175 @@ object CurationQueries {
        |FROM t LEFT JOIN oov o ON o.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ── d15: edit-distance near-dup ─────────────────────────────────────
+
+  private val EditMaxDist = 2
+  private val EditMaxLen = 220
+
+  /** Short-document near-dup pairs by edit distance ≤ 2
+    * ([[graft.operators.TextDedup.editDistancePairs]]) over the planted
+    * corpus — catches the prefix-mutated copies ('zz' + substring) that
+    * hash/shingle dedup treats as distinct content, the classic
+    * title/caption dedup. Blocking is lossless length banding; the
+    * oracle replays the same semantics as a length-filtered all-pairs
+    * join (exact at gate scale; the banded Spark path is the one that
+    * survives 100 TB).
+    */
+  val d15_edit_distance: Q = (s, dir) =>
+    graft.operators.TextDedup.editDistancePairs(
+        DataPipelineQueries.dupDocCorpus(s, dir), "doc_id", "text",
+        maxDist = EditMaxDist, maxLen = EditMaxLen)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val d15_sql: String =
+    s"""WITH ${DataPipelineQueries.DupDocCorpusSql},
+       |short AS (
+       |  SELECT doc_id, text, length(text) AS len FROM corpus
+       |  WHERE length(text) <= $EditMaxLen
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+       |FROM short a JOIN short b
+       |  ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= $EditMaxDist
+       |WHERE levenshtein(a.text, b.text) <= $EditMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ── t11: TF-IDF top term ────────────────────────────────────────────
+
+  /** Each document's most characteristic term by an integer TF-IDF
+    * surrogate: score = tf · ((10³·N) div df) — monotone in tf and in
+    * 1/df, and pure 64-bit integer so both engines rank identically
+    * (float idf logs would make near-ties engine-dependent). The 10³
+    * granularity keeps the product inside Long headroom out to ~10¹⁰
+    * docs × 10⁵ tf — the d12 lesson: size integer surrogates for the
+    * target corpus, not the test corpus. The shape
+    * is the inverted-index build every retrieval/curation stack runs:
+    * explode → per-(doc,term) count with map-side partials → term
+    * document frequencies (a second aggregate over the SAME shuffled-
+    * by-term frame, not a rescan) → join back, one window for the
+    * per-doc argmax. All joins key on term or doc — no broadcast of
+    * corpus-sized state, so the plan survives a vocabulary that
+    * doesn't fit one executor.
+    */
+  val t11_tfidf: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val total = docs.agg(count(lit(1)).as("__n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df_docs")) // tf rows are distinct (doc, term)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * expr("(1000 * __n_docs) div df_docs"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("token"), col("tf"), col("df_docs"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t11_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextFunctions.ToksSql} AS toks FROM documents
+       |),
+       |tf AS (
+       |  SELECT doc_id, u.tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM t, unnest(toks) u(tok)
+       |  GROUP BY doc_id, u.tok
+       |),
+       |dfreq AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY token
+       |),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs,
+       |         tf.tf * ((1000 * n.n_docs) // dfreq.df_docs) AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |                            ORDER BY tf.tf * ((1000 * n.n_docs) // dfreq.df_docs) DESC,
+       |                                     tf.token) AS rn
+       |  FROM tf JOIN dfreq USING (token), n
+       |)
+       |SELECT doc_id, token, tf, df_docs, CAST(score AS BIGINT) AS score
+       |FROM scored WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // ── s06: per-label embedding centroids ──────────────────────────────
+
+  /** Per-label centroid sums over the quantized embedding corpus
+    * ([[graft.operators.VectorSearch.quantizedCentroids]]) — the
+    * k-means/IVF building block. The custom `vector_sum` aggregate
+    * keeps the shuffle at |labels|·dims longs; the posexplode here
+    * runs on the aggregated handful of rows, never the corpus, purely
+    * to give the oracle a flat integer surface.
+    */
+  val s06_centroids: Q = (s, dir) =>
+    graft.operators.VectorSearch.quantizedCentroids(
+        Tables(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("dim_sums")).as(Seq("pos", "dim_sum")))
+      .select(col("label"), col("pos"), col("dim_sum"), col("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  val s06_sql: String =
+    """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |sc AS (SELECT MAX(list_max(list_transform(vec, x -> ABS(x)))) AS scale FROM v),
+      |q AS (
+      |  SELECT label,
+      |         list_transform(vec, x -> CAST(ROUND(x / sc.scale * 127) AS INT)) AS qvec
+      |  FROM v, sc
+      |),
+      |u AS (SELECT label, qvec, unnest(range(1, len(qvec) + 1)) AS i FROM q),
+      |e AS (SELECT label, CAST(i - 1 AS INT) AS pos, qvec[i] AS qval FROM u),
+      |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM q GROUP BY label)
+      |SELECT e.label, e.pos, CAST(SUM(e.qval) AS BIGINT) AS dim_sum, n.n_vecs
+      |FROM e JOIN n ON n.label = e.label
+      |GROUP BY e.label, e.pos, n.n_vecs
+      |ORDER BY e.label, e.pos""".stripMargin
+
+  // ── q21: bucketed range join ────────────────────────────────────────
+
+  private val RangeHorizonUs = 600L * 1000000L // 10 minutes
+
+  /** Purchases within 10 minutes AFTER each click, across all users —
+    * the keyless time-band join ([[graft.operators.RangeJoin]]) that a
+    * naive inequality join turns into an all-pairs nested loop. The
+    * bucketed plan shuffles on the time-slice key instead; the
+    * per-click aggregate keeps the hashed output integer (counts +
+    * cents).
+    */
+  val q21_range_join: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"), col("value").as("p_value"))
+    graft.operators.RangeJoin.bucketed(
+        clicks, purchases, "click_ts", "p_ts", RangeHorizonUs)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("p_value") * 100).cast(LongType)).as("purchase_cents"))
+      .orderBy(col("click_id"))
+  }
+
+  val q21_sql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |),
+      |c AS (SELECT event_id AS click_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+      |p AS (SELECT ts AS p_ts, value AS p_value FROM e WHERE event_type = 'purchase')
+      |SELECT c.click_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |       CAST(SUM(CAST(ROUND(p.p_value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+      |FROM c JOIN p
+      |  ON p.p_ts >= c.click_ts AND p.p_ts < c.click_ts + INTERVAL 600 SECOND
+      |GROUP BY c.click_id
+      |ORDER BY c.click_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -421,7 +590,11 @@ object CurationQueries {
     "t09_quality_filter" -> t09_quality_filter,
     "d14_chunking" -> d14_chunking,
     "t10_oov" -> t10_oov,
-    "q20_rollup" -> q20_rollup)
+    "q20_rollup" -> q20_rollup,
+    "d15_edit_distance" -> d15_edit_distance,
+    "t11_tfidf" -> t11_tfidf,
+    "s06_centroids" -> s06_centroids,
+    "q21_range_join" -> q21_range_join)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -433,5 +606,9 @@ object CurationQueries {
     "t09_quality_filter" -> t09_sql,
     "d14_chunking" -> d14_sql,
     "t10_oov" -> t10_sql,
-    "q20_rollup" -> q20_sql)
+    "q20_rollup" -> q20_sql,
+    "d15_edit_distance" -> d15_sql,
+    "t11_tfidf" -> t11_sql,
+    "s06_centroids" -> s06_sql,
+    "q21_range_join" -> q21_sql)
 }

@@ -200,4 +200,82 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getString(3) == "call <PHONE> then <PHONE> tomorrow")
     assert(out(2).getString(3) == "no pii here at all")
   }
+
+  // ── bucketed range join ─────────────────────────────────────────────
+
+  test("bucketed range join matches naive inequality join, exact boundaries") {
+    import spark.implicits._
+    val h = 10L * 1000000L // 10-second horizon
+    // boundary cases: equal ts (inclusive), ts + h (exclusive),
+    // pairs whose buckets differ by one, and an unmatched row
+    val left = Seq((1L, ts(100)), (2L, ts(107)), (3L, ts(500)))
+      .toDF("l_id", "l_ts")
+    val right = Seq((11L, ts(100)), (12L, ts(109)), (13L, ts(110)),
+        (14L, ts(117)), (15L, ts(300)))
+      .toDF("r_id", "r_ts")
+    val bucketed = operators.RangeJoin.bucketed(left, right, "l_ts", "r_ts", h)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.crossJoin(right)
+      .filter(col("r_ts") >= col("l_ts") &&
+        unix_micros(col("r_ts")) < unix_micros(col("l_ts")) + h)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+    // click 1 @100 catches 100 (inclusive) and 109, not 110 (= +h, exclusive)
+    assert(bucketed.contains((1L, 11L)) && bucketed.contains((1L, 12L)))
+    assert(!bucketed.contains((1L, 13L)))
+    // click 2 @107 catches 109 and 110 (next bucket), not 117 (= +h, exclusive)
+    assert(Set((2L, 12L), (2L, 13L)).subsetOf(bucketed))
+    assert(!bucketed.contains((2L, 14L)))
+    assert(!bucketed.exists(_._1 == 3L), "click far from purchases matches nothing")
+  }
+
+  // ── edit-distance dedup ─────────────────────────────────────────────
+
+  test("edit-distance banding is lossless vs all-pairs, incl cross-band pairs") {
+    import spark.implicits._
+    // lengths straddle band edges (bandWidth 8): 15|16 and 23|24 pairs
+    // must match across bands; far-length and over-distance pairs must not
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaa"),   // len 15 (band 1)
+      (2L, "aaaaaaaaaaaaaaab"),  // len 16 (band 2), dist 1 to id 1
+      (3L, "bbbbbbbbbbbbbbbbbbbbbbb"),  // len 23 (band 2)
+      (4L, "bbbbbbbbbbbbbbbbbbbbbbbcc"), // len 25 (band 3), dist 2 to id 3
+      (5L, "cccccccccccccccc"),  // len 16, dist > 2 from everything
+      (6L, "aaaaaaaaaaaaaaa")    // exact copy of id 1, dist 0
+    ).toDF("doc_id", "text")
+    val banded = operators.TextDedup.editDistancePairs(
+        docs, "doc_id", "text", maxDist = 2, maxLen = 100, bandWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val allPairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        levenshtein(col("a.text"), col("b.text")) <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == allPairs)
+    assert(banded.contains((1L, 2L, 1)) && banded.contains((3L, 4L, 2)) &&
+      banded.contains((1L, 6L, 0)))
+    assert(!banded.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("edit-distance banding matches all-pairs on the planted corpus") {
+    // gate-scale corpus: the all-pairs oracle side is quadratic with a
+    // full O(n²) levenshtein per candidate, so sf0.01 (the driver's own
+    // gate sf) is the largest practical parity check here
+    val corpus = queries.DataPipelineQueries.dupDocCorpus(spark, "/root/testdata/sf0.01")
+    val banded = operators.TextDedup.editDistancePairs(
+        corpus, "doc_id", "text", maxDist = 2, maxLen = 220)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val short = corpus.filter(length(col("text")) <= 220)
+    val exact = short.as("a").crossJoin(short.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        levenshtein(col("a.text"), col("b.text")) <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == exact)
+    assert(banded.nonEmpty, "planted prefix-mutated copies must surface")
+  }
 }

@@ -60,4 +60,30 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(n2 >= n)
   }
+
+  test("vector_sum matches posexplode path across partition merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // many partitions force partial-buffer merges, incl. empty partials
+    val df = (0 until 200).map(i => (i % 3, Array(i, -i, i * 2)))
+      .toDF("g", "vec").repartition(17)
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.VectorSumAgg(col("vec")).as("sums"))
+      .select(col("g"), col("sums"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val viaExplode = df
+      .select(col("g"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy("g", "pos").agg(sum("v").as("s"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(viaAgg == viaExplode)
+    // dimension mismatch fails loudly
+    val bad = Seq((1, Array(1, 2)), (1, Array(1, 2, 3))).toDF("g", "vec")
+    val e = intercept[Exception] {
+      bad.groupBy("g").agg(graft.functions.VectorSumAgg(col("vec"))).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
 }

@@ -160,4 +160,27 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         .contains("__bucket"),
       "bucket isin must prune partitions:\n" + plan.take(3000))
   }
+
+  test("range join plans as an equi-join on the bucket key, not a nested loop") {
+    // the whole point of RangeJoin.bucketed: a keyless time-band join
+    // must NOT fall back to BroadcastNestedLoopJoin/CartesianProduct
+    val plan = planString(queries.CurationQueries.q21_range_join(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "band join must not plan as an all-pairs join:\n" + plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "expected an equi-join on __bucket:\n" + plan.take(3000))
+  }
+
+  test("centroid aggregate carries vectors whole (no corpus-wide explode)") {
+    // VectorSumAgg's contract: the plan has no Generate below the
+    // aggregate — the corpus is never multiplied by the dimension count
+    val df = operators.VectorSearch.quantizedCentroids(
+      Tables(spark, dir, "embeddings"), "label", "embedding")
+    val plan = planString(df)
+    assert(!plan.contains("Generate"),
+      "centroids must aggregate arrays directly, not explode:\n" + plan.take(3000))
+    assert(plan.contains("vector_sum"), plan.take(3000))
+    assert(plan.contains("partial_vector_sum"),
+      "map-side partial aggregation expected:\n" + plan.take(3000))
+  }
 }
