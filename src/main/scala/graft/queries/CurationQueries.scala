@@ -578,6 +578,86 @@ object CurationQueries {
       |GROUP BY c.click_id
       |ORDER BY c.click_id""".stripMargin
 
+  // ── q22: PIVOT ──────────────────────────────────────────────────────
+
+  /** Revenue matrix status × priority via Spark's `pivot` with an
+    * EXPLICIT value list — the to-wide reshape of reporting queries.
+    * Listing the pivot values matters at scale: without them Spark runs
+    * an extra distinct job over the corpus to discover the columns.
+    * Single hash aggregate, map-side partials; cells are integer cents
+    * (absent combos stay NULL in both engines).
+    */
+  val q22_pivot: Q = (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)))
+      .withColumnRenamed("1-URGENT", "urgent_cents")
+      .withColumnRenamed("2-HIGH", "high_cents")
+      .withColumnRenamed("3-MEDIUM", "medium_cents")
+      .withColumnRenamed("4-NOT SPECIFIED", "unspec_cents")
+      .withColumnRenamed("5-LOW", "low_cents")
+      .orderBy(col("o_orderstatus"))
+
+  val q22_sql: String = {
+    def cell(p: String, alias: String) =
+      s"CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS $alias"
+    s"""SELECT o_orderstatus,
+       |       ${cell("1-URGENT", "urgent_cents")},
+       |       ${cell("2-HIGH", "high_cents")},
+       |       ${cell("3-MEDIUM", "medium_cents")},
+       |       ${cell("4-NOT SPECIFIED", "unspec_cents")},
+       |       ${cell("5-LOW", "low_cents")}
+       |FROM orders
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ── q23: lead/lag gap analysis ──────────────────────────────────────
+
+  /** Per-user inter-event gap statistics via `lag` over the (ts,
+    * event_id)-ordered per-user window — the sessionization precursor
+    * and the last §2.5 window shape (offset functions) not yet
+    * surfaced as a query. ONE shuffle on user_id serves both the lag
+    * and the aggregate; gaps are integer seconds (µs div 10⁶), so the
+    * oracle replays them exactly. Single-event users keep NULL
+    * min/max gaps in both engines.
+    */
+  val q23_event_gaps: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("__prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      // pure integer division — Column./ would detour through double
+      .withColumn("__gap_s", expr("(unix_micros(ts) - __prev_us) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__gap_s")).as("n_gaps"),
+        min(col("__gap_s")).as("min_gap_s"),
+        max(col("__gap_s")).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val q23_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |),
+      |g AS (
+      |  SELECT user_id,
+      |         (epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (
+      |            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+      |  FROM e
+      |)
+      |SELECT user_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+      |       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+      |       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -594,7 +674,9 @@ object CurationQueries {
     "d15_edit_distance" -> d15_edit_distance,
     "t11_tfidf" -> t11_tfidf,
     "s06_centroids" -> s06_centroids,
-    "q21_range_join" -> q21_range_join)
+    "q21_range_join" -> q21_range_join,
+    "q22_pivot" -> q22_pivot,
+    "q23_event_gaps" -> q23_event_gaps)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -610,5 +692,7 @@ object CurationQueries {
     "d15_edit_distance" -> d15_sql,
     "t11_tfidf" -> t11_sql,
     "s06_centroids" -> s06_sql,
-    "q21_range_join" -> q21_sql)
+    "q21_range_join" -> q21_sql,
+    "q22_pivot" -> q22_sql,
+    "q23_event_gaps" -> q23_sql)
 }
