@@ -224,21 +224,17 @@ object TextDedup {
 
   /** SimHash of the distinct-token set: bit i of the signature is set iff
     * Σ over tokens of (token-hash bit i ? +1 : −1) > 0.
-    * One explode + one groupBy with `SimhashBits` conditional-sum
-    * aggregates — map-side combined, no all-pairs anywhere.
+    * One explode + one groupBy folding the per-bit counts in a single
+    * `SimHashAgg` buffer (map-side combined, no all-pairs anywhere); the
+    * token hash stays the engine-portable md5 value so the oracle can
+    * replay the identical signature.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
-    }
-    val sig = (0 until SimhashBits).map { i =>
-      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), sig.as("simhash"))
+    toks.groupBy("id")
+      .agg(graft.functions.SimHashAgg(col("h"), SimhashBits).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`,

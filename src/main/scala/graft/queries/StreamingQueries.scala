@@ -204,13 +204,38 @@ object StreamingQueries {
       |WHERE op <> 'D'
       |ORDER BY key""".stripMargin
 
+  /** Stream-static enrichment: events joined to the (static) customer →
+    * nation dimension on user_id, aggregated per (nation, event_type).
+    * The dimension is broadcast — the stream side never shuffles for the
+    * join (streaming equivalence proven in StreamingWindowSpec).
+    */
+  val w08_stream_enrich: Q = (s, dir) => {
+    val dim = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    EventWindows.enrichedStats(Tables(s, dir, "events"), dim,
+        eventKey = "user_id", dimKey = "c_custkey", attr = "n_name")
+      .orderBy(col("n_name"), col("event_type"))
+  }
+
+  val w08_sql: String =
+    """SELECT n_name, event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY n_name, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
     "w03_state_view" -> w03_state_view,
     "w04_session_windows" -> w04_session_windows,
     "w05_interval_join" -> w05_interval_join,
-    "w06_delivery_dedup" -> w06_delivery_dedup)
+    "w06_delivery_dedup" -> w06_delivery_dedup,
+    "w08_stream_enrich" -> w08_stream_enrich)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
@@ -218,5 +243,6 @@ object StreamingQueries {
     "w03_state_view" -> w03_sql,
     "w04_session_windows" -> w04_sql,
     "w05_interval_join" -> w05_sql,
-    "w06_delivery_dedup" -> w06_sql)
+    "w06_delivery_dedup" -> w06_sql,
+    "w08_stream_enrich" -> w08_sql)
 }

@@ -74,6 +74,31 @@ object EventWindows {
     else src.dropDuplicates(idCol)
   }
 
+  /** Stream-static enrichment aggregate: the event stream joined to a
+    * broadcast static dimension, then aggregated per (dimension
+    * attribute, event_type). The static side is re-read per micro-batch
+    * (Structured Streaming's dimension-refresh semantics) and broadcast,
+    * so the stream side never shuffles for the join — at 100 TB/day the
+    * event stream flows map-side through the enrichment; only the final
+    * (tiny-keyed) aggregate exchanges. Same plan runs in batch.
+    */
+  def enrichedStats(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      attr: String,
+      watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(events)(events.withWatermark("ts", _))
+    withWm.join(
+        broadcast(dim.select(col(dimKey).as("__dim_key"), col(attr))),
+        col(eventKey) === col("__dim_key"))
+      .groupBy(col(attr), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+  }
+
   /** Funnel step: every `followType` event landing within `horizon`
     * AFTER a `leadType` event of the same user — the stream-stream
     * interval join. In streaming both sides inherit the watermark and

@@ -150,6 +150,33 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming stream-static enrichment ≡ batch enrichment") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val dim = Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val batch = EventWindows.enrichedStats(
+        Tables(spark, dir, "events"), dim, "user_id", "c_custkey", "n_name")
+      .collect().map(_.toSeq).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventWindows.enrichedStats(streamEvents, dim,
+        "user_id", "c_custkey", "n_name", watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("enr_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("enr_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sliding windows place each event in windowLength/slide windows") {
     import spark.implicits._
     val one = Seq(("2026-01-01 10:07:00", "click", 1.0))
