@@ -139,22 +139,28 @@ object TextFunctions {
     * Documents shorter than n tokens yield their full token string as the
     * single shingle (so tiny docs still participate in dedup).
     */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    val count = size(toks)
-    val grams = transform(
-      sequence(lit(0), greatest(count - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    when(count === 0, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(grams))
-  }
+  def wordNgrams(c: Column, n: Int): Column =
+    array_distinct(gramsOfTokens(tokens(c), n))
 
   /** Frequency-preserving variant of [[wordNgrams]] (repeats kept) —
     * the input to repetition metrics and corpus gram counts, where how
     * often a gram occurs is the signal.
     */
-  def wordNgramsAll(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def wordNgramsAll(c: Column, n: Int): Column =
+    gramsOfTokens(tokens(c), n)
+
+  /** N-grams over a token-array column (repeats kept).
+    *
+    * PERFORMANCE: pass a *bound* token array (an attribute produced by a
+    * separate projection), not `tokens(text)` inline. Higher-order
+    * lambdas run interpreted with no common-subexpression elimination,
+    * so an inline `tokens(text)` under `slice` re-tokenizes the whole
+    * document once per gram index — O(tokens²) per doc; over a bound
+    * reference each slice is O(n). (Spark's CollapseProject declines to
+    * merge the two projections because the alias is non-cheap and
+    * multiply referenced, so the binding survives optimization.)
+    */
+  def gramsOfTokens(toks: Column, n: Int): Column = {
     val count = size(toks)
     val grams = transform(
       sequence(lit(0), greatest(count - n, lit(0))),

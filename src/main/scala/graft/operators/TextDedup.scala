@@ -92,15 +92,21 @@ object TextDedup {
     * while the Generate + hash-agg path is codegen'd end to end.
     */
   def gramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(TextFunctions.wordNgramsAll(col(textCol), n)).as("__g"))
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(TextFunctions.gramsOfTokens(col("__toks"), n)).as("__g"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), countDistinct(col("__g")).as("n_distinct_grams"))
 
-  /** Distinct word-`n`-gram shingles per document: (id, shingle). */
+  /** Distinct word-`n`-gram shingles per document: (id, shingle).
+    * Tokenizes in its own projection so the gram lambda slices a bound
+    * array (see [[TextFunctions.gramsOfTokens]] — inline tokenization
+    * under a HOF is O(tokens²) per doc).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(TextFunctions.wordNgrams(col(textCol), n)).as("shingle"))
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.gramsOfTokens(col("__toks"), n))).as("shingle"))
 
   /** Exact all-pairs n-gram Jaccard ≥ `threshold` via the inverted-index
     * join: pairs sharing ≥1 shingle, |A∩B| counted, |A∪B| = |A|+|B|−|A∩B|.
@@ -142,7 +148,7 @@ object TextDedup {
       n: Int, numHashes: Int, bands: Int): DataFrame =
     lshBandsFromShingles(shingles(df, idCol, textCol, n), numHashes, bands)
 
-  private[operators] def lshBandsFromShingles(
+  private[graft] def lshBandsFromShingles(
       sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands

@@ -999,7 +999,8 @@ object DataPipelineQueries {
       // (the expensive step) across cores. Real corpora arrive with
       // ≥ parallelism partitions and skip this.
       .repartition(s.sparkContext.defaultParallelism)
-      .select(explode(TextFunctions.wordNgramsAll(col("text"), 2)).as("gram"))
+      .select(TextFunctions.tokens(col("text")).as("__toks"))
+      .select(explode(TextFunctions.gramsOfTokens(col("__toks"), 2)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("gram"))

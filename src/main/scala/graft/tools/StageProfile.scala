@@ -29,6 +29,8 @@ object StageProfile {
 
     val evalSet = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 37 === 0).select(col("doc_id"), col("text"))
+
+    if (args.length > 1 && args(1) == "lsh") { lshBreakdown(spark, dir, evalSet); spark.stop(); return }
     // warm the JVM/codegen once
     DataPipelineQueries.d10_curation_pipeline(spark, dir).count()
     spark.catalog.clearCache()
@@ -67,5 +69,49 @@ object StageProfile {
         .count()
     }
     spark.stop()
+  }
+
+  /** Sub-step timing of the LSH pair path on the d10 stage-1 survivors. */
+  private def lshBreakdown(spark: SparkSession, dir: String,
+      evalSet: DataFrame): Unit = {
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[lsh] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    // warm codegen
+    DataPipelineQueries.d10_curation_pipeline(spark, dir).count()
+    spark.catalog.clearCache()
+    val corpus = DataPipelineQueries.dupDocCorpus(spark, dir)
+      .join(broadcast(evalSet.select(col("doc_id").as("__eid"))),
+        col("doc_id") === col("__eid"), "left_anti")
+      .localCheckpoint()
+    val s1 = TextDedup.exact(corpus, "doc_id", "text").localCheckpoint()
+    s1.count()
+    val sh = TextDedup.shingles(s1, "doc_id", "text", 3).persist()
+    time("shingles materialize") { sh.count() }
+    val bk = TextDedup.lshBandsFromShingles(sh, 128, 32).persist()
+    time("band keys (minhash sigs)") { bk.count() }
+    val candidates = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct().persist()
+    time("candidates") { candidates.count() }
+    time("shingle stats") { sh.agg(countDistinct(col("id")), count(lit(1))).count() }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val pairShingles = sh.join(broadcast(candidates), col("id") === col("id_a"))
+      .select(col("id_a"), col("id_b").as("__cand_b"), col("shingle").as("__cand_sh"))
+    val inter = sh.join(broadcast(pairShingles),
+        col("id") === col("__cand_b") && col("shingle") === col("__cand_sh"))
+      .select(col("id_a"), col("__cand_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    time("verify (inter+sizes)") {
+      inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .count()
+    }
   }
 }
