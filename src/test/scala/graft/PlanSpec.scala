@@ -141,6 +141,24 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(e.collect().forall(_.getDouble(0) > 0.0))
   }
 
+  test("shingling tokenizes once per doc — split stays out of the gram lambda") {
+    // The gram transform's lambda must slice a BOUND token array. If an
+    // optimizer change (CollapseProject inlining) ever pushes the
+    // tokenizing `split` back inside the interpreted lambda, it re-runs
+    // once per gram index — O(tokens²) per document (measured 5× on the
+    // shingle path). One `split(` in the whole plan = tokenized once.
+    val sh = operators.TextDedup.shingles(
+      Tables(spark, dir, "documents"), "doc_id", "text", 3)
+    val plan = initialPlanString(sh)
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits == 1,
+      s"expected exactly one split( in the shingle plan, found $splits:\n" + plan)
+    // and the lambda itself (same plan line) must not contain the split
+    val lambdaLine = plan.linesIterator.find(_.contains("lambdafunction")).get
+    assert(!lambdaLine.contains("split("),
+      "gram lambda re-tokenizes:\n" + plan)
+  }
+
   test("bucket filter prunes partitions at the store scan (not post-read)") {
     // the merge-path read (`isin` over the hive-partitioned __bucket
     // column) must become a PartitionFilter — at 10⁵ buckets the scan
