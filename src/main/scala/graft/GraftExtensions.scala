@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DoubleDot, IntDot, WinnowedFingerprint}
+import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFingerprint}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -14,6 +14,8 @@ import graft.functions.{DoubleDot, IntDot, WinnowedFingerprint}
   *   SELECT double_dot(a, b)                      -- array<double> dot
   *   SELECT int_dot(a, b)                         -- array<int> dot (quantized ANN)
   *   SELECT winnowed_fingerprint(text[, k, w])    -- rolling-hash winnowing
+  *   SELECT minhash_signature(shingle, 128) ... GROUP BY doc  -- MinHash agg
+  *   SELECT simhash_signature(h, 60) ... GROUP BY doc         -- SimHash agg
   *
   * Wire up with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -42,6 +44,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "int_dot(a, b) takes two arrays")
         IntDot(args.head, args(1))
+      }))
+
+    // aggregate builders return the bare AggregateFunction — the
+    // analyzer wraps it into an AggregateExpression like any built-in
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature(shingle, numHashes)")
+        MinHashAgg(args.head, intArg(args(1), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_signature"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_signature(hash, bits)")
+        SimHashAgg(args.head, intArg(args(1), "bits"))
       }))
 
     ext.injectFunction((

@@ -61,6 +61,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n2 >= n)
   }
 
+  test("minhash_signature / simhash_signature callable from SQL as aggregates") {
+    // MinHash: SQL aggregate ≡ Column-API aggregate on the same rows
+    val sqlSig = spark.sql(
+      """SELECT minhash_signature(s, 8) AS sig FROM (
+        |  SELECT explode(array('a b c', 'b c d', 'c d e')) AS s)""".stripMargin)
+      .head().getSeq[Long](0)
+    import org.apache.spark.sql.functions.col
+    val apiSig = spark.range(1)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("a b c"),
+          org.apache.spark.sql.functions.lit("b c d"),
+          org.apache.spark.sql.functions.lit("c d e"))).as("s"))
+      .agg(graft.functions.MinHashAgg(col("s"), 8).as("sig"))
+      .head().getSeq[Long](0)
+    assert(sqlSig == apiSig && sqlSig.length == 8)
+
+    // SimHash over known hashes: bits 0 and 1 set in 2 of 3 inputs →
+    // majority sets them; bit 2 set once → majority clears it
+    val sim = spark.sql(
+      "SELECT simhash_signature(h, 60) AS sig FROM (SELECT explode(array(3L, 3L, 4L)) AS h)")
+      .head().getLong(0)
+    assert(sim == 3L)
+  }
+
   test("vector_sum matches posexplode path across partition merges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
