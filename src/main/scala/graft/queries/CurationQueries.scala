@@ -658,6 +658,36 @@ object CurationQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ── q24: running-frame window aggregate ─────────────────────────────
+
+  /** Cumulative revenue per customer in order-date order — the explicit
+    * ROWS UNBOUNDED PRECEDING frame (the one §2.5 window shape not yet
+    * under the gate: q16/q23 cover ranking and offsets; this covers
+    * running aggregates). ONE shuffle on o_custkey; the frame is
+    * computed in-partition by a single running sum — never a per-row
+    * range self-join. Cents stay integer end to end.
+    */
+  val q24_running_total: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("__cents"))
+      .withColumn("cum_cents", sum(col("__cents")).over(w))
+      .drop("__cents")
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q24_sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -676,7 +706,8 @@ object CurationQueries {
     "s06_centroids" -> s06_centroids,
     "q21_range_join" -> q21_range_join,
     "q22_pivot" -> q22_pivot,
-    "q23_event_gaps" -> q23_event_gaps)
+    "q23_event_gaps" -> q23_event_gaps,
+    "q24_running_total" -> q24_running_total)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -694,5 +725,6 @@ object CurationQueries {
     "s06_centroids" -> s06_sql,
     "q21_range_join" -> q21_sql,
     "q22_pivot" -> q22_sql,
-    "q23_event_gaps" -> q23_sql)
+    "q23_event_gaps" -> q23_sql,
+    "q24_running_total" -> q24_sql)
 }
