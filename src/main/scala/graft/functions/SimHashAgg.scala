@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -32,11 +32,18 @@ case class SimHashAgg(
     bits: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]] {
+  extends TypedImperativeAggregate[Array[Int]] with ImplicitCastInputTypes {
+
+  // bits > 64 would alias shifts mod 64 (silently wrong signatures);
+  // bits < 1 would index outside the buffer
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
+  // SQL-facing (GraftExtensions): analyzer coerces or rejects the hash
+  // input instead of a per-row ClassCastException mid-job
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   // buffer(0..bits-1) = per-bit set counts, buffer(bits) = token count
   override def createAggregationBuffer(): Array[Int] = new Array[Int](bits + 1)

@@ -138,13 +138,21 @@ object TextFunctions {
   /** Word n-grams (shingles) of the token stream, space-joined, distinct.
     * Documents shorter than n tokens yield their full token string as the
     * single shingle (so tiny docs still participate in dedup).
+    *
+    * PERFORMANCE: convenience form only — it inlines `tokens(c)` under
+    * the interpreted gram lambda, which re-tokenizes the document per
+    * gram index (O(tokens²) per doc). Hot paths must bind the tokens in
+    * their own projection and call [[gramsOfTokens]] (see
+    * `TextDedup.shingles` and the PlanSpec tokenize-once guard).
     */
   def wordNgrams(c: Column, n: Int): Column =
     array_distinct(gramsOfTokens(tokens(c), n))
 
   /** Frequency-preserving variant of [[wordNgrams]] (repeats kept) —
     * the input to repetition metrics and corpus gram counts, where how
-    * often a gram occurs is the signal.
+    * often a gram occurs is the signal. Same PERFORMANCE caveat as
+    * [[wordNgrams]]: hot paths bind tokens first and use
+    * [[gramsOfTokens]].
     */
   def wordNgramsAll(c: Column, n: Int): Column =
     gramsOfTokens(tokens(c), n)

@@ -90,13 +90,16 @@ object EventWindows {
       attr: String,
       watermark: Option[String] = None): DataFrame = {
     val withWm = watermark.fold(events)(events.withWatermark("ts", _))
+    // alias BOTH dim columns: an events schema sharing the attr name
+    // would otherwise make the post-join groupBy ambiguous
     withWm.join(
-        broadcast(dim.select(col(dimKey).as("__dim_key"), col(attr))),
+        broadcast(dim.select(col(dimKey).as("__dim_key"), col(attr).as("__dim_attr"))),
         col(eventKey) === col("__dim_key"))
-      .groupBy(col(attr), col("event_type"))
+      .groupBy(col("__dim_attr"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      .withColumnRenamed("__dim_attr", attr)
   }
 
   /** Funnel step: every `followType` event landing within `horizon`

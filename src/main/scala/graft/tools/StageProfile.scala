@@ -71,7 +71,12 @@ object StageProfile {
     spark.stop()
   }
 
-  /** Sub-step timing of the LSH pair path on the d10 stage-1 survivors. */
+  /** Sub-step timing of the LSH pair path on the d10 stage-1 survivors.
+    * Deliberately profiles the SMALL-candidate (broadcast) regime —
+    * production `minhashLshPairs` size-gates these broadcasts and falls
+    * back to shuffle joins past the candidate limits; do not point this
+    * at a corpus with huge duplicate clusters.
+    */
   private def lshBreakdown(spark: SparkSession, dir: String,
       evalSet: DataFrame): Unit = {
     def time(name: String)(f: => Long): Unit = {

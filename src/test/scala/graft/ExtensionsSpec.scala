@@ -84,6 +84,13 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT simhash_signature(h, 60) AS sig FROM (SELECT explode(array(3L, 3L, 4L)) AS h)")
       .head().getLong(0)
     assert(sim == 3L)
+
+    // inputTypes: an INT hash column coerces via implicit cast instead
+    // of a per-row ClassCastException
+    val simInt = spark.sql(
+      "SELECT simhash_signature(h, 60) AS sig FROM (SELECT explode(array(3, 3, 4)) AS h)")
+      .head().getLong(0)
+    assert(simInt == 3L)
   }
 
   test("vector_sum matches posexplode path across partition merges") {
