@@ -177,6 +177,41 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("append-mode windows drop events later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingWindowSpec.WmEv]
+    val q = EventWindows.windowedStats(ms.toDF(), "1 hour", watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+
+    def ev(t: String, v: Double) = StreamingWindowSpec.WmEv(
+      java.sql.Timestamp.valueOf(t), "click", v)
+    // batch 1 advances the watermark to 11:00 (max 12:00 − 1 h)
+    ms.addData(ev("2026-01-01 10:15:00", 1.0), ev("2026-01-01 12:00:00", 2.0))
+    q.processAllAvailable()
+    // batch 2: 09:30 is BEHIND the 11:00 watermark → dropped; 12:30 is live
+    ms.addData(ev("2026-01-01 09:30:00", 4.0), ev("2026-01-01 12:30:00", 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val startsEmitted = spark.table("late_out")
+      .select("window_start").collect().map(_.getTimestamp(0).toString).toSet
+    // the 10:00 window finalized (end 11:00 ≤ watermark) with its on-time
+    // event; the late 09:30 event created NO 09:00 window
+    assert(startsEmitted.contains("2026-01-01 10:00:00.0"))
+    assert(!startsEmitted.contains("2026-01-01 09:00:00.0"))
+    // control: the same plan in batch mode COUNTS the 09:30 event — the
+    // drop above is the watermark semantic, not a filter in the plan
+    val batchStarts = EventWindows.windowedStats(
+        Seq(ev("2026-01-01 10:15:00", 1.0), ev("2026-01-01 12:00:00", 2.0),
+          ev("2026-01-01 09:30:00", 4.0), ev("2026-01-01 12:30:00", 8.0)).toDF(),
+        "1 hour")
+      .select("window_start").collect().map(_.getTimestamp(0).toString).toSet
+    assert(batchStarts.contains("2026-01-01 09:00:00.0"))
+  }
+
   test("sliding windows place each event in windowLength/slide windows") {
     import spark.implicits._
     val one = Seq(("2026-01-01 10:07:00", "click", 1.0))
@@ -291,4 +326,9 @@ class StreamingWindowSpec extends AnyFunSuite {
         firstClickIds.contains(r.getLong(4)))
     assert(crossMatches > 0, "time split produced no cross-batch matches")
   }
+}
+
+object StreamingWindowSpec {
+  /** Row type for the MemoryStream late-data test. */
+  case class WmEv(ts: java.sql.Timestamp, event_type: String, value: Double)
 }
