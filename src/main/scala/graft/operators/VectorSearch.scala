@@ -214,6 +214,17 @@ object VectorSearch {
     *
     * With `planes = Nil` this is the exact all-pairs baseline — a
     * deliberate O(n²) single-key self-join for small corpora only.
+    *
+    * Shape note (measured, round 4): verification runs IN-PLACE — each
+    * band collision computes its cosine inside the join stage and dies
+    * on the ≥ threshold filter without ever crossing a shuffle. The
+    * alternative (ids-only band join → distinct candidates → re-fetch
+    * vectors, the text-LSH shape) was tried and is ~2× slower here:
+    * collision volume (~7% of all-pairs) far exceeds corpus × bands
+    * rows, so materializing candidates costs more than carrying the
+    * vector payload through the band shuffle. Revisit only for
+    * high-dimensional embeddings (≥ ~768 dims), where payload × bands
+    * dominates and the refetch shape wins.
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
