@@ -134,6 +134,35 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric n-gram containment: ordered pairs (id_src, id_dst,
+    * containment) with |src ∩ dst| / |src| ≥ `threshold` — detects a
+    * document CONTAINED in another (quoted passages, boilerplate
+    * wrappers, expanded revisions), which symmetric Jaccard misses when
+    * the container is much longer (|A∩B|/|A∪B| shrinks with |B|).
+    * Same inverted-index shape as [[ngramJaccardPairs]] and the same
+    * scale label: exact verification baseline — the scale path bands
+    * min-hashes of the smaller side, exactly like d03's LSH.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).persist()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+    // each unordered intersection row yields both directed containments
+    val dirA = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
+      (col("n_inter").cast(DoubleType) / col("size_a")).as("containment"))
+    val dirB = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
+      (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))
+    dirA.unionAll(dirB).filter(col("containment") >= threshold)
+  }
+
   // ───────────────────────────────────────────── MinHash + LSH
 
   // (signatures are computed by the MinHashAgg typed imperative

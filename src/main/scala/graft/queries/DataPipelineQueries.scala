@@ -149,6 +149,40 @@ object DataPipelineQueries {
        |$ShinglesSql,
        |$JaccardPairsSql""".stripMargin
 
+  /** Asymmetric containment ≥ 0.9: documents whose 3-gram set is mostly
+    * INSIDE another document's (quotes, boilerplate wrappers). Ordered
+    * pairs — the planted near-dups produce both directions; truncations
+    * only one. Containment is a single division of integer counts, so it
+    * hash-compares across engines.
+    */
+  val d16_containment: Q = (s, dir) => {
+    TextDedup.containmentPairs(dupDocCorpus(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .orderBy(col("id_src"), col("id_dst"))
+  }
+
+  val d16_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |$ShinglesSql,
+       |sizes AS (SELECT id, COUNT(*) AS n_shingles FROM shingles GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+       |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |),
+       |directed AS (
+       |  SELECT i.id_a AS id_src, i.id_b AS id_dst,
+       |         CAST(i.n_inter AS DOUBLE) / sa.n_shingles AS containment
+       |  FROM inter i JOIN sizes sa ON sa.id = i.id_a
+       |  UNION ALL
+       |  SELECT i.id_b, i.id_a,
+       |         CAST(i.n_inter AS DOUBLE) / sb.n_shingles
+       |  FROM inter i JOIN sizes sb ON sb.id = i.id_b
+       |)
+       |SELECT id_src, id_dst, containment FROM directed
+       |WHERE containment >= 0.9
+       |ORDER BY id_src, id_dst""".stripMargin
+
   /** MinHash+LSH near-dup (128 hashes, 32 bands) with exact verification —
     * must equal the exact operator at these margins, so it shares d02's
     * oracle.
@@ -1103,6 +1137,7 @@ object DataPipelineQueries {
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01_dedup_exact,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
+    "d16_containment" -> d16_containment,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
@@ -1129,6 +1164,7 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
     "d02_ngram_jaccard" -> d02_sql,
+    "d16_containment" -> d16_sql,
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,

@@ -52,6 +52,19 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment is asymmetric: quoted doc flagged inside container, not vice versa") {
+    val c = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      // doc 1's full gram set sits inside doc 2 (a boilerplate wrapper)
+      2L -> "header text alpha beta gamma delta epsilon footer text here",
+      3L -> "completely different content with no shared grams at all")
+    val out = TextDedup.containmentPairs(c, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1.0) // 1 fully inside 2
+    assert(!out.contains((2L, 1L))) // the container is NOT inside the quote
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("minhash LSH: over-limit candidate set verifies via shuffle joins, same result") {
     import spark.implicits._
     // a 200-member duplicate cluster alone yields 19,900 candidate pairs;
