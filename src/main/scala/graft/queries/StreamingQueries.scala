@@ -228,6 +228,28 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY n_name, event_type""".stripMargin
 
+  /** Funnel WITH drop-offs: every click, matched to purchases within
+    * 30 min (null follow = abandoned) — the left-outer stream-stream
+    * interval join. Ordering coalesces the nullable follow id (Spark
+    * sorts NULLS FIRST, DuckDB NULLS LAST — coalesce sidesteps the
+    * divergence).
+    */
+  val w09_funnel_dropoff: Q = (s, dir) =>
+    EventWindows.followWithin(Tables(s, dir, "events"), "click", "purchase",
+        "30 minutes", joinType = "left_outer")
+      .orderBy(col("lead_id"), coalesce(col("follow_id"), lit(-1L)))
+
+  val w09_sql: String =
+    """SELECT l.user_id, l.event_id AS lead_id, r.event_id AS follow_id,
+      |       (epoch_us(CAST(r.ts AS TIMESTAMP)) - epoch_us(CAST(l.ts AS TIMESTAMP))) // 1000000
+      |         AS seconds_after
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id
+      | AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP)
+      | AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY lead_id, COALESCE(follow_id, -1)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
@@ -235,7 +257,8 @@ object StreamingQueries {
     "w04_session_windows" -> w04_session_windows,
     "w05_interval_join" -> w05_interval_join,
     "w06_delivery_dedup" -> w06_delivery_dedup,
-    "w08_stream_enrich" -> w08_stream_enrich)
+    "w08_stream_enrich" -> w08_stream_enrich,
+    "w09_funnel_dropoff" -> w09_funnel_dropoff)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
@@ -244,5 +267,6 @@ object StreamingQueries {
     "w04_session_windows" -> w04_sql,
     "w05_interval_join" -> w05_sql,
     "w06_delivery_dedup" -> w06_sql,
-    "w08_stream_enrich" -> w08_sql)
+    "w08_stream_enrich" -> w08_sql,
+    "w09_funnel_dropoff" -> w09_sql)
 }

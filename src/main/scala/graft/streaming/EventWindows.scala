@@ -110,10 +110,18 @@ object EventWindows {
     * plain range-condition equi-join on user_id. Timestamps compare at
     * µs precision on both engines.
     */
+  /** @param joinType "inner" (default) keeps converted funnels only;
+    *        "left_outer" also emits each lead with NO follow inside the
+    *        horizon as a null-follow row (funnel drop-off). In streaming
+    *        the outer rows materialize only once the watermark passes
+    *        lead_ts + horizon — leads near the head of the stream stay
+    *        in state until time proves the non-match.
+    */
   def followWithin(
       events: DataFrame, leadType: String, followType: String,
       horizon: String = "30 minutes",
-      watermark: Option[String] = None): DataFrame = {
+      watermark: Option[String] = None,
+      joinType: String = "inner"): DataFrame = {
     val src = watermark.fold(events)(events.withWatermark("ts", _))
     val lead = src.filter(col("event_type") === leadType)
       .select(col("user_id"), col("event_id").as("lead_id"), col("ts").as("lead_ts"))
@@ -123,7 +131,8 @@ object EventWindows {
     lead.join(follow,
         col("user_id") === col("__f_user") &&
         col("follow_ts") > col("lead_ts") &&
-        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $horizon"))
+        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("lead_id"), col("follow_id"),
         expr("(unix_micros(follow_ts) - unix_micros(lead_ts)) div 1000000")
           .as("seconds_after"))

@@ -177,6 +177,44 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming left-outer interval join ≡ batch once watermark closes the horizon") {
+    import spark.implicits._
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(org.apache.spark.sql.functions.col("event_type").isin("click", "purchase"))
+      .select($"event_id".cast("long"), $"user_id".cast("long"), $"ts",
+        $"event_type", $"value".cast("double"))
+      .as[AsofStream.Ev]
+    val all = events.collect().sortBy(e => (e.ts.getTime, e.ts.getNanos))
+    val batch = EventWindows.followWithin(events.toDF(), "click", "purchase",
+        "30 minutes", joinType = "left_outer")
+      .collect().map(_.toSeq).toSet
+    assert(batch.exists(_(2) == null), "no drop-offs in the batch reference")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsofStream.Ev]
+    val q = EventWindows.followWithin(ms.toDF(), "click", "purchase",
+        "30 minutes", watermark = Some("1 hour"), joinType = "left_outer")
+      .writeStream.format("memory").queryName("foj_out")
+      .outputMode("append").start()
+    ms.addData(all.toIndexedSeq)
+    q.processAllAvailable()
+    // outer (null-follow) rows only materialize once the watermark
+    // passes lead_ts + horizon: two noop sentinel batches push it past
+    // every lead's bound (the first sets the new watermark, the second
+    // runs with it and flushes the remaining state)
+    val maxMs = all.last.ts.getTime
+    def noop(offsetH: Int) = AsofStream.Ev(-1L, -1L,
+      new java.sql.Timestamp(maxMs + offsetH * 3600L * 1000), "noop", 0.0)
+    ms.addData(noop(48))
+    q.processAllAvailable()
+    ms.addData(noop(49))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("foj_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("append-mode windows drop events later than the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
