@@ -141,6 +141,19 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(e.collect().forall(_.getDouble(0) > 0.0))
   }
 
+  test("stream-static enrichment broadcasts the dimension (no fact-side join shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val dim = Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val plan = planString(streaming.EventWindows.enrichedStats(
+      Tables(spark, dir, "events"), dim, "user_id", "c_custkey", "n_name"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "dimension join must broadcast:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "event stream must not shuffle for the enrichment join:\n" + plan)
+  }
+
   test("shingling tokenizes once per doc — split stays out of the gram lambda") {
     // The gram transform's lambda must slice a BOUND token array. If an
     // optimizer change (CollapseProject inlining) ever pushes the
