@@ -50,21 +50,27 @@ object Bench {
       "\"" + k + "\":" + v.map(fmt(_, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"runs","unit":"sec","runs":$rs,"sf":"$sfDir"}""")
-    def summary(decimals: Int): String = {
+    def summaryWith(fmtVal: Double => String): String = {
       val qs = results
-        .map { case (k, v) => "\"" + k + "\":" + fmt(median(v), decimals) }
+        .map { case (k, v) => "\"" + k + "\":" + fmtVal(median(v)) }
         .mkString("{", ",", "}")
       // sf as basename: the final line must fit the stdout tail budget
       val sf = sfDir.split('/').last
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
+    def summary(decimals: Int): String = summaryWith(fmt(_, decimals))
+    // adaptive tier: the slow queries (the ones worth profiling) keep a
+    // decimal, sub-second ones round to an integer — much shorter than
+    // uniform 1-dec, far more informative than uniform 0-dec
+    def adaptive: String = summaryWith(v => if (v >= 0.95) fmt(v, 1) else fmt(v, 0))
     // Stop Spark BEFORE the final line: executor/shutdown log noise must
     // not land after the summary, or the tail cut could clip it.
     spark.stop()
-    // Fit under the harness's ~2000-char stdout tail (minus sbt's ~75-char
-    // epilogue line): drop decimals until the line fits. A too-long final
+    // Fit under the harness's 2000-char stdout tail (minus sbt's ~75-char
+    // epilogue line): drop precision until the line fits. A too-long final
     // line would be HEAD-clipped by the tail cut and unparseable, so the
     // gate stays just under the real ~1925-char budget.
-    println((3 to 1 by -1).map(summary).find(_.length <= 1895).getOrElse(summary(0)))
+    println((Seq(summary(3), summary(2), summary(1), adaptive) :+ summary(0))
+      .find(_.length <= 1895).getOrElse(summary(0)))
   }
 }

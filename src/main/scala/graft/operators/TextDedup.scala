@@ -44,6 +44,24 @@ object TextDedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("survivor_id"))
 
+  /** Canonical text form for near-exact dedup: lowercase, punctuation
+    * stripped, whitespace collapsed. The regexes stay inside the
+    * Java∩RE2 subset (cf. [[graft.functions.Redaction]]) so the oracle
+    * replays them verbatim (DuckDB needs the 'g' flag for replace-all —
+    * Spark's regexp_replace is global by default).
+    */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Near-exact dup groups on the canonical form — catches the
+    * case/punctuation/whitespace variants a raw content hash misses
+    * (the standard first pass before n-gram near-dup). Same single
+    * map-side-combined shuffle as [[exactGroups]].
+    */
+  def normalizedGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizedText(col(textCol))).as("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("survivor_id"))
+
   // ───────────────────────────────────────────── edit distance
 
   /** Near-dup pairs by edit distance ≤ `maxDist`, lossless length-band

@@ -658,6 +658,34 @@ object CurationQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ── q25: explicit GROUPING SETS ─────────────────────────────────────
+
+  /** Disjoint grouping sets in one pass — (status), (priority), and the
+    * grand total, WITHOUT the hierarchical nesting ROLLUP implies (q20).
+    * One scan expands each row into its grouping sets before the
+    * aggregate; the grouping_id bitmask keys the strata exactly as
+    * DuckDB's GROUPING() does, so null group values are unambiguous.
+    */
+  val q25_grouping_sets: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("g_orders")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+            |       CAST(grouping_id() AS INT) AS gid,
+            |       COUNT(*) AS n_orders,
+            |       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+            |FROM g_orders
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q25_sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   // ── q24: running-frame window aggregate ─────────────────────────────
 
   /** Cumulative revenue per customer in order-date order — the explicit
@@ -707,7 +735,8 @@ object CurationQueries {
     "q21_range_join" -> q21_range_join,
     "q22_pivot" -> q22_pivot,
     "q23_event_gaps" -> q23_event_gaps,
-    "q24_running_total" -> q24_running_total)
+    "q24_running_total" -> q24_running_total,
+    "q25_grouping_sets" -> q25_grouping_sets)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -726,5 +755,6 @@ object CurationQueries {
     "q21_range_join" -> q21_sql,
     "q22_pivot" -> q22_sql,
     "q23_event_gaps" -> q23_sql,
-    "q24_running_total" -> q24_sql)
+    "q24_running_total" -> q24_sql,
+    "q25_grouping_sets" -> q25_sql)
 }

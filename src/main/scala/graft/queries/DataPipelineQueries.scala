@@ -149,6 +149,34 @@ object DataPipelineQueries {
        |$ShinglesSql,
        |$JaccardPairsSql""".stripMargin
 
+  /** Near-exact dedup on the canonical text form: lowercased,
+    * punctuation-stripped, whitespace-collapsed. Planted variants
+    * (every %10=3 doc re-added shouted: uppercased + noise punctuation)
+    * collide ONLY after normalization — raw md5 (d01) keeps them apart.
+    */
+  val d17_normalized_dedup: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(
+      d.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+    TextDedup.normalizedGroups(corpus, "doc_id", "text")
+      .orderBy(col("survivor_id"))
+  }
+
+  val d17_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000, upper(text) || ' !!' FROM documents WHERE doc_id % 10 = 3
+      |)
+      |SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+      |       CAST(COUNT(*) AS BIGINT) AS group_size,
+      |       CAST(MIN(doc_id) AS BIGINT) AS survivor_id
+      |FROM corpus
+      |GROUP BY 1
+      |ORDER BY survivor_id""".stripMargin
+
   /** Asymmetric containment ≥ 0.9: documents whose 3-gram set is mostly
     * INSIDE another document's (quotes, boilerplate wrappers). Ordered
     * pairs — the planted near-dups produce both directions; truncations
@@ -1138,6 +1166,7 @@ object DataPipelineQueries {
     "d01_dedup_exact" -> d01_dedup_exact,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
     "d16_containment" -> d16_containment,
+    "d17_normalized_dedup" -> d17_normalized_dedup,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
@@ -1165,6 +1194,7 @@ object DataPipelineQueries {
     "d01_dedup_exact" -> d01_sql,
     "d02_ngram_jaccard" -> d02_sql,
     "d16_containment" -> d16_sql,
+    "d17_normalized_dedup" -> d17_sql,
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,

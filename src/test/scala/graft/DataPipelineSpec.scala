@@ -52,6 +52,19 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("normalized dedup groups case/punct/whitespace variants; raw hash keeps them apart") {
+    val c = docs(
+      1L -> "Hello,  World!",
+      2L -> "hello world",
+      3L -> "different text entirely")
+    val norm = TextDedup.normalizedGroups(c, "doc_id", "text")
+      .collect().map(r => (r.getLong(2), r.getLong(1))).toMap // survivor -> size
+    assert(norm == Map(1L -> 2L, 3L -> 1L))
+    val raw = TextDedup.exactGroups(c, "doc_id", "text")
+      .collect().map(r => (r.getLong(2), r.getLong(1))).toMap
+    assert(raw == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("containment is asymmetric: quoted doc flagged inside container, not vice versa") {
     val c = docs(
       1L -> "alpha beta gamma delta epsilon",
