@@ -293,7 +293,61 @@ object ValidationQueries {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY custkey""".stripMargin
 
+  /** Per-column drift profile between two table versions — the
+    * reference validation runner's deep compare
+    * (validate_data_redshift_firebolt.py:132-185) as one pass: a synthetic
+    * "remote" copy of orders with planted drift (price +1 cent on
+    * %97=0, priority nulled on %101=0, rows %103=0 missing), full-outer
+    * joined on the key, then per-column mismatch counts with
+    * null-aware comparison (IS DISTINCT FROM ≡ not <=>). One row out;
+    * price compares in integer cents so the count replays exactly.
+    */
+  val v12_column_drift: Q = (s, dir) => {
+    val l = Tables(s, dir, "orders").select(
+      col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("l_cents"),
+      col("o_orderpriority").as("l_prio"))
+    val r = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 103 =!= 0)
+      .select(col("o_orderkey").as("r_key"),
+        (round(col("o_totalprice") * 100).cast("long") +
+          when(col("o_orderkey") % 97 === 0, 1L).otherwise(0L)).as("r_cents"),
+        when(col("o_orderkey") % 101 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("r_prio"))
+    l.join(r, col("o_orderkey") === col("r_key"), "full_outer")
+      .agg(
+        count(when(col("o_orderkey").isNotNull && col("r_key").isNotNull, 1)).as("n_both"),
+        count(when(col("r_key").isNull, 1)).as("n_only_left"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_only_right"),
+        count(when(col("o_orderkey").isNotNull && col("r_key").isNotNull &&
+          !(col("l_cents") <=> col("r_cents")), 1)).as("n_price_drift"),
+        count(when(col("o_orderkey").isNotNull && col("r_key").isNotNull &&
+          !(col("l_prio") <=> col("r_prio")), 1)).as("n_prio_drift"))
+  }
+
+  val v12_sql: String =
+    """WITH l AS (
+      |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS l_cents,
+      |         o_orderpriority AS l_prio
+      |  FROM orders
+      |),
+      |r AS (
+      |  SELECT o_orderkey AS r_key,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |           + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS r_cents,
+      |         CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_orderpriority END AS r_prio
+      |  FROM orders WHERE o_orderkey % 103 <> 0
+      |)
+      |SELECT CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL AND r_key IS NOT NULL THEN 1 END) AS BIGINT) AS n_both,
+      |       CAST(COUNT(CASE WHEN r_key IS NULL THEN 1 END) AS BIGINT) AS n_only_left,
+      |       CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_only_right,
+      |       CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL AND r_key IS NOT NULL
+      |                        AND l_cents IS DISTINCT FROM r_cents THEN 1 END) AS BIGINT) AS n_price_drift,
+      |       CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL AND r_key IS NOT NULL
+      |                        AND l_prio IS DISTINCT FROM r_prio THEN 1 END) AS BIGINT) AS n_prio_drift
+      |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.r_key""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "v12_column_drift" -> v12_column_drift,
     "v10_fullouter_compare" -> v10_fullouter_compare,
     "v11_set_difference" -> v11_set_difference,
     "v01_table_summary" -> v01_table_summary,
@@ -307,6 +361,7 @@ object ValidationQueries {
     "v09_interval_arith" -> v09_interval_arith)
 
   val oracles: Map[String, String] = Map(
+    "v12_column_drift" -> v12_sql,
     "v10_fullouter_compare" -> v10_sql,
     "v11_set_difference" -> v11_sql,
     "v01_table_summary" -> v01_sql,
