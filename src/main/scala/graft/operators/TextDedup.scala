@@ -44,6 +44,35 @@ object TextDedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("survivor_id"))
 
+  /** C4-style cross-document line dedup: split on newlines, drop every
+    * line occurring in ≥ `minDocs` DISTINCT documents (boilerplate:
+    * banners, footers, cookie notices), reassemble survivors in
+    * original order. Returns (idCol, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: one map-side-combined shuffle to count distinct docs
+    * per line, one join back keyed on the line (both sides corpus-sized
+    * → sort-merge, never broadcast), and a per-doc reassembly that
+    * sorts only within the document's own (pos, line) structs — no
+    * global order anywhere. A line repeated WITHIN one document is not
+    * boilerplate (distinct-doc count stays 1) and survives.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val counts = lines.groupBy(col("__line"))
+      .agg(countDistinct(col("__id")).as("__ndocs"))
+    lines.join(counts, Seq("__line"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__ndocs") < minDocs, 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__ndocs") < minDocs, struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("clean_text"))
+  }
+
   /** Canonical text form for near-exact dedup: lowercase, punctuation
     * stripped, whitespace collapsed. The regexes stay inside the
     * Java∩RE2 subset (cf. [[graft.functions.Redaction]]) so the oracle

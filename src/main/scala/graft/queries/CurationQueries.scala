@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{Redaction, TextFunctions}
-import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking, SkewJoin}
+import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking, SkewJoin, TextDedup, VectorSearch}
 
 /** Round-4 curation/enrichment operators as driver-checked queries:
   * as-of join, domain-mixture resampling, sequence packing, exact
@@ -716,6 +716,117 @@ object CurationQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // ── q26: JSON metadata extraction ───────────────────────────────────
+
+  /** Semi-structured sidecar parsing: each event's `props` JSON is
+    * parsed ONCE in the projection (`get_json_object`, codegen'd) and
+    * the extracted value reused by every aggregate — never re-parsed
+    * per aggregate. The training-pipeline shape: metadata arrives as
+    * JSON strings alongside the payload; filters/apportioning need
+    * typed values out of it at full scan speed.
+    */
+  val q26_json_extract: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(when(col("k") > 50, col("user_id"))).as("n_users_high_k"))
+      .orderBy(col("event_type"))
+
+  val q26_sql: String =
+    """SELECT event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(COUNT(DISTINCT CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+      |                                THEN user_id END) AS BIGINT) AS n_users_high_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ── s07: metadata-filtered ANN ──────────────────────────────────────
+
+  /** Vector search restricted by a metadata predicate — PRE-filter, not
+    * post-filter: the label predicate lands on the corpus scan (parquet
+    * pushdown) before any distance is computed, so (a) the scored set
+    * shrinks by the selectivity, and (b) the top-k is always k deep —
+    * post-filtering an unfiltered top-k can come up short. At 100 TB
+    * the same shape rides partition pruning when the corpus is laid
+    * out by the filter column.
+    */
+  val s07_ann_filtered: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.bruteForceTopK(
+        corpus = e.filter(col("label") === 1),
+        queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 10)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s07_sql: String =
+    """SELECT query_id, rank, id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+      |                    c.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label = 1
+      |  WHERE q.vec_id < 5) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ── d18: cross-document line dedup (boilerplate removal) ────────────
+
+  /** C4-style line-level dedup: split documents on newlines, drop every
+    * line that occurs in ≥ 2 DISTINCT documents (boilerplate:
+    * subscribe banners, copyright footers), reassemble the survivors in
+    * original order. The testdata has no newlines, so boilerplate is
+    * planted deterministically (%10=7 → banner prefix line, %10=3 →
+    * footer suffix line) — the oracle plants identically. ONE shuffle
+    * to count lines + one join back keyed on the line; reassembly is a
+    * per-doc sort of (pos, line) structs — never a global order. At
+    * 100 TB both sides of the count join are corpus-sized: this is the
+    * sort-merge-join shape (C4 runs exactly this on MapReduce), not a
+    * broadcast.
+    */
+  val d18_line_dedup: Q = (s, dir) => {
+    val corpus = Tables(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 === 7,
+          concat(lit("subscribe to our newsletter for updates\n"), col("text")))
+        .when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit("\nall rights reserved contact us for details")))
+        .otherwise(col("text")).as("text"))
+    TextDedup.lineDedup(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 7 THEN 'subscribe to our newsletter for updates' || chr(10) || text
+      |              WHEN doc_id % 10 = 3 THEN text || chr(10) || 'all rights reserved contact us for details'
+      |              ELSE text END AS text
+      |  FROM documents
+      |),
+      |lines AS (
+      |  SELECT doc_id, p.pos, ls[p.pos] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus) t
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS pos) p
+      |),
+      |counts AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line)
+      |SELECT l.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |       CAST(COUNT(CASE WHEN c.n_docs < 2 THEN 1 END) AS BIGINT) AS n_kept,
+      |       md5(COALESCE(string_agg(CASE WHEN c.n_docs < 2 THEN l.line END, chr(10) ORDER BY l.pos), '')) AS clean_hash
+      |FROM lines l JOIN counts c ON c.line = l.line
+      |GROUP BY l.doc_id
+      |ORDER BY l.doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -736,7 +847,10 @@ object CurationQueries {
     "q22_pivot" -> q22_pivot,
     "q23_event_gaps" -> q23_event_gaps,
     "q24_running_total" -> q24_running_total,
-    "q25_grouping_sets" -> q25_grouping_sets)
+    "q25_grouping_sets" -> q25_grouping_sets,
+    "q26_json_extract" -> q26_json_extract,
+    "s07_ann_filtered" -> s07_ann_filtered,
+    "d18_line_dedup" -> d18_line_dedup)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -756,5 +870,8 @@ object CurationQueries {
     "q22_pivot" -> q22_sql,
     "q23_event_gaps" -> q23_sql,
     "q24_running_total" -> q24_sql,
-    "q25_grouping_sets" -> q25_sql)
+    "q25_grouping_sets" -> q25_sql,
+    "q26_json_extract" -> q26_sql,
+    "s07_ann_filtered" -> s07_sql,
+    "d18_line_dedup" -> d18_sql)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Redaction
-import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking}
+import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking, TextDedup}
 
 /** Unit tests for the round-4 curation operators: as-of join semantics,
   * domain-mixture thresholds, sequence packing, exact quantiles, PII
@@ -277,5 +277,50 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == exact)
     assert(banded.nonEmpty, "planted prefix-mutated copies must surface")
+  }
+
+  // ── TextDedup.lineDedup (d18) ───────────────────────────────────────
+
+  test("line dedup drops cross-doc boilerplate, keeps order and stats") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "banner\nalpha one\nbravo two"),
+      (2L, "banner\ncharlie three"),
+      (3L, "delta four\nbanner\necho five"), // banner mid-document
+      (4L, "foxtrot six")                    // no boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "alpha one\nbravo two"),
+      (2L, 2L, 1L, "charlie three"),
+      (3L, 3L, 2L, "delta four\necho five"),
+      (4L, 1L, 1L, "foxtrot six")))
+  }
+
+  test("line dedup: all-boilerplate doc survives with empty clean text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "banner"), (2L, "banner"), (3L, "banner\nunique line")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 0L, ""), (2L, 0L, ""), (3L, 1L, "unique line")))
+  }
+
+  test("line dedup: repetition within ONE doc is not boilerplate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "echo\necho\nmiddle"), // echo twice in the same doc only
+      (2L, "other text")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, "echo\necho\nmiddle"),
+      (2L, 1L, 1L, "other text")))
   }
 }
