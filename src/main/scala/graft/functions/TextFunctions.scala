@@ -126,12 +126,16 @@ object TextFunctions {
     * deterministic by construction.
     */
   def langId(c: Column): Column = {
-    // struct-max trick: (score, reverse-alpha lang) max = highest score,
-    // alphabetically-first language on ties
-    val scored = LangProfiles.sortBy(_._1).map { case (lang, words) =>
-      struct(langScore(c, words).as("score"), lit(lang).as("lang"))
-    }
-    val best = scored.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    // array_max over (score, -alpha-rank, lang) structs, NOT a reduce of
+    // when/otherwise: that fold references its accumulator twice per
+    // step, doubling the expression tree per language — and every copy
+    // carries a tokenize. Max by score, ties to the smaller alpha rank
+    // (negated so the struct MAX picks it) = alphabetically-first
+    // winner, exactly the fold's keep-first semantics.
+    val best = array_max(array(LangProfiles.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(langScore(c, words).as("score"), lit(-i).as("nk"), lit(lang).as("lang"))
+    }: _*))
     when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 

@@ -121,7 +121,10 @@ object VectorSearch {
   /** Hyperplane-LSH signature: bit i = (dot(v, plane_i) > 0). */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      // constant array literal, NOT array(lit...): CreateArray of
+      // literals is rebuilt per row in codegen, a per-row allocation ×
+      // |planes|; a Literal array is one shared ArrayData reference
+      val planeCol = lit(p.toArray)
       when(dot(vec, planeCol) > 0.0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
@@ -162,32 +165,43 @@ object VectorSearch {
       centroids: Seq[Seq[Double]], k: Int, nProbe: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
     require(centroids.nonEmpty && nProbe >= 1)
-    // nearest-centroid expression: argmin over squared distance
-    def centroidCol(p: Seq[Double]): Column = array(p.map(lit): _*)
-    def dist2(vec: Column, p: Seq[Double]): Column = {
-      val d = dot(vec, vec) - lit(2.0) * dot(vec, centroidCol(p)) +
-        lit(p.map(x => x * x).sum)
-      d
-    }
-    def nearest(vec: Column): Column =
-      centroids.zipWithIndex
-        .map { case (p, i) => struct(dist2(vec, p).as("d"), lit(i).as("c")) }
-        .reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-        .getField("c")
+    // nearest-centroid expression: argmin over squared distance. The
+    // v·v term is hoisted to a column (it cannot affect the argmin but
+    // stays in the formula so FP results — and the oracle replay —
+    // are bit-identical), and centroids are constant array literals,
+    // not per-row CreateArray.
+    def dist2(vec: Column, vv: Column, p: Seq[Double]): Column =
+      vv - lit(2.0) * dot(vec, lit(p.toArray)) + lit(p.map(x => x * x).sum)
+    // array_min over (d, c) structs, NOT a reduce of when/otherwise:
+    // that fold references its accumulator twice per step, so the
+    // expression tree doubles per centroid (2^|centroids| nodes) and
+    // driver-side analysis dwarfs the actual job time. Struct ordering
+    // breaks distance ties toward the smaller cell id, matching the
+    // fold's keep-earlier semantics and the oracle's ORDER BY d, c.
+    def nearest(vec: Column, vv: Column): Column =
+      array_min(array(centroids.zipWithIndex.map { case (p, i) =>
+        struct(dist2(vec, vv, p).as("d"), lit(i).as("c"))
+      }: _*)).getField("c")
     // query side: the nProbe nearest centroids
-    def probes(vec: Column): Column = {
+    def probes(vec: Column, vv: Column): Column = {
       val ranked = array(centroids.zipWithIndex.map { case (p, i) =>
-        struct(dist2(vec, p).as("d"), lit(i).as("c"))
+        struct(dist2(vec, vv, p).as("d"), lit(i).as("c"))
       }: _*)
       slice(transform(array_sort(ranked), s => s.getField("c")), 1, nProbe)
     }
 
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
-      norm(col(vecCol)).as("__cnorm"), nearest(col(vecCol)).as("__cell"))
-    val q = broadcast(queries.select(
-        col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+        norm(col(vecCol)).as("__cnorm"),
+        dot(col(vecCol), col(vecCol)).as("__vv"))
+      .select(col("id"), col("__cvec"), col("__cnorm"),
+        nearest(col("__cvec"), col("__vv")).as("__cell"))
+    val q = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
         norm(col(vecCol)).as("__qnorm"),
-        explode(probes(col(vecCol))).as("__cell")))
+        dot(col(vecCol), col(vecCol)).as("__vv"))
+      .select(col("query_id"), col("__qvec"), col("__qnorm"),
+        explode(probes(col("__qvec"), col("__vv"))).as("__cell")))
     val joined = c.join(q, "__cell")
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("cosine", cosineFromParts(
@@ -243,14 +257,13 @@ object VectorSearch {
       require(bands >= 1 && planes.size % bands == 0,
         s"planes (${planes.size}) must split evenly into $bands bands")
       val bits = planes.size / bands
-      val bandKeys = array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          lshSignature(col("__vec"), planes.slice(j * bits, (j + 1) * bits)).as("bkey"))
-      }: _*)
+      // all band keys in one compiled loop (PlaneBandKeys), not a
+      // |planes|-node expression tree; posexplode yields (band, key)
       val banded = base
-        .select(col("id"), col("__vec"), col("__norm"), explode(bandKeys).as("bk"))
         .select(col("id"), col("__vec"), col("__norm"),
-          col("bk.band").as("__band"), col("bk.bkey").as("__bkey"))
+          posexplode(graft.functions.PlaneBandKeys(
+            col("__vec").cast(ArrayType(DoubleType)), planes, bits))
+            .as(Seq("__band", "__bkey")))
       val verified = banded.as("a").join(banded.as("b"),
           col("a.__band") === col("b.__band") &&
           col("a.__bkey") === col("b.__bkey") &&

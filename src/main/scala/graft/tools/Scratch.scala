@@ -21,6 +21,39 @@ object Scratch {
       val n = graft.SparkEntry.entry(spark).count()
       println(s"[smoke] entry rows: $n")
       require(n > 0)
+    } else if (args(0) == "ivf") {
+      // sub-step timing for s03: where do the seconds go on a tiny table?
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      graft.SparkEntry.queries("s03_ann_ivf")(spark, dir).count() // warm
+      spark.catalog.clearCache()
+      def time(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"[ivf] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("derivedPlanes(8)") {
+        graft.queries.DataPipelineQueries.derivedPlanes(spark, dir, 8)
+      }
+      time("full s03 run") {
+        graft.SparkEntry.queries("s03_ann_ivf")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+      time("derivedPlanes again") {
+        graft.queries.DataPipelineQueries.derivedPlanes(spark, dir, 8)
+      }
+      // per-job wall clock: which jobs inside the run are slow?
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobs.getOrDefault(j.jobId, 0L)
+          println(f"[ivf-job] job ${j.jobId}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      })
+      time("full s03 run (job-instrumented)") {
+        graft.SparkEntry.queries("s03_ann_ivf")(spark, dir).count()
+      }
     } else {
       val name = args(0)
       val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
