@@ -55,8 +55,12 @@ object ConnectedComponents {
       directed.unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // round-0 shortcut: the first pull from identity labels is just
+    // min(id, neighbors) — fold it into initialization and save one
+    // full propagation round (star-shaped dup groups, the common case,
+    // then converge in a single counting round)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), min(col("src"))).as("component"))
     var converged = false
     var iter = 0
     while (!converged) {

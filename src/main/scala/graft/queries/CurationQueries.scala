@@ -251,9 +251,15 @@ object CurationQueries {
     * the 5-row threshold table broadcasts back onto a codegen filter.
     */
   val t09_quality_filter: Q = (s, dir) => {
+    // persist the skinny (id, lang, score) frame: it feeds BOTH the
+    // threshold pass and the final filter join, and qualityScore is the
+    // expensive tokenizing expression — without the persist the corpus
+    // is re-scored per reference. ~24 B/row cached vs a second full
+    // text scan at 100 TB.
     val scored = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
       floor(TextFunctions.qualityScore(col("text")) * 1e6).cast(LongType)
         .as("quality_micro"))
+      .persist()
     val thr = Quantiles.exactQuantiles(scored, Seq("lang"), "quality_micro",
         "doc_id", q = 10)
       .filter(col("quantile") === 2)

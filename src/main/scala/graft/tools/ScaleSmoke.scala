@@ -69,6 +69,25 @@ object ScaleSmoke {
           .agg(countDistinct(col("pack_id"))).collect()
       }
     }
+    // line dedup: every doc gets 5 unique lines + 1 of 20 shared
+    // boilerplate lines — kept-line volume grows with the corpus while
+    // the dropped set stays the planted 20; cost must track the line
+    // count (one count shuffle + one join), not the pair count
+    Seq(100000, 1000000).foreach { n =>
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws("\n",
+          concat(lit("boiler line "), (col("id") % 20).cast("string")),
+          concat(lit("u"), col("id"), lit(" alpha")),
+          concat(lit("u"), col("id"), lit(" bravo")),
+          concat(lit("u"), col("id"), lit(" charlie")),
+          concat(lit("u"), col("id"), lit(" delta")),
+          concat(lit("u"), col("id"), lit(" echo"))).as("text"))
+      time(s"line dedup, $n docs, 6 lines each") {
+        val out = graft.operators.TextDedup.lineDedup(docs, "doc_id", "text")
+        val bad = out.filter(col("n_kept") =!= 5).count()
+        require(bad == 0, s"expected exactly the boilerplate line dropped, $bad docs differ")
+      }
+    }
   }
 
   private def time[T](label: String)(f: => T): T = {

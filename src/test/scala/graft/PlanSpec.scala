@@ -204,6 +204,28 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "expected an equi-join on __bucket:\n" + plan.take(3000))
   }
 
+  test("filtered ANN pushes the metadata predicate into the corpus scan") {
+    // s07's contract: the label filter is a PRE-filter at the parquet
+    // scan (pushdown-able equality), never a post-filter on scored rows
+    val plan = initialPlanString(queries.CurationQueries.s07_ann_filtered(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,1)]") ||
+      plan.contains("EqualTo(label,1)"),
+      "label predicate must reach the scan:\n" + plan.take(3000))
+  }
+
+  test("line dedup reassembles inside the aggregate (no window, no row_number)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val plan = planString(operators.TextDedup.lineDedup(corpus, "doc_id", "text"))
+    // reassembly is array_sort over collected (pos, line) structs inside
+    // the per-doc aggregate — a Window/row_number shape would add a
+    // per-doc sort pass over the exploded corpus
+    assert(!plan.contains("Window"),
+      "per-doc reassembly must not plan a window:\n" + plan.take(3000))
+    assert(plan.contains("partial_collect_list"),
+      "expected map-side-partial struct collection:\n" + plan.take(3000))
+  }
+
   test("centroid aggregate carries vectors whole (no corpus-wide explode)") {
     // VectorSumAgg's contract: the plan has no Generate below the
     // aggregate — the corpus is never multiplied by the dimension count
