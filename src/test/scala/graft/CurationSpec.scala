@@ -310,6 +310,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, ""), (2L, 0L, ""), (3L, 1L, "unique line")))
   }
 
+  test("line dedup is partitioning-invariant") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map { i =>
+      val boiler = if (i % 4 == 0) "shared footer\n" else ""
+      (i, s"${boiler}doc $i body\ndoc $i tail")
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.lineDedup(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(run(corpus) == run(corpus.repartition(7)))
+  }
+
   test("line dedup: repetition within ONE doc is not boilerplate") {
     import spark.implicits._
     val corpus = Seq(
