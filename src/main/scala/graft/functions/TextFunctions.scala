@@ -172,11 +172,10 @@ object TextFunctions {
     * merge the two projections because the alias is non-cheap and
     * multiply referenced, so the binding survives optimization.)
     */
-  def gramsOfTokens(toks: Column, n: Int): Column = {
-    val count = size(toks)
-    val grams = transform(
-      sequence(lit(0), greatest(count - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    when(count === 0, array().cast(ArrayType(StringType))).otherwise(grams)
-  }
+  def gramsOfTokens(toks: Column, n: Int): Column =
+    // one compiled loop (WordGrams) — semantically identical to the
+    // transform/sequence/slice composition but with no interpreted
+    // lambda and no per-gram slice allocation; also immune to the
+    // outer-ref re-tokenization pitfall the PlanSpec guard watches for
+    WordGrams(toks, n)
 }

@@ -154,12 +154,13 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "event stream must not shuffle for the enrichment join:\n" + plan)
   }
 
-  test("shingling tokenizes once per doc — split stays out of the gram lambda") {
-    // The gram transform's lambda must slice a BOUND token array. If an
-    // optimizer change (CollapseProject inlining) ever pushes the
-    // tokenizing `split` back inside the interpreted lambda, it re-runs
-    // once per gram index — O(tokens²) per document (measured 5× on the
-    // shingle path). One `split(` in the whole plan = tokenized once.
+  test("shingling tokenizes once per doc and grams compile (no lambda)") {
+    // Two past regressions under guard here: (1) the tokenizing `split`
+    // must run once per document, never once per gram index (the
+    // outer-ref O(tokens²) pitfall — measured 5× on the shingle path);
+    // (2) grams must come from the compiled word_grams kernel, not an
+    // interpreted ArrayTransform lambda (per-gram lambda invocation +
+    // slice allocation was most of the shingle stage).
     val sh = operators.TextDedup.shingles(
       Tables(spark, dir, "documents"), "doc_id", "text", 3)
     val plan = initialPlanString(sh)
@@ -167,11 +168,10 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val splits = "(?<![A-Za-z_])split\\(".r.findAllIn(plan).length
     assert(splits == 1,
       s"expected exactly one split( in the shingle plan, found $splits:\n" + plan)
-    // and the lambda itself (same plan line) must not contain the split
-    val lambdaLine = plan.linesIterator.find(_.contains("lambdafunction"))
-      .getOrElse(fail("no lambdafunction in shingle plan (rendering changed?):\n" + plan))
-    assert(!lambdaLine.contains("split("),
-      "gram lambda re-tokenizes:\n" + plan)
+    assert(plan.contains("word_grams"),
+      "grams must use the compiled word_grams kernel:\n" + plan)
+    assert(!plan.contains("lambdafunction"),
+      "no interpreted lambda may remain on the shingle path:\n" + plan)
   }
 
   test("bucket filter prunes partitions at the store scan (not post-read)") {
