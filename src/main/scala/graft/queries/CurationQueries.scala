@@ -722,6 +722,48 @@ object CurationQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // ── q27: NOT IN vs NOT EXISTS under NULLs ───────────────────────────
+
+  /** Three-valued-logic corner both engines must agree on: a NULL in a
+    * NOT IN subquery set makes the predicate never-TRUE (every row
+    * drops), while NOT EXISTS simply never matches the NULL row (no
+    * rows drop beyond the clean set). One row out with all three
+    * counts; the poisoned count MUST be 0 and the clean counts equal —
+    * an engine that compiles NOT IN to a plain anti-join gets this
+    * wrong, which is why it's under the gate.
+    */
+  val q27_notin_nulls: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("ni_orders")
+    Tables(s, dir, "customer").createOrReplaceTempView("ni_customer")
+    s.sql("""SELECT
+            |  (SELECT COUNT(*) FROM ni_orders
+            |   WHERE o_custkey NOT IN (
+            |     SELECT c_custkey FROM ni_customer WHERE c_acctbal < 0)) AS n_clean,
+            |  (SELECT COUNT(*) FROM ni_orders o
+            |   WHERE NOT EXISTS (
+            |     SELECT 1 FROM ni_customer c
+            |     WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)) AS n_not_exists,
+            |  (SELECT COUNT(*) FROM ni_orders
+            |   WHERE o_custkey NOT IN (
+            |     SELECT c_custkey FROM ni_customer WHERE c_acctbal < 0
+            |     UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_null_poisoned
+            |""".stripMargin)
+  }
+
+  val q27_sql: String =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM orders
+      |        WHERE o_custkey NOT IN (
+      |          SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS BIGINT) AS n_clean,
+      |  CAST((SELECT COUNT(*) FROM orders o
+      |        WHERE NOT EXISTS (
+      |          SELECT 1 FROM customer c
+      |          WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)) AS BIGINT) AS n_not_exists,
+      |  CAST((SELECT COUNT(*) FROM orders
+      |        WHERE o_custkey NOT IN (
+      |          SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      |          UNION ALL SELECT CAST(NULL AS BIGINT))) AS BIGINT) AS n_null_poisoned""".stripMargin
+
   // ── q26: JSON metadata extraction ───────────────────────────────────
 
   /** Semi-structured sidecar parsing: each event's `props` JSON is
@@ -855,6 +897,7 @@ object CurationQueries {
     "q24_running_total" -> q24_running_total,
     "q25_grouping_sets" -> q25_grouping_sets,
     "q26_json_extract" -> q26_json_extract,
+    "q27_notin_nulls" -> q27_notin_nulls,
     "s07_ann_filtered" -> s07_ann_filtered,
     "d18_line_dedup" -> d18_line_dedup)
 
@@ -878,6 +921,7 @@ object CurationQueries {
     "q24_running_total" -> q24_sql,
     "q25_grouping_sets" -> q25_sql,
     "q26_json_extract" -> q26_sql,
+    "q27_notin_nulls" -> q27_sql,
     "s07_ann_filtered" -> s07_sql,
     "d18_line_dedup" -> d18_sql)
 }
