@@ -63,6 +63,9 @@ object Bench {
     // decimal, sub-second ones round to an integer — much shorter than
     // uniform 1-dec, far more informative than uniform 0-dec
     def adaptive: String = summaryWith(v => if (v >= 0.95) fmt(v, 1) else fmt(v, 0))
+    // tighter fallback before losing all decimals: only multi-second
+    // queries (the profiling targets) keep theirs
+    def adaptive2: String = summaryWith(v => if (v >= 1.95) fmt(v, 1) else fmt(v, 0))
     // Stop Spark BEFORE the final line: executor/shutdown log noise must
     // not land after the summary, or the tail cut could clip it.
     spark.stop()
@@ -70,7 +73,7 @@ object Bench {
     // epilogue line): drop precision until the line fits. A too-long final
     // line would be HEAD-clipped by the tail cut and unparseable, so the
     // gate stays just under the real ~1925-char budget.
-    println((Seq(summary(3), summary(2), summary(1), adaptive) :+ summary(0))
+    println((Seq(summary(3), summary(2), summary(1), adaptive, adaptive2) :+ summary(0))
       .find(_.length <= 1895).getOrElse(summary(0)))
   }
 }
