@@ -468,6 +468,62 @@ class DataPipelineSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, stride = 2, maxFrames = 2).collect()
     assert(frames.forall(_.getLong(0) == 2L) && frames.length == 2)
   }
+
+  // ── codegen kernels ≡ the compositions they replaced ────────────────
+
+  test("WordGrams kernel is bit-identical to the transform/slice composition") {
+    import spark.implicits._
+    // edge shapes: empty, shorter than n, exactly n, repeats, unicode,
+    // single token, plus a pseudo-random spread
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[Seq[String]] =
+      Seq(Seq(), Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+        Seq("x", "x", "x", "x"), Seq("α", "βγ", "δ", "ε", "ζ")) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(12))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString))
+    for (n <- Seq(1, 2, 3, 8)) {
+      val df = cases.map(Tuple1(_)).toDF("toks")
+      val composed = {
+        val toks = col("toks")
+        val count = size(toks)
+        val grams = transform(
+          sequence(lit(0), greatest(count - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+        when(count === 0, array().cast("array<string>")).otherwise(grams)
+      }
+      val rows = df.select(
+          graft.functions.WordGrams(col("toks"), n).as("kernel"),
+          composed.as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n kernel=${r.getSeq[String](0)} composed=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("PlaneBandKeys kernel matches per-band lshSignature slices") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(32)(Seq.fill(dims)(rnd.nextGaussian()))
+    val vecs: Seq[Seq[Double]] =
+      Seq.fill(25)(Seq.fill(dims)(rnd.nextGaussian())) :+ Seq.fill(dims)(0.0)
+    val bands = 4
+    val bits = planes.size / bands
+    val df = vecs.map(Tuple1(_)).toDF("vec")
+    val sliced = array((0 until bands).map { j =>
+      VectorSearch.lshSignature(col("vec"), planes.slice(j * bits, (j + 1) * bits))
+    }: _*)
+    val rows = df.select(
+        graft.functions.PlaneBandKeys(col("vec"), planes, bits).as("kernel"),
+        sliced.as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
 }
 
 object DataPipelineSpec {
