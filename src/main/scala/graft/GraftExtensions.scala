@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFingerprint}
+import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFingerprint, WordGrams}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -16,6 +16,7 @@ import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFinge
   *   SELECT winnowed_fingerprint(text[, k, w])    -- rolling-hash winnowing
   *   SELECT minhash_signature(shingle, 128) ... GROUP BY doc  -- MinHash agg
   *   SELECT simhash_signature(h, 60) ... GROUP BY doc         -- SimHash agg
+  *   SELECT word_grams(toks, 3)                   -- compiled n-gram shingles
   *
   * Wire up with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -62,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "simhash_signature(hash, bits)")
         SimHashAgg(args.head, intArg(args(1), "bits"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_grams(tokens, n)")
+        WordGrams(args.head, intArg(args(1), "n"))
       }))
 
     ext.injectFunction((

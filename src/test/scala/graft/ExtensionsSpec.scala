@@ -37,6 +37,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 10000000008L)
   }
 
+  test("word_grams callable from SQL, short-doc edge included") {
+    val r = spark.sql(
+      "SELECT word_grams(array('a', 'b', 'c', 'd'), 3) AS g").head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = spark.sql(
+      "SELECT word_grams(array('a', 'b'), 3) AS g").head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
   test("dot kernels reject dimension mismatch instead of truncating") {
     val ei = intercept[Exception] {
       spark.sql("SELECT int_dot(array(1, 2, 3), array(1, 2))").head()
