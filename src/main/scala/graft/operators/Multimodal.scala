@@ -16,6 +16,15 @@ import org.apache.spark.sql.types._
   * Swapping in a real codec changes only the function body passed to
   * [[processBatches]] — the distribution, batching and schema contracts
   * are unchanged.
+  *
+  * Why Scala-native rather than `mapInPandas`: the batch contract here
+  * (per-partition iterator of fixed-size record batches in, feature
+  * batches out) is exactly the `mapInPandas` shape, but staying on the
+  * JVM keeps the typed encoders, avoids the Python-worker serialization
+  * round-trip for the (dominant) payload bytes, and is testable in this
+  * container (no pyspark on the library side). A deployment whose codec
+  * only exists in Python swaps [[processBatches]] for `mapInPandas`
+  * with the same schema and batch size — no other operator changes.
   */
 object Multimodal {
 
