@@ -8,8 +8,18 @@ object Bench {
     */
   private val Runs = 3
 
+  /** 1-minute load average — machine-contention telemetry so a bench run
+    * on a busy box is self-evidently contaminated (medians protect
+    * against one bad run, not a loaded machine for the whole bench).
+    */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,10 +47,16 @@ object Bench {
       }
       name -> runs
     }
+    val loadAfter = loadAvg()
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def fmt(d: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
     val total = results.values.map(median).sum
+    // worst per-query max/min run ratio — >2 means at least one query's
+    // three runs diverged badly, i.e. the box was contended mid-bench
+    val spread = results.values
+      .map(v => if (v.min > 0.05) v.max / v.min else 1.0)
+      .foldLeft(1.0)(math.max)
     // Per-run detail first (may be long); the harness only keeps the LAST
     // ~2000 characters of stdout, so the machine-readable summary must be
     // the final line and must be short enough to survive that tail cut —
@@ -56,7 +72,7 @@ object Bench {
         .mkString("{", ",", "}")
       // sf as basename: the final line must fit the stdout tail budget
       val sf = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)}}"""
     }
     def summary(decimals: Int): String = summaryWith(fmt(_, decimals))
     // adaptive tier: the slow queries (the ones worth profiling) keep a

@@ -16,24 +16,37 @@ import org.apache.spark.sql.functions._
   * labels; converges when no label changes. Rounds needed = graph
   * diameter, and near-dup components are clique-ish (LSH emits most
   * intra-cluster pairs directly), so 2-3 rounds in practice; each round
-  * is one join + one aggregation, all shuffles on node id. For
-  * adversarial long-chain graphs the round count grows with the chain
-  * length — the known remedy is star-contraction (large-star/small-star)
-  * with O(log n) rounds, which this implementation deliberately trades
-  * for per-round simplicity since duplicate clusters are not chains.
+  * is one join + one aggregation, all shuffles on node id, and ONE
+  * Spark job: the convergence count piggybacks on the action that
+  * materializes the round's lazy localCheckpoint instead of running as
+  * a second job over it.
+  *
+  * Chain-shaped graphs (shingled revision sequences, a~b~c~… paths)
+  * would need diameter rounds under pure propagation; after
+  * `jumpAfter` rounds without convergence each subsequent round also
+  * pointer-jumps the label table (label := label[label], one extra
+  * self-join on the LABELS frame — orders of magnitude smaller than
+  * the corpus). Jumping halves the remaining chain depth per round, so
+  * convergence is O(log diameter) total — the same asymptotics as
+  * star-contraction without rebuilding the edge relation each round.
+  * Clique-ish duplicate graphs converge before the jump threshold and
+  * never pay the extra join.
   *
   * `maxIterations` is a safety bound, not a tuning knob: hitting it
-  * throws rather than silently emitting unconverged labels.
+  * throws rather than silently emitting unconverged labels (with
+  * jumping, 20 rounds covers diameters beyond any physical corpus).
   */
 object ConnectedComponents {
 
   /** @param pairs (aCol, bCol) undirected edges
+    * @param jumpAfter rounds of pure propagation before each round also
+    *        pointer-jumps the label table (chain-graph acceleration)
     * @return (id, component) for every node appearing in an edge;
     *         component = min node id reachable
     */
   def components(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20, jumpAfter: Int = 3): DataFrame = {
     // Iterative plans re-derive their whole lineage on every reuse unless
     // it is cut: checkpoint the edge set once (so the possibly-expensive
     // pair pipeline upstream — LSH, joins — runs exactly once) and the
@@ -46,6 +59,12 @@ object ConnectedComponents {
     def cut(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // LAZY cut for the per-round label frame: the round's convergence
+    // count is the action that materializes it, so a round costs exactly
+    // one job (checkpoint-then-count was two)
+    def cutLazy(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
 
     // cut BEFORE the union too: `directed` appears in both branches, and
     // an uncut plan would execute the (possibly expensive — LSH, joins)
@@ -68,19 +87,38 @@ object ConnectedComponents {
       if (iter > maxIterations)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIterations rounds " +
-            "(component diameter exceeds the bound — raise maxIterations or " +
-            "switch to star-contraction for chain-shaped graphs)")
-      // each node pulls the smallest label among its neighbors
+            "(with pointer-jumping this needs diameter > 2^(rounds-jumpAfter) — " +
+            "raise maxIterations)")
+      // each node pulls the smallest label among its neighbors; labels
+      // only ever decrease, so "pulled a smaller label" IS the
+      // convergence test and rides along as a __changed column
       val pulled = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("component")).as("__nbr"))
-      val joined = cut(labels.join(pulled, col("id") === col("src"), "left"))
-      // labels only ever decrease, so "pulled a smaller label" IS the
-      // convergence test — one job per round over the checkpointed frame
-      val changed = joined
-        .filter(coalesce(col("__nbr"), col("component")) < col("component"))
-        .count()
-      labels = joined.select(col("id"),
-        least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
+      val prop = labels.join(pulled, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
+          (coalesce(col("__nbr"), col("component")) < col("component")).as("__changed"))
+      val next = cutLazy(
+        if (iter <= jumpAfter) prop
+        else {
+          // pointer jump: label := label's label. The label table is tiny
+          // next to the corpus, so the extra self-join is cheap; it halves
+          // the remaining chain depth each round (O(log diameter) total).
+          // Lazily cut so the shared base computes once inside the count
+          // job below; left join — every label IS a node id in the frame,
+          // but left keeps the row count invariant by construction.
+          val base = cutLazy(prop)
+          val lookup = base.select(col("id").as("__jid"), col("component").as("__jcomp"))
+          base.join(lookup, base("component") === col("__jid"), "left")
+            .select(base("id"),
+              coalesce(col("__jcomp"), base("component")).as("component"),
+              (base("__changed") ||
+                coalesce(col("__jcomp"), base("component")) < base("component")).as("__changed"))
+        })
+      // the ONE job per round: materializes the lazy checkpoint(s) and
+      // counts changed labels in the same pass
+      val changed = next.filter(col("__changed")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
     }
     labels

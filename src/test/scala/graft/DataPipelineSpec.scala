@@ -124,11 +124,24 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(groups == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (99L, 99L, true)))
 
     // convergence guard: a long chain exceeds a tiny iteration bound loudly
+    // (jumpAfter past the bound keeps this pure propagation)
     val chain = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      graft.operators.ConnectedComponents.components(chain, "id_a", "id_b", maxIterations = 2)
-        .collect()
+      graft.operators.ConnectedComponents.components(chain, "id_a", "id_b",
+          maxIterations = 2, jumpAfter = 2).collect()
     }
+  }
+
+  test("connected components: 1000-node path converges in O(log n) rounds via pointer jump") {
+    import spark.implicits._
+    // worst case for pure min-label propagation (diameter 999, needs ~999
+    // rounds); pointer-jumping after round 3 must close it well inside the
+    // default 20-round bound, labeling every node with the path minimum
+    val path = (1L to 1000L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    val comp = graft.operators.ConnectedComponents.components(path, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == 1000)
+    assert(comp.forall(_._2 == 1L), s"non-min labels: ${comp.filter(_._2 != 1L).take(5).toSeq}")
   }
 
   test("simhash: identical docs hamming 0; near dups close; different docs far") {
