@@ -73,6 +73,33 @@ object TextDedup {
           x => x.getField("__line")), "\n").as("clean_text"))
   }
 
+  /** Intra-document de-repetition: collapse runs of CONSECUTIVE
+    * identical lines within each document to a single occurrence
+    * (generation loops, scraped pagination artifacts, stuttered
+    * boilerplate). Non-consecutive repeats survive — [A, A, B, A]
+    * keeps [A, B, A] — and cross-document frequency is irrelevant
+    * (that's [[lineDedup]]'s job). Returns (idCol, n_lines, n_kept,
+    * clean_text).
+    *
+    * Scale shape: ZERO shuffles — pure per-row array expressions
+    * (split → indexed filter against the bound lines column → join),
+    * embarrassingly parallel at any corpus size. The lambda reads the
+    * previous element via element_at on the BOUND array column (O(1)
+    * per element), never re-evaluating the split per element — the
+    * HOF outer-ref quadratic pitfall.
+    */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), col("__lines"),
+        // keep line i (0-based) iff first or different from line i−1
+        // (element_at is 1-based, so element_at(__lines, i) IS i−1)
+        filter(col("__lines"),
+          (x, i) => i === 0 || x =!= element_at(col("__lines"), i)).as("__kept"))
+      .select(col(idCol),
+        size(col("__lines")).as("n_lines"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+
   /** Canonical text form for near-exact dedup: lowercase, punctuation
     * stripped, whitespace collapsed. The regexes stay inside the
     * Java∩RE2 subset (cf. [[graft.functions.Redaction]]) so the oracle
@@ -187,8 +214,9 @@ object TextDedup {
     * wrappers, expanded revisions), which symmetric Jaccard misses when
     * the container is much longer (|A∩B|/|A∪B| shrinks with |B|).
     * Same inverted-index shape as [[ngramJaccardPairs]] and the same
-    * scale label: exact verification baseline — the scale path bands
-    * min-hashes of the smaller side, exactly like d03's LSH.
+    * scale label: exact verification baseline — the scale path is
+    * [[containmentPairsPrefix]]. Caller owns the cache lifetime of the
+    * shingle relation this persists (cf. [[minhashLshPairs]]).
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -208,6 +236,90 @@ object TextDedup {
     val dirB = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
       (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))
     dirA.unionAll(dirB).filter(col("containment") >= threshold)
+  }
+
+  /** Directed candidate pairs for [[containmentPairsPrefix]] — split out
+    * so the plan contract (candidate join keyed on the 8-byte shingle
+    * hash, never the raw shingle string) is assertable in isolation.
+    *
+    * Prefix filtering (the AllPairs/PPJoin family): containment ≥ t
+    * means at most ⌊(1−t)·|src|⌋ of src's shingles miss dst, so src's
+    * k = ⌊(1−t)·|src|⌋+1 RAREST shingles (by document frequency) must
+    * include at least one shingle present in dst — pigeonhole, lossless.
+    * Candidates therefore come only from low-df shingles; the high-df
+    * boilerplate tail — the Σ df² blowup that makes the exact
+    * inverted-index join quadratic on exactly the corpora containment
+    * detection is for — never generates a candidate. This beats banding
+    * min-hash signatures for the asymmetric case: a short doc quoted
+    * inside a much longer one has low Jaccard, so symmetric-signature
+    * bands lose precisely the pairs containment exists to find, while
+    * the prefix filter is exact at any length ratio.
+    *
+    * Scale shape: df counts are one map-side-combined shuffle; the
+    * per-doc rarest-k selection is one corpus-linear window (shuffle by
+    * doc id, sort within doc); the candidate join is prefix (≈(1−t) of
+    * the shingle volume) against the full index on `xxhash64(shingle)`
+    * — an 8-byte key, with fan-out bounded by the LOW df of prefix
+    * shingles. Hash collisions only ever ADD candidates (verification
+    * is exact), so the output is identical to [[containmentPairs]].
+    */
+  private[graft] def containmentCandidates(
+      sh: DataFrame, threshold: Double): DataFrame = {
+    val keyed = sh.select(col("id"), xxhash64(col("shingle")).as("skey"))
+    val dfs = keyed.groupBy("skey").agg(count(lit(1)).as("__df"))
+    val sizes = keyed.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    // +1e-6 guards the FP product's round-down at integer boundaries
+    // ((1−0.9)·20 = 1.9999999999999996): k may only ever over-approximate
+    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("skey"))
+    val prefix = keyed.join(dfs, "skey")
+      .withColumn("__rk", row_number().over(w))
+      .join(sizes, "id")
+      .filter(col("__rk") <=
+        floor((lit(1.0) - threshold) * col("n_shingles") + 1e-6) + 1)
+      .select(col("id").as("id_src"), col("skey"))
+    prefix.join(keyed.select(col("id").as("id_dst"), col("skey")), "skey")
+      .filter(col("id_src") =!= col("id_dst"))
+      .select("id_src", "id_dst")
+      .distinct()
+  }
+
+  /** Asymmetric containment at scale: prefix-filtered candidates (see
+    * [[containmentCandidates]]) verified with the exact |src∩dst|/|src|
+    * on candidates only — same output as [[containmentPairs]], never
+    * all-pairs on shared shingles. Verification compares raw shingle
+    * strings (string-exact parity with the oracle) and is size-gated
+    * exactly like [[minhashLshPairs]]: small candidate sets broadcast,
+    * large ones fall back to shuffle joins. Caller owns the cache
+    * lifetime of the persisted shingle relation.
+    */
+  def containmentPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9,
+      broadcastCandidateLimit: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sh = shingles(df, idCol, textCol, n).persist()
+    val candidates = containmentCandidates(sh, threshold).persist()
+    val candCount = candidates.count()
+    val shStats = sh.agg(countDistinct(col("id")), count(lit(1))).head()
+    val avgShingles =
+      if (shStats.getLong(0) == 0L) 1L
+      else math.max(1L, shStats.getLong(1) / shStats.getLong(0))
+    val small = candCount <= broadcastCandidateLimit &&
+      candCount * avgShingles <= PairShingleBroadcastRows
+    val gate: DataFrame => DataFrame = if (small) broadcast else identity
+
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val pairShingles = sh.join(gate(candidates), col("id") === col("id_src"))
+      .select(col("id_src"), col("id_dst").as("__cand_b"), col("shingle").as("__cand_sh"))
+    val inter = sh.join(gate(pairShingles),
+        col("id") === col("__cand_b") && col("shingle") === col("__cand_sh"))
+      .select(col("id_src"), col("__cand_b").as("id_dst"))
+      .groupBy("id_src", "id_dst").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_src").withColumnRenamed("n_shingles", "size_src"), "id_src")
+      .withColumn("containment", col("n_inter").cast(DoubleType) / col("size_src"))
+      .filter(col("containment") >= threshold)
+      .select("id_src", "id_dst", "containment")
   }
 
   // ───────────────────────────────────────────── MinHash + LSH

@@ -875,6 +875,52 @@ object CurationQueries {
       |GROUP BY l.doc_id
       |ORDER BY l.doc_id""".stripMargin
 
+  // ── d20: intra-document de-repetition ───────────────────────────────
+
+  /** Collapse consecutive duplicate lines WITHIN each document
+    * (generation loops, stuttered scraper output) — the intra-doc
+    * sibling of d18's cross-doc boilerplate dedup. The testdata is
+    * single-line, so repetition is planted deterministically: %3=0 docs
+    * become [A,A,B,B,A] (collapses to [A,B,A] — the trailing A proves
+    * non-consecutive repeats survive), %3=1 docs [A,B,B] → [A,B], the
+    * rest stay untouched. Zero-shuffle per-row array work; see
+    * [[TextDedup.dropRepeatedLines]].
+    */
+  val d20_derepetition: Q = (s, dir) => {
+    val a = substring(col("text"), 1, 50)
+    val b = substring(col("text"), 51, 50)
+    val corpus = Tables(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat_ws("\n", a, a, b, b, a))
+        .when(col("doc_id") % 3 === 1, concat_ws("\n", a, b, b))
+        .otherwise(col("text")).as("text"))
+    TextDedup.dropRepeatedLines(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d20_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0
+      |                THEN substr(text, 1, 50) || chr(10) || substr(text, 1, 50) || chr(10) ||
+      |                     substr(text, 51, 50) || chr(10) || substr(text, 51, 50) || chr(10) ||
+      |                     substr(text, 1, 50)
+      |              WHEN doc_id % 3 = 1
+      |                THEN substr(text, 1, 50) || chr(10) || substr(text, 51, 50) || chr(10) ||
+      |                     substr(text, 51, 50)
+      |              ELSE text END AS text
+      |  FROM documents
+      |),
+      |lined AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+      |kept AS (SELECT doc_id, l, list_filter(l, (x, i) -> i = 1 OR x <> l[i - 1]) AS k FROM lined)
+      |SELECT doc_id,
+      |       CAST(len(l) AS INT) AS n_lines,
+      |       CAST(len(k) AS INT) AS n_kept,
+      |       md5(array_to_string(k, chr(10))) AS clean_hash
+      |FROM kept
+      |ORDER BY doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -899,7 +945,8 @@ object CurationQueries {
     "q26_json_extract" -> q26_json_extract,
     "q27_notin_nulls" -> q27_notin_nulls,
     "s07_ann_filtered" -> s07_ann_filtered,
-    "d18_line_dedup" -> d18_line_dedup)
+    "d18_line_dedup" -> d18_line_dedup,
+    "d20_derepetition" -> d20_derepetition)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -923,5 +970,6 @@ object CurationQueries {
     "q26_json_extract" -> q26_sql,
     "q27_notin_nulls" -> q27_sql,
     "s07_ann_filtered" -> s07_sql,
-    "d18_line_dedup" -> d18_sql)
+    "d18_line_dedup" -> d18_sql,
+    "d20_derepetition" -> d20_sql)
 }

@@ -211,6 +211,20 @@ object DataPipelineQueries {
        |WHERE containment >= 0.9
        |ORDER BY id_src, id_dst""".stripMargin
 
+  /** Containment at scale: prefix-filtered candidates (rarest-shingle
+    * pigeonhole, candidate join on the 8-byte shingle hash — see
+    * [[TextDedup.containmentCandidates]]) with exact verification. The
+    * prefix filter is lossless, so the oracle is d16's exact SQL — the
+    * banded path must reproduce the exact operator's rows bit-for-bit.
+    */
+  val d19_containment_prefix: Q = (s, dir) => {
+    TextDedup.containmentPairsPrefix(dupDocCorpus(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .orderBy(col("id_src"), col("id_dst"))
+  }
+
+  val d19_sql: String = d16_sql
+
   /** MinHash+LSH near-dup (128 hashes, 32 bands) with exact verification —
     * must equal the exact operator at these margins, so it shares d02's
     * oracle.
@@ -1167,6 +1181,7 @@ object DataPipelineQueries {
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
     "d16_containment" -> d16_containment,
     "d17_normalized_dedup" -> d17_normalized_dedup,
+    "d19_containment_prefix" -> d19_containment_prefix,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
@@ -1195,6 +1210,7 @@ object DataPipelineQueries {
     "d02_ngram_jaccard" -> d02_sql,
     "d16_containment" -> d16_sql,
     "d17_normalized_dedup" -> d17_sql,
+    "d19_containment_prefix" -> d19_sql,
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,

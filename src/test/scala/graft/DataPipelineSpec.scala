@@ -78,6 +78,58 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix containment equals exact containment, including asymmetric pairs") {
+    val c = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      // doc 1 fully inside doc 2 — LOW Jaccard (container much longer), so
+      // symmetric-signature banding would miss it; the prefix filter must not
+      2L -> "header text alpha beta gamma delta epsilon footer text here plus much more trailing content",
+      3L -> "completely different content with no shared grams at all",
+      4L -> "alpha beta gamma delta epsilon", // exact dup of 1 (both directions)
+      5L -> "")
+    for (t <- Seq(0.7, 0.9, 1.0)) {
+      val exact = TextDedup.containmentPairs(c, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val prefix = TextDedup.containmentPairsPrefix(c, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(prefix == exact, s"threshold $t: prefix $prefix != exact $exact")
+    }
+    // sanity on the asymmetric pair itself at 0.9
+    val out = TextDedup.containmentPairsPrefix(c, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)) && !out.contains((2L, 1L)))
+    assert(out.contains((1L, 4L)) && out.contains((4L, 1L)))
+  }
+
+  test("prefix containment: over-limit candidates fall back to shuffle verify, same result") {
+    import spark.implicits._
+    val cluster = (1L to 120L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val df = (cluster ++ Seq((900L, "unrelated content entirely about something else here")))
+      .toDF("doc_id", "text")
+    val viaShuffle = TextDedup.containmentPairsPrefix(df, "doc_id", "text",
+        broadcastCandidateLimit = 10L)
+      .select("id_src", "id_dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = TextDedup.containmentPairsPrefix(df, "doc_id", "text")
+      .select("id_src", "id_dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaShuffle.size == 120 * 119, s"expected all directed pairs, got ${viaShuffle.size}")
+    assert(viaShuffle == viaBroadcast)
+  }
+
+  test("de-repetition collapses consecutive runs only; non-consecutive repeats survive") {
+    val c = docs(
+      1L -> "a\na\nb\nb\nb\na",
+      2L -> "solo line",
+      3L -> "a\nb\na",
+      4L -> "")
+    val out = TextDedup.dropRepeatedLines(c, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6, 3, "a\nb\na")))
+    assert(out(2L) == ((1, 1, "solo line")))
+    assert(out(3L) == ((3, 3, "a\nb\na"))) // non-consecutive repeat kept
+    assert(out(4L) == ((1, 1, "")))
+  }
+
   test("minhash LSH: over-limit candidate set verifies via shuffle joins, same result") {
     import spark.implicits._
     // a 200-member duplicate cluster alone yields 19,900 candidate pairs;

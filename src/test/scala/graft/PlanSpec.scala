@@ -213,6 +213,50 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "label predicate must reach the scan:\n" + plan.take(3000))
   }
 
+  test("containment candidates join on the hashed shingle key, never the raw string") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // the d16 exact join's scale killer was an equi-join keyed on the raw
+    // shingle STRING over the full inverted index; the prefix path must key
+    // every join on the 8-byte xxhash64 `skey` (or doc id) instead
+    val sh = operators.TextDedup.shingles(
+      queries.DataPipelineQueries.dupDocCorpus(spark, dir), "doc_id", "text", 3)
+    val cands = operators.TextDedup.containmentCandidates(sh, 0.9)
+    val plan = executedPlan(cands)
+    val joins = collectWithSubqueries(plan) { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, "expected joins in the candidate plan:\n" + plan)
+    val keys = joins.flatMap(j => j.leftKeys ++ j.rightKeys)
+    assert(!keys.exists {
+        case a: AttributeReference => a.name == "shingle"
+        case _ => false
+      }, s"no candidate join may key on the raw shingle string, got keys $keys")
+    assert(keys.exists(k => k.references.exists(_.name == "skey") ||
+        k.toString.toLowerCase.contains("xxhash64")),
+      s"expected the hashed shingle key in a join, got keys $keys")
+  }
+
+  test("LSH verification gate controls the broadcast: closed → shuffle, open → broadcast") {
+    // ScaleSmoke exercises the fallback's RESULTS at 720k candidates; this
+    // pins the PLAN. Size-based auto-broadcast is disabled so the only
+    // broadcast source left is the gate's own hint: with the gate forced
+    // closed no verification join may broadcast, with it open (tiny
+    // candidate set at sf0.001) the hint must take effect.
+    val corpus = queries.DataPipelineQueries.dupDocCorpus(spark, dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val closed = planString(operators.TextDedup.minhashLshPairs(
+        corpus, "doc_id", "text", broadcastCandidateLimit = 0L))
+      assert(!closed.contains("BroadcastHashJoin"),
+        "forced-closed gate must not broadcast any verification side:\n" + closed.take(3000))
+      assert(closed.contains("SortMergeJoin") || closed.contains("ShuffledHashJoin"),
+        "verification must run as shuffle joins under the closed gate:\n" + closed.take(3000))
+      val open = planString(operators.TextDedup.minhashLshPairs(
+        corpus, "doc_id", "text"))
+      assert(open.contains("BroadcastHashJoin"),
+        "open gate must broadcast the candidate set via the hint:\n" + open.take(3000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("line dedup reassembles inside the aggregate (no window, no row_number)") {
     import spark.implicits._
     val corpus = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
