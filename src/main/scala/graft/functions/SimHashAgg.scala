@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `bits`-column aggregation buffer; this form does `bits` shift-mask-add
   * steps in a tight JVM loop over one primitive buffer, map-side combined
   * like any other partial aggregate.
+  *
+  * Null inputs are SKIPPED (standard aggregate semantics) — unlike the
+  * declarative form above, where a null hash's `otherwise(-1)` branch
+  * counted a −1 vote on every bit. Unreachable via [[graft.operators
+  * .TextDedup.simhash]] (md5 of non-null tokens), but observable through
+  * the SQL-registered `simhash_signature` on a nullable column.
   */
 case class SimHashAgg(
     child: Expression,

@@ -104,10 +104,18 @@ object TextDedup {
     * stripped, whitespace collapsed. The regexes stay inside the
     * Java∩RE2 subset (cf. [[graft.functions.Redaction]]) so the oracle
     * replays them verbatim (DuckDB needs the 'g' flag for replace-all —
-    * Spark's regexp_replace is global by default).
+    * Spark's regexp_replace is global by default). The whitespace class
+    * is spelled out rather than `\s` because the shorthand itself
+    * diverges between the engines: Java's includes \x0B (vertical tab),
+    * RE2's does not — a \x0B would collapse to a space on one engine
+    * and be stripped as punctuation on the other.
     */
+  val WhitespaceClass = " \\t\\n\\x0B\\f\\r"
+
   def normalizedText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    trim(regexp_replace(
+      regexp_replace(lower(c), s"[^a-z0-9$WhitespaceClass]", ""),
+      s"[$WhitespaceClass]+", " "))
 
   /** Near-exact dup groups on the canonical form — catches the
     * case/punctuation/whitespace variants a raw content hash misses
@@ -364,11 +372,22 @@ object TextDedup {
     * shuffle joins (keys: id, then (id, shingle)); correctness is
     * identical, only the exchange strategy changes. The gating count is
     * one cheap job over the already-persisted band keys.
+    *
+    * `hashedVerification` (exactness policy, default OFF): verification
+    * joins compare xxhash64(shingle) instead of the raw string —
+    * shuffle rows shrink to a fixed 8 bytes per shingle (measured ~3×
+    * on long-shingle corpora). The trade: two DISTINCT shingles across
+    * a candidate pair colliding at 64 bits would inflate that pair's
+    * intersection count by one — ~10⁶ shingle pairs per candidate ×
+    * 2⁻⁶⁴ ≈ 5e-14 per pair, zero expected errors below ~10¹³
+    * candidates. Default stays string-exact so the driver gate remains
+    * bit-identical to the oracle by construction, not by probability.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, broadcastCandidateLimit: Long = 100000L): DataFrame = {
+      threshold: Double = 0.8, broadcastCandidateLimit: Long = 100000L,
+      hashedVerification: Boolean = false): DataFrame = {
     // one shingle pass feeds signatures, sizes and verification joins
     val sh = shingles(df, idCol, textCol, n).persist()
     val bk = lshBandsFromShingles(sh, numHashes, bands).persist()
@@ -393,9 +412,14 @@ object TextDedup {
     val gate: DataFrame => DataFrame = if (small) broadcast else identity
 
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val pairShingles = sh.join(gate(candidates), col("id") === col("id_a"))
+    // sizes always come from the string relation; only the match key of
+    // the verification joins switches under the policy flag
+    val verif =
+      if (hashedVerification) sh.select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      else sh
+    val pairShingles = verif.join(gate(candidates), col("id") === col("id_a"))
       .select(col("id_a"), col("id_b").as("__cand_b"), col("shingle").as("__cand_sh"))
-    val inter = sh.join(gate(pairShingles),
+    val inter = verif.join(gate(pairShingles),
         col("id") === col("__cand_b") && col("shingle") === col("__cand_sh"))
       .select(col("id_a"), col("__cand_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))

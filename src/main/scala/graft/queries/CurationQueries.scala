@@ -255,7 +255,10 @@ object CurationQueries {
     // threshold pass and the final filter join, and qualityScore is the
     // expensive tokenizing expression — without the persist the corpus
     // is re-scored per reference. ~24 B/row cached vs a second full
-    // text scan at 100 TB.
+    // text scan at 100 TB. The returned frame stays lazy, so the CALLER
+    // owns the cache lifetime (unpersist after materializing, or
+    // clearCache between runs as Bench/Verify do) — same contract as
+    // TextDedup's persisted shingle relations.
     val scored = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
       floor(TextFunctions.qualityScore(col("text")) * 1e6).cast(LongType)
         .as("quality_micro"))

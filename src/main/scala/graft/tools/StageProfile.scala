@@ -31,6 +31,7 @@ object StageProfile {
       .filter(col("doc_id") % 37 === 0).select(col("doc_id"), col("text"))
 
     if (args.length > 1 && args(1) == "lsh") { lshBreakdown(spark, dir, evalSet); spark.stop(); return }
+    if (args.length > 1 && args(1) == "q18") { q18Breakdown(spark, dir); spark.stop(); return }
     // warm the JVM/codegen once
     DataPipelineQueries.d10_curation_pipeline(spark, dir).count()
     spark.catalog.clearCache()
@@ -69,6 +70,25 @@ object StageProfile {
         .count()
     }
     spark.stop()
+  }
+
+  /** q18 timing, bench shape (warm, fixture cached after the first run):
+    * full load + route + stage + evolve + dedup + bucketed merge + read.
+    */
+  private def q18Breakdown(spark: SparkSession, dir: String): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stage] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warm codegen/classloading once end-to-end, as Bench does
+    graft.queries.PipelineQueries.q18_cdc_pipeline_file(spark, dir).count()
+    spark.catalog.clearCache()
+    (1 to 3).foreach { round =>
+      time(s"r$round q18 end-to-end (bench shape)") {
+        graft.queries.PipelineQueries.q18_cdc_pipeline_file(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+    }
   }
 
   /** Sub-step timing of the LSH pair path on the d10 stage-1 survivors.

@@ -130,6 +130,19 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out(4L) == ((1, 1, "")))
   }
 
+  test("hashed verification policy returns the string-exact pairs and jaccards") {
+    import spark.implicits._
+    val df = ((1L to 60L).map(i => (i, "alpha beta gamma delta epsilon zeta eta")) ++
+      (100L to 110L).map(i => (i, s"unique doc $i content block alpha$i beta$i gamma$i")))
+      .toDF("doc_id", "text")
+    val exactStr = TextDedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hashed = TextDedup.minhashLshPairs(df, "doc_id", "text", hashedVerification = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(hashed == exactStr)
+    assert(exactStr.size == 60 * 59 / 2)
+  }
+
   test("minhash LSH: over-limit candidate set verifies via shuffle joins, same result") {
     import spark.implicits._
     // a 200-member duplicate cluster alone yields 19,900 candidate pairs;
