@@ -66,9 +66,10 @@ object Bench {
       "\"" + k + "\":" + v.map(fmt(_, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"runs","unit":"sec","runs":$rs,"sf":"$sfDir"}""")
-    def summaryWith(fmtVal: Double => String): String = {
+    def summaryWith(fmtVal: Double => String,
+        keyOf: String => String = identity): String = {
       val qs = results
-        .map { case (k, v) => "\"" + k + "\":" + fmtVal(median(v)) }
+        .map { case (k, v) => "\"" + keyOf(k) + "\":" + fmtVal(median(v)) }
         .mkString("{", ",", "}")
       // sf as basename: the final line must fit the stdout tail budget
       val sf = sfDir.split('/').last
@@ -82,6 +83,17 @@ object Bench {
     // tighter fallback before losing all decimals: only multi-second
     // queries (the profiling targets) keep theirs
     def adaptive2: String = summaryWith(v => if (v >= 1.95) fmt(v, 1) else fmt(v, 0))
+    // Last-resort tiers: keys shortened to their id prefix ("q18",
+    // "d06") — every query's id is unique and is how all other round
+    // artifacts (verdict, correctness rows) refer to them. At ~90
+    // queries the full-name map no longer fits the tail budget at ANY
+    // precision, so without this tier the ladder would emit an
+    // over-budget line and get head-clipped into unparseability.
+    val idOf: String => String =
+      if (results.keys.map(_.split('_').head).toSet.size == results.size)
+        _.split('_').head
+      else identity
+    def idTier(decimals: Int): String = summaryWith(fmt(_, decimals), idOf)
     // Stop Spark BEFORE the final line: executor/shutdown log noise must
     // not land after the summary, or the tail cut could clip it.
     spark.stop()
@@ -89,7 +101,8 @@ object Bench {
     // epilogue line): drop precision until the line fits. A too-long final
     // line would be HEAD-clipped by the tail cut and unparseable, so the
     // gate stays just under the real ~1925-char budget.
-    println((Seq(summary(3), summary(2), summary(1), adaptive, adaptive2) :+ summary(0))
-      .find(_.length <= 1895).getOrElse(summary(0)))
+    println((Seq(summary(3), summary(2), summary(1), adaptive, adaptive2,
+        summary(0), idTier(2), idTier(1)) :+ idTier(0))
+      .find(_.length <= 1895).getOrElse(idTier(0)))
   }
 }

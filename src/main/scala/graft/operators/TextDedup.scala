@@ -330,6 +330,31 @@ object TextDedup {
       .select("id_src", "id_dst", "containment")
   }
 
+  // ───────────────────────────────────────────── winnowed fingerprints
+
+  /** MOSS-style near-dup pairs via winnowed fingerprints: pairs sharing
+    * ≥ `minShared` fingerprint values (character-level k-grams — catches
+    * reformatted/retokenized near-dups that word-shingle Jaccard misses,
+    * e.g. whitespace-mangled copies). Fingerprints are the winnowed ~1/w
+    * subset of k-gram hashes ([[graft.functions.WinnowedFingerprint]]),
+    * so the inverted index is w× smaller than the shingle index and
+    * keyed on an 8-byte LONG. Per-fingerprint document frequency is
+    * bounded by real content sharing (60-bit hashes don't collide by
+    * vocabulary), so like [[ngramJaccardPairs]] this is the exact
+    * baseline — corpora with universal boilerplate substrings band the
+    * fingerprint key first, exactly like d03/d19.
+    */
+  def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 5): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ───────────────────────────────────────────── MinHash + LSH
 
   // (signatures are computed by the MinHashAgg typed imperative

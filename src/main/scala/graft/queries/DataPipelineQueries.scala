@@ -765,6 +765,43 @@ object DataPipelineQueries {
        |FROM fps
        |ORDER BY doc_id""".stripMargin
 
+  /** MOSS-style fingerprint near-dup pairs (char-level modality — the
+    * 'zz'-prefixed planted near-dups share almost all fingerprints even
+    * where word tokenization shifts). The oracle replays winnowing via
+    * t03's CTE, then the same inverted-index count.
+    */
+  val d21_fingerprint_pairs: Q = (s, dir) => {
+    TextDedup.fingerprintPairs(dupDocCorpus(s, dir), "doc_id", "text",
+        k = 8, w = 4, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d21_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN []
+       |         ELSE list_transform(range(1, GREATEST(length(text) - 8, 0) + 2),
+       |           i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) END AS hs
+       |  FROM corpus
+       |),
+       |fps AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(
+       |      range(1, GREATEST(length(hs) - 4, 0) + 2),
+       |      s -> list_min(list_slice(hs, s, s + 3))))) AS fp
+       |  FROM grams
+       |),
+       |fpx AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+       |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, shared_fps FROM pairs
+       |WHERE shared_fps >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ── corpus curation ─────────────────────────────────────────────────
 
   /** Benchmark decontamination: docs with `doc_id % 37 = 0` play the
@@ -1182,6 +1219,7 @@ object DataPipelineQueries {
     "d16_containment" -> d16_containment,
     "d17_normalized_dedup" -> d17_normalized_dedup,
     "d19_containment_prefix" -> d19_containment_prefix,
+    "d21_fingerprint_pairs" -> d21_fingerprint_pairs,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
@@ -1211,6 +1249,7 @@ object DataPipelineQueries {
     "d16_containment" -> d16_sql,
     "d17_normalized_dedup" -> d17_sql,
     "d19_containment_prefix" -> d19_sql,
+    "d21_fingerprint_pairs" -> d21_sql,
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,

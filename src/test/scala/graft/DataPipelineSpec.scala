@@ -130,6 +130,23 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out(4L) == ((1, 1, "")))
   }
 
+  test("fingerprint pairs: exact + near dups share fingerprints, unrelated docs do not") {
+    val c = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and runs far away today",
+      2L -> "the quick brown fox jumps over the lazy dog and runs far away today",
+      3L -> "xx quick brown fox jumps over the lazy dog and runs far away today",
+      4L -> "completely different content about spark catalyst optimizer rules engine")
+    val pairs = TextDedup.fingerprintPairs(c, "doc_id", "text", minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"exact dup must share all fingerprints: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"char-level near dup must clear minShared: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc must not pair: $pairs")
+    // the exact pair shares every fingerprint; the near pair strictly fewer
+    assert(pairs((1L, 2L)) > pairs((1L, 3L)))
+  }
+
   test("hashed verification policy returns the string-exact pairs and jaccards") {
     import spark.implicits._
     val df = ((1L to 60L).map(i => (i, "alpha beta gamma delta epsilon zeta eta")) ++
