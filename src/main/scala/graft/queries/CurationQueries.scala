@@ -725,6 +725,37 @@ object CurationQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // ── q28: bounded sliding window frame ───────────────────────────────
+
+  /** Bounded ROWS frame (2 PRECEDING .. CURRENT ROW) — a different
+    * window evaluator than q24's running frame (sliding buffer vs
+    * cumulative): per-customer moving 3-order spend and the frame's
+    * min order value. Integer cents, deterministic (o_orderdate,
+    * o_orderkey) order, so both engines replay the exact frame sums.
+    */
+  val q28_sliding_frame: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 0)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("__cents"))
+      .withColumn("last3_cents", sum(col("__cents")).over(w))
+      .withColumn("last3_min_cents", min(col("__cents")).over(w))
+      .drop("__cents")
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q28_sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS last3_cents,
+      |       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS last3_min_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // ── q27: NOT IN vs NOT EXISTS under NULLs ───────────────────────────
 
   /** Three-valued-logic corner both engines must agree on: a NULL in a
@@ -949,7 +980,8 @@ object CurationQueries {
     "q27_notin_nulls" -> q27_notin_nulls,
     "s07_ann_filtered" -> s07_ann_filtered,
     "d18_line_dedup" -> d18_line_dedup,
-    "d20_derepetition" -> d20_derepetition)
+    "d20_derepetition" -> d20_derepetition,
+    "q28_sliding_frame" -> q28_sliding_frame)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -974,5 +1006,6 @@ object CurationQueries {
     "q27_notin_nulls" -> q27_sql,
     "s07_ann_filtered" -> s07_sql,
     "d18_line_dedup" -> d18_sql,
-    "d20_derepetition" -> d20_sql)
+    "d20_derepetition" -> d20_sql,
+    "q28_sliding_frame" -> q28_sql)
 }
