@@ -73,6 +73,28 @@ object ScaleSmoke {
       }
       docs.unpersist()
     }
+    // d21 winnowed fingerprints on CLUSTER corpora (10-member duplicate
+    // clusters, distinct content per cluster): per-fingerprint df = the
+    // cluster size, so pair volume — and cost — must track n. (A corpus
+    // with universal boilerplate SUBSTRINGS is d21's documented banding
+    // case: the output itself is quadratic there.)
+    def clusterDocs(n: Int) = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_c$j"))), 1, 7))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    Seq(5000, 50000).foreach { n =>
+      val docs = clusterDocs(n).repartition(32).persist()
+      docs.count()
+      time(s"d21 fingerprint pairs, $n docs (10-member clusters)") {
+        val pairs = graft.operators.TextDedup
+          .fingerprintPairs(docs, "doc_id", "text")
+        println(s"[scale]   pairs: ${pairs.count()}")
+      }
+      docs.unpersist()
+    }
   }
 
   /** as-of join and sequence packing at synthetic volume (orders of
