@@ -89,16 +89,30 @@ object TextDedup {
     * HOF outer-ref quadratic pitfall.
     */
   def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), split(col(textCol), "\n").as("__lines"))
-      .select(col(idCol), col("__lines"),
-        // keep line i (0-based) iff first or different from line i−1
-        // (element_at is 1-based, so element_at(__lines, i) IS i−1)
-        filter(col("__lines"),
-          (x, i) => i === 0 || x =!= element_at(col("__lines"), i)).as("__kept"))
+    dropRepeatedUnits(df, idCol, textCol, "\n", "n_lines")
+
+  /** Token-stutter removal: collapse runs of consecutive identical
+    * space-separated tokens ("the the the cat" → "the cat") — OCR/ASR
+    * stutter and decode-loop artifacts. Same zero-shuffle indexed-filter
+    * machinery as [[dropRepeatedLines]], case-preserving (stutter is
+    * exact repetition; near-repetition is t04's gate). Returns
+    * (idCol, n_tokens, n_kept, clean_text).
+    */
+  def dropRepeatedTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dropRepeatedUnits(df, idCol, textCol, " ", "n_tokens")
+
+  private def dropRepeatedUnits(df: DataFrame, idCol: String, textCol: String,
+      sep: String, countCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), sep).as("__units"))
+      .select(col(idCol), col("__units"),
+        // keep unit i (0-based) iff first or different from unit i−1
+        // (element_at is 1-based, so element_at(__units, i) IS i−1)
+        filter(col("__units"),
+          (x, i) => i === 0 || x =!= element_at(col("__units"), i)).as("__kept"))
       .select(col(idCol),
-        size(col("__lines")).as("n_lines"),
+        size(col("__units")).as(countCol),
         size(col("__kept")).as("n_kept"),
-        array_join(col("__kept"), "\n").as("clean_text"))
+        array_join(col("__kept"), sep).as("clean_text"))
 
   /** Canonical text form for near-exact dedup: lowercase, punctuation
     * stripped, whitespace collapsed. The regexes stay inside the

@@ -725,6 +725,46 @@ object CurationQueries {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // ── d22: token-stutter removal ──────────────────────────────────────
+
+  /** Collapse consecutive duplicate TOKENS within each document (OCR/ASR
+    * stutter, decode loops) — the token-granularity sibling of d20's
+    * line de-repetition. Planted: %4=1 docs get their first word
+    * tripled (collapses back to the original text), %4=3 docs get a
+    * trailing "zz zz zz" (collapses to one "zz"). Zero-shuffle; see
+    * [[TextDedup.dropRepeatedTokens]].
+    */
+  val d22_token_derep: Q = (s, dir) => {
+    val first = element_at(split(col("text"), " "), 1)
+    val corpus = Tables(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 1,
+          concat(first, lit(" "), first, lit(" "), col("text")))
+        .when(col("doc_id") % 4 === 3, concat(col("text"), lit(" zz zz zz")))
+        .otherwise(col("text")).as("text"))
+    TextDedup.dropRepeatedTokens(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d22_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 4 = 1
+      |                THEN split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 1) || ' ' || text
+      |              WHEN doc_id % 4 = 3 THEN text || ' zz zz zz'
+      |              ELSE text END AS text
+      |  FROM documents
+      |),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+      |kept AS (SELECT doc_id, l, list_filter(l, (x, i) -> i = 1 OR x <> l[i - 1]) AS k FROM toks)
+      |SELECT doc_id,
+      |       CAST(len(l) AS INT) AS n_tokens,
+      |       CAST(len(k) AS INT) AS n_kept,
+      |       md5(array_to_string(k, ' ')) AS clean_hash
+      |FROM kept
+      |ORDER BY doc_id""".stripMargin
+
   // ── q28: bounded sliding window frame ───────────────────────────────
 
   /** Bounded ROWS frame (2 PRECEDING .. CURRENT ROW) — a different
@@ -981,6 +1021,7 @@ object CurationQueries {
     "s07_ann_filtered" -> s07_ann_filtered,
     "d18_line_dedup" -> d18_line_dedup,
     "d20_derepetition" -> d20_derepetition,
+    "d22_token_derep" -> d22_token_derep,
     "q28_sliding_frame" -> q28_sliding_frame)
 
   val oracles: Map[String, String] = Map(
@@ -1007,5 +1048,6 @@ object CurationQueries {
     "s07_ann_filtered" -> s07_sql,
     "d18_line_dedup" -> d18_sql,
     "d20_derepetition" -> d20_sql,
+    "d22_token_derep" -> d22_sql,
     "q28_sliding_frame" -> q28_sql)
 }

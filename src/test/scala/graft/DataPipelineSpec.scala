@@ -130,6 +130,18 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out(4L) == ((1, 1, "")))
   }
 
+  test("token de-repetition collapses stutter runs, preserves case and non-consecutive repeats") {
+    val c = docs(
+      1L -> "the the the cat sat sat here",
+      2L -> "The the mixed Case case",  // case-sensitive: no collapse
+      3L -> "a b a b a")
+    val out = TextDedup.dropRepeatedTokens(c, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7, 4, "the cat sat here")))
+    assert(out(2L) == ((5, 5, "The the mixed Case case")))
+    assert(out(3L) == ((5, 5, "a b a b a")))
+  }
+
   test("fingerprint pairs: exact + near dups share fingerprints, unrelated docs do not") {
     val c = docs(
       1L -> "the quick brown fox jumps over the lazy dog and runs far away today",
