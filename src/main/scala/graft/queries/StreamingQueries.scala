@@ -250,6 +250,64 @@ object StreamingQueries {
       | AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY lead_id, COALESCE(follow_id, -1)""".stripMargin
 
+  /** Sequential corpus admission across three micro-batches (originals,
+    * exact copies, near-copies): per batch, docs near-dupping the
+    * ADMITTED store at jaccard ≥ 0.8 are rejected, survivors appended.
+    * Rejection in batch 3 depends on what batch 2 admitted — the
+    * sequential state the oracle replays with chained CTEs. The same
+    * `CorpusAdmission` runs under `foreachBatch` (StreamingWindowSpec
+    * proves stream ≡ this batch fold).
+    */
+  val w10_corpus_admission: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b1 = d
+    val b2 = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val b3 = d.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("zz"), expr("substring(text, 3)")).as("text"))
+    val adm = new graft.streaming.CorpusAdmission("doc_id", "text")
+    Seq(b1, b2, b3).zipWithIndex
+      .map { case (b, i) =>
+        adm.admit(b).select(col("doc_id"), lit(i + 1).as("batch_seq"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The three batches are exactly DupDocCorpusSql's three branches, so
+    * the pair CTEs are d02's; id ranges encode batch membership
+    * (b1 < 100000 ≤ b2 < 200000 ≤ b3).
+    */
+  val w10_sql: String =
+    s"""WITH ${DataPipelineQueries.DupDocCorpusSql},
+       |${DataPipelineQueries.ShinglesSql},
+       |${DataPipelineQueries.JaccardCtesSql},
+       |rej2 AS (
+       |  SELECT DISTINCT id_b FROM pairs
+       |  WHERE jaccard >= 0.8 AND id_a < 100000 AND id_b >= 100000 AND id_b < 200000
+       |),
+       |adm2 AS (
+       |  SELECT doc_id FROM corpus
+       |  WHERE doc_id >= 100000 AND doc_id < 200000
+       |    AND doc_id NOT IN (SELECT id_b FROM rej2)
+       |),
+       |rej3 AS (
+       |  SELECT DISTINCT id_b FROM pairs
+       |  WHERE jaccard >= 0.8 AND id_b >= 200000
+       |    AND (id_a < 100000 OR id_a IN (SELECT doc_id FROM adm2))
+       |),
+       |admitted AS (
+       |  SELECT doc_id, 1 AS batch_seq FROM corpus WHERE doc_id < 100000
+       |  UNION ALL
+       |  SELECT doc_id, 2 FROM adm2
+       |  UNION ALL
+       |  SELECT doc_id, 3 FROM corpus
+       |  WHERE doc_id >= 200000 AND doc_id NOT IN (SELECT id_b FROM rej3)
+       |)
+       |SELECT doc_id, CAST(batch_seq AS INT) AS batch_seq FROM admitted
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
@@ -258,7 +316,8 @@ object StreamingQueries {
     "w05_interval_join" -> w05_interval_join,
     "w06_delivery_dedup" -> w06_delivery_dedup,
     "w08_stream_enrich" -> w08_stream_enrich,
-    "w09_funnel_dropoff" -> w09_funnel_dropoff)
+    "w09_funnel_dropoff" -> w09_funnel_dropoff,
+    "w10_corpus_admission" -> w10_corpus_admission)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
@@ -268,5 +327,6 @@ object StreamingQueries {
     "w05_interval_join" -> w05_sql,
     "w06_delivery_dedup" -> w06_sql,
     "w08_stream_enrich" -> w08_sql,
-    "w09_funnel_dropoff" -> w09_sql)
+    "w09_funnel_dropoff" -> w09_sql,
+    "w10_corpus_admission" -> w10_sql)
 }

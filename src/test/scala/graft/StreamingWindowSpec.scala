@@ -364,6 +364,51 @@ class StreamingWindowSpec extends AnyFunSuite {
         firstClickIds.contains(r.getLong(4)))
     assert(crossMatches > 0, "time split produced no cross-batch matches")
   }
+
+  test("corpus admission: foreachBatch stream equals the sequential batch fold") {
+    import spark.implicits._
+    // near-dup chain across batches: the batch-2 copy of doc 1 is
+    // REJECTED, so the batch-3 near-copy must be checked against doc 1
+    // itself (admitted), while the batch-3 fresh doc passes — the
+    // sequential-state semantics foreachBatch must reproduce
+    val b1 = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and runs far away",
+      2L -> "entirely different content about catalyst optimizer rules engine today").toDF("doc_id", "text")
+    val b2 = Seq(
+      11L -> "the quick brown fox jumps over the lazy dog and runs far away", // dup of 1 → reject
+      12L -> "fresh second batch document with its own words and nothing shared").toDF("doc_id", "text")
+    val b3 = Seq(
+      21L -> "a quick brown fox jumps over the lazy dog and runs far away",   // near-dup of 1 → reject
+      22L -> "fresh second batch document with its own words and nothing shared", // dup of 12 → reject
+      23L -> "completely novel third batch text that matches nothing else here").toDF("doc_id", "text")
+
+    def admitAll(batches: Seq[org.apache.spark.sql.DataFrame]): Set[Long] = {
+      val adm = new graft.streaming.CorpusAdmission("doc_id", "text", threshold = 0.5)
+      batches.flatMap(b => adm.admit(b).select("doc_id").collect().map(_.getLong(0))).toSet
+    }
+    val batchResult = admitAll(Seq(b1, b2, b3))
+    assert(batchResult == Set(1L, 2L, 12L, 23L), s"batch fold admitted $batchResult")
+
+    // stream side: same batches through foreachBatch micro-batches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val adm = new graft.streaming.CorpusAdmission("doc_id", "text", threshold = 0.5)
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted ++= adm.admit(df).select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    Seq(b1, b2, b3).foreach { b =>
+      ms.addData(b.collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(admitted.toSet == batchResult,
+      s"stream admitted ${admitted.toSet} != batch $batchResult")
+  }
 }
 
 object StreamingWindowSpec {
