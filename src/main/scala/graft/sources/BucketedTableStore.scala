@@ -99,6 +99,16 @@ final class BucketedTableStore(
   private def renameOrFail(src: Path, dst: Path): Unit =
     require(fs.rename(src, dst), s"rename failed: $src -> $dst")
 
+  /** Run `f` over buckets on the JVM common pool; the first failure
+    * aborts the whole operation (unwrapped so callers see the original
+    * rename error, not the stream's CompletionException shell).
+    */
+  private def parallelOverBuckets(buckets: Array[Int])(f: Int => Unit): Unit =
+    try java.util.Arrays.stream(buckets).parallel().forEach(b => f(b))
+    catch {
+      case e: RuntimeException if e.getCause != null => throw e.getCause
+    }
+
   /** Bucket-partitioned write, rows sorted by key within each bucket —
     * parquet column min/max stats then let key-predicate scans skip whole
     * row groups (free point-lookup pruning on top of the bucket pruning).
@@ -190,14 +200,21 @@ final class BucketedTableStore(
     writeBuckets(merged, tmp.toString)
 
     fs.mkdirs(trash)
+    // Each phase runs its per-bucket renames in parallel: a large batch
+    // touches 10⁴-10⁵ buckets and each rename is a filesystem metadata
+    // round-trip, so a serial loop would dominate the merge on a remote
+    // store. The safety argument needs only the BARRIER between phases
+    // (no bucket lands before every affected live dir is retired), not
+    // ordering within a phase — Hadoop FileSystem instances are
+    // thread-safe, and any failed rename still aborts the merge.
     // phase 1: retire affected live buckets into the trash
-    affected.foreach { b =>
+    parallelOverBuckets(affected) { b =>
       val live = new Path(path, s"$BucketCol=$b")
       if (fs.exists(live)) renameOrFail(live, new Path(trash, s"$BucketCol=$b"))
     }
     // phase 2: land the fresh buckets (a bucket whose rows were all
     // deleted has no fresh dir — correct: it stays absent)
-    affected.foreach { b =>
+    parallelOverBuckets(affected) { b =>
       val fresh = new Path(tmp, s"$BucketCol=$b")
       if (fs.exists(fresh)) renameOrFail(fresh, new Path(path, s"$BucketCol=$b"))
     }
