@@ -37,13 +37,22 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // drop per-query persists between runs
     }
+    // A failed run records -1, NOT its (tiny) wall time: a query dying
+    // fast — e.g. scratch disk full after an earlier query's spill —
+    // would otherwise masquerade as a 4 ms success and silently poison
+    // the round's medians.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
       name -> runs
     }
@@ -51,7 +60,9 @@ object Bench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def fmt(d: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
-    val total = results.values.map(median).sum
+    // failed queries (median -1) stay visible per-query but don't skew
+    // the total downward
+    val total = results.values.map(median).filter(_ >= 0).sum
     // worst per-query max/min run ratio — >2 means at least one query's
     // three runs diverged badly, i.e. the box was contended mid-bench
     val spread = results.values

@@ -352,11 +352,15 @@ object TextDedup {
     * e.g. whitespace-mangled copies). Fingerprints are the winnowed ~1/w
     * subset of k-gram hashes ([[graft.functions.WinnowedFingerprint]]),
     * so the inverted index is w× smaller than the shingle index and
-    * keyed on an 8-byte LONG. Per-fingerprint document frequency is
-    * bounded by real content sharing (60-bit hashes don't collide by
-    * vocabulary), so like [[ngramJaccardPairs]] this is the exact
-    * baseline — corpora with universal boilerplate substrings band the
-    * fingerprint key first, exactly like d03/d19.
+    * keyed on an 8-byte LONG. Like [[ngramJaccardPairs]] this is the
+    * exact baseline: common 8-char grams ("ing the ") recur across
+    * unrelated documents, so per-fingerprint df is corpus-scale and
+    * the join is Σ df². The ABSOLUTE `minShared` threshold admits no
+    * sublinear exact path (its pigeonhole prefix is `n − minShared + 1`
+    * ≈ the whole fingerprint set when minShared ≪ n — measured: a
+    * prefix variant of this operator was SLOWER than the join it
+    * replaced) — at scale use the fractional
+    * [[fingerprintContainmentPrefix]] instead.
     */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 5): DataFrame = {
@@ -367,6 +371,112 @@ object TextDedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+  }
+
+  /** Directed fingerprint containment, exact: ordered pairs (id_src,
+    * id_dst, containment) with |fp(src) ∩ fp(dst)| / |fp(src)| ≥
+    * `threshold` — the char-level analog of [[containmentPairs]]
+    * (quoted passages and wrapped copies survive retokenization that
+    * word-shingle containment misses). Inverted index on the
+    * fingerprint LONG; documents with empty fingerprint sets emit
+    * nothing (containment is undefined over an empty source).
+    *
+    * Like [[containmentPairs]] this is the exact verification baseline
+    * — cost is Σ per-fingerprint df², and common English 8-char grams
+    * recur across unrelated documents, so df is NOT bounded by real
+    * content sharing the way [[fingerprintPairs]]' absolute-count
+    * OUTPUT is. The scale path is [[fingerprintContainmentPrefix]].
+    */
+  def fingerprintContainment(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp"))
+      .persist()
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val inter = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "size_b"), "id_b")
+    val dirA = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
+      (col("n_inter").cast(DoubleType) / col("size_a")).as("containment"))
+    val dirB = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
+      (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))
+    dirA.unionAll(dirB).filter(col("containment") >= threshold)
+  }
+
+  /** Fingerprint containment at scale: same output as
+    * [[fingerprintContainment]], candidates from a prefix filter.
+    *
+    * The FRACTIONAL threshold is what makes prefix filtering effective
+    * here: containment ≥ t means at most ⌊(1−t)·n⌋ of the source's `n`
+    * fingerprints miss the destination, so its ⌊(1−t)·n⌋+1 RAREST
+    * fingerprints (by document frequency) must include one present in
+    * the destination — pigeonhole, lossless, and the prefix is a
+    * (1−t) sliver of the fingerprint volume. Candidates therefore come
+    * only from low-df fingerprints; ubiquitous English 8-grams (df ≈
+    * corpus size — the Σ df² blowup of the exact join) never generate
+    * a candidate. Contrast [[fingerprintPairs]]' ABSOLUTE `minShared`:
+    * its pigeonhole prefix is `n − minShared + 1` ≈ the whole set when
+    * minShared ≪ n, which prunes nothing — an absolute-overlap
+    * predicate has no sublinear exact path, which is why the scale
+    * form of char-level dedup is this fractional operator.
+    *
+    * One-sided and direction-complete: a qualifying (src → dst) pair
+    * collides on src's prefix, and candidates are verified as
+    * unordered pairs then re-directed, so both directions of the
+    * output are covered. Verification counts intersections on
+    * candidates only, with the same size-gated broadcast/shuffle
+    * strategy as [[minhashLshPairs]] — and the join keys are 8-byte
+    * LONGs, so unlike the shingle paths no re-keying hash is needed.
+    */
+  def fingerprintContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 4, threshold: Double = 0.8,
+      broadcastCandidateLimit: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp"))
+      .persist()
+
+    val dfs = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val win = Window.partitionBy(col("id")).orderBy(col("__df"), col("fp"))
+    // +1e-6 guards the FP product's round-down at integer boundaries
+    // (cf. containmentCandidates): k may only ever over-approximate
+    val prefix = fps.join(dfs, "fp")
+      .withColumn("__rk", row_number().over(win))
+      .join(sizes, "id")
+      .filter(col("__rk") <=
+        floor((lit(1.0) - threshold) * col("n_fp") + 1e-6) + 1)
+      .select(col("id").as("id_p"), col("fp"))
+    val candidates = prefix
+      .join(fps.select(col("id").as("id_oth"), col("fp")), "fp")
+      .filter(col("id_p") =!= col("id_oth"))
+      .select(least(col("id_p"), col("id_oth")).as("id_a"),
+        greatest(col("id_p"), col("id_oth")).as("id_b"))
+      .distinct()
+      .persist()
+
+    val candCount = candidates.count()
+    val gate: DataFrame => DataFrame =
+      if (candCount <= broadcastCandidateLimit) broadcast else identity
+
+    val pairFps = fps.join(gate(candidates), col("id") === col("id_a"))
+      .select(col("id_a"), col("id_b").as("__cand_b"), col("fp").as("__cand_fp"))
+    val inter = fps.join(gate(pairFps),
+        col("id") === col("__cand_b") && col("fp") === col("__cand_fp"))
+      .select(col("id_a"), col("__cand_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "size_b"), "id_b")
+    val dirA = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
+      (col("n_inter").cast(DoubleType) / col("size_a")).as("containment"))
+    val dirB = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
+      (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))
+    dirA.unionAll(dirB).filter(col("containment") >= threshold)
   }
 
   // ───────────────────────────────────────────── MinHash + LSH

@@ -802,6 +802,67 @@ object DataPipelineQueries {
        |WHERE shared_fps >= 5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Directed fingerprint containment at scale: prefix-filtered
+    * candidates (rarest ⌊(1−t)·n⌋+1 fingerprints by document frequency
+    * — see [[TextDedup.fingerprintContainmentPrefix]]) with exact
+    * |src∩dst|/|src| verification on candidates only. The prefix
+    * filter is lossless, so the oracle replays the EXACT inverted-index
+    * containment — the prefix path must reproduce it bit-for-bit.
+    * (The absolute-count sibling d21 deliberately has no prefix query:
+    * its pigeonhole prefix is the whole fingerprint set — the
+    * fractional threshold is what makes the filter prune.)
+    *
+    * k = 16 (not d21's 8): measured on this corpus, 8-char windows over
+    * the synthetic vocabulary yield only ~7k distinct fingerprint
+    * values (median df 22, Σdf² = 275M at sf0.1) — chance sharing, not
+    * content sharing, so EVERY doc pair becomes a candidate and no
+    * filter can prune. At 16 chars fingerprints are doc-specific
+    * (260k distinct, avg df 2.6, Σdf² = 5.9M) and candidates collapse
+    * to true near-dups — gram width is the selectivity knob for
+    * char-level dedup, exactly like shingle n for word-level.
+    */
+  val d23_fingerprint_prefix: Q = (s, dir) => {
+    TextDedup.fingerprintContainmentPrefix(dupDocCorpus(s, dir), "doc_id", "text",
+        k = 16, w = 4, threshold = 0.8)
+      .orderBy(col("id_src"), col("id_dst"))
+  }
+
+  val d23_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN []
+       |         ELSE list_transform(range(1, GREATEST(length(text) - 16, 0) + 2),
+       |           i -> CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 15)) AS BIGINT)) END AS hs
+       |  FROM corpus
+       |),
+       |fps AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(
+       |      range(1, GREATEST(length(hs) - 4, 0) + 2),
+       |      s -> list_min(list_slice(hs, s, s + 3))))) AS fp
+       |  FROM grams
+       |),
+       |fpx AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+       |sizes AS (SELECT doc_id, len(fp) AS n_fp FROM fps WHERE len(fp) > 0),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |directed AS (
+       |  SELECT i.id_a AS id_src, i.id_b AS id_dst,
+       |         CAST(i.n_inter AS DOUBLE) / sa.n_fp AS containment
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+       |  UNION ALL
+       |  SELECT i.id_b, i.id_a,
+       |         CAST(i.n_inter AS DOUBLE) / sb.n_fp
+       |  FROM inter i JOIN sizes sb ON sb.doc_id = i.id_b
+       |)
+       |SELECT id_src, id_dst, containment FROM directed
+       |WHERE containment >= 0.8
+       |ORDER BY id_src, id_dst""".stripMargin
+
   // ── corpus curation ─────────────────────────────────────────────────
 
   /** Benchmark decontamination: docs with `doc_id % 37 = 0` play the
@@ -1220,6 +1281,7 @@ object DataPipelineQueries {
     "d17_normalized_dedup" -> d17_normalized_dedup,
     "d19_containment_prefix" -> d19_containment_prefix,
     "d21_fingerprint_pairs" -> d21_fingerprint_pairs,
+    "d23_fingerprint_prefix" -> d23_fingerprint_prefix,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
@@ -1250,6 +1312,7 @@ object DataPipelineQueries {
     "d17_normalized_dedup" -> d17_sql,
     "d19_containment_prefix" -> d19_sql,
     "d21_fingerprint_pairs" -> d21_sql,
+    "d23_fingerprint_prefix" -> d23_sql,
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,

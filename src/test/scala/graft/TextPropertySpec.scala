@@ -110,6 +110,31 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: prefix fingerprint containment equals exact containment") {
+    import spark.implicits._
+    // docs built from a tiny vocab of long words ⇒ shared 8-char grams;
+    // two planted near-copies of doc 0 guarantee qualifying pairs
+    val word = Gen.oneOf("crimson", "harbour", "lantern", "granite", "meadows")
+    val genDoc: Gen[String] = Gen.choose(4, 12)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val genCorpus: Gen[List[String]] = Gen.listOfN(8, genDoc)
+
+    samples(genCorpus, 4).zipWithIndex.foreach { case (base, ci) =>
+      val corpus = base ++ List(base.head + " granite", base.head)
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.6, 0.9); lim <- Seq(100000L, 0L)) {
+        val exact = TextDedup.fingerprintContainment(df, "doc_id", "text", threshold = t)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        val prefix = TextDedup.fingerprintContainmentPrefix(df, "doc_id", "text",
+            threshold = t, broadcastCandidateLimit = lim)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        assert(prefix == exact, s"corpus $ci threshold $t lim $lim: $prefix != $exact")
+        if (t == 0.9) assert(exact.nonEmpty, s"corpus $ci: planted copies found no pairs")
+      }
+    }
+  }
+
   test("property: pointer-jumped components equal union-find on random graphs") {
     import spark.implicits._
     val genEdge: Gen[(Long, Long)] = for {
