@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, WordGrams}
+
+/** Corpus-level boilerplate mining: find word n-grams that recur across
+  * many documents (site templates, license headers, navigation chrome)
+  * and locate/merge the passages they cover inside each document — the
+  * span-level counterpart to [[TextDedup.lineDedup]]'s line-level C4
+  * filter. Training-data pipelines run this before near-dup detection:
+  * boilerplate inflates shingle document frequency, which is exactly
+  * the regime that quadratic-pair detectors degrade on.
+  *
+  * Scale design (100 TB corpus):
+  * - [[frequentNgrams]] is ONE map-side-combined aggregation over the
+  *   gram stream (Spark plans the distinct-doc count as a two-phase
+  *   partial-distinct on (gram, doc) — no all-pairs, no window);
+  * - the frequent-gram relation is small BY CONSTRUCTION (grams above a
+  *   document-frequency floor are the Zipf head), so the occurrence
+  *   join in [[passageSpans]] broadcasts under AQE at any corpus size;
+  * - interval merging is a per-document running-max window — shuffle by
+  *   doc id only, never corpus-global sort.
+  */
+object Boilerplate {
+
+  /** Word n-grams appearing in at least `minDf` distinct documents,
+    * with total occurrence counts (intra-document repeats included).
+    * Tokenization is [[TextFunctions.tokens]] (lowercased,
+    * whitespace-split) and gram construction is the compiled
+    * [[WordGrams]] kernel — one gram per token position, the final
+    * gram clamped for documents shorter than `n` tokens.
+    */
+  def frequentNgrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(WordGrams(TextFunctions.tokens(col(textCol)), n)).as("gram"))
+    grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("doc_freq"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("doc_freq") >= minDf)
+  }
+
+  /** Boilerplate passages per document: token-position intervals
+    * covered by any frequent n-gram (document frequency ≥ `minDf`),
+    * with overlapping and adjacent intervals merged. Output columns:
+    * (id, span_start, span_end, n_tokens) — token positions are
+    * 0-based, `span_end` exclusive, `n_tokens = span_end − span_start`.
+    *
+    * Shape: gram occurrences with positions (one posexplode), semi-ish
+    * join against the mined frequent grams (small — Zipf head — so AQE
+    * broadcasts it), then the classic interval-merge window per doc:
+    * an interval starts a new span iff its start exceeds the running
+    * max end of all earlier intervals; span id = running count of
+    * span starts; group by (doc, span id).
+    */
+  def passageSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val frequent = frequentNgrams(df, idCol, textCol, n, minDf)
+      .select(col("gram"))
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val occ = toks.select(col("id"), size(col("toks")).as("n_toks"),
+        posexplode(WordGrams(col("toks"), n)).as(Seq("pos", "gram")))
+      .join(frequent, "gram")
+      // the tail gram of a short doc covers only to the end of the doc
+      .select(col("id"), col("pos").as("s"),
+        least(col("pos") + n, col("n_toks")).as("e"))
+
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ
+      .withColumn("__new_span",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__new_span")).over(wRun))
+      .groupBy(col("id"), col("__span"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
+  /** Documents with boilerplate passages stripped: tokens inside any
+    * [[passageSpans]] interval are dropped and the remainder re-joined
+    * with single spaces. Documents with no frequent-gram coverage pass
+    * through with their normalized (lowercased, whitespace-collapsed)
+    * token stream intact — this operator normalizes by construction,
+    * like [[TextDedup.normalizedGroups]].
+    */
+  def stripPassages(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val spans = passageSpans(df, idCol, textCol, n, minDf)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ",
+          filter(col("__toks"), (t, i) =>
+            col("__spans").isNull ||
+              !exists(col("__spans"),
+                sp => i >= sp("span_start") && i < sp("span_end"))))
+          .as("clean_text"))
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{Redaction, TextFunctions}
-import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking, SkewJoin, TextDedup, VectorSearch}
+import graft.operators.{AsofJoin, Boilerplate, Quantiles, Sampling, SequencePacking, SkewJoin, TextDedup, VectorSearch}
 
 /** Round-4 curation/enrichment operators as driver-checked queries:
   * as-of join, domain-mixture resampling, sequence packing, exact
@@ -995,6 +995,139 @@ object CurationQueries {
       |FROM kept
       |ORDER BY doc_id""".stripMargin
 
+  // ── d24/d25: corpus boilerplate mining ──────────────────────────────
+
+  /** Corpus-frequent word 3-grams (document frequency ≥ 5): the mining
+    * half of template/boilerplate removal — recurring phrases across
+    * documents are site chrome, license headers, generation artifacts.
+    * ONE map-side-combined aggregation over the compiled gram stream
+    * (the distinct-doc count plans as a two-phase partial distinct on
+    * (gram, doc)); no window, no join, no all-pairs anywhere. See
+    * [[graft.operators.Boilerplate.frequentNgrams]].
+    */
+  val d24_frequent_ngrams: Q = (s, dir) =>
+    Boilerplate.frequentNgrams(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, minDf = 5L)
+      .orderBy(col("gram"))
+
+  /** DuckDB gram replay shared by d24/d25 — same tokenization as ToksSql
+    * and the same short-doc clamp as the WordGrams kernel.
+    */
+  private def ngramPosSql(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, ${TextFunctions.ToksSql} AS toks FROM documents
+       |),
+       |occ AS (
+       |  SELECT doc_id, len(toks) AS n_toks, g.pos AS pos, g.gram AS gram
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(CASE WHEN len(toks) = 0 THEN []
+       |                  ELSE list_transform(range(0, GREATEST(len(toks) - $n, 0) + 1),
+       |                    i -> {'pos': i, 'gram': array_to_string(toks[i + 1 : i + $n], ' ')}) END) AS g
+       |    FROM toks) t
+       |)""".stripMargin
+
+  val d24_sql: String =
+    s"""WITH ${ngramPosSql(3)}
+       |SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq,
+       |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |FROM occ
+       |GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5
+       |ORDER BY gram""".stripMargin
+
+  /** Boilerplate passage spans: token intervals covered by any frequent
+    * 3-gram (d24's mined set), overlapping/adjacent intervals merged
+    * per document — the span-level extraction C4-style pipelines strip
+    * before near-dup detection. The frequent-gram relation is the Zipf
+    * head (small by construction → AQE broadcasts the occurrence
+    * join); interval merge is the classic running-max window, shuffled
+    * by doc id only. See [[graft.operators.Boilerplate.passageSpans]].
+    */
+  val d25_passage_spans: Q = (s, dir) =>
+    Boilerplate.passageSpans(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, minDf = 5L)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  val d25_sql: String =
+    s"""WITH ${ngramPosSql(3)},
+       |freq AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5),
+       |iv AS (
+       |  SELECT doc_id, pos AS s, LEAST(pos + 3, n_toks) AS e
+       |  FROM occ WHERE gram IN (SELECT gram FROM freq)
+       |),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM iv
+       |),
+       |sp AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM m
+       |)
+       |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       |       MAX(e) - MIN(s) AS n_tokens
+       |FROM sp GROUP BY doc_id, span
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ── d26: token-budget domain sampling ───────────────────────────────
+
+  /** Data mixing under a token budget: per source domain, admit
+    * documents in quality order (micro-integer [[TextFunctions
+    * .qualityScore]], doc_id tie-break) until the cumulative token
+    * count would exceed the budget — how a training mix caps each
+    * domain's contribution. One window per domain (shuffle by source,
+    * sort within); the running sum is rank-based so the admitted set
+    * is deterministic and engine-portable. Cumulative ≤ budget (not
+    * "first overflowing doc included"): the budget is a hard cap.
+    */
+  val d26_token_budget: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_micro").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        floor(TextFunctions.qualityScore(col("text")) * 1e6).cast(LongType)
+          .as("quality_micro"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 800L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d26_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text, ${TextFunctions.ToksSql} AS toks
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         ${TextFunctions.QualityMetricsSql}
+       |  FROM t
+       |),
+       |q AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         ${TextFunctions.QualityMicroSql} AS quality_micro
+       |  FROM m
+       |),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY quality_micro DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q
+       |)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 800
+       |ORDER BY doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1022,7 +1155,10 @@ object CurationQueries {
     "d18_line_dedup" -> d18_line_dedup,
     "d20_derepetition" -> d20_derepetition,
     "d22_token_derep" -> d22_token_derep,
-    "q28_sliding_frame" -> q28_sliding_frame)
+    "q28_sliding_frame" -> q28_sliding_frame,
+    "d24_frequent_ngrams" -> d24_frequent_ngrams,
+    "d25_passage_spans" -> d25_passage_spans,
+    "d26_token_budget" -> d26_token_budget)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1049,5 +1185,8 @@ object CurationQueries {
     "d18_line_dedup" -> d18_sql,
     "d20_derepetition" -> d20_sql,
     "d22_token_derep" -> d22_sql,
-    "q28_sliding_frame" -> q28_sql)
+    "q28_sliding_frame" -> q28_sql,
+    "d24_frequent_ngrams" -> d24_sql,
+    "d25_passage_spans" -> d25_sql,
+    "d26_token_budget" -> d26_sql)
 }
