@@ -95,6 +95,36 @@ object ScaleSmoke {
       }
       docs.unpersist()
     }
+    // d23 fingerprint containment on ITS OWN worst case: every doc ends
+    // with the same char-level boilerplate tail, so the tail's
+    // fingerprints have df = n and the exact inverted-index join pays
+    // Σ df² ≈ n². Prefix candidates come only from each doc's rarest
+    // fingerprints — the cluster-specific head (df = 10) — so growth
+    // must track n. A small exact run is timed for contrast.
+    def tailDocs(n: Int) = {
+      val unique = (0 until 10).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_f$j"))), 1, 7))
+      val tail = lit("universal boilerplate tail shared by every single document")
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (unique :+ tail): _*).as("text"))
+    }
+    val fpContrast = tailDocs(2000).repartition(32).persist()
+    fpContrast.count()
+    time("d23-exact fingerprint containment, 2000 docs (universal tail ⇒ df² join)") {
+      println(s"[scale]   directed pairs: ${graft.operators.TextDedup
+        .fingerprintContainment(fpContrast, "doc_id", "text").count()}")
+    }
+    fpContrast.unpersist()
+    Seq(5000, 50000).foreach { n =>
+      val docs = tailDocs(n).repartition(32).persist()
+      docs.count()
+      time(s"d23 prefix fingerprint containment, $n docs (universal tail)") {
+        println(s"[scale]   directed pairs: ${graft.operators.TextDedup
+          .fingerprintContainmentPrefix(docs, "doc_id", "text").count()}")
+      }
+      docs.unpersist()
+    }
   }
 
   /** as-of join and sequence packing at synthetic volume (orders of

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Boilerplate
+
+/** Boilerplate mining (d24/d25) against independent models: mined
+  * frequent grams vs a driver-side count, passage spans vs a
+  * brute-force interval-merge model on random corpora, and the
+  * strip operation's consistency with the spans it derives from.
+  */
+class BoilerplateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def samples[T](gen: Gen[T], n: Int, seed: Long = 11L): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  /** Reference model: tokens → positioned n-grams with the kernel's
+    * short-doc clamp, frequent grams by distinct-doc count, covered
+    * intervals merged (adjacent intervals merge too).
+    */
+  private def model(corpus: Seq[(Long, String)], n: Int, minDf: Int) = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(ts: Seq[String]): Seq[(Int, String)] =
+      if (ts.isEmpty) Seq.empty
+      else (0 until math.max(ts.size - n, 0) + 1)
+        .map(i => i -> ts.slice(i, i + n).mkString(" "))
+    val byDoc = corpus.map { case (id, t) => id -> grams(toks(t)) }
+    val df = byDoc.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val frequent = df.filter(_._2 >= minDf).keySet
+    val spans = byDoc.map { case (id, gs) =>
+      val nToks = corpus.find(_._1 == id).map(c => toks(c._2).size).get
+      val ivs = gs.filter(g => frequent(g._2))
+        .map(g => (g._1, math.min(g._1 + n, nToks))).sortBy(identity)
+      val merged = ivs.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+          case _ => (s, e) :: acc
+        }
+      }.reverse
+      id -> merged
+    }.toMap
+    (frequent, spans)
+  }
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+  private val genDoc: Gen[String] =
+    Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+  private val genCorpus: Gen[List[String]] = Gen.listOfN(10, genDoc)
+
+  test("frequent grams and merged spans match the reference model") {
+    import spark.implicits._
+    samples(genCorpus, 5).zipWithIndex.foreach { case (texts, ci) =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+      for (minDf <- Seq(2, 4)) {
+        val (expFreq, expSpans) = model(corpus, n = 2, minDf = minDf)
+        val gotFreq = Boilerplate.frequentNgrams(df, "doc_id", "text", 2, minDf)
+          .collect().map(_.getString(0)).toSet
+        assert(gotFreq == expFreq, s"corpus $ci minDf $minDf grams")
+        val gotSpans = Boilerplate.passageSpans(df, "doc_id", "text", 2, minDf)
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (id, rs) =>
+            id -> rs.map(r => (r.getInt(1), r.getInt(2))).sortBy(identity).toList
+          }
+        val expNonEmpty = expSpans.filter(_._2.nonEmpty)
+        assert(gotSpans == expNonEmpty, s"corpus $ci minDf $minDf spans: " +
+          s"got $gotSpans expected $expNonEmpty")
+      }
+    }
+  }
+
+  test("stripPassages drops exactly the covered token positions") {
+    import spark.implicits._
+    samples(genCorpus, 4).foreach { texts =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+      val (_, spans) = model(corpus, n = 2, minDf = 2)
+      val got = Boilerplate.stripPassages(df, "doc_id", "text", 2, 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      corpus.foreach { case (id, t) =>
+        val ts = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val covered = spans(id).flatMap { case (s, e) => s until e }.toSet
+        val expect = ts.zipWithIndex.collect {
+          case (tok, i) if !covered(i) => tok
+        }.mkString(" ")
+        assert(got(id) == expect, s"doc $id: got '${got(id)}' expect '$expect'")
+      }
+    }
+  }
+
+  test("d26 admission is a prefix of the quality order and respects the budget") {
+    import spark.implicits._
+    // admission must be monotone: if a doc is admitted, every doc ranked
+    // before it (same domain) is admitted too, and the running total of
+    // the admitted prefix never exceeds the budget
+    val rows = (0 until 40).map { i =>
+      (i.toLong, s"dom${i % 3}", ("tok " * (i % 7 + 1)).trim)
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy($"quality_micro".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    import org.apache.spark.sql.functions._
+    val admitted = df
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long").as("n_tokens"),
+        floor(graft.functions.TextFunctions.qualityScore($"text") * 1e6).cast("long")
+          .as("quality_micro"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= 12L)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+    val byDom = admitted.collect().groupBy(_.getString(1))
+    byDom.foreach { case (_, rs) =>
+      val cums = rs.map(_.getLong(3)).sorted
+      assert(cums.last <= 12L)
+      // contiguous running sums: each admitted cum = previous + its tokens
+      val sorted = rs.sortBy(_.getLong(3))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val prior = if (i == 0) 0L else sorted(i - 1).getLong(3)
+        assert(r.getLong(3) == prior + r.getLong(2))
+      }
+    }
+  }
+}
