@@ -270,6 +270,57 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "expected map-side-partial struct collection:\n" + plan.take(3000))
   }
 
+  test("frequent-ngram mining is one aggregation: no window, no join") {
+    val df = operators.Boilerplate.frequentNgrams(
+      Tables(spark, dir, "documents"), "doc_id", "text", 3, 5L)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      "gram mining must not plan a window:\n" + plan.take(3000))
+    assert(!plan.contains("Join"),
+      "gram mining must not plan a join:\n" + plan.take(3000))
+    assert(plan.contains("partial_count"),
+      "map-side partial aggregation expected:\n" + plan.take(3000))
+  }
+
+  test("passage/budget windows are always partitioned (no global window)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // d25's interval merge and d26's running budget shuffle by doc/domain
+    // only — a window with an empty partition spec would serialize the
+    // whole corpus through one task
+    val spans = operators.Boilerplate.passageSpans(
+      Tables(spark, dir, "documents"), "doc_id", "text", 3, 5L)
+    val budget = queries.CurationQueries.queries("d26_token_budget")(spark, dir)
+    Seq("d25" -> spans, "d26" -> budget).foreach { case (name, df) =>
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w
+      }
+      assert(wins.nonEmpty, s"$name: expected window nodes")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name: window must be partitioned, got ${w.windowExpressions}"))
+    }
+  }
+
+  test("fingerprint containment prefix ranks by rarity and joins on the LONG key") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.StringType
+    val df = operators.TextDedup.fingerprintContainmentPrefix(
+      queries.DataPipelineQueries.dupDocCorpus(spark, dir), "doc_id", "text")
+    val plan = executedPlan(df)
+    // the rarity prefix exists (row_number over df order) …
+    assert(planString(df).contains("row_number"),
+      "expected the rarity-rank window in the prefix plan")
+    // … and no join anywhere keys on a string (text/gram) — candidates
+    // and verification ride the 8-byte fingerprint LONG or doc ids
+    val keys = collectWithSubqueries(plan) { case j: BaseJoinExec => j }
+      .flatMap(j => j.leftKeys ++ j.rightKeys)
+    assert(keys.nonEmpty)
+    assert(!keys.exists {
+        case a: AttributeReference => a.dataType == StringType
+        case _ => false
+      }, s"no fingerprint join may key on a string, got $keys")
+  }
+
   test("centroid aggregate carries vectors whole (no corpus-wide explode)") {
     // VectorSumAgg's contract: the plan has no Generate below the
     // aggregate — the corpus is never multiplied by the dimension count
