@@ -181,6 +181,64 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"),
         md5(expr(s"substring(content, byte_offset + 1, $stride)")).as("frame_sig"))
 
+  /** ═══ STUB ═══ 60-bit perceptual hash for "image" payloads: bit `b`
+    * is a binary feature of the payload's b-th fixed `blockBytes`-byte
+    * window (high leading md5 nibble — a deterministic stand-in for
+    * "block luma above the mean"; a real aHash/pHash downsamples
+    * decoded pixels to an 8×8 grid, but the hash width, the per-block
+    * independence, and every downstream join are identical). 60 bits
+    * (not 64) keeps the value clear of the sign bit so `1 << b` is
+    * portable arithmetic on both engines — the repo's md5-60
+    * convention. Images shorter than `b·blockBytes` leave bit b at 0
+    * on both engines.
+    *
+    * Declarative end-to-end: block fan-out is a sequence explode, the
+    * bit is codegen'd md5/substring arithmetic, the hash one map-side-
+    * combined sum — no UDF, no driver loop.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord], blockBytes: Int = 16): DataFrame =
+    media.toDF()
+      .filter(col("kind") === "image" && length(col("content")) > 0)
+      .select(col("media_id"), col("content"),
+        posexplode(sequence(lit(0),
+          least(lit(59), ((length(col("content")) - 1) / blockBytes)
+            .cast(IntegerType)))).as(Seq("__p", "block")))
+      .select(col("media_id"), col("block"),
+        (conv(expr(s"substring(md5(substring(content, block * $blockBytes + 1, $blockBytes)), 1, 1)"),
+          16, 10).cast(IntegerType) >= 8).as("bit"))
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("bit"), expr("shiftleft(cast(1 as bigint), block)"))
+        .otherwise(0L)).as("phash"))
+
+  /** Near-dup images: pairs within hamming distance `maxHamming` of
+    * their perceptual hashes, found by banded chunk collision (4 chunks
+    * of 15 bits — pigeonhole: ≤ 3 differing bits cannot touch all 4
+    * chunks), never all-pairs; the exact popcount filter runs on
+    * colliding candidates only. Same banding scheme as the SimHash text
+    * path ([[TextDedup.simhashPairs]]) — near-dup detection over ANY
+    * 64-bit-signature modality reduces to this join.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRecord], blockBytes: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = perceptualHashes(media, blockBytes)
+    val chunkBits = 15
+    val mask = (1L << chunkBits) - 1
+    val chunks = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("phash"), c * chunkBits).bitwiseAND(mask).as("ckey"))): _*)).as("ck"))
+      .select(col("media_id"), col("phash"),
+        col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.ckey") === col("b.ckey") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup videos: pairs agreeing on ≥ `least(minShared, frames_a,
     * frames_b)` same-position frame signatures — the bound shrinks to
     * the shorter video's frame count so byte-identical SHORT videos

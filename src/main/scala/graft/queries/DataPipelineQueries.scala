@@ -1254,6 +1254,46 @@ object DataPipelineQueries {
        |WHERE p.shared_frames >= LEAST(4, na.n, nb.n)
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Image near-dup over the planted corpus as all-image payloads:
+    * pairs within hamming 3 of their 60-bit perceptual hashes (16-byte
+    * block features). Exact copies hash identically; 'zz'-perturbed
+    * copies can flip only block 0's bit. The oracle replays the block
+    * arithmetic over the text (ASCII ⇒ byte and char windows coincide)
+    * and verifies with an all-pairs popcount — the Spark side must
+    * produce identical pairs from banded chunk collisions only.
+    */
+  val m03_image_neardup: Q = (s, dir) => {
+    import s.implicits._
+    val media = dupDocCorpus(s, dir).select(
+        col("doc_id").cast(LongType).as("media_id"),
+        lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("corpus").as("source"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.imageNearDupPairs(media, blockBytes = 16, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m03_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |blocks AS (
+       |  SELECT doc_id, b.b AS block,
+       |         CASE WHEN CAST(('0x' || substr(md5(substr(text, b.b * 16 + 1, 16)), 1, 1)) AS INT) >= 8
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM corpus, (SELECT unnest(range(0, 60)) AS b) b
+       |  WHERE b.b * 16 < length(text)
+       |),
+       |hashes AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(bit * (CAST(1 AS BIGINT) << block)) AS BIGINT) AS h
+       |  FROM blocks GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1303,7 +1343,8 @@ object DataPipelineQueries {
     "t05_gram_topk" -> t05_gram_topk,
     "t06_corpus_report" -> t06_corpus_report,
     "m01_multimodal_features" -> m01_multimodal_features,
-    "m02_video_neardup" -> m02_video_neardup)
+    "m02_video_neardup" -> m02_video_neardup,
+    "m03_image_neardup" -> m03_image_neardup)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -1334,5 +1375,6 @@ object DataPipelineQueries {
     "t05_gram_topk" -> t05_sql,
     "t06_corpus_report" -> t06_sql,
     "m01_multimodal_features" -> m01_sql,
-    "m02_video_neardup" -> m02_sql)
+    "m02_video_neardup" -> m02_sql,
+    "m03_image_neardup" -> m03_sql)
 }
