@@ -60,12 +60,20 @@ object Boilerplate {
   def passageSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Long): DataFrame = {
-    val frequent = frequentNgrams(df, idCol, textCol, n, minDf)
-      .select(col("gram"))
+    // ONE tokenize+gram pass feeds both the df mining and the occurrence
+    // join (the positioned stream subsumes [[frequentNgrams]]' input);
+    // persisted because both sides consume it — caller-owned lifetime is
+    // irrelevant here, the frame is dropped when this plan materializes
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-    val occ = toks.select(col("id"), size(col("toks")).as("n_toks"),
+    val grams = toks.select(col("id"), size(col("toks")).as("n_toks"),
         posexplode(WordGrams(col("toks"), n)).as(Seq("pos", "gram")))
+      .persist()
+    val frequent = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("gram"))
+    val occ = grams
       .join(frequent, "gram")
       // the tail gram of a short doc covers only to the end of the doc
       .select(col("id"), col("pos").as("s"),
