@@ -1128,6 +1128,85 @@ object CurationQueries {
        |FROM c WHERE cum_tokens <= 800
        |ORDER BY doc_id""".stripMargin
 
+  // ── q29: rank-function window suite ─────────────────────────────────
+
+  /** NTILE / PERCENT_RANK / CUME_DIST over per-nation customer balances
+    * — the rank-function family in one windowed pass (one shuffle by
+    * nation, in-partition sort). The order key (acctbal, custkey) is
+    * unique, so every rank value — including the two double-valued
+    * functions — is deterministic and engine-exact (both are ratios of
+    * integers; IEEE division of identical integers is identical).
+    */
+  val q29_rank_functions: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("balance_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q29_sql: String =
+    """SELECT c_custkey, c_nationkey,
+      |       CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
+      |       PERCENT_RANK() OVER w AS pct_rank,
+      |       CUME_DIST() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ── t12: readability profile ────────────────────────────────────────
+
+  /** Surface readability metrics per document: sentence count (split on
+    * [.!?] runs), tokens-per-sentence (milli-integer), long-word ratio
+    * (>6 chars, micro-integer) — the classic complexity screens next to
+    * t01's quality stats. Pure per-row expressions, zero shuffles; all
+    * outputs integer-exact so the gate is bit-identical.
+    */
+  val t12_readability: Q = (s, dir) => {
+    val toks = TextFunctions.tokens(col("text"))
+    // sentences = non-empty [.!?]-separated segments with any letters
+    val sentences = size(filter(
+      split(col("text"), "[.!?]+"),
+      x => trim(x) =!= ""))
+    val nTok = size(toks)
+    val nLong = size(filter(toks, t => length(t) > 6))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        sentences.as("n_sentences"),
+        nTok.as("n_tokens"),
+        // Spark `/` on integers is double division — floor-cast restores
+        // the integer quotient (exact: counts are far below 2^53)
+        when(sentences > 0,
+            floor((nTok.cast(LongType) * 1000L) / sentences).cast(LongType))
+          .otherwise(0L).as("tokens_per_sentence_milli"),
+        when(nTok > 0,
+            floor((nLong.cast(LongType) * 1000000L) / nTok).cast(LongType))
+          .otherwise(0L).as("long_word_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t12_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${TextFunctions.ToksSql} AS toks,
+       |         len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '')) AS n_sentences
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(n_sentences AS INT) AS n_sentences,
+       |       CAST(len(toks) AS INT) AS n_tokens,
+       |       CASE WHEN n_sentences > 0
+       |            THEN CAST(len(toks) AS BIGINT) * 1000 // n_sentences
+       |            ELSE 0 END AS tokens_per_sentence_milli,
+       |       CASE WHEN len(toks) > 0
+       |            THEN CAST(len(list_filter(toks, x -> length(x) > 6)) AS BIGINT) * 1000000 // len(toks)
+       |            ELSE 0 END AS long_word_ppm
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1158,7 +1237,9 @@ object CurationQueries {
     "q28_sliding_frame" -> q28_sliding_frame,
     "d24_frequent_ngrams" -> d24_frequent_ngrams,
     "d25_passage_spans" -> d25_passage_spans,
-    "d26_token_budget" -> d26_token_budget)
+    "d26_token_budget" -> d26_token_budget,
+    "q29_rank_functions" -> q29_rank_functions,
+    "t12_readability" -> t12_readability)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1188,5 +1269,7 @@ object CurationQueries {
     "q28_sliding_frame" -> q28_sql,
     "d24_frequent_ngrams" -> d24_sql,
     "d25_passage_spans" -> d25_sql,
-    "d26_token_budget" -> d26_sql)
+    "d26_token_budget" -> d26_sql,
+    "q29_rank_functions" -> q29_sql,
+    "t12_readability" -> t12_sql)
 }
