@@ -386,6 +386,8 @@ object TextDedup {
     * recur across unrelated documents, so df is NOT bounded by real
     * content sharing the way [[fingerprintPairs]]' absolute-count
     * OUTPUT is. The scale path is [[fingerprintContainmentPrefix]].
+    * Caller owns the cache lifetime of the fingerprint relation this
+    * persists (cf. [[minhashLshPairs]]).
     */
   def fingerprintContainment(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 4, threshold: Double = 0.8): DataFrame = {
@@ -431,6 +433,8 @@ object TextDedup {
     * candidates only, with the same size-gated broadcast/shuffle
     * strategy as [[minhashLshPairs]] — and the join keys are 8-byte
     * LONGs, so unlike the shingle paths no re-keying hash is needed.
+    * Caller owns the cache lifetime of the fingerprint and candidate
+    * relations this persists (cf. [[minhashLshPairs]]).
     */
   def fingerprintContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 4, threshold: Double = 0.8,
