@@ -558,6 +558,40 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("image near-dup: banded hamming join equals brute-force popcount pairs") {
+    import spark.implicits._
+    // driver-side replica of the 60-bit block hash
+    def phash(bytes: Array[Byte], blockBytes: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until math.min(60, (bytes.length + blockBytes - 1) / blockBytes))
+        .foldLeft(0L) { (h, b) =>
+          val slice = bytes.slice(b * blockBytes, math.min((b + 1) * blockBytes, bytes.length))
+          val nibble = (md.digest(slice)(0) >> 4) & 0xf
+          if (nibble >= 8) h | (1L << b) else h
+        }
+    }
+    // varied random-ish contents + planted copies (exact and 1-byte edit)
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 12).map(i =>
+      i.toLong -> Array.fill(40 + rnd.nextInt(160))(rnd.nextInt(128).toByte))
+    val planted = base ++ Seq(
+      100L -> base.head._2.clone(),
+      101L -> { val c = base.head._2.clone(); c(0) = (c(0) ^ 1).toByte; c })
+    val media = planted.map { case (id, c) => (id, "image", c, "src") }
+      .toDF("media_id", "kind", "content", "source")
+      .as[Multimodal.MediaRecord]
+    val got = Multimodal.imageNearDupPairs(media, blockBytes = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val hs = planted.map { case (id, c) => id -> phash(c, 16) }.toMap
+    val expect = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.contains((1L, 100L)) && got((1L, 100L)) == 0)
+    assert(got.contains((1L, 101L)) && got((1L, 101L)) <= 1)
+  }
+
   test("multimodal: batch plumbing preserves ids, stub features deterministic") {
     val d = docs(
       0L -> "abcdefgh", 1L -> "0123456789", 2L -> "xyz")
