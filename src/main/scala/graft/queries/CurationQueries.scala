@@ -1085,6 +1085,14 @@ object CurationQueries {
     * sort within); the running sum is rank-based so the admitted set
     * is deterministic and engine-portable. Cumulative ≤ budget (not
     * "first overflowing doc included"): the budget is a hard cap.
+    *
+    * Scale note: this exact form sorts each domain in one partition —
+    * fine while a domain fits an executor, but a 100 TB corpus with few
+    * domains inverts that. The scale path is the t09 pattern: build a
+    * per-(domain, quality-bucket) token histogram (one map-side-combined
+    * agg), walk the cumulative histogram to a per-domain quality
+    * THRESHOLD, then admit by broadcast-threshold filter — no global
+    * per-domain sort; only the boundary bucket needs the exact window.
     */
   val d26_token_budget: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window
