@@ -293,6 +293,51 @@ object ValidationQueries {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY custkey""".stripMargin
 
+  /** Multiset (bag) set ops — EXCEPT ALL / INTERSECT ALL keep
+    * MULTIPLICITY, which the v11 DISTINCT forms erase: a customer with
+    * 3 'O' orders and 1 'F' order appears 2× in the except-all
+    * (3 − 1) and 1× in the intersect-all (min(3, 1)). Spark plans both
+    * as a single aggregate computing per-key counts then a generate —
+    * one shuffle, no join; the same shape DuckDB executes.
+    */
+  val v13_multiset_ops: Q = (s, dir) => {
+    val open = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val finished = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    open.exceptAll(finished).groupBy("custkey")
+      .agg(count(lit(1)).as("surplus_open"))
+      .join(
+        open.intersectAll(finished).groupBy("custkey")
+          .agg(count(lit(1)).as("common_min")),
+        Seq("custkey"), "full")
+      .select(col("custkey"),
+        coalesce(col("surplus_open"), lit(0L)).as("surplus_open"),
+        coalesce(col("common_min"), lit(0L)).as("common_min"))
+      .orderBy(col("custkey"))
+  }
+
+  val v13_sql: String =
+    """WITH open AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+      |fin AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+      |ex AS (
+      |  SELECT custkey, CAST(COUNT(*) AS BIGINT) AS surplus_open
+      |  FROM (SELECT custkey FROM open EXCEPT ALL SELECT custkey FROM fin)
+      |  GROUP BY custkey
+      |),
+      |ia AS (
+      |  SELECT custkey, CAST(COUNT(*) AS BIGINT) AS common_min
+      |  FROM (SELECT custkey FROM open INTERSECT ALL SELECT custkey FROM fin)
+      |  GROUP BY custkey
+      |)
+      |SELECT COALESCE(ex.custkey, ia.custkey) AS custkey,
+      |       COALESCE(ex.surplus_open, 0) AS surplus_open,
+      |       COALESCE(ia.common_min, 0) AS common_min
+      |FROM ex FULL JOIN ia ON ia.custkey = ex.custkey
+      |ORDER BY custkey""".stripMargin
+
   /** Per-column drift profile between two table versions — a
     * beyond-reference EXTENSION of the reference validation runner's
     * table-level compare (validate_data_redshift_firebolt.py:132-185
@@ -353,6 +398,7 @@ object ValidationQueries {
     "v12_column_drift" -> v12_column_drift,
     "v10_fullouter_compare" -> v10_fullouter_compare,
     "v11_set_difference" -> v11_set_difference,
+    "v13_multiset_ops" -> v13_multiset_ops,
     "v01_table_summary" -> v01_table_summary,
     "v02_checksums" -> v02_checksums,
     "v03_status_breakdown" -> v03_status_breakdown,
@@ -367,6 +413,7 @@ object ValidationQueries {
     "v12_column_drift" -> v12_sql,
     "v10_fullouter_compare" -> v10_sql,
     "v11_set_difference" -> v11_sql,
+    "v13_multiset_ops" -> v13_sql,
     "v01_table_summary" -> v01_sql,
     "v02_checksums" -> v02_sql,
     "v03_status_breakdown" -> v03_sql,
