@@ -62,6 +62,29 @@ object VectorSearch {
     * @param queries (queryIdCol, vecCol) — small
     * @return (query_id, rank, id, cosine) with rank 1..k, ties broken by id
     */
+  /** Hard-negative mining for contrastive training: per query, the k
+    * nearest corpus vectors with a DIFFERENT label — the most
+    * confusable wrong answers, the negatives that carry gradient.
+    * Same scan shape as [[bruteForceTopK]]: queries broadcast, corpus
+    * scanned once (the label predicate rides the broadcast join, so a
+    * label-partitioned corpus prunes at the scan); per-query top-k via
+    * the rank window over the scored result.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+      norm(col(vecCol)).as("__qnorm"), col(labelCol).as("__qlabel")))
+    val scored = corpus.select(col(idCol).as("id"), col(labelCol).as("neg_label"),
+        col(vecCol).as("__cvec"), norm(col(vecCol)).as("__cnorm"))
+      .join(q, col("neg_label") =!= col("__qlabel"))
+      .withColumn("cosine", cosineFromParts(
+        dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
+    rankTopK(scored, "cosine", k)
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,

@@ -900,6 +900,35 @@ object CurationQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining ([[VectorSearch.hardNegatives]]): per query,
+    * the 5 most similar corpus vectors with a DIFFERENT label — the
+    * contrastive-training negatives that carry gradient. Same
+    * broadcast-query/single-corpus-scan shape as s01/s07; the label
+    * inequality rides the broadcast join.
+    */
+  val s08_hard_negatives: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.hardNegatives(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+        queryIdCol = "vec_id", k = 5)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s08_sql: String =
+    """SELECT query_id, rank, id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+      |                    c.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+      |  WHERE q.vec_id < 5) t
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // ── d18: cross-document line dedup (boilerplate removal) ────────────
 
   /** C4-style line-level dedup: split documents on newlines, drop every
@@ -1247,7 +1276,8 @@ object CurationQueries {
     "d25_passage_spans" -> d25_passage_spans,
     "d26_token_budget" -> d26_token_budget,
     "q29_rank_functions" -> q29_rank_functions,
-    "t12_readability" -> t12_readability)
+    "t12_readability" -> t12_readability,
+    "s08_hard_negatives" -> s08_hard_negatives)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1279,5 +1309,6 @@ object CurationQueries {
     "d25_passage_spans" -> d25_sql,
     "d26_token_budget" -> d26_sql,
     "q29_rank_functions" -> q29_sql,
-    "t12_readability" -> t12_sql)
+    "t12_readability" -> t12_sql,
+    "s08_hard_negatives" -> s08_sql)
 }
