@@ -1244,6 +1244,37 @@ object CurationQueries {
        |FROM t
        |ORDER BY doc_id""".stripMargin
 
+  // ── q30: lateral top-n per group (SQL surface) ──────────────────────
+
+  /** Top-2 customers by balance per nation through a correlated LATERAL
+    * subquery — submitted via `spark.sql` (the one gated query that
+    * enters through the SQL parser rather than the DataFrame API, so
+    * the SQL surface itself is under the oracle gate). Catalyst rewrites
+    * the lateral into the same shuffle-once ranked-window plan q13/q16
+    * use — decorrelation is the optimizer's job, not the author's.
+    * Balances are pass-through values (no aggregation), so doubles are
+    * hash-safe.
+    */
+  val q30_lateral_topn: Q = (s, dir) => {
+    Tables(s, dir, "nation").createOrReplaceTempView("nation")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation n JOIN LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+  }
+
+  val q30_sql: String =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1277,7 +1308,8 @@ object CurationQueries {
     "d26_token_budget" -> d26_token_budget,
     "q29_rank_functions" -> q29_rank_functions,
     "t12_readability" -> t12_readability,
-    "s08_hard_negatives" -> s08_hard_negatives)
+    "s08_hard_negatives" -> s08_hard_negatives,
+    "q30_lateral_topn" -> q30_lateral_topn)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1310,5 +1342,6 @@ object CurationQueries {
     "d26_token_budget" -> d26_sql,
     "q29_rank_functions" -> q29_sql,
     "t12_readability" -> t12_sql,
-    "s08_hard_negatives" -> s08_sql)
+    "s08_hard_negatives" -> s08_sql,
+    "q30_lateral_topn" -> q30_sql)
 }
