@@ -321,6 +321,18 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }, s"no fingerprint join may key on a string, got $keys")
   }
 
+  test("lateral top-n decorrelates to a ranked window (no per-outer-row subquery)") {
+    val df = queries.CurationQueries.queries("q30_lateral_topn")(spark, dir)
+    val plan = planString(df)
+    // Catalyst must rewrite the correlated LATERAL + LIMIT into the
+    // window/rank shape (one shuffle by the correlation key) — a
+    // surviving nested-loop per outer row would re-scan customer 25×
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"),
+      "expected the decorrelated window plan:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "lateral must not survive as a nested loop:\n" + plan.take(3000))
+  }
+
   test("centroid aggregate carries vectors whole (no corpus-wide explode)") {
     // VectorSumAgg's contract: the plan has no Generate below the
     // aggregate — the corpus is never multiplied by the dimension count
