@@ -61,9 +61,10 @@ object Boilerplate {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Long): DataFrame = {
     // ONE tokenize+gram pass feeds both the df mining and the occurrence
-    // join (the positioned stream subsumes [[frequentNgrams]]' input);
-    // persisted because both sides consume it — caller-owned lifetime is
-    // irrelevant here, the frame is dropped when this plan materializes
+    // join (the positioned stream subsumes [[frequentNgrams]]' input).
+    // Caller owns the cache lifetime of this persisted gram relation
+    // (cf. TextDedup.minhashLshPairs — unpersist or clearCache after
+    // materializing)
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
     val grams = toks.select(col("id"), size(col("toks")).as("n_toks"),
