@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, CurationQueries, DataPipelineQueries, PipelineQueries, StreamingQueries, ValidationQueries}
+import graft.queries.{CoreQueries, CurationQueries, DataPipelineQueries, PipelineQueries, SemanticQueries, StreamingQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ PipelineQueries.queries ++
       DataPipelineQueries.queries ++ ValidationQueries.queries ++
-      StreamingQueries.queries ++ CurationQueries.queries
+      StreamingQueries.queries ++ CurationQueries.queries ++
+      SemanticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++
       DataPipelineQueries.oracles ++ ValidationQueries.oracles ++
-      StreamingQueries.oracles ++ CurationQueries.oracles
+      StreamingQueries.oracles ++ CurationQueries.oracles ++
+      SemanticQueries.oracles
 }

@@ -182,36 +182,45 @@ object VectorSearch {
     * assignment is one scan with a broadcast centroid table, the probe
     * join shuffles only by centroid id.
     */
+  /** Squared distance to one centroid: `v·v − 2·v·c + c·c`. The v·v
+    * term is hoisted to a column (it cannot affect an argmin over
+    * centroids but stays in the formula so FP results — and the oracle
+    * replay — are bit-identical), and centroids are constant array
+    * literals, not per-row CreateArray.
+    */
+  private def cellDist2(vec: Column, vv: Column, p: Seq[Double]): Column =
+    vv - lit(2.0) * dot(vec, lit(p.toArray)) + lit(p.map(x => x * x).sum)
+
+  /** Nearest-centroid cell id: argmin over squared distance —
+    * array_min over (d, c) structs, NOT a reduce of when/otherwise:
+    * that fold references its accumulator twice per step, so the
+    * expression tree doubles per centroid (2^|centroids| nodes) and
+    * driver-side analysis dwarfs the actual job time. Struct ordering
+    * breaks distance ties toward the smaller cell id, matching the
+    * fold's keep-earlier semantics and the oracle's ORDER BY d, c.
+    */
+  private def nearestCell(vec: Column, vv: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (p, i) =>
+      struct(cellDist2(vec, vv, p).as("d"), lit(i).as("c"))
+    }: _*)).getField("c")
+
+  /** The `nProbe` nearest centroid ids, nearest first. */
+  private def probeCells(
+      vec: Column, vv: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val ranked = array(centroids.zipWithIndex.map { case (p, i) =>
+      struct(cellDist2(vec, vv, p).as("d"), lit(i).as("c"))
+    }: _*)
+    slice(transform(array_sort(ranked), s => s.getField("c")), 1, nProbe)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       centroids: Seq[Seq[Double]], k: Int, nProbe: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
     require(centroids.nonEmpty && nProbe >= 1)
-    // nearest-centroid expression: argmin over squared distance. The
-    // v·v term is hoisted to a column (it cannot affect the argmin but
-    // stays in the formula so FP results — and the oracle replay —
-    // are bit-identical), and centroids are constant array literals,
-    // not per-row CreateArray.
-    def dist2(vec: Column, vv: Column, p: Seq[Double]): Column =
-      vv - lit(2.0) * dot(vec, lit(p.toArray)) + lit(p.map(x => x * x).sum)
-    // array_min over (d, c) structs, NOT a reduce of when/otherwise:
-    // that fold references its accumulator twice per step, so the
-    // expression tree doubles per centroid (2^|centroids| nodes) and
-    // driver-side analysis dwarfs the actual job time. Struct ordering
-    // breaks distance ties toward the smaller cell id, matching the
-    // fold's keep-earlier semantics and the oracle's ORDER BY d, c.
-    def nearest(vec: Column, vv: Column): Column =
-      array_min(array(centroids.zipWithIndex.map { case (p, i) =>
-        struct(dist2(vec, vv, p).as("d"), lit(i).as("c"))
-      }: _*)).getField("c")
-    // query side: the nProbe nearest centroids
-    def probes(vec: Column, vv: Column): Column = {
-      val ranked = array(centroids.zipWithIndex.map { case (p, i) =>
-        struct(dist2(vec, vv, p).as("d"), lit(i).as("c"))
-      }: _*)
-      slice(transform(array_sort(ranked), s => s.getField("c")), 1, nProbe)
-    }
+    def nearest(vec: Column, vv: Column): Column = nearestCell(vec, vv, centroids)
+    def probes(vec: Column, vv: Column): Column = probeCells(vec, vv, centroids, nProbe)
 
     val c = corpus
       .select(col(idCol).as("id"), col(vecCol).as("__cvec"),
@@ -301,6 +310,95 @@ object VectorSearch {
       if (bands == 1) verified.select("id_a", "id_b", "cosine")
       else verified.distinct().select("id_a", "id_b", "cosine")
     }
+  }
+
+  /** Nearest-centroid cell assignment for every vector: one corpus scan
+    * with the centroid table as constant literals (no shuffle, no join).
+    * Returns (id, __vec, __norm, cell) — the internal columns ride along
+    * so callers ([[semanticDedup]]) can verify candidates without
+    * re-fetching vectors.
+    */
+  def assignCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty)
+    df.select(col(idCol).as("id"), col(vecCol).as("__vec"),
+        norm(col(vecCol)).as("__norm"),
+        dot(col(vecCol), col(vecCol)).as("__vv"))
+      .select(col("id"), col("__vec"), col("__norm"),
+        nearestCell(col("__vec"), col("__vv"), centroids).as("cell"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): assign
+    * every vector to its nearest coarse centroid, then drop any vector
+    * that has a LOWER-id neighbor with cosine ≥ `threshold` in the SAME
+    * cell. Returns one row per input vector: (id, cell, is_kept).
+    *
+    * The cell scoping is the point, and the documented approximation:
+    * near-dup comparison is confined to each cluster, so cost is
+    * Σ per-cell size² instead of corpus² — with k centroids scaled so
+    * cells stay bounded (SemDeDup uses k ∝ corpus size), the within-cell
+    * pair join after ONE shuffle by cell is the whole plan. A cross-cell
+    * duplicate pair is missed by design (both engines, identically);
+    * that trade is what distinguishes this operator from the banded-LSH
+    * near-dup ([[cosineNearDupPairs]]), which buckets by signature
+    * agreement rather than by a clustering.
+    *
+    * Survivor rule: keep the minimum id of each within-cell duplicate
+    * neighborhood (a vector is dropped iff ANY lower-id same-cell
+    * neighbor passes the threshold — no transitive closure; chains
+    * resolve per-edge, deterministically, and the oracle replays the
+    * same rule).
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val a = assignCells(df, idCol, vecCol, centroids)
+    // filter-before-distinct like cosineNearDupPairs: only ids that
+    // actually lose (tiny) pay the dedup shuffle
+    val dropped = a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosineFromParts(dot(col("a.__vec"), col("b.__vec")),
+        col("a.__norm"), col("b.__norm")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+      .withColumn("__dropped", lit(true))
+    a.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell").cast(LongType).as("cell"),
+        (!coalesce(col("__dropped"), lit(false))).as("is_kept"))
+  }
+
+  /** Embedding-space decontamination: flag every corpus vector whose
+    * cosine to ANY eval-set vector reaches `threshold` — the semantic
+    * sibling of n-gram decontamination ([[Decontaminate]]), catching
+    * paraphrased eval leakage that exact n-grams miss. Returns one row
+    * per CONTAMINATED corpus vector: (id, n_eval_hits, best_eval_id)
+    * where best_eval_id is the argmax-cosine eval vector (ties to the
+    * lower eval id).
+    *
+    * Scale shape: the eval set is small by nature (benchmarks), so it
+    * broadcasts; the corpus is scanned ONCE with no shuffle — the
+    * threshold filter kills non-hits inside the broadcast join stage,
+    * and only flagged rows (tiny) reach the per-id aggregation.
+    */
+  def decontamFlags(
+      corpus: DataFrame, evals: DataFrame,
+      idCol: String, vecCol: String, evalIdCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__vec"),
+      norm(col(vecCol)).as("__norm"))
+    val e = broadcast(evals.select(col(evalIdCol).as("eval_id"),
+      col(vecCol).as("__evec"), norm(col(vecCol)).as("__enorm")))
+    val hits = c.join(e, cosineFromParts(dot(col("__vec"), col("__evec")),
+        col("__norm"), col("__enorm")) >= threshold)
+      .select(col("id"), col("eval_id"),
+        cosineFromParts(dot(col("__vec"), col("__evec")),
+          col("__norm"), col("__enorm")).as("__cos"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__cos").desc, col("eval_id").asc)
+    hits.withColumn("__rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        min(when(col("__rn") === 1, col("eval_id"))).as("best_eval_id"))
   }
 
   /** Per-group centroid statistics over int8-quantized vectors: one row

@@ -1275,6 +1275,91 @@ object CurationQueries {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 
+  // ── t13: unigram corpus-likelihood quality proxy ────────────────────
+
+  /** Per-document unigram "LM" score — the KenLM-style quality proxy
+    * with an integer surrogate: every token contributes
+    * ⌊log₂(1 + corpus_frequency)⌋, so documents of common, fluent
+    * vocabulary score high per token and OOV/junk tokens contribute 0
+    * bits. (The real per-token log-prob differs by the constant
+    * −log₂ N_corpus per token — a consumer-side affine shift that adds
+    * nothing to the ordering but would put a float in the output.)
+    * Shape: explode → ONE map-side-combined corpus-frequency aggregate →
+    * sort-merge join back (both sides corpus-scale — the t11/d18 shape,
+    * never a broadcast of the vocabulary) → per-doc integer sums. Docs
+    * with no tokens are absent (explode semantics, like t11).
+    */
+  val t13_doc_loglik: Q = (s, dir) => {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+    val cf = toks.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    toks.join(cf, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(bin(col("cf") + 1)) - 1).as("loglik_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t13_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, u.tok AS token
+       |  FROM (SELECT doc_id, ${TextFunctions.ToksSql} AS toks FROM documents),
+       |       unnest(toks) u(tok)
+       |),
+       |cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM t GROUP BY token)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(length(bin(cf.cf + 1)) - 1) AS BIGINT) AS loglik_bits
+       |FROM t JOIN cf USING (token)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ── q31: value window functions + RANGE frame ───────────────────────
+
+  /** Value-window functions over each customer's order history:
+    * first/second/latest order value (FIRST_VALUE / NTH_VALUE /
+    * LAST_VALUE over the unbounded frame, deterministic
+    * (date, key) order) plus a trailing-30-day spend via a RANGE frame
+    * keyed on integer epoch days — the by-VALUE frame evaluator (peers
+    * included by value distance), distinct from q24's cumulative and
+    * q28's bounded ROWS frames. One shuffle by customer serves all
+    * four windows; sums are integer cents.
+    */
+  val q31_value_windows: Q = (s, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val full = W.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val trail = W.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day")).rangeBetween(-30, 0)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("epoch_day"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        first(col("cents")).over(full).as("first_cents"),
+        nth_value(col("cents"), 2).over(full).as("second_cents"),
+        last(col("cents")).over(full).as("last_cents"),
+        sum(col("cents")).over(trail).as("trail30_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q31_sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       FIRST_VALUE(cents) OVER w AS first_cents,
+      |       NTH_VALUE(cents, 2) OVER w AS second_cents,
+      |       LAST_VALUE(cents) OVER w AS last_cents,
+      |       CAST(SUM(cents) OVER (
+      |         PARTITION BY o_custkey ORDER BY epoch_day
+      |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS epoch_day
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1309,7 +1394,9 @@ object CurationQueries {
     "q29_rank_functions" -> q29_rank_functions,
     "t12_readability" -> t12_readability,
     "s08_hard_negatives" -> s08_hard_negatives,
-    "q30_lateral_topn" -> q30_lateral_topn)
+    "q30_lateral_topn" -> q30_lateral_topn,
+    "t13_doc_loglik" -> t13_doc_loglik,
+    "q31_value_windows" -> q31_value_windows)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1343,5 +1430,7 @@ object CurationQueries {
     "q29_rank_functions" -> q29_sql,
     "t12_readability" -> t12_sql,
     "s08_hard_negatives" -> s08_sql,
-    "q30_lateral_topn" -> q30_sql)
+    "q30_lateral_topn" -> q30_sql,
+    "t13_doc_loglik" -> t13_sql,
+    "q31_value_windows" -> q31_sql)
 }

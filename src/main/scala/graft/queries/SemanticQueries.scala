@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.VectorSearch
+import graft.queries.DataPipelineQueries.{DupVecCorpusSql, derivedPlanes, dupVecCorpus}
+
+/** Embedding-space curation operators, driver-checked: SemDeDup-style
+  * semantic dedup (cluster-scoped near-dup) and embedding-space eval
+  * decontamination. Same determinism rules as [[DataPipelineQueries]]:
+  * cosine/distance doubles are computed with the same fold order on
+  * both engines and every hashed output column is integer or boolean —
+  * thresholds sit far from the organic score range (planted cosines
+  * 0.876–1.0 vs organic ≤ ~0.6, see the d05 margin notes).
+  */
+object SemanticQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── d27: SemDeDup-style semantic dedup ──────────────────────────────
+
+  /** Cluster-then-dedup (the SemDeDup shape): every vector of the
+    * planted corpus is assigned to its nearest coarse centroid (the 8
+    * highest-id embeddings — the s03 IVF recipe), then dropped iff a
+    * lower-id SAME-CELL neighbor has cosine ≥ 0.9. Output is one row
+    * per vector: (vec_id, cell, is_kept).
+    *
+    * vs d05/d11 (banded-LSH near-dup): candidates here come from a
+    * CLUSTERING, not signature agreement — cost is Σ cell², cross-cell
+    * duplicates are missed by design, and the cell label itself is a
+    * useful curation artifact (domain-ish grouping for mixing /
+    * diversity sampling). The oracle replays the identical argmin
+    * assignment (same `v·v − 2·v·c + c·c` term order) and drop rule.
+    */
+  val d27_semantic_dedup: Q = (s, dir) => {
+    VectorSearch.semanticDedup(dupVecCorpus(s, dir), "vec_id", "vec",
+        centroids = derivedPlanes(s, dir, 8), threshold = 0.9)
+      .select(col("id").as("vec_id"), col("cell"), col("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d27_sql: String =
+    s"""WITH $DupVecCorpusSql,
+       |cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+       |         CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM embeddings
+       |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+       |),
+       |assign AS (
+       |  SELECT vec_id, vec, c FROM (
+       |    SELECT v.vec_id, v.vec, c.c,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_inner_product(v.vec, v.vec)
+       |                      - 2.0 * list_inner_product(v.vec, c.cvec)
+       |                      + list_inner_product(c.cvec, c.cvec) ASC, c.c ASC) AS rn
+       |    FROM vecs v CROSS JOIN cents c) t
+       |  WHERE rn = 1
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.c = b.c AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.9
+       |)
+       |SELECT a.vec_id, CAST(a.c AS BIGINT) AS cell, d.vec_id IS NULL AS is_kept
+       |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  // ── s09: embedding-space decontamination ────────────────────────────
+
+  /** Embedding-space eval decontamination: corpus vectors whose cosine
+    * to ANY eval vector reaches 0.85 — the semantic sibling of the
+    * n-gram decontamination (d07), catching paraphrased leakage exact
+    * grams miss. Eval set = base embeddings with vec_id % 100 < 10 (a
+    * deterministic sample that scales with the corpus); corpus = the
+    * planted dup corpus minus those base rows, so the planted copies of
+    * eval members are the guaranteed leaks. Output: one row per
+    * contaminated vector with its hit count and argmax-cosine eval id.
+    */
+  val s09_embedding_decontam: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val evals = e.filter(col("vec_id") % 100 < 10)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+    val corpus = dupVecCorpus(s, dir)
+      .filter(col("vec_id") >= 100000L || col("vec_id") % 100 >= 10)
+    VectorSearch.decontamFlags(corpus, evals, "vec_id", "vec", "vec_id",
+        threshold = 0.85)
+      .select(col("id").as("vec_id"), col("n_eval_hits"), col("best_eval_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val s09_sql: String =
+    s"""WITH $DupVecCorpusSql,
+       |evals AS (
+       |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evec
+       |  FROM embeddings WHERE vec_id % 100 < 10
+       |),
+       |hits AS (
+       |  SELECT c.vec_id, e.eval_id,
+       |         list_cosine_similarity(c.vec, e.evec) AS cos
+       |  FROM vecs c CROSS JOIN evals e
+       |  WHERE (c.vec_id >= 100000 OR c.vec_id % 100 >= 10)
+       |    AND list_cosine_similarity(c.vec, e.evec) >= 0.85
+       |),
+       |ranked AS (
+       |  SELECT vec_id, eval_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos DESC, eval_id ASC) AS rn
+       |  FROM hits
+       |)
+       |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       |       MIN(CASE WHEN rn = 1 THEN eval_id END) AS best_eval_id
+       |FROM ranked GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d27_semantic_dedup" -> d27_semantic_dedup,
+    "s09_embedding_decontam" -> s09_embedding_decontam)
+
+  val oracles: Map[String, String] = Map(
+    "d27_semantic_dedup" -> d27_sql,
+    "s09_embedding_decontam" -> s09_sql)
+}

@@ -21,6 +21,28 @@ object Scratch {
       val n = graft.SparkEntry.entry(spark).count()
       println(s"[smoke] entry rows: $n")
       require(n > 0)
+    } else if (args(0) == "dump") {
+      // subset of the Verify dump for fast oracle iteration:
+      // runMain graft.tools.Scratch dump <n1,n2,...> <sfDir> <outDir>
+      val names = args(1).split(",").toSeq
+      val Seq(sfDir, outDir) = args.slice(2, 4).toSeq
+      new java.io.File(outDir).mkdirs()
+      names.foreach { name =>
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json = names.map(n => s"${q(n)}: ${q(graft.SparkEntry.oracleSql(n))}")
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+      println(s"[dump] wrote ${names.size} results to $outDir")
     } else if (args(0) == "ivf") {
       // sub-step timing for s03: where do the seconds go on a tiny table?
       val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"

@@ -290,6 +290,54 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out.forall(_ <= 20L), s"neighbors must come from the same cluster: ${out.toSeq}")
   }
 
+  test("semantic dedup: cluster cells assigned, within-cell lower-id dups dropped") {
+    import spark.implicits._
+    // two tight clusters; ids 1-20 cluster 0, 21-40 cluster 1
+    def around(base: Int, i: Long): Array[Float] =
+      Array.tabulate(8)(d => (if (d == base) 1.0 else 0.0).toFloat +
+        (math.sin(i * 13 + d) * 0.01).toFloat)
+    val base = (1L to 20L).map(i => (i, around(0, i))) ++
+      (21L to 40L).map(i => (i, around(1, i)))
+    // 101 = exact copy of 1, 102 = exact copy of 21: each lands in its
+    // original's cell and loses to the lower id there
+    val vecs = (base ++ Seq((101L, around(0, 1L)), (102L, around(1, 21L))))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0.0, 1, 0, 0, 0, 0, 0, 0))
+    val out = VectorSearch.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, threshold = 0.9999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out.size == 42)
+    val kept = out.filter(_._3).map(_._1).toSet
+    // exact copies lose to their lower-id originals; everyone else is
+    // kept (distinct 0.01-jitter members peak at cos ≈ 0.9999935)
+    assert(!kept.contains(101L) && !kept.contains(102L))
+    assert(kept.size == 40)
+    // cell labels follow the clusters
+    val cells = out.map(t => t._1 -> t._2).toMap
+    assert((1L to 20L).forall(cells(_) == 0L) && (21L to 40L).forall(cells(_) == 1L))
+    assert(cells(101L) == 0L && cells(102L) == 1L)
+  }
+
+  test("embedding decontamination flags only near-eval vectors") {
+    import spark.implicits._
+    def unit(d0: Int): Array[Float] = Array.tabulate(8)(d => if (d == d0) 1.0f else 0.0f)
+    val evals = Seq((900L, unit(0)), (901L, unit(1))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, unit(0)),                                  // exact copy of eval 900
+      (2L, Array.tabulate(8)(d => if (d == 0) 0.99f else if (d == 1) 0.14f else 0f)), // near 900
+      (3L, unit(2)),                                  // orthogonal to both
+      (4L, unit(1))                                   // exact copy of eval 901
+    ).toDF("vec_id", "embedding")
+    val out = VectorSearch.decontamFlags(corpus, evals,
+        "vec_id", "embedding", "vec_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(out.map(_._1) == Seq(1L, 2L, 4L))
+    // best_eval_id is the argmax-cosine eval vector
+    assert(out == Seq((1L, 1L, 900L), (2L, 1L, 900L), (4L, 1L, 901L)))
+  }
+
   test("quantized top-k matches exact ranking on separated vectors") {
     import spark.implicits._
     // unit-norm vectors: dot ranking (quantized metric) == cosine
