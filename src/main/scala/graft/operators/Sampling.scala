@@ -81,4 +81,59 @@ object Sampling {
       .filter(ppmBucket(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Per-domain token-budget admission (the d26 operator) via a quality
+    * HISTOGRAM prefilter — exact, not approximate. Documents are
+    * admitted per domain in (quality DESC, id ASC) order while the
+    * running token total stays ≤ `budget`.
+    *
+    * The naive form is one window per domain: a 100 TB corpus with few
+    * domains serializes each domain through a single task. This form
+    * never sorts a whole domain:
+    *
+    *  1. bucket quality into ⌊q/bucketWidth⌋ coarse bands and build a
+    *     per-(domain, bucket) token histogram — ONE map-side-combined
+    *     aggregate, |domains|×|buckets| rows;
+    *  2. prefix-sum the tiny histogram per domain (descending bucket)
+    *     to get each bucket's `prev_cum` = tokens in strictly-better
+    *     buckets;
+    *  3. broadcast it back and DROP every doc whose bucket already
+    *     exhausted the budget (`prev_cum > budget`) — a pure codegen
+    *     filter that rejects the overwhelming majority of the corpus
+    *     with no sort;
+    *  4. window only the survivors (≈ admitted set + the one boundary
+    *     bucket per domain), partitioned by (domain, bucket) — never a
+    *     whole domain — offset each in-bucket running sum by prev_cum.
+    *
+    * Exactness: bucket order refines quality order (every doc in a
+    * higher bucket outranks every doc in a lower one; quality ties
+    * share a bucket), so in-bucket rank + prev_cum ≡ the full-sort
+    * running sum, row for row — the d26 oracle replays the full sort
+    * and hash-matches. Zero-token docs after the overflow point are
+    * excluded by both forms (the running sum is monotone, and the
+    * overflowing doc's tokens are already inside it).
+    */
+  def tokenBudgetAdmit(
+      docs: DataFrame, domainCol: String, idCol: String,
+      qualityCol: String, tokensCol: String,
+      budget: Long, bucketWidth: Long): DataFrame = {
+    require(budget >= 0 && bucketWidth > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(domainCol), col(idCol), col(qualityCol), col(tokensCol))
+      .withColumn("__qbucket", floor(col(qualityCol) / bucketWidth).cast(LongType))
+    val bw = W.partitionBy(col(domainCol)).orderBy(col("__qbucket").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val hist = base.groupBy(col(domainCol), col("__qbucket"))
+      .agg(sum(col(tokensCol)).as("__btokens"))
+      .withColumn("__prev_cum", coalesce(sum(col("__btokens")).over(bw), lit(0L)))
+      .select(col(domainCol), col("__qbucket"), col("__prev_cum"))
+    val dw = W.partitionBy(col(domainCol), col("__qbucket"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(W.unboundedPreceding, 0)
+    base.join(broadcast(hist), Seq(domainCol, "__qbucket"))
+      .filter(col("__prev_cum") <= budget)
+      .withColumn("cum_tokens", col("__prev_cum") + sum(col(tokensCol)).over(dw))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(domainCol), col(tokensCol), col("cum_tokens"))
+  }
 }

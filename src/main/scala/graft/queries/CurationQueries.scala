@@ -1110,31 +1110,30 @@ object CurationQueries {
     * documents in quality order (micro-integer [[TextFunctions
     * .qualityScore]], doc_id tie-break) until the cumulative token
     * count would exceed the budget — how a training mix caps each
-    * domain's contribution. One window per domain (shuffle by source,
-    * sort within); the running sum is rank-based so the admitted set
-    * is deterministic and engine-portable. Cumulative ≤ budget (not
-    * "first overflowing doc included"): the budget is a hard cap.
+    * domain's contribution. The running sum is rank-based so the
+    * admitted set is deterministic and engine-portable. Cumulative ≤
+    * budget (not "first overflowing doc included"): the budget is a
+    * hard cap.
     *
-    * Scale note: this exact form sorts each domain in one partition —
-    * fine while a domain fits an executor, but a 100 TB corpus with few
-    * domains inverts that. The scale path is the t09 pattern: build a
-    * per-(domain, quality-bucket) token histogram (one map-side-combined
-    * agg), walk the cumulative histogram to a per-domain quality
-    * THRESHOLD, then admit by broadcast-threshold filter — no global
-    * per-domain sort; only the boundary bucket needs the exact window.
+    * Runs through the histogram-prefiltered scale path
+    * ([[Sampling.tokenBudgetAdmit]]): a coarse per-(domain,
+    * quality-bucket) token histogram rejects already-over-budget
+    * buckets with a pure filter, and the exact window touches only the
+    * survivors, partitioned by (domain, bucket) — never a whole domain
+    * in one task. Exactly equivalent to the naive per-domain full sort
+    * (bucket order refines quality order), which is what the oracle
+    * replays — and what `BoilerplateSpec` cross-checks in-engine.
     */
   val d26_token_budget: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("quality_micro").desc, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
-        floor(TextFunctions.qualityScore(col("text")) * 1e6).cast(LongType)
-          .as("quality_micro"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= 800L)
+    Sampling.tokenBudgetAdmit(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+            floor(TextFunctions.qualityScore(col("text")) * 1e6).cast(LongType)
+              .as("quality_micro")),
+        domainCol = "source", idCol = "doc_id",
+        qualityCol = "quality_micro", tokensCol = "n_tokens",
+        budget = 800L, bucketWidth = 100000L)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
   }

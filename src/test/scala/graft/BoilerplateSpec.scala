@@ -101,6 +101,38 @@ class BoilerplateSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram-prefiltered budget admission ≡ naive per-domain sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val W = org.apache.spark.sql.expressions.Window
+    // skewed domains, heavy quality ties (multiples of 1000, so bucket
+    // boundaries land ON tie groups), and ~10% zero-token docs (the
+    // post-overflow edge case)
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { i =>
+      (s"dom${(i % 4).toInt}", i, rnd.nextInt(50).toLong * 1000L,
+        if (rnd.nextInt(10) == 0) 0L else rnd.nextInt(9).toLong + 1L)
+    }
+    val df = rows.toDF("source", "doc_id", "q", "n")
+    val w = W.partitionBy($"source").orderBy($"q".desc, $"doc_id")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val naive = df.withColumn("cum_tokens", sum($"n").over(w))
+      .filter($"cum_tokens" <= 40L)
+      .select($"doc_id", $"source", $"n", $"cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // width 1 = one bucket per quality value; 7 = misaligned boundaries;
+    // 5000 = boundaries on tie groups; 10^6 = a single bucket (pure naive)
+    for (width <- Seq(1L, 7L, 5000L, 1000000L)) {
+      val fast = graft.operators.Sampling
+        .tokenBudgetAdmit(df, "source", "doc_id", "q", "n",
+          budget = 40L, bucketWidth = width)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(fast == naive, s"bucketWidth=$width")
+    }
+  }
+
   test("d26 admission is a prefix of the quality order and respects the budget") {
     import spark.implicits._
     // admission must be monotone: if a doc is admitted, every doc ranked

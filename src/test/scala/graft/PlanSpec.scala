@@ -298,6 +298,15 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       wins.foreach(w => assert(w.partitionSpec.nonEmpty,
         s"$name: window must be partitioned, got ${w.windowExpressions}"))
     }
+    // d26's doc-level window must be sharded by (domain, quality bucket)
+    // — a domain-only partition would serialize a whole domain through
+    // one task (the histogram prefilter's whole point)
+    val d26Wins = budget.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(d26Wins.exists(_.partitionSpec.size >= 2),
+      s"d26: expected a (domain, bucket)-partitioned window, got " +
+        d26Wins.map(_.partitionSpec).mkString("; "))
   }
 
   test("fingerprint containment prefix ranks by rarity and joins on the LONG key") {
