@@ -41,8 +41,28 @@ object Bench {
     // fast — e.g. scratch disk full after an earlier query's spill —
     // would otherwise masquerade as a 4 ms success and silently poison
     // the round's medians.
+    //
+    // Outlier retry: a contended box inflates individual runs (never
+    // deflates them — timing noise on a shared machine is one-sided), so
+    // a query whose max/min ratio exceeds RetryRatio gets up to
+    // MaxRetries extra runs and its reported figure is the median of the
+    // fastest `Runs` successful runs. Retried query ids land in the
+    // summary so a cross-round reader knows which medians needed
+    // defending. (Rounds 4 and 5 both shipped contaminated per-query
+    // numbers; medians alone don't protect when 2 of 3 runs are slow.)
+    val RetryRatio = 2.0
+    val MaxRetries = 2
+    def spreadOf(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ > 0.05) // sub-50ms queries: ratio is all jitter
+      if (ok.isEmpty) 1.0 else ok.max / ok.min
+    }
+    // kept set = fastest `Runs` successful runs (one-sided noise model)
+    def kept(xs: Seq[Double]): Seq[Double] = {
+      val ok = xs.filter(_ >= 0).sorted.take(Runs)
+      if (ok.nonEmpty) ok else Seq(-1.0)
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to Runs).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -54,37 +74,54 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) dt else -1.0
       }
-      name -> runs
+      var runs = (1 to Runs).map(_ => once())
+      var retries = 0
+      while (spreadOf(kept(runs)) > RetryRatio && retries < MaxRetries) {
+        runs = runs :+ once()
+        retries += 1
+      }
+      name -> (runs, retries)
     }
     val loadAfter = loadAvg()
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val retriedIds = results.collect { case (k, (_, r)) if r > 0 => k }.toSeq
+    def median(xs: Seq[Double]): Double = {
+      val k = kept(xs)
+      k.sorted.apply(k.size / 2)
+    }
     def fmt(d: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
     // failed queries (median -1) stay visible per-query but don't skew
     // the total downward
-    val total = results.values.map(median).filter(_ >= 0).sum
-    // worst per-query max/min run ratio — >2 means at least one query's
-    // three runs diverged badly, i.e. the box was contended mid-bench
+    val total = results.values.map { case (v, _) => median(v) }.filter(_ >= 0).sum
+    // worst per-query max/min ratio over the KEPT runs — >2 after retries
+    // means contention the retry budget couldn't outrun
     val spread = results.values
-      .map(v => if (v.min > 0.05) v.max / v.min else 1.0)
+      .map { case (v, _) => spreadOf(kept(v)) }
       .foldLeft(1.0)(math.max)
     // Per-run detail first (may be long); the harness only keeps the LAST
     // ~2000 characters of stdout, so the machine-readable summary must be
     // the final line and must be short enough to survive that tail cut —
     // medians only, trimmed decimals. (Rounds 1-3 emitted one giant line
     // with all runs inline and the harness never managed to parse it.)
-    val rs = results.map { case (k, v) =>
+    val rs = results.map { case (k, (v, _)) =>
       "\"" + k + "\":" + v.map(fmt(_, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"runs","unit":"sec","runs":$rs,"sf":"$sfDir"}""")
     def summaryWith(fmtVal: Double => String,
         keyOf: String => String = identity): String = {
       val qs = results
-        .map { case (k, v) => "\"" + keyOf(k) + "\":" + fmtVal(median(v)) }
+        .map { case (k, (v, _)) => "\"" + keyOf(k) + "\":" + fmtVal(median(v)) }
         .mkString("{", ",", "}")
       // sf as basename: the final line must fit the stdout tail budget
       val sf = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)}}"""
+      // retried ids use the short query-id prefix and cap at 15 entries
+      // (overflow recorded as a "+N" marker) so a pathologically
+      // contended run can't blow the tail budget
+      val shortIds = retriedIds.map(keyOf)
+      val rlist = (if (shortIds.size <= 15) shortIds
+        else shortIds.take(15) :+ s"+${shortIds.size - 15}")
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)},"retried":$rlist}"""
     }
     def summary(decimals: Int): String = summaryWith(fmt(_, decimals))
     // adaptive tier: the slow queries (the ones worth profiling) keep a

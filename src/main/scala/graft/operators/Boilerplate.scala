@@ -59,17 +59,16 @@ object Boilerplate {
     */
   def passageSpans(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDf: Long): DataFrame = {
+      n: Int, minDf: Long)(implicit cs: CacheScope): DataFrame = {
     // ONE tokenize+gram pass feeds both the df mining and the occurrence
     // join (the positioned stream subsumes [[frequentNgrams]]' input).
-    // Caller owns the cache lifetime of this persisted gram relation
-    // (cf. TextDedup.minhashLshPairs — unpersist or clearCache after
-    // materializing)
+    // The CacheScope owns the cache lifetime of this persisted gram
+    // relation (cf. TextDedup.minhashLshPairs — process-owned by
+    // default; CacheScope.scoped releases it after materialization)
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
-    val grams = toks.select(col("id"), size(col("toks")).as("n_toks"),
-        posexplode(WordGrams(col("toks"), n)).as(Seq("pos", "gram")))
-      .persist()
+    val grams = cs.persist(toks.select(col("id"), size(col("toks")).as("n_toks"),
+      posexplode(WordGrams(col("toks"), n)).as(Seq("pos", "gram"))))
     val frequent = grams.groupBy("gram")
       .agg(countDistinct(col("id")).as("__df"))
       .filter(col("__df") >= minDf)
@@ -104,7 +103,7 @@ object Boilerplate {
     */
   def stripPassages(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDf: Long): DataFrame = {
+      n: Int, minDf: Long)(implicit cs: CacheScope): DataFrame = {
     val spans = passageSpans(df, idCol, textCol, n, minDf)
       .groupBy(col("id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))

@@ -39,18 +39,18 @@ object IncrementalDedup {
       storeIndex: DataFrame, storeDocs: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, broadcastCandidateLimit: Long = 100000L): DataFrame = {
+      threshold: Double = 0.8, broadcastCandidateLimit: Long = 100000L)(
+      implicit cs: CacheScope): DataFrame = {
     // one batch shingle pass feeds signatures, sizes, and verification
-    val bsh = TextDedup.shingles(batch, idCol, textCol, n).persist()
+    val bsh = cs.persist(TextDedup.shingles(batch, idCol, textCol, n))
     val bbk = TextDedup.lshBandsFromShingles(bsh, numHashes, bands)
 
-    val candidates = storeIndex
+    val candidates = cs.persist(storeIndex
       .join(broadcast(bbk.select(col("id").as("batch_id"),
           col("band"), col("band_key"))),
         Seq("band", "band_key"))
       .select(col("batch_id"), col("id").as("store_id"))
-      .distinct()
-      .persist()
+      .distinct())
     // batch-sized frames (bsh, bbk, bsz) always broadcast; the
     // candidate-driven ones grow with collisions — a boilerplate-heavy
     // batch matching huge store clusters can exceed broadcast limits,
@@ -72,7 +72,7 @@ object IncrementalDedup {
     val candStoreDocs = storeDocs.join(
         gate(candidates.select(col("store_id")).distinct()),
         col(idCol) === col("store_id"), "left_semi")
-    val ssh = TextDedup.shingles(candStoreDocs, idCol, textCol, n).persist()
+    val ssh = cs.persist(TextDedup.shingles(candStoreDocs, idCol, textCol, n))
 
     val bsz = bsh.groupBy("id").agg(count(lit(1)).as("n_b"))
       .withColumnRenamed("id", "batch_id")

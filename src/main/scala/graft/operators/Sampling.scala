@@ -112,6 +112,15 @@ object Sampling {
     * and hash-matches. Zero-token docs after the overflow point are
     * excluded by both forms (the running sum is monotone, and the
     * overflowing doc's tokens are already inside it).
+    *
+    * Preconditions (on the DATA, not checkable in the driver-side
+    * require): `tokensCol` values must be ≥ 0 — the bucket-drop
+    * prefilter assumes the running token total is monotone, so a
+    * negative count would silently admit the wrong rows vs the naive
+    * running-sum form. `domainCol` and `qualityCol` must be non-NULL —
+    * the histogram join drops NULL-domain rows, whereas the naive
+    * window form would admit a NULL domain as its own partition.
+    * (d26's token counts and domains satisfy both by construction.)
     */
   def tokenBudgetAdmit(
       docs: DataFrame, domainCol: String, idCol: String,

@@ -210,10 +210,10 @@ object TextDedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8)(implicit cs: CacheScope): DataFrame = {
     // the shingle relation feeds both join sides and the size aggregate —
     // materialize it once (shingling re-tokenizes every document)
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val sh = cs.persist(shingles(df, idCol, textCol, n))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
 
     val inter = sh.as("a").join(sh.as("b"),
@@ -237,13 +237,14 @@ object TextDedup {
     * the container is much longer (|A∩B|/|A∪B| shrinks with |B|).
     * Same inverted-index shape as [[ngramJaccardPairs]] and the same
     * scale label: exact verification baseline — the scale path is
-    * [[containmentPairsPrefix]]. Caller owns the cache lifetime of the
-    * shingle relation this persists (cf. [[minhashLshPairs]]).
+    * [[containmentPairsPrefix]]. The [[CacheScope]] owns the cache
+    * lifetime of the shingle relation this persists (cf.
+    * [[minhashLshPairs]]).
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).persist()
+      n: Int = 3, threshold: Double = 0.9)(implicit cs: CacheScope): DataFrame = {
+    val sh = cs.persist(shingles(df, idCol, textCol, n))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -311,16 +312,17 @@ object TextDedup {
     * all-pairs on shared shingles. Verification compares raw shingle
     * strings (string-exact parity with the oracle) and is size-gated
     * exactly like [[minhashLshPairs]]: small candidate sets broadcast,
-    * large ones fall back to shuffle joins. Caller owns the cache
-    * lifetime of the persisted shingle relation.
+    * large ones fall back to shuffle joins. The [[CacheScope]] owns
+    * the cache lifetime of the persisted shingle and candidate
+    * relations.
     */
   def containmentPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9,
-      broadcastCandidateLimit: Long = 100000L): DataFrame = {
+      broadcastCandidateLimit: Long = 100000L)(implicit cs: CacheScope): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val sh = shingles(df, idCol, textCol, n).persist()
-    val candidates = containmentCandidates(sh, threshold).persist()
+    val sh = cs.persist(shingles(df, idCol, textCol, n))
+    val candidates = cs.persist(containmentCandidates(sh, threshold))
     val candCount = candidates.count()
     val shStats = sh.agg(countDistinct(col("id")), count(lit(1))).head()
     val avgShingles =
@@ -386,14 +388,13 @@ object TextDedup {
     * recur across unrelated documents, so df is NOT bounded by real
     * content sharing the way [[fingerprintPairs]]' absolute-count
     * OUTPUT is. The scale path is [[fingerprintContainmentPrefix]].
-    * Caller owns the cache lifetime of the fingerprint relation this
-    * persists (cf. [[minhashLshPairs]]).
+    * The [[CacheScope]] owns the cache lifetime of the fingerprint
+    * relation this persists (cf. [[minhashLshPairs]]).
     */
   def fingerprintContainment(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, w: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp"))
-      .persist()
+      k: Int = 16, w: Int = 4, threshold: Double = 0.8)(implicit cs: CacheScope): DataFrame = {
+    val fps = cs.persist(df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp")))
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
     val inter = fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
@@ -433,16 +434,15 @@ object TextDedup {
     * candidates only, with the same size-gated broadcast/shuffle
     * strategy as [[minhashLshPairs]] — and the join keys are 8-byte
     * LONGs, so unlike the shingle paths no re-keying hash is needed.
-    * Caller owns the cache lifetime of the fingerprint and candidate
-    * relations this persists (cf. [[minhashLshPairs]]).
+    * The [[CacheScope]] owns the cache lifetime of the fingerprint
+    * and candidate relations this persists (cf. [[minhashLshPairs]]).
     */
   def fingerprintContainmentPrefix(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 4, threshold: Double = 0.8,
-      broadcastCandidateLimit: Long = 100000L): DataFrame = {
+      broadcastCandidateLimit: Long = 100000L)(implicit cs: CacheScope): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val fps = df.select(col(idCol).as("id"),
-      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp"))
-      .persist()
+    val fps = cs.persist(df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp")))
 
     val dfs = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
@@ -455,13 +455,12 @@ object TextDedup {
       .filter(col("__rk") <=
         floor((lit(1.0) - threshold) * col("n_fp") + 1e-6) + 1)
       .select(col("id").as("id_p"), col("fp"))
-    val candidates = prefix
+    val candidates = cs.persist(prefix
       .join(fps.select(col("id").as("id_oth"), col("fp")), "fp")
       .filter(col("id_p") =!= col("id_oth"))
       .select(least(col("id_p"), col("id_oth")).as("id_a"),
         greatest(col("id_p"), col("id_oth")).as("id_b"))
-      .distinct()
-      .persist()
+      .distinct())
 
     val candCount = candidates.count()
     val gate: DataFrame => DataFrame =
@@ -540,17 +539,18 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, broadcastCandidateLimit: Long = 100000L,
-      hashedVerification: Boolean = false): DataFrame = {
+      hashedVerification: Boolean = false)(implicit cs: CacheScope): DataFrame = {
     // one shingle pass feeds signatures, sizes and verification joins
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val sh = cs.persist(shingles(df, idCol, textCol, n))
+    // bk is operator-owned (unpersisted below once candidates
+    // materialize), so it bypasses the scope
     val bk = lshBandsFromShingles(sh, numHashes, bands).persist()
-    val candidates = bk.as("a").join(bk.as("b"),
+    val candidates = cs.persist(bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-      .persist()
+      .distinct())
     // the relation actually broadcast is pairShingles ≈ candidates ×
     // shingles/doc, so the gate must bound ROWS, not just pair count —
     // long documents make each candidate hundreds of rows wide

@@ -349,6 +349,17 @@ object VectorSearch {
     * neighbor passes the threshold — no transitive closure; chains
     * resolve per-edge, deterministically, and the oracle replays the
     * same rule).
+    *
+    * Cost note: the cell-assignment subplan is referenced three times
+    * (both self-join sides plus the final keep/drop join). The two
+    * self-join sides shuffle by `cell` with identical subplans, so
+    * Spark's ReusedExchange covers one of them; the final join shuffles
+    * by `id` and re-runs the scan + assignment once more. If assignment
+    * (one dot product per centroid per row) ever dominates — very large
+    * k — persist/checkpoint `assignCells`' output before calling, or
+    * wrap the call site so the intermediate is cached for the query's
+    * lifetime; at the k≪dims regimes d27 exercises, the extra pass is
+    * cheaper than materializing the corpus-sized assignment.
     */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,

@@ -487,20 +487,23 @@ object DataPipelineQueries {
     val exact = VectorSearch.bruteForceTopK(
         corpus = e, queries = qs,
         idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 10)
-      .select(col("query_id"), col("id"))
+      .select(col("query_id").as("__eq"), col("id").as("__eid"))
     val approx = VectorSearch.lshTopK(
         corpus = e, queries = qs,
         idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
         planes = derivedPlanes(s, dir, LshPlanes), k = 10)
-      .select(col("query_id").as("__aq"), col("id").as("__aid"))
-    val nApprox = approx.groupBy(col("__aq").as("query_id"))
-      .agg(count(lit(1)).as("n_approx"))
-    val nHits = exact.join(approx,
-        col("query_id") === col("__aq") && col("id") === col("__aid"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    nApprox.join(nHits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_approx"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("id"))
+    // Single pass over each ranking: approx LEFT JOIN exact on
+    // (query_id, id), then one aggregation — n_approx counts all approx
+    // rows, n_hits counts the ones that matched an exact-top-10 row.
+    // (query_id, id) is unique on the exact side so the left join cannot
+    // fan out. The earlier two-reference shape re-executed the LSH
+    // ranking once per consumer; this plan computes each ranking exactly
+    // once, so the query costs ~1x its s01+s02 parts.
+    approx.join(exact,
+        col("query_id") === col("__eq") && col("id") === col("__eid"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_approx"), count(col("__eid")).as("n_hits"))
       .orderBy(col("query_id"))
   }
 

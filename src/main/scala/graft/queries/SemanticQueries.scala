@@ -11,9 +11,15 @@ import graft.queries.DataPipelineQueries.{DupVecCorpusSql, derivedPlanes, dupVec
   * semantic dedup (cluster-scoped near-dup) and embedding-space eval
   * decontamination. Same determinism rules as [[DataPipelineQueries]]:
   * cosine/distance doubles are computed with the same fold order on
-  * both engines and every hashed output column is integer or boolean —
-  * thresholds sit far from the organic score range (planted cosines
-  * 0.876–1.0 vs organic ≤ ~0.6, see the d05 margin notes).
+  * both engines and every hashed output column is integer or boolean.
+  * Threshold margins: s09's 0.85 sits below the entire planted band
+  * (≥ ~0.876) and far above organic cosines (≤ ~0.6). d27's 0.9 deliberately
+  * sits INSIDE the planted band — it separates exact copies (1.0,
+  * dropped) from perturbed near-copies (~0.876, kept) with a ~0.024
+  * margin; that margin is safe because both engines compute the
+  * identical fold-order dot product on the identical doubles (planted
+  * perturbations are fixed integers /1000, nowhere near 0.9), not
+  * because the threshold clears the whole score range.
   */
 object SemanticQueries {
 
