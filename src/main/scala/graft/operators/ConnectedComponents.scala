@@ -1,7 +1,10 @@
 package graft.operators
 
+import java.math.BigDecimal
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over a pair graph — the step that turns near-dup
   * PAIRS (LSH output) into dedup GROUPS: every document in a component
@@ -11,30 +14,39 @@ import org.apache.spark.sql.functions._
   * when duplicates chain (a~b, b~c but a≁c must still collapse to one
   * survivor).
   *
-  * Algorithm: minimum-label propagation — every node starts labeled with
-  * its own id; each round takes the min of its label and its neighbors'
-  * labels; converges when no label changes. Rounds needed = graph
-  * diameter, and near-dup components are clique-ish (LSH emits most
-  * intra-cluster pairs directly), so 2-3 rounds in practice; each round
-  * is one join + one aggregation, all shuffles on node id, and ONE
-  * Spark job: the convergence count piggybacks on the action that
-  * materializes the round's lazy localCheckpoint instead of running as
-  * a second job over it.
+  * Algorithm: minimum-label propagation — every node starts labeled
+  * with its own id; each round every node takes the min label over
+  * its neighborhood and its own label. The own-label term is a
+  * "virtual self-loop": the label table unions straight into the
+  * pull aggregation, so a round is ONE join + ONE aggregation with
+  * no join back to the label table (measured, that re-attach join
+  * was a third label-sized exchange per round — checkpointed frames
+  * report UnknownPartitioning, so Spark can neither preserve nor
+  * reuse their shuffles across references). Convergence piggybacks
+  * on the same job: labels only ever decrease, so the label SUM is
+  * strictly monotone and "sum unchanged" ⟺ "no label changed" — no
+  * `__changed` column, no second action. Rounds needed = graph
+  * diameter; near-dup components are clique-ish (LSH emits most
+  * intra-cluster pairs directly), so 2-3 rounds in practice.
   *
   * Chain-shaped graphs (shingled revision sequences, a~b~c~… paths)
   * would need diameter rounds under pure propagation; after
   * `jumpAfter` rounds without convergence each subsequent round also
-  * pointer-jumps the label table (label := label[label], one extra
-  * self-join on the LABELS frame — orders of magnitude smaller than
-  * the corpus). Jumping halves the remaining chain depth per round, so
-  * convergence is O(log diameter) total — the same asymptotics as
-  * star-contraction without rebuilding the edge relation each round.
-  * Clique-ish duplicate graphs converge before the jump threshold and
-  * never pay the extra join.
+  * pointer-jumps the pulled labels through the round-input label
+  * table (label := label[label] — the fused form: one extra
+  * label-sized exchange on the probe side, no extra checkpoint, vs
+  * the prior self-join form's two exchanges plus a second checkpoint
+  * materialization). Jumping halves the remaining chain depth per
+  * round, so convergence is O(log diameter) total — the same
+  * asymptotics as large-star/small-star contraction without
+  * rebuilding the edge relation each round. Clique-ish duplicate
+  * graphs converge before the jump threshold and never pay the extra
+  * join.
   *
   * `maxIterations` is a safety bound, not a tuning knob: hitting it
   * throws rather than silently emitting unconverged labels (with
-  * jumping, 20 rounds covers diameters beyond any physical corpus).
+  * jumping, the default 40 rounds covers diameters to ~2^37 — beyond
+  * any physical corpus; a 1M-node path measures ~24 rounds).
   */
 object ConnectedComponents {
 
@@ -46,7 +58,7 @@ object ConnectedComponents {
     */
   def components(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIterations: Int = 20, jumpAfter: Int = 3): DataFrame = {
+      maxIterations: Int = 40, jumpAfter: Int = 3): DataFrame = {
     // Iterative plans re-derive their whole lineage on every reuse unless
     // it is cut: checkpoint the edge set once (so the possibly-expensive
     // pair pipeline upstream — LSH, joins — runs exactly once) and the
@@ -60,8 +72,8 @@ object ConnectedComponents {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
     // LAZY cut for the per-round label frame: the round's convergence
-    // count is the action that materializes it, so a round costs exactly
-    // one job (checkpoint-then-count was two)
+    // aggregate is the action that materializes it, so a round costs
+    // exactly one job (checkpoint-then-aggregate would be two)
     def cutLazy(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
@@ -74,12 +86,20 @@ object ConnectedComponents {
       directed.unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
 
+    // decimal(38,0) label sums: exact at any node count (a LONG sum
+    // would wrap at ~10^19 and could alias "changed" as "converged")
+    def labelSum(df: DataFrame): BigDecimal = {
+      val s = df.agg(sum(col("component").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      if (s == null) BigDecimal.ZERO else s
+    }
+
     // round-0 shortcut: the first pull from identity labels is just
     // min(id, neighbors) — fold it into initialization and save one
     // full propagation round (star-shaped dup groups, the common case,
-    // then converge in a single counting round)
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), min(col("src"))).as("component"))
+    // then converge in a single aggregate round)
+    var labels = cutLazy(edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), min(col("src"))).as("component")))
+    var prevSum = labelSum(labels) // materializes the init checkpoint
     var converged = false
     var iter = 0
     while (!converged) {
@@ -89,37 +109,47 @@ object ConnectedComponents {
           s"connected components did not converge in $maxIterations rounds " +
             "(with pointer-jumping this needs diameter > 2^(rounds-jumpAfter) — " +
             "raise maxIterations)")
-      // each node pulls the smallest label among its neighbors; labels
-      // only ever decrease, so "pulled a smaller label" IS the
-      // convergence test and rides along as a __changed column
+      // The whole propagation round: every node takes the min label
+      // over its neighborhood AND its own label — the own-label term
+      // comes from unioning the label table straight into the
+      // aggregation (a "virtual self-loop": no extra edge rows through
+      // the dst-join shuffle, and map-side combine absorbs the union
+      // rows before the src shuffle). One join, one aggregation, no
+      // join back to the label table afterward — measured, that
+      // re-attach join was a third label-sized exchange per round
+      // (checkpoints report UnknownPartitioning, so its shuffle could
+      // be neither preserved nor reused).
       val pulled = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("__nbr"))
-      val prop = labels.join(pulled, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
-          (coalesce(col("__nbr"), col("component")) < col("component")).as("__changed"))
+        .select(col("src"), col("component"))
+        .unionAll(labels.select(col("id").as("src"), col("component")))
+        .groupBy(col("src")).agg(min(col("component")).as("component"))
+        .select(col("src").as("id"), col("component"))
       val next = cutLazy(
-        if (iter <= jumpAfter) prop
+        if (iter <= jumpAfter) pulled
         else {
-          // pointer jump: label := label's label. The label table is tiny
-          // next to the corpus, so the extra self-join is cheap; it halves
-          // the remaining chain depth each round (O(log diameter) total).
-          // Lazily cut so the shared base computes once inside the count
-          // job below; left join — every label IS a node id in the frame,
-          // but left keeps the row count invariant by construction.
-          val base = cutLazy(prop)
-          val lookup = base.select(col("id").as("__jid"), col("component").as("__jcomp"))
-          base.join(lookup, base("component") === col("__jid"), "left")
-            .select(base("id"),
-              coalesce(col("__jcomp"), base("component")).as("component"),
-              (base("__changed") ||
-                coalesce(col("__jcomp"), base("component")) < base("component")).as("__changed"))
+          // pointer jump, fused: chase the pulled label through the
+          // ROUND-INPUT label table (already checkpoint-backed — a flat
+          // scan) instead of a self-join on the round's own output,
+          // which needed a second lazy checkpoint and an extra
+          // label-sized exchange. labels_prev[c] ≤ c keeps labels
+          // monotone (the convergence test relies on it), and the
+          // looked-up value is itself a reachable node's label,
+          // preserving the "labels are reachable ids" invariant. Left
+          // join: every component value IS a node id present in
+          // `labels`, but left keeps the row count invariant by
+          // construction.
+          val lookup = labels.select(col("id").as("__jid"), col("component").as("__jcomp"))
+          pulled.join(lookup, pulled("component") === col("__jid"), "left")
+            .select(pulled("id"),
+              coalesce(col("__jcomp"), pulled("component")).as("component"))
         })
-      // the ONE job per round: materializes the lazy checkpoint(s) and
-      // counts changed labels in the same pass
-      val changed = next.filter(col("__changed")).count()
-      labels = next.select(col("id"), col("component"))
-      converged = changed == 0
+      // the ONE job per round: materializes the lazy checkpoint and
+      // computes the convergence aggregate in the same pass — labels
+      // only decrease, so an unchanged sum means an unchanged table
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
     }
     labels
   }

@@ -35,7 +35,155 @@ object ScaleSmoke {
     if (mode == "cdc" || mode == "all") cdcSmoke(spark, "/root/testdata/sf0.1")
     if (mode == "curation" || mode == "all") curationSmoke(spark)
     if (mode == "containment" || mode == "all") containmentSmoke(spark)
+    if (mode == "cc" || mode == "all") ccSmoke(spark)
+    if (mode == "skew" || mode == "all") skewSmoke(spark)
     spark.stop()
+  }
+
+  /** Shuffle-byte telemetry: sum of task shuffle WRITE bytes during `f`
+    * (reads mirror writes, so one side suffices for a delta). Listener
+    * events drain asynchronously — the short sleep before reading the
+    * counter is fine for a dev tool's ±MB resolution.
+    */
+  private def withShuffleBytes[T](spark: SparkSession)(f: => T): (T, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { val r = f; Thread.sleep(2000); (r, bytes.get) }
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Connected components on the two adversarial graph shapes: a long
+    * PATH (diameter = n, the pointer-jump case) and a field of small
+    * CLIQUES (the shape LSH near-dup output actually has). Reports wall
+    * time and total shuffled bytes — the fused pointer jump's claim
+    * (lookup side of the jump join reuses the label checkpoint's
+    * partitioning; edges never re-shuffle after setup) shows up here as
+    * byte volume ∝ labels, not rounds × edges.
+    */
+  private def ccSmoke(spark: SparkSession): Unit = {
+    // 1M-node path: worst case for propagation (diameter 10^6); must
+    // converge via jumping in ~20 rounds with label-sized shuffles only
+    val path = spark.range(1, 1000000L)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (_, pathBytes) = withShuffleBytes(spark) {
+      time("cc 1M-node path (diameter 10^6, pointer-jump regime)") {
+        val comp = graft.operators.ConnectedComponents
+          .components(path, "id_a", "id_b")
+        val bad = comp.filter(col("component") =!= 1L).count()
+        require(bad == 0, s"$bad nodes missed the path minimum")
+      }
+    }
+    println(f"[scale]   shuffled: ${pathBytes / 1e6}%.1f MB")
+    // 100k 10-member cliques (1M nodes, 4.5M edges): the LSH-output
+    // shape; converges in the round-0 fold + one counting round
+    val cliquePairs = spark.range(100000L)
+      .select(explode(array((for (i <- 0 until 10; j <- i + 1 until 10)
+        yield struct((col("id") * 10 + i).as("id_a"), (col("id") * 10 + j).as("id_b"))): _*)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val (_, clqBytes) = withShuffleBytes(spark) {
+      time("cc 100k 10-member cliques (4.5M edges, clique regime)") {
+        val comp = graft.operators.ConnectedComponents
+          .components(cliquePairs, "id_a", "id_b")
+        val bad = comp.filter(col("component") =!= (col("id") - col("id") % 10)).count()
+        require(bad == 0, s"$bad nodes missed their clique minimum")
+      }
+    }
+    println(f"[scale]   shuffled: ${clqBytes / 1e6}%.1f MB")
+  }
+
+  /** Key-skew stress — the 100x risk least covered by uniform smokes:
+    * (1) a Zipf(1.2)-keyed 1M-row CDC batch (hottest PK ~13% of all
+    * rows) through dedup + bucketed merge, against a uniform-keyed
+    * batch of the same size; (2) a planted hot LSH band / hot prefix
+    * group (10% of docs in ONE duplicate cluster) through d03 and d19,
+    * against the uniform 10-member-cluster corpus. Skewed wall-time
+    * must stay within the printed bound of uniform — the hot cases do
+    * strictly more WORK (the hot cluster's quadratic candidate set is
+    * real output), so the bound proves no *additional* pathology
+    * (stuck stragglers, spilled windows), not equal work.
+    */
+  private def skewSmoke(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Column
+    val n = 1000000L
+    def cdcBatch(key: Column): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(
+        key.as("k1"), (col("id") % 3).as("k2"),
+        (col("id") % 997).as("v"),
+        when(col("id") % 11 === 0, "D").otherwise("U").as("Op"),
+        to_timestamp(lit("2030-01-01 00:00:00")).as("load_timestamp"),
+        col("id").as("ingestion_seq"))
+    // Zipf(1.2) via inverse transform on a hash-uniform u ∈ (0,1]:
+    // k = ⌊u^(−1/0.2)⌋ capped — P(k=1) ≈ 13%, power-law tail
+    val u = ((pmod(xxhash64(col("id")), lit(1000000L)) + 1).cast("double")) / 1000000.0
+    val zipfKey = least(lit(250000L), floor(pow(u, lit(-5.0))).cast("long"))
+    val uniformKey = col("id") % 250000L
+    val keys = Seq("k1", "k2")
+
+    def runOnce(label: String, key: Column): Double = {
+      val root = Files.createTempDirectory("skew").toString
+      val base = spark.range(n / 2).select(
+        (col("id") % 250000L).as("k1"), (col("id") % 3).as("k2"),
+        lit(0L).as("v"))
+      val store = graft.sources.BucketedTableStore
+        .create(spark, s"$root/t", keys, base, numBuckets = 64)
+      val t0 = System.nanoTime()
+      val d = graft.operators.CdcDedup.dedup(cdcBatch(key), keys, gate = true)
+      store.merge(d)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] cdc dedup+merge 1M rows, $label keys: $dt%.2f s")
+      dt
+    }
+    val tUni = runOnce("uniform", uniformKey)
+    val tZipf = runOnce("zipf(1.2)", zipfKey)
+    println(f"[scale]   skew ratio: ${tZipf / tUni}%.2f (bound 3.0)")
+    require(tZipf <= tUni * 3.0 + 2.0,
+      f"Zipf-keyed merge ${tZipf}%.1f s exceeds 3x uniform ${tUni}%.1f s")
+
+    // hot-band LSH: 20k docs, first 2000 (10%) one duplicate cluster —
+    // every band of the hot cluster is the same key, so candidates gain
+    // a ~2M-pair clique (real near-dup output) on top of uniform's ~90k
+    def clusteredDocs(total: Int, hot: Int) = {
+      val cid = when(col("id") < hot, lit(0L))
+        .otherwise(floor(col("id") / 10).cast("long"))
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(cid.cast("string"), lit(s"_h$j"))), 1, 7))
+      spark.range(total).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val uniDocs = clusteredDocs(20000, 0).repartition(32).persist(); uniDocs.count()
+    val hotDocs = clusteredDocs(20000, 2000).repartition(32).persist(); hotDocs.count()
+    val (uPairs, uT) = timed(graft.operators.TextDedup
+      .minhashLshPairs(uniDocs, "doc_id", "text").count())
+    val (hPairs, hT) = timed(graft.operators.TextDedup
+      .minhashLshPairs(hotDocs, "doc_id", "text").count())
+    println(f"[scale] d03 20k docs uniform: $uT%.2f s ($uPairs pairs); " +
+      f"10%% hot band: $hT%.2f s ($hPairs pairs); ratio ${hT / uT}%.2f")
+
+    // hot prefix group through d19: same corpus shape plus a universal
+    // boilerplate tail (df = n shingles must still never be candidates)
+    def tailed(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(col("text"), lit(" boiler0 boiler1 boiler2 boiler3 boiler4 boiler5")).as("text"))
+    val (ucPairs, ucT) = timed(graft.operators.TextDedup
+      .containmentPairsPrefix(tailed(uniDocs), "doc_id", "text").count())
+    val (hcPairs, hcT) = timed(graft.operators.TextDedup
+      .containmentPairsPrefix(tailed(hotDocs), "doc_id", "text").count())
+    println(f"[scale] d19 20k docs uniform: $ucT%.2f s ($ucPairs pairs); " +
+      f"10%% hot group: $hcT%.2f s ($hcPairs pairs); ratio ${hcT / ucT}%.2f")
+    uniDocs.unpersist(); hotDocs.unpersist()
+    // the hot corpora carry ~22x the candidate volume as REAL output;
+    // per-unit-output cost must not regress worse than ~an order below
+    // that — a straggler/spill pathology would show as 50-100x
+    require(hT <= uT * 12.0 + 5.0, f"hot-band d03 $hT%.1f s vs uniform $uT%.1f s")
+    require(hcT <= ucT * 12.0 + 5.0, f"hot-group d19 $hcT%.1f s vs uniform $ucT%.1f s")
   }
 
   /** d19 prefix containment on ITS OWN worst case: every doc ends with

