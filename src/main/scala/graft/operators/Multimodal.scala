@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * The Spark-side machinery — schema, partition-batched iteration, typed
   * encoders, metadata structs — is real and tested. The *codec* step
   * (actual JPEG/WAV/MP4 decoding) is STUBBED with a deterministic fake
-  * (this container has no image/audio libraries): `decodeStub` derives
-  * width/height/channels/duration arithmetically from the payload bytes.
-  * Swapping in a real codec changes only the function body passed to
-  * [[processBatches]] — the distribution, batching and schema contracts
-  * are unchanged.
+  * (this container has no image/audio libraries), injected through the
+  * [[MediaCodec]] trait with [[StubCodec]] as the default: a real
+  * deployment implements the trait once and passes it to the operators
+  * — the distribution, batching, schema, and join/aggregation plans
+  * are unchanged (spec-proven by running a non-default codec through
+  * the same operators).
   *
   * Why Scala-native rather than `mapInPandas`: the batch contract here
   * (per-partition iterator of fixed-size record batches in, feature
@@ -47,6 +48,58 @@ object Multimodal {
 
   val mediaSchema: StructType = Encoders.product[MediaRecord].schema
   val featureSchema: StructType = Encoders.product[MediaFeatures].schema
+
+  /** The codec injection point: everything that TOUCHES media bytes,
+    * separated from the distribution/plan machinery that moves them.
+    * A real deployment implements this once (JPEG/WAV/MP4 decoding,
+    * an encoder model, decoded-pixel block luma, decoded-frame
+    * signatures) and passes it to the operators below — every plan
+    * (batching, explodes, banded joins, aggregations) is unchanged,
+    * which is what keeps the m01-m03 oracle gates meaningful for a
+    * real codec.
+    *
+    * Two hook shapes on purpose: row-level functions ([[decode]],
+    * [[embed]]) run inside the partition-batched `mapPartitions`
+    * contract where a real codec amortizes init per batch; COLUMN-
+    * level hooks ([[blockBit]], [[frameSig]]) keep the perceptual-hash
+    * and frame-signature plans fully declarative — a real codec
+    * supplies its own expression (typically a compiled Catalyst
+    * expression or, at worst, a UDF column) without altering the
+    * explode → feature → aggregate shape around it.
+    */
+  trait MediaCodec extends Serializable {
+    /** Parse container metadata + content checksum for one record. */
+    def decode(r: MediaRecord): MediaFeatures
+    /** Fixed-dim embedding of one record (encoder model in real life). */
+    def embed(r: MediaRecord, dim: Int): Array[Float]
+    /** Binary feature of the payload's `block`-th `blockBytes`-byte
+      * window ("block luma above the mean" in a real aHash).
+      */
+    def blockBit(content: Column, block: Column, blockBytes: Int): Column
+    /** Content signature of the frame at `byteOffset` (decoded-pixel
+      * hash in real life).
+      */
+    def frameSig(content: Column, byteOffset: Column, stride: Int): Column
+  }
+
+  /** ═══ STUB ═══ the in-container default codec: deterministic fakes
+    * (no media libraries here) with the exact signatures a real codec
+    * implements — see [[decodeStub]]/[[embedStub]] and the expression
+    * bodies for what each fake derives.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaFeatures = decodeStub(r)
+    def embed(r: MediaRecord, dim: Int): Array[Float] = embedStub(r, dim)._2
+    // high leading md5 nibble of the raw byte window — deterministic
+    // stand-in for "block luma above the mean" over decoded pixels
+    def blockBit(content: Column, block: Column, blockBytes: Int): Column =
+      conv(substring(md5(
+          substring(content, block * blockBytes + 1, lit(blockBytes))), 1, 1),
+        16, 10).cast(IntegerType) >= 8
+    // md5 of the raw byte window standing in for a decoded-frame hash
+    def frameSig(content: Column, byteOffset: Column, stride: Int): Column =
+      md5(substring(content, byteOffset + 1, lit(stride)))
+  }
 
   /** Wrap a text table as fake media payloads (test/demo corpus): the
     * document bytes become the "image" content. Deterministic.
@@ -98,13 +151,13 @@ object Multimodal {
   def processBatches(
       media: Dataset[MediaRecord],
       batchSize: Int = 64,
-      decode: MediaRecord => MediaFeatures = decodeStub): Dataset[MediaFeatures] = {
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch init hook would go here (codec/session setup)
-        batch.iterator.map(decode)
+        batch.iterator.map(codec.decode)
       }
     }
   }
@@ -146,10 +199,12 @@ object Multimodal {
   /** Batched embedding extraction (same partition-batch shape as
     * [[processBatches]]).
     */
-  def embedBatches(media: Dataset[MediaRecord], dim: Int = 16): DataFrame = {
+  def embedBatches(media: Dataset[MediaRecord], dim: Int = 16,
+      codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.grouped(64).flatMap(_.iterator.map(embedStub(_, dim))))
+    media.mapPartitions(_.grouped(64).flatMap(
+        _.iterator.map(r => (r.media_id, codec.embed(r, dim)))))
       .toDF("media_id", "embedding")
   }
 
@@ -175,11 +230,11 @@ object Multimodal {
     * keeps the join/aggregation shape identical.)
     */
   def frameSignatures(media: Dataset[MediaRecord], stride: Int = 1000,
-      maxFrames: Int = 8): DataFrame =
+      maxFrames: Int = 8, codec: MediaCodec = StubCodec): DataFrame =
     sampleFrames(media, stride, maxFrames)
       .join(media.toDF().select(col("media_id"), col("content")), "media_id")
       .select(col("media_id"), col("frame_no"),
-        md5(expr(s"substring(content, byte_offset + 1, $stride)")).as("frame_sig"))
+        codec.frameSig(col("content"), col("byte_offset"), stride).as("frame_sig"))
 
   /** ═══ STUB ═══ 60-bit perceptual hash for "image" payloads: bit `b`
     * is a binary feature of the payload's b-th fixed `blockBytes`-byte
@@ -196,7 +251,8 @@ object Multimodal {
     * bit is codegen'd md5/substring arithmetic, the hash one map-side-
     * combined sum — no UDF, no driver loop.
     */
-  def perceptualHashes(media: Dataset[MediaRecord], blockBytes: Int = 16): DataFrame =
+  def perceptualHashes(media: Dataset[MediaRecord], blockBytes: Int = 16,
+      codec: MediaCodec = StubCodec): DataFrame =
     media.toDF()
       .filter(col("kind") === "image" && length(col("content")) > 0)
       .select(col("media_id"), col("content"),
@@ -204,8 +260,7 @@ object Multimodal {
           least(lit(59), ((length(col("content")) - 1) / blockBytes)
             .cast(IntegerType)))).as(Seq("__p", "block")))
       .select(col("media_id"), col("block"),
-        (conv(expr(s"substring(md5(substring(content, block * $blockBytes + 1, $blockBytes)), 1, 1)"),
-          16, 10).cast(IntegerType) >= 8).as("bit"))
+        codec.blockBit(col("content"), col("block"), blockBytes).as("bit"))
       .groupBy(col("media_id"))
       .agg(sum(when(col("bit"), expr("shiftleft(cast(1 as bigint), block)"))
         .otherwise(0L)).as("phash"))
@@ -219,8 +274,8 @@ object Multimodal {
     * 64-bit-signature modality reduces to this join.
     */
   def imageNearDupPairs(media: Dataset[MediaRecord], blockBytes: Int = 16,
-      maxHamming: Int = 3): DataFrame = {
-    val hashes = perceptualHashes(media, blockBytes)
+      maxHamming: Int = 3, codec: MediaCodec = StubCodec): DataFrame = {
+    val hashes = perceptualHashes(media, blockBytes, codec)
     val chunkBits = 15
     val mask = (1L << chunkBits) - 1
     val chunks = hashes.select(col("media_id"), col("phash"),
@@ -247,8 +302,9 @@ object Multimodal {
     * never all-pairs.
     */
   def videoNearDupPairs(media: Dataset[MediaRecord], stride: Int = 1000,
-      maxFrames: Int = 8, minShared: Int = 4): DataFrame = {
-    val f = frameSignatures(media, stride, maxFrames)
+      maxFrames: Int = 8, minShared: Int = 4,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val f = frameSignatures(media, stride, maxFrames, codec)
     val counts = f.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
     f.as("a").join(f.as("b"),
         col("a.frame_no") === col("b.frame_no") &&

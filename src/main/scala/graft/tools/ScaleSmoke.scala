@@ -37,7 +37,98 @@ object ScaleSmoke {
     if (mode == "containment" || mode == "all") containmentSmoke(spark)
     if (mode == "cc" || mode == "all") ccSmoke(spark)
     if (mode == "skew" || mode == "all") skewSmoke(spark)
+    if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
+  }
+
+  /** 500k-doc tier of the LSH/containment growth curves (10x the
+    * standard 50k smoke — the 128 GiB sandbox fits it). Same corpus
+    * generators as the 50k runs, so the 50k -> 500k ratio IS the
+    * growth curve; anything superlinear beyond the candidate volume is
+    * a finding. Opt-in mode: these runs take minutes, not seconds.
+    */
+  private def growthSmoke(spark: SparkSession): Unit = {
+    val n = 500000
+    // d03 corpus shape (10-member clusters + planted 1000-member hot
+    // cluster), from lshSmoke
+    def concept(bigCluster: Int) =
+      when(col("id") < bigCluster, lit(0L)).otherwise(floor(col("id") / 10).cast("long"))
+    val lshDocs = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(concept(1000).cast("string"), lit(s"_$j"))), 1, 7))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }.repartition(32).persist()
+    lshDocs.count()
+    time(s"d03 minhash+LSH dedup, $n docs (10-member clusters + 1000-member cluster)") {
+      println(s"[scale]   pairs: ${graft.operators.TextDedup
+        .minhashLshPairs(lshDocs, "doc_id", "text").count()}")
+    }
+    val index = graft.operators.IncrementalDedup
+      .bandIndex(lshDocs, "doc_id", "text").persist()
+    time(s"d09 band-index build, $n docs") { index.count() }
+    val batch = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(col("id").cast("string"), lit(s"_$j"))), 1, 7))
+      spark.range(500).select((col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    time(s"d09 incremental dedup, 500-doc batch vs $n-doc index") {
+      println(s"[scale]   batch hits: ${graft.operators.IncrementalDedup
+        .dedupAgainst(index, lshDocs, batch, "doc_id", "text").count()}")
+    }
+    index.unpersist(); lshDocs.unpersist()
+    spark.catalog.clearCache()
+
+    // d19 corpus shape (universal 12-word boilerplate tail), from
+    // containmentSmoke
+    val tailDocs = {
+      val unique = (0 until 12).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_u$j"))), 1, 7))
+      val boiler = (0 until 12).map(j => lit(s"boiler$j"))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (unique ++ boiler): _*).as("text"))
+    }.repartition(32).persist()
+    tailDocs.count()
+    time(s"d19 prefix containment, $n docs (universal boilerplate tail)") {
+      println(s"[scale]   directed pairs: ${graft.operators.TextDedup
+        .containmentPairsPrefix(tailDocs, "doc_id", "text").count()}")
+    }
+    tailDocs.unpersist()
+    spark.catalog.clearCache()
+
+    // d23 corpus shape (universal char-level tail), from containmentSmoke
+    val fpDocs = {
+      val unique = (0 until 10).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_f$j"))), 1, 7))
+      val tailLit = lit("universal boilerplate tail shared by every single document")
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (unique :+ tailLit): _*).as("text"))
+    }.repartition(32).persist()
+    fpDocs.count()
+    time(s"d23 prefix fingerprint containment, $n docs (universal tail)") {
+      println(s"[scale]   directed pairs: ${graft.operators.TextDedup
+        .fingerprintContainmentPrefix(fpDocs, "doc_id", "text").count()}")
+    }
+    fpDocs.unpersist()
+    spark.catalog.clearCache()
+
+    // cross-doc line dedup at 5M docs (10x the curation smoke)
+    val lineDocs = spark.range(5000000L).select(col("id").as("doc_id"),
+      concat_ws("\n",
+        concat(lit("boiler line "), (col("id") % 20).cast("string")),
+        concat(lit("u"), col("id"), lit(" alpha")),
+        concat(lit("u"), col("id"), lit(" bravo")),
+        concat(lit("u"), col("id"), lit(" charlie")),
+        concat(lit("u"), col("id"), lit(" delta")),
+        concat(lit("u"), col("id"), lit(" echo"))).as("text"))
+    time("line dedup, 5000000 docs, 6 lines each") {
+      val bad = graft.operators.TextDedup.lineDedup(lineDocs, "doc_id", "text")
+        .filter(col("n_kept") =!= 5).count()
+      require(bad == 0, s"expected exactly the boilerplate line dropped, $bad docs differ")
+    }
   }
 
   /** Shuffle-byte telemetry: sum of task shuffle WRITE bytes during `f`

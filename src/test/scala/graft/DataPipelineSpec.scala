@@ -640,6 +640,44 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(got.contains((1L, 101L)) && got((1L, 101L)) <= 1)
   }
 
+  test("codec injection: a custom MediaCodec swaps in, plans unchanged") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", ("a" * 100).getBytes("UTF-8"), "s"),
+      (2L, "image", ("b" * 100).getBytes("UTF-8"), "s"),
+      (3L, "video", ("c" * 100).getBytes("UTF-8"), "s"))
+      .toDF("media_id", "kind", "content", "source")
+      .as[Multimodal.MediaRecord]
+    val codec = DataPipelineSpec.ParityCodec
+
+    // decode: fixed dimensions flow through the batch contract
+    val feats = Multimodal.processBatches(media, codec = codec).collect()
+    assert(feats.forall(f => f.width == 640 && f.checksum == 42L))
+
+    // embed: constant per-id vectors flow through the same batch shape
+    val emb = Multimodal.embedBatches(media, dim = 4, codec = codec)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb(2L) == Seq(3.0f, 3.0f, 3.0f, 3.0f))
+
+    // blockBit: parity bits give every 100-byte image the identical
+    // 7-block hash 0b1010101 = 85, making ALL image pairs hamming-0 —
+    // the banded join plan must surface exactly those pairs
+    val hashes = Multimodal.perceptualHashes(media, blockBytes = 16, codec = codec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes == Map(1L -> 85L, 2L -> 85L))
+    val pairs = Multimodal.imageNearDupPairs(media, blockBytes = 16,
+        maxHamming = 3, codec = codec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))
+
+    // frameSig: position-only signatures make every same-length video
+    // pair share all frames (only one video here: no pairs, no errors)
+    val sigs = Multimodal.frameSignatures(media, stride = 32, maxFrames = 8,
+        codec = codec)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(sigs.forall { case (id, no, sig) => id == 3L && sig == s"pos$no" })
+  }
+
   test("multimodal: batch plumbing preserves ids, stub features deterministic") {
     val d = docs(
       0L -> "abcdefgh", 1L -> "0123456789", 2L -> "xyz")
@@ -721,4 +759,24 @@ object DataPipelineSpec {
     */
   val TestDataDir: String =
     sys.env.getOrElse("GRAFT_TESTDATA_SF_DIR", "/root/testdata/sf0.1")
+
+  /** A non-default codec for the injection test: fixed decode
+    * dimensions, constant embeddings, parity block bits, position-only
+    * frame signatures. Top-level so the mapPartitions closure
+    * serializes without dragging the spec class (and its
+    * SparkSession) along.
+    */
+  object ParityCodec extends Multimodal.MediaCodec {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def decode(r: Multimodal.MediaRecord): Multimodal.MediaFeatures =
+      Multimodal.MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+        width = 640, height = 480, channels = 3, duration_ms = 0L, checksum = 42L)
+    def embed(r: Multimodal.MediaRecord, dim: Int): Array[Float] =
+      Array.fill(dim)(r.media_id.toFloat + 1.0f)
+    def blockBit(content: Column, block: Column, blockBytes: Int): Column =
+      pmod(block, lit(2)) === 0
+    def frameSig(content: Column, byteOffset: Column, stride: Int): Column =
+      concat(lit("pos"), (byteOffset / stride).cast("int").cast("string"))
+  }
 }
