@@ -253,13 +253,29 @@ object TextDedup {
     val sized = inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
-    // each unordered intersection row yields both directed containments
-    val dirA = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
-      (col("n_inter").cast(DoubleType) / col("size_a")).as("containment"))
-    val dirB = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
-      (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))
-    dirA.unionAll(dirB).filter(col("containment") >= threshold)
+    bothDirections(sized, threshold)
   }
+
+  /** Each unordered sized-intersection row (id_a, id_b, n_inter,
+    * size_a, size_b) yields both directed containments — via ONE
+    * explode, never a dirA/dirB self-union: a union references the
+    * sized relation twice, and since its upstream (the whole
+    * inverted-index or verification pipeline) is lazy, the union
+    * EXECUTES it twice. Measured on the d23 500k growth tier: the
+    * union form ran 104 s (a stage probe put ~30 s in one verification
+    * pass alone), the explode form 26 s — and the growth curve
+    * straightened from ~14x per 10x docs to ~3.5x.
+    */
+  private def bothDirections(sized: DataFrame, threshold: Double): DataFrame =
+    sized.select(explode(array(
+        struct(col("id_a").as("id_src"), col("id_b").as("id_dst"),
+          (col("n_inter").cast(DoubleType) / col("size_a")).as("containment")),
+        struct(col("id_b").as("id_src"), col("id_a").as("id_dst"),
+          (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))))
+        .as("__dir"))
+      .select(col("__dir.id_src").as("id_src"), col("__dir.id_dst").as("id_dst"),
+        col("__dir.containment").as("containment"))
+      .filter(col("containment") >= threshold)
 
   /** Directed candidate pairs for [[containmentPairsPrefix]] — split out
     * so the plan contract (candidate join keyed on the 8-byte shingle
@@ -403,11 +419,7 @@ object TextDedup {
     val sized = inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "size_b"), "id_b")
-    val dirA = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
-      (col("n_inter").cast(DoubleType) / col("size_a")).as("containment"))
-    val dirB = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
-      (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))
-    dirA.unionAll(dirB).filter(col("containment") >= threshold)
+    bothDirections(sized, threshold)
   }
 
   /** Fingerprint containment at scale: same output as
@@ -475,11 +487,7 @@ object TextDedup {
     val sized = inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "size_b"), "id_b")
-    val dirA = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
-      (col("n_inter").cast(DoubleType) / col("size_a")).as("containment"))
-    val dirB = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
-      (col("n_inter").cast(DoubleType) / col("size_b")).as("containment"))
-    dirA.unionAll(dirB).filter(col("containment") >= threshold)
+    bothDirections(sized, threshold)
   }
 
   // ───────────────────────────────────────────── MinHash + LSH

@@ -1,93 +1,67 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-/** Dev-loop profiling entry; not part of the library surface.
-  * `runMain graft.tools.Scratch <queryName> [sfDir]` times one
-  * SparkEntry query (warm pass + 2 timed); no args = the driver's
-  * entry() smoke.
+/** Ad-hoc dev probe (contents change per investigation). Current: stage
+  * breakdown of d23 fingerprintContainmentPrefix at 500k docs to find
+  * the superlinear bend the growth tier surfaced.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    if (args.isEmpty) {
-      // the driver's t1 smoke: entry() on sf0.001 must return rows
-      val n = graft.SparkEntry.entry(spark).count()
-      println(s"[smoke] entry rows: $n")
-      require(n > 0)
-    } else if (args(0) == "dump") {
-      // subset of the Verify dump for fast oracle iteration:
-      // runMain graft.tools.Scratch dump <n1,n2,...> <sfDir> <outDir>
-      val names = args(1).split(",").toSeq
-      val Seq(sfDir, outDir) = args.slice(2, 4).toSeq
-      new java.io.File(outDir).mkdirs()
-      names.foreach { name =>
-        graft.SparkEntry.queries(name)(spark, sfDir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      }
-      def q(s: String): String = "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      val json = names.map(n => s"${q(n)}: ${q(graft.SparkEntry.oracleSql(n))}")
-        .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
-      println(s"[dump] wrote ${names.size} results to $outDir")
-    } else if (args(0) == "ivf") {
-      // sub-step timing for s03: where do the seconds go on a tiny table?
-      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-      graft.SparkEntry.queries("s03_ann_ivf")(spark, dir).count() // warm
-      spark.catalog.clearCache()
-      def time(name: String)(f: => Unit): Unit = {
-        val t0 = System.nanoTime()
-        f
-        println(f"[ivf] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-      time("derivedPlanes(8)") {
-        graft.queries.DataPipelineQueries.derivedPlanes(spark, dir, 8)
-      }
-      time("full s03 run") {
-        graft.SparkEntry.queries("s03_ann_ivf")(spark, dir).count()
-      }
-      spark.catalog.clearCache()
-      time("derivedPlanes again") {
-        graft.queries.DataPipelineQueries.derivedPlanes(spark, dir, 8)
-      }
-      // per-job wall clock: which jobs inside the run are slow?
-      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.put(j.jobId, System.nanoTime())
-        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobs.getOrDefault(j.jobId, 0L)
-          println(f"[ivf-job] job ${j.jobId}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        }
-      })
-      time("full s03 run (job-instrumented)") {
-        graft.SparkEntry.queries("s03_ann_ivf")(spark, dir).count()
-      }
-    } else {
-      val name = args(0)
-      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-      val fn = graft.SparkEntry.queries(name)
-      (0 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        println(f"[scratch] $name run $i: $dt%.2f s ($n rows)")
-      }
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    def t[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    val docs = {
+      val unique = (0 until 10).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_f$j"))), 1, 7))
+      val tailLit = lit("universal boilerplate tail shared by every single document")
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (unique :+ tailLit): _*).as("text"))
+    }.repartition(32).persist()
+    docs.count()
+
+    val k = 16; val w = 4; val threshold = 0.8
+    val fps = docs.select(col("doc_id").as("id"),
+      explode(graft.functions.WinnowedFingerprint(col("text"), k, w)).as("fp"))
+      .persist()
+    t("fps explode + persist")(println(s"[probe]   fps rows: ${fps.count()}"))
+    val dfs = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+    t("dfs agg")(println(s"[probe]   distinct fps: ${dfs.count()}"))
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val win = Window.partitionBy(col("id")).orderBy(col("__df"), col("fp"))
+    val prefix = fps.join(dfs, "fp")
+      .withColumn("__rk", row_number().over(win))
+      .join(sizes, "id")
+      .filter(col("__rk") <= floor((lit(1.0) - threshold) * col("n_fp") + 1e-6) + 1)
+      .select(col("id").as("id_p"), col("fp"))
+      .persist()
+    t("prefix window")(println(s"[probe]   prefix rows: ${prefix.count()}"))
+    val candidates = prefix
+      .join(fps.select(col("id").as("id_oth"), col("fp")), "fp")
+      .filter(col("id_p") =!= col("id_oth"))
+      .select(least(col("id_p"), col("id_oth")).as("id_a"),
+        greatest(col("id_p"), col("id_oth")).as("id_b"))
+      .distinct()
+      .persist()
+    t("candidate join + distinct")(println(s"[probe]   candidates: ${candidates.count()}"))
+    val pairFps = fps.join(candidates, col("id") === col("id_a"))
+      .select(col("id_a"), col("id_b").as("__cand_b"), col("fp").as("__cand_fp"))
+    val inter = fps.join(pairFps,
+        col("id") === col("__cand_b") && col("fp") === col("__cand_fp"))
+      .select(col("id_a"), col("__cand_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    t("verification joins + agg")(println(s"[probe]   inter rows: ${inter.count()}"))
     spark.stop()
   }
 }
