@@ -274,8 +274,12 @@ object Multimodal {
     * 64-bit-signature modality reduces to this join.
     */
   def imageNearDupPairs(media: Dataset[MediaRecord], blockBytes: Int = 16,
-      maxHamming: Int = 3, codec: MediaCodec = StubCodec): DataFrame = {
-    val hashes = perceptualHashes(media, blockBytes, codec)
+      maxHamming: Int = 3, codec: MediaCodec = StubCodec)(
+      implicit cs: CacheScope): DataFrame = {
+    // persist the (tiny: id + one long) hash relation before the banded
+    // self-join — each side would otherwise re-hash every image
+    // (self-join sides compute independently; measured, CcPlanCheck)
+    val hashes = cs.persist(perceptualHashes(media, blockBytes, codec))
     val chunkBits = 15
     val mask = (1L << chunkBits) - 1
     val chunks = hashes.select(col("media_id"), col("phash"),
@@ -303,8 +307,10 @@ object Multimodal {
     */
   def videoNearDupPairs(media: Dataset[MediaRecord], stride: Int = 1000,
       maxFrames: Int = 8, minShared: Int = 4,
-      codec: MediaCodec = StubCodec): DataFrame = {
-    val f = frameSignatures(media, stride, maxFrames, codec)
+      codec: MediaCodec = StubCodec)(implicit cs: CacheScope): DataFrame = {
+    // three references below (both join sides + the per-video counts):
+    // uncached, each would re-run the sample + signature pipeline
+    val f = cs.persist(frameSignatures(media, stride, maxFrames, codec))
     val counts = f.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
     f.as("a").join(f.as("b"),
         col("a.frame_no") === col("b.frame_no") &&

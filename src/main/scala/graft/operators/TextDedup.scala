@@ -381,9 +381,13 @@ object TextDedup {
     * [[fingerprintContainmentPrefix]] instead.
     */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minShared: Int = 5): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp"))
+      k: Int = 8, w: Int = 4, minShared: Int = 5)(implicit cs: CacheScope): DataFrame = {
+    // persist before the self-join: Spark computes each side of a
+    // self-join independently (no exchange/stage reuse — measured,
+    // see CcPlanCheck), so an uncached fps would re-fingerprint the
+    // corpus twice
+    val fps = cs.persist(df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp")))
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -621,8 +625,11 @@ object TextDedup {
     * must agree on ≥1 chunk — pigeonhole), verified with exact popcount.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
+      maxHamming: Int = 3)(implicit cs: CacheScope): DataFrame = {
+    // persist the (tiny: id + one long) signature relation before the
+    // banded self-join — each side would otherwise re-run the whole
+    // tokenize + SimHashAgg pipeline (measured 2x, CcPlanCheck)
+    val sigs = cs.persist(simhash(df, idCol, textCol))
     val chunkBits = SimhashBits / 4
     val mask = (1L << chunkBits) - 1
     val chunks = sigs.select(col("id"), col("simhash"),

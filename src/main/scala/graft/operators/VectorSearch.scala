@@ -275,7 +275,7 @@ object VectorSearch {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Seq[Double]] = Nil,
-      bands: Int = 1): DataFrame = {
+      bands: Int = 1)(implicit cs: CacheScope): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("__vec"),
       norm(col(vecCol)).as("__norm"))
     if (planes.isEmpty) {
@@ -291,11 +291,18 @@ object VectorSearch {
       val bits = planes.size / bands
       // all band keys in one compiled loop (PlaneBandKeys), not a
       // |planes|-node expression tree; posexplode yields (band, key)
-      val banded = base
+      // persisted before the self-join: each side computes independently
+      // (no exchange/stage reuse — measured, CcPlanCheck), so an
+      // uncached plan would run PlaneBandKeys (planes x dims flops per
+      // vector) and the scan twice. Payload rides in the cache because
+      // in-place verification needs it (see shape note above); if the
+      // corpus outgrows storage memory, Spark evicts and recomputes —
+      // graceful degradation back to the uncached cost, never failure.
+      val banded = cs.persist(base
         .select(col("id"), col("__vec"), col("__norm"),
           posexplode(graft.functions.PlaneBandKeys(
             col("__vec").cast(ArrayType(DoubleType)), planes, bits))
-            .as(Seq("__band", "__bkey")))
+            .as(Seq("__band", "__bkey"))))
       val verified = banded.as("a").join(banded.as("b"),
           col("a.__band") === col("b.__band") &&
           col("a.__bkey") === col("b.__bkey") &&
@@ -351,20 +358,17 @@ object VectorSearch {
     * same rule).
     *
     * Cost note: the cell-assignment subplan is referenced three times
-    * (both self-join sides plus the final keep/drop join). The two
-    * self-join sides shuffle by `cell` with identical subplans, so
-    * Spark's ReusedExchange covers one of them; the final join shuffles
-    * by `id` and re-runs the scan + assignment once more. If assignment
-    * (one dot product per centroid per row) ever dominates — very large
-    * k — persist/checkpoint `assignCells`' output before calling, or
-    * wrap the call site so the intermediate is cached for the query's
-    * lifetime; at the k≪dims regimes d27 exercises, the extra pass is
-    * cheaper than materializing the corpus-sized assignment.
+    * (both self-join sides plus the final keep/drop join), and
+    * self-join sides compute independently (no exchange/stage reuse —
+    * measured, CcPlanCheck), so the assignment persists under the
+    * [[CacheScope]]: one scan + one assignment pass total. Eviction
+    * under memory pressure degrades to recompute, never failure.
     */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val a = assignCells(df, idCol, vecCol, centroids)
+      centroids: Seq[Seq[Double]], threshold: Double)(
+      implicit cs: CacheScope): DataFrame = {
+    val a = cs.persist(assignCells(df, idCol, vecCol, centroids))
     // filter-before-distinct like cosineNearDupPairs: only ids that
     // actually lose (tiny) pay the dedup shuffle
     val dropped = a.as("a").join(a.as("b"),

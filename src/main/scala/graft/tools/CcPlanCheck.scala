@@ -3,40 +3,40 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: in a fused jump round, the three references to the
-  * checkpointed label frame all require hashpartitioning(id), so the
-  * physical plan must materialize that exchange ONCE and reuse it —
-  * the jump lookup rides the propagation join's shuffle for free.
+/** Dev probe: does a banded SELF-JOIN over a lazy signature subplan
+  * compute the subplan once (exchange/stage reuse) or twice? Timed
+  * empirically — plan strings don't reveal AQE runtime stage reuse.
+  * Also pins: checkpoint-backed frames lose partitioning.
   */
 object CcPlanCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val edges = spark.range(1, 1000).select(col("id").as("src"), (col("id") + 1).as("dst"))
-      .unionAll(spark.range(1, 1000).select((col("id") + 1).as("src"), col("id").as("dst")))
-      .localCheckpoint()
-    val labels = spark.range(1, 1001).select(col("id"), greatest(col("id") - 1, lit(1L)).as("component"))
-      .localCheckpoint()
-    val pulled = edges.join(labels, col("dst") === col("id"))
-      .groupBy(col("src")).agg(min(col("component")).as("__nbr"))
-    val prop = labels.join(pulled, col("id") === col("src"), "left")
-      .select(col("id"),
-        least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
-        (coalesce(col("__nbr"), col("component")) < col("component")).as("__changed"))
-    val lookup = labels.select(col("id").as("__jid"), col("component").as("__jcomp"))
-    val next = prop.join(lookup, prop("component") === col("__jid"), "left")
-      .select(prop("id"),
-        coalesce(col("__jcomp"), prop("component")).as("component"),
-        (prop("__changed") ||
-          coalesce(col("__jcomp"), prop("component")) < prop("component")).as("__changed"))
-    next.filter(col("__changed")).count()
-    val plan = next.filter(col("__changed")).queryExecution.executedPlan.toString
-    println(s"EXCHANGES=${"Exchange hashpartitioning".r.findAllIn(plan).length}")
-    println(s"REUSED=${"ReusedExchange".r.findAllIn(plan).length}")
-    println(plan.linesIterator.filter(l => l.contains("Exchange")).mkString("\n"))
+
+    val labels = spark.range(1, 1001)
+      .select(col("id"), greatest(col("id") - 1, lit(1L)).as("component"))
+      .repartition(col("id")).localCheckpoint()
+    println("checkpoint outputPartitioning: " +
+      labels.queryExecution.executedPlan.outputPartitioning)
+
+    // 200k docs x 40 tokens: signature aggregation dominates
+    val words = (0 until 40).map(j =>
+      md5(concat((col("id") / 10).cast("long").cast("string"), lit(s"_$j"))))
+    val docs = spark.range(0, 200000)
+      .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+      .repartition(8).persist()
+    docs.count()
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows $r)")
+    }
+    t("simhash signatures alone")(
+      graft.operators.TextDedup.simhash(docs, "doc_id", "text").count())
+    t("simhashPairs (self-join over the same subplan)")(
+      graft.operators.TextDedup.simhashPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
 }
