@@ -145,4 +145,64 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(domainCol), col(tokensCol), col("cum_tokens"))
   }
+
+  /** Leakage-safe train/val/test split: the split UNIT is a group
+    * (source domain, url host, dedup component id …), hashed once, so
+    * every document of a group lands on the same side — within-group
+    * near-duplicates can never straddle the split boundary, which is
+    * the classic train→eval contamination channel a row-level split
+    * leaves open. `trainPct`/`valPct` are integer percents of the
+    * GROUP hash space (group counts, not doc counts — the point is
+    * purity, not exact sizing; pair with [[domainMix]] when the doc
+    * mass per side must also hit a target). The remainder is "test".
+    *
+    * Zero shuffle at any scale: membership is one md5 of the group key
+    * per row, a pure codegen projection the DuckDB oracle replays
+    * byte-for-byte ([[hashBucket]] — engine-portable, unlike
+    * `hash()`/`xxhash64` whose seeds differ across engines). NULL
+    * group keys hash to the md5 of the SQL NULL → bucket NULL → split
+    * "test" via the otherwise-branch, on both engines.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percents must be non-negative and sum to <= 100")
+    val b = hashBucket(col(groupCol))
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic corpus shuffle into training shards — the shard
+    * writer's assignment step: a training run wants the corpus in a
+    * reproducible pseudo-random order, materialized as N shard files
+    * each internally shuffled. Each doc gets a 60-bit order key (md5
+    * of its id, chars 1-15) and a shard from an INDEPENDENT md5 slice
+    * (chars 16-23 — reusing the order key would make shard membership
+    * a function of in-shard position); `shard_pos` ranks the order key
+    * within the shard, id tie-break.
+    *
+    * Scale shape: one shuffle, partitioned BY SHARD with an in-shard
+    * sort — exactly the distribution a shard writer needs
+    * (`repartition(shard).sortWithinPartitions(okey)` then write).
+    * `numShards` is chosen so corpus/N ≈ the target shard file size
+    * (N grows with the corpus; per-shard volume — and so per-task sort
+    * memory — stays constant at 100 TB). The hash order key makes the
+    * permutation a pure function of doc ids: reruns, retries, and the
+    * DuckDB oracle all produce the identical shuffle.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0)
+    val okey = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val shard = conv(substring(md5(col(idCol).cast(StringType)), 16, 8), 16, 10)
+      .cast(LongType) % numShards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__okey"), col(idCol))
+    df.withColumn("__okey", okey)
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("__okey")
+  }
 }

@@ -1359,6 +1359,63 @@ object CurationQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ── d28: leakage-safe group split ───────────────────────────────────
+
+  /** Train/val/test assignment with the SOURCE DOMAIN as the split
+    * unit ([[Sampling.groupSplit]]): hashing the group key — not the
+    * doc id — keeps every document of a domain on one side, so
+    * within-domain near-duplicates can never leak from train into
+    * eval. 80/10/10 over the group hash space; zero shuffle, one md5
+    * per row, oracle replays the identical bucket arithmetic.
+    */
+  val d28_group_split: Q = (s, dir) => {
+    Sampling.groupSplit(Tables(s, dir, "documents"), "source",
+        trainPct = 80, valPct = 10)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d28_sql: String =
+    """SELECT doc_id, source,
+      |       CASE WHEN b < 80 THEN 'train'
+      |            WHEN b < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, source,
+      |         CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  // ── d29: deterministic shard shuffle ────────────────────────────────
+
+  /** Reproducible corpus shuffle into 8 training shards
+    * ([[Sampling.shardShuffle]]): shard membership and in-shard order
+    * both come from md5 of the doc id (independent hex slices), so the
+    * permutation is a pure function of ids — reruns, task retries, and
+    * the oracle agree row for row. The one shuffle is partitioned by
+    * shard with an in-shard sort: the exact distribution a shard
+    * writer materializes, with shard count ∝ corpus size at 100 TB so
+    * per-task sort volume stays constant.
+    */
+  val d29_shard_shuffle: Q = (s, dir) => {
+    Sampling.shardShuffle(
+        Tables(s, dir, "documents").select(col("doc_id")), "doc_id", 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d29_sql: String =
+    """SELECT doc_id, shard,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS INT) AS shard_pos
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 8)) AS BIGINT) % 8 AS shard
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1395,7 +1452,9 @@ object CurationQueries {
     "s08_hard_negatives" -> s08_hard_negatives,
     "q30_lateral_topn" -> q30_lateral_topn,
     "t13_doc_loglik" -> t13_doc_loglik,
-    "q31_value_windows" -> q31_value_windows)
+    "q31_value_windows" -> q31_value_windows,
+    "d28_group_split" -> d28_group_split,
+    "d29_shard_shuffle" -> d29_shard_shuffle)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1431,5 +1490,7 @@ object CurationQueries {
     "s08_hard_negatives" -> s08_sql,
     "q30_lateral_topn" -> q30_sql,
     "t13_doc_loglik" -> t13_sql,
-    "q31_value_windows" -> q31_sql)
+    "q31_value_windows" -> q31_sql,
+    "d28_group_split" -> d28_sql,
+    "d29_shard_shuffle" -> d29_sql)
 }

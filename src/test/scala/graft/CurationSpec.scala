@@ -153,6 +153,51 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  // ── Sampling.groupSplit / shardShuffle ──────────────────────────────
+
+  test("group split is pure per group; NULL groups land in test") {
+    import spark.implicits._
+    val df = ((0L until 200L).map(i => (i, s"host${i % 20}")) :+
+      (200L, null.asInstanceOf[String])).toDF("doc_id", "host")
+    val out = Sampling.groupSplit(df, "host", trainPct = 80, valPct = 10)
+    // every group maps to exactly one split — the leakage-safety claim
+    val mixed = out.groupBy("host")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") =!= 1).count()
+    assert(mixed == 0)
+    assert(out.filter(col("host").isNull).select("split").head().getString(0) == "test")
+    // partitioning-independent membership
+    val again = Sampling.groupSplit(df.repartition(7), "host", 80, 10)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(again == out.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    // degenerate percents still total the corpus
+    assert(Sampling.groupSplit(df, "host", 100, 0)
+      .filter(col("host").isNotNull && col("split") =!= "train").count() == 0)
+  }
+
+  test("shard shuffle is a permutation: dense in-shard positions, stable under repartition") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("doc_id")
+    val out = Sampling.shardShuffle(df, "doc_id", 8)
+    assert(out.count() == 1000L)
+    // positions are 1..|shard| with no gaps or dups
+    val bad = out.groupBy("shard").agg(
+        count(lit(1)).as("n"), max(col("shard_pos")).as("mx"),
+        countDistinct(col("shard_pos")).as("nd"))
+      .filter(col("n") =!= col("mx") || col("n") =!= col("nd")).count()
+    assert(bad == 0)
+    // deterministic under different input partitioning
+    val again = Sampling.shardShuffle(df.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(again == out.select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq)
+    // the order key actually shuffles: in-shard order != id order
+    val monotone = out.filter(col("shard") === 0L).orderBy(col("shard_pos"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(monotone != monotone.sorted)
+  }
+
   // ── Chunking (d14 semantics on a handmade doc) ──────────────────────
 
   test("chunking covers the text with stride overlap and exact tails") {
