@@ -108,6 +108,28 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"pair join keys must include the non-constant __bkey, got ${pairJoin.get.leftKeys}")
   }
 
+  test("banded self-joins read signatures from ONE cached relation (both sides)") {
+    // self-join sides compute independently (no exchange/stage reuse —
+    // measured, CcPlanCheck), so the operators persist the signature
+    // relation; this pins that both join sides scan the cache instead
+    // of re-running the signature pipeline
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"alpha bravo charlie delta echo ${i % 8}"))
+      .toDF("doc_id", "text")
+    operators.CacheScope.scoped { implicit cs =>
+      val simPlan = planString(operators.TextDedup.simhashPairs(docs, "doc_id", "text"))
+      assert("InMemoryTableScan".r.findAllIn(simPlan).length >= 2,
+        "both simhash self-join sides must scan the cached signatures:\n" + simPlan.take(3000))
+      val corpus = queries.DataPipelineQueries.dupVecCorpus(spark, dir)
+      val planes = queries.DataPipelineQueries.derivedPlanes(spark, dir, 128)
+      val vecPlan = planString(operators.VectorSearch.cosineNearDupPairs(
+        corpus, "vec_id", "vec", threshold = 0.9, planes = planes, bands = 16))
+      assert("InMemoryTableScan".r.findAllIn(vecPlan).length >= 2,
+        "both banded embedding self-join sides must scan the cached keys:\n" + vecPlan.take(3000))
+      assert(cs.trackedCount >= 2, "scope must own the operator caches")
+    }
+  }
+
   test("stratified sample is a shuffle-free codegen'd scan+filter") {
     // drop the presentation orderBy — the operator itself must not exchange
     val df = operators.Sampling.stratifiedSample(
