@@ -331,11 +331,27 @@ object TextDedup {
     * large ones fall back to shuffle joins. The [[CacheScope]] owns
     * the cache lifetime of the persisted shingle and candidate
     * relations.
+    *
+    * `hashedVerification` (exactness policy, default OFF — the same
+    * flag and trade as [[minhashLshPairs]]): the verification joins
+    * compare xxhash64(shingle) instead of the raw string. The
+    * pair-shingles relation is the operator's dominant shuffle
+    * (candidates × shingles-per-doc rows — ~99M rows at the 500k
+    * growth tier), and the flag fixes each row's key at 8 bytes.
+    * Measured at that tier: ~neutral on the short-shingle growth
+    * corpus (33.4 s hashed vs 36.9 s string, same JVM position —
+    * word 3-shingles there are only ~20 bytes); the byte win is for
+    * LONG shingles/grams, where minhashLshPairs measured ~3×. A
+    * 64-bit collision between DISTINCT shingles of a candidate pair
+    * would inflate n_inter by one; expected errors are zero below
+    * ~10¹³ candidates. Default stays string-exact so the oracle gate
+    * is bit-identical by construction.
     */
   def containmentPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9,
-      broadcastCandidateLimit: Long = 100000L)(implicit cs: CacheScope): DataFrame = {
+      broadcastCandidateLimit: Long = 100000L,
+      hashedVerification: Boolean = false)(implicit cs: CacheScope): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val sh = cs.persist(shingles(df, idCol, textCol, n))
     val candidates = cs.persist(containmentCandidates(sh, threshold))
@@ -349,9 +365,14 @@ object TextDedup {
     val gate: DataFrame => DataFrame = if (small) broadcast else identity
 
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val pairShingles = sh.join(gate(candidates), col("id") === col("id_src"))
+    // sizes always come from the string relation; only the match key of
+    // the verification joins switches under the policy flag
+    val verif =
+      if (hashedVerification) sh.select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      else sh
+    val pairShingles = verif.join(gate(candidates), col("id") === col("id_src"))
       .select(col("id_src"), col("id_dst").as("__cand_b"), col("shingle").as("__cand_sh"))
-    val inter = sh.join(gate(pairShingles),
+    val inter = verif.join(gate(pairShingles),
         col("id") === col("__cand_b") && col("shingle") === col("__cand_sh"))
       .select(col("id_src"), col("__cand_b").as("id_dst"))
       .groupBy("id_src", "id_dst").agg(count(lit(1)).as("n_inter"))

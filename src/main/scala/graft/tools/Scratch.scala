@@ -2,11 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
-/** Ad-hoc dev probe (contents change per investigation). Current: stage
-  * breakdown of d23 fingerprintContainmentPrefix at 500k docs to find
-  * the superlinear bend the growth tier surfaced.
+/** Ad-hoc dev probe (contents change per investigation). Current:
+  * d19 containmentPairsPrefix at the 500k growth tier, string-exact
+  * verification vs the hashedVerification policy flag — the
+  * pair-shingles relation is the operator's dominant shuffle and the
+  * flag shrinks its key from the shingle string to 8 bytes.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -21,47 +22,27 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // the growth tier's d19 corpus: universal 12-word boilerplate tail
     val docs = {
-      val unique = (0 until 10).map(j =>
+      val unique = (0 until 12).map(j =>
         substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
-          lit(s"_f$j"))), 1, 7))
-      val tailLit = lit("universal boilerplate tail shared by every single document")
+          lit(s"_u$j"))), 1, 7))
+      val boiler = (0 until 12).map(j => lit(s"boiler$j"))
       spark.range(n).select(col("id").as("doc_id"),
-        concat_ws(" ", (unique :+ tailLit): _*).as("text"))
+        concat_ws(" ", (unique ++ boiler): _*).as("text"))
     }.repartition(32).persist()
     docs.count()
-
-    val k = 16; val w = 4; val threshold = 0.8
-    val fps = docs.select(col("doc_id").as("id"),
-      explode(graft.functions.WinnowedFingerprint(col("text"), k, w)).as("fp"))
-      .persist()
-    t("fps explode + persist")(println(s"[probe]   fps rows: ${fps.count()}"))
-    val dfs = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
-    t("dfs agg")(println(s"[probe]   distinct fps: ${dfs.count()}"))
-    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
-    val win = Window.partitionBy(col("id")).orderBy(col("__df"), col("fp"))
-    val prefix = fps.join(dfs, "fp")
-      .withColumn("__rk", row_number().over(win))
-      .join(sizes, "id")
-      .filter(col("__rk") <= floor((lit(1.0) - threshold) * col("n_fp") + 1e-6) + 1)
-      .select(col("id").as("id_p"), col("fp"))
-      .persist()
-    t("prefix window")(println(s"[probe]   prefix rows: ${prefix.count()}"))
-    val candidates = prefix
-      .join(fps.select(col("id").as("id_oth"), col("fp")), "fp")
-      .filter(col("id_p") =!= col("id_oth"))
-      .select(least(col("id_p"), col("id_oth")).as("id_a"),
-        greatest(col("id_p"), col("id_oth")).as("id_b"))
-      .distinct()
-      .persist()
-    t("candidate join + distinct")(println(s"[probe]   candidates: ${candidates.count()}"))
-    val pairFps = fps.join(candidates, col("id") === col("id_a"))
-      .select(col("id_a"), col("id_b").as("__cand_b"), col("fp").as("__cand_fp"))
-    val inter = fps.join(pairFps,
-        col("id") === col("__cand_b") && col("fp") === col("__cand_fp"))
-      .select(col("id_a"), col("__cand_b").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    t("verification joins + agg")(println(s"[probe]   inter rows: ${inter.count()}"))
+    Seq(true, false).foreach { hashed =>
+      graft.operators.CacheScope.scoped { implicit cs =>
+        t(s"d19 $n docs, hashedVerification=$hashed") {
+          println(s"[probe]   directed pairs: " + graft.operators.TextDedup
+            .containmentPairsPrefix(docs, "doc_id", "text",
+              hashedVerification = hashed).count())
+        }
+      }
+      spark.catalog.clearCache()
+      docs.persist().count() // re-pin the corpus after the clear
+    }
     spark.stop()
   }
 }

@@ -172,6 +172,24 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(exactStr.size == 60 * 59 / 2)
   }
 
+  test("hashed verification policy: containment prefix matches string-exact") {
+    import spark.implicits._
+    // quoted-inclusion shape (the asymmetric case) + a duplicate cluster
+    val df = ((1L to 30L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      Seq(50L -> "alpha beta gamma delta epsilon zeta eta theta plus a much longer framing document around the quoted block") ++
+      (100L to 105L).map(i => (i, s"unrelated doc $i filler alpha$i beta$i gamma$i delta$i")))
+      .toDF("doc_id", "text")
+    val exactStr = TextDedup.containmentPairsPrefix(df, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hashed = TextDedup.containmentPairsPrefix(df, "doc_id", "text",
+        hashedVerification = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(hashed == exactStr)
+    // the cluster is fully mutually contained; the quote is one-directional
+    assert(exactStr.contains((1L, 50L)), s"quoted block must be contained in the frame: $exactStr")
+    assert(!exactStr.contains((50L, 1L)), "the frame is NOT contained in the quote")
+  }
+
   test("minhash LSH: over-limit candidate set verifies via shuffle joins, same result") {
     import spark.implicits._
     // a 200-member duplicate cluster alone yields 19,900 candidate pairs;
