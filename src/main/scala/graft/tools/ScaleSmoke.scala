@@ -37,6 +37,7 @@ object ScaleSmoke {
     if (mode == "containment" || mode == "all") containmentSmoke(spark)
     if (mode == "cc" || mode == "all") ccSmoke(spark)
     if (mode == "skew" || mode == "all") skewSmoke(spark)
+    if (mode == "budget" || mode == "all") budgetSmoke(spark)
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
   }
@@ -275,6 +276,56 @@ object ScaleSmoke {
     // that — a straggler/spill pathology would show as 50-100x
     require(hT <= uT * 12.0 + 5.0, f"hot-band d03 $hT%.1f s vs uniform $uT%.1f s")
     require(hcT <= ucT * 12.0 + 5.0, f"hot-group d19 $hcT%.1f s vs uniform $ucT%.1f s")
+  }
+
+  /** Token-budget admission at few-domain scale — the shape where the
+    * naive per-domain window serializes (4 domains × 500k rows = one
+    * 500k-row sorted window per task) and the histogram prefilter must
+    * not: [[graft.operators.Sampling.tokenBudgetAdmit]] windows only
+    * the boundary-bucket survivors, partitioned by (domain, bucket).
+    * Two quality distributions: high-cardinality (boundary bucket is
+    * thin) and 10-distinct-values massive ties (the verdict's watch
+    * item: quality ties concentrate the boundary bucket — still
+    * bounded by bucketWidth occupancy, here ~1/10 of a domain). Both
+    * runs assert exact set equality against the naive window form.
+    */
+  private def budgetSmoke(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val n = 2000000L
+    val budget = 50000000L
+    def corpus(qualDistinct: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("dom"), (col("id") % 4).cast("string")).as("domain"),
+      (pmod(xxhash64(col("id")), lit(qualDistinct)) *
+        (1000000L / qualDistinct)).as("quality"),
+      (pmod(xxhash64(col("id") + 7), lit(900L)) + 100L).as("tokens"))
+    Seq(("~1M distinct qualities", 1000000L),
+        ("10 distinct qualities (tie-fattened boundary bucket)", 10L)).foreach {
+      case (label, qd) =>
+        val docs = corpus(qd).repartition(32).persist()
+        docs.count()
+        val fastIds = graft.operators.Sampling.tokenBudgetAdmit(docs, "domain",
+            "doc_id", "quality", "tokens", budget, bucketWidth = 10000L)
+          .select(col("doc_id"))
+        val naive = {
+          val w = W.partitionBy(col("domain"))
+            .orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, 0)
+          docs.withColumn("cum", sum(col("tokens")).over(w))
+            .filter(col("cum") <= budget).select(col("doc_id"))
+        }
+        var nFast = 0L
+        time(s"d26 histogram admit, 2M docs / 4 domains, $label") {
+          nFast = fastIds.count()
+        }
+        var nNaive = 0L
+        time(s"d26 naive one-window-per-domain, $label") { nNaive = naive.count() }
+        val diff = fastIds.exceptAll(naive).count() + naive.exceptAll(fastIds).count()
+        println(s"[scale]   admitted fast=$nFast naive=$nNaive setDiff=$diff")
+        require(diff == 0 && nFast == nNaive,
+          s"histogram path diverged from the naive window: $nFast vs $nNaive, diff $diff")
+        docs.unpersist()
+    }
   }
 
   /** d19 prefix containment on ITS OWN worst case: every doc ends with
