@@ -116,10 +116,15 @@ object VectorSearch {
     scale
   }
 
+  /** The quantization expression itself — shared by [[quantize]] and
+    * [[rerankTopK]] so the int8 mapping cannot drift between the
+    * standalone path and the two-stage prefilter.
+    */
+  private def quantExpr(vec: Column, scale: Double): Column =
+    transform(vec, v => round(v.cast(DoubleType) / scale * 127).cast(IntegerType))
+
   def quantize(df: DataFrame, idCol: String, vecCol: String, scale: Double): DataFrame =
-    df.select(col(idCol).as("id"),
-      transform(col(vecCol),
-        v => round(v.cast(DoubleType) / scale * 127).cast(IntegerType)).as("qvec"))
+    df.select(col(idCol).as("id"), quantExpr(col(vecCol), scale).as("qvec"))
 
   /** Top-k by quantized integer dot product (IntDot codegen kernel),
     * ties broken by id — the memory-lean ANN path; corpus never
@@ -139,6 +144,51 @@ object VectorSearch {
         if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("qdot", graft.functions.IntDot(col("qvec"), col("__qvec")))
     rankTopK(scored, "qdot", k)
+  }
+
+  /** Two-stage retrieval — the production ANN serving shape: a cheap
+    * int8 dot-product prefilter keeps the top `candidates` per query,
+    * and ONLY those candidates re-rank by exact double cosine. At 100 TB
+    * the full-precision scoring (the expensive part: double loads,
+    * divisions, sqrt) runs on |queries|×candidates rows instead of
+    * |queries|×|corpus|; the corpus is scanned ONCE — the int8 signature
+    * and the float vector ride the same row, so stage 2 is a filter on
+    * stage 1's output, never a join back to the corpus.
+    *
+    * Determinism: the candidate set is decided by the exact INTEGER
+    * dot with id tie-break (engine-portable, s04's argument), and the
+    * final rank by double cosine whose gaps dwarf float noise (s01's
+    * argument). Over-fetching (`candidates` ≥ k, typically 3-5×) heals
+    * quantization rank inversions near the cut: an exact top-k member
+    * is missed only if quantization demotes it below `candidates`-th.
+    *
+    * The stage-1 window sees the same |queries|×|corpus| relation as
+    * [[quantizedTopK]] (integer kernel, WindowGroupLimit pushes the
+    * per-query limit into the sort); the stage-2 window is negligible.
+    */
+  def rerankTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, candidates: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val scale = quantScale(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+      norm(col(vecCol)).as("__cnorm"),
+      quantExpr(col(vecCol), scale).as("__cq"))
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+      norm(col(vecCol)).as("__qnorm"),
+      quantExpr(col(vecCol), scale).as("__qq")))
+    val stage1 = c.join(q,
+        if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("qdot", graft.functions.IntDot(col("__cq"), col("__qq")))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("id").asc)
+    val cand = stage1.withColumn("__crank", row_number().over(cw))
+      .filter(col("__crank") <= candidates)
+    val reranked = cand.withColumn("cosine", cosineFromParts(
+      dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
+    rankTopK(reranked, "cosine", k)
   }
 
   /** Hyperplane-LSH signature: bit i = (dot(v, plane_i) > 0). */

@@ -1416,6 +1416,89 @@ object CurationQueries {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  // ── t14: sketch error-bound gate ────────────────────────────────────
+
+  /** Gates the SKETCH paths (t07's documented 100 TB siblings) that no
+    * hash oracle can replay value-for-value — sketches are
+    * engine-specific by design, so their CONTRACT, the error bound, is
+    * what must hold. Per (lang × {p50, p90}): `percentile_approx`
+    * (accuracy 1000) over n_chars must land within rank tolerance
+    * cnt/1000 + 1 of the exact target rank; plus one
+    * `approx_count_distinct` (rsd 0.01) over events.user_id within 5%
+    * relative error. Each output row carries the EXACT value (rank-based
+    * quantile / exact NDV — integer, engine-portable, hash-gated by the
+    * oracle like any other query) alongside `within_bound`; the oracle
+    * asserts TRUE for the bound column, so a sketch drifting outside
+    * its contract fails the driver gate as a hash mismatch.
+    *
+    * Scan shape: one sketch aggregation (mergeable, no per-group sort),
+    * one exact-quantile pass (the t07 operator), one rank-probe scan
+    * with the ~10-row approx table broadcast — all corpus-linear; at
+    * 100 TB only the sketch pass remains (the exact passes ARE the
+    * thing being replaced; here they double as the gate's witness).
+    */
+  val t14_sketch_bounds: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    // sketch pass: per-lang p50/p90 in ONE mergeable aggregation
+    val approx = Quantiles.approxQuantiles(docs, Seq("lang"), "n_chars",
+        Seq(0.5, 0.9), accuracy = 1000)
+      .select(col("lang"), posexplode(col("quantiles")))
+      // pos 0 → 5th decile, pos 1 → 9th (align with exactQuantiles ids)
+      .select(col("lang"), (col("pos") * 4 + 5).as("quantile"),
+        col("col").cast(LongType).as("__av"))
+    // witness pass: the exact rank-based quantile (t07's operator)
+    val exact = Quantiles.exactQuantiles(docs, Seq("lang"), "n_chars",
+        "doc_id", q = 10)
+      .filter(col("quantile").isin(5, 9))
+      .select(col("lang"), col("quantile"), col("n_chars").as("exact_value"))
+    // rank probe: where does the sketch's value land in the real
+    // distribution? approx_v's occupied rank interval is [lo+1, hi];
+    // the bound holds iff it intersects target ± tol
+    val probe = docs.join(broadcast(approx), "lang")
+      .groupBy(col("lang"), col("quantile"), col("__av"))
+      .agg(
+        sum(when(col("n_chars") < col("__av"), 1L).otherwise(0L)).as("__lo"),
+        sum(when(col("n_chars") <= col("__av"), 1L).otherwise(0L)).as("__hi"),
+        count(lit(1)).as("__cnt"))
+      .withColumn("__target", expr("(quantile * __cnt + 9) div 10"))
+      .withColumn("__tol", expr("__cnt div 1000 + 1"))
+      .select(col("lang"), col("quantile"),
+        (col("__lo") + 1 <= col("__target") + col("__tol") &&
+          col("__hi") >= col("__target") - col("__tol")).as("within_bound"))
+    val pctl = exact.join(probe, Seq("lang", "quantile"))
+      .select(concat(lit("pctl_"), col("lang"), lit("_"),
+          col("quantile").cast("string")).as("metric"),
+        col("exact_value").cast(LongType).as("exact_value"),
+        col("within_bound"))
+    val ev = Tables(s, dir, "events")
+    val ndv = ev.agg(
+        countDistinct(col("user_id")).as("__exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("__approx"))
+      .select(lit("ndv_user").as("metric"),
+        col("__exact").cast(LongType).as("exact_value"),
+        (abs(col("__approx") - col("__exact")).cast("double") / col("__exact")
+          <= 0.05).as("within_bound"))
+    pctl.unionAll(ndv).orderBy(col("metric"))
+  }
+
+  val t14_sql: String =
+    """WITH r AS (
+      |  SELECT lang, n_chars, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents
+      |),
+      |pctl AS (
+      |  SELECT 'pctl_' || lang || '_' || CAST(p AS VARCHAR) AS metric,
+      |         CAST(n_chars AS BIGINT) AS exact_value, TRUE AS within_bound
+      |  FROM r, (VALUES (5), (9)) t(p)
+      |  WHERE rn = (p * cnt + 9) // 10
+      |)
+      |SELECT metric, exact_value, within_bound FROM pctl
+      |UNION ALL
+      |SELECT 'ndv_user', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+      |ORDER BY metric""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1454,7 +1537,8 @@ object CurationQueries {
     "t13_doc_loglik" -> t13_doc_loglik,
     "q31_value_windows" -> q31_value_windows,
     "d28_group_split" -> d28_group_split,
-    "d29_shard_shuffle" -> d29_shard_shuffle)
+    "d29_shard_shuffle" -> d29_shard_shuffle,
+    "t14_sketch_bounds" -> t14_sketch_bounds)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1492,5 +1576,6 @@ object CurationQueries {
     "t13_doc_loglik" -> t13_sql,
     "q31_value_windows" -> q31_sql,
     "d28_group_split" -> d28_sql,
-    "d29_shard_shuffle" -> d29_sql)
+    "d29_shard_shuffle" -> d29_sql,
+    "t14_sketch_bounds" -> t14_sql)
 }

@@ -643,6 +643,54 @@ object DataPipelineQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Two-stage retrieval (s04's prefilter + s01's precision): int8 dot
+    * keeps 40 candidates per query, exact double cosine re-ranks to
+    * top-10. The production serving shape — full-precision math touches
+    * 40 rows per query, not the corpus; corpus scanned once. Candidate
+    * cut is integer-exact (engine-portable); the oracle replays both
+    * stages.
+    */
+  val s10_ann_rerank: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.rerankTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        k = 10, candidates = 40)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s10_sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |sc AS (SELECT MAX(list_max(list_transform(vec, x -> ABS(x)))) AS scale FROM v),
+      |q AS (
+      |  SELECT v.vec_id, v.vec,
+      |         list_transform(v.vec, x -> CAST(ROUND(x / sc.scale * 127) AS INT)) AS qvec
+      |  FROM v, sc
+      |),
+      |dots AS (
+      |  SELECT qr.vec_id AS query_id, c.vec_id AS id, qr.vec AS qv, c.vec AS cv,
+      |         CAST(list_sum(list_transform(range(1, len(qr.qvec) + 1),
+      |           i -> qr.qvec[i] * c.qvec[i])) AS BIGINT) AS qdot
+      |  FROM q qr JOIN q c ON c.vec_id <> qr.vec_id
+      |  WHERE qr.vec_id < 5
+      |),
+      |cand AS (
+      |  SELECT query_id, id, qv, cv FROM (
+      |    SELECT query_id, id, qv, cv,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY qdot DESC, id ASC) AS crank
+      |    FROM dots) t
+      |  WHERE crank <= 40
+      |)
+      |SELECT query_id, rank, id FROM (
+      |  SELECT query_id, id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY list_cosine_similarity(qv, cv) DESC, id ASC) AS rank
+      |  FROM cand) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────
 
   /** Token/subword counts, punctuation, mean token length, stopword ratio,
@@ -1338,6 +1386,7 @@ object DataPipelineQueries {
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
     "s04_ann_quantized" -> s04_ann_quantized,
+    "s10_ann_rerank" -> s10_ann_rerank,
     "s05_ann_recall" -> s05_ann_recall,
     "t01_text_stats" -> t01_text_stats,
     "t02_langid" -> t02_langid,
@@ -1370,6 +1419,7 @@ object DataPipelineQueries {
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
     "s04_ann_quantized" -> s04_sql,
+    "s10_ann_rerank" -> s10_sql,
     "s05_ann_recall" -> s05_sql,
     "t01_text_stats" -> t01_sql,
     "t02_langid" -> t02_sql,

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Redaction
 import graft.operators.{AsofJoin, Quantiles, Sampling, SequencePacking, TextDedup}
+import graft.queries.CurationQueries
 
 /** Unit tests for the round-4 curation operators: as-of join semantics,
   * domain-mixture thresholds, sequence packing, exact quantiles, PII
@@ -129,6 +130,23 @@ class CurationSpec extends AnyFunSuite {
     val approx = Quantiles.approxQuantiles(df, Seq("g"), "v", Seq(0.5))
       .collect()(0).getSeq[Int](1).head
     assert(math.abs(approx - 500) <= 5)
+  }
+
+  test("t14 sketch gate: bounds hold on real data and exact witnesses match t07") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationQueries.t14_sketch_bounds(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // the gated property: every sketch lands inside its error bound
+    assert(rows.forall(_._3), s"sketch outside bound: ${rows.filterNot(_._3).toSeq}")
+    // the witness columns: pctl exact values are t07's rank-based
+    // quantiles for the same (lang, decile)
+    val t07 = graft.operators.Quantiles.exactQuantiles(
+        graft.Tables(spark, dir, "documents"), Seq("lang"), "n_chars", "doc_id", q = 10)
+      .collect().map(r => (s"pctl_${r.getString(0)}_${r.getInt(1)}", r.getLong(2))).toMap
+    rows.filter(_._1.startsWith("pctl_")).foreach { case (m, v, _) =>
+      assert(t07(m) == v, s"$m witness $v != t07 ${t07(m)}")
+    }
   }
 
   // ── Sampling.domainMix ──────────────────────────────────────────────

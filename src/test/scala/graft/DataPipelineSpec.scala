@@ -381,6 +381,33 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(again == quant)
   }
 
+  test("two-stage rerank: int8 prefilter + exact rerank recovers brute force") {
+    import spark.implicits._
+    val vecs = (1L to 60L).map { i =>
+      val raw = Array.tabulate(16)(d => math.sin(i * 31 + d * 7))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / nrm).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1L)
+    val exact = VectorSearch.bruteForceTopK(vecs, q,
+        "vec_id", "embedding", "vec_id", k = 5)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // 4x over-fetch: every exact top-5 member survives the int8 cut
+    val rr = VectorSearch.rerankTopK(vecs, q,
+        "vec_id", "embedding", "vec_id", k = 5, candidates = 20)
+      .select("rank", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rr == exact)
+    // candidates = k: the kept SET is exactly the prefilter's top-k
+    // (stage 2 can only re-order inside the candidate set, never widen it)
+    val tight = VectorSearch.rerankTopK(vecs, q,
+        "vec_id", "embedding", "vec_id", k = 5, candidates = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val pre = VectorSearch.quantizedTopK(vecs, q,
+        "vec_id", "embedding", "vec_id", k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tight == pre)
+  }
+
   test("cosine near-dup pairs with LSH pruning vs exact") {
     import spark.implicits._
     val base = (1L to 30L).map(i =>
