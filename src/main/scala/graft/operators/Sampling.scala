@@ -205,4 +205,34 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w))
       .drop("__okey")
   }
+
+  /** Upsampling-with-replacement by integer per-domain epoch factors —
+    * the mixture-reweighting step of a training-data pipeline (a "3×
+    * wiki, 2× code, drop spam" recipe): each doc expands into
+    * `epochs(domain)` copies tagged `epoch` = 1..e (0 ⇒ dropped,
+    * unlisted domains ⇒ `defaultEpochs`). Downstream, [[shardShuffle]]
+    * on (id, epoch) scatters the copies so repeats of a doc land in
+    * different shards.
+    *
+    * Scale shape: ZERO shuffles — the factor lookup is a literal
+    * when-chain (the recipe is config-sized, never a joined relation)
+    * and the expansion is a generator on each row; output volume is
+    * the weighted sum the recipe asked for. Epoch factors are INTEGER
+    * by design: fractional mixture weights belong to [[domainMix]]
+    * (hash-rate downsampling); composing the two expresses any
+    * rational weight ≥ 0 exactly, with no RNG on either engine.
+    */
+  def epochUpsample(df: DataFrame, domainCol: String,
+      epochs: Map[String, Int], defaultEpochs: Int = 1): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epoch factors must be non-negative")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (d, n)) =>
+      when(col(domainCol) === d, lit(n)).otherwise(acc)
+    }
+    // sequence(1, 0) would DESCEND (Spark default step -1): empty-array
+    // branch expresses e = 0, and plain explode drops those rows
+    df.withColumn("epoch",
+      explode(when(e >= 1, sequence(lit(1), e))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

@@ -191,6 +191,84 @@ object VectorSearch {
     rankTopK(reranked, "cosine", k)
   }
 
+  /** Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    * Goldstein 1998): greedily pick the candidate maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s)` — relevance traded
+    * against redundancy with what's already picked, the standard
+    * de-duplicating retrieval tail (RAG context assembly, eval-set
+    * diversification).
+    *
+    * Shape: stage 1 is [[bruteForceTopK]]'s scan (queries broadcast,
+    * corpus scanned once) cut to `candidates` per query and persisted
+    * under the [[CacheScope]] — the greedy loop references it k times.
+    * The loop itself is k−1 driver-built PLAN steps (not actions):
+    * each joins the remaining candidates to the picked set on
+    * query_id (both ≤ candidates rows per query), takes max pairwise
+    * similarity, and keeps the arg-max row per query via a rank
+    * window. Each pick is persisted: step i's plan would otherwise
+    * inline step i−1 twice (anti-join + redundancy join) and the tree
+    * would double per step. Cost at 100 TB: one corpus scan + k
+    * joins over |queries|×candidates rows — the corpus never
+    * re-enters after stage 1.
+    *
+    * Determinism: every comparison is on doubles both engines compute
+    * with the same expression shape over the same parquet (s01's
+    * argument — organic cosine gaps dwarf float noise), ties broken
+    * by id; the hashed output is (query_id, rank, id) — integers.
+    */
+  def mmrTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, candidates: Int, lambdaPct: Int = 50,
+      excludeSelf: Boolean = true)(implicit cs: CacheScope): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates ($candidates) >= k ($k) >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct must be 0..100")
+    val lam = lambdaPct / 100.0
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"),
+      norm(col(vecCol)).as("__qnorm")))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+        norm(col(vecCol)).as("__cnorm"))
+      .join(q, if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("rel", cosineFromParts(
+        dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("id").asc)
+    val cand = cs.persist(scored
+      .withColumn("__crank", row_number().over(cw))
+      .filter(col("__crank") <= candidates)
+      .select(col("query_id"), col("id"), col("rel"),
+        col("__cvec"), col("__cnorm")))
+    val pickCols = Seq(col("query_id"), col("rank"), col("id"), col("rel"),
+      col("__cvec"), col("__cnorm"))
+    // rank 1 = plain highest relevance (empty picked set ⇒ no penalty)
+    var selected = cs.persist(cand
+      .withColumn("__r", row_number().over(cw))
+      .filter(col("__r") === 1)
+      .withColumn("rank", lit(1)).select(pickCols: _*))
+    for (step <- 2 to k) {
+      val picked = selected.select(col("query_id"),
+        col("id").as("__sid"), col("__cvec").as("__svec"),
+        col("__cnorm").as("__snorm"))
+      val pick = cand
+        .join(picked.select(col("query_id"), col("__sid").as("id")),
+          Seq("query_id", "id"), "left_anti")
+        .join(picked, Seq("query_id"))
+        .withColumn("__sim", cosineFromParts(
+          dot(col("__cvec"), col("__svec")), col("__cnorm"), col("__snorm")))
+        .groupBy(col("query_id"), col("id"))
+        .agg(first(col("rel")).as("rel"), first(col("__cvec")).as("__cvec"),
+          first(col("__cnorm")).as("__cnorm"), max(col("__sim")).as("__red"))
+        .withColumn("__r", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy((lit(lam) * col("rel") - lit(1.0 - lam) * col("__red")).desc,
+            col("id").asc)))
+        .filter(col("__r") === 1)
+        .withColumn("rank", lit(step)).select(pickCols: _*)
+      selected = cs.persist(selected.unionByName(pick))
+    }
+    selected.select(col("query_id"), col("rank"), col("id"))
+  }
+
   /** Hyperplane-LSH signature: bit i = (dot(v, plane_i) > 0). */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

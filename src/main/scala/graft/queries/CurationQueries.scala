@@ -1359,6 +1359,135 @@ object CurationQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ── t15: collocation mining (integer-gated PMI) ─────────────────────
+
+  /** Corpus collocations: adjacent-token bigrams whose observed count
+    * beats independence by a PMI-style ratio — the phrase-mining step
+    * (tokenizer merge candidates, stop-phrase lists). The gate is the
+    * INTEGER cross-product form `5·c_xy·N > 7·c_x·c_y` (⇔ lift > 1.4):
+    * both engines compare identical 64-bit products, so the decision is
+    * bit-exact with no logarithm anywhere. On this synthetic corpus the
+    * near-uniform bulk sits at lift ≈ 1.0 and planted-boilerplate pairs
+    * at ≈ 1.43-1.56, so 1.4 sits under the whole collocation band.
+    * Counts fit comfortably: c_xy·N ≤ ~10^2·10^12 at 100 TB-ish corpus
+    * sizes — still < 2^63 (and c_x·c_y likewise).
+    *
+    * Scale shape: two corpus-linear explode→count passes (unigrams,
+    * bigrams), both map-side combined; N derives from the unigram
+    * relation (Σc — no third scan); the `c_xy ≥ 5` prefilter shrinks
+    * the bigram relation before any join; the 1-row N broadcasts.
+    * The unigram join is left to Catalyst/AQE: vocab is Zipf-compact
+    * but corpus-dependent, so no unconditional broadcast hint.
+    */
+  val t15_collocations: Q = (s, dir) => {
+    val base = Tables(s, dir, "documents")
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("__n"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(n))
+      .filter(lit(5L) * col("c_xy") * col("__n") > lit(7L) * col("c_x") * col("c_y"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+  }
+
+  val t15_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextFunctions.ToksSql} AS toks FROM documents
+       |),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+       |),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+       |bi AS (
+       |  SELECT w1, w2, COUNT(*) AS c_xy
+       |  FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+       |               unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+       |        FROM t)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       |       CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y
+       |FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2, n
+       |WHERE c_xy >= 5 AND 5 * c_xy * n.n > 7 * u1.c * u2.c
+       |ORDER BY c_xy DESC, w1, w2""".stripMargin
+
+  // ── d30: epoch upsampling (mixture reweighting) ─────────────────────
+
+  /** [[Sampling.epochUpsample]] over the documents table with a literal
+    * recipe — src0 ×3, src1 ×2, src2 dropped, everything else ×1: the
+    * deterministic upsampling-with-replacement half of mixture
+    * reweighting (the downsampling half is d12's domainMix). Zero
+    * shuffles: a when-chain factor and a per-row generator; the oracle
+    * replays the expansion with a VALUES recipe and a lateral range.
+    */
+  val d30_epoch_upsample: Q = (s, dir) => {
+    Sampling.epochUpsample(
+        Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", Map("src0" -> 3, "src1" -> 2, "src2" -> 0))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  val d30_sql: String =
+    """WITH w(source, epochs) AS (VALUES ('src0', 3), ('src1', 2), ('src2', 0)),
+      |e AS (
+      |  SELECT d.doc_id, d.source, COALESCE(w.epochs, 1) AS epochs
+      |  FROM documents d LEFT JOIN w USING (source)
+      |)
+      |SELECT doc_id, source, CAST(r.epoch AS INT) AS epoch
+      |FROM e, UNNEST(range(1, e.epochs + 1)) AS r(epoch)
+      |ORDER BY doc_id, epoch""".stripMargin
+
+  // ── q32: cube / grouping-id multi-level aggregation ────────────────
+
+  /** Multi-level totals in ONE pass: `CUBE(returnflag, linestatus)`
+    * emits the base cells plus each margin and the grand total, tagged
+    * by `grouping_id` (bitmask, first grouping column = MSB — Spark and
+    * DuckDB agree) and a single-column `grouping` flag. One shuffle on
+    * the grouping-set-expanded keys (Catalyst's Expand feeds one
+    * hash aggregate — NOT four scans union'd); all measures are
+    * integer-exact (cents / whole-unit casts). The ORDER BY never
+    * compares NULL to a value inside a level: a grouped-out column is
+    * constant-NULL within its `gid` level, so engine NULL-ordering
+    * divergence (Spark NULLS FIRST vs DuckDB NULLS LAST on ASC) cannot
+    * reorder rows.
+    */
+  val q32_cube_grouping: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(LongType).as("__qty"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("__cents"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        grouping(col("l_returnflag")).cast("int").as("flag_grouped"),
+        count(lit(1)).as("n_items"),
+        sum(col("__qty")).as("sum_qty"),
+        sum(col("__cents")).as("sum_price_cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q32_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS flag_grouped,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   // ── d28: leakage-safe group split ───────────────────────────────────
 
   /** Train/val/test assignment with the SOURCE DOMAIN as the split
@@ -1538,7 +1667,10 @@ object CurationQueries {
     "q31_value_windows" -> q31_value_windows,
     "d28_group_split" -> d28_group_split,
     "d29_shard_shuffle" -> d29_shard_shuffle,
-    "t14_sketch_bounds" -> t14_sketch_bounds)
+    "t14_sketch_bounds" -> t14_sketch_bounds,
+    "t15_collocations" -> t15_collocations,
+    "d30_epoch_upsample" -> d30_epoch_upsample,
+    "q32_cube_grouping" -> q32_cube_grouping)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1577,5 +1709,8 @@ object CurationQueries {
     "q31_value_windows" -> q31_sql,
     "d28_group_split" -> d28_sql,
     "d29_shard_shuffle" -> d29_sql,
-    "t14_sketch_bounds" -> t14_sql)
+    "t14_sketch_bounds" -> t14_sql,
+    "t15_collocations" -> t15_sql,
+    "d30_epoch_upsample" -> d30_sql,
+    "q32_cube_grouping" -> q32_sql)
 }

@@ -691,6 +691,65 @@ object DataPipelineQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Diversified retrieval: [[VectorSearch.mmrTopK]] — 20 exact-cosine
+    * candidates per query, MMR (λ=0.5) greedily re-picks 5 trading
+    * relevance against redundancy with already-picked results. The
+    * oracle replays the greedy loop as k−1 unrolled CTE steps
+    * (generated — each picks the arg-max of `0.5·rel − 0.5·maxsim`
+    * over the not-yet-picked candidates).
+    */
+  val s11_mmr_topk: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.mmrTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 3),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        k = 5, candidates = 20, lambdaPct = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One unrolled greedy step of the MMR oracle: score remaining
+    * candidates against the picked-so-far set, keep the arg-max.
+    */
+  private def mmrOracleStep(i: Int): String =
+    s"""p$i AS (
+       |  SELECT c.query_id, c.id, c.rel, c.cv,
+       |         MAX(list_cosine_similarity(c.cv, s.cv)) AS red
+       |  FROM cand c JOIN all${i - 1} s ON s.query_id = c.query_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM all${i - 1} x
+       |                    WHERE x.query_id = c.query_id AND x.id = c.id)
+       |  GROUP BY c.query_id, c.id, c.rel, c.cv
+       |),
+       |sel$i AS (
+       |  SELECT query_id, $i AS rank, id, rel, cv FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY 0.5 * rel - 0.5 * red DESC, id) AS r
+       |    FROM p$i) t
+       |  WHERE r = 1
+       |),
+       |all$i AS (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+
+  val s11_sql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cand AS (
+       |  SELECT query_id, id, rel, cv FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |           list_cosine_similarity(q.vec, c.vec) AS rel, c.vec AS cv,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, c.vec_id) AS crank
+       |    FROM v q JOIN v c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 3) t
+       |  WHERE crank <= 20
+       |),
+       |sel1 AS (
+       |  SELECT query_id, 1 AS rank, id, rel, cv FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS r
+       |    FROM cand) t
+       |  WHERE r = 1
+       |),
+       |all1 AS (SELECT * FROM sel1),
+       |${(2 to 5).map(mmrOracleStep).mkString(",\n")}
+       |SELECT query_id, rank, id FROM all5 ORDER BY query_id, rank""".stripMargin
+
   // ── text analysis ───────────────────────────────────────────────────
 
   /** Token/subword counts, punctuation, mean token length, stopword ratio,
@@ -1387,6 +1446,7 @@ object DataPipelineQueries {
     "s03_ann_ivf" -> s03_ann_ivf,
     "s04_ann_quantized" -> s04_ann_quantized,
     "s10_ann_rerank" -> s10_ann_rerank,
+    "s11_mmr_topk" -> s11_mmr_topk,
     "s05_ann_recall" -> s05_ann_recall,
     "t01_text_stats" -> t01_text_stats,
     "t02_langid" -> t02_langid,
@@ -1420,6 +1480,7 @@ object DataPipelineQueries {
     "s03_ann_ivf" -> s03_sql,
     "s04_ann_quantized" -> s04_sql,
     "s10_ann_rerank" -> s10_sql,
+    "s11_mmr_topk" -> s11_sql,
     "s05_ann_recall" -> s05_sql,
     "t01_text_stats" -> t01_sql,
     "t02_langid" -> t02_sql,

@@ -149,6 +149,52 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("epochUpsample: per-domain integer expansion, zero drops, default passes through") {
+    import spark.implicits._
+    val df = Seq((1L, "wiki"), (2L, "wiki"), (3L, "spam"), (4L, "web"))
+      .toDF("doc_id", "source")
+    val out = Sampling.epochUpsample(df, "source", Map("wiki" -> 3, "spam" -> 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.count(_._2 == "wiki") == 6)             // 2 docs x 3 epochs
+    assert(!out.exists(_._2 == "spam"))                // 0 => dropped
+    assert(out.filter(_._1 == 4L).map(_._3).toSeq == Seq(1)) // default 1x
+    assert(out.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("t15 collocations: gate and counts agree with a direct recount") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents")
+    val toks = docs.select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val n = toks.agg(sum(size(col("toks")))).collect()(0).getLong(0)
+    val uniMap = toks.select(explode(col("toks")).as("w")).groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = CurationQueries.t15_collocations(spark, dir).collect()
+    rows.foreach { r =>
+      // join reordering can shuffle column positions: read by name
+      val m = r.getValuesMap[Any](Seq("w1", "w2", "c_xy", "c_x", "c_y"))
+      val (a, b) = (m("w1").asInstanceOf[String], m("w2").asInstanceOf[String])
+      assert(uniMap(a) == m("c_x").asInstanceOf[Long], s"c_x recount for $a")
+      assert(uniMap(b) == m("c_y").asInstanceOf[Long], s"c_y recount for $b")
+      val gate = 5L * m("c_xy").asInstanceOf[Long] * n >
+        7L * m("c_x").asInstanceOf[Long] * m("c_y").asInstanceOf[Long]
+      assert(gate && m("c_xy").asInstanceOf[Long] >= 5, s"gate must hold for ($a,$b)")
+    }
+  }
+
+  test("q32 cube: levels reconcile to the grand total") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationQueries.q32_cube_grouping(spark, dir).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val grand = byGid(3L).head.getLong(4)
+    // every marginal level re-sums to the same total item count
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(byGid(g).map(_.getLong(4)).sum == grand, s"gid=$g n_items mismatch")
+    }
+    // flag_grouped mirrors the returnflag bit of gid (MSB)
+    rows.foreach(r => assert((r.getLong(2) >= 2) == (r.getInt(3) == 1)))
+  }
+
   // ── Sampling.domainMix ──────────────────────────────────────────────
 
   test("domain mix keeps ~weight·budget per group, drops unweighted groups") {

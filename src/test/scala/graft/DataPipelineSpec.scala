@@ -408,6 +408,32 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(tight == pre)
   }
 
+  test("MMR: lambda=100 degenerates to brute-force order; lambda=50 diversifies") {
+    import spark.implicits._
+    // planted geometry: a1 = a2 (exact duplicate, different ids) very
+    // close to the query; b slightly less relevant but orthogonal-ish
+    val rows = Seq(
+      (1L, Array(1.0f, 0f, 0f)),        // query
+      (2L, Array(0.98f, 0.199f, 0f)),   // a1
+      (3L, Array(0.98f, 0.199f, 0f)),   // a2 = dup of a1
+      (4L, Array(0.9f, 0f, 0.436f)),    // b: rel .9, far from a-cluster
+      (5L, Array(0.5f, 0.5f, 0.707f))). // filler
+      toDF("vec_id", "embedding")
+    val q = rows.filter($"vec_id" === 1L)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    // pure-relevance lambda: greedy MMR == brute force, rank for rank
+    val brute = VectorSearch.bruteForceTopK(rows, q, "vec_id", "embedding", "vec_id", k = 3)
+    val pure = VectorSearch.mmrTopK(rows, q, "vec_id", "embedding", "vec_id",
+      k = 3, candidates = 4, lambdaPct = 100)
+    assert(ids(pure) == ids(brute))
+    // balanced lambda: the duplicate a2 (redundancy 1.0 vs picked a1)
+    // loses rank 2 to the diverse b
+    val div = VectorSearch.mmrTopK(rows, q, "vec_id", "embedding", "vec_id",
+      k = 2, candidates = 4, lambdaPct = 50)
+    assert(ids(div) == Seq(2L, 4L), s"expected diversified pick, got ${ids(div)}")
+  }
+
   test("cosine near-dup pairs with LSH pruning vs exact") {
     import spark.implicits._
     val base = (1L to 30L).map(i =>
