@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{Redaction, TextFunctions}
-import graft.operators.{AsofJoin, Boilerplate, Quantiles, Sampling, SequencePacking, SkewJoin, TextDedup, VectorSearch}
+import graft.operators.{AsofJoin, Boilerplate, Collocations, Quantiles, Sampling, SequencePacking, SkewJoin, TextDedup, VectorSearch}
 
 /** Round-4 curation/enrichment operators as driver-checked queries:
   * as-of join, domain-mixture resampling, sequence packing, exact
@@ -1361,44 +1361,17 @@ object CurationQueries {
 
   // ── t15: collocation mining (integer-gated PMI) ─────────────────────
 
-  /** Corpus collocations: adjacent-token bigrams whose observed count
-    * beats independence by a PMI-style ratio — the phrase-mining step
-    * (tokenizer merge candidates, stop-phrase lists). The gate is the
-    * INTEGER cross-product form `5·c_xy·N > 7·c_x·c_y` (⇔ lift > 1.4):
-    * both engines compare identical 64-bit products, so the decision is
-    * bit-exact with no logarithm anywhere. On this synthetic corpus the
-    * near-uniform bulk sits at lift ≈ 1.0 and planted-boilerplate pairs
-    * at ≈ 1.43-1.56, so 1.4 sits under the whole collocation band.
-    * Counts fit comfortably: c_xy·N ≤ ~10^2·10^12 at 100 TB-ish corpus
-    * sizes — still < 2^63 (and c_x·c_y likewise).
-    *
-    * Scale shape: two corpus-linear explode→count passes (unigrams,
-    * bigrams), both map-side combined; N derives from the unigram
-    * relation (Σc — no third scan); the `c_xy ≥ 5` prefilter shrinks
-    * the bigram relation before any join; the 1-row N broadcasts.
-    * The unigram join is left to Catalyst/AQE: vocab is Zipf-compact
-    * but corpus-dependent, so no unconditional broadcast hint.
+  /** [[Collocations.pmiPairs]] over the documents table: bigrams with
+    * count ≥ 5 and lift > 7/5 (= 1.4), gated by the integer
+    * cross-product form `5·c_xy·N > 7·c_x·c_y` — no logarithm, both
+    * engines compare identical 64-bit products. On this synthetic
+    * corpus the near-uniform bulk sits at lift ≈ 1.0 and
+    * planted-boilerplate pairs at ≈ 1.43-1.56, so 1.4 sits under the
+    * whole collocation band.
     */
-  val t15_collocations: Q = (s, dir) => {
-    val base = Tables(s, dir, "documents")
-      .select(TextFunctions.tokens(col("text")).as("toks"))
-    val uni = base.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val n = uni.agg(sum(col("c")).as("__n"))
-    val bi = base.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
-        .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= 5)
-    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
-      .crossJoin(broadcast(n))
-      .filter(lit(5L) * col("c_xy") * col("__n") > lit(7L) * col("c_x") * col("c_y"))
-      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"))
-      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
-  }
+  val t15_collocations: Q = (s, dir) =>
+    Collocations.pmiPairs(Tables(s, dir, "documents"), "text",
+      minCount = 5, liftNum = 7, liftDen = 5)
 
   val t15_sql: String =
     s"""WITH t AS (

@@ -130,6 +130,62 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("epoch upsampling is a shuffle-free generate over the scan") {
+    import spark.implicits._
+    val docs = Seq((1L, "wiki"), (2L, "web")).toDF("doc_id", "source")
+    val plan = planString(operators.Sampling.epochUpsample(
+      docs, "source", Map("wiki" -> 3)))
+    assert(!plan.contains("Exchange"),
+      "epochUpsample must not shuffle:\n" + plan.take(3000))
+    assert(plan.contains("Generate explode"),
+      "expansion must be a generator, not a join:\n" + plan.take(3000))
+  }
+
+  test("cube query is ONE Expand-fed aggregate, not a union of scans") {
+    // pre-execution plan: the executed AQE string prints Final + Initial
+    // plans and would double every node count
+    val plan = initialPlanString(queries.CurationQueries.q32_cube_grouping(spark, dir))
+    assert("Expand ".r.findAllIn(plan).length == 1,
+      "cube must plan a single Expand:\n" + plan.take(3000))
+    // one aggregate shuffle; the only other exchange is the ORDER BY range
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "cube must aggregate through ONE hash exchange:\n" + plan.take(3000))
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      "cube must read the fact table once:\n" + plan.take(3000))
+  }
+
+  test("collocation mining reads the unigram relation from cache (c_x, c_y, N)") {
+    import spark.implicits._
+    val docs = (0L until 32L).map(i => (i, "alpha beta gamma delta " + (i % 4)))
+      .toDF("doc_id", "text")
+    operators.CacheScope.scoped { implicit cs =>
+      val plan = planString(operators.Collocations.pmiPairs(
+        docs, "text", minCount = 2, liftNum = 1, liftDen = 1))
+      assert("InMemoryTableScan".r.findAllIn(plan).length >= 3,
+        "c_x join, c_y join and N must all read the cached unigrams:\n" + plan.take(3000))
+      assert(!plan.contains("Window"),
+        "collocation counting must be pure aggregation:\n" + plan.take(3000))
+      assert(cs.trackedCount == 1, "exactly the unigram relation is cached")
+    }
+  }
+
+  test("MMR greedy steps read the candidate pool and picks from cache") {
+    import spark.implicits._
+    val vecs = (1L to 12L).map(i => (i, Array.tabulate(4)(d =>
+      math.sin(i * 13 + d).toFloat))).toDF("vec_id", "embedding")
+    operators.CacheScope.scoped { implicit cs =>
+      val k = 3
+      val plan = planString(operators.VectorSearch.mmrTopK(
+        vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding", "vec_id",
+        k = k, candidates = 6))
+      assert("InMemoryTableScan".r.findAllIn(plan).length >= k,
+        "greedy steps must reuse cached candidates/picks, not recompute:\n" + plan.take(3000))
+      // cand + rank-1 + one running union per later step
+      assert(cs.trackedCount == k + 1,
+        s"expected ${k + 1} scoped caches, got ${cs.trackedCount}")
+    }
+  }
+
   test("stratified sample is a shuffle-free codegen'd scan+filter") {
     // drop the presentation orderBy — the operator itself must not exchange
     val df = operators.Sampling.stratifiedSample(
