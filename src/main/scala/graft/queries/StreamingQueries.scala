@@ -308,6 +308,65 @@ object StreamingQueries {
        |SELECT doc_id, CAST(batch_seq AS INT) AS batch_seq FROM admitted
        |ORDER BY doc_id""".stripMargin
 
+  /** Bounded-state watermarked dedup ([[graft.streaming.WatermarkDedup]])
+    * over four event micro-batches (delay 6 h):
+    *
+    *  - b1 = day-1 events;
+    *  - b2 = day-2 events + an immediate duplicate delivery of every
+    *    `event_id % 5 = 0` row → collapsed by IN-BATCH dedup;
+    *  - b3 = day-3 events + the same day-2 rows redelivered at their
+    *    original timestamps → every copy dropped, late or duplicate
+    *    (watermark entering b3 = day-2 max − 6 h, so a copy is either
+    *    at-or-before the watermark — late — or inside it with its
+    *    day-2 state alive, expiry = ts + 6 h > watermark; NEITHER
+    *    path re-emits or touches state, so the outcome is immune to
+    *    where the late/dup boundary falls in the data);
+    *  - b4 = day-5 events + the day-2 `% 5` rows re-sent with ts + 3
+    *    days → RE-EMITTED: watermark entering b4 = day-3 max − 6 h
+    *    (≈ day-3 ~18:00) has passed every day-2 expiry (≤ day-3
+    *    06:00, margin ~12 h), so their state was evicted.
+    *
+    * The oracle states each branch's derived outcome directly (the
+    * margins above are the proof; they hold at any SF whose per-day
+    * max timestamp lands in the last ~2 h of the day). The streaming
+    * binding — `dropDuplicatesWithinWatermark` — is proved ≡ this
+    * fold in StreamingWindowSpec.
+    */
+  val w11_watermark_dedup: Q = (s, dir) => {
+    val e = Tables(s, dir, "events").select(col("event_id"), col("ts"))
+    def day(d: Int) = e.filter(dayofmonth(col("ts")) === d)
+    val dup2 = day(2).filter(col("event_id") % 5 === 0)
+    val batches = Seq(
+      day(1),
+      day(2).unionAll(dup2),
+      day(3).unionAll(dup2),
+      day(5).unionAll(dup2.withColumn("ts",
+        col("ts") + expr("INTERVAL 3 DAYS"))))
+    graft.streaming.WatermarkDedup
+      .fold(batches, "ts", delaySec = 6 * 3600, keys = Seq("event_id"))
+      .select(col("event_id"), col("batch_seq"), col("ts"))
+      .orderBy(col("event_id"), col("batch_seq"))
+  }
+
+  val w11_sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |d2dup AS (
+      |  SELECT event_id, ts FROM e
+      |  WHERE DATE_PART('day', ts) = 2 AND event_id % 5 = 0
+      |)
+      |SELECT event_id, CAST(batch_seq AS BIGINT) AS batch_seq, ts FROM (
+      |  SELECT event_id, 1 AS batch_seq, ts FROM e WHERE DATE_PART('day', ts) = 1
+      |  UNION ALL
+      |  SELECT event_id, 2, ts FROM e WHERE DATE_PART('day', ts) = 2
+      |  UNION ALL
+      |  SELECT event_id, 3, ts FROM e WHERE DATE_PART('day', ts) = 3
+      |  UNION ALL
+      |  SELECT event_id, 4, ts FROM e WHERE DATE_PART('day', ts) = 5
+      |  UNION ALL
+      |  SELECT event_id, 4, ts + INTERVAL 3 DAY FROM d2dup
+      |) t
+      |ORDER BY event_id, batch_seq""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
@@ -317,7 +376,8 @@ object StreamingQueries {
     "w06_delivery_dedup" -> w06_delivery_dedup,
     "w08_stream_enrich" -> w08_stream_enrich,
     "w09_funnel_dropoff" -> w09_funnel_dropoff,
-    "w10_corpus_admission" -> w10_corpus_admission)
+    "w10_corpus_admission" -> w10_corpus_admission,
+    "w11_watermark_dedup" -> w11_watermark_dedup)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
@@ -328,5 +388,6 @@ object StreamingQueries {
     "w06_delivery_dedup" -> w06_sql,
     "w08_stream_enrich" -> w08_sql,
     "w09_funnel_dropoff" -> w09_sql,
-    "w10_corpus_admission" -> w10_sql)
+    "w10_corpus_admission" -> w10_sql,
+    "w11_watermark_dedup" -> w11_sql)
 }

@@ -409,6 +409,48 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(admitted.toSet == batchResult,
       s"stream admitted ${admitted.toSet} != batch $batchResult")
   }
+
+  test("watermarked dedup: dropDuplicatesWithinWatermark equals the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    // delay 1 h. Plants exercise every fold rule:
+    //  b1: k1@10:00, k2@10:55 emit; watermark -> 09:55
+    //  b2: k1@10:00 redelivered (on-time by 5 min, state alive -> dup),
+    //      k3@09:30 (late, <= 09:55), k4@11:20 twice (in-batch dup),
+    //      k5@12:10 (advances watermark -> 11:10, past k1's 11:00 expiry)
+    //  b3: k1@13:00 -> k1 state evicted, RE-EMITS
+    val batches = Seq(
+      Seq((1L, ts("2026-01-01 10:00:00")), (2L, ts("2026-01-01 10:55:00"))),
+      Seq((1L, ts("2026-01-01 10:00:00")), (3L, ts("2026-01-01 09:30:00")),
+        (4L, ts("2026-01-01 11:20:00")), (4L, ts("2026-01-01 11:20:00")),
+        (5L, ts("2026-01-01 12:10:00"))),
+      Seq((1L, ts("2026-01-01 13:00:00"))))
+    val expected = Set(
+      (1L, "2026-01-01 10:00:00.0", 1L), (2L, "2026-01-01 10:55:00.0", 1L),
+      (4L, "2026-01-01 11:20:00.0", 2L), (5L, "2026-01-01 12:10:00.0", 2L),
+      (1L, "2026-01-01 13:00:00.0", 3L))
+
+    val folded = graft.streaming.WatermarkDedup.fold(
+        batches.map(_.toDF("event_id", "ts")), "ts", 3600L, Seq("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    assert(folded == expected, s"fold produced $folded")
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.WatermarkDedup.stream(
+        ms.toDF().toDF("event_id", "ts"), "ts", "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("wmd_out")
+      .outputMode("append").start()
+    batches.foreach { b => ms.addData(b.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("wmd_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(streamed == expected.map(e => (e._1, e._2)),
+      s"stream produced $streamed")
+  }
 }
 
 object StreamingWindowSpec {
