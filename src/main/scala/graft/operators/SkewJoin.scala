@@ -65,4 +65,48 @@ object SkewJoin {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(s"${distinctCol}_distinct"))
   }
+
+  /** Key-skew diagnostics — the measurement that DECIDES when
+    * [[saltedJoin]]/AQE skew handling is needed: per-key group sizes
+    * summarized as `(metric, value)` rows — key count, row count, max
+    * group, exact p50/p99 group size, skew ratio in ppm
+    * (max·10⁶·n_keys div n_rows; 10⁶ = perfectly uniform), and the
+    * `topK` heaviest keys with their counts.
+    *
+    * Scale shape: ONE shuffle (the per-key count, map-side combined).
+    * Quantiles of the group-size distribution come from a SIZE
+    * HISTOGRAM — group-size frequencies are re-aggregated to
+    * |distinct sizes| rows (tiny: group sizes are small integers), so
+    * the only global-ordered window runs over the histogram, never
+    * over |keys| rows. Heavy keys use TakeOrderedAndProject (top-k,
+    * no global sort); totals are 1-row aggregates that broadcast.
+    * The per-key count relation is persisted under the [[CacheScope]]
+    * — histogram, totals and top-k all read it.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 5)(
+      implicit cs: CacheScope): DataFrame = {
+    require(topK >= 1 && topK <= 99)
+    val cnts = cs.persist(df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt")))
+    val tot = cnts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_group"))
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = cnts.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+      .withColumn("__cum", sum(col("freq")).over(
+        W.orderBy(col("cnt")).rowsBetween(W.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+    def pctl(p: Int) = cum.filter(col("__cum") * 100 >= col("n_keys") * p)
+      .agg(min(col("cnt")).as("value"))
+      .select(lit(s"p${p}_group").as("metric"), col("value"))
+    val totRows = tot.select(expr(
+      "stack(4, 'n_keys', n_keys, 'n_rows', n_rows, 'max_group', max_group, " +
+        "'skew_ppm', (max_group * 1000000 * n_keys) div n_rows) AS (metric, value)"))
+    val top = cnts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .withColumn("__rn", row_number().over(
+        W.orderBy(col("cnt").desc, col("key"))))
+      .select(concat(lit("top"), col("__rn")).as("t"), col("key"), col("cnt"))
+      .select(expr("stack(2, concat(t, '_key'), key, concat(t, '_cnt'), cnt) AS (metric, value)"))
+    totRows.unionByName(pctl(50)).unionByName(pctl(99)).unionByName(top)
+      .orderBy(col("metric"))
+  }
 }

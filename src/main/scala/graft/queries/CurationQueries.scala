@@ -1461,6 +1461,41 @@ object CurationQueries {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  // ── q33: pivot (wide-format aggregation) ────────────────────────────
+
+  /** Order counts and cents pivoted to one column pair per order
+    * status — the wide-format report shape. Values are ENUMERATED
+    * (`pivot(col, values)`), so Spark skips the extra
+    * distinct-values job and plans exactly one aggregation pass
+    * (per-cell conditional aggregates, same as the oracle's CASE
+    * form — pivot is syntax, not a different algorithm). Integer
+    * counts/cents only.
+    */
+  val q33_pivot_status: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast(LongType).as("__cents"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("n"), sum(col("__cents")).as("cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q33_sql: String =
+    """SELECT o_orderpriority,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+      |       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS O_cents,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+      |       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS F_cents,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+      |       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS P_cents
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ── d28: leakage-safe group split ───────────────────────────────────
 
   /** Train/val/test assignment with the SOURCE DOMAIN as the split
@@ -1643,7 +1678,8 @@ object CurationQueries {
     "t14_sketch_bounds" -> t14_sketch_bounds,
     "t15_collocations" -> t15_collocations,
     "d30_epoch_upsample" -> d30_epoch_upsample,
-    "q32_cube_grouping" -> q32_cube_grouping)
+    "q32_cube_grouping" -> q32_cube_grouping,
+    "q33_pivot_status" -> q33_pivot_status)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1685,5 +1721,6 @@ object CurationQueries {
     "t14_sketch_bounds" -> t14_sql,
     "t15_collocations" -> t15_sql,
     "d30_epoch_upsample" -> d30_sql,
-    "q32_cube_grouping" -> q32_sql)
+    "q32_cube_grouping" -> q32_sql,
+    "q33_pivot_status" -> q33_sql)
 }

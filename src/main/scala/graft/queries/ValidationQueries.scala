@@ -394,7 +394,48 @@ object ValidationQueries {
       |                        AND l_prio IS DISTINCT FROM r_prio THEN 1 END) AS BIGINT) AS n_prio_drift
       |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.r_key""".stripMargin
 
+  /** Key-skew diagnostics over lineitem's order key
+    * ([[graft.operators.SkewJoin.keySkewReport]]): group-size
+    * distribution (exact p50/p99 via the size histogram — the global
+    * window never sees |keys| rows), max group, uniformity ratio in
+    * ppm, and the 5 heaviest keys. This is the measurement that
+    * decides when q19's salted join / AQE skew split is warranted.
+    */
+  val v14_key_skew: Q = (s, dir) =>
+    graft.operators.SkewJoin.keySkewReport(
+      Tables(s, dir, "lineitem"), "l_orderkey", topK = 5)
+
+  val v14_sql: String =
+    """WITH cnts AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS key, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1
+      |),
+      |tot AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+      |               MAX(cnt) AS max_group FROM cnts),
+      |cum AS (
+      |  SELECT cnt, SUM(freq) OVER (ORDER BY cnt) AS cum
+      |  FROM (SELECT cnt, COUNT(*) AS freq FROM cnts GROUP BY 1)
+      |),
+      |top AS (
+      |  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+      |  FROM cnts QUALIFY rn <= 5
+      |)
+      |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      |  SELECT 'n_keys' AS metric, n_keys AS value FROM tot
+      |  UNION ALL SELECT 'n_rows', n_rows FROM tot
+      |  UNION ALL SELECT 'max_group', max_group FROM tot
+      |  UNION ALL SELECT 'skew_ppm', (max_group * 1000000 * n_keys) // n_rows FROM tot
+      |  UNION ALL SELECT 'p50_group',
+      |    (SELECT MIN(cnt) FROM cum, tot WHERE cum * 100 >= n_keys * 50)
+      |  UNION ALL SELECT 'p99_group',
+      |    (SELECT MIN(cnt) FROM cum, tot WHERE cum * 100 >= n_keys * 99)
+      |  UNION ALL SELECT 'top' || rn || '_key', key FROM top
+      |  UNION ALL SELECT 'top' || rn || '_cnt', cnt FROM top
+      |) t
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "v14_key_skew" -> v14_key_skew,
     "v12_column_drift" -> v12_column_drift,
     "v10_fullouter_compare" -> v10_fullouter_compare,
     "v11_set_difference" -> v11_set_difference,
@@ -410,6 +451,7 @@ object ValidationQueries {
     "v09_interval_arith" -> v09_interval_arith)
 
   val oracles: Map[String, String] = Map(
+    "v14_key_skew" -> v14_sql,
     "v12_column_drift" -> v12_sql,
     "v10_fullouter_compare" -> v10_sql,
     "v11_set_difference" -> v11_sql,

@@ -195,6 +195,22 @@ class CurationSpec extends AnyFunSuite {
     rows.foreach(r => assert((r.getLong(2) >= 2) == (r.getInt(3) == 1)))
   }
 
+  test("keySkewReport: metrics recount on a hand-built skewed relation") {
+    import spark.implicits._
+    // key 1 -> 6 rows, key 2 -> 3, keys 3..6 -> 1 each: n_keys=6, n_rows=13
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L, 5L, 6L))
+      .toDF("k")
+    val m = graft.operators.SkewJoin.keySkewReport(df, "k", topK = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_keys") == 6 && m("n_rows") == 13 && m("max_group") == 6)
+    // skew_ppm = 6 * 1e6 * 6 div 13
+    assert(m("skew_ppm") == 6L * 1000000L * 6L / 13L)
+    // size histogram: sizes (1,1,1,1,3,6); p50 -> rank 3 -> 1; p99 -> rank 6 -> 6
+    assert(m("p50_group") == 1 && m("p99_group") == 6)
+    assert(m("top1_key") == 1 && m("top1_cnt") == 6)
+    assert(m("top2_key") == 2 && m("top2_cnt") == 3)
+  }
+
   // ── Sampling.domainMix ──────────────────────────────────────────────
 
   test("domain mix keeps ~weight·budget per group, drops unweighted groups") {
