@@ -1496,6 +1496,38 @@ object CurationQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ── q34: unpivot (wide → long melt) ─────────────────────────────────
+
+  /** The inverse of q33: per-returnflag quantity/price totals melted to
+    * `(l_returnflag, measure, value)` rows via `Dataset.unpivot` — the
+    * long-format shape feeding generic metric sinks. Unpivot is a
+    * zero-shuffle Expand over the (tiny, already-aggregated) wide
+    * relation; both measures are integer units.
+    */
+  val q34_unpivot_measures: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast(LongType)).as("sum_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_cents")), "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  val q34_sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_cents', sum_cents FROM w
+      |) t
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // ── d28: leakage-safe group split ───────────────────────────────────
 
   /** Train/val/test assignment with the SOURCE DOMAIN as the split
@@ -1679,7 +1711,8 @@ object CurationQueries {
     "t15_collocations" -> t15_collocations,
     "d30_epoch_upsample" -> d30_epoch_upsample,
     "q32_cube_grouping" -> q32_cube_grouping,
-    "q33_pivot_status" -> q33_pivot_status)
+    "q33_pivot_status" -> q33_pivot_status,
+    "q34_unpivot_measures" -> q34_unpivot_measures)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1722,5 +1755,6 @@ object CurationQueries {
     "t15_collocations" -> t15_sql,
     "d30_epoch_upsample" -> d30_sql,
     "q32_cube_grouping" -> q32_sql,
-    "q33_pivot_status" -> q33_sql)
+    "q33_pivot_status" -> q33_sql,
+    "q34_unpivot_measures" -> q34_sql)
 }
