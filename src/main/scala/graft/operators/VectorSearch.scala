@@ -566,4 +566,82 @@ object VectorSearch {
       .agg(graft.functions.VectorSumAgg(col("__qvec")).as("dim_sums"),
         count(lit(1)).as("n_vecs"))
   }
+
+  /** Squared L2 distance to an integer centroid literal via the dot
+    * identity `v·v − 2·v·c + c·c`: `vv` is the row's precomputed self
+    * dot, `v·c` one [[graft.functions.IntDot]] codegen kernel per
+    * centroid, `c·c` a driver-side constant. Exact integer arithmetic.
+    */
+  private def qCentDist2(vv: Column, vec: Column, cent: Seq[Int]): Column = {
+    val cc = cent.iterator.map(x => x.toLong * x).sum
+    vv - lit(2L) * graft.functions.IntDot(vec, lit(cent.toArray)) + lit(cc)
+  }
+
+  /** argmin-distance centroid index, ties to the LOWER index (struct
+    * ordering compares distance first, then index).
+    */
+  private def nearestQCentroid(vv: Column, vec: Column,
+      cents: Seq[Seq[Int]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (p, i) =>
+      struct(qCentDist2(vv, vec, p).as("d"), lit(i).as("c"))
+    }: _*)).getField("c")
+
+  /** Fixed-iteration Lloyd k-means over int8-quantized vectors — the
+    * cluster labeler feeding cluster-balanced sampling, SemDeDup cell
+    * choice, and IVF coarse quantizers. Returns one row per input
+    * vector: (id, cluster, sq_dist) under the final centroids.
+    *
+    * Determinism (the reason for the integer space): float k-means is
+    * not engine-replayable (accumulation order changes the means), so
+    * vectors are int8-quantized first ([[quantize]]), distances are
+    * exact integers, seeds are the `k` LOWEST-id vectors, argmin ties
+    * break to the lower cluster index, and each new centroid component
+    * is `floor(sum/count)` computed with one IEEE double division —
+    * identical on every engine. An empty cluster keeps its previous
+    * centroid. `iters` = number of assignment passes; centroids are
+    * updated between passes (iters−1 updates), never after the last.
+    *
+    * Scale shape (the MLlib pattern): per iteration ONE corpus scan
+    * where assignment is a pure projection against k CONSTANT centroid
+    * literals (no join, no shuffle), then ONE map-side-combined
+    * aggregate whose shuffle carries k×dims longs regardless of corpus
+    * size ([[graft.functions.VectorSumAgg]]), then an O(k×dims) driver
+    * collect — the only driver-side data in the loop. The quantized
+    * corpus persists under the [[CacheScope]], so the input is scanned
+    * and quantized once across all passes; the RETURNED frame is a
+    * zero-shuffle projection over that cached relation.
+    */
+  def quantizedKMeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int)(implicit cs: CacheScope): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val scale = quantScale(df, vecCol)
+    val q = cs.persist(quantize(df, idCol, vecCol, scale)
+      .withColumn("__vv", graft.functions.IntDot(col("qvec"), col("qvec"))))
+    val seeds = q.orderBy(col("id")).limit(k).collect()
+    require(seeds.length == k, s"k=$k exceeds corpus size ${seeds.length}")
+    var cents: Seq[Seq[Int]] = seeds.map(_.getSeq[Int](1)).toSeq
+    for (_ <- 1 until iters) {
+      val stats = q
+        .select(nearestQCentroid(col("__vv"), col("qvec"), cents).as("__c"),
+          col("qvec"))
+        .groupBy(col("__c"))
+        .agg(graft.functions.VectorSumAgg(col("qvec")).as("__sums"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val updated = stats.map { r =>
+        val n = r.getLong(2)
+        // one IEEE double division + floor — exact cross-engine for
+        // |sum| far below 2^53 (int8 components cap it at 127·|corpus|)
+        r.getInt(0) -> r.getSeq[Long](1)
+          .map(s => math.floor(s.toDouble / n).toInt)
+      }.toMap
+      cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
+    }
+    val best = array_min(array(cents.zipWithIndex.map { case (p, i) =>
+      struct(qCentDist2(col("__vv"), col("qvec"), p).as("d"), lit(i).as("c"))
+    }: _*))
+    q.select(col("id"), best.getField("c").as("cluster"),
+      best.getField("d").as("sq_dist"))
+  }
 }

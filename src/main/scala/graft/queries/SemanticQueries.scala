@@ -122,11 +122,89 @@ object SemanticQueries {
        |FROM ranked GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ── s12: quantized k-means clustering ───────────────────────────────
+
+  /** Fixed-iteration Lloyd k-means over the int8-quantized embedding
+    * corpus ([[graft.operators.VectorSearch.quantizedKMeans]]): k=8,
+    * three assignment passes, seeds = the 8 lowest vec_ids. The cluster
+    * label is the curation primitive behind cluster-balanced mixing,
+    * SemDeDup cells (d27 uses fixed centroids; this LEARNS them) and
+    * IVF coarse quantizers (s03). Integer quantization is what makes a
+    * LEARNED clustering engine-replayable at all: distances are exact
+    * integers, centroid updates are floor(sum/count) with one IEEE
+    * double division, argmin ties break to the lower cluster index —
+    * the oracle replays all three passes as unrolled CTEs and
+    * hash-matches (vec_id, cluster, sq_dist) row for row.
+    */
+  val s12_kmeans: Q = (s, dir) => {
+    VectorSearch.quantizedKMeans(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster"), col("sq_dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One Lloyd assignment pass: exact integer distances to every
+    * centroid of `prevC`, argmin with ties to the lower cluster index.
+    */
+  private def kmAssign(i: Int, prevC: String): String =
+    s"""d$i AS (
+       |  SELECT e.vec_id, c.c,
+       |         CAST(SUM(CAST(e.val - c.val AS BIGINT) * (e.val - c.val)) AS BIGINT) AS dist
+       |  FROM e JOIN $prevC c ON c.pos = e.pos GROUP BY e.vec_id, c.c
+       |),
+       |a$i AS (
+       |  SELECT vec_id, c, dist FROM (
+       |    SELECT vec_id, c, dist,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |    FROM d$i) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  /** One centroid update: floor(sum/count) per component; clusters
+    * that lost every member keep their previous centroid (COALESCE).
+    */
+  private def kmUpdate(i: Int, prevC: String): String =
+    s"""s$i AS (
+       |  SELECT a.c, e.pos, CAST(SUM(e.val) AS BIGINT) AS sv,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM a$i a JOIN e ON e.vec_id = a.vec_id GROUP BY a.c, e.pos
+       |),
+       |c$i AS (
+       |  SELECT p.c, p.pos,
+       |         COALESCE(CAST(FLOOR(CAST(s.sv AS DOUBLE) / s.n) AS INT), p.val) AS val
+       |  FROM $prevC p LEFT JOIN s$i s ON s.c = p.c AND s.pos = p.pos
+       |)""".stripMargin
+
+  val s12_sql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |sc AS (SELECT MAX(list_max(list_transform(vec, x -> ABS(x)))) AS scale FROM v),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(vec, x -> CAST(ROUND(x / sc.scale * 127) AS INT)) AS qvec
+       |  FROM v, sc
+       |),
+       |u AS (SELECT vec_id, qvec, unnest(range(1, len(qvec) + 1)) AS i FROM q),
+       |e AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos, qvec[i] AS val FROM u),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+       |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8) t
+       |),
+       |c0 AS (SELECT s.c, e.pos, e.val FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+       |${kmAssign(1, "c0")},
+       |${kmUpdate(1, "c0")},
+       |${kmAssign(2, "c1")},
+       |${kmUpdate(2, "c1")},
+       |${kmAssign(3, "c2")}
+       |SELECT vec_id, CAST(c AS INT) AS cluster, dist AS sq_dist
+       |FROM a3 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d27_semantic_dedup" -> d27_semantic_dedup,
-    "s09_embedding_decontam" -> s09_embedding_decontam)
+    "s09_embedding_decontam" -> s09_embedding_decontam,
+    "s12_kmeans" -> s12_kmeans)
 
   val oracles: Map[String, String] = Map(
     "d27_semantic_dedup" -> d27_sql,
-    "s09_embedding_decontam" -> s09_sql)
+    "s09_embedding_decontam" -> s09_sql,
+    "s12_kmeans" -> s12_sql)
 }

@@ -338,6 +338,56 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(cells(101L) == 0L && cells(102L) == 1L)
   }
 
+  test("quantized k-means matches a driver-side Lloyd replay and is partition-invariant") {
+    import spark.implicits._
+    // three loose clusters around unit axes with deterministic jitter
+    def around(base: Int, i: Long): Array[Float] =
+      Array.tabulate(8)(d => (if (d == base) 1.0 else 0.0).toFloat +
+        (math.sin(i * 17 + d) * 0.05).toFloat)
+    val rows = (1L to 15L).map(i => (i, around(0, i))) ++
+      (16L to 30L).map(i => (i, around(3, i))) ++
+      (31L to 45L).map(i => (i, around(6, i)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    def run(df: DataFrame): Seq[(Long, Int, Long)] =
+      VectorSearch.quantizedKMeans(df, "vec_id", "embedding", k = 3, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val out = run(vecs)
+
+    // driver-side replay: same quantization (HALF_UP like Spark round),
+    // same seeds (k lowest ids), same floor(sum/count) update, same
+    // ties-to-lower-index argmin
+    val scale = rows.flatMap(_._2).map(v => math.abs(v.toDouble)).max
+    val q = rows.map { case (id, v) =>
+      id -> v.map(x => BigDecimal(x.toDouble / scale * 127)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+    }.sortBy(_._1)
+    def d2(v: Array[Int], c: Seq[Int]): Long =
+      v.zip(c).map { case (a, b) => val d = (a - b).toLong; d * d }.sum
+    var cents: Seq[Seq[Int]] = q.take(3).map(_._2.toSeq)
+    for (_ <- 1 until 3) {
+      val assign = q.map { case (_, v) =>
+        (cents.indices.map(c => (d2(v, cents(c)), c)).min._2, v) }
+      cents = cents.indices.map { c =>
+        val members = assign.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) cents(c)
+        else (0 until 8).map(p =>
+          math.floor(members.map(_(p).toLong).sum.toDouble / members.size).toInt)
+      }
+    }
+    val expect = q.map { case (id, v) =>
+      val (dist, c) = cents.indices.map(c => (d2(v, cents(c)), c)).min
+      (id, c, dist)
+    }
+    assert(out == expect)
+    // clusters recovered: each id band lands in one distinct cluster
+    val byBand = Seq(1L to 15L, 16L to 30L, 31L to 45L)
+      .map(b => out.filter(t => b.contains(t._1)).map(_._2).distinct)
+    assert(byBand.forall(_.size == 1) && byBand.flatten.distinct.size == 3)
+    // partition-invariant: integer arithmetic + commutative partials
+    assert(run(vecs.repartition(7)) == out)
+  }
+
   test("embedding decontamination flags only near-eval vectors") {
     import spark.implicits._
     def unit(d0: Int): Array[Float] = Array.tabulate(8)(d => if (d == d0) 1.0f else 0.0f)

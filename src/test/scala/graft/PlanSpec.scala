@@ -432,4 +432,21 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("partial_vector_sum"),
       "map-side partial aggregation expected:\n" + plan.take(3000))
   }
+
+  test("k-means assignment is a zero-shuffle projection over the cached corpus") {
+    // quantizedKMeans' returned frame: centroids are CONSTANT literals
+    // baked into the argmin expression, so labeling the corpus is a
+    // pure per-row projection — no join against a centroid relation,
+    // no shuffle, and the quantized corpus comes from the cache the
+    // iteration loop already materialized
+    val df = operators.VectorSearch.quantizedKMeans(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"),
+      "assignment must not shuffle:\n" + plan.take(3000))
+    assert(!plan.contains("Join"),
+      "centroids must be literals, not a joined relation:\n" + plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"),
+      "assignment must reuse the cached quantized corpus:\n" + plan.take(3000))
+  }
 }
