@@ -298,6 +298,84 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Overlapping-window fingerprints for "audio" payloads: one signature
+    * per `windowBytes`-byte window every `hop` bytes (hop < windowBytes ⇒
+    * overlap), ≤ `maxWins` windows per payload. The codec supplies the
+    * window signature ([[MediaCodec.frameSig]] — a spectral landmark
+    * hash in real life; the md5 byte-window STUB keeps the shape).
+    * Window fan-out is an explode of (id, win_no, offset) only; payload
+    * bytes join back once per window row, never ride the explode.
+    */
+  def audioFingerprints(media: Dataset[MediaRecord], windowBytes: Int = 32,
+      hop: Int = 16, maxWins: Int = 16, codec: MediaCodec = StubCodec): DataFrame =
+    media.toDF()
+      .filter(col("kind") === "audio" && length(col("content")) > 0)
+      .select(col("media_id"),
+        posexplode(slice(
+          sequence(lit(0), ((length(col("content")) - 1) / hop).cast(IntegerType)),
+          1, maxWins)).as(Seq("__p", "win_no")))
+      .select(col("media_id"), col("win_no"),
+        (col("win_no") * hop).as("byte_offset"))
+      .join(media.toDF().select(col("media_id"), col("content")), "media_id")
+      .select(col("media_id"), col("win_no"),
+        codec.frameSig(col("content"), col("byte_offset"), windowBytes).as("sig"))
+
+  /** Shift-invariant audio near-dup — the landmark-ALIGNMENT shape
+    * (Shazam/chromaprint): two audios match when ≥ `least(minAligned,
+    * wins_a, wins_b)` fingerprints agree at ONE CONSISTENT window
+    * offset delta. Unlike the video path ([[videoNearDupPairs]]), which
+    * requires same-POSITION agreement, this pairs a clip with a copy
+    * embedded at any hop-aligned offset (ads cut into streams, silence
+    * padding, re-muxed intros): fingerprints join on the signature
+    * ALONE, the (id_a, id_b, delta = win_a − win_b) aggregate counts
+    * each candidate alignment, and the best delta per pair (most
+    * matches, ties to the lower delta) is kept. Output: one row per
+    * near-dup pair — (id_a, id_b, offset_delta, aligned_matches).
+    *
+    * Scale shape: ONE shuffle of the (id, win_no, sig) relation on sig
+    * for the match join — payloads never move. The df cap (`maxSigDf`)
+    * is the skew guard: a landmark shared by s windows would emit s²
+    * match rows (digital silence, encoder padding — the classic hot
+    * key), so signatures with df > maxSigDf are dropped BEFORE the join
+    * on both sides, the standard over-common-landmark cut in audio
+    * matching (documented approximation: matches riding only on
+    * over-common windows are lost — by design, on both engines). The
+    * per-pair best-delta window ranks ≤ 2·maxWins−1 delta rows per
+    * pair, partitioned by the pair key — never a global sort.
+    */
+  def audioNearDupPairs(media: Dataset[MediaRecord], windowBytes: Int = 32,
+      hop: Int = 16, maxWins: Int = 16, minAligned: Int = 4,
+      maxSigDf: Int = 64, codec: MediaCodec = StubCodec)(
+      implicit cs: CacheScope): DataFrame = {
+    require(hop > 0 && windowBytes > 0 && maxWins > 0 &&
+      minAligned > 0 && maxSigDf > 0)
+    val raw = audioFingerprints(media, windowBytes, hop, maxWins, codec)
+    val dfreq = raw.groupBy(col("sig")).agg(count(lit(1)).as("__df"))
+    // persisted: both self-join sides + the per-audio counts read it
+    // (self-join sides compute independently; measured, CcPlanCheck)
+    val f = cs.persist(raw.join(dfreq.filter(col("__df") <= maxSigDf), "sig")
+      .select(col("media_id"), col("win_no"), col("sig")))
+    val counts = f.groupBy(col("media_id")).agg(count(lit(1)).as("__nw"))
+    val aligned = f.as("a").join(f.as("b"),
+        col("a.sig") === col("b.sig") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        (col("a.win_no") - col("b.win_no")).as("offset_delta"))
+      .groupBy(col("id_a"), col("id_b"), col("offset_delta"))
+      .agg(count(lit(1)).as("aligned_matches"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("aligned_matches").desc, col("offset_delta").asc)
+    aligned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(counts.select(col("media_id").as("id_a"), col("__nw").as("__nw_a")), "id_a")
+      .join(counts.select(col("media_id").as("id_b"), col("__nw").as("__nw_b")), "id_b")
+      .filter(col("aligned_matches") >=
+        least(lit(minAligned.toLong), col("__nw_a"), col("__nw_b")))
+      .select(col("id_a"), col("id_b"), col("offset_delta"),
+        col("aligned_matches"))
+  }
+
   /** Near-dup videos: pairs agreeing on ≥ `least(minShared, frames_a,
     * frames_b)` same-position frame signatures — the bound shrinks to
     * the shorter video's frame count so byte-identical SHORT videos

@@ -1404,6 +1404,63 @@ object DataPipelineQueries {
        |WHERE bit_count(xor(a.h, b.h)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Audio near-dup over the planted corpus as all-audio payloads:
+    * shift-invariant landmark alignment ([[Multimodal.audioNearDupPairs]])
+    * — 32-byte stub fingerprint windows every 16 bytes (≤ 16 per clip),
+    * pairs needing ≥ 4 signature matches at one consistent window
+    * delta. Exact copies align at delta 0 on every window; the df ≤ 64
+    * landmark cap (the silence-skew guard) is far above the planted
+    * dup-group sizes, so it drops nothing here — the oracle replays the
+    * cap anyway so the rule itself is gated. ASCII corpus ⇒ byte and
+    * char windows coincide (the m02/m03 convention).
+    */
+  val m04_audio_neardup: Q = (s, dir) => {
+    import s.implicits._
+    val media = dupDocCorpus(s, dir).select(
+        col("doc_id").cast(LongType).as("media_id"),
+        lit("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("corpus").as("source"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.audioNearDupPairs(media, windowBytes = 32, hop = 16,
+        maxWins = 16, minAligned = 4, maxSigDf = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m04_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |wins AS (
+       |  SELECT doc_id, w.w AS win_no,
+       |         md5(substr(text, w.w * 16 + 1, 32)) AS sig
+       |  FROM corpus, (SELECT unnest(range(0, 16)) AS w) w
+       |  WHERE w.w * 16 < length(text)
+       |),
+       |dfreq AS (SELECT sig, COUNT(*) AS df FROM wins GROUP BY sig),
+       |fw AS (
+       |  SELECT w.doc_id, w.win_no, w.sig
+       |  FROM wins w JOIN dfreq USING (sig) WHERE dfreq.df <= 64
+       |),
+       |nw AS (SELECT doc_id, COUNT(*) AS n FROM fw GROUP BY doc_id),
+       |m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.win_no - b.win_no AS delta, COUNT(*) AS aligned
+       |  FROM fw a JOIN fw b ON a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3
+       |),
+       |best AS (
+       |  SELECT id_a, id_b, delta, aligned,
+       |         ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+       |                            ORDER BY aligned DESC, delta ASC) AS rn
+       |  FROM m
+       |)
+       |SELECT b.id_a, b.id_b, CAST(b.delta AS INT) AS offset_delta,
+       |       CAST(b.aligned AS BIGINT) AS aligned_matches
+       |FROM best b
+       |JOIN nw na ON na.doc_id = b.id_a
+       |JOIN nw nb ON nb.doc_id = b.id_b
+       |WHERE b.rn = 1 AND b.aligned >= LEAST(4, na.n, nb.n)
+       |ORDER BY id_a, id_b""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1456,7 +1513,8 @@ object DataPipelineQueries {
     "t06_corpus_report" -> t06_corpus_report,
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_video_neardup" -> m02_video_neardup,
-    "m03_image_neardup" -> m03_image_neardup)
+    "m03_image_neardup" -> m03_image_neardup,
+    "m04_audio_neardup" -> m04_audio_neardup)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -1490,5 +1548,6 @@ object DataPipelineQueries {
     "t06_corpus_report" -> t06_sql,
     "m01_multimodal_features" -> m01_sql,
     "m02_video_neardup" -> m02_sql,
-    "m03_image_neardup" -> m03_sql)
+    "m03_image_neardup" -> m03_sql,
+    "m04_audio_neardup" -> m04_sql)
 }

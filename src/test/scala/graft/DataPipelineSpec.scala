@@ -727,6 +727,58 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("audio near-dup: alignment matching catches hop-aligned shifts video matching misses") {
+    import spark.implicits._
+    // pseudo-random ASCII so windows inside one clip are all distinct
+    val base = (0 until 300).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val other = (0 until 300).map(i => ('a' + (i * 11 + 5) % 26).toChar).mkString
+    def mk(kind: String) = Seq(
+      (1L, base),                 // original
+      (2L, base),                 // exact copy — aligns at delta 0
+      (3L, ("P" * 32) + base),    // 32-byte (2-hop) prefix insertion
+      (4L, other))                // unrelated
+      .map { case (id, t) => (id, kind, t.getBytes("UTF-8"), "src") }
+      .toDF("media_id", "kind", "content", "source")
+      .as[Multimodal.MediaRecord]
+    val audio = Multimodal.audioNearDupPairs(mk("audio"), windowBytes = 32,
+        hop = 16, maxWins = 16, minAligned = 4, maxSigDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    // exact copy: every window aligns at delta 0
+    assert(audio((1L, 2L)) == ((0, 16L)))
+    // shifted copy: clip 3's window w ≥ 2 equals clip 1's window w − 2,
+    // so the pair aligns at delta −2 on 14 windows
+    assert(audio((1L, 3L)) == ((-2, 14L)) && audio((2L, 3L)) == ((-2, 14L)))
+    assert(!audio.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // the same shift defeats POSITIONAL matching: no same-position
+    // frame of the prefix-inserted copy agrees with the original
+    val video = Multimodal.videoNearDupPairs(mk("video"), stride = 32,
+        maxFrames = 8, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(video.contains((1L, 2L)) && !video.contains((1L, 3L)))
+  }
+
+  test("audio near-dup: over-common landmark cap drops the hot signature before the join") {
+    import spark.implicits._
+    // 70 clips share one window-aligned 32-byte block; tails distinct
+    val shared = "S" * 32
+    val media = (1L to 70L).map { i =>
+      // the 16-char id block repeats, so EVERY tail window carries the
+      // id — no accidental cross-clip window collisions
+      val tail = ("%016d".format(i) * 5).take(68)
+      (i, "audio", (shared + tail).getBytes("UTF-8"), "src")
+    }.toDF("media_id", "kind", "content", "source")
+      .as[Multimodal.MediaRecord]
+    def pairs(cap: Int): Long =
+      Multimodal.audioNearDupPairs(media, windowBytes = 32, hop = 16,
+        maxWins = 16, minAligned = 1, maxSigDf = cap).count()
+    // df(shared-block sig) = 70: cap 64 drops it — zero pairs survive;
+    // a loose cap would pair every clip with every other on that one
+    // hot landmark (70·69/2 pairs from a single signature)
+    assert(pairs(64) == 0L)
+    assert(pairs(100) == 70L * 69L / 2L)
+  }
+
   test("image near-dup: banded hamming join equals brute-force popcount pairs") {
     import spark.implicits._
     // driver-side replica of the 60-bit block hash

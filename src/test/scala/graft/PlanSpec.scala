@@ -433,6 +433,22 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "map-side partial aggregation expected:\n" + plan.take(3000))
   }
 
+  test("audio alignment self-join reads fingerprints from ONE cached relation") {
+    import spark.implicits._
+    val media = (0L until 32L)
+      .map(i => (i, "audio", (s"%032d".format(i) * 4).getBytes("UTF-8"), "src"))
+      .toDF("media_id", "kind", "content", "source")
+      .as[operators.Multimodal.MediaRecord]
+    operators.CacheScope.scoped { implicit cs =>
+      val plan = planString(operators.Multimodal.audioNearDupPairs(media))
+      // both match-join sides + the per-audio window counts scan the
+      // persisted df-capped fingerprint relation, never re-fingerprint
+      assert("InMemoryTableScan".r.findAllIn(plan).length >= 3,
+        "join sides and counts must scan the cached fingerprints:\n" + plan.take(3000))
+      assert(cs.trackedCount >= 1, "scope must own the fingerprint cache")
+    }
+  }
+
   test("k-means assignment is a zero-shuffle projection over the cached corpus") {
     // quantizedKMeans' returned frame: centroids are CONSTANT literals
     // baked into the argmin expression, so labeling the corpus is a
