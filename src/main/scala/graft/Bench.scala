@@ -17,6 +17,29 @@ object Bench {
       .split("\\s+").head.toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** (busy, total) machine jiffies from /proc/stat's aggregate cpu line.
+    * busy includes STEAL — on a shared hypervisor, a neighbor VM's work
+    * shows up only as steal time, and rounds 4-6 were all contaminated
+    * by exactly that kind of invisible-to-loadavg-attribution noise.
+    */
+  private def machineJiffies(): (Long, Long) =
+    try {
+      val v = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      val idle = v(3) + v(4) // idle + iowait
+      (v.sum - idle, v.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** utime+stime jiffies of THIS process (all threads — executor pool,
+    * GC, codegen). comm can contain spaces, so parse after the last ')'.
+    */
+  private def ownJiffies(): Long =
+    try {
+      val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val f = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      f(11).toLong + f(12).toLong // utime, stime (fields 14,15 1-indexed)
+    } catch { case _: Throwable => 0L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadBefore = loadAvg()
@@ -44,25 +67,42 @@ object Bench {
     //
     // Outlier retry: a contended box inflates individual runs (never
     // deflates them — timing noise on a shared machine is one-sided), so
-    // a query whose max/min ratio exceeds RetryRatio gets up to
-    // MaxRetries extra runs and its reported figure is the median of the
-    // fastest `Runs` successful runs. Retried query ids land in the
-    // summary so a cross-round reader knows which medians needed
-    // defending. (Rounds 4 and 5 both shipped contaminated per-query
-    // numbers; medians alone don't protect when 2 of 3 runs are slow.)
+    // a query gets up to MaxRetries extra runs and its reported figure is
+    // the median of the fastest `Runs` successful runs, when EITHER
+    //  (a) its max/min run ratio exceeds RetryRatio — bursty contention
+    //      (one neighbor process landing mid-query), or
+    //  (b) every kept run was measured under foreign CPU pressure above
+    //      ForeignThresh — uniform contention, which spread CANNOT see:
+    //      round 6's q17 ran 28.8 s (quiet: ~1.5 s) with near-zero
+    //      in-query spread because the box was loaded for its whole slot,
+    //      so the spread-only retry never fired.
+    // Foreign share per run = (machine busy jiffies − own process
+    // jiffies) / total machine jiffies over the run's wall interval;
+    // steal time counts as busy, so hypervisor neighbors register too.
+    // Queries whose kept runs are ALL above ForeignThresh after the
+    // retry budget land in the summary's `dirty` list: those medians are
+    // contaminated and a cross-round reader must not treat them as
+    // regressions. Retried ids stay reported as before.
     val RetryRatio = 2.0
-    val MaxRetries = 2
+    val MaxRetries = 3
+    val ForeignThresh = 0.15
     def spreadOf(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ > 0.05) // sub-50ms queries: ratio is all jitter
       if (ok.isEmpty) 1.0 else ok.max / ok.min
     }
     // kept set = fastest `Runs` successful runs (one-sided noise model)
-    def kept(xs: Seq[Double]): Seq[Double] = {
-      val ok = xs.filter(_ >= 0).sorted.take(Runs)
-      if (ok.nonEmpty) ok else Seq(-1.0)
+    def kept(xs: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+      val ok = xs.filter(_._1 >= 0).sortBy(_._1).take(Runs)
+      if (ok.nonEmpty) ok else Seq((-1.0, 0.0))
     }
+    def keptTimes(xs: Seq[(Double, Double)]): Seq[Double] = kept(xs).map(_._1)
+    // a query is clean once SOME kept run saw an acceptably quiet box
+    def allKeptForeign(xs: Seq[(Double, Double)]): Boolean =
+      kept(xs).forall { case (t, f) => t >= 0 && f > ForeignThresh }
+    val benchJ0 = machineJiffies(); val benchOwn0 = ownJiffies()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        val (b0, a0) = machineJiffies(); val o0 = ownJiffies()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -71,21 +111,36 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val (b1, a1) = machineJiffies(); val o1 = ownJiffies()
+        val foreign =
+          if (a1 <= a0) 0.0
+          else math.max(0L, (b1 - b0) - (o1 - o0)).toDouble / (a1 - a0)
         spark.catalog.clearCache()
-        if (ok) dt else -1.0
+        (if (ok) dt else -1.0, foreign)
       }
       var runs = (1 to Runs).map(_ => once())
       var retries = 0
-      while (spreadOf(kept(runs)) > RetryRatio && retries < MaxRetries) {
+      while ((spreadOf(keptTimes(runs)) > RetryRatio || allKeptForeign(runs))
+          && retries < MaxRetries) {
         runs = runs :+ once()
         retries += 1
       }
       name -> (runs, retries)
     }
     val loadAfter = loadAvg()
+    val benchJ1 = machineJiffies()
+    // whole-bench foreign CPU share — the single most honest "was this
+    // run contaminated" number
+    val benchForeign =
+      if (benchJ1._2 <= benchJ0._2) 0.0
+      else math.max(0L, (benchJ1._1 - benchJ0._1) - (ownJiffies() - benchOwn0))
+        .toDouble / (benchJ1._2 - benchJ0._2)
     val retriedIds = results.collect { case (k, (_, r)) if r > 0 => k }.toSeq
-    def median(xs: Seq[Double]): Double = {
-      val k = kept(xs)
+    val dirtyIds = results.collect {
+      case (k, (v, _)) if allKeptForeign(v) && keptTimes(v).head >= 0.05 => k
+    }.toSeq
+    def median(xs: Seq[(Double, Double)]): Double = {
+      val k = keptTimes(xs)
       k.sorted.apply(k.size / 2)
     }
     def fmt(d: Double, decimals: Int): String =
@@ -96,15 +151,18 @@ object Bench {
     // worst per-query max/min ratio over the KEPT runs — >2 after retries
     // means contention the retry budget couldn't outrun
     val spread = results.values
-      .map { case (v, _) => spreadOf(kept(v)) }
+      .map { case (v, _) => spreadOf(keptTimes(v)) }
       .foldLeft(1.0)(math.max)
     // Per-run detail first (may be long); the harness only keeps the LAST
     // ~2000 characters of stdout, so the machine-readable summary must be
     // the final line and must be short enough to survive that tail cut —
     // medians only, trimmed decimals. (Rounds 1-3 emitted one giant line
     // with all runs inline and the harness never managed to parse it.)
+    // per-run detail: time then its foreign-CPU share, interleaved —
+    // [t1,f1,t2,f2,…] — so a slow run is attributable from the artifact
     val rs = results.map { case (k, (v, _)) =>
-      "\"" + k + "\":" + v.map(fmt(_, 3)).mkString("[", ",", "]")
+      "\"" + k + "\":" +
+        v.flatMap(p => Seq(fmt(p._1, 3), fmt(p._2, 2))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"runs","unit":"sec","runs":$rs,"sf":"$sfDir"}""")
     def summaryWith(fmtVal: Double => String,
@@ -117,11 +175,13 @@ object Bench {
       // retried ids use the short query-id prefix and cap at 15 entries
       // (overflow recorded as a "+N" marker) so a pathologically
       // contended run can't blow the tail budget
-      val shortIds = retriedIds.map(keyOf)
-      val rlist = (if (shortIds.size <= 15) shortIds
-        else shortIds.take(15) :+ s"+${shortIds.size - 15}")
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)},"retried":$rlist}"""
+      def capped(ids: Seq[String]): String = {
+        val short = ids.map(keyOf)
+        (if (short.size <= 15) short
+         else short.take(15) :+ s"+${short.size - 15}")
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)}}"""
     }
     def summary(decimals: Int): String = summaryWith(fmt(_, decimals))
     // adaptive tier: the slow queries (the ones worth profiling) keep a

@@ -191,6 +191,79 @@ object VectorSearch {
     rankTopK(reranked, "cosine", k)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011 shape): the vector
+    * splits into `codebooks.size` contiguous subvectors; each subspace
+    * has its own small centroid codebook, and a corpus vector is stored
+    * as one small code per subspace (its nearest centroid in that
+    * subspace — 3 bits/code at 8 centroids, a 64× compression of a
+    * 64-dim float vector). Queries score by ASYMMETRIC distance (ADC):
+    * the query precomputes its squared distance to every centroid of
+    * every subspace (an m×|codebook| table, tiny), and a corpus row's
+    * distance is the fold of its codes' table entries — table lookups
+    * and adds, no per-pair float dot products.
+    *
+    * Scale shape: the corpus is encoded in ONE scan (codes ride the
+    * row; at 100 TB the encoded corpus is what you'd persist), the
+    * query table broadcasts, and scoring is a codegen projection inside
+    * the broadcast join stage — no shuffle before the per-query top-k
+    * window. Approximate by design — but deterministically so: codes
+    * are integer argmins (distance ASC, code ASC — engine-portable),
+    * and the ADC sum folds subspaces in fixed order s=0..m−1 so the
+    * oracle replays the identical doubles.
+    *
+    * @param codebooks per-subspace centroid lists: codebooks(s)(j) is
+    *                  centroid j of subspace s; all subvectors must
+    *                  share one length, and m·subDim must equal the
+    *                  embedding dimension (slices past the end would
+    *                  silently encode short subvectors)
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    val subDim = codebooks.head.head.size
+    require(codebooks.forall(_.forall(_.size == subDim)),
+      "pqTopK: ragged codebook subvectors")
+    val m = codebooks.size
+    def sub(vec: Column, s: Int): Column =
+      slice(vec.cast(ArrayType(DoubleType)), s * subDim + 1, subDim)
+    // same term order as cellDist2 (v·v − 2·v·c + c·c) so the oracle's
+    // list_inner_product replay is bit-identical
+    def dist2(sv: Column, svv: Column, c: Seq[Double]): Column =
+      svv - lit(2.0) * dot(sv, lit(c.toArray)) + lit(c.map(x => x * x).sum)
+    // corpus: per-subspace nearest code — array_min over (d, code)
+    // structs (argmin, ties to the lower code; see nearestCell's note on
+    // why NOT a when/otherwise fold)
+    val encoded = corpus.select(
+      col(idCol).as("id") +:
+        codebooks.zipWithIndex.map { case (cb, s) =>
+          val sv = sub(col(vecCol), s)
+          val svv = dot(sv, sv)
+          array_min(array(cb.zipWithIndex.map { case (c, j) =>
+            struct(dist2(sv, svv, c).as("d"), lit(j).as("c"))
+          }: _*)).getField("c").as(s"__code$s")
+        }: _*)
+    // queries: the ADC table — one distance array per subspace
+    val qtab = broadcast(queries.select(
+      col(queryIdCol).as("query_id") +:
+        codebooks.zipWithIndex.map { case (cb, s) =>
+          val sv = sub(col(vecCol), s)
+          val svv = dot(sv, sv)
+          array(cb.map(c => dist2(sv, svv, c)): _*).as(s"__dtab$s")
+        }: _*))
+    // score = −ADC distance (rankTopK ranks DESC; negation is FP-exact),
+    // folded in fixed subspace order
+    val adc = (0 until m).map(s =>
+        element_at(col(s"__dtab$s"), col(s"__code$s") + 1))
+      .reduceLeft(_ + _)
+    val scored = encoded.join(qtab,
+        if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("score", -adc)
+    rankTopK(scored, "score", k)
+  }
+
   /** Diversified top-k via Maximal Marginal Relevance (Carbonell &
     * Goldstein 1998): greedily pick the candidate maximizing
     * `λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s)` — relevance traded

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.{Redaction, TextFunctions}
-import graft.operators.{AsofJoin, Boilerplate, Collocations, Quantiles, Sampling, SequencePacking, SkewJoin, TextDedup, VectorSearch}
+import graft.operators.{AsofJoin, Boilerplate, Collocations, Propagation, Quantiles, Sampling, SequencePacking, SkewJoin, TextDedup, VectorSearch}
 
 /** Round-4 curation/enrichment operators as driver-checked queries:
   * as-of join, domain-mixture resampling, sequence packing, exact
@@ -1668,6 +1668,209 @@ object CurationQueries {
       |SELECT 'ndv_user', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
       |ORDER BY metric""".stripMargin
 
+  // ── d31: template centrality over the shared-line graph ────────────
+
+  /** Upper df cap for shared-line edges: a line shared by MORE docs than
+    * this is mass boilerplate (d18's territory, and a quadratic pair
+    * bomb — df docs generate df·(df−1)/2 edges); the graph keeps only
+    * lines shared by 2..cap docs, where sharing is a meaningful
+    * template signal.
+    */
+  private val LineDfCap = 20
+
+  /** Degree-damped integer propagation ([[Propagation.propagate]], 3
+    * rounds) over the graph whose edges connect documents sharing a
+    * duplicated line — template-cluster centrality: a doc scores high
+    * when its neighbors are themselves well-connected, i.e. it sits
+    * DEEP inside a templated/mirrored cluster, a transitive signal
+    * plain pair counts miss. The testdata is single-line, so shared
+    * lines are planted deterministically: every doc gains a block
+    * banner keyed by doc_id div 5, and docs with doc_id % 3 ≠ 0 a
+    * second banner keyed by (doc_id+2) div 5 — overlapping 5-blocks
+    * chain into larger clusters, so propagation has real structure to
+    * walk. Edge keys are md5(line) (8-byte-ish portable hash keys, not
+    * raw strings — the d19 join-key discipline); all scores are BIGINT
+    * fixed-point (unit 10⁶, damping 850/1000, floor division), so three
+    * rounds replay bit-identically in the oracle's unrolled CTEs.
+    */
+  val d31_template_centrality: Q = (s, dir) => {
+    val g1 = expr("doc_id div 5").cast("string")
+    val g2 = expr("(doc_id + 2) div 5").cast("string")
+    val corpus = Tables(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nshared banner alpha "), g1))
+        .otherwise(concat(col("text"), lit("\nshared banner alpha "), g1,
+          lit("\nshared banner beta "), g2)).as("text"))
+    val lines = corpus
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("lh"))
+      .distinct()
+    val keep = lines.groupBy(col("lh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, LineDfCap))
+      .select(col("lh"))
+    val keyed = lines.join(keep, "lh")
+    val edges = keyed.as("a").join(keyed.as("b"),
+        col("a.lh") === col("b.lh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .distinct()
+    Propagation.propagate(edges, "a", "b", iters = 3)
+      .select(col("id").as("doc_id"), col("deg"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One unrolled propagation round: every node sends score÷deg to each
+    * neighbor; new score = 150000 + (850·Σincoming)÷1000 — all BIGINT
+    * floor division, mirroring [[Propagation.propagate]] exactly.
+    */
+  private def propRound(i: Int): String = {
+    val prev = s"p${i - 1}"
+    s"""in$i AS (
+       |  SELECT e.dst, CAST(SUM(p.score // p.deg) AS BIGINT) AS s
+       |  FROM bidir e JOIN $prev p ON p.id = e.src GROUP BY e.dst
+       |),
+       |p$i AS (
+       |  SELECT d.id, d.deg,
+       |         CAST(150000 + (850 * COALESCE(i.s, 0)) // 1000 AS BIGINT) AS score
+       |  FROM deg d LEFT JOIN in$i i ON i.dst = d.id
+       |)""".stripMargin
+  }
+
+  val d31_sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0
+       |           THEN text || chr(10) || 'shared banner alpha ' || CAST(doc_id // 5 AS VARCHAR)
+       |           ELSE text || chr(10) || 'shared banner alpha ' || CAST(doc_id // 5 AS VARCHAR)
+       |                     || chr(10) || 'shared banner beta ' || CAST((doc_id + 2) // 5 AS VARCHAR)
+       |         END AS text
+       |  FROM documents
+       |),
+       |lines AS (
+       |  SELECT DISTINCT doc_id, md5(l) AS lh
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM corpus) t
+       |),
+       |keep AS (
+       |  SELECT lh FROM (SELECT lh, COUNT(*) AS df FROM lines GROUP BY lh) t
+       |  WHERE df BETWEEN 2 AND $LineDfCap
+       |),
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM lines a
+       |  JOIN keep k ON k.lh = a.lh
+       |  JOIN lines b ON b.lh = a.lh AND a.doc_id < b.doc_id
+       |),
+       |bidir AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+       |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
+       |p0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS score FROM deg),
+       |${propRound(1)},
+       |${propRound(2)},
+       |${propRound(3)}
+       |SELECT id AS doc_id, deg, score FROM p3 ORDER BY doc_id""".stripMargin
+
+  // ── q35: percentile family ──────────────────────────────────────────
+
+  /** ANSI ordered-set aggregates over lineitem per return flag:
+    * PERCENTILE_DISC medians/tails (actual data values — pass-through,
+    * no interpolation arithmetic to drift cross-engine) plus a
+    * DETERMINISTIC mode (count DESC, value ASC — both engines' native
+    * `mode` leaves ties unspecified, so the tie rule is spelled out as
+    * a ranked aggregation). The oracle replays percentile_disc from
+    * first principles (smallest value whose cumulative row count
+    * reaches ⌈p·n⌉) rather than trusting another engine's quantile
+    * variant to share semantics.
+    */
+  val q35_percentile_family: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem")
+    val pct = li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median_qty"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90_price"))
+    val mw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("__n").desc, col("l_linestatus").asc)
+    val mode = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(mw))
+      .filter(col("__rn") === 1)
+      .select(col("l_returnflag"), col("l_linestatus").as("mode_status"))
+    pct.join(mode, "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"), col("median_qty"),
+        col("p90_price"), col("mode_status"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q35_sql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_quantity, l_extendedprice,
+      |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq,
+      |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rp,
+      |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |),
+      |pct AS (
+      |  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |         MIN(CASE WHEN rq = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_quantity END) AS median_qty,
+      |         MIN(CASE WHEN rp = CAST(CEIL(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90_price
+      |  FROM ranked GROUP BY l_returnflag
+      |),
+      |mode AS (
+      |  SELECT l_returnflag, l_linestatus AS mode_status FROM (
+      |    SELECT l_returnflag, l_linestatus,
+      |           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |             ORDER BY COUNT(*) DESC, l_linestatus ASC) AS rn
+      |    FROM lineitem GROUP BY l_returnflag, l_linestatus) t
+      |  WHERE rn = 1
+      |)
+      |SELECT p.l_returnflag, p.n_rows, p.median_qty, p.p90_price, m.mode_status
+      |FROM pct p JOIN mode m ON m.l_returnflag = p.l_returnflag
+      |ORDER BY p.l_returnflag""".stripMargin
+
+  // ── v15: referential-integrity orphan audit ─────────────────────────
+
+  /** FK orphan audit across two edges of the star schema — the
+    * validation every CDC target needs after out-of-order applies
+    * (child rows arriving before/outliving their parent). The testdata
+    * is referentially intact, so breakage is planted deterministically:
+    * customers with c_custkey % 7 = 3 and orders with o_orderkey % 11 = 5
+    * are dropped from the parent side, making the children referencing
+    * them orphans. One LEFT ANTI join per FK (each plans as a broadcast
+    * or SMJ existence probe — never a fan-out), integer counts only.
+    */
+  val v15_referential_orphans: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") % 7 =!= 3)
+    val ords = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    val ordsKept = ords.filter(col("o_orderkey") % 11 =!= 5)
+    val orphanOrders = ords
+      .join(cust.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+    val orphanLines = li
+      .join(ordsKept.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val r1 = ords.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphanOrders.agg(count(lit(1)).as("n_orphans")))
+      .select(lit("orders->customer").as("fk"), col("n_child"), col("n_orphans"))
+    val r2 = li.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphanLines.agg(count(lit(1)).as("n_orphans")))
+      .select(lit("lineitem->orders").as("fk"), col("n_child"), col("n_orphans"))
+    r1.unionAll(r2).orderBy(col("fk"))
+  }
+
+  val v15_sql: String =
+    """SELECT fk, n_child, n_orphans FROM (
+      |  SELECT 'orders->customer' AS fk,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                            WHERE c.c_custkey % 7 <> 3 AND c.c_custkey = o.o_custkey)) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem->orders',
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey % 11 <> 5 AND o.o_orderkey = l.l_orderkey))
+      |) t
+      |ORDER BY fk""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -1712,7 +1915,10 @@ object CurationQueries {
     "d30_epoch_upsample" -> d30_epoch_upsample,
     "q32_cube_grouping" -> q32_cube_grouping,
     "q33_pivot_status" -> q33_pivot_status,
-    "q34_unpivot_measures" -> q34_unpivot_measures)
+    "q34_unpivot_measures" -> q34_unpivot_measures,
+    "d31_template_centrality" -> d31_template_centrality,
+    "q35_percentile_family" -> q35_percentile_family,
+    "v15_referential_orphans" -> v15_referential_orphans)
 
   val oracles: Map[String, String] = Map(
     "w07_asof_join" -> w07_sql,
@@ -1756,5 +1962,8 @@ object CurationQueries {
     "d30_epoch_upsample" -> d30_sql,
     "q32_cube_grouping" -> q32_sql,
     "q33_pivot_status" -> q33_sql,
-    "q34_unpivot_measures" -> q34_sql)
+    "q34_unpivot_measures" -> q34_sql,
+    "d31_template_centrality" -> d31_sql,
+    "q35_percentile_family" -> q35_sql,
+    "v15_referential_orphans" -> v15_sql)
 }

@@ -198,13 +198,95 @@ object SemanticQueries {
        |SELECT vec_id, CAST(c AS INT) AS cluster, dist AS sq_dist
        |FROM a3 ORDER BY vec_id""".stripMargin
 
+  // ── s13: product-quantization ANN (asymmetric distance) ────────────
+
+  /** PQ/ADC top-10 ([[VectorSearch.pqTopK]]): 4 subspaces × 16 dims,
+    * 8 codes per subspace — codebook s is the s-th slice of the 8
+    * highest-id embedding vectors (the derivedPlanes recipe, so the
+    * oracle rebuilds the codebooks from the parquet alone). Corpus rows
+    * compress to 4×3 bits; queries score candidates by summed
+    * distance-table lookups, never a per-pair dot product.
+    *
+    * Determinism: codes are integer argmins (d ASC, code ASC), and both
+    * engines fold the 4 subspace distances in the same order
+    * (((d0+d1)+d2)+d3) over identical doubles, so the rank window sees
+    * identical keys; the oracle ranks dist ASC where Spark ranks
+    * −dist DESC — an exact negation, not a float transform.
+    */
+  val s13_pq_ann: Q = (s, dir) => {
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.pqTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        codebooks = codebooks, k = 10)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s13_sql: String =
+    """WITH cents AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+      |         CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings
+      |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+      |),
+      |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |ss AS (SELECT unnest(range(4)) AS s),
+      |subs AS (
+      |  SELECT v.vec_id, ss.s, list_slice(v.vec, ss.s*16 + 1, ss.s*16 + 16) AS sub
+      |  FROM vecs v CROSS JOIN ss
+      |),
+      |csubs AS (
+      |  SELECT c.j, ss.s, list_slice(c.cvec, ss.s*16 + 1, ss.s*16 + 16) AS csub
+      |  FROM cents c CROSS JOIN ss
+      |),
+      |dists AS (
+      |  SELECT sb.vec_id, sb.s, cs.j,
+      |         list_inner_product(sb.sub, sb.sub)
+      |           - 2.0 * list_inner_product(sb.sub, cs.csub)
+      |           + list_inner_product(cs.csub, cs.csub) AS d
+      |  FROM subs sb JOIN csubs cs ON cs.s = sb.s
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT vec_id, s, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+      |    FROM dists) t
+      |  WHERE rn = 1
+      |),
+      |qd AS (SELECT vec_id AS query_id, s, j, d FROM dists WHERE vec_id < 5),
+      |parts AS (
+      |  SELECT q.query_id, co.vec_id AS id, co.s, q.d
+      |  FROM codes co JOIN qd q ON q.s = co.s AND q.j = co.code
+      |  WHERE co.vec_id <> q.query_id
+      |),
+      |scores AS (
+      |  SELECT query_id, id,
+      |         ((MAX(CASE WHEN s = 0 THEN d END)
+      |           + MAX(CASE WHEN s = 1 THEN d END))
+      |           + MAX(CASE WHEN s = 2 THEN d END))
+      |           + MAX(CASE WHEN s = 3 THEN d END) AS dist
+      |  FROM parts GROUP BY query_id, id
+      |)
+      |SELECT query_id, rank, id FROM (
+      |  SELECT query_id, id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+      |  FROM scores) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
-    "s12_kmeans" -> s12_kmeans)
+    "s12_kmeans" -> s12_kmeans,
+    "s13_pq_ann" -> s13_pq_ann)
 
   val oracles: Map[String, String] = Map(
     "d27_semantic_dedup" -> d27_sql,
     "s09_embedding_decontam" -> s09_sql,
-    "s12_kmeans" -> s12_sql)
+    "s12_kmeans" -> s12_sql,
+    "s13_pq_ann" -> s13_sql)
 }

@@ -1,48 +1,51 @@
 package graft.tools
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc dev probe (contents change per investigation). Current:
-  * d19 containmentPairsPrefix at the 500k growth tier, string-exact
-  * verification vs the hashedVerification policy flag — the
-  * pair-shingles relation is the operator's dominant shuffle and the
-  * flag shrinks its key from the shingle string to 8 bytes.
+  * subset Verify — dump only the named queries (default: round-7's new
+  * ones) + their oracle_sql.json for tools/check.py, so the dev loop
+  * doesn't re-run the full 120-query suite per iteration.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val n = args.headOption.map(_.toInt).getOrElse(500000)
-    def t[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    // the growth tier's d19 corpus: universal 12-word boilerplate tail
-    val docs = {
-      val unique = (0 until 12).map(j =>
-        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
-          lit(s"_u$j"))), 1, 7))
-      val boiler = (0 until 12).map(j => lit(s"boiler$j"))
-      spark.range(n).select(col("id").as("doc_id"),
-        concat_ws(" ", (unique ++ boiler): _*).as("text"))
-    }.repartition(32).persist()
-    docs.count()
-    Seq(true, false).foreach { hashed =>
-      graft.operators.CacheScope.scoped { implicit cs =>
-        t(s"d19 $n docs, hashedVerification=$hashed") {
-          println(s"[probe]   directed pairs: " + graft.operators.TextDedup
-            .containmentPairsPrefix(docs, "doc_id", "text",
-              hashedVerification = hashed).count())
-        }
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-r7-verify"
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("s13_pq_ann", "d31_template_centrality",
+        "q35_percentile_family", "v15_referential_orphans")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(f"[probe] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
+        println(s"[probe] $name FAILED: $e")
       }
-      spark.catalog.clearCache()
-      docs.persist().count() // re-pin the corpus after the clear
     }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -449,6 +449,28 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("PQ/ADC search broadcasts the query tables and shuffles only for the rank window") {
+    // pqTopK: the encoded corpus never moves before scoring — the ADC
+    // table rides a broadcast, scoring is a projection inside the BHJ
+    // stage, and the ONLY shuffle is the per-query rank window's
+    val e = Tables(spark, dir, "embeddings")
+    val planes = queries.DataPipelineQueries.derivedPlanes(spark, dir, 8)
+    val codebooks = (0 until 4).map(s => planes.map(_.slice(s * 16, s * 16 + 16)))
+    val df = operators.VectorSearch.pqTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", "vec_id", codebooks, k = 10)
+    val plan = executedPlan(df)
+    val bcast = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastExchange") => p
+    }
+    val shuffles = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("ShuffleExchange") => p
+    }
+    assert(bcast.nonEmpty, s"ADC table must broadcast:\n${plan.toString.take(3000)}")
+    assert(shuffles.size <= 1,
+      s"only the rank window may shuffle:\n${plan.toString.take(3000)}")
+  }
+
   test("k-means assignment is a zero-shuffle projection over the cached corpus") {
     // quantizedKMeans' returned frame: centroids are CONSTANT literals
     // baked into the argmin expression, so labeling the corpus is a

@@ -26,12 +26,7 @@ class StreamingWindowSpec extends AnyFunSuite {
 
     // stream the same parquet through the same plan (complete mode so the
     // final state table carries every window)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val streamEvents = Tables.eventsStream(spark, dir)
     val q = EventWindows.windowedStats(streamEvents, "1 hour", watermark = Some("1 hour"))
       .writeStream
       .format("memory")
@@ -52,12 +47,7 @@ class StreamingWindowSpec extends AnyFunSuite {
         Tables(spark, dir, "events"), "1 hour", slide = Some("15 minutes"))
       .collect().map(_.toSeq).toSet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val streamEvents = Tables.eventsStream(spark, dir)
     val q = EventWindows.windowedStats(streamEvents, "1 hour",
         slide = Some("15 minutes"), watermark = Some("1 hour"))
       .writeStream.format("memory").queryName("slw_out")
@@ -75,12 +65,7 @@ class StreamingWindowSpec extends AnyFunSuite {
         Tables(spark, dir, "events"), "30 minutes")
       .collect().map(_.toSeq).toSet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val streamEvents = Tables.eventsStream(spark, dir)
     val q = EventWindows.sessionStats(streamEvents, "30 minutes",
         watermark = Some("1 hour"))
       .writeStream.format("memory").queryName("ssw_out")
@@ -98,12 +83,7 @@ class StreamingWindowSpec extends AnyFunSuite {
         Tables(spark, dir, "events"), "click", "purchase", "30 minutes")
       .collect().map(_.toSeq).toSet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val streamEvents = Tables.eventsStream(spark, dir)
     val q = EventWindows.followWithin(streamEvents, "click", "purchase",
         "30 minutes", watermark = Some("1 hour"))
       .writeStream
@@ -127,12 +107,7 @@ class StreamingWindowSpec extends AnyFunSuite {
     val batch = EventWindows.dedupEvents(dupd)
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val streamEvents = Tables.eventsStream(spark, dir)
     val streamDupd = streamEvents.unionAll(
       streamEvents.filter(org.apache.spark.sql.functions.col("event_id") % 10 === 0))
     val q = EventWindows.dedupEvents(streamDupd, watermark = Some("1 hour"))
@@ -160,12 +135,7 @@ class StreamingWindowSpec extends AnyFunSuite {
         Tables(spark, dir, "events"), dim, "user_id", "c_custkey", "n_name")
       .collect().map(_.toSeq).toSet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val streamEvents = Tables.eventsStream(spark, dir)
     val q = EventWindows.enrichedStats(streamEvents, dim,
         "user_id", "c_custkey", "n_name", watermark = Some("1 hour"))
       .writeStream.format("memory").queryName("enr_out")
@@ -309,12 +279,7 @@ class StreamingWindowSpec extends AnyFunSuite {
     val batch = batchAsof(Tables(spark, dir, "events"))
       .collect().map(_.toSeq).toSet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        val streamEvents = Tables.eventsStream(spark, dir)
     val q = AsofStream.enrich(streamEvents, "purchase", "click")
       .writeStream.format("memory").queryName("asof_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
