@@ -38,6 +38,8 @@ object ScaleSmoke {
     if (mode == "cc" || mode == "all") ccSmoke(spark)
     if (mode == "skew" || mode == "all") skewSmoke(spark)
     if (mode == "budget" || mode == "all") budgetSmoke(spark)
+    if (mode == "graph" || mode == "all") graphSmoke(spark)
+    if (mode == "pq" || mode == "all") pqSmoke(spark)
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
   }
@@ -289,6 +291,62 @@ object ScaleSmoke {
     * bounded by bucketWidth occupancy, here ~1/10 of a domain). Both
     * runs assert exact set equality against the naive window form.
     */
+  /** d31 propagation growth: 3 integer rounds over path-plus-chords
+    * graphs (|E| ≈ 1.33·n) at 100k and 1M nodes. Per-round cost is one
+    * edge-relation shuffle + one aggregation, so 10× nodes should cost
+    * ~10× per round — superlinear growth here means the checkpointed
+    * edge relation is being recomputed or the round join grew a new
+    * exchange. Shuffle bytes reported for the byte-volume claim.
+    */
+  private def graphSmoke(spark: SparkSession): Unit = {
+    Seq(100000L, 1000000L).foreach { n =>
+      val path = spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val chords = spark.range(n - 7)
+        .filter(col("id") % 3 === 0)
+        .select(col("id").as("a"), (col("id") + 7).as("b"))
+      val edges = path.unionAll(chords)
+      val (_, bytes) = withShuffleBytes(spark) {
+        time(s"d31 propagation, $n nodes / ~${(n * 4) / 3} edges, 3 rounds") {
+          val out = graft.operators.Propagation.propagate(edges, "a", "b", iters = 3)
+          println(s"[scale]   nodes scored: ${out.count()}, " +
+            s"score sum: ${out.agg(sum(col("score"))).head.getLong(0)}")
+        }
+      }
+      println(f"[scale]   shuffled: ${bytes / 1e6}%.0f MB")
+    }
+  }
+
+  /** s13 PQ/ADC growth: 4×16-dim subspaces, 8 codes each, 5 queries
+    * against synthetic 64-dim corpora at 50k and 500k vectors. The
+    * corpus is scanned once per query batch (encode + score in the
+    * broadcast-join stage); 10× vectors should cost ~10× — any worse
+    * means the encode argmin or the ADC fold stopped being a pure
+    * projection.
+    */
+  private def pqSmoke(spark: SparkSession): Unit = {
+    def vec(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(63)),
+        j => sin(seed * 64 + j.cast("double")))
+    Seq(50000L, 500000L).foreach { n =>
+      val corpus = spark.range(n)
+        .select(col("id"), vec(col("id").cast("double")).as("v"))
+        .repartition(32).persist()
+      corpus.count()
+      val queries = corpus.filter(col("id") < 5)
+      val codebooks = {
+        val rows = corpus.filter(col("id") >= n - 8).orderBy(col("id"))
+          .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+        (0 until 4).map(s => rows.map(_.slice(s * 16, s * 16 + 16)))
+      }
+      time(s"s13 PQ/ADC top-10, $n vectors x 64 dims, 5 queries") {
+        println(s"[scale]   result rows: ${graft.operators.VectorSearch
+          .pqTopK(corpus, queries, "id", "v", "id", codebooks, k = 10).count()}")
+      }
+      corpus.unpersist()
+    }
+  }
+
   private def budgetSmoke(spark: SparkSession): Unit = {
     import org.apache.spark.sql.expressions.{Window => W}
     val n = 2000000L
