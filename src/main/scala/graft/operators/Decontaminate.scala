@@ -36,6 +36,37 @@ object Decontaminate {
         countDistinct(col("__eval_id")).as("matched_eval_docs"))
   }
 
+  /** The eval-centric transpose of [[report]]: per EVAL document, how
+    * much of it leaks into the pool — (idCol, n_grams, n_hit,
+    * overlap_pct) where n_hit counts the eval doc's distinct n-grams
+    * found ANYWHERE in the pool and overlap_pct = 100·n_hit div
+    * n_grams. This is the memorization-risk view: an eval doc with
+    * high overlap is effectively in the training set even if no single
+    * pool doc contains all of it. Same scale shape as [[report]] — the
+    * pool is scanned once with the eval grams broadcast; only matched
+    * rows reach the aggregation; a LEFT join from the (tiny) per-eval
+    * gram counts preserves zero-overlap eval docs.
+    */
+  def evalOverlap(
+      pool: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = TextDedup.shingles(evalSet, idCol, textCol, n)
+      .select(col("id").as("__eval_id"), col("shingle"))
+      .distinct()
+    val totals = evalGrams.groupBy(col("__eval_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    // dedup (eval doc, gram) hits across pool docs INSIDE the aggregate:
+    // a gram shared with thousands of pool docs still counts once
+    val hits = TextDedup.shingles(pool, idCol, textCol, n)
+      .join(broadcast(evalGrams), "shingle")
+      .groupBy(col("__eval_id"))
+      .agg(countDistinct(col("shingle")).as("n_hit"))
+    totals.join(hits, Seq("__eval_id"), "left")
+      .select(col("__eval_id").as(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("100 * coalesce(n_hit, 0) div n_grams").as("overlap_pct"))
+  }
+
   /** The clean corpus: `pool` minus every contaminated doc (broadcast
     * anti join against the report's id set).
     */

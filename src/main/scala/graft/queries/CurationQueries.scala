@@ -1826,6 +1826,46 @@ object CurationQueries {
       |FROM pct p JOIN mode m ON m.l_returnflag = p.l_returnflag
       |ORDER BY p.l_returnflag""".stripMargin
 
+  // ── q36: array construction + functions ─────────────────────────────
+
+  /** Array surface over grouped data: per order priority, the sorted
+    * distinct status list built by `collect_set` + `sort_array` (the
+    * deterministic form — bare collect_set order is partitioning
+    * luck), then the array function family over it: size, membership,
+    * indexing, join-to-string. Arrays hash cross-engine as normalized
+    * element lists, and sorting makes the construction
+    * partitioning-invariant.
+    */
+  val q36_array_functions: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("statuses"),
+        size(col("statuses")).as("n_statuses"),
+        array_contains(col("statuses"), "F").as("has_f"),
+        element_at(col("statuses"), 1).as("first_status"),
+        array_join(col("statuses"), "|").as("joined"),
+        col("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q36_sql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority,
+      |         list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_orderpriority
+      |)
+      |SELECT o_orderpriority, statuses,
+      |       CAST(len(statuses) AS INT) AS n_statuses,
+      |       list_contains(statuses, 'F') AS has_f,
+      |       statuses[1] AS first_status,
+      |       array_to_string(statuses, '|') AS joined,
+      |       n_orders
+      |FROM g
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ── v15: referential-integrity orphan audit ─────────────────────────
 
   /** FK orphan audit across two edges of the star schema — the
@@ -1918,6 +1958,7 @@ object CurationQueries {
     "q34_unpivot_measures" -> q34_unpivot_measures,
     "d31_template_centrality" -> d31_template_centrality,
     "q35_percentile_family" -> q35_percentile_family,
+    "q36_array_functions" -> q36_array_functions,
     "v15_referential_orphans" -> v15_referential_orphans)
 
   val oracles: Map[String, String] = Map(
@@ -1965,5 +2006,6 @@ object CurationQueries {
     "q34_unpivot_measures" -> q34_sql,
     "d31_template_centrality" -> d31_sql,
     "q35_percentile_family" -> q35_sql,
+    "q36_array_functions" -> q36_sql,
     "v15_referential_orphans" -> v15_sql)
 }

@@ -993,6 +993,24 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The eval-centric transpose of d07 ([[Decontaminate.evalOverlap]]):
+    * per EVAL document, the fraction of its 8-grams found anywhere in
+    * the training pool — the memorization-risk report. Planted copies
+    * of eval docs give 100% overlap rows; organic eval docs sit near 0.
+    * Same broadcast/scan shape as d07; zero-overlap eval docs survive
+    * via the left join from the per-eval totals.
+    */
+  val d33_eval_overlap: Q = (s, dir) => {
+    val evalSet = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"))
+    val pool = dupDocCorpus(s, dir)
+      .join(broadcast(evalSet.select(col("doc_id").as("__eid"))),
+        col("doc_id") === col("__eid"), "left_anti")
+    Decontaminate.evalOverlap(pool, evalSet, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** 8-gram shingles with wordNgrams' short-doc convention, as a SQL
     * select body over (doc_id, text) relation `src`.
     */
@@ -1022,6 +1040,31 @@ object DataPipelineQueries {
        |       COUNT(DISTINCT e.eval_id) AS matched_eval_docs
        |FROM pgrams p JOIN egrams e ON p.shingle = e.shingle
        |GROUP BY p.id
+       |ORDER BY doc_id""".stripMargin
+
+  val d33_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |evaldocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+       |pool AS (SELECT doc_id, text FROM corpus
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM evaldocs)),
+       |egrams AS (
+       |  SELECT DISTINCT id AS eval_id, shingle FROM (${gramsSql("evaldocs", 8)}) e
+       |),
+       |totals AS (
+       |  SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM egrams GROUP BY eval_id
+       |),
+       |pgrams AS (
+       |  ${gramsSql("pool", 8)}
+       |),
+       |hits AS (
+       |  SELECT e.eval_id, CAST(COUNT(DISTINCT e.shingle) AS BIGINT) AS n_hit
+       |  FROM pgrams p JOIN egrams e ON e.shingle = p.shingle
+       |  GROUP BY e.eval_id
+       |)
+       |SELECT t.eval_id AS doc_id, t.n_grams,
+       |       COALESCE(h.n_hit, 0) AS n_hit,
+       |       100 * COALESCE(h.n_hit, 0) // t.n_grams AS overlap_pct
+       |FROM totals t LEFT JOIN hits h ON h.eval_id = t.eval_id
        |ORDER BY doc_id""".stripMargin
 
   /** Incremental ingestion dedup: the planted copies arrive as a NEW
@@ -1494,6 +1537,7 @@ object DataPipelineQueries {
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d06_dedup_groups" -> d06_dedup_groups,
     "d07_decontaminate" -> d07_decontaminate,
+    "d33_eval_overlap" -> d33_eval_overlap,
     "d08_stratified_sample" -> d08_stratified_sample,
     "d09_incremental_dedup" -> d09_incremental_dedup,
     "d10_curation_pipeline" -> d10_curation_pipeline,
@@ -1529,6 +1573,7 @@ object DataPipelineQueries {
     "d05_embedding_neardup" -> d05_sql,
     "d06_dedup_groups" -> d06_sql,
     "d07_decontaminate" -> d07_sql,
+    "d33_eval_overlap" -> d33_sql,
     "d08_stratified_sample" -> d08_sql,
     "d09_incremental_dedup" -> d09_sql,
     "d10_curation_pipeline" -> d10_sql,

@@ -367,6 +367,30 @@ object StreamingQueries {
       |) t
       |ORDER BY event_id, batch_seq""".stripMargin
 
+  /** w05's LEFT OUTER sibling: every click keeps a row even with no
+    * purchase inside the 30-minute horizon (follow_id/seconds_after
+    * NULL) — the attribution view that also measures NON-conversion.
+    * Runs the same [[EventWindows.followWithin]] plan the streaming
+    * side uses; as a stream-stream outer join the unmatched rows emit
+    * once the watermark passes lead_ts + horizon (bounded-state proof
+    * in StreamingWindowSpec; this batch query is the full fold).
+    */
+  val w12_follow_outer: Q = (s, dir) =>
+    EventWindows.followWithin(Tables(s, dir, "events"), "click", "purchase",
+        "30 minutes", joinType = "left_outer")
+      .orderBy(col("lead_id"), col("follow_id"))
+
+  val w12_sql: String =
+    """SELECT l.user_id, l.event_id AS lead_id, r.event_id AS follow_id,
+      |       (epoch_us(CAST(r.ts AS TIMESTAMP)) - epoch_us(CAST(l.ts AS TIMESTAMP))) // 1000000
+      |         AS seconds_after
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id
+      | AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP)
+      | AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY lead_id, follow_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
@@ -377,7 +401,8 @@ object StreamingQueries {
     "w08_stream_enrich" -> w08_stream_enrich,
     "w09_funnel_dropoff" -> w09_funnel_dropoff,
     "w10_corpus_admission" -> w10_corpus_admission,
-    "w11_watermark_dedup" -> w11_watermark_dedup)
+    "w11_watermark_dedup" -> w11_watermark_dedup,
+    "w12_follow_outer" -> w12_follow_outer)
 
   val oracles: Map[String, String] = Map(
     "w01_tumbling_windows" -> w01_sql,
@@ -389,5 +414,6 @@ object StreamingQueries {
     "w08_stream_enrich" -> w08_sql,
     "w09_funnel_dropoff" -> w09_sql,
     "w10_corpus_admission" -> w10_sql,
-    "w11_watermark_dedup" -> w11_sql)
+    "w11_watermark_dedup" -> w11_sql,
+    "w12_follow_outer" -> w12_sql)
 }

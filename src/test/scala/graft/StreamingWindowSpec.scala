@@ -416,6 +416,43 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed == expected.map(e => (e._1, e._2)),
       s"stream produced $streamed")
   }
+  test("streaming left-outer follow join ≡ batch within the flushed horizon") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(spark, dir, "events")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val batch = EventWindows.followWithin(ev, "click", "purchase",
+        "30 minutes", joinType = "left_outer")
+      .collect().map(key).toSet
+
+    val streamEvents = Tables.eventsStream(spark, dir)
+    val q = EventWindows.followWithin(streamEvents, "click", "purchase",
+        "30 minutes", watermark = Some("0 seconds"), joinType = "left_outer")
+      .writeStream.format("memory").queryName("w12_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("w12_out").collect().map(key).toSet
+
+    // inner matches never wait on the watermark: exact equality
+    val batchInner = batch.filter(_._3 >= 0)
+    assert(streamed.filter(_._3 >= 0) == batchInner)
+    assert(batchInner.nonEmpty)
+    // outer (null) rows: emitted iff the watermark passed lead_ts +
+    // horizon — everything the stream emitted must be a batch row, and
+    // every batch null-row whose lead is ≥ horizon older than the final
+    // watermark (= max event ts at delay 0) must have been flushed
+    assert(streamed.subsetOf(batch), s"stream-only rows: ${streamed -- batch}")
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val leadTs = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val mustFlush = batch.filter(r =>
+      r._3 < 0 && leadTs(r._2) + 30 * 60 * 1000L < maxTs)
+    assert(mustFlush.nonEmpty, "fixture left no flushable unmatched lead")
+    val missing = mustFlush -- streamed
+    assert(missing.isEmpty, s"unflushed outer rows past the watermark: $missing")
+  }
 }
 
 object StreamingWindowSpec {
