@@ -420,8 +420,12 @@ object CoreQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  val q17_sql: String =
-    """WITH staging_raw AS (
+  /** The synthetic CDC staging batch (syntheticOrdersCdc) as a SQL CTE
+    * body named `staging_raw` — shared by the q17 merge oracle and the
+    * q37 SCD2 oracle so the fixture cannot drift between them.
+    */
+  val StagingRawSql: String =
+    """staging_raw AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority,
       |         'U' AS op, TIMESTAMP '2030-01-01 00:00:00' AS load_ts, 1 AS seq
       |  FROM orders WHERE o_orderkey % 10 < 2
@@ -453,7 +457,10 @@ object CoreQueries {
       |  SELECT o_orderkey + 200000000, o_custkey, 'X', o_totalprice, o_orderdate, o_orderpriority,
       |         'D', TIMESTAMP '2030-01-01 00:00:00', 1
       |  FROM orders WHERE o_orderkey % 10 = 5
-      |),
+      |)""".stripMargin
+
+  val q17_sql: String =
+    s"""WITH $StagingRawSql,
       |dedup AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, op
       |  FROM (

@@ -1866,6 +1866,51 @@ object CurationQueries {
       |FROM g
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ── q37: SCD2 history reconstruction from CDC events ────────────────
+
+  /** Type-2 slowly-changing-dimension rows from the synthetic CDC batch
+    * (the classic CDC consumer): per key, events ordered by the dedup
+    * cascade's exact tie rules (load_ts, delete-wins op priority,
+    * ingestion_seq) become versioned rows with effective ranges —
+    * `effective_to` = the NEXT event's load_ts via LEAD (NULL = open),
+    * `is_current` marks the open non-delete version. One key shuffle
+    * for both window functions; all range arithmetic is timestamp
+    * pass-through (no interpolation to drift cross-engine).
+    */
+  val q37_scd2_ranges: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey"))
+      .orderBy(col("load_timestamp"),
+        when(col("Op") === "D", 3).when(col("Op") === "U", 2).otherwise(1),
+        col("ingestion_seq"))
+    CoreQueries.syntheticOrdersCdc(s, dir)
+      .withColumn("version_no", row_number().over(w))
+      .withColumn("effective_to", lead(col("load_timestamp"), 1).over(w))
+      .select(col("o_orderkey"), col("version_no"), col("Op").as("op"),
+        col("o_totalprice"), col("load_timestamp").as("effective_from"),
+        col("effective_to"),
+        (col("effective_to").isNull && col("Op") =!= "D").as("is_current"))
+      .orderBy(col("o_orderkey"), col("version_no"))
+  }
+
+  val q37_sql: String =
+    s"""WITH ${CoreQueries.StagingRawSql},
+       |hist AS (
+       |  SELECT o_orderkey,
+       |         ROW_NUMBER() OVER w AS version_no,
+       |         op, o_totalprice, load_ts AS effective_from,
+       |         LEAD(load_ts, 1) OVER w AS effective_to
+       |  FROM staging_raw
+       |  WINDOW w AS (PARTITION BY o_orderkey
+       |               ORDER BY load_ts,
+       |                        CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END,
+       |                        seq)
+       |)
+       |SELECT o_orderkey, version_no, op, o_totalprice, effective_from, effective_to,
+       |       (effective_to IS NULL AND op <> 'D') AS is_current
+       |FROM hist
+       |ORDER BY o_orderkey, version_no""".stripMargin
+
   // ── v15: referential-integrity orphan audit ─────────────────────────
 
   /** FK orphan audit across two edges of the star schema — the
@@ -1959,6 +2004,7 @@ object CurationQueries {
     "d31_template_centrality" -> d31_template_centrality,
     "q35_percentile_family" -> q35_percentile_family,
     "q36_array_functions" -> q36_array_functions,
+    "q37_scd2_ranges" -> q37_scd2_ranges,
     "v15_referential_orphans" -> v15_referential_orphans)
 
   val oracles: Map[String, String] = Map(
@@ -2007,5 +2053,6 @@ object CurationQueries {
     "d31_template_centrality" -> d31_sql,
     "q35_percentile_family" -> q35_sql,
     "q36_array_functions" -> q36_sql,
+    "q37_scd2_ranges" -> q37_sql,
     "v15_referential_orphans" -> v15_sql)
 }

@@ -5,9 +5,10 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc dev probe (contents change per investigation). Current:
-  * subset Verify — dump only the named queries (default: round-7's new
-  * ones) + their oracle_sql.json for tools/check.py, so the dev loop
-  * doesn't re-run the full 120-query suite per iteration.
+  * subset Verify — dump only the named queries + their oracle_sql.json
+  * for tools/check.py, so the dev loop doesn't re-run the full suite
+  * per iteration. Usage:
+  * `runMain graft.tools.Scratch <sfDir> <outDir> <query...>`
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -19,10 +20,9 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft-r7-verify"
-    val names = if (args.length > 2) args.drop(2).toSeq
-      else Seq("s13_pq_ann", "d31_template_centrality",
-        "q35_percentile_family", "v15_referential_orphans")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-subset-verify"
+    require(args.length > 2, "pass query names to dump")
+    val names = args.drop(2).toSeq
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       val t0 = System.nanoTime()
