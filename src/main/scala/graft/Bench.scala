@@ -21,14 +21,45 @@ object Bench {
     * busy includes STEAL — on a shared hypervisor, a neighbor VM's work
     * shows up only as steal time, and rounds 4-6 were all contaminated
     * by exactly that kind of invisible-to-loadavg-attribution noise.
+    * Only the first 8 fields (user nice system idle iowait irq softirq
+    * steal) are summed: the kernel already folds guest/guest_nice into
+    * user/nice, so including fields 9-10 would double-count guest time
+    * on VM hosts and skew the foreign-CPU share.
     */
   private def machineJiffies(): (Long, Long) =
     try {
       val v = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .split("\\s+").drop(1).map(_.toLong)
+        .split("\\s+").drop(1).take(8).map(_.toLong)
       val idle = v(3) + v(4) // idle + iowait
       (v.sum - idle, v.sum)
     } catch { case _: Throwable => (0L, 0L) }
+
+  /** Per-query medians from the newest prior round's BENCH_r*.json in
+    * the cwd (the driver leaves them in the repo root). Keys are stored
+    * under BOTH the artifact's key form and its id prefix, so lookups
+    * work whichever name tier the prior round's precision ladder used.
+    * Feeds the cross-round regression retry: a query >2× slower than
+    * last round's median gets extra runs before the figure is believed —
+    * round 7's v04 (0.72 s → 1.97 s under contention) motivated this.
+    */
+  private def priorMedians(): Map[String, Double] =
+    try {
+      val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      if (fs.isEmpty) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(fs.last).path("parsed").path("queries")
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next(); val v = e.getValue.asDouble(-1.0)
+          if (v >= 0) { b += e.getKey -> v; b += e.getKey.split('_').head -> v }
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
 
   /** utime+stime jiffies of THIS process (all threads — executor pool,
     * GC, codegen). comm can contain spaces, so parse after the last ')'.
@@ -100,6 +131,16 @@ object Bench {
     def allKeptForeign(xs: Seq[(Double, Double)]): Boolean =
       kept(xs).forall { case (t, f) => t >= 0 && f > ForeignThresh }
     val benchJ0 = machineJiffies(); val benchOwn0 = ownJiffies()
+    val prior = priorMedians()
+    // cross-round regression trigger: current kept-median >2× last
+    // round's median (prior ≥ 0.15 s — below that the ratio is jitter).
+    // Retrying can't fix a REAL regression, but it stops a one-slot
+    // contended box from printing a phantom one (r6 q17: 28.8 s).
+    def regressed(name: String, runs: Seq[(Double, Double)]): Boolean = {
+      val cur = { val k = keptTimes(runs); k.sorted.apply(k.size / 2) }
+      cur >= 0 && prior.get(name).orElse(prior.get(name.split('_').head))
+        .exists(p => p >= 0.15 && cur > RetryRatio * p)
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): (Double, Double) = {
         val (b0, a0) = machineJiffies(); val o0 = ownJiffies()
@@ -120,7 +161,8 @@ object Bench {
       }
       var runs = (1 to Runs).map(_ => once())
       var retries = 0
-      while ((spreadOf(keptTimes(runs)) > RetryRatio || allKeptForeign(runs))
+      while ((spreadOf(keptTimes(runs)) > RetryRatio || allKeptForeign(runs)
+            || regressed(name, runs))
           && retries < MaxRetries) {
         runs = runs :+ once()
         retries += 1
@@ -166,19 +208,21 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"runs","unit":"sec","runs":$rs,"sf":"$sfDir"}""")
     def summaryWith(fmtVal: Double => String,
-        keyOf: String => String = identity): String = {
+        keyOf: String => String = identity,
+        retryCap: Int = Int.MaxValue): String = {
       val qs = results
         .map { case (k, (v, _)) => "\"" + keyOf(k) + "\":" + fmtVal(median(v)) }
         .mkString("{", ",", "}")
       // sf as basename: the final line must fit the stdout tail budget
       val sf = sfDir.split('/').last
-      // retried ids use the short query-id prefix and cap at 15 entries
-      // (overflow recorded as a "+N" marker) so a pathologically
-      // contended run can't blow the tail budget
+      // retried ids use the short query-id prefix; the list ships IN FULL
+      // on every normal tier (a truncated retry audit hid 8 ids in r7) —
+      // only the last-resort tier caps it (overflow as a "+N" marker) so
+      // a pathologically contended run can't blow the tail budget
       def capped(ids: Seq[String]): String = {
         val short = ids.map(keyOf)
-        (if (short.size <= 15) short
-         else short.take(15) :+ s"+${short.size - 15}")
+        (if (short.size <= retryCap) short
+         else short.take(retryCap) :+ s"+${short.size - retryCap}")
           .map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)}}"""
@@ -202,6 +246,7 @@ object Bench {
         _.split('_').head
       else identity
     def idTier(decimals: Int): String = summaryWith(fmt(_, decimals), idOf)
+    def idTierCapped: String = summaryWith(fmt(_, 0), idOf, retryCap = 15)
     // Stop Spark BEFORE the final line: executor/shutdown log noise must
     // not land after the summary, or the tail cut could clip it.
     spark.stop()
@@ -210,7 +255,7 @@ object Bench {
     // line would be HEAD-clipped by the tail cut and unparseable, so the
     // gate stays just under the real ~1925-char budget.
     println((Seq(summary(3), summary(2), summary(1), adaptive, adaptive2,
-        summary(0), idTier(2), idTier(1)) :+ idTier(0))
-      .find(_.length <= 1895).getOrElse(idTier(0)))
+        summary(0), idTier(2), idTier(1), idTier(0)) :+ idTierCapped)
+      .find(_.length <= 1895).getOrElse(idTierCapped))
   }
 }

@@ -302,6 +302,23 @@ object TextDedup {
     * shingles. Hash collisions only ever ADD candidates (verification
     * is exact), so the output is identical to [[containmentPairs]].
     */
+  /** Single-long rarity sort key for the rarest-k prefix windows:
+    * df (capped at 2²¹−1 — beyond that "common is common", rarity
+    * distinctions carry no fan-out information) in the top 21 bits,
+    * the hash key's top 42 bits as tie-break; always non-negative, so
+    * signed long ordering == the intended (df ASC, key ASC) order.
+    * ONE primitive sort key instead of two halves the window sort's
+    * comparator work (constant-factor: the window stays corpus-linear).
+    * Ties beyond the packed bits leave the k-th pick run-dependent —
+    * harmless: the pigeonhole prefix is lossless for ANY k+1-subset of
+    * a doc's shingles (|src∖dst| ≤ (1−t)·n regardless of which subset
+    * is chosen), and exact verification makes the operator's OUTPUT
+    * identical for every candidate superset.
+    */
+  private def rarityKey(dfCol: Column, keyCol: Column): Column =
+    shiftleft(least(dfCol, lit((1L << 21) - 1)), 42)
+      .bitwiseOR(shiftrightunsigned(keyCol, 22))
+
   private[graft] def containmentCandidates(
       sh: DataFrame, threshold: Double): DataFrame = {
     val keyed = sh.select(col("id"), xxhash64(col("shingle")).as("skey"))
@@ -309,7 +326,8 @@ object TextDedup {
     val sizes = keyed.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     // +1e-6 guards the FP product's round-down at integer boundaries
     // ((1−0.9)·20 = 1.9999999999999996): k may only ever over-approximate
-    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("skey"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(rarityKey(col("__df"), col("skey")))
     val prefix = keyed.join(dfs, "skey")
       .withColumn("__rk", row_number().over(w))
       .join(sizes, "id")
@@ -483,7 +501,8 @@ object TextDedup {
 
     val dfs = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
-    val win = Window.partitionBy(col("id")).orderBy(col("__df"), col("fp"))
+    val win = Window.partitionBy(col("id"))
+      .orderBy(rarityKey(col("__df"), col("fp")))
     // +1e-6 guards the FP product's round-down at integer boundaries
     // (cf. containmentCandidates): k may only ever over-approximate
     val prefix = fps.join(dfs, "fp")

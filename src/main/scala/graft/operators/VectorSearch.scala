@@ -214,8 +214,10 @@ object VectorSearch {
     * @param codebooks per-subspace centroid lists: codebooks(s)(j) is
     *                  centroid j of subspace s; all subvectors must
     *                  share one length, and m·subDim must equal the
-    *                  embedding dimension (slices past the end would
-    *                  silently encode short subvectors)
+    *                  embedding dimension — enforced at RUNTIME per row
+    *                  (`raise_error` on mismatch), because a slice past
+    *                  the array end would otherwise silently encode
+    *                  short subvectors and degrade recall with no signal
     */
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -227,8 +229,16 @@ object VectorSearch {
     require(codebooks.forall(_.forall(_.size == subDim)),
       "pqTopK: ragged codebook subvectors")
     val m = codebooks.size
+    val dim = m * subDim
+    // loud dimension gate: a mismatched codebook fails the job, never
+    // silently truncates the encoding
+    def checked(vec: Column): Column = {
+      val v = vec.cast(ArrayType(DoubleType))
+      when(size(v) === dim, v).otherwise(raise_error(format_string(
+        s"pqTopK: embedding dimension %d != m*subDim = $dim", size(v))))
+    }
     def sub(vec: Column, s: Int): Column =
-      slice(vec.cast(ArrayType(DoubleType)), s * subDim + 1, subDim)
+      slice(vec, s * subDim + 1, subDim)
     // same term order as cellDist2 (v·v − 2·v·c + c·c) so the oracle's
     // list_inner_product replay is bit-identical
     def dist2(sv: Column, svv: Column, c: Seq[Double]): Column =
@@ -236,23 +246,27 @@ object VectorSearch {
     // corpus: per-subspace nearest code — array_min over (d, code)
     // structs (argmin, ties to the lower code; see nearestCell's note on
     // why NOT a when/otherwise fold)
-    val encoded = corpus.select(
-      col(idCol).as("id") +:
-        codebooks.zipWithIndex.map { case (cb, s) =>
-          val sv = sub(col(vecCol), s)
-          val svv = dot(sv, sv)
-          array_min(array(cb.zipWithIndex.map { case (c, j) =>
-            struct(dist2(sv, svv, c).as("d"), lit(j).as("c"))
-          }: _*)).getField("c").as(s"__code$s")
-        }: _*)
+    val encoded = corpus
+      .select(col(idCol).as("id"), checked(col(vecCol)).as("__v"))
+      .select(
+        col("id") +:
+          codebooks.zipWithIndex.map { case (cb, s) =>
+            val sv = sub(col("__v"), s)
+            val svv = dot(sv, sv)
+            array_min(array(cb.zipWithIndex.map { case (c, j) =>
+              struct(dist2(sv, svv, c).as("d"), lit(j).as("c"))
+            }: _*)).getField("c").as(s"__code$s")
+          }: _*)
     // queries: the ADC table — one distance array per subspace
-    val qtab = broadcast(queries.select(
-      col(queryIdCol).as("query_id") +:
-        codebooks.zipWithIndex.map { case (cb, s) =>
-          val sv = sub(col(vecCol), s)
-          val svv = dot(sv, sv)
-          array(cb.map(c => dist2(sv, svv, c)): _*).as(s"__dtab$s")
-        }: _*))
+    val qtab = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), checked(col(vecCol)).as("__v"))
+      .select(
+        col("query_id") +:
+          codebooks.zipWithIndex.map { case (cb, s) =>
+            val sv = sub(col("__v"), s)
+            val svv = dot(sv, sv)
+            array(cb.map(c => dist2(sv, svv, c)): _*).as(s"__dtab$s")
+          }: _*))
     // score = −ADC distance (rankTopK ranks DESC; negation is FP-exact),
     // folded in fixed subspace order
     val adc = (0 until m).map(s =>

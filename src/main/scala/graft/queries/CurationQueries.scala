@@ -1810,8 +1810,8 @@ object CurationQueries {
       |),
       |pct AS (
       |  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
-      |         MIN(CASE WHEN rq = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_quantity END) AS median_qty,
-      |         MIN(CASE WHEN rp = CAST(CEIL(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90_price
+      |         MIN(CASE WHEN rq = (n + 1) // 2 THEN l_quantity END) AS median_qty,
+      |         MIN(CASE WHEN rp = (9 * n + 9) // 10 THEN l_extendedprice END) AS p90_price
       |  FROM ranked GROUP BY l_returnflag
       |),
       |mode AS (
@@ -1832,16 +1832,18 @@ object CurationQueries {
     * distinct status list built by `collect_set` + `sort_array` (the
     * deterministic form — bare collect_set order is partitioning
     * luck), then the array function family over it: size, membership,
-    * indexing, join-to-string. Arrays hash cross-engine as normalized
-    * element lists, and sorting makes the construction
-    * partitioning-invariant.
+    * indexing, join-to-string. The output projects SCALARS only — the
+    * `array_join`ed string pins the array's full ordering and contents
+    * deterministically, while the driver-side pandas hasher cannot sort
+    * raw array cells (round-7 `err`: unhashable numpy.ndarray), so the
+    * bare array column stays internal.
     */
   val q36_array_functions: Q = (s, dir) => {
     Tables(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
         count(lit(1)).as("n_orders"))
-      .select(col("o_orderpriority"), col("statuses"),
+      .select(col("o_orderpriority"),
         size(col("statuses")).as("n_statuses"),
         array_contains(col("statuses"), "F").as("has_f"),
         element_at(col("statuses"), 1).as("first_status"),
@@ -1857,7 +1859,7 @@ object CurationQueries {
       |         CAST(COUNT(*) AS BIGINT) AS n_orders
       |  FROM orders GROUP BY o_orderpriority
       |)
-      |SELECT o_orderpriority, statuses,
+      |SELECT o_orderpriority,
       |       CAST(len(statuses) AS INT) AS n_statuses,
       |       list_contains(statuses, 'F') AS has_f,
       |       statuses[1] AS first_status,
@@ -1910,6 +1912,59 @@ object CurationQueries {
        |       (effective_to IS NULL AND op <> 'D') AS is_current
        |FROM hist
        |ORDER BY o_orderkey, version_no""".stripMargin
+
+  // ── q38: map construction + posexplode ──────────────────────────────
+
+  /** The MapType half of the complex-type surface (q36 covers arrays):
+    * per order priority, a status→count map built with
+    * `map_from_entries` over a `sort_array`ed entry list (deterministic
+    * entry order — bare collect_list order is partitioning luck), then
+    * the map function family over it — `size`, keyed lookup
+    * (`element_at(map, 'F')`), `map_keys` — and `posexplode` back to
+    * one row per entry with its 0-based position. All output columns
+    * are SCALAR (q36's lesson: the driver-side hasher cannot sort raw
+    * complex cells); the joined-keys string pins the map's full entry
+    * order. The oracle replays the map relationally — entry order =
+    * status ASC, pos = rank−1 — because DuckDB's MAP surface differs;
+    * matching output on scalars is the cross-engine contract.
+    */
+  val q38_map_functions: Q = (s, dir) => {
+    val counts = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    val mapped = counts.groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderstatus"), col("cnt"))))).as("status_map"))
+    mapped.select(col("o_orderpriority"),
+        size(col("status_map")).as("n_statuses"),
+        element_at(col("status_map"), "F").as("f_cnt"),
+        array_join(map_keys(col("status_map")), "|").as("keys_joined"),
+        posexplode(col("status_map")))
+      .select(col("o_orderpriority"), col("pos"),
+        col("key").as("status"), col("value").as("cnt"),
+        col("n_statuses"), col("f_cnt"), col("keys_joined"))
+      .orderBy(col("o_orderpriority"), col("pos"))
+  }
+
+  val q38_sql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |k AS (
+      |  SELECT o_orderpriority,
+      |         CAST(COUNT(*) AS INT) AS n_statuses,
+      |         MAX(CASE WHEN o_orderstatus = 'F' THEN cnt END) AS f_cnt,
+      |         string_agg(o_orderstatus, '|' ORDER BY o_orderstatus) AS keys_joined
+      |  FROM c GROUP BY o_orderpriority
+      |)
+      |SELECT c.o_orderpriority,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY c.o_orderpriority
+      |                               ORDER BY c.o_orderstatus) - 1 AS INT) AS pos,
+      |       c.o_orderstatus AS status, c.cnt,
+      |       k.n_statuses, k.f_cnt, k.keys_joined
+      |FROM c JOIN k ON k.o_orderpriority = c.o_orderpriority
+      |ORDER BY c.o_orderpriority, pos""".stripMargin
 
   // ── v15: referential-integrity orphan audit ─────────────────────────
 
@@ -2005,6 +2060,7 @@ object CurationQueries {
     "q35_percentile_family" -> q35_percentile_family,
     "q36_array_functions" -> q36_array_functions,
     "q37_scd2_ranges" -> q37_scd2_ranges,
+    "q38_map_functions" -> q38_map_functions,
     "v15_referential_orphans" -> v15_referential_orphans)
 
   val oracles: Map[String, String] = Map(
@@ -2054,5 +2110,6 @@ object CurationQueries {
     "q35_percentile_family" -> q35_sql,
     "q36_array_functions" -> q36_sql,
     "q37_scd2_ranges" -> q37_sql,
+    "q38_map_functions" -> q38_sql,
     "v15_referential_orphans" -> v15_sql)
 }

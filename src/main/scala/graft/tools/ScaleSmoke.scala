@@ -40,6 +40,8 @@ object ScaleSmoke {
     if (mode == "budget" || mode == "all") budgetSmoke(spark)
     if (mode == "graph" || mode == "all") graphSmoke(spark)
     if (mode == "pq" || mode == "all") pqSmoke(spark)
+    if (mode == "all") audioSmoke(spark, Seq(50000L))
+    if (mode == "audio") audioSmoke(spark, Seq(50000L, 500000L))
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
   }
@@ -344,6 +346,41 @@ object ScaleSmoke {
           .pqTopK(corpus, queries, "id", "v", "id", codebooks, k = 10).count()}")
       }
       corpus.unpersist()
+    }
+  }
+
+  /** m04 audio-landmark growth: 10-member clusters of hop-aligned
+    * shifted copies (member shift = (id%10)·hop bytes of space padding,
+    * so landmarks align at a nonzero offset_delta — the shift-invariance
+    * the operator exists for). Per-sig df = cluster size (bounded), so
+    * the self-join's candidate volume is 45·n/10 pairs × shared windows
+    * — linear in n; 10× clips should cost ~10×. The all-space padding
+    * windows are corpus-common and must die at the maxSigDf cap, never
+    * in the join.
+    */
+  private def audioSmoke(spark: SparkSession, tiers: Seq[Long]): Unit = {
+    import spark.implicits._
+    tiers.foreach { n =>
+      val media = spark.range(n).select(
+          col("id").as("media_id"),
+          lit("audio").as("kind"),
+          encode(concat(
+            repeat(lit(" "), (pmod(col("id"), lit(10)) * 16).cast("int")),
+            repeat(md5(floor(col("id") / 10).cast("long").cast("string")), 10)),
+            "UTF-8").as("content"),
+          lit("smoke").as("source"))
+        .as[graft.operators.Multimodal.MediaRecord]
+        .repartition(32).persist()
+      media.count()
+      val (_, bytes) = withShuffleBytes(spark) {
+        time(s"m04 audio landmarks, $n clips (10-member shifted clusters)") {
+          println(s"[scale]   pairs: ${graft.operators.Multimodal
+            .audioNearDupPairs(media).count()}")
+        }
+      }
+      println(f"[scale]   shuffled: ${bytes / 1e6}%.0f MB")
+      media.unpersist()
+      spark.catalog.clearCache()
     }
   }
 

@@ -147,4 +147,24 @@ class PropagationPqSpec extends AnyFunSuite {
     // distance → rank is pure id ASC (self excluded)
     assert(out == Seq((1, 1L), (2, 2L), (3, 3L), (4, 4L)))
   }
+
+  test("pqTopK fails loudly when m*subDim != embedding dimension") {
+    import spark.implicits._
+    val corpus = lcgVecs(6, 8, seed = 13L)
+    // 2 subspaces × 3 dims = 6 != 8 — would silently slice short
+    // subvectors without the runtime gate
+    val codebooks = (0 until 2).map(s =>
+      Seq(corpus.head._2.slice(s * 3, s * 3 + 3).toSeq))
+    val cdf = corpus.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val qdf = cdf.filter("id = 0")
+    val e = intercept[Exception] {
+      VectorSearch.pqTopK(cdf, qdf, "id", "vec", "id", codebooks, k = 3)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("pqTopK: embedding dimension")),
+      s"unexpected failure chain: ${chain(e)}")
+  }
 }
