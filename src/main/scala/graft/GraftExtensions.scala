@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFingerprint, WordGrams}
+import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFingerprint, WordGrams, ZInterleave}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "word_grams(tokens, n)")
         WordGrams(args.head, intArg(args(1), "n"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "z_interleave(x, y) takes two ints")
+        ZInterleave(args.head, args(1))
       }))
 
     ext.injectFunction((

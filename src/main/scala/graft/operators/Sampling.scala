@@ -235,4 +235,39 @@ object Sampling {
       explode(when(e >= 1, sequence(lit(1), e))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per stratum
+    * — Efraimidis-Spirakis A-Res: each row draws a uniform u from its
+    * id (md5-derived, engine-portable) and gets key u^(1/w); the top-k
+    * keys per stratum are an exact weighted sample without
+    * replacement. Ranking by ln(u)/w descending is the same order as
+    * u^(1/w) descending (ln is monotone, w > 0), without the pow.
+    *
+    * Determinism: u is a pure function of the id (no RNG state), so
+    * the selected set is stable across reruns, partitionings, and
+    * engines — the DuckDB oracle replays the identical arithmetic.
+    * Ties (measure-zero on distinct ids) break by id.
+    *
+    * Scale shape: one rank window partitioned by the stratum — the
+    * standard per-group top-k that AQE handles with WindowGroupLimit
+    * pushdown (partial top-k before the shuffle), so the full corpus
+    * is never sorted globally. Rows with w ≤ 0 are excluded (zero
+    * weight = never sampled), matching the A-Res domain.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // u in (0, 1]: (h + 1) / 2^60 over the 60-bit md5 prefix — +1 keeps
+    // ln(u) finite at h = 0
+    val u = (conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) + 1).cast("double") / lit(1152921504606846976.0)
+    val keyed = df.filter(col(weightCol) > 0)
+      .withColumn("ares_key", log(u) / col(weightCol))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("ares_key").desc, col(idCol))
+    keyed.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("ares_key")
+  }
 }

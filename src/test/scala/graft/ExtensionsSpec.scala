@@ -46,6 +46,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(short == Seq("a b"))
   }
 
+  test("z_interleave callable from SQL, matches kernel") {
+    val r = spark.sql("SELECT z_interleave(5, 3) AS z").head().getLong(0)
+    assert(r == graft.functions.ZInterleave.compute(5, 3))
+    assert(spark.sql("SELECT z_interleave(65535, 65535) AS z").head().getLong(0) == 0xFFFFFFFFL)
+  }
+
   test("dot kernels reject dimension mismatch instead of truncating") {
     val ei = intercept[Exception] {
       spark.sql("SELECT int_dot(array(1, 2, 3), array(1, 2))").head()
