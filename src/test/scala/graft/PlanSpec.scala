@@ -487,4 +487,40 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("InMemoryTableScan"),
       "assignment must reuse the cached quantized corpus:\n" + plan.take(3000))
   }
+
+  test("classifier inference broadcasts the vocabulary (model rides a broadcast)") {
+    val df = queries.AnalyticsQueries.t16_classifier_score(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab join must broadcast:\n" + plan.take(3000))
+  }
+
+  test("weighted sample plans a partitioned rank window with group-limit pushdown") {
+    val df = queries.AnalyticsQueries.d35_weighted_sample(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("WindowGroupLimit"),
+      "per-stratum top-k must push the limit below the window:\n" + plan.take(3000))
+  }
+
+  test("column profile is ONE scan feeding the multi-distinct Expand") {
+    val df = queries.AnalyticsQueries.v16_column_profile(spark, dir)
+    // pre-execution string: ONE tree (the executed AQE string prints the
+    // plan twice, Final + Initial, double-counting scans)
+    val plan = initialPlanString(df)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one orders scan, got $scans:\n" + plan.take(3000))
+    assert(plan.contains("Expand"),
+      "exact multi-NDV should plan a single Expand:\n" + plan.take(3000))
+  }
+
+  test("z_interleave runs inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.IntegerType
+    val df = Tables(spark, dir, "orders")
+      .select((col("o_custkey") % 65536).cast(IntegerType).as("x"))
+      .select(functions.ZInterleave(col("x"), col("x")).as("z"))
+    val plan = planString(df)
+    assert(plan.contains("z_interleave") && plan.contains("*(1)"),
+      "z_interleave must stay in a codegen stage:\n" + plan.take(2000))
+  }
 }
