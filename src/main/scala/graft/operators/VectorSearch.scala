@@ -456,6 +456,80 @@ object VectorSearch {
     rankTopK(joined, "cosine", k)
   }
 
+  /** IVF-PQ composite ANN — the standard billion-scale index shape
+    * (Jégou et al. 2011; FAISS IVFPQ): [[ivfTopK]]'s coarse
+    * partition-and-probe routing fused with [[pqTopK]]'s
+    * product-quantized asymmetric scoring. The corpus is encoded in ONE
+    * scan (coarse cell id + m small PQ codes per row — the compressed
+    * inverted file a real deployment persists); queries broadcast their
+    * probed cell ids and ADC distance tables; candidates are only the
+    * rows in probed cells, scored by table lookups, never a per-pair
+    * float dot product.
+    *
+    * Scale shape at 100 TB: the encoded corpus is ~2 orders of
+    * magnitude smaller than the raw vectors, the probe join prunes to
+    * nProbe/|centroids| of it per query, the query side rides one
+    * broadcast, and the only shuffle is the per-query rank window.
+    * Determinism: both argmins (coarse cell, PQ code) are (d ASC,
+    * id ASC) over identical doubles, and the ADC fold is fixed-order —
+    * the oracle replays the exact ranking.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty && nProbe >= 1)
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    val subDim = codebooks.head.head.size
+    require(codebooks.forall(_.forall(_.size == subDim)),
+      "ivfPqTopK: ragged codebook subvectors")
+    val m = codebooks.size
+    val dim = m * subDim
+    def checked(vec: Column): Column = {
+      val v = vec.cast(ArrayType(DoubleType))
+      when(size(v) === dim, v).otherwise(raise_error(format_string(
+        s"ivfPqTopK: embedding dimension %d != m*subDim = $dim", size(v))))
+    }
+    def sub(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
+    def dist2(sv: Column, svv: Column, c: Seq[Double]): Column =
+      svv - lit(2.0) * dot(sv, lit(c.toArray)) + lit(c.map(x => x * x).sum)
+
+    // one corpus scan: coarse cell + the m PQ codes ride each row
+    val encoded = corpus
+      .select(col(idCol).as("id"), checked(col(vecCol)).as("__v"))
+      .select(
+        Seq(col("id"),
+          nearestCell(col("__v"), dot(col("__v"), col("__v")), centroids)
+            .as("__cell")) ++
+          codebooks.zipWithIndex.map { case (cb, s) =>
+            val sv = sub(col("__v"), s)
+            val svv = dot(sv, sv)
+            array_min(array(cb.zipWithIndex.map { case (c, j) =>
+              struct(dist2(sv, svv, c).as("d"), lit(j).as("c"))
+            }: _*)).getField("c").as(s"__code$s")
+          }: _*)
+    // queries: probed cells exploded + per-subspace ADC tables, one broadcast
+    val qtab = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), checked(col(vecCol)).as("__v"))
+      .select(
+        Seq(col("query_id"),
+          explode(probeCells(col("__v"), dot(col("__v"), col("__v")),
+            centroids, nProbe)).as("__cell")) ++
+          codebooks.zipWithIndex.map { case (cb, s) =>
+            val sv = sub(col("__v"), s)
+            val svv = dot(sv, sv)
+            array(cb.map(c => dist2(sv, svv, c)): _*).as(s"__dtab$s")
+          }: _*))
+    val adc = (0 until m).map(s =>
+        element_at(col(s"__dtab$s"), col(s"__code$s") + 1))
+      .reduceLeft(_ + _)
+    val scored = encoded.join(qtab, Seq("__cell"))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("score", -adc)
+    rankTopK(scored, "score", k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, id_a < id_b.
     *
     * With `planes` given, candidates come from banded hyperplane LSH

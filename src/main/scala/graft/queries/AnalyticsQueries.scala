@@ -242,7 +242,58 @@ object AnalyticsQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ───────────────────────────── q39: integer-exact anomaly detection
+
+  /** Per-user spend-anomaly audit — the data-quality outlier pass a
+    * pipeline runs before trusting a feed: an event is anomalous iff
+    * its value sits more than 2 population standard deviations from
+    * its user's mean. The 2σ test is evaluated WITHOUT any float:
+    * |x−μ| > 2σ  ⟺  (n·x−S)² > 4·(n·SS−S²) over integer cents
+    * (multiply through by n²), carried in decimal(38,0) (DuckDB
+    * HUGEINT) so the identity survives 100 TB-scale magnitudes — the
+    * same integer-exactness discipline as domainMix. One shuffle: the
+    * per-user stats ride a window, the verdict is a projection, the
+    * final rollup reuses the same partitioning.
+    */
+  val q39_anomaly_zscore: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), round(col("value") * 100).cast(LongType).as("c"))
+    val st = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sv", sum(col("c")).over(w))
+      .withColumn("ssv", sum(d(col("c")) * d(col("c"))).over(w))
+    val lhs0 = d(col("n")) * d(col("c")) - d(col("sv"))
+    val flag = lhs0 * lhs0 >
+      lit(4) * (d(col("n")) * col("ssv") - d(col("sv")) * d(col("sv")))
+    st.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(flag, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
+  val q39_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+      |), st AS (
+      |  SELECT user_id, c,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+      |    SUM(c) OVER (PARTITION BY user_id) AS sv,
+      |    SUM(CAST(c AS HUGEINT) * c) OVER (PARTITION BY user_id) AS ssv
+      |  FROM ev
+      |)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN (CAST(n AS HUGEINT) * c - sv) * (CAST(n AS HUGEINT) * c - sv)
+      |             > 4 * (CAST(n AS HUGEINT) * ssv - CAST(sv AS HUGEINT) * sv)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM st
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_anomaly_zscore" -> q39_anomaly_zscore,
     "t16_classifier_score" -> t16_classifier_score,
     "t17_distinct_gate" -> t17_distinct_gate,
     "d34_zorder_layout" -> d34_zorder_layout,
@@ -250,6 +301,7 @@ object AnalyticsQueries {
     "v16_column_profile" -> v16_column_profile)
 
   val oracles: Map[String, String] = Map(
+    "q39_anomaly_zscore" -> q39_sql,
     "t16_classifier_score" -> t16_sql,
     "t17_distinct_gate" -> t17_sql,
     "d34_zorder_layout" -> d34_sql,

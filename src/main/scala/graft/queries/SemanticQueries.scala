@@ -278,15 +278,113 @@ object SemanticQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ── s14: IVF-PQ composite ANN ──────────────────────────────────────
+
+  /** The billion-scale index shape ([[VectorSearch.ivfPqTopK]]): s03's
+    * coarse partition-and-probe fused with s13's PQ/ADC scoring — the
+    * corpus is stored as (cell, 4×3-bit codes), queries probe 2 cells
+    * and score by distance-table lookups. Coarse centroids AND
+    * codebooks both come from the derivedPlanes recipe (the 8
+    * highest-id vectors; codebook s = their s-th 16-dim slice), so the
+    * oracle rebuilds the full index from the parquet alone and replays
+    * the identical argmins, fixed-order ADC fold, and (dist ASC,
+    * id ASC) ranking.
+    */
+  val s14_ivf_pq: Q = (s, dir) => {
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.ivfPqTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        centroids = planes, codebooks = codebooks, k = 10, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Replay = s03's coarse CTEs (assign/probes) ∘ s13's PQ CTEs
+    * (codes/qd), candidates restricted to probed cells before the ADC
+    * sum and rank.
+    */
+  val s14_sql: String =
+    """WITH cents AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+      |         CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings
+      |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+      |),
+      |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |cdists AS (
+      |  SELECT v.vec_id, c.j,
+      |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |           ORDER BY list_inner_product(v.vec, v.vec)
+      |                    - 2.0 * list_inner_product(v.vec, c.cvec)
+      |                    + list_inner_product(c.cvec, c.cvec) ASC, c.j ASC) AS rn
+      |  FROM vecs v CROSS JOIN cents c
+      |),
+      |assign AS (SELECT vec_id, j AS cell FROM cdists WHERE rn = 1),
+      |probes AS (SELECT vec_id, j AS cell FROM cdists WHERE rn <= 2 AND vec_id < 5),
+      |cand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS id
+      |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      |),
+      |ss AS (SELECT unnest(range(4)) AS s),
+      |subs AS (
+      |  SELECT v.vec_id, ss.s, list_slice(v.vec, ss.s*16 + 1, ss.s*16 + 16) AS sub
+      |  FROM vecs v CROSS JOIN ss
+      |),
+      |csubs AS (
+      |  SELECT c.j, ss.s, list_slice(c.cvec, ss.s*16 + 1, ss.s*16 + 16) AS csub
+      |  FROM cents c CROSS JOIN ss
+      |),
+      |sdists AS (
+      |  SELECT sb.vec_id, sb.s, cs.j,
+      |         list_inner_product(sb.sub, sb.sub)
+      |           - 2.0 * list_inner_product(sb.sub, cs.csub)
+      |           + list_inner_product(cs.csub, cs.csub) AS d
+      |  FROM subs sb JOIN csubs cs ON cs.s = sb.s
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT vec_id, s, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+      |    FROM sdists) t
+      |  WHERE rn = 1
+      |),
+      |qd AS (SELECT vec_id AS query_id, s, j, d FROM sdists WHERE vec_id < 5),
+      |parts AS (
+      |  SELECT cd.query_id, cd.id, co.s, q.d
+      |  FROM cand cd
+      |  JOIN codes co ON co.vec_id = cd.id
+      |  JOIN qd q ON q.query_id = cd.query_id AND q.s = co.s AND q.j = co.code
+      |),
+      |scores AS (
+      |  SELECT query_id, id,
+      |         ((MAX(CASE WHEN s = 0 THEN d END)
+      |           + MAX(CASE WHEN s = 1 THEN d END))
+      |           + MAX(CASE WHEN s = 2 THEN d END))
+      |           + MAX(CASE WHEN s = 3 THEN d END) AS dist
+      |  FROM parts GROUP BY query_id, id
+      |)
+      |SELECT query_id, rank, id FROM (
+      |  SELECT query_id, id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+      |  FROM scores) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
     "s12_kmeans" -> s12_kmeans,
-    "s13_pq_ann" -> s13_pq_ann)
+    "s13_pq_ann" -> s13_pq_ann,
+    "s14_ivf_pq" -> s14_ivf_pq)
 
   val oracles: Map[String, String] = Map(
     "d27_semantic_dedup" -> d27_sql,
     "s09_embedding_decontam" -> s09_sql,
     "s12_kmeans" -> s12_sql,
-    "s13_pq_ann" -> s13_sql)
+    "s13_pq_ann" -> s13_sql,
+    "s14_ivf_pq" -> s14_sql)
 }

@@ -78,6 +78,53 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  // ── VectorSearch.ivfPqTopK ──────────────────────────────────────────
+
+  test("ivfPqTopK: deterministic under repartitioning, k per query, exact-overlap sanity") {
+    import graft.operators.VectorSearch
+    import graft.queries.DataPipelineQueries.derivedPlanes
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "embeddings")
+    val planes = derivedPlanes(spark, dir, 8)
+    val codebooks = (0 until 4).map(s => planes.map(_.slice(s * 16, s * 16 + 16)))
+    val qs = e.filter(col("vec_id") < 5)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      VectorSearch.ivfPqTopK(corpus, qs, "vec_id", "embedding", "vec_id",
+          planes, codebooks, k = 10, nProbe = 2)
+        .select("query_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run(e)
+    // both argmins and the ADC ranking are pure row functions — the
+    // physical layout must not change a single rank
+    assert(a == run(e.repartition(17)))
+    val perQuery = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.keySet == Set(0L, 1L, 2L, 3L, 4L) && perQuery.values.forall(_ == 10))
+    // approximate by design (8 coarse cells, 3-bit codes on random
+    // 64-dim data is PQ's worst case) — but a collapsed index would
+    // share ~0 with the exact ranking
+    val exact = VectorSearch.bruteForceTopK(e, qs, "vec_id", "embedding", "vec_id", k = 10)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = a.map(t => (t._1, t._3)) intersect exact
+    assert(overlap.nonEmpty, "IVF-PQ shares nothing with the exact top-10")
+  }
+
+  test("ivfPqTopK: dimension mismatch fails loudly, never truncates") {
+    import graft.operators.VectorSearch
+    import spark.implicits._
+    val bad = Seq((1L, Array(1.0, 2.0, 3.0)), (2L, Array(4.0, 5.0, 6.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0))
+    val cbs = Seq(Seq(Seq(1.0, 0.0)), Seq(Seq(0.0, 1.0))) // m*subDim = 4 != 3
+    val ex = intercept[Exception] {
+      VectorSearch.ivfPqTopK(bad, bad, "vec_id", "embedding", "vec_id",
+        cents.map(_.padTo(4, 0.0)), cbs, k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("dimension")))
+  }
+
   // ── Sampling.weightedSample ─────────────────────────────────────────
 
   private def sampleFixture = {

@@ -488,6 +488,20 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "assignment must reuse the cached quantized corpus:\n" + plan.take(3000))
   }
 
+  test("IVF-PQ search broadcasts the probe/ADC tables; only the rank window shuffles") {
+    val df = queries.SemanticQueries.s14_ivf_pq(spark, dir)
+    val plan = executedPlan(df)
+    val bcast = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastExchange") => p
+    }
+    val shuffles = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("ShuffleExchange") => p
+    }
+    assert(bcast.nonEmpty, s"query tables must broadcast:\n${plan.toString.take(3000)}")
+    assert(shuffles.size <= 1,
+      s"only the rank window may shuffle:\n${plan.toString.take(3000)}")
+  }
+
   test("classifier inference broadcasts the vocabulary (model rides a broadcast)") {
     val df = queries.AnalyticsQueries.t16_classifier_score(spark, dir)
     val plan = planString(df)
