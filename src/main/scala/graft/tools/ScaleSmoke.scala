@@ -42,6 +42,8 @@ object ScaleSmoke {
     if (mode == "pq" || mode == "all") pqSmoke(spark)
     if (mode == "all") audioSmoke(spark, Seq(50000L))
     if (mode == "audio") audioSmoke(spark, Seq(50000L, 500000L))
+    if (mode == "all") analyticsSmoke(spark, Seq(50000L))
+    if (mode == "analytics") analyticsSmoke(spark, Seq(50000L, 500000L))
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
   }
@@ -562,6 +564,55 @@ object ScaleSmoke {
         val bad = out.filter(col("n_kept") =!= 5).count()
         require(bad == 0, s"expected exactly the boilerplate line dropped, $bad docs differ")
       }
+    }
+  }
+
+  /** Growth curves for the round-8 analytics operators: classifier
+    * inference (explode + broadcast vocab + hash agg — should be
+    * linear), weighted sampling (one WindowGroupLimit-pruned rank
+    * window — linear), and IVF-PQ search (one encode scan + broadcast
+    * probe join — linear in corpus, candidates ∝ nProbe/cells).
+    */
+  private def analyticsSmoke(spark: SparkSession, tiers: Seq[Long]): Unit = {
+    val vocabWords = graft.operators.Scoring.QualityVocab.map(_._1).toArray
+    tiers.foreach { n =>
+      val words = (0 until 20).map(j =>
+        element_at(lit(vocabWords),
+          (pmod(hash(col("id") * 31 + lit(j)), lit(vocabWords.length)) + 1).cast("int")))
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", words: _*).as("text"),
+          pmod(hash(col("id")), lit(20)).cast("string").as("source"),
+          (pmod(hash(col("id") + 7), lit(1000)) + 1).cast("long").as("n_chars"))
+        .repartition(32).persist()
+      docs.count()
+      time(s"t16 classifier inference, $n docs") {
+        println(s"[scale]   accepted: ${graft.operators.Scoring
+          .classifierScore(docs, "doc_id", "text").filter(col("accept")).count()}")
+      }
+      time(s"d35 weighted sample k=5 x 20 strata, $n docs") {
+        println(s"[scale]   sampled: ${graft.operators.Sampling
+          .weightedSample(docs, "doc_id", "n_chars", "source", 5).count()}")
+      }
+      docs.unpersist()
+
+      // deterministic 64-dim vectors: centroids re-derived in the
+      // driver from the same closed form, so no collect is needed
+      def vecExpr = array((0 until 64).map(j =>
+        sin(col("id") * lit(0.37 + j * 0.013) + lit(j.toDouble))): _*)
+      val emb = spark.range(n)
+        .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+        .repartition(32).persist()
+      emb.count()
+      val cents = (0 until 8).map(i =>
+        (0 until 64).map(j => math.sin(i * (0.37 + j * 0.013) + j)).toSeq)
+      val codebooks = (0 until 4).map(s => cents.map(_.slice(s * 16, s * 16 + 16)))
+      time(s"s14 IVF-PQ top-10, $n vectors, 50 queries") {
+        println(s"[scale]   results: ${graft.operators.VectorSearch.ivfPqTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "vec_id",
+          cents, codebooks, k = 10, nProbe = 2).count()}")
+      }
+      emb.unpersist()
+      spark.catalog.clearCache()
     }
   }
 
