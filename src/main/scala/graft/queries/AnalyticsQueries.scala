@@ -292,8 +292,225 @@ object AnalyticsQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ───────────────────────────── q40: gaps-and-islands sessionization
+
+  /** Batch sessionization — the gaps-and-islands assembly q23 (gap
+    * stats) and w04 (streaming session windows) bracket: a session
+    * starts at any event ≥ 30 min after its user's previous event;
+    * session ids are the running sum of start flags. Per-user rollup
+    * of session count, biggest session, and longest session duration.
+    * Durations are integer microsecond arithmetic end-to-end (`div`,
+    * never float division). One window shuffle by user feeds the flag,
+    * the session id, and (partition-prefix reuse) the session
+    * aggregate.
+    */
+  val q40_sessionization: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables(s, dir, "events")
+      .withColumn("__prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("__new_sess",
+        when(col("__prev_us").isNull ||
+          unix_micros(col("ts")) - col("__prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("__sess_no", sum(col("__new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sess_no"))
+      .agg(count(lit(1)).as("__n"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+          .cast(LongType).as("__dur_s"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__n")).as("n_events"),
+        max(col("__n")).as("max_session_events"),
+        max(col("__dur_s")).as("max_session_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val q40_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |         OR LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_sess,
+      |    event_id
+      |  FROM e
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_no
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, sess_no, COUNT(*) AS n,
+      |    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+      |  FROM numbered GROUP BY user_id, sess_no
+      |)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(MAX(n) AS BIGINT) AS max_session_events,
+      |  CAST(MAX(dur_s) AS BIGINT) AS max_session_s
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ───────────────────────────── v17: snapshot time-travel diff
+
+  /** Time-travel diff over a [[graft.sources.SnapshotStore]]: commit
+    * generation 0 (orders before 1997) and generation 1 (all orders),
+    * then AS-OF-read BOTH snapshots and diff the per-status counts —
+    * the "what changed between yesterday's and today's snapshot" audit
+    * an MVCC table gives for free. The store is built fresh per run
+    * from the orders table alone, so the oracle replays the diff
+    * relationally without any store.
+    */
+  val v17_snapshot_diff: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdiff")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.SnapshotStore(s, root)
+    val orders = Tables(s, dir, "orders")
+    st.commit(orders.filter(col("o_orderdate") < "1997-01-01"), commitTsMillis = 1000L)
+    st.commit(orders, commitTsMillis = 2000L)
+    val v0 = st.asOf(1500L).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("v0_cnt"))
+    val v1 = st.asOf(2500L).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("v1_cnt"))
+    v1.join(v0, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), coalesce(col("v0_cnt"), lit(0L)).as("v0_cnt"),
+        col("v1_cnt"), (col("v1_cnt") - coalesce(col("v0_cnt"), lit(0L))).as("added"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val v17_sql: String =
+    """WITH v0 AS (
+      |  SELECT o_orderstatus, COUNT(*) AS v0_cnt FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |  GROUP BY o_orderstatus
+      |), v1 AS (
+      |  SELECT o_orderstatus, COUNT(*) AS v1_cnt FROM orders GROUP BY o_orderstatus
+      |)
+      |SELECT v1.o_orderstatus, COALESCE(v0.v0_cnt, 0) AS v0_cnt, v1.v1_cnt,
+      |  v1.v1_cnt - COALESCE(v0.v0_cnt, 0) AS added
+      |FROM v1 LEFT JOIN v0 USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ───────────────────────────── d36: compaction round-trip integrity
+
+  /** Compaction audit: copy lineitem into a scratch table as many
+    * small files, compact by l_orderkey ([[graft.operators.Compaction]]
+    * — range layout + rename-only swap), read BACK the compacted table
+    * and emit integrity stats per orderkey band. The oracle computes
+    * the same stats from lineitem directly: compaction must be a
+    * bit-lossless rewrite, so any divergence (lost row, duplicated
+    * file, truncated value) fails the hash compare.
+    */
+  val d36_compaction_roundtrip: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-rt")
+      .toFile.getAbsolutePath + "/t"
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+    li.repartition(40).write.mode("overwrite").parquet(root)
+    graft.operators.Compaction.compact(s, root, col("l_orderkey"),
+      targetRows = 20000L)
+    s.read.parquet(root)
+      .groupBy((col("l_orderkey") % 10).as("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(round(col("l_extendedprice") * 100).cast(LongType)).as("sum_price_cents"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_keys"))
+      .orderBy(col("band"))
+  }
+
+  val d36_sql: String =
+    """SELECT l_orderkey % 10 AS band, COUNT(*) AS n_rows,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_keys
+      |FROM lineitem
+      |GROUP BY l_orderkey % 10
+      |ORDER BY band""".stripMargin
+
+  // ───────────────────────────── v18: data-contract audit
+
+  /** The orders table's contract ([[graft.operators.Constraints]]):
+    * shared by the Spark audit and the generated oracle UNION — one
+    * definition, two engines.
+    */
+  private val OrdersContract: Seq[graft.operators.Constraints.Rule] = {
+    import graft.operators.Constraints.Rule._
+    Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InSet("o_orderstatus", Seq("F", "O", "P")),
+      InRange("o_totalprice", 0.0, 600000.0),
+      Matches("o_orderpriority", "^[1-5]-"))
+  }
+
+  /** Deequ-style one-pass contract audit: five rules (nullability,
+    * key uniqueness, enum domain, value range, format regex) verified
+    * in a single aggregate over orders.
+    */
+  val v18_constraint_audit: Q = (s, dir) => {
+    graft.operators.Constraints.audit(Tables(s, dir, "orders"), OrdersContract)
+      .orderBy(col("rule"))
+  }
+
+  val v18_sql: String =
+    OrdersContract.map(graft.operators.Constraints.ruleSql(_, "orders"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+
+  // ───────────────────────────── t18: bigram LM corpus likelihood
+
+  /** Bigram LM quality proxy — t13's unigram surrogate extended to the
+    * conditional level: every adjacent token pair contributes
+    * ⌊log₂(1 + corpus_bigram_frequency)⌋ bits, so documents made of
+    * common transitions score high per bigram and novel/garbled
+    * transitions contribute 0 (the integer-exact stand-in for a real
+    * KenLM pass; same affine-shift argument as t13). Shape: one
+    * word_grams explode, ONE map-side-combined frequency aggregate,
+    * sort-merge join back (both sides corpus-scale), per-doc integer
+    * sums.
+    */
+  val t18_bigram_loglik: Q = (s, dir) => {
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.WordGrams(
+          graft.functions.TextFunctions.tokens(col("text")), 2)).as("gram"))
+    val bf = grams.groupBy(col("gram")).agg(count(lit(1)).as("bf"))
+    grams.join(bf, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("bf") + 1)) - 1).as("bigram_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t18_sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $ToksSql AS toks FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, g.gram AS gram FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(toks) = 0 THEN []
+       |                  ELSE list_transform(range(0, GREATEST(len(toks) - 2, 0) + 1),
+       |                    i -> {'gram': array_to_string(toks[i + 1 : i + 2], ' ')}) END) AS g
+       |    FROM toks) t
+       |),
+       |bf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS bf FROM grams GROUP BY gram)
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |       CAST(SUM(length(bin(bf.bf + 1)) - 1) AS BIGINT) AS bigram_bits
+       |FROM grams g JOIN bf USING (gram)
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_anomaly_zscore" -> q39_anomaly_zscore,
+    "q40_sessionization" -> q40_sessionization,
+    "v17_snapshot_diff" -> v17_snapshot_diff,
+    "d36_compaction_roundtrip" -> d36_compaction_roundtrip,
+    "v18_constraint_audit" -> v18_constraint_audit,
+    "t18_bigram_loglik" -> t18_bigram_loglik,
     "t16_classifier_score" -> t16_classifier_score,
     "t17_distinct_gate" -> t17_distinct_gate,
     "d34_zorder_layout" -> d34_zorder_layout,
@@ -302,6 +519,11 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q39_anomaly_zscore" -> q39_sql,
+    "q40_sessionization" -> q40_sql,
+    "v17_snapshot_diff" -> v17_sql,
+    "d36_compaction_roundtrip" -> d36_sql,
+    "v18_constraint_audit" -> v18_sql,
+    "t18_bigram_loglik" -> t18_sql,
     "t16_classifier_score" -> t16_sql,
     "t17_distinct_gate" -> t17_sql,
     "d34_zorder_layout" -> d34_sql,

@@ -391,7 +391,42 @@ object StreamingQueries {
       | AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY lead_id, follow_id""".stripMargin
 
+  /** Streaming MVCC sink fold ([[graft.streaming.SnapshotSink]]): the
+    * events table arrives as three micro-batches (id mod 3), each
+    * committing a new snapshot-store generation; batch 1 is then
+    * REDELIVERED (the foreachBatch crash-replay case) and must no-op.
+    * Output: generation count (must be 3, not 4) + final-table
+    * integrity stats — the oracle sees the plain events table, so any
+    * lost or doubled batch fails the hash. Stream ≡ this fold is
+    * SnapshotSinkSpec's job.
+    */
+  val w13_snapshot_sink: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapsink")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.SnapshotStore(s, root)
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"))
+    val batches = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, id) =>
+      graft.streaming.SnapshotSink.appendBatch(st, b, id.toLong)
+    }
+    // crash-replay: batch 1 redelivered — exactly-once makes it a no-op
+    graft.streaming.SnapshotSink.appendBatch(st, batches(1), 1L)
+    st.readLatest()
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_ids"),
+        countDistinct(col("event_id")).as("n_distinct"))
+      .select(lit(st.loggedVersions().size.toLong).as("n_versions"),
+        col("n_rows"), col("sum_ids"), col("n_distinct"))
+  }
+
+  val w13_sql: String =
+    """SELECT 3 AS n_versions, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  COUNT(DISTINCT event_id) AS n_distinct
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "w13_snapshot_sink" -> w13_snapshot_sink,
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
     "w03_state_view" -> w03_state_view,
@@ -405,6 +440,7 @@ object StreamingQueries {
     "w12_follow_outer" -> w12_follow_outer)
 
   val oracles: Map[String, String] = Map(
+    "w13_snapshot_sink" -> w13_sql,
     "w01_tumbling_windows" -> w01_sql,
     "w02_sliding_windows" -> w02_sql,
     "w03_state_view" -> w03_sql,

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.SnapshotStore
+
+/** Exactly-once append sink from Structured Streaming into a
+  * [[SnapshotStore]] — every micro-batch commits a NEW table
+  * generation (previous generation ∪ batch), so downstream readers
+  * get snapshot isolation over a live stream: they always see a
+  * complete committed prefix of the stream, never a half-written
+  * batch, and can time-travel to any earlier cut.
+  *
+  * Exactly-once: the store's commit log records the micro-batch id as
+  * the commit timestamp, and [[appendBatch]] is a NO-OP for an id
+  * already in the log — so the foreachBatch redelivery after a crash
+  * (Structured Streaming replays the last uncommitted batch from the
+  * checkpoint) cannot double-append. The same ledger-idempotency
+  * discipline as the CDC pipeline's FileLedger, expressed in MVCC
+  * terms.
+  */
+object SnapshotSink {
+
+  /** Append `batch` as the next generation keyed by `batchId`;
+    * returns the committed version, or -1 if the batch was already
+    * committed (redelivery no-op).
+    */
+  def appendBatch(store: SnapshotStore, batch: DataFrame, batchId: Long): Long = {
+    if (store.history().exists(_._2 == batchId)) -1L
+    else {
+      val merged = store.latestVersion() match {
+        case Some(v) => store.read(v).unionByName(batch)
+        case None => batch
+      }
+      store.commit(merged, commitTsMillis = batchId)
+    }
+  }
+
+  /** Attach the sink to a stream (foreachBatch driver). */
+  def attach(stream: DataFrame, store: SnapshotStore,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(store, batch, batchId); ()
+      }
+      .start()
+}

@@ -78,6 +78,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  // ── Constraints ─────────────────────────────────────────────────────
+
+  test("constraints: null cells fail only not_null; unique ignores null-keyed rows") {
+    import graft.operators.Constraints
+    import graft.operators.Constraints.Rule._
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "F"), (1L, "O"), (2L, "X"), (null, "F"), (null, null)
+    ).toDF("k", "status")
+    val got = Constraints.audit(df, Seq(
+        NotNull("k"), Unique(Seq("k")), InSet("status", Seq("F", "O", "P"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("not_null(k)") == 2L)     // two null keys
+    assert(got("unique(k)") == 1L)       // the duplicated k=1, nulls excluded
+    assert(got("in_set(status)") == 1L)  // 'X'; null status passes (NotNull's job)
+  }
+
   // ── VectorSearch.ivfPqTopK ──────────────────────────────────────────
 
   test("ivfPqTopK: deterministic under repartitioning, k per query, exact-overlap sanity") {
