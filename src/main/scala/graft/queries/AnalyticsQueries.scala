@@ -504,8 +504,76 @@ object AnalyticsQueries {
        |GROUP BY g.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  // ───────────────────────────── d37: curation pipeline v2
+
+  /** The round-8 operators composed into one curation pass — the
+    * model-in-the-loop variant of d10's pipeline: classifier gate
+    * ([[Scoring]], broadcast model) → exact dedup (md5 identity,
+    * min-id survivor) → weighted diversity sample
+    * ([[Sampling.weightedSample]], 3 per source by length). Every
+    * stage is deterministic, so the oracle replays the whole pipeline
+    * as chained CTEs; stage plumbing is one broadcast join, one
+    * dedup window, one group-limited rank window — three shuffles
+    * total for a three-stage pipeline at any scale.
+    */
+  val d37_curation_v2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val kept = docs.join(
+      Scoring.classifierScore(docs, "doc_id", "text")
+        .filter(col("accept")).select(col("id").as("doc_id")),
+      "doc_id")
+    val surv = kept
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    Sampling.weightedSample(surv, "doc_id", "n_chars", "source", k = 3)
+      .select(col("source"), col("sample_rank").cast(LongType).as("sample_rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  val d37_sql: String = {
+    val bias = Scoring.DefaultBiasMilli
+    s"""WITH vocab(tok, w_milli) AS (VALUES ${Scoring.vocabValuesSql()}),
+       |base AS (
+       |  SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents
+       |),
+       |toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+       |hits AS (
+       |  SELECT t.doc_id, SUM(v.w_milli) AS sum_w
+       |  FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id
+       |),
+       |kept AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN base b USING (doc_id) LEFT JOIN hits h USING (doc_id)
+       |  WHERE b.n_tokens * ($bias) + COALESCE(h.sum_w, 0) > 0
+       |),
+       |surv AS (
+       |  SELECT * FROM (
+       |    SELECT k.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM kept k) t
+       |  WHERE rn = 1
+       |),
+       |keyed AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+       |       / 1152921504606846976.0) / n_chars AS ares_key
+       |  FROM surv WHERE n_chars > 0
+       |),
+       |ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ares_key DESC, doc_id) AS sample_rank
+       |  FROM keyed
+       |)
+       |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars
+       |FROM ranked WHERE sample_rank <= 3
+       |ORDER BY source, sample_rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_anomaly_zscore" -> q39_anomaly_zscore,
+    "d37_curation_v2" -> d37_curation_v2,
     "q40_sessionization" -> q40_sessionization,
     "v17_snapshot_diff" -> v17_snapshot_diff,
     "d36_compaction_roundtrip" -> d36_compaction_roundtrip,
@@ -519,6 +587,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q39_anomaly_zscore" -> q39_sql,
+    "d37_curation_v2" -> d37_sql,
     "q40_sessionization" -> q40_sql,
     "v17_snapshot_diff" -> v17_sql,
     "d36_compaction_roundtrip" -> d36_sql,
