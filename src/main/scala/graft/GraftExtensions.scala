@@ -17,6 +17,7 @@ import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFinge
   *   SELECT minhash_signature(shingle, 128) ... GROUP BY doc  -- MinHash agg
   *   SELECT simhash_signature(h, 60) ... GROUP BY doc         -- SimHash agg
   *   SELECT word_grams(toks, 3)                   -- compiled n-gram shingles
+  *   SELECT z_interleave(x, y)                    -- Morton/Z-order layout code
   *
   * Wire up with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or

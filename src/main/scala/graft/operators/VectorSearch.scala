@@ -474,30 +474,35 @@ object VectorSearch {
     * id ASC) over identical doubles, and the ADC fold is fixed-order —
     * the oracle replays the exact ranking.
     */
-  def ivfPqTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, queryIdCol: String,
-      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
-    require(centroids.nonEmpty && nProbe >= 1)
+  private def pqChecked(vec: Column, dim: Int, op: String): Column = {
+    val v = vec.cast(ArrayType(DoubleType))
+    when(size(v) === dim, v).otherwise(raise_error(format_string(
+      s"$op: embedding dimension %d != m*subDim = $dim", size(v))))
+  }
+
+  private def pqDist2(sv: Column, svv: Column, c: Seq[Double]): Column =
+    svv - lit(2.0) * dot(sv, lit(c.toArray)) + lit(c.map(x => x * x).sum)
+
+  /** The IVF-PQ index-build pass: one corpus scan computing each row's
+    * coarse cell and m PQ codes — the compressed inverted file.
+    * Columns: (id, __cell, __code0..__code{m−1}); persist THIS (e.g.
+    * into a [[graft.sources.SnapshotStore]] generation) and serve
+    * queries from the stored codes without touching raw vectors again
+    * — the index-once / query-many split every real ANN deployment
+    * runs (s15 exercises it end-to-end).
+    */
+  def encodeIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(centroids.nonEmpty)
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
     val subDim = codebooks.head.head.size
     require(codebooks.forall(_.forall(_.size == subDim)),
-      "ivfPqTopK: ragged codebook subvectors")
-    val m = codebooks.size
-    val dim = m * subDim
-    def checked(vec: Column): Column = {
-      val v = vec.cast(ArrayType(DoubleType))
-      when(size(v) === dim, v).otherwise(raise_error(format_string(
-        s"ivfPqTopK: embedding dimension %d != m*subDim = $dim", size(v))))
-    }
+      "encodeIvfPq: ragged codebook subvectors")
+    val dim = codebooks.size * subDim
     def sub(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
-    def dist2(sv: Column, svv: Column, c: Seq[Double]): Column =
-      svv - lit(2.0) * dot(sv, lit(c.toArray)) + lit(c.map(x => x * x).sum)
-
-    // one corpus scan: coarse cell + the m PQ codes ride each row
-    val encoded = corpus
-      .select(col(idCol).as("id"), checked(col(vecCol)).as("__v"))
+    corpus
+      .select(col(idCol).as("id"), pqChecked(col(vecCol), dim, "encodeIvfPq").as("__v"))
       .select(
         Seq(col("id"),
           nearestCell(col("__v"), dot(col("__v"), col("__v")), centroids)
@@ -506,12 +511,28 @@ object VectorSearch {
             val sv = sub(col("__v"), s)
             val svv = dot(sv, sv)
             array_min(array(cb.zipWithIndex.map { case (c, j) =>
-              struct(dist2(sv, svv, c).as("d"), lit(j).as("c"))
+              struct(pqDist2(sv, svv, c).as("d"), lit(j).as("c"))
             }: _*)).getField("c").as(s"__code$s")
           }: _*)
-    // queries: probed cells exploded + per-subspace ADC tables, one broadcast
+  }
+
+  /** Query an [[encodeIvfPq]]-encoded corpus: probed cell ids + ADC
+    * distance tables ride one broadcast; scoring is table lookups
+    * inside the broadcast join; the only shuffle is the rank window.
+    */
+  def searchIvfPq(
+      encoded: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty && nProbe >= 1)
+    val subDim = codebooks.head.head.size
+    val m = codebooks.size
+    val dim = m * subDim
+    def sub(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
     val qtab = broadcast(queries
-      .select(col(queryIdCol).as("query_id"), checked(col(vecCol)).as("__v"))
+      .select(col(queryIdCol).as("query_id"),
+        pqChecked(col(vecCol), dim, "searchIvfPq").as("__v"))
       .select(
         Seq(col("query_id"),
           explode(probeCells(col("__v"), dot(col("__v"), col("__v")),
@@ -519,7 +540,7 @@ object VectorSearch {
           codebooks.zipWithIndex.map { case (cb, s) =>
             val sv = sub(col("__v"), s)
             val svv = dot(sv, sv)
-            array(cb.map(c => dist2(sv, svv, c)): _*).as(s"__dtab$s")
+            array(cb.map(c => pqDist2(sv, svv, c)): _*).as(s"__dtab$s")
           }: _*))
     val adc = (0 until m).map(s =>
         element_at(col(s"__dtab$s"), col(s"__code$s") + 1))
@@ -529,6 +550,14 @@ object VectorSearch {
       .withColumn("score", -adc)
     rankTopK(scored, "score", k)
   }
+
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    searchIvfPq(encodeIvfPq(corpus, idCol, vecCol, centroids, codebooks),
+      queries, queryIdCol, vecCol, centroids, codebooks, k, nProbe, excludeSelf)
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, id_a < id_b.
     *

@@ -571,9 +571,71 @@ object AnalyticsQueries {
        |ORDER BY source, sample_rank""".stripMargin
   }
 
+  // ───────────────────────────── d38/v19: format ingestion round-trips
+
+  /** JSONL round-trip — THE interchange format for LLM corpora: the
+    * documents table is written as JSON-lines, read back with an
+    * explicit schema (schema-on-read, no inference job), and audited
+    * per language. The oracle sees only the original parquet, so any
+    * row lost, field nulled, or unicode mangled in the JSON hop fails
+    * the hash. Escape-heavy `text` (quotes/newlines in synthetic docs)
+    * rides the JSON escaper both directions.
+    */
+  val d38_jsonl_roundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      .toFile.getAbsolutePath + "/docs"
+    val docs = Tables(s, dir, "documents")
+    docs.write.mode("overwrite").json(tmp)
+    s.read.schema(docs.schema).json(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text")).cast(LongType)).as("sum_text_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val d38_sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** CSV round-trip (the reference's external-table ingest format):
+    * orders written as quoted CSV with a header, read back with an
+    * explicit schema, integrity-audited per status. Money stays exact
+    * because the audit compares integer cents, not re-parsed doubles
+    * formatted differently.
+    */
+  val v19_csv_roundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
+      .toFile.getAbsolutePath + "/orders"
+    val orders = Tables(s, dir, "orders")
+    orders.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema(orders.schema).option("header", "true").csv(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val v19_sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_anomaly_zscore" -> q39_anomaly_zscore,
     "d37_curation_v2" -> d37_curation_v2,
+    "d38_jsonl_roundtrip" -> d38_jsonl_roundtrip,
+    "v19_csv_roundtrip" -> v19_csv_roundtrip,
     "q40_sessionization" -> q40_sessionization,
     "v17_snapshot_diff" -> v17_snapshot_diff,
     "d36_compaction_roundtrip" -> d36_compaction_roundtrip,
@@ -588,6 +650,8 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q39_anomaly_zscore" -> q39_sql,
     "d37_curation_v2" -> d37_sql,
+    "d38_jsonl_roundtrip" -> d38_sql,
+    "v19_csv_roundtrip" -> v19_sql,
     "q40_sessionization" -> q40_sql,
     "v17_snapshot_diff" -> v17_sql,
     "d36_compaction_roundtrip" -> d36_sql,

@@ -374,17 +374,47 @@ object SemanticQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ── s15: persisted ANN index (index once, query many) ──────────────
+
+  /** The index-persistence split every ANN deployment runs:
+    * [[VectorSearch.encodeIvfPq]] builds the compressed inverted file
+    * (cell + 4 codes per row), a [[graft.sources.SnapshotStore]]
+    * generation persists it, and [[VectorSearch.searchIvfPq]] serves
+    * the query from the STORED codes — raw vectors are never read at
+    * query time. Results are identical to s14's fused run (the stored
+    * codes are the same integers), so the oracle is s14's replay
+    * verbatim; what this query pins is that persistence round-trips
+    * the index losslessly.
+    */
+  val s15_ann_index_store: Q = (s, dir) => {
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-annidx")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.SnapshotStore(s, root)
+    st.commit(VectorSearch.encodeIvfPq(e, "vec_id", "embedding", planes, codebooks),
+      commitTsMillis = 1000L)
+    VectorSearch.searchIvfPq(st.readLatest(), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", planes, codebooks, k = 10, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
     "s12_kmeans" -> s12_kmeans,
     "s13_pq_ann" -> s13_pq_ann,
-    "s14_ivf_pq" -> s14_ivf_pq)
+    "s14_ivf_pq" -> s14_ivf_pq,
+    "s15_ann_index_store" -> s15_ann_index_store)
 
   val oracles: Map[String, String] = Map(
     "d27_semantic_dedup" -> d27_sql,
     "s09_embedding_decontam" -> s09_sql,
     "s12_kmeans" -> s12_sql,
     "s13_pq_ann" -> s13_sql,
-    "s14_ivf_pq" -> s14_sql)
+    "s14_ivf_pq" -> s14_sql,
+    "s15_ann_index_store" -> s14_sql)
 }
