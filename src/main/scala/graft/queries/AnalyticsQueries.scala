@@ -631,11 +631,46 @@ object AnalyticsQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ───────────────────────────── d39: hive-partitioned layout pruning
+
+  /** Hive-style partitioned layout — the directory-level pruning that
+    * complements parquet footer stats at 100 TB: documents written
+    * `partitionBy(lang, source)`, then ONE (lang, source) partition
+    * read back with predicates that resolve to directory pruning
+    * (`PartitionFilters` in the scan, plan-guarded) — the query never
+    * opens the other ~99 partitions' files. Output audits the pruned
+    * slice; the oracle filters the original table, so a partition
+    * mis-write (row landed in the wrong directory) fails the hash.
+    */
+  val d39_partitioned_scan: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hivepart")
+      .toFile.getAbsolutePath + "/docs"
+    Tables(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("lang") === "en" && col("source") === "src3")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val d39_sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang = 'en' AND source = 'src3'
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_anomaly_zscore" -> q39_anomaly_zscore,
     "d37_curation_v2" -> d37_curation_v2,
     "d38_jsonl_roundtrip" -> d38_jsonl_roundtrip,
     "v19_csv_roundtrip" -> v19_csv_roundtrip,
+    "d39_partitioned_scan" -> d39_partitioned_scan,
     "q40_sessionization" -> q40_sessionization,
     "v17_snapshot_diff" -> v17_snapshot_diff,
     "d36_compaction_roundtrip" -> d36_compaction_roundtrip,
@@ -652,6 +687,7 @@ object AnalyticsQueries {
     "d37_curation_v2" -> d37_sql,
     "d38_jsonl_roundtrip" -> d38_sql,
     "v19_csv_roundtrip" -> v19_sql,
+    "d39_partitioned_scan" -> d39_sql,
     "q40_sessionization" -> q40_sql,
     "v17_snapshot_diff" -> v17_sql,
     "d36_compaction_roundtrip" -> d36_sql,

@@ -614,6 +614,39 @@ object ScaleSmoke {
       emb.unpersist()
       spark.catalog.clearCache()
     }
+
+    // skew stress: ONE stratum holds ~95% of the corpus — the partial
+    // WindowGroupLimit must truncate per input partition BEFORE the
+    // stratum shuffle, so the hot stratum's reducer sees ~5·|partitions|
+    // rows, not 95% of the corpus
+    val n = tiers.max
+    val skewDocs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(20)) === 0, pmod(col("id"), lit(19)).cast("string"))
+          .otherwise(lit("hot")).as("source"),
+        (pmod(hash(col("id") + 7), lit(1000)) + 1).cast("long").as("n_chars"))
+      .repartition(32).persist()
+    skewDocs.count()
+    time(s"d35 weighted sample, $n docs, 95%-hot stratum") {
+      println(s"[scale]   sampled: ${graft.operators.Sampling
+        .weightedSample(skewDocs, "doc_id", "n_chars", "source", 5).count()}")
+    }
+    skewDocs.unpersist()
+
+    // BPE: corpus-once + Zipf-bounded rounds — the 500k-doc corpus has
+    // ~1000 distinct words, so rounds 2..5 cost vocab-table time
+    val bpeWords = (0 until 1000).map(i =>
+      ("abcdefgh".drop(i % 7) + "abcdefgh".take(i % 8 + 1)) * (i % 3 + 1)).toArray
+    val bpeDocs = spark.range(n).select(
+      concat_ws(" ", (0 until 12).map(j =>
+        element_at(lit(bpeWords),
+          (pmod(hash(col("id") * 13 + lit(j)), lit(bpeWords.length)) + 1).cast("int"))): _*)
+        .as("text")).repartition(32).persist()
+    bpeDocs.count()
+    time(s"BPE induction k=5, $n docs, ~1000-word vocab") {
+      val (merges, _) = graft.operators.BpeInduction.train(bpeDocs, "text", k = 5)
+      println(s"[scale]   merges: ${merges.map(m => m.left + "+" + m.right).mkString(", ")}")
+    }
+    bpeDocs.unpersist()
   }
 
   private def time[T](label: String)(f: => T): T = {

@@ -527,6 +527,22 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "exact multi-NDV should plan a single Expand:\n" + plan.take(3000))
   }
 
+  test("hive-partitioned read prunes directories (PartitionFilters, not post-read)") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-partprune")
+      .toFile.getAbsolutePath + "/docs"
+    Tables(spark, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val df = spark.read.parquet(tmp).filter(col("lang") === "en")
+    val plan = initialPlanString(df)
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("isnotnull(lang") || plan.contains("(lang"),
+      "lang predicate must prune partitions:\n" + plan.take(2000))
+    // the predicate must NOT survive as a post-scan Filter on lang
+    assert(!plan.contains("Filter (lang"),
+      "partition predicate leaked past the scan:\n" + plan.take(2000))
+  }
+
   test("z_interleave runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.IntegerType
