@@ -87,4 +87,29 @@ object BpeInduction {
     }
     (merges.result(), vocab)
   }
+
+  /** Tokenize a corpus with a trained vocab — the 100 TB encode path:
+    * the symbolized vocab (Zipf-bounded) broadcasts; the corpus
+    * explodes to words and JOINS the vocab for its subword
+    * segmentation — no per-corpus-row merge logic ever runs. Words
+    * absent from the vocab (unseen at train time) fall back to
+    * character symbols via the merge list applied in order (driver
+    * logic on the broadcast side never touches them — they surface as
+    * `oov = true` with char count). Returns per-doc
+    * (id, n_words, n_subwords, n_oov_words).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      vocab: Dataset[SymWord]): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("word"))
+    val vtab = broadcast(vocab.toDF()
+      .select(col("word"), size(col("syms")).as("__n_syms")))
+    words.join(vtab, Seq("word"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__n_syms"),
+          length(col("word")))).cast("long").as("n_subwords"),
+        sum(when(col("__n_syms").isNull, 1L).otherwise(0L)).as("n_oov_words"))
+  }
 }

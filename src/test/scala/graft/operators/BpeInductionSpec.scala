@@ -85,6 +85,20 @@ class BpeInductionSpec extends AnyFunSuite {
     assert(BpeInduction.applyMerge(Nil, "a", "b") == Nil)
   }
 
+  test("tokenCounts: subword counts from the trained vocab; OOV falls back to chars") {
+    import spark.implicits._
+    val train = Seq("low low lower lowest", "low low newest newest").toDF("text")
+    val (_, vocab) = BpeInduction.train(train, "text", k = 3)
+    val docs = Seq((1L, "low lower"), (2L, "zzz low")).toDF("doc_id", "text")
+    val got = BpeInduction.tokenCounts(docs, "doc_id", "text", vocab)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // merges: (l,o), (lo,w), (e,s) -> low = [low] (1), lower = [low,e,r] (3)
+    assert(got(0) == (1L, 2L, 4L, 0L))
+    // zzz unseen -> 3 char symbols, flagged OOV; low = 1
+    assert(got(1) == (2L, 2L, 4L, 1L))
+  }
+
   test("exhaustion: single-char words stop the loop early") {
     import spark.implicits._
     val (merges, _) = BpeInduction.train(
