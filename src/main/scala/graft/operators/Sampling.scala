@@ -117,10 +117,11 @@ object Sampling {
     * require): `tokensCol` values must be ≥ 0 — the bucket-drop
     * prefilter assumes the running token total is monotone, so a
     * negative count would silently admit the wrong rows vs the naive
-    * running-sum form. `domainCol` and `qualityCol` must be non-NULL —
-    * the histogram join drops NULL-domain rows, whereas the naive
-    * window form would admit a NULL domain as its own partition.
-    * (d26's token counts and domains satisfy both by construction.)
+    * running-sum form. NULL domains/qualities are handled identically
+    * to the naive window form (each NULL domain is its own partition;
+    * NULL quality sorts last like the window's default null ordering):
+    * the histogram join is NULL-SAFE (`<=>`), so the histogram path
+    * cannot silently drop rows the window path would admit.
     */
   def tokenBudgetAdmit(
       docs: DataFrame, domainCol: String, idCol: String,
@@ -135,11 +136,14 @@ object Sampling {
     val hist = base.groupBy(col(domainCol), col("__qbucket"))
       .agg(sum(col(tokensCol)).as("__btokens"))
       .withColumn("__prev_cum", coalesce(sum(col("__btokens")).over(bw), lit(0L)))
-      .select(col(domainCol), col("__qbucket"), col("__prev_cum"))
+      .select(col(domainCol).as("__hd"), col("__qbucket").as("__hb"),
+        col("__prev_cum"))
     val dw = W.partitionBy(col(domainCol), col("__qbucket"))
       .orderBy(col(qualityCol).desc, col(idCol))
       .rowsBetween(W.unboundedPreceding, 0)
-    base.join(broadcast(hist), Seq(domainCol, "__qbucket"))
+    base.join(broadcast(hist),
+        col(domainCol) <=> col("__hd") && col("__qbucket") <=> col("__hb"))
+      .drop("__hd", "__hb")
       .filter(col("__prev_cum") <= budget)
       .withColumn("cum_tokens", col("__prev_cum") + sum(col(tokensCol)).over(dw))
       .filter(col("cum_tokens") <= budget)

@@ -101,6 +101,25 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetAdmit: NULL domains form their own partition (≡ naive window model)") {
+    import spark.implicits._
+    val rows: Seq[(String, Long, Long, Long)] = Seq(
+      ("a", 1L, 90L, 40L), ("a", 2L, 80L, 40L), ("a", 3L, 70L, 40L),
+      (null, 4L, 95L, 50L), (null, 5L, 60L, 50L), (null, 6L, 50L, 50L))
+    val df = rows.toDF("domain", "id", "quality", "tokens")
+    val got = Sampling.tokenBudgetAdmit(df, "domain", "id", "quality", "tokens",
+        budget = 100L, bucketWidth = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // driver model: per domain (NULL its own), quality desc, admit while cum <= budget
+    val expect = rows.groupBy(_._1).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (-d._3, d._2)).takeWhile { d => cum += d._4; cum <= 100L }
+        .map(_._2)
+    }.toSet
+    assert(expect == Set(1L, 2L, 4L, 5L), "model sanity")
+    assert(got == expect)
+  }
+
   test("compaction preserves random tables and respects the file budget") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
