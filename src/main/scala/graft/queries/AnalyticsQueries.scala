@@ -665,12 +665,64 @@ object AnalyticsQueries {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ───────────────────────────── q41: IGNORE NULLS forward fill
+
+  /** Gap repair — the sensor/telemetry forward-fill every feed
+    * pipeline runs: values are deterministically knocked out
+    * (event_id ≡ 0 mod 7), then repaired per user with
+    * `last_value IGNORE NULLS` over the unbounded-preceding frame (the
+    * IGNORE NULLS window surface, distinct from q31's plain value
+    * windows). Leading gaps (no prior value) stay NULL and are
+    * counted. Output: per-user filled-sum in integer cents + gap
+    * accounting. One window shuffle by user serves the fill and the
+    * partition-prefix-reusing rollup.
+    */
+  val q41_forward_fill: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(round(col("value") * 100).cast(LongType)).as("cents"))
+      .withColumn("filled",
+        last(col("cents"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfillable"),
+        sum(col("filled")).as("sum_filled_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q41_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |         ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, cents,
+      |    LAST_VALUE(cents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS filled
+      |  FROM e
+      |)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfillable,
+      |  CAST(SUM(filled) AS BIGINT) AS sum_filled_cents
+      |FROM f
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_anomaly_zscore" -> q39_anomaly_zscore,
     "d37_curation_v2" -> d37_curation_v2,
     "d38_jsonl_roundtrip" -> d38_jsonl_roundtrip,
     "v19_csv_roundtrip" -> v19_csv_roundtrip,
     "d39_partitioned_scan" -> d39_partitioned_scan,
+    "q41_forward_fill" -> q41_forward_fill,
     "q40_sessionization" -> q40_sessionization,
     "v17_snapshot_diff" -> v17_snapshot_diff,
     "d36_compaction_roundtrip" -> d36_compaction_roundtrip,
@@ -688,6 +740,7 @@ object AnalyticsQueries {
     "d38_jsonl_roundtrip" -> d38_sql,
     "v19_csv_roundtrip" -> v19_sql,
     "d39_partitioned_scan" -> d39_sql,
+    "q41_forward_fill" -> q41_sql,
     "q40_sessionization" -> q40_sql,
     "v17_snapshot_diff" -> v17_sql,
     "d36_compaction_roundtrip" -> d36_sql,
