@@ -39,9 +39,10 @@ object Compaction {
   /** Compact the parquet table at `dir` into ceil(rows / targetRows)
     * files, range-laid-out and internally sorted by `sortKey`.
     * Returns (before, after, rows). The swap is rename-only; the
-    * replaced generation is left at `<dir>._compact_old` until the
-    * next compaction (crash-recovery copy, same convention as the
-    * bucketed store's backup-rename).
+    * replaced generation is left at the dot-prefixed scratch sibling
+    * `.<name>._compact_old` until the next compaction (crash-recovery
+    * copy, same convention as the bucketed store's backup-rename;
+    * dot-prefixed so Spark's listing never sees it).
     */
   def compact(spark: SparkSession, dir: String, sortKey: Column,
       targetRows: Long): Report = {
@@ -51,20 +52,47 @@ object Compaction {
     val rows = df.count()
     val numFiles = math.max(1, math.ceil(rows.toDouble / targetRows).toInt)
 
-    val tmp = dir + "._compact_tmp"
-    val old = dir + "._compact_old"
+    // dot-prefixed scratch siblings: invisible to Spark's file listing,
+    // so a partition dir compacted IN PLACE inside a hive table tree
+    // never surfaces its backup as a phantom partition
+    val p = new Path(dir)
+    val tmp = new Path(p.getParent, "." + p.getName + "._compact_tmp")
+    val old = new Path(p.getParent, "." + p.getName + "._compact_old")
     val f = fs(spark)
-    f.delete(new Path(tmp), true)
-    f.delete(new Path(old), true)
+    f.delete(tmp, true)
+    f.delete(old, true)
 
     df.repartitionByRange(numFiles, sortKey)
       .sortWithinPartitions(sortKey)
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(tmp.toString)
 
-    require(f.rename(new Path(dir), new Path(old)), s"swap-out failed: $dir")
-    require(f.rename(new Path(tmp), new Path(dir)), s"swap-in failed: $tmp")
+    require(f.rename(p, old), s"swap-out failed: $dir")
+    require(f.rename(tmp, p), s"swap-in failed: $tmp")
 
     Report(before, dataFiles(spark, dir).length, rows)
+  }
+
+  /** Incremental, partition-wise compaction — the realistic
+    * maintenance mode for a hive-partitioned 100 TB table: only
+    * partitions whose small-file count exceeds `minFiles` are
+    * rewritten (each with its own [[compact]] two-phase swap); cold
+    * partitions are untouched, so the maintenance cost tracks the
+    * WRITE rate, not the table size. Returns (partitionDir → report)
+    * for the partitions actually compacted.
+    */
+  def compactPartitions(spark: SparkSession, tableDir: String,
+      sortKey: Column, targetRows: Long, minFiles: Int): Map[String, Report] = {
+    val f = fs(spark)
+    def partitionDirs(p: Path): Seq[Path] = {
+      val kids = f.listStatus(p).filter(s => s.isDirectory &&
+        s.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(p)
+      else kids.flatMap(k => partitionDirs(k.getPath)).toSeq
+    }
+    partitionDirs(new Path(tableDir))
+      .filter(d => dataFiles(spark, d.toString).length > minFiles)
+      .map(d => d.toString -> compact(spark, d.toString, sortKey, targetRows))
+      .toMap
   }
 
   /** Per-file (min, max) of `keyCol` read back from the compacted

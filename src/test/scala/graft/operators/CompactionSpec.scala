@@ -78,14 +78,43 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-wise compaction touches only hot partitions, preserves all rows") {
+    import spark.implicits._
+    val dir = freshDir()
+    // cold partition: one append; hot partition: 30 small appends
+    (0 until 100).map(i => (i.toLong, "cold")).toDF("k", "p")
+      .coalesce(1).write.partitionBy("p").mode("append").parquet(dir)
+    (0 until 30).foreach { b =>
+      (0 until 20).map(i => ((b * 20 + i).toLong, "hot")).toDF("k", "p")
+        .coalesce(1).write.partitionBy("p").mode("append").parquet(dir)
+    }
+    val coldFilesBefore = spark.read.parquet(dir).filter($"p" === "cold")
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+
+    val reports = Compaction.compactPartitions(spark, dir, col("k"),
+      targetRows = 300L, minFiles = 5)
+    assert(reports.size == 1 && reports.keys.head.endsWith("p=hot"))
+    assert(reports.values.head.rows == 600 && reports.values.head.filesAfter <= 2)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 700)
+    // cold partition files untouched (same physical files serve it)
+    val coldFilesAfter = back.filter($"p" === "cold")
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(coldFilesAfter == coldFilesBefore)
+  }
+
   test("crash before swap-in leaves the original table readable") {
     import spark.implicits._
     val dir = freshDir()
     (0 until 100).map(_.toLong).toDF("k")
       .coalesce(1).write.mode("overwrite").parquet(dir)
     // simulate the pre-swap state: tmp exists, live untouched
+    val p = new org.apache.hadoop.fs.Path(dir)
     (0 until 100).map(_.toLong).toDF("k")
-      .write.mode("overwrite").parquet(dir + "._compact_tmp")
+      .write.mode("overwrite").parquet(
+        new org.apache.hadoop.fs.Path(p.getParent,
+          "." + p.getName + "._compact_tmp").toString)
     assert(spark.read.parquet(dir).count() == 100)
     // a subsequent compaction clears the leftover tmp and succeeds
     val rep = Compaction.compact(spark, dir, col("k"), targetRows = 50)

@@ -72,6 +72,18 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(st.readLatest().count() == 20)
   }
 
+  test("schema evolution across generations: each snapshot keeps ITS schema") {
+    import spark.implicits._
+    val st = freshStore()
+    st.commit(Seq((1L, "a")).toDF("k", "v"), 1000L)
+    st.commit(Seq((1L, "a", 9L), (2L, "b", 8L)).toDF("k", "v", "extra"), 2000L)
+    // old generation reads with the old 2-column schema
+    assert(st.read(0).schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(st.readLatest().schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(st.asOf(1500L).schema.length == 2)
+    assert(st.readLatest().agg(sum("extra")).head().getLong(0) == 17L)
+  }
+
   test("retention expires old generations but never the current one") {
     val st = freshStore()
     (1 to 4).foreach(i => st.commit(gen(i * 10, i.toLong), i * 1000L))
