@@ -491,29 +491,43 @@ object VectorSearch {
     * — the index-once / query-many split every real ANN deployment
     * runs (s15 exercises it end-to-end).
     */
+  /** With `residual = true` the PQ codes encode `v − centroid(cell)`
+    * instead of the raw vector — the IVFADC upgrade (Jégou et al.
+    * §IV): residuals concentrate near the origin, so the same tiny
+    * codebook quantizes them with far less error than raw vectors.
+    * [[searchIvfPq]] must be called with the same flag (the query
+    * builds its distance tables against the PROBED cell's residual).
+    */
   def encodeIvfPq(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      residual: Boolean = false): DataFrame = {
     require(centroids.nonEmpty)
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
     val subDim = codebooks.head.head.size
     require(codebooks.forall(_.forall(_.size == subDim)),
       "encodeIvfPq: ragged codebook subvectors")
     val dim = codebooks.size * subDim
+    require(centroids.forall(_.size == dim), "encodeIvfPq: centroid dim mismatch")
     def sub(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
-    corpus
+    val cents = typedLit(centroids.map(_.toArray).toArray)
+    val assigned = corpus
       .select(col(idCol).as("id"), pqChecked(col(vecCol), dim, "encodeIvfPq").as("__v"))
-      .select(
-        Seq(col("id"),
-          nearestCell(col("__v"), dot(col("__v"), col("__v")), centroids)
-            .as("__cell")) ++
-          codebooks.zipWithIndex.map { case (cb, s) =>
-            val sv = sub(col("__v"), s)
-            val svv = dot(sv, sv)
-            array_min(array(cb.zipWithIndex.map { case (c, j) =>
-              struct(pqDist2(sv, svv, c).as("d"), lit(j).as("c"))
-            }: _*)).getField("c").as(s"__code$s")
-          }: _*)
+      .withColumn("__cell",
+        nearestCell(col("__v"), dot(col("__v"), col("__v")), centroids))
+    val enc = if (residual)
+      assigned.withColumn("__e",
+        zip_with(col("__v"), element_at(cents, col("__cell") + 1), _ - _))
+    else assigned.withColumn("__e", col("__v"))
+    enc.select(
+      Seq(col("id"), col("__cell")) ++
+        codebooks.zipWithIndex.map { case (cb, s) =>
+          val sv = sub(col("__e"), s)
+          val svv = dot(sv, sv)
+          array_min(array(cb.zipWithIndex.map { case (c, j) =>
+            struct(pqDist2(sv, svv, c).as("d"), lit(j).as("c"))
+          }: _*)).getField("c").as(s"__code$s")
+        }: _*)
   }
 
   /** Query an [[encodeIvfPq]]-encoded corpus: probed cell ids + ADC
@@ -524,24 +538,33 @@ object VectorSearch {
       encoded: DataFrame, queries: DataFrame,
       queryIdCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true,
+      residual: Boolean = false): DataFrame = {
     require(centroids.nonEmpty && nProbe >= 1)
     val subDim = codebooks.head.head.size
     val m = codebooks.size
     val dim = m * subDim
     def sub(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
-    val qtab = broadcast(queries
+    val cents = typedLit(centroids.map(_.toArray).toArray)
+    // residual mode: the ADC table is per (query, probed cell) — the
+    // query's residual w.r.t. THAT cell's centroid, matching the
+    // corpus rows it joins (they share the cell)
+    val probed = queries
       .select(col(queryIdCol).as("query_id"),
         pqChecked(col(vecCol), dim, "searchIvfPq").as("__v"))
-      .select(
-        Seq(col("query_id"),
-          explode(probeCells(col("__v"), dot(col("__v"), col("__v")),
-            centroids, nProbe)).as("__cell")) ++
-          codebooks.zipWithIndex.map { case (cb, s) =>
-            val sv = sub(col("__v"), s)
-            val svv = dot(sv, sv)
-            array(cb.map(c => pqDist2(sv, svv, c)): _*).as(s"__dtab$s")
-          }: _*))
+      .withColumn("__cell",
+        explode(probeCells(col("__v"), dot(col("__v"), col("__v")),
+          centroids, nProbe)))
+      .withColumn("__e",
+        if (residual) zip_with(col("__v"), element_at(cents, col("__cell") + 1), _ - _)
+        else col("__v"))
+    val qtab = broadcast(probed.select(
+      Seq(col("query_id"), col("__cell")) ++
+        codebooks.zipWithIndex.map { case (cb, s) =>
+          val sv = sub(col("__e"), s)
+          val svv = dot(sv, sv)
+          array(cb.map(c => pqDist2(sv, svv, c)): _*).as(s"__dtab$s")
+        }: _*))
     val adc = (0 until m).map(s =>
         element_at(col(s"__dtab$s"), col(s"__code$s") + 1))
       .reduceLeft(_ + _)

@@ -402,13 +402,138 @@ object SemanticQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ── s16: IVF-PQ with residual encoding (IVFADC proper) ─────────────
+
+  /** s14's index with the residual mechanism (Jégou et al. §IV —
+    * IVFADC proper): PQ codes quantize `v − centroid(cell)` and the
+    * query builds its ADC table from ITS residual w.r.t. each probed
+    * cell. Same plan shape as s14 (one encode scan, one broadcast,
+    * one rank-window shuffle); the oracle replay adds one
+    * centroid-subtraction join per side.
+    *
+    * Measured caveat (COVERAGE round-8): with the data-derived
+    * codebooks this suite uses (raw corpus-vector slices — the
+    * deterministic recipe the oracle can rebuild from parquet alone),
+    * residual encoding REDUCES overlap with the exact ranking
+    * (0.08 vs 0.24 raw-PQ at sf0.001): residuals concentrate near the
+    * origin while the codewords stay raw-vector-sized, so the
+    * quantizer maps everything to far-away entries. The gain Jégou
+    * reports requires codebooks TRAINED on residuals (a k-means pass
+    * over residual subvectors — operationally [[VectorSearch
+    * .quantizedKMeans]], but its oracle replay composed into this one
+    * is out of scope). What this query pins is the residual
+    * MACHINERY, bit-exact across engines.
+    */
+  val s16_ivf_pq_residual: Q = (s, dir) => {
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
+      planes, codebooks, residual = true)
+    VectorSearch.searchIvfPq(enc, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", planes, codebooks, k = 10, nProbe = 2,
+        residual = true)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s16_sql: String =
+    """WITH cents AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+      |         CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings
+      |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+      |),
+      |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |cdists AS (
+      |  SELECT v.vec_id, c.j,
+      |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |           ORDER BY list_inner_product(v.vec, v.vec)
+      |                    - 2.0 * list_inner_product(v.vec, c.cvec)
+      |                    + list_inner_product(c.cvec, c.cvec) ASC, c.j ASC) AS rn
+      |  FROM vecs v CROSS JOIN cents c
+      |),
+      |assign AS (SELECT vec_id, j AS cell FROM cdists WHERE rn = 1),
+      |probes AS (SELECT vec_id, j AS cell FROM cdists WHERE rn <= 2 AND vec_id < 5),
+      |cand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS id, a.cell
+      |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      |),
+      |ss AS (SELECT unnest(range(4)) AS s),
+      |csubs AS (
+      |  SELECT c.j, ss.s, list_slice(c.cvec, ss.s*16 + 1, ss.s*16 + 16) AS csub
+      |  FROM cents c CROSS JOIN ss
+      |),
+      |rsubs AS (
+      |  SELECT v.vec_id, ss.s,
+      |    list_transform(range(1, 17), i ->
+      |      v.vec[CAST(ss.s*16 + i AS INT)] - c.cvec[CAST(ss.s*16 + i AS INT)]) AS sub
+      |  FROM vecs v
+      |  JOIN assign a ON a.vec_id = v.vec_id
+      |  JOIN cents c ON c.j = a.cell
+      |  CROSS JOIN ss
+      |),
+      |sdists AS (
+      |  SELECT sb.vec_id, sb.s, cs.j,
+      |         list_inner_product(sb.sub, sb.sub)
+      |           - 2.0 * list_inner_product(sb.sub, cs.csub)
+      |           + list_inner_product(cs.csub, cs.csub) AS d
+      |  FROM rsubs sb JOIN csubs cs ON cs.s = sb.s
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT vec_id, s, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+      |    FROM sdists) t
+      |  WHERE rn = 1
+      |),
+      |qrsubs AS (
+      |  SELECT p.vec_id AS query_id, p.cell, ss.s,
+      |    list_transform(range(1, 17), i ->
+      |      v.vec[CAST(ss.s*16 + i AS INT)] - c.cvec[CAST(ss.s*16 + i AS INT)]) AS sub
+      |  FROM probes p
+      |  JOIN vecs v ON v.vec_id = p.vec_id
+      |  JOIN cents c ON c.j = p.cell
+      |  CROSS JOIN ss
+      |),
+      |qd AS (
+      |  SELECT q.query_id, q.cell, q.s, cs.j,
+      |         list_inner_product(q.sub, q.sub)
+      |           - 2.0 * list_inner_product(q.sub, cs.csub)
+      |           + list_inner_product(cs.csub, cs.csub) AS d
+      |  FROM qrsubs q JOIN csubs cs ON cs.s = q.s
+      |),
+      |parts AS (
+      |  SELECT cd.query_id, cd.id, co.s, q.d
+      |  FROM cand cd
+      |  JOIN codes co ON co.vec_id = cd.id
+      |  JOIN qd q ON q.query_id = cd.query_id AND q.cell = cd.cell
+      |            AND q.s = co.s AND q.j = co.code
+      |),
+      |scores AS (
+      |  SELECT query_id, id,
+      |         ((MAX(CASE WHEN s = 0 THEN d END)
+      |           + MAX(CASE WHEN s = 1 THEN d END))
+      |           + MAX(CASE WHEN s = 2 THEN d END))
+      |           + MAX(CASE WHEN s = 3 THEN d END) AS dist
+      |  FROM parts GROUP BY query_id, id
+      |)
+      |SELECT query_id, rank, id FROM (
+      |  SELECT query_id, id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+      |  FROM scores) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
     "s12_kmeans" -> s12_kmeans,
     "s13_pq_ann" -> s13_pq_ann,
     "s14_ivf_pq" -> s14_ivf_pq,
-    "s15_ann_index_store" -> s15_ann_index_store)
+    "s15_ann_index_store" -> s15_ann_index_store,
+    "s16_ivf_pq_residual" -> s16_ivf_pq_residual)
 
   val oracles: Map[String, String] = Map(
     "d27_semantic_dedup" -> d27_sql,
@@ -416,5 +541,6 @@ object SemanticQueries {
     "s12_kmeans" -> s12_sql,
     "s13_pq_ann" -> s13_sql,
     "s14_ivf_pq" -> s14_sql,
-    "s15_ann_index_store" -> s14_sql)
+    "s15_ann_index_store" -> s14_sql,
+    "s16_ivf_pq_residual" -> s16_sql)
 }
