@@ -502,6 +502,20 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"only the rank window may shuffle:\n${plan.toString.take(3000)}")
   }
 
+  test("residual IVF-PQ keeps s14's plan contract: broadcast + at most one shuffle") {
+    val df = queries.SemanticQueries.s16_ivf_pq_residual(spark, dir)
+    val plan = executedPlan(df)
+    val bcast = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastExchange") => p
+    }
+    val shuffles = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("ShuffleExchange") => p
+    }
+    assert(bcast.nonEmpty, s"residual ADC tables must broadcast:\n${plan.toString.take(3000)}")
+    assert(shuffles.size <= 1,
+      s"only the rank window may shuffle:\n${plan.toString.take(3000)}")
+  }
+
   test("classifier inference broadcasts the vocabulary (model rides a broadcast)") {
     val df = queries.AnalyticsQueries.t16_classifier_score(spark, dir)
     val plan = planString(df)
