@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, DataPipelineQueries, PipelineQueries, SemanticQueries, StreamingQueries, ValidationQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, DataPipelineQueries, EngineQueries, PipelineQueries, SemanticQueries, StreamingQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,7 +19,8 @@ object SparkEntry {
     CoreQueries.queries ++ PipelineQueries.queries ++
       DataPipelineQueries.queries ++ ValidationQueries.queries ++
       StreamingQueries.queries ++ CurationQueries.queries ++
-      SemanticQueries.queries ++ AnalyticsQueries.queries
+      SemanticQueries.queries ++ AnalyticsQueries.queries ++
+      EngineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     CoreQueries.oracles ++ PipelineQueries.oracles ++
       DataPipelineQueries.oracles ++ ValidationQueries.oracles ++
       StreamingQueries.oracles ++ CurationQueries.oracles ++
-      SemanticQueries.oracles ++ AnalyticsQueries.oracles
+      SemanticQueries.oracles ++ AnalyticsQueries.oracles ++
+      EngineQueries.oracles
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Contiguous global row numbering 0..N−1 in a caller-given total
+  * order — the sample-index assignment a training pipeline needs when
+  * shards must be addressable by position (epoch shuffling, packing
+  * manifests, resumable loaders).
+  *
+  * `ROW_NUMBER() OVER (ORDER BY …)` is the one window Spark cannot
+  * scale: an empty PARTITION BY collapses the whole table into a
+  * single partition. `monotonically_increasing_id` scales but is
+  * neither contiguous nor order-respecting. The scalable exact shape
+  * is the classic two-phase offset assignment:
+  *
+  *   1. range-repartition by the sort key and sort within partitions —
+  *      partition i holds keys strictly below partition i+1, so the
+  *      global order is (partition, local position);
+  *   2. a per-partition running counter assigns local positions (the
+  *      one genuinely imperative step — `zipWithIndex` semantics,
+  *      per-partition sequential by nature);
+  *   3. per-partition COUNTS (≤ numPartitions rows — provably tiny)
+  *      are collected, prefix-summed on the driver, and broadcast
+  *      back; idx = offset(partition) + local.
+  *
+  * One wide shuffle (the range exchange) total, no single-partition
+  * stage, so the operator survives a 1000-executor 100 TB table. The
+  * indexed frame is persisted under the caller's [[CacheScope]]:
+  * the count job and the final join must see the SAME range
+  * boundaries (they are sampled per execution), so the intermediate
+  * may not be recomputed between the two.
+  *
+  * `sortCols` must be a TOTAL order (append a unique id as the last
+  * key) — ties across a partition boundary would otherwise make the
+  * assignment depend on sampled boundaries.
+  */
+object GlobalIndex {
+
+  def assign(df: DataFrame, sortCols: Seq[String], idxCol: String = "idx",
+      numPartitions: Int = 0)(implicit cs: CacheScope): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = sortCols.map(col)
+    val ranged = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val outSchema = StructType(ranged.schema.fields :+
+      StructField("__local", LongType, nullable = false))
+    val withLocal = cs.persist(ranged.mapPartitions { it =>
+      var i = -1L
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }(Encoders.row(outSchema)))
+
+    val counts = withLocal.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__pid"))
+      .collect() // ≤ numPartitions rows by construction
+    var acc = 0L
+    val offsetRows = counts.map { r =>
+      val row = Row(r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField("__off", LongType, nullable = false))))
+
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(idxCol, col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+  }
+}

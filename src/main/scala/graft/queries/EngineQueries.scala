@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{BloomPrune, GlobalIndex, TextDedup}
+import graft.sources.TableCatalog
+
+/** Round-8 second-session surface: Bloom-pruned joins (the
+  * middle regime between broadcast and shuffle), contiguous global
+  * indexing, the pivot and NTILE SQL surfaces, integer-exact BM25
+  * retrieval, and cross-table atomic snapshots.
+  */
+object EngineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB replica of [[TextFunctions.tokens]] (same string as the
+    * t01 oracle family).
+    */
+  private val ToksSql =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
+
+  // ───────────────────────────── d40: Bloom-pruned decontamination
+
+  /** Decontamination when the eval-gram set outgrows a row broadcast:
+    * the corpus gram stream is prefiltered by the eval grams' Bloom
+    * image ([[BloomPrune.semiJoin]]) BEFORE any shuffle — only
+    * probable matches (true hits + fpp) reach the exact semi join, so
+    * at 100 TB the shuffle carries a sliver of the corpus instead of
+    * all of it. The filter's one-sided error keeps the result exact
+    * (the semi join re-checks real gram strings), so the oracle is
+    * the plain relational semi join. Output: per-language clean /
+    * contaminated accounting over the pool.
+    */
+  val d40_bloom_decontaminate: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"))
+    val pool = docs.filter(col("doc_id") % 37 =!= 0)
+    val evalGrams = TextDedup.shingles(evalSet, "doc_id", "text", n = 8)
+      .select(col("shingle"))
+    val poolGrams = TextDedup.shingles(pool, "doc_id", "text", n = 8)
+    val contaminated = BloomPrune.semiJoin(
+        poolGrams, evalGrams, Seq("shingle"), expectedItems = 1000000L)
+      .select(col("id").as("doc_id")).distinct()
+    pool.join(contaminated.withColumn("__contam", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("__contam").isNull, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("__contam").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("__contam").isNull, col("doc_id"))).as("sum_clean_ids"))
+      .orderBy(col("lang"))
+  }
+
+  /** 8-gram relation over (doc_id, text) source `src` — DuckDB mirror
+    * of [[TextDedup.shingles]] (per-doc distinct grams).
+    */
+  private def gramsSql(src: String, n: Int): String =
+    s"""SELECT doc_id AS id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id,
+       |           CASE WHEN len(toks) = 0 THEN []
+       |                ELSE list_distinct(list_transform(range(0, GREATEST(len(toks) - $n, 0) + 1),
+       |                  i -> array_to_string(toks[i + 1 : i + $n], ' '))) END AS grams
+       |    FROM (SELECT doc_id, $ToksSql AS toks
+       |          FROM $src) t
+       |  ) g""".stripMargin
+
+  val d40_sql: String =
+    s"""WITH eval_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+       |), pool AS (
+       |  SELECT * FROM documents WHERE doc_id % 37 <> 0
+       |), eval_grams AS (
+       |  SELECT DISTINCT shingle FROM (${gramsSql("eval_docs", 8)})
+       |), pool_grams AS (
+       |  ${gramsSql("pool", 8)}
+       |), contam AS (
+       |  SELECT DISTINCT id AS doc_id FROM pool_grams
+       |  WHERE shingle IN (SELECT shingle FROM eval_grams)
+       |)
+       |SELECT p.lang,
+       |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN p.doc_id END) AS BIGINT) AS sum_clean_ids
+       |FROM pool p LEFT JOIN contam c USING (doc_id)
+       |GROUP BY p.lang
+       |ORDER BY p.lang""".stripMargin
+
+  // ───────────────────────────── d41: contiguous global index
+
+  /** Global sample numbering by (n_chars, doc_id) via the two-phase
+    * offset assignment ([[GlobalIndex.assign]] — one range shuffle,
+    * no single-partition window). Verified against the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY …)` through an order-sensitive
+    * checksum: Σ idx·doc_id per language only matches if every single
+    * document received exactly the rank the global sort gives it.
+    */
+  val d41_global_index: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    GlobalIndex.assign(docs, Seq("n_chars", "doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("idx")).as("min_idx"),
+        max(col("idx")).as("max_idx"),
+        sum(col("idx")).as("sum_idx"),
+        sum(col("idx") * col("doc_id")).as("idx_dot_id"))
+      .orderBy(col("lang"))
+  }
+
+  val d41_sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS idx
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(MIN(idx) AS BIGINT) AS min_idx,
+      |  CAST(MAX(idx) AS BIGINT) AS max_idx,
+      |  CAST(SUM(idx) AS BIGINT) AS sum_idx,
+      |  CAST(SUM(idx * doc_id) AS BIGINT) AS idx_dot_id
+      |FROM r
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ───────────────────────────── q42: pivot (status × priority matrix)
+
+  /** The pivot surface: order revenue as a priority × status matrix —
+    * `groupBy(priority).pivot(status, explicit values)` (explicit
+    * values keep the plan a single pass with no distinct-values
+    * pre-job). Money pivots as integer cents; absent cells are 0.
+    */
+  val q42_pivot: Q = (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("cents")))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cents"),
+        coalesce(col("O"), lit(0L)).as("o_cents"),
+        coalesce(col("P"), lit(0L)).as("p_cents"))
+      .orderBy(col("o_orderpriority"))
+
+  val q42_sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_cents,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_cents
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ───────────────────────────── q43: NTILE equi-depth binning
+
+  /** Equi-depth deciles of document length per language — NTILE(10)
+    * over the (n_chars, doc_id) total order, then per-bin boundaries
+    * and mass. The SQL-standard remainder rule (first bins get the
+    * extra row) is identical in Spark and DuckDB, so bin membership
+    * is exact, not approximate. This is the feature-binning /
+    * length-bucketing pass before packing or stratification.
+    */
+  val q43_ntile_bins: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo_chars"),
+        max(col("n_chars")).as("hi_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  val q43_sql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+      |  FROM documents
+      |)
+      |SELECT lang, decile, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM d
+      |GROUP BY lang, decile
+      |ORDER BY lang, decile""".stripMargin
+
+  // ───────────────────────────── t19: integer-exact BM25 retrieval
+
+  private val Bm25Terms = Seq("vector", "stream", "merge", "window", "filter", "scan")
+
+  /** BM25-shaped keyword retrieval, integer-exact end to end. The
+    * textbook score idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * k1=6/5, b=3/4 is cleared of floats by multiplying numerator and
+    * denominator by 10·Σdl:
+    *
+    *   contrib = rarity · 22·tf·Σdl  div  (10·Σdl·tf + 3·Σdl + 9·dl·N)
+    *
+    * with rarity = 1000·(N−df) div N standing in for the
+    * transcendental idf (t13's surrogate discipline). Every quantity
+    * is a corpus integer, so ranking replays bit-identically in the
+    * oracle. Shape: one token explode; the tf side filters to the
+    * query terms BEFORE its aggregation (the corpus-side shuffle only
+    * carries query-term hits); per-term df is a 6-row broadcast;
+    * top-k is TakeOrderedAndProject, never a global window. BIGINT
+    * carries the products up to Σdl ≈ 4·10¹³ (≫ any single corpus
+    * shard); past that the same expressions move to decimal(38,0).
+    */
+  val t19_bm25_topk: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("rarity", expr("(1000 * (n_docs - df)) div n_docs"))
+      .withColumn("contrib", expr(
+        "(rarity * 22 * tf * sumdl) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_terms"), sum(col("contrib")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val t19_sql: String = {
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($ToksSql) AS tok FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+       |), totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |  WHERE tok IN ($termsList) GROUP BY doc_id, tok
+       |), dft AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ((1000 * (n_docs - df)) // n_docs) * 22 * tf * sumdl
+       |      // (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs) AS contrib
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), totals
+       |)
+       |SELECT doc_id, COUNT(*) AS matched_terms,
+       |  CAST(SUM(contrib) AS BIGINT) AS score_num
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY score_num DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  // ───────────────────────────── v20: cross-table atomic snapshot
+
+  /** Cross-table snapshot consistency ([[TableCatalog]]): generation
+    * 0 commits the pre-1997 cut of orders AND exactly their
+    * lineitems in ONE atomic catalog commit; generation 1 commits the
+    * full tables. Reading both tables AT generation 0 then joining
+    * must produce a fully consistent cut — no orphan lineitem, no
+    * order missing its lines — which the oracle replays by filtering
+    * the live tables with the same predicate. A torn commit (one
+    * table new, the other old) would surface as a count/revenue
+    * mismatch.
+    */
+  val v20_catalog_snapshot: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-catalog")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ordersPre = orders.filter(col("o_orderdate") < "1997-01-01")
+    val liPre = li.join(ordersPre.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    cat.commitAll(Map("orders" -> ordersPre, "lineitem" -> liPre),
+      commitTsMillis = 1000L)
+    cat.commitAll(Map("orders" -> orders, "lineitem" -> li),
+      commitTsMillis = 2000L)
+    val g = cat.generationAsOf(1500L)
+    cat.readAt(g, "orders")
+      .join(cat.readAt(g, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(col("l_linenumber")).as("n_lines"),
+        coalesce(sum(round(col("l_extendedprice") * 100).cast(LongType)), lit(0L))
+          .as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val v20_sql: String =
+    """WITH o AS (
+      |  SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |)
+      |SELECT o.o_orderstatus,
+      |  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+      |  COUNT(l.l_linenumber) AS n_lines,
+      |  CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS sum_cents
+      |FROM o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d40_bloom_decontaminate" -> d40_bloom_decontaminate,
+    "d41_global_index" -> d41_global_index,
+    "q42_pivot" -> q42_pivot,
+    "q43_ntile_bins" -> q43_ntile_bins,
+    "t19_bm25_topk" -> t19_bm25_topk,
+    "v20_catalog_snapshot" -> v20_catalog_snapshot)
+
+  val oracles: Map[String, String] = Map(
+    "d40_bloom_decontaminate" -> d40_sql,
+    "d41_global_index" -> d41_sql,
+    "q42_pivot" -> q42_sql,
+    "q43_ntile_bins" -> q43_sql,
+    "t19_bm25_topk" -> t19_sql,
+    "v20_catalog_snapshot" -> v20_sql)
+}
