@@ -83,6 +83,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(key_hash, filter_bytes) — filter_bytes a binary literal")
+        val bytes = args(1) match {
+          case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain filter must be a binary literal, got $other")
+        }
+        graft.functions.BloomMightContain(args.head, bytes)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("winnowed_fingerprint"),
       new ExpressionInfo(classOf[WinnowedFingerprint].getName, "winnowed_fingerprint"),
       (args: Seq[Expression]) => args match {

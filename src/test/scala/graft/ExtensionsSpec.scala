@@ -76,6 +76,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n2 >= n)
   }
 
+  test("bloom_might_contain callable from SQL with a binary filter literal") {
+    import org.apache.spark.sql.functions._
+    val small = spark.range(100).select(col("id").as("k"))
+    val bytes = graft.operators.BloomPrune.buildFilter(
+      small.toDF(), Seq("k"), expectedItems = 100L)
+    val hex = bytes.map(b => f"$b%02x").mkString
+    small.toDF().createOrReplaceTempView("bloom_members")
+    // every member must probe true (one-sided error)
+    val misses = spark.sql(
+      s"SELECT count(*) AS n FROM bloom_members " +
+        s"WHERE NOT bloom_might_contain(xxhash64(k), X'$hex')")
+      .head().getLong(0)
+    assert(misses == 0L)
+    // a non-literal filter argument fails loudly, not silently
+    val e = intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain(xxhash64(1), CAST(NULL AS BINARY))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary literal") ||
+      e.getMessage.toLowerCase.contains("bloom_might_contain"))
+  }
+
   test("minhash_signature / simhash_signature callable from SQL as aggregates") {
     // MinHash: SQL aggregate ≡ Column-API aggregate on the same rows
     val sqlSig = spark.sql(
