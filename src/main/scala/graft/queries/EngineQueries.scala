@@ -315,7 +315,78 @@ object EngineQueries {
       |GROUP BY o.o_orderstatus
       |ORDER BY o.o_orderstatus""".stripMargin
 
+  // ───────────────────────────── d42: incremental view maintenance
+
+  /** Materialized rollup maintained incrementally
+    * ([[graft.operators.IncrementalView]]): orders arrive as three
+    * year-sliced append batches; the per-(status, priority) revenue
+    * view is refreshed per batch — each refresh aggregates ONE batch
+    * and merges into group-cardinality-sized state, never rescanning
+    * history. The oracle aggregates the full table directly, so any
+    * drift between the algebraic fold and the ground truth (a lost
+    * batch, a double merge, a non-mergeable aggregate) fails the
+    * hash.
+    */
+  val d42_incremental_view: Q = (s, dir) => {
+    import graft.operators.IncrementalView
+    import graft.operators.IncrementalView._
+    val orders = Tables(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+    val batches = Seq(
+      orders.filter(col("o_orderdate") < "1996-01-01"),
+      orders.filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01"),
+      orders.filter(col("o_orderdate") >= "1997-01-01"))
+    val specs = Seq(
+      countRows("n_orders"),
+      sumOf(col("cents"), "sum_cents"),
+      minOf(col("cents"), "min_cents"),
+      maxOf(col("cents"), "max_cents"))
+    IncrementalView.refreshAll(batches,
+        Seq("o_orderstatus", "o_orderpriority"), specs)
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val d42_sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ───────────────────────────── q44: correlated LATERAL top-n
+
+  /** The LATERAL join surface: per nation, the top-2 customers by
+    * account balance via a correlated LATERAL subquery with ORDER BY
+    * + LIMIT (Catalyst decorrelates it to a ranked join — no
+    * per-nation driver loop). Money compared as integer cents.
+    */
+  val q44_lateral_topn: Q = (s, dir) => {
+    Tables(s, dir, "nation").createOrReplaceTempView("nation")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n_name, c.c_name, c.c_acctbal_cents
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+        |  FROM customer WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c_acctbal_cents DESC, c_name""".stripMargin)
+  }
+
+  val q44_sql: String =
+    """SELECT n_name, c.c_name, c.c_acctbal_cents
+      |FROM nation n JOIN LATERAL (
+      |  SELECT c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+      |  FROM customer WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c ON TRUE
+      |ORDER BY n_name, c_acctbal_cents DESC, c_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d42_incremental_view" -> d42_incremental_view,
+    "q44_lateral_topn" -> q44_lateral_topn,
     "d40_bloom_decontaminate" -> d40_bloom_decontaminate,
     "d41_global_index" -> d41_global_index,
     "q42_pivot" -> q42_pivot,
@@ -324,6 +395,8 @@ object EngineQueries {
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
+    "d42_incremental_view" -> d42_sql,
+    "q44_lateral_topn" -> q44_sql,
     "d40_bloom_decontaminate" -> d40_sql,
     "d41_global_index" -> d41_sql,
     "q42_pivot" -> q42_sql,

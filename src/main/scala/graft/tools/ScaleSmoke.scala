@@ -44,6 +44,8 @@ object ScaleSmoke {
     if (mode == "audio") audioSmoke(spark, Seq(50000L, 500000L))
     if (mode == "all") analyticsSmoke(spark, Seq(50000L))
     if (mode == "analytics") analyticsSmoke(spark, Seq(50000L, 500000L))
+    if (mode == "all") engineSmoke(spark, Seq(1000000L))
+    if (mode == "engine") engineSmoke(spark, Seq(1000000L, 10000000L))
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
   }
@@ -647,6 +649,59 @@ object ScaleSmoke {
       println(s"[scale]   merges: ${merges.map(m => m.left + "+" + m.right).mkString(", ")}")
     }
     bpeDocs.unpersist()
+  }
+
+  /** Bloom-pruned anti join vs the plain shuffle anti join (broadcast
+    * disabled — the regime the operator exists for), and contiguous
+    * global indexing vs the single-partition ROW_NUMBER window. The
+    * bloom claim is SHUFFLE BYTES, not just wall time: the plain anti
+    * join shuffles the whole big side; the pruned one shuffles only
+    * probable matches (2% membership + 1% fpp here).
+    */
+  private def engineSmoke(spark: SparkSession, tiers: Seq[Long]): Unit = {
+    tiers.foreach { n =>
+      val big = spark.range(n).select(col("id").as("row_id"),
+          concat(lit("k"), pmod(hash(col("id")), lit(n / 2))).as("key"))
+        .repartition(32).persist()
+      big.count()
+      // members: ~2% of big's key space, plus half absent keys
+      val small = spark.range(n / 50).select(
+          concat(lit("k"), pmod(hash(col("id") * 7), lit(n))).as("key"))
+        .repartition(32).persist()
+      small.count()
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (plainCnt, plainBytes) = withShuffleBytes(spark) {
+          time(s"plain shuffle anti join, $n big rows") {
+            big.join(small.distinct(), Seq("key"), "left_anti").count()
+          }
+        }
+        val (prunedCnt, prunedBytes) = withShuffleBytes(spark) {
+          time(s"bloom-pruned anti join, $n big rows") {
+            graft.operators.BloomPrune.antiJoin(
+              big, small, Seq("key"), expectedItems = n / 25).count()
+          }
+        }
+        require(plainCnt == prunedCnt, s"bloom anti diverged: $plainCnt vs $prunedCnt")
+        println(f"[scale]   shuffle bytes: plain ${plainBytes / 1e6}%.1f MB, " +
+          f"pruned ${prunedBytes / 1e6}%.1f MB (${plainBytes.toDouble / math.max(prunedBytes, 1)}%.1fx)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+      time(s"global index two-phase, $n rows") {
+        val idx = graft.operators.GlobalIndex.assign(
+          big, Seq("key", "row_id"), numPartitions = 32)
+        println(s"[scale]   max idx: ${idx.agg(max("idx")).head().getLong(0)}")
+      }
+      spark.catalog.clearCache()
+      if (n <= 1000000L) time(s"ROW_NUMBER single-partition window, $n rows (reference)") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("key"), col("row_id"))
+        println(s"[scale]   rows: ${big.withColumn("idx", row_number().over(w)).count()}")
+      }
+      big.unpersist(); small.unpersist()
+      spark.catalog.clearCache()
+    }
   }
 
   private def time[T](label: String)(f: => T): T = {
