@@ -384,7 +384,85 @@ object EngineQueries {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c ON TRUE
       |ORDER BY n_name, c_acctbal_cents DESC, c_name""".stripMargin
 
+  // ───────────────────────────── s17: metadata-filtered ANN
+
+  /** Filtered vector search — retrieval under a metadata predicate
+    * (the "top-k among label-class documents" ask every RAG/curation
+    * stack has). PRE-filter strategy: the predicate lands on the
+    * corpus scan (parquet pushdown) BEFORE any scoring, so the scored
+    * set — and with IVF, the index probe set — shrinks by the
+    * selectivity; top-k ranks are then exact within the filtered set
+    * (no post-filter recall loss, the failure mode of filtering
+    * AFTER an approximate top-k).
+    */
+  val s17_filtered_ann: Q = (s, dir) => {
+    import graft.operators.VectorSearch
+    val e = Tables(s, dir, "embeddings")
+    VectorSearch.bruteForceTopK(
+        corpus = e.filter(col("label") % 2 === 0),
+        queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id", k = 10)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s17_sql: String =
+    """SELECT query_id, rank, id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+      |                    c.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5 AND c.label % 2 = 0) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ───────────────────────────── v21: schema-on-read merge
+
+  /** Schema drift on READ: two parquet batches with different schemas
+    * (the second adds `o_orderpriority`) land in one directory; a
+    * `mergeSchema` read reconciles them — old files surface NULL for
+    * the new column, no rewrite of history (the only sane option at
+    * 100 TB). The audit pins both the union schema and the NULL
+    * backfill; the oracle replays the drift from the live table.
+    */
+  val v21_schema_merge: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mergeschema")
+      .toFile.getAbsolutePath + "/orders"
+    val orders = Tables(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+    orders.filter(col("o_orderdate") < "1996-01-01")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
+      .write.mode("overwrite").parquet(tmp)
+    orders.filter(col("o_orderdate") >= "1996-01-01")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("o_orderpriority"))
+      .write.mode("append").parquet(tmp)
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val v21_sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  COUNT(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |        THEN o_orderpriority END) AS n_with_priority,
+      |  COUNT(DISTINCT CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |        THEN o_orderpriority END) AS n_priorities,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s17_filtered_ann" -> s17_filtered_ann,
+    "v21_schema_merge" -> v21_schema_merge,
     "d42_incremental_view" -> d42_incremental_view,
     "q44_lateral_topn" -> q44_lateral_topn,
     "d40_bloom_decontaminate" -> d40_bloom_decontaminate,
@@ -395,6 +473,8 @@ object EngineQueries {
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
+    "s17_filtered_ann" -> s17_sql,
+    "v21_schema_merge" -> v21_sql,
     "d42_incremental_view" -> d42_sql,
     "q44_lateral_topn" -> q44_sql,
     "d40_bloom_decontaminate" -> d40_sql,
