@@ -384,6 +384,40 @@ object EngineQueries {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c ON TRUE
       |ORDER BY n_name, c_acctbal_cents DESC, c_name""".stripMargin
 
+  // ───────────────────────────── q45: explicit GROUPING SETS
+
+  /** Explicit GROUPING SETS — the general form q20's ROLLUP is sugar
+    * for: three chosen cuts (status×priority, status alone, priority
+    * alone) in ONE aggregation pass over one Expand, with
+    * `GROUPING()` markers disambiguating the NULL that means "rolled
+    * up" from a NULL in the data. Both engines implement the
+    * SQL-standard semantics, so the oracle replays the same text.
+    */
+  val q45_grouping_sets: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q45_sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority))
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
   // ───────────────────────────── s17: metadata-filtered ANN
 
   /** Filtered vector search — retrieval under a metadata predicate
@@ -461,6 +495,7 @@ object EngineQueries {
       |ORDER BY o_orderstatus""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q45_grouping_sets" -> q45_grouping_sets,
     "s17_filtered_ann" -> s17_filtered_ann,
     "v21_schema_merge" -> v21_schema_merge,
     "d42_incremental_view" -> d42_incremental_view,
@@ -473,6 +508,7 @@ object EngineQueries {
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
+    "q45_grouping_sets" -> q45_sql,
     "s17_filtered_ann" -> s17_sql,
     "v21_schema_merge" -> v21_sql,
     "d42_incremental_view" -> d42_sql,

@@ -425,7 +425,60 @@ object StreamingQueries {
       |  COUNT(DISTINCT event_id) AS n_distinct
       |FROM events""".stripMargin
 
+  /** Streaming fan-out with CROSS-TABLE exactly-once
+    * ([[graft.streaming.CatalogSink]]): each micro-batch commits the
+    * raw append AND the maintained per-user rollup
+    * ([[graft.operators.IncrementalView]] merge) as ONE catalog
+    * generation — a reader can join raw against rollup at any
+    * generation and they describe the same prefix of the stream.
+    * Batch 1 is redelivered (crash replay): the batch-id no-op must
+    * skip BOTH tables. Output: generation count (3, not 4) + the
+    * cross-table consistency audit; the oracle sees only the events
+    * table, so a torn or doubled commit in either table fails the
+    * hash.
+    */
+  val w14_catalog_sink: Q = (s, dir) => {
+    import graft.operators.IncrementalView
+    val root = java.nio.file.Files.createTempDirectory("graft-catsink")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val specs = Seq(IncrementalView.countRows("n_events"),
+      IncrementalView.sumOf(col("cents"), "sum_cents"))
+    val derive = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+      "events_raw" -> ((prev, b) => prev.map(_.unionByName(b)).getOrElse(b)),
+      "user_stats" -> ((prev, b) => IncrementalView.merge(prev,
+        IncrementalView.aggregate(b, Seq("user_id"), specs), Seq("user_id"), specs)))
+    val batches = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, id) =>
+      graft.streaming.CatalogSink.commitBatch(cat, b, id.toLong, derive)
+    }
+    // crash replay of batch 1: must be a cross-table no-op
+    graft.streaming.CatalogSink.commitBatch(cat, batches(1), 1L, derive)
+    val g = cat.latestGeneration().get
+    val raw = cat.readAt(g, "events_raw")
+      .agg(count(lit(1)).as("n_raw"), sum(col("event_id")).as("sum_ids"))
+    val stats = cat.readAt(g, "user_stats")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("stats_n_events"),
+        sum(col("sum_cents")).as("stats_sum_cents"))
+    raw.crossJoin(stats)
+      .select(lit(cat.loggedGenerations().size.toLong).as("n_generations"),
+        col("n_raw"), col("sum_ids"), col("n_users"),
+        col("stats_n_events"), col("stats_sum_cents"))
+  }
+
+  val w14_sql: String =
+    """SELECT 3 AS n_generations, COUNT(*) AS n_raw,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS stats_n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS stats_sum_cents
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "w14_catalog_sink" -> w14_catalog_sink,
     "w13_snapshot_sink" -> w13_snapshot_sink,
     "w01_tumbling_windows" -> w01_tumbling_windows,
     "w02_sliding_windows" -> w02_sliding_windows,
@@ -440,6 +493,7 @@ object StreamingQueries {
     "w12_follow_outer" -> w12_follow_outer)
 
   val oracles: Map[String, String] = Map(
+    "w14_catalog_sink" -> w14_sql,
     "w13_snapshot_sink" -> w13_sql,
     "w01_tumbling_windows" -> w01_sql,
     "w02_sliding_windows" -> w02_sql,

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.TableCatalog
+
+/** Exactly-once MULTI-TABLE sink from Structured Streaming into a
+  * [[TableCatalog]] — each micro-batch derives several tables (say
+  * the raw append AND a maintained rollup) and commits them as ONE
+  * catalog generation, so a downstream reader can join them at any
+  * generation and always see a mutually consistent cut of the
+  * stream. [[SnapshotSink]] gives one table snapshot isolation; this
+  * lifts the same batch-id idempotency to the cross-table commit.
+  *
+  * Exactly-once: the catalog generation records the micro-batch id
+  * as its commit timestamp; [[commitBatch]] is a no-op for an id
+  * already committed, so a foreachBatch redelivery after a crash
+  * cannot double-apply ANY of the tables (the all-or-nothing pointer
+  * means there is no state where only some tables took the batch).
+  *
+  * `derive` maps a micro-batch to each table's NEW full state given
+  * its previous state (None at the first batch) — append is
+  * `prev ∪ batch`, a maintained rollup is an
+  * [[graft.operators.IncrementalView]] merge.
+  */
+object CatalogSink {
+
+  /** Commit one micro-batch across all derived tables atomically;
+    * returns the new generation, or -1 if `batchId` was already
+    * committed (redelivery no-op).
+    */
+  def commitBatch(
+      cat: TableCatalog, batch: DataFrame, batchId: Long,
+      derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame]): Long = {
+    val alreadyCommitted =
+      cat.loggedGenerations().exists(g => cat.generationTs(g) == batchId)
+    if (alreadyCommitted) -1L
+    else {
+      val prevGen = cat.latestGeneration()
+      val newStates = derive.map { case (t, fn) =>
+        val prev = prevGen.flatMap { g =>
+          cat.tableVersions(g).get(t).map(_ => cat.readAt(g, t))
+        }
+        t -> fn(prev, batch)
+      }
+      cat.commitAll(newStates, commitTsMillis = batchId)
+    }
+  }
+
+  /** Attach the sink to a stream (foreachBatch driver). */
+  def attach(stream: DataFrame, cat: TableCatalog, checkpointDir: String,
+      derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame]): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(cat, batch, batchId, derive); ()
+      }
+      .start()
+}
