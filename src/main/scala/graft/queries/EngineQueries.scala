@@ -418,6 +418,107 @@ object EngineQueries {
       |                        (o_orderstatus), (o_orderpriority))
       |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
 
+  // ───────────────────────────── d44: merge-on-read CDC apply
+
+  /** Merge-on-read lifecycle ([[graft.sources.MorStore]]) — the
+    * write-cheap counterpart to q17's copy-on-write merge: orders
+    * lands as the base; three CDC deltas commit O(batch) each
+    * (deletes of keys ≡0 mod 7, price-bump upserts of keys ≡0 mod 5
+    * — which RESURRECT the 35-divisible deletes, ordering is load-
+    * bearing — and inserts of fresh keys for ≡0 mod 11); the read
+    * resolves base ∪ deltas on the fly, then a compaction folds the
+    * stack and the audit re-reads the compacted table — so the
+    * oracle (which replays the FINAL state relationally) also proves
+    * resolve ≡ compact. Output: per-status row count and cents.
+    */
+  val d44_mor_cdc: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-mor-cdc")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("k"))
+    val base = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    st.commitBase(base, 1000L)
+    st.commitDelta(base.filter(col("k") % 7 === 0)
+      .withColumn(st.OpCol, lit("D")), 2000L)
+    st.commitDelta(base.filter(col("k") % 5 === 0)
+      .withColumn("cents", col("cents") + 1000L)
+      .withColumn(st.OpCol, lit("U")), 3000L)
+    st.commitDelta(base.filter(col("k") % 11 === 0)
+      .select((col("k") + 10000000L).as("k"), lit("O").as("st"),
+        lit(12345L).as("cents"))
+      .withColumn(st.OpCol, lit("U")), 4000L)
+    st.compact(5000L)
+    st.read()
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("st"))
+  }
+
+  val d44_sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), final AS (
+      |  SELECT k, st,
+      |         CASE WHEN k % 5 = 0 THEN cents + 1000 ELSE cents END AS cents
+      |  FROM base WHERE (k % 5 = 0) OR (k % 7 <> 0)
+      |  UNION ALL
+      |  SELECT k + 10000000, 'O', 12345 FROM base WHERE k % 11 = 0
+      |)
+      |SELECT st, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM final
+      |GROUP BY st
+      |ORDER BY st""".stripMargin
+
+  // ───────────────────────────── q46: bucketed co-located join
+
+  /** Shuffle-free repeated joins via BUCKETING — the standing answer
+    * to "this fact-to-fact join runs every day at 100 TB": both
+    * tables are written `bucketBy(8, orderkey)` once, after which
+    * every orderkey-equi-join reads co-located buckets and the join
+    * plans with NO Exchange on either side (asserted in
+    * `BucketedJoinSpec`; at 100 TB that exchange IS the job cost).
+    * The query writes both bucketed tables, joins them, and audits
+    * revenue per status; the oracle replays the plain join.
+    */
+  val q46_bucketed_join: Q = (s, dir) => {
+    val db = "graft_bkt"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      .toFile.getAbsolutePath
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    s.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+    s.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    orders.write.mode("overwrite").option("path", s"$tmp/orders_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_b")
+    li.write.mode("overwrite").option("path", s"$tmp/lineitem_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem_b")
+    s.table(s"$db.orders_b")
+      .join(s.table(s"$db.lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q46_sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // ───────────────────────────── s17: metadata-filtered ANN
 
   /** Filtered vector search — retrieval under a metadata predicate
@@ -496,6 +597,8 @@ object EngineQueries {
 
   val queries: Map[String, Q] = Map(
     "q45_grouping_sets" -> q45_grouping_sets,
+    "q46_bucketed_join" -> q46_bucketed_join,
+    "d44_mor_cdc" -> d44_mor_cdc,
     "s17_filtered_ann" -> s17_filtered_ann,
     "v21_schema_merge" -> v21_schema_merge,
     "d42_incremental_view" -> d42_incremental_view,
@@ -509,6 +612,8 @@ object EngineQueries {
 
   val oracles: Map[String, String] = Map(
     "q45_grouping_sets" -> q45_sql,
+    "q46_bucketed_join" -> q46_sql,
+    "d44_mor_cdc" -> d44_sql,
     "s17_filtered_ann" -> s17_sql,
     "v21_schema_merge" -> v21_sql,
     "d42_incremental_view" -> d42_sql,

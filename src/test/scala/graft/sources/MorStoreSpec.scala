@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read semantics: delta application order, delete /
+  * resurrect, compaction equivalence, and O(batch) commit (the table
+  * is never rewritten by a delta).
+  */
+class MorStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String = {
+    val d = Files.createTempDirectory("graft-mor").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/t"
+  }
+
+  private def rows(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def delta(entries: (Long, Long, String)*) = {
+    import spark.implicits._
+    entries.toDF("k", "v", "__op")
+  }
+
+  private def asMap(st: MorStore): Map[Long, Long] =
+    st.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("upsert replaces, insert adds, delete removes; latest delta wins per key") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), 1000L)
+    st.commitDelta(delta((2L, 21L, "U"), (4L, 40L, "U")), 2000L) // update + insert
+    st.commitDelta(delta((1L, 0L, "D"), (2L, 22L, "U")), 3000L)  // delete + re-update
+    assert(asMap(st) == Map(2L -> 22L, 3L -> 30L, 4L -> 40L))
+  }
+
+  test("a U after a D resurrects the key") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L), 1000L)
+    st.commitDelta(delta((1L, 0L, "D")), 2000L)
+    assert(asMap(st) == Map.empty[Long, Long])
+    st.commitDelta(delta((1L, 11L, "U")), 3000L)
+    assert(asMap(st) == Map(1L -> 11L))
+  }
+
+  test("compaction preserves state exactly and resets the delta stack") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows((1L to 100L).map(i => i -> i * 10): _*), 1000L)
+    st.commitDelta(delta((1L to 100L by 3).map(i => (i, i, "U")): _*), 2000L)
+    st.commitDelta(delta((1L to 100L by 7).map(i => (i, 0L, "D")): _*), 3000L)
+    val before = asMap(st)
+    st.compact(4000L)
+    assert(asMap(st) == before)
+    // post-compaction reads are pure scans of the new base
+    assert(st.generations().last._2 == "base")
+    // further deltas apply on top of the compacted base
+    st.commitDelta(delta((2L, 999L, "U")), 5000L)
+    assert(asMap(st) == before + (2L -> 999L))
+  }
+
+  test("a delta commit writes only the delta, never the base") {
+    val root = freshRoot()
+    val st = new MorStore(spark, root, Seq("k"))
+    st.commitBase(rows((1L to 1000L).map(i => i -> i): _*), 1000L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val baseDir = new org.apache.hadoop.fs.Path(root, "g=0")
+    val mtimeBefore = fs.listStatus(baseDir).map(_.getModificationTime).max
+    st.commitDelta(delta((1L, 2L, "U")), 2000L)
+    // base generation files untouched by the delta commit
+    assert(fs.listStatus(baseDir).map(_.getModificationTime).max == mtimeBefore)
+    assert(st.generations().map(_._2) == Seq("base", "delta"))
+  }
+}
