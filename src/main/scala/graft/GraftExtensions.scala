@@ -98,6 +98,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_agg(key_hash, expectedItems)")
+        val expected = args(1) match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg expectedItems must be an integer literal, got $other")
+        }
+        graft.functions.BloomAgg(args.head, expected)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomContains].getName,
+        "bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_contains(key_hash, filter_bytes)")
+        graft.functions.BloomContains(args.head, args(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("winnowed_fingerprint"),
       new ExpressionInfo(classOf[WinnowedFingerprint].getName, "winnowed_fingerprint"),
       (args: Seq[Expression]) => args match {

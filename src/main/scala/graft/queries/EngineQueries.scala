@@ -472,6 +472,50 @@ object EngineQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── v22: file-skip index point lookups
+
+  /** Point lookups through the file-skipping index
+    * ([[graft.sources.FileSkipIndex]]): orders is laid out by key
+    * into 8 range files; the per-file (min, max, Bloom) index then
+    * routes each lookup to the single file that can hold the key —
+    * plus one deliberately absent key that must read ZERO files (the
+    * Bloom kill). Output: the five looked-up rows; the oracle
+    * replays the same keys against the raw table, so a row lost to
+    * over-eager skipping (or a phantom from an FP without the exact
+    * re-filter) fails the hash. The per-file admit/skip counts are
+    * spec territory (`FileSkipIndexSpec`), not output.
+    */
+  val v22_fileskip_lookup: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skiplookup")
+      .toFile.getAbsolutePath + "/orders"
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    orders.repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(tmp)
+    val index = graft.sources.FileSkipIndex
+      .build(s, tmp, "k", expectedKeysPerFile = 1000000L).persist()
+    // five deterministic present keys + one absent (zero-file path)
+    val keys = orders.filter(col("k") % 10 === 3).orderBy(col("k"))
+      .limit(5).select(col("k")).collect().map(_.getLong(0)).toSeq
+    val maxKey = orders.agg(max(col("k"))).head().getLong(0)
+    val hits = (keys :+ (maxKey + 1000L)).map(k =>
+      graft.sources.FileSkipIndex.lookup(s, index, tmp, "k", k))
+    hits.reduce(_ unionByName _)
+      .select(col("k"), col("st"), col("cents"))
+      .orderBy(col("k"))
+  }
+
+  val v22_sql: String =
+    """WITH keys AS (
+      |  SELECT o_orderkey AS k FROM orders
+      |  WHERE o_orderkey % 10 = 3 ORDER BY k LIMIT 5
+      |)
+      |SELECT o_orderkey AS k, o_orderstatus AS st,
+      |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey IN (SELECT k FROM keys)
+      |ORDER BY k""".stripMargin
+
   // ───────────────────────────── q46: bucketed co-located join
 
   /** Shuffle-free repeated joins via BUCKETING — the standing answer
@@ -599,6 +643,7 @@ object EngineQueries {
     "q45_grouping_sets" -> q45_grouping_sets,
     "q46_bucketed_join" -> q46_bucketed_join,
     "d44_mor_cdc" -> d44_mor_cdc,
+    "v22_fileskip_lookup" -> v22_fileskip_lookup,
     "s17_filtered_ann" -> s17_filtered_ann,
     "v21_schema_merge" -> v21_schema_merge,
     "d42_incremental_view" -> d42_incremental_view,
@@ -614,6 +659,7 @@ object EngineQueries {
     "q45_grouping_sets" -> q45_sql,
     "q46_bucketed_join" -> q46_sql,
     "d44_mor_cdc" -> d44_sql,
+    "v22_fileskip_lookup" -> v22_sql,
     "s17_filtered_ann" -> s17_sql,
     "v21_schema_merge" -> v21_sql,
     "d42_incremental_view" -> d42_sql,

@@ -97,6 +97,27 @@ class ExtensionsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("bloom_might_contain"))
   }
 
+  test("bloom_agg / bloom_contains callable from SQL; per-group filters are tight") {
+    spark.range(1000)
+      .selectExpr("id % 4 AS g", "id AS k")
+      .createOrReplaceTempView("bloom_groups")
+    // per-group filter: every member hits its OWN group's filter...
+    val idx = spark.sql(
+      "SELECT g, bloom_agg(xxhash64(k), 1000) AS bf FROM bloom_groups GROUP BY g")
+    idx.createOrReplaceTempView("bloom_idx")
+    val misses = spark.sql(
+      """SELECT count(*) AS n FROM bloom_groups b JOIN bloom_idx i ON b.g = i.g
+        |WHERE NOT bloom_contains(xxhash64(b.k), i.bf)""".stripMargin)
+      .head().getLong(0)
+    assert(misses == 0L)
+    // ...and almost never a DIFFERENT group's (members are disjoint mod 4)
+    val crossHits = spark.sql(
+      """SELECT count(*) AS n FROM bloom_groups b JOIN bloom_idx i ON b.g <> i.g
+        |WHERE bloom_contains(xxhash64(b.k), i.bf)""".stripMargin)
+      .head().getLong(0)
+    assert(crossHits <= 90, s"cross-group fp burst: $crossHits of 3000")
+  }
+
   test("minhash_signature / simhash_signature callable from SQL as aggregates") {
     // MinHash: SQL aggregate ≡ Column-API aggregate on the same rows
     val sqlSig = spark.sql(
