@@ -472,6 +472,103 @@ object EngineQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── d45: incremental distinct (HLL union)
+
+  /** Incremental DISTINCT maintenance — the aggregate
+    * [[graft.operators.IncrementalView]]'s algebraic kit cannot
+    * carry: exact distinct is not mergeable, but its HLL sketch is,
+    * so the view state holds one sketch per group and each append
+    * batch folds in via `hll_union_agg` (the same [[AggSpec]]
+    * machinery — sketch build as the batch aggregate, sketch union
+    * as the merge). Estimates are engine-private, so the output
+    * carries the exact count plus the within-±15%-band verdict the
+    * t17 gate pattern established; the oracle runs its own sketch
+    * against the same band.
+    */
+  val d45_incremental_distinct: Q = (s, dir) => {
+    import graft.operators.IncrementalView
+    import graft.operators.IncrementalView.AggSpec
+    val orders = Tables(s, dir, "orders")
+    val batches = Seq(
+      orders.filter(col("o_orderdate") < "1996-01-01"),
+      orders.filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01"),
+      orders.filter(col("o_orderdate") >= "1997-01-01"))
+    val specs = Seq(
+      AggSpec("cust_sketch", hll_sketch_agg(col("o_custkey")).as("cust_sketch"),
+        c => hll_union_agg(col(c))),
+      IncrementalView.countRows("n_orders"))
+    val mv = IncrementalView.refreshAll(batches, Seq("o_orderstatus"), specs)
+    val exact = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    mv.join(exact, "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_orders"), col("exact_distinct"),
+        (abs(hll_sketch_estimate(col("cust_sketch")) - col("exact_distinct")) <=
+          col("exact_distinct") * 0.15).as("within_gate"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val d45_sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS exact_distinct,
+      |  (abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+      |     <= COUNT(DISTINCT o_custkey) * 0.15) AS within_gate
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ───────────────────────────── q47: recursive CTE date spine
+
+  /** The WITH RECURSIVE surface: a 48-month calendar spine generated
+    * by recursion (pure integer year-month keys, so both engines
+    * recurse identically), LEFT-joined to monthly order rollups —
+    * the calendar-spine report where empty months must appear with
+    * zeros, which no GROUP BY over the data alone can produce.
+    */
+  val q47_recursive_spine: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_rc")
+    s.sql(
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT n + 1 FROM spine WHERE n < 47
+        |),
+        |months AS (
+        |  SELECT CAST((1995 + n DIV 12) * 100 + (n % 12) + 1 AS BIGINT) AS ym FROM spine
+        |),
+        |m AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |         COUNT(*) AS n_orders,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        |  FROM orders_rc GROUP BY 1
+        |)
+        |SELECT months.ym, COALESCE(m.n_orders, 0) AS n_orders,
+        |       COALESCE(m.sum_cents, 0) AS sum_cents
+        |FROM months LEFT JOIN m ON months.ym = m.ym
+        |ORDER BY months.ym""".stripMargin)
+  }
+
+  val q47_sql: String =
+    """WITH RECURSIVE spine(n) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT n + 1 FROM spine WHERE n < 47
+      |),
+      |months AS (
+      |  SELECT CAST((1995 + n // 12) * 100 + (n % 12) + 1 AS BIGINT) AS ym FROM spine
+      |),
+      |m AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+      |              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+      |         COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT months.ym, COALESCE(m.n_orders, 0) AS n_orders,
+      |       COALESCE(m.sum_cents, 0) AS sum_cents
+      |FROM months LEFT JOIN m ON months.ym = m.ym
+      |ORDER BY months.ym""".stripMargin
+
   // ───────────────────────────── v22: file-skip index point lookups
 
   /** Point lookups through the file-skipping index
@@ -644,6 +741,8 @@ object EngineQueries {
     "q46_bucketed_join" -> q46_bucketed_join,
     "d44_mor_cdc" -> d44_mor_cdc,
     "v22_fileskip_lookup" -> v22_fileskip_lookup,
+    "d45_incremental_distinct" -> d45_incremental_distinct,
+    "q47_recursive_spine" -> q47_recursive_spine,
     "s17_filtered_ann" -> s17_filtered_ann,
     "v21_schema_merge" -> v21_schema_merge,
     "d42_incremental_view" -> d42_incremental_view,
@@ -660,6 +759,8 @@ object EngineQueries {
     "q46_bucketed_join" -> q46_sql,
     "d44_mor_cdc" -> d44_sql,
     "v22_fileskip_lookup" -> v22_sql,
+    "d45_incremental_distinct" -> d45_sql,
+    "q47_recursive_spine" -> q47_sql,
     "s17_filtered_ann" -> s17_sql,
     "v21_schema_merge" -> v21_sql,
     "d42_incremental_view" -> d42_sql,
