@@ -694,6 +694,54 @@ object ScaleSmoke {
         println(s"[scale]   max idx: ${idx.agg(max("idx")).head().getLong(0)}")
       }
       spark.catalog.clearCache()
+
+      // MoR vs CoW write cost: a 1k-row delta against an n-row table.
+      // CoW rewrites the table (cost ∝ n); MoR commits the delta
+      // (cost ∝ batch — flat across tiers).
+      val morRoot = java.nio.file.Files.createTempDirectory("graft-mor-smoke")
+        .toFile.getAbsolutePath + "/t"
+      val morBase = spark.range(n).select(col("id").as("k"), col("id").as("v"))
+      val st = new graft.sources.MorStore(spark, morRoot, Seq("k"))
+      st.commitBase(morBase, 1000L)
+      val deltaDf = spark.range(1000)
+        .select((col("id") * (n / 1000)).as("k"), lit(-1L).as("v"),
+          lit("U").as("__op"))
+      time(s"MoR delta commit (1k rows vs $n-row table)") {
+        st.commitDelta(deltaDf, 2000L)
+      }
+      time(s"CoW equivalent (full-table rewrite, $n rows)") {
+        val cowRoot = java.nio.file.Files.createTempDirectory("graft-cow-smoke")
+          .toFile.getAbsolutePath + "/t"
+        morBase.join(deltaDf.select(col("k").as("__dk")),
+            col("k") === col("__dk"), "left_anti")
+          .unionByName(deltaDf.drop("__op"))
+          .write.mode("overwrite").parquet(cowRoot)
+      }
+      time(s"MoR resolve read, $n rows + 1k delta") {
+        println(s"[scale]   rows: ${st.read().count()}")
+      }
+
+      // file-skip index: point lookup opens 1 file of 32
+      val skipRoot = java.nio.file.Files.createTempDirectory("graft-skip-smoke")
+        .toFile.getAbsolutePath + "/t"
+      spark.range(n).select(col("id").as("k"), (col("id") % 97).as("v"))
+        .repartitionByRange(32, col("k"))
+        .write.mode("overwrite").parquet(skipRoot)
+      val skipIdx = graft.sources.FileSkipIndex.build(spark, skipRoot, "k",
+        expectedKeysPerFile = n / 16).persist()
+      time(s"file-skip index build, $n rows / 32 files") {
+        skipIdx.count() // materialize: the build is one aggregation pass
+      }
+      time(s"indexed point lookup (1 of 32 files)") {
+        val files = graft.sources.FileSkipIndex.candidateFiles(skipIdx, n / 2)
+        println(s"[scale]   files admitted: ${files.size}; rows: " +
+          graft.sources.FileSkipIndex.lookup(spark, skipIdx, skipRoot, "k", n / 2).count())
+      }
+      time(s"full-scan point lookup (all 32 files)") {
+        println(s"[scale]   rows: " +
+          spark.read.parquet(skipRoot).filter(col("k") === n / 2).count())
+      }
+      skipIdx.unpersist()
       if (n <= 1000000L) time(s"ROW_NUMBER single-partition window, $n rows (reference)") {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy(col("key"), col("row_id"))
