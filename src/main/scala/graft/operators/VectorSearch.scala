@@ -328,32 +328,39 @@ object VectorSearch {
         col("__cvec"), col("__cnorm")))
     val pickCols = Seq(col("query_id"), col("rank"), col("id"), col("rel"),
       col("__cvec"), col("__cnorm"))
-    // rank 1 = plain highest relevance (empty picked set ⇒ no penalty)
-    var selected = cs.persist(cand
+    // rank 1 = plain highest relevance (empty picked set ⇒ no penalty).
+    // Per-step PICKS are persisted individually (k tiny frames — one
+    // row per query each) and unioned once at the end: re-persisting
+    // the growing union re-materialized rank-1..i-1 rows every step.
+    var picks = Vector(cs.persist(cand
       .withColumn("__r", row_number().over(cw))
       .filter(col("__r") === 1)
-      .withColumn("rank", lit(1)).select(pickCols: _*))
+      .withColumn("rank", lit(1)).select(pickCols: _*)))
     for (step <- 2 to k) {
-      val picked = selected.select(col("query_id"),
+      val picked = picks.reduce(_ unionByName _).select(col("query_id"),
         col("id").as("__sid"), col("__cvec").as("__svec"),
         col("__cnorm").as("__snorm"))
+      // already-picked exclusion rides the aggregation as an exact
+      // integer id-equality flag — no per-step anti-join stage. The
+      // query_id-only join preserves cand's hash partitioning, so the
+      // aggregate and rank window need no further exchange.
       val pick = cand
-        .join(picked.select(col("query_id"), col("__sid").as("id")),
-          Seq("query_id", "id"), "left_anti")
         .join(picked, Seq("query_id"))
         .withColumn("__sim", cosineFromParts(
           dot(col("__cvec"), col("__svec")), col("__cnorm"), col("__snorm")))
         .groupBy(col("query_id"), col("id"))
         .agg(first(col("rel")).as("rel"), first(col("__cvec")).as("__cvec"),
-          first(col("__cnorm")).as("__cnorm"), max(col("__sim")).as("__red"))
+          first(col("__cnorm")).as("__cnorm"), max(col("__sim")).as("__red"),
+          max(when(col("id") === col("__sid"), 1).otherwise(0)).as("__ispicked"))
+        .filter(col("__ispicked") === 0)
         .withColumn("__r", row_number().over(Window.partitionBy(col("query_id"))
           .orderBy((lit(lam) * col("rel") - lit(1.0 - lam) * col("__red")).desc,
             col("id").asc)))
         .filter(col("__r") === 1)
         .withColumn("rank", lit(step)).select(pickCols: _*)
-      selected = cs.persist(selected.unionByName(pick))
+      picks :+= cs.persist(pick)
     }
-    selected.select(col("query_id"), col("rank"), col("id"))
+    picks.reduce(_ unionByName _).select(col("query_id"), col("rank"), col("id"))
   }
 
   /** Hyperplane-LSH signature: bit i = (dot(v, plane_i) > 0). */
