@@ -70,6 +70,33 @@ class MorStoreSpec extends AnyFunSuite {
     assert(asMap(st) == before + (2L -> 999L))
   }
 
+  test("model check: random delta sequences match an in-memory map fold") {
+    val rnd = new scala.util.Random(42)
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    val base = (1L to 50L).map(i => i -> i * 100)
+    base.foreach { case (k, v) => model(k) = v }
+    st.commitBase(rows(base: _*), 0L)
+    for (batch <- 1 to 6) {
+      val entries = (0 until 10).map { _ =>
+        val k = rnd.nextInt(70).toLong // touches existing, deleted, and new keys
+        if (rnd.nextBoolean()) (k, rnd.nextInt(1000).toLong, "U")
+        else (k, 0L, "D")
+      }
+      // within one batch, LAST entry per key wins in the model; the
+      // store sees the batch post-deduped (one row per key), matching
+      // the CDC cascade's contract upstream
+      val lastPerKey = entries.groupBy(_._1).map(_._2.last).toSeq
+      lastPerKey.foreach {
+        case (k, v, "U") => model(k) = v
+        case (k, _, _) => model.remove(k)
+      }
+      st.commitDelta(delta(lastPerKey: _*), batch * 1000L)
+      if (batch == 3) st.compact(3500L) // mid-sequence compaction
+      assert(asMap(st) == model.toMap, s"diverged at batch $batch")
+    }
+  }
+
   test("a delta commit writes only the delta, never the base") {
     val root = freshRoot()
     val st = new MorStore(spark, root, Seq("k"))
