@@ -46,6 +46,7 @@ object ScaleSmoke {
     if (mode == "analytics") analyticsSmoke(spark, Seq(50000L, 500000L))
     if (mode == "all") engineSmoke(spark, Seq(1000000L))
     if (mode == "engine") engineSmoke(spark, Seq(1000000L, 10000000L))
+    if (mode == "engine100") engineSmoke(spark, Seq(100000000L)) // opt-in: minutes
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
   }
