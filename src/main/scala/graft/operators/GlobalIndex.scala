@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *   1. range-repartition by the sort key and sort within partitions —
   *      partition i holds keys strictly below partition i+1, so the
   *      global order is (partition, local position);
-  *   2. a per-partition running counter assigns local positions (the
-  *      one genuinely imperative step — `zipWithIndex` semantics,
-  *      per-partition sequential by nature);
+  *   2. a per-partition running counter assigns local positions —
+  *      `monotonically_increasing_id`'s low 33 bits, which count rows
+  *      in iteration (= sorted) order per partition, keeping the
+  *      whole step inside whole-stage codegen;
   *   3. per-partition COUNTS (≤ numPartitions rows — provably tiny)
   *      are collected, prefix-summed on the driver, and broadcast
   *      back; idx = offset(partition) + local.
@@ -44,15 +45,16 @@ object GlobalIndex {
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = sortCols.map(col)
-    val ranged = df.repartitionByRange(n, keys: _*)
+    // the per-partition counter is monotonically_increasing_id's low
+    // 33 bits (its layout is partitionId << 33 | rowCounter, counted
+    // in iteration order — i.e. the sorted order, since the
+    // nondeterministic projection cannot be pushed below the sort).
+    // Fully codegen — no object-row round trip for the counter step.
+    val withLocal = cs.persist(df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
-    val outSchema = StructType(ranged.schema.fields :+
-      StructField("__local", LongType, nullable = false))
-    val withLocal = cs.persist(ranged.mapPartitions { it =>
-      var i = -1L
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
-    }(Encoders.row(outSchema)))
+      .withColumn("__local",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))))
 
     val counts = withLocal.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
