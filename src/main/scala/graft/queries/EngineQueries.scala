@@ -569,6 +569,49 @@ object EngineQueries {
       |FROM months LEFT JOIN m ON months.ym = m.ym
       |ORDER BY months.ym""".stripMargin
 
+  // ───────────────────────────── q48: NOT IN three-valued logic
+
+  /** The classic NULL-semantics trap, pinned: `x NOT IN (subquery)`
+    * with a NULL in the subquery is never TRUE (x = NULL is UNKNOWN,
+    * so the conjunction over the set is at best UNKNOWN) — the
+    * with-null count must be 0 while the clean NOT IN equals NOT
+    * EXISTS. Engines that shortcut NOT IN to an anti join without
+    * the null guard diverge exactly here; Spark plans the null-aware
+    * anti join, DuckDB its standard mark join, and both land on the
+    * same counts.
+    */
+  val q48_not_in_nulls: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_nn")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_nn")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders_nn
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_nn
+        |                           WHERE c_custkey % 100 = 0)) AS not_in_clean,
+        |  (SELECT COUNT(*) FROM orders_nn
+        |   WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 100 = 0
+        |                                  THEN c_custkey END
+        |                           FROM customer_nn)) AS not_in_with_null,
+        |  (SELECT COUNT(*) FROM orders_nn o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer_nn c
+        |                     WHERE c.c_custkey = o.o_custkey
+        |                       AND c.c_custkey % 100 = 0)) AS not_exists""".stripMargin)
+  }
+
+  val q48_sql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                           WHERE c_custkey % 100 = 0)) AS not_in_clean,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 100 = 0
+      |                                  THEN c_custkey END
+      |                           FROM customer)) AS not_in_with_null,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey
+      |                       AND c.c_custkey % 100 = 0)) AS not_exists""".stripMargin
+
   // ───────────────────────────── v22: file-skip index point lookups
 
   /** Point lookups through the file-skipping index
@@ -743,6 +786,7 @@ object EngineQueries {
     "v22_fileskip_lookup" -> v22_fileskip_lookup,
     "d45_incremental_distinct" -> d45_incremental_distinct,
     "q47_recursive_spine" -> q47_recursive_spine,
+    "q48_not_in_nulls" -> q48_not_in_nulls,
     "s17_filtered_ann" -> s17_filtered_ann,
     "v21_schema_merge" -> v21_schema_merge,
     "d42_incremental_view" -> d42_incremental_view,
@@ -761,6 +805,7 @@ object EngineQueries {
     "v22_fileskip_lookup" -> v22_sql,
     "d45_incremental_distinct" -> d45_sql,
     "q47_recursive_spine" -> q47_sql,
+    "q48_not_in_nulls" -> q48_sql,
     "s17_filtered_ann" -> s17_sql,
     "v21_schema_merge" -> v21_sql,
     "d42_incremental_view" -> d42_sql,

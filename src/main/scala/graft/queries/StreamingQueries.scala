@@ -477,7 +477,61 @@ object StreamingQueries {
       |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS stats_sum_cents
       |FROM events""".stripMargin
 
+  /** Continuous CDC on the merge-on-read cost model
+    * ([[graft.streaming.MorSink]] → [[graft.sources.MorStore]]): an
+    * initial load commits the base; two delta micro-batches commit
+    * O(batch) each (inserts, value updates, deletes — including a
+    * delete of a key a PREVIOUS batch inserted, so cross-generation
+    * ordering is load-bearing); batch 1 is redelivered and must
+    * no-op; `compactEvery=2` folds the stack mid-stream, so the
+    * final read exercises base-after-compaction + nothing pending.
+    * The oracle reconstructs the final state relationally from
+    * events alone.
+    */
+  val w15_mor_sink: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-morsink-q")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("event_id"))
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // initial load: ts in the negative range, clear of batch-id space
+    st.commitBase(ev.filter(col("event_id") % 3 === 0), -1L)
+    val b0 = ev.filter(col("event_id") % 3 === 1)
+      .withColumn("cents", col("cents") + 5L).withColumn(st.OpCol, lit("U"))
+    val b1 = ev.filter(col("event_id") % 3 === 2)
+      .withColumn("cents", col("cents") + 7L).withColumn(st.OpCol, lit("U"))
+      .unionByName(ev.filter(col("event_id") % 5 === 0 && col("event_id") % 3 =!= 2)
+        .withColumn(st.OpCol, lit("D")))
+    graft.streaming.MorSink.appendBatch(st, b0, 0L, compactEvery = 2)
+    graft.streaming.MorSink.appendBatch(st, b1, 1L, compactEvery = 2)
+    // crash replay of batch 1: must be a no-op (state already compacted)
+    graft.streaming.MorSink.appendBatch(st, b1, 1L, compactEvery = 2)
+    st.read()
+      .groupBy((col("user_id") % 10).as("user_band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_band"))
+  }
+
+  val w15_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), final AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_id % 3 = 1 THEN cents + 5
+      |         WHEN event_id % 3 = 2 THEN cents + 7
+      |         ELSE cents END AS cents
+      |  FROM ev
+      |  WHERE NOT (event_id % 5 = 0 AND event_id % 3 <> 2)
+      |)
+      |SELECT user_id % 10 AS user_band, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM final
+      |GROUP BY user_id % 10
+      |ORDER BY user_band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "w15_mor_sink" -> w15_mor_sink,
     "w14_catalog_sink" -> w14_catalog_sink,
     "w13_snapshot_sink" -> w13_snapshot_sink,
     "w01_tumbling_windows" -> w01_tumbling_windows,
@@ -493,6 +547,7 @@ object StreamingQueries {
     "w12_follow_outer" -> w12_follow_outer)
 
   val oracles: Map[String, String] = Map(
+    "w15_mor_sink" -> w15_sql,
     "w14_catalog_sink" -> w14_sql,
     "w13_snapshot_sink" -> w13_sql,
     "w01_tumbling_windows" -> w01_sql,

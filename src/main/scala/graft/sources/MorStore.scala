@@ -100,6 +100,16 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     }
   }
 
+  /** Commit timestamp of generation `g` (the streaming sink keys its
+    * exactly-once check on it).
+    */
+  def generationTs(g: Long): Long = {
+    val in = fs.open(new Path(logDir, s"$g.json"))
+    val s = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    s.split(""""ts":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
+  }
+
   // ── read (the MoR resolve) ──────────────────────────────────────────
 
   /** Current table state: newest base, with every later delta

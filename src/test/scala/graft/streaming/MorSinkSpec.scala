@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MorStore
+
+/** MorSink: a real Structured Streaming run commits one DELTA per
+  * micro-batch (base never rewritten), periodic compaction folds the
+  * stack without changing state, and redelivered batch ids no-op.
+  */
+class MorSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/t"
+  }
+
+  private def asMap(st: MorStore): Map[Long, Long] =
+    st.read().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("stream of CDC deltas applies exactly once; compaction preserves state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val st = new MorStore(spark, freshDir("morsink"), Seq("k"))
+    st.commitBase(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), -1L)
+    val q = MorSink.attach(
+      ms.toDF().toDF("k", "v", "__op"), st, freshDir("morsink-ckpt"),
+      compactEvery = 2)
+    try {
+      ms.addData((3L, 30L, "U"), (1L, 11L, "U")); q.processAllAvailable() // batch 0
+      ms.addData((2L, 0L, "D"), (4L, 40L, "U")); q.processAllAvailable()  // batch 1 + compact
+      ms.addData((3L, 31L, "U")); q.processAllAvailable()                 // batch 2 on compacted base
+    } finally q.stop()
+    assert(asMap(st) == Map(1L -> 11L, 3L -> 31L, 4L -> 40L))
+    // compaction happened mid-stream: a base generation exists after the deltas
+    val kinds = st.generations().map(_._2)
+    assert(kinds.count(_ == "base") >= 2, s"no mid-stream compaction in $kinds")
+  }
+
+  test("redelivered batch id is a cross-restart no-op") {
+    import spark.implicits._
+    val st = new MorStore(spark, freshDir("morsink-redeliver"), Seq("k"))
+    st.commitBase(Seq((1L, 10L)).toDF("k", "v"), -1L)
+    val d0 = Seq((2L, 20L, "U")).toDF("k", "v", "__op")
+    assert(MorSink.appendBatch(st, d0, 0L) >= 0L)
+    assert(MorSink.appendBatch(st, d0, 0L) == -1L)
+    assert(asMap(st) == Map(1L -> 10L, 2L -> 20L))
+  }
+}
