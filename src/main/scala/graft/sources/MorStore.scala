@@ -24,14 +24,23 @@ import org.apache.spark.sql.functions._
   *
   * Delta schema = base schema + `__op` ∈ {U, D}: U upserts the full
   * row (insert-or-replace — a U on a previously deleted key
-  * resurrects it), D deletes the key. Commit atomicity reuses the
-  * engine's rename-only pointer discipline ([[SnapshotStore]]): a
-  * generation is either fully visible or absent; a crash mid-commit
-  * leaves the previous cut intact.
+  * resurrects it), D deletes the key. A delta may also carry `__seq`
+  * (intra-batch order) when one CDC batch holds SEVERAL events for a
+  * key — the resolve breaks generation ties on it, so a U then D in
+  * one batch deterministically deletes. Without `__seq`, keys must be
+  * unique within a delta; [[commitDelta]] VALIDATES whichever
+  * contract applies (and that every `__op` is a recognized verb)
+  * against the just-written files and refuses the commit otherwise —
+  * an unrecognized op or an unordered same-key tie would silently
+  * resolve as a delete / a coin flip (ADVICE r8). Commit atomicity
+  * reuses the engine's rename-only pointer discipline
+  * ([[SnapshotStore]]): a generation is either fully visible or
+  * absent; a crash mid-commit leaves the previous cut intact.
   */
 class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
 
   val OpCol = "__op"
+  val SeqCol = "__seq"
 
   private def fs: FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -48,20 +57,52 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
   def commitBase(df: DataFrame, commitTsMillis: Long): Long =
     commit(df, commitTsMillis, kind = "base")
 
-  /** Commit a CDC delta (schema = base + `__op`). O(|delta|) write —
-    * the table is never rewritten.
+  /** Commit a CDC delta (schema = base + `__op`, optional `__seq`).
+    * O(|delta|) write — the table is never rewritten. The delta
+    * contract is validated against the WRITTEN files (one cheap
+    * re-scan of the fresh parquet — the input plan is not recomputed)
+    * before the generation becomes visible; violations abort with the
+    * generation directory still invisible (no log entry, no pointer).
     */
   def commitDelta(delta: DataFrame, commitTsMillis: Long): Long = {
     require(delta.columns.contains(OpCol),
       s"delta must carry $OpCol in {U, D}")
-    commit(delta, commitTsMillis, kind = "delta")
+    commit(delta, commitTsMillis, kind = "delta", validateDelta = true)
   }
 
-  private def commit(df: DataFrame, ts: Long, kind: String): Long = {
+  /** Fail unless every __op ∈ {U, D} and (key ++ __seq-if-present) is
+    * unique — one aggregation job over the just-written generation.
+    */
+  private def validateDeltaFiles(dest: Path): Unit = {
+    val written = spark.read.parquet(dest.toString)
+    val tieCols = keyCols ++ (if (written.columns.contains(SeqCol)) Seq(SeqCol) else Nil)
+    val viol = written
+      .groupBy(tieCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        max(when(!col(OpCol).isin("U", "D"), col(OpCol))).as("__badOp"))
+      .filter(col("__c") > 1 || col("__badOp").isNotNull)
+      .limit(1).collect()
+    if (viol.nonEmpty) {
+      fs.delete(dest, true)
+      val r = viol.head
+      throw new IllegalArgumentException(
+        if (r.getAs[Any]("__badOp") != null)
+          s"delta rejected: unrecognized $OpCol '${r.getAs[String]("__badOp")}' " +
+            "(must be U or D) — an unknown verb would silently act as a delete"
+        else
+          s"delta rejected: ${r.getLong(r.fieldIndex("__c"))} rows share key " +
+            s"(${tieCols.mkString(", ")}) — add $SeqCol to order same-key " +
+            "events within one batch, or the winner is nondeterministic")
+    }
+  }
+
+  private def commit(df: DataFrame, ts: Long, kind: String,
+      validateDelta: Boolean = false): Long = {
     val g = generations().lastOption.map(_._1 + 1).getOrElse(0L)
     val dest = genDir(g)
     fs.delete(dest, true) // orphan from a crashed commit
     df.write.mode("overwrite").parquet(dest.toString)
+    if (validateDelta) validateDeltaFiles(dest)
     fs.mkdirs(logDir)
     val out = fs.create(new Path(logDir, s"$g.json"), true)
     out.write(s"""{"generation":$g,"ts":$ts,"kind":"$kind"}""".getBytes("UTF-8"))
@@ -72,6 +113,7 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     p.close()
     fs.delete(pointer, false)
     require(fs.rename(tmp, pointer), s"pointer swing failed at g=$g")
+    committedTsCache += ts
     g
   }
 
@@ -110,6 +152,21 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     s.split(""""ts":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
   }
 
+  /** Commit timestamps of every visible generation — seeded from the
+    * log ONCE per store handle, then maintained on commit, so the
+    * streaming sink's per-batch redelivery check costs O(1) instead
+    * of O(total generations) filesystem round-trips per micro-batch
+    * (unbounded growth over a long-running stream; ADVICE r8).
+    */
+  private lazy val committedTsCache: scala.collection.mutable.Set[Long] = {
+    val s = scala.collection.mutable.Set.empty[Long]
+    generations().foreach { case (g, _) => s += generationTs(g) }
+    s
+  }
+
+  /** O(1) amortized: was any visible generation committed with this ts? */
+  def tsCommitted(ts: Long): Boolean = committedTsCache.contains(ts)
+
   // ── read (the MoR resolve) ──────────────────────────────────────────
 
   /** Current table state: newest base, with every later delta
@@ -126,15 +183,23 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     else {
       val deltas = deltaGens.map { g =>
         spark.read.parquet(genDir(g).toString).withColumn("__gen", lit(g))
-      }.reduce(_ unionByName _)
-      // newest delta row per key wins; the window spans deltas only
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // newest delta row per key wins; generation ties (several
+      // events for one key INSIDE one batch) break on __seq, which
+      // commitDelta guarantees exists whenever a tie is possible —
+      // the resolve is deterministic, so resolve ≡ compact holds.
+      val seqOrder =
+        if (deltas.columns.contains(SeqCol)) coalesce(col(SeqCol), lit(0L)).desc
+        else lit(0).desc
       val latest = deltas.withColumn("__rn", row_number().over(
-          Window.partitionBy(keyCols.map(col): _*).orderBy(col("__gen").desc)))
+          Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col("__gen").desc, seqOrder)))
         .filter(col("__rn") === 1).drop("__rn")
       val untouched = base.join(latest.select(keyCols.map(col): _*),
         keyCols, "left_anti")
       untouched.unionByName(
-        latest.filter(col(OpCol) === "U").drop(OpCol, "__gen"))
+        latest.filter(col(OpCol) === "U")
+          .drop(OpCol, "__gen", SeqCol))
     }
   }
 

@@ -60,6 +60,11 @@ class TableCatalog(spark: SparkSession, root: String) {
     * [[publish]] must be invisible to every reader.
     */
   private[graft] def stage(tables: Map[String, DataFrame]): Map[String, Long] = {
+    tables.keys.foreach { t =>
+      require(t.matches("[A-Za-z0-9_.-]+"),
+        s"table name '$t' outside [A-Za-z0-9_.-]+ — generation files " +
+          "are plain JSON and a quote/comma/brace in a name would corrupt them")
+    }
     val prev = latestGeneration().map(tableVersions).getOrElse(Map.empty)
     tables.map { case (t, df) =>
       val v = prev.get(t).map(_ + 1).getOrElse(0L)
@@ -84,6 +89,7 @@ class TableCatalog(spark: SparkSession, root: String) {
       s"""{"generation":$g,"ts":$commitTsMillis,"tables":{$body}}"""
         .getBytes("UTF-8"))
     out.close()
+    committedTsCache += commitTsMillis
     swingPointer(g)
     g
   }
@@ -99,17 +105,26 @@ class TableCatalog(spark: SparkSession, root: String) {
 
   // ── resolve / read ──────────────────────────────────────────────────
 
-  /** Pointer value, else newest logged generation (crash-heal: a
-    * generation file is only written for fully staged commits), else
-    * None (empty catalog).
+  /** max(pointer, newest logged generation), else None (empty
+    * catalog). Healing PAST the pointer is safe and required: a
+    * generation file is only ever written after every table version
+    * it references is fully staged (publish step 2 of 3), so a crash
+    * between the generation-file write and the pointer swing leaves a
+    * complete, readable generation that the pointer merely hasn't
+    * caught up to. Without the heal, the next commit would reuse that
+    * generation number and overwrite the file — and a redelivered
+    * micro-batch whose id is logged in the orphaned file would no-op,
+    * silently losing the batch (the exactly-once hole ADVICE r8
+    * flagged at CatalogSink:37).
     */
   def latestGeneration(): Option[Long] = {
+    val logged = loggedGenerations().lastOption
     if (fs.exists(pointer)) {
       val in = fs.open(pointer)
       val s = scala.io.Source.fromInputStream(in).mkString.trim
       in.close()
-      Some(s.toLong)
-    } else loggedGenerations().lastOption
+      Some(logged.fold(s.toLong)(math.max(s.toLong, _)))
+    } else logged
   }
 
   /** All committed generations, ascending. */
@@ -139,6 +154,25 @@ class TableCatalog(spark: SparkSession, root: String) {
     in.close()
     s.split(""""ts":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
   }
+
+  /** Commit timestamps already logged — seeded from the commit log
+    * ONCE per catalog handle, then maintained in memory, so a
+    * streaming sink's per-batch redelivery check is O(1) instead of
+    * one filesystem round-trip per historical generation per batch
+    * (ADVICE r8: the scan-the-whole-log-every-batch pattern grows
+    * without bound over a long-running stream). Visibility matches
+    * [[latestGeneration]] (pointer-heal included) because the seed
+    * reads every logged generation file, which by the publish
+    * protocol all reference fully staged data.
+    */
+  private lazy val committedTsCache: scala.collection.mutable.Set[Long] = {
+    val s = scala.collection.mutable.Set.empty[Long]
+    loggedGenerations().foreach(g => s += generationTs(g))
+    s
+  }
+
+  /** O(1) amortized: was any generation committed with this ts? */
+  def tsCommitted(ts: Long): Boolean = committedTsCache.contains(ts)
 
   /** Read `table` at catalog generation `g` — every table read at the
     * same `g` is one consistent cross-table cut.

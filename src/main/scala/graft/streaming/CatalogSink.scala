@@ -33,9 +33,12 @@ object CatalogSink {
   def commitBatch(
       cat: TableCatalog, batch: DataFrame, batchId: Long,
       derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame]): Long = {
-    val alreadyCommitted =
-      cat.loggedGenerations().exists(g => cat.generationTs(g) == batchId)
-    if (alreadyCommitted) -1L
+    // O(1) in-memory check (seeded once from the log); a generation
+    // file orphaned by a crash between its write and the pointer
+    // swing counts as committed BECAUSE the catalog's pointer heal
+    // (TableCatalog.latestGeneration) makes it reader-visible — the
+    // replayed batch correctly no-ops against an already-durable cut.
+    if (cat.tsCommitted(batchId)) -1L
     else {
       val prevGen = cat.latestGeneration()
       val newStates = derive.map { case (t, fn) =>

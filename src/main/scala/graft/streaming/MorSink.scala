@@ -30,21 +30,16 @@ object MorSink {
     */
   def appendBatch(store: MorStore, delta: DataFrame, batchId: Long,
       compactEvery: Int = 0): Long = {
-    val seen = store.generations().map(_._1)
-      .exists(g => generationBatchId(store, g) == batchId)
-    if (seen) -1L
+    // O(1) in-memory check, seeded from the log once per store handle
+    // — a per-batch scan of every historical generation's metadata
+    // would grow without bound over a long-running stream (ADVICE r8)
+    if (store.tsCommitted(batchId)) -1L
     else {
       val g = store.commitDelta(delta, commitTsMillis = batchId)
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
         store.compact(commitTsMillis = -(batchId + 1))
       g
     }
-  }
-
-  private def generationBatchId(store: MorStore, g: Long): Long = {
-    // commit ts IS the batch id for delta generations (compactions
-    // use the negative range)
-    store.generationTs(g)
   }
 
   /** Attach the sink to a CDC stream (foreachBatch driver). */

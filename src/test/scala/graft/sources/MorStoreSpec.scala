@@ -97,6 +97,41 @@ class MorStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("__seq orders same-key events within one batch deterministically") {
+    import spark.implicits._
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L), 1000L)
+    // one CDC batch: k=1 updated THEN deleted; k=2 deleted THEN re-upserted
+    val d = Seq((1L, 11L, "U", 0L), (1L, 0L, "D", 1L),
+      (2L, 0L, "D", 0L), (2L, 22L, "U", 1L)).toDF("k", "v", "__op", "__seq")
+    st.commitDelta(d, 2000L)
+    assert(asMap(st) == Map(2L -> 22L)) // k=1 gone, k=2 resurrected
+    // resolve ≡ compact still holds with intra-batch ordering
+    st.compact(3000L)
+    assert(asMap(st) == Map(2L -> 22L))
+  }
+
+  test("same-key rows without __seq are rejected, leaving nothing visible") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L), 1000L)
+    val e = intercept[IllegalArgumentException] {
+      st.commitDelta(delta((1L, 11L, "U"), (1L, 0L, "D")), 2000L)
+    }
+    assert(e.getMessage.contains("__seq"))
+    assert(st.generations().map(_._1) == Seq(0L)) // rejected commit invisible
+    assert(asMap(st) == Map(1L -> 10L))
+  }
+
+  test("an unrecognized __op verb fails the commit instead of acting as a delete") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L), 1000L)
+    val e = intercept[IllegalArgumentException] {
+      st.commitDelta(delta((1L, 11L, "X")), 2000L)
+    }
+    assert(e.getMessage.contains("'X'"))
+    assert(asMap(st) == Map(1L -> 10L)) // key 1 NOT silently suppressed
+  }
+
   test("a delta commit writes only the delta, never the base") {
     val root = freshRoot()
     val st = new MorStore(spark, root, Seq("k"))

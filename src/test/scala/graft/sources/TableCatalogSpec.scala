@@ -74,4 +74,17 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(cat.readAt(0, "t").agg(sum("v")).head().getLong(0) == 10L)
     assert(cat.readAt(1, "t").agg(sum("v")).head().getLong(0) == 510L)
   }
+
+  test("table names that would corrupt the JSON generation file are rejected") {
+    val cat = new TableCatalog(spark, freshRoot())
+    for (bad <- Seq("""a"b""", "a,b", "a:b", "a}b", "a b", "")) {
+      val e = intercept[IllegalArgumentException] {
+        cat.commitAll(Map(bad -> nums(0, 3)), 1000L)
+      }
+      assert(e.getMessage.contains("table name"), s"for '$bad'")
+    }
+    assert(cat.latestGeneration().isEmpty) // nothing committed
+    cat.commitAll(Map("ok_Name-1.x" -> nums(0, 3)), 1000L) // safe charset passes
+    assert(cat.read("ok_Name-1.x").count() == 3)
+  }
 }

@@ -77,4 +77,33 @@ class CatalogSinkSpec extends AnyFunSuite {
     consistent(cat, 1L)
     assert(cat.readAt(1, "raw").count() == 3)
   }
+
+  test("crash between generation-file write and pointer swing loses nothing") {
+    // The exact window ADVICE r8 flagged: publish() wrote _catalog/1.json
+    // but died before swinging _latest. The replayed batch must NOT be
+    // double-applied, and — critically — must not be LOST: the orphaned
+    // generation heals into visibility, and the next batch builds on it.
+    import spark.implicits._
+    val root = freshDir("catsink-crash")
+    val cat = new TableCatalog(spark, root)
+    assert(CatalogSink.commitBatch(cat, Seq(("a", 1L)).toDF("k", "v"), 0L, derive) == 0L)
+    assert(CatalogSink.commitBatch(cat, Seq(("b", 2L)).toDF("k", "v"), 1L, derive) == 1L)
+    // simulate the crash: rewind the pointer to generation 0, as if the
+    // swing for generation 1 never happened
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(root, "_latest")
+    fs.delete(ptr, false)
+    val out = fs.create(ptr, true); out.write("0".getBytes("UTF-8")); out.close()
+    // fresh handle = fresh driver after restart (cold cache)
+    val cat2 = new TableCatalog(spark, root)
+    assert(cat2.latestGeneration().contains(1L)) // heal past the pointer
+    // foreachBatch redelivers batch 1 → must no-op (its cut is durable)
+    assert(CatalogSink.commitBatch(cat2, Seq(("b", 2L)).toDF("k", "v"), 1L, derive) == -1L)
+    // next batch gets generation 2 — generation 1 is never overwritten
+    assert(CatalogSink.commitBatch(cat2, Seq(("c", 3L)).toDF("k", "v"), 2L, derive) == 2L)
+    assert(cat2.loggedGenerations() == Seq(0L, 1L, 2L))
+    (0L to 2L).foreach(consistent(cat2, _))
+    assert(cat2.readAt(2, "raw").count() == 3) // a, b, c — batch 1 not lost
+  }
 }
