@@ -141,33 +141,62 @@ object Bench {
       cur >= 0 && prior.get(name).orElse(prior.get(name.split('_').head))
         .exists(p => p >= 0.15 && cur > RetryRatio * p)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): (Double, Double) = {
-        val (b0, a0) = machineJiffies(); val o0 = ownJiffies()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-            false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val (b1, a1) = machineJiffies(); val o1 = ownJiffies()
-        val foreign =
-          if (a1 <= a0) 0.0
-          else math.max(0L, (b1 - b0) - (o1 - o0)).toDouble / (a1 - a0)
-        spark.catalog.clearCache()
-        (if (ok) dt else -1.0, foreign)
-      }
-      var runs = (1 to Runs).map(_ => once())
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val (b0, a0) = machineJiffies(); val o0 = ownJiffies()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (b1, a1) = machineJiffies(); val o1 = ownJiffies()
+      val foreign =
+        if (a1 <= a0) 0.0
+        else math.max(0L, (b1 - b0) - (o1 - o0)).toDouble / (a1 - a0)
+      spark.catalog.clearCache()
+      (if (ok) dt else -1.0, foreign)
+    }
+    def flagged(name: String, runs: Seq[(Double, Double)]): Boolean =
+      spreadOf(keptTimes(runs)) > RetryRatio || allKeptForeign(runs) ||
+        regressed(name, runs)
+    val results = scala.collection.mutable.LinkedHashMap[String, (Seq[(Double, Double)], Int)]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      var runs = (1 to Runs).map(_ => once(name, fn))
       var retries = 0
-      while ((spreadOf(keptTimes(runs)) > RetryRatio || allKeptForeign(runs)
-            || regressed(name, runs))
-          && retries < MaxRetries) {
-        runs = runs :+ once()
+      while (flagged(name, runs) && retries < MaxRetries) {
+        runs = runs :+ once(name, fn)
         retries += 1
       }
-      name -> (runs, retries)
+      results(name) = (runs, retries)
+    }
+    // Run-level backoff pass (r8 verdict item 1): immediate retries
+    // can't outrun a neighbor process that owns the box for a multi-
+    // minute slot — round 8's artifact printed d19 "9 s" / d36 "8 s"
+    // (quiet medians 3.5 / 2.0) because every retry landed inside the
+    // same contention window. If any query is still flagged after its
+    // in-place retry budget, wait out the window ONCE (a real pause,
+    // not more back-to-back runs) and give each flagged query a short
+    // second budget on what is hopefully a quieter box.
+    val BackoffMs = 30000L
+    val BackoffRuns = 2
+    val backoffIds = results.collect { case (k, (v, _)) if flagged(k, v) => k }.toSeq
+    if (backoffIds.nonEmpty) {
+      System.err.println(
+        s"[bench] ${backoffIds.size} queries still contended after retries " +
+          s"(${backoffIds.mkString(",")}); backing off ${BackoffMs / 1000} s")
+      Thread.sleep(BackoffMs)
+      for (k <- backoffIds) {
+        val fn = SparkEntry.queries(k)
+        var (runs, retries) = results(k)
+        var extra = 0
+        while (flagged(k, runs) && extra < BackoffRuns) {
+          runs = runs :+ once(k, fn)
+          extra += 1
+        }
+        results(k) = (runs, retries + extra)
+      }
     }
     val loadAfter = loadAvg()
     val benchJ1 = machineJiffies()
@@ -190,6 +219,22 @@ object Bench {
     // failed queries (median -1) stay visible per-query but don't skew
     // the total downward
     val total = results.values.map { case (v, _) => median(v) }.filter(_ >= 0).sum
+    // Quiet-run total: per query, the median over only the runs whose
+    // foreign-CPU share stayed under ForeignThresh (falling back to the
+    // overall kept median when no quiet run exists). Emitted BESIDE the
+    // headline total so a reader can tell "the code got slower" from
+    // "the box was busy" without re-running anything.
+    def quietMedian(xs: Seq[(Double, Double)]): Double = {
+      val quiet = xs.filter { case (t, f) => t >= 0 && f <= ForeignThresh }
+        .map(_._1).sorted.take(Runs)
+      if (quiet.nonEmpty) quiet(quiet.size / 2) else median(xs)
+    }
+    val quietTotal =
+      results.values.map { case (v, _) => quietMedian(v) }.filter(_ >= 0).sum
+    // Run-level honesty flag: true when the whole-bench foreign share is
+    // material or any query never saw a quiet run — a cross-round reader
+    // must treat a contended:true artifact's regressions as unproven.
+    val contended = benchForeign > 0.10 || dirtyIds.nonEmpty
     // worst per-query max/min ratio over the KEPT runs — >2 after retries
     // means contention the retry budget couldn't outrun
     val spread = results.values
@@ -225,7 +270,7 @@ object Bench {
          else short.take(retryCap) :+ s"+${short.size - retryCap}")
           .map("\"" + _ + "\"").mkString("[", ",", "]")
       }
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)}}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","quiet":${fmt(quietTotal, 2)},"contended":$contended,"queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadAfter, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)}}"""
     }
     def summary(decimals: Int): String = summaryWith(fmt(_, decimals))
     // adaptive tier: the slow queries (the ones worth profiling) keep a

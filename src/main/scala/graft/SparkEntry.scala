@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, DataPipelineQueries, EngineQueries, PipelineQueries, SemanticQueries, StreamingQueries, ValidationQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, DataPipelineQueries, EngineQueries, PipelineQueries, PlatformQueries, SemanticQueries, StreamingQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,7 +20,7 @@ object SparkEntry {
       DataPipelineQueries.queries ++ ValidationQueries.queries ++
       StreamingQueries.queries ++ CurationQueries.queries ++
       SemanticQueries.queries ++ AnalyticsQueries.queries ++
-      EngineQueries.queries
+      EngineQueries.queries ++ PlatformQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       DataPipelineQueries.oracles ++ ValidationQueries.oracles ++
       StreamingQueries.oracles ++ CurationQueries.oracles ++
       SemanticQueries.oracles ++ AnalyticsQueries.oracles ++
-      EngineQueries.oracles
+      EngineQueries.oracles ++ PlatformQueries.oracles
 }

@@ -167,6 +167,9 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
   /** O(1) amortized: was any visible generation committed with this ts? */
   def tsCommitted(ts: Long): Boolean = committedTsCache.contains(ts)
 
+  /** True before the first visible commit. */
+  def isEmpty: Boolean = generations().isEmpty
+
   // ── read (the MoR resolve) ──────────────────────────────────────────
 
   /** Current table state: newest base, with every later delta
@@ -175,6 +178,30 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
   def read(): DataFrame = {
     val gens = generations()
     require(gens.nonEmpty, s"empty MoR table at $root")
+    readGens(gens)
+  }
+
+  /** Table state AS OF generation `upTo` — the resolve over only the
+    * generations ≤ `upTo`. This is what lets a [[TableCatalog]] pin a
+    * MoR member to a cross-table cut: the catalog records the MoR
+    * generation, not a data copy, and later delta commits do not
+    * disturb older catalog generations.
+    */
+  def readAt(upTo: Long): DataFrame = {
+    val gens = generations().filter(_._1 <= upTo)
+    require(gens.nonEmpty, s"no MoR generation <= $upTo at $root")
+    readGens(gens)
+  }
+
+  /** The NEWEST visible generation committed with ts `ts`, if any —
+    * lets a multi-table commit protocol recognize a delta it already
+    * committed before a crash and reuse it instead of re-appending
+    * (newest, because a bootstrap writes base + delta under one ts).
+    */
+  def generationWithTs(ts: Long): Option[Long] =
+    generations().map(_._1).reverse.find(generationTs(_) == ts)
+
+  private def readGens(gens: Seq[(Long, String)]): DataFrame = {
     val baseGen = gens.filter(_._2 == "base").map(_._1).lastOption
       .getOrElse(throw new IllegalStateException(s"no base generation at $root"))
     val base = spark.read.parquet(genDir(baseGen).toString)

@@ -39,9 +39,16 @@ class TableCatalog(spark: SparkSession, root: String) {
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
   private def tableDir(t: String, v: Long) = new Path(root, s"tables/$t/v=$v")
+  private def morRootDir(t: String) = new Path(root, s"tables/$t/mor")
+  private def morKeysFile(t: String) = new Path(root, s"tables/$t/_mor_keys")
   private def catDir = new Path(root, "_catalog")
   private def genFile(g: Long) = new Path(catDir, s"$g.json")
   private def pointer = new Path(root, "_latest")
+
+  private def requireSafeName(t: String): Unit =
+    require(t.matches("[A-Za-z0-9_.-]+"),
+      s"table name '$t' outside [A-Za-z0-9_.-]+ — generation files " +
+        "are plain JSON and a quote/comma/brace in a name would corrupt them")
 
   // ── commit ──────────────────────────────────────────────────────────
 
@@ -60,11 +67,7 @@ class TableCatalog(spark: SparkSession, root: String) {
     * [[publish]] must be invisible to every reader.
     */
   private[graft] def stage(tables: Map[String, DataFrame]): Map[String, Long] = {
-    tables.keys.foreach { t =>
-      require(t.matches("[A-Za-z0-9_.-]+"),
-        s"table name '$t' outside [A-Za-z0-9_.-]+ — generation files " +
-          "are plain JSON and a quote/comma/brace in a name would corrupt them")
-    }
+    tables.keys.foreach(requireSafeName)
     val prev = latestGeneration().map(tableVersions).getOrElse(Map.empty)
     tables.map { case (t, df) =>
       val v = prev.get(t).map(_ + 1).getOrElse(0L)
@@ -75,23 +78,109 @@ class TableCatalog(spark: SparkSession, root: String) {
     }
   }
 
-  /** Steps 2–3 — make a staged version set visible atomically. */
+  /** Steps 2–3 — make a staged version set visible atomically.
+    * `morStaged` maps MoR member tables to the [[MorStore]]
+    * generation that belongs to this cut (data already durable in the
+    * member's own log — the catalog records a POINTER, never a copy).
+    */
   private[graft] def publish(
-      staged: Map[String, Long], commitTsMillis: Long): Long = {
-    val g = latestGeneration().map(_ + 1).getOrElse(0L)
-    val carried = latestGeneration().map(tableVersions).getOrElse(Map.empty)
-    val versions = carried ++ staged
-    val body = versions.toSeq.sortBy(_._1)
+      staged: Map[String, Long], commitTsMillis: Long,
+      morStaged: Map[String, Long] = Map.empty): Long = {
+    val prev = latestGeneration()
+    val g = prev.map(_ + 1).getOrElse(0L)
+    val versions = prev.map(tableVersions).getOrElse(Map.empty) ++ staged
+    val morVs = prev.map(morVersions).getOrElse(Map.empty) ++ morStaged
+    def jsonMap(m: Map[String, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":$v""" }.mkString(",")
     fs.mkdirs(catDir)
     val out = fs.create(genFile(g), true)
     out.write(
-      s"""{"generation":$g,"ts":$commitTsMillis,"tables":{$body}}"""
+      (s"""{"generation":$g,"ts":$commitTsMillis,""" +
+        s""""tables":{${jsonMap(versions)}},"mor":{${jsonMap(morVs)}}}""")
         .getBytes("UTF-8"))
     out.close()
     committedTsCache += commitTsMillis
     swingPointer(g)
     g
+  }
+
+  // ── MoR members ─────────────────────────────────────────────────────
+
+  /** Open (creating key metadata on first use) the MoR member table
+    * `t` — a [[MorStore]] rooted INSIDE the catalog's layout, whose
+    * generations catalog cuts then reference by number. Key columns
+    * are fixed at creation; reopening with different keys fails.
+    */
+  def morStore(t: String, keyCols: Seq[String]): MorStore = {
+    requireSafeName(t)
+    keyCols.foreach(k => require(k.matches("[A-Za-z0-9_]+"),
+      s"key column '$k' outside [A-Za-z0-9_]+"))
+    if (fs.exists(morKeysFile(t))) {
+      val existing = morKeys(t)
+      require(existing == keyCols,
+        s"MoR member '$t' exists with keys $existing, not $keyCols")
+    } else {
+      val out = fs.create(morKeysFile(t), true)
+      out.write(keyCols.mkString(",").getBytes("UTF-8"))
+      out.close()
+    }
+    new MorStore(spark, morRootDir(t).toString, keyCols)
+  }
+
+  private def morKeys(t: String): Seq[String] = {
+    require(fs.exists(morKeysFile(t)),
+      s"'$t' is not a MoR member of this catalog (open it with morStore first)")
+    val in = fs.open(morKeysFile(t))
+    val s = scala.io.Source.fromInputStream(in).mkString.trim
+    in.close()
+    s.split(",").toSeq
+  }
+
+  /** Atomically commit snapshot rewrites AND MoR deltas as ONE
+    * catalog generation — the CDC fact table takes an O(batch) delta
+    * while its rollup view rewrites, and a reader at any generation
+    * sees the two mutually consistent. For each MoR member: an empty
+    * store takes `df` as its initial BASE; a store that already
+    * committed a generation with this ts (a crash after the member
+    * commit but before the catalog publish) REUSES it rather than
+    * re-appending, so replayed batches stay exactly-once; otherwise
+    * `df` commits as a delta (schema = base + __op, optional __seq).
+    * An empty member handed a DELTA (df carries __op — the uniform
+    * morDerive shape) bootstraps an empty base of the delta's row
+    * schema first, so batch 0 needs no special casing in the caller.
+    */
+  def commitAllWith(snapshots: Map[String, DataFrame],
+      morDeltas: Map[String, DataFrame], commitTsMillis: Long): Long = {
+    val staged = stage(snapshots)
+    val morStaged = morDeltas.map { case (t, df) =>
+      val store = morStore(t, morKeys(t))
+      // crash-replay reuse must match the KIND this commit would
+      // produce: a crash after the bootstrap base but before its
+      // delta leaves a base with this ts — reusing THAT would drop
+      // the delta, so only a same-kind newest generation counts
+      val intendedKind =
+        if (df.columns.contains(store.OpCol)) "delta" else "base"
+      val reusable = store.generations().reverse.collectFirst {
+        case (gg, k) if k == intendedKind && store.generationTs(gg) == commitTsMillis => gg
+      }
+      val g = reusable.getOrElse {
+        if (store.isEmpty && !df.columns.contains(store.OpCol))
+          store.commitBase(df, commitTsMillis)
+        else {
+          if (store.isEmpty) {
+            val rowSchema = org.apache.spark.sql.types.StructType(
+              df.schema.filterNot(f =>
+                f.name == store.OpCol || f.name == store.SeqCol))
+            store.commitBase(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema),
+              commitTsMillis)
+          }
+          store.commitDelta(df, commitTsMillis)
+        }
+      }
+      t -> g
+    }
+    publish(staged, commitTsMillis, morStaged)
   }
 
   private def swingPointer(g: Long): Unit = {
@@ -134,18 +223,33 @@ class TableCatalog(spark: SparkSession, root: String) {
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
       .sorted.toSeq
 
-  /** The table→version map of generation `g`. */
-  def tableVersions(g: Long): Map[String, Long] = {
+  private def parseVersionMap(json: String, section: String): Map[String, Long] = {
+    val parts = json.split('"' + section + """":\{""")
+    if (parts.length < 2) Map.empty // generation predates the section
+    else {
+      val body = parts(1).takeWhile(_ != '}')
+      if (body.trim.isEmpty) Map.empty
+      else body.split(",").map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+      }.toMap
+    }
+  }
+
+  private def genJson(g: Long): String = {
     val in = fs.open(genFile(g))
     val s = scala.io.Source.fromInputStream(in).mkString
     in.close()
-    val tablesBody = s.split(""""tables":\{""")(1).takeWhile(_ != '}')
-    if (tablesBody.trim.isEmpty) Map.empty
-    else tablesBody.split(",").map { kv =>
-      val Array(k, v) = kv.split(":")
-      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
-    }.toMap
+    s
   }
+
+  /** The snapshot-table→version map of generation `g`. */
+  def tableVersions(g: Long): Map[String, Long] =
+    parseVersionMap(genJson(g), "tables")
+
+  /** The MoR-member→store-generation map of generation `g`. */
+  def morVersions(g: Long): Map[String, Long] =
+    parseVersionMap(genJson(g), "mor")
 
   /** Commit ts of generation `g`. */
   def generationTs(g: Long): Long = {
@@ -175,13 +279,18 @@ class TableCatalog(spark: SparkSession, root: String) {
   def tsCommitted(ts: Long): Boolean = committedTsCache.contains(ts)
 
   /** Read `table` at catalog generation `g` — every table read at the
-    * same `g` is one consistent cross-table cut.
+    * same `g` is one consistent cross-table cut. A MoR member
+    * resolves base ∪ deltas up to the store generation this cut
+    * recorded (later deltas, committed after `g`, are invisible).
     */
-  def readAt(g: Long, table: String): DataFrame = {
-    val v = tableVersions(g).getOrElse(table,
-      throw new IllegalArgumentException(s"table $table not in generation $g"))
-    spark.read.parquet(tableDir(table, v).toString)
-  }
+  def readAt(g: Long, table: String): DataFrame =
+    tableVersions(g).get(table) match {
+      case Some(v) => spark.read.parquet(tableDir(table, v).toString)
+      case None =>
+        val mv = morVersions(g).getOrElse(table,
+          throw new IllegalArgumentException(s"table $table not in generation $g"))
+        morStore(table, morKeys(table)).readAt(mv)
+    }
 
   /** Read `table` at the latest generation. */
   def read(table: String): DataFrame = readAt(latestGeneration()

@@ -51,13 +51,43 @@ object CatalogSink {
     }
   }
 
+  /** [[commitBatch]] with MoR members: `morDerive` maps the
+    * micro-batch to each MoR member's CDC delta (base + __op rows;
+    * the member's FIRST commit is its base). The fact table takes an
+    * O(batch) delta while the derived snapshot tables rewrite, and
+    * both land in ONE catalog generation — w14's atomic cut on w15's
+    * write cost. Exactly-once covers the partial-crash window: a
+    * member delta committed before a crash is recognized by its ts
+    * and reused, never re-appended ([[TableCatalog.commitAllWith]]).
+    */
+  def commitBatchMixed(
+      cat: TableCatalog, batch: DataFrame, batchId: Long,
+      derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame],
+      morDerive: Map[String, DataFrame => DataFrame]): Long = {
+    if (cat.tsCommitted(batchId)) -1L
+    else {
+      val prevGen = cat.latestGeneration()
+      val newStates = derive.map { case (t, fn) =>
+        val prev = prevGen.flatMap { g =>
+          cat.tableVersions(g).get(t).map(_ => cat.readAt(g, t))
+        }
+        t -> fn(prev, batch)
+      }
+      cat.commitAllWith(newStates, morDerive.map { case (t, fn) => t -> fn(batch) },
+        commitTsMillis = batchId)
+    }
+  }
+
   /** Attach the sink to a stream (foreachBatch driver). */
   def attach(stream: DataFrame, cat: TableCatalog, checkpointDir: String,
-      derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame]): StreamingQuery =
+      derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame],
+      morDerive: Map[String, DataFrame => DataFrame] = Map.empty): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(cat, batch, batchId, derive); ()
+        if (morDerive.isEmpty) commitBatch(cat, batch, batchId, derive)
+        else commitBatchMixed(cat, batch, batchId, derive, morDerive)
+        ()
       }
       .start()
 }

@@ -106,4 +106,74 @@ class CatalogSinkSpec extends AnyFunSuite {
     (0L to 2L).foreach(consistent(cat2, _))
     assert(cat2.readAt(2, "raw").count() == 3) // a, b, c — batch 1 not lost
   }
+
+  // ── MoR members (commitBatchMixed) ──────────────────────────────────
+
+  private def mixedFixture(root: String) = {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, root)
+    cat.morStore("fact", Seq("k"))
+    // batch n: insert keys 10n..10n+4; delete key 10(n-1) (from the prior batch)
+    def batch(n: Int): org.apache.spark.sql.DataFrame = {
+      val ins = (0 to 4).map(i => (10L * n + i, n.toLong, "U"))
+      val dels = if (n > 0) Seq((10L * (n - 1), -1L, "D")) else Seq.empty
+      (ins ++ dels).toDF("k", "v", "__op")
+    }
+    val derive = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+      "n_live" -> ((prev, b) => {
+        val net = b.agg(sum(when(col("__op") === "U", 1L).otherwise(-1L)).as("n"))
+        prev.map(_.unionByName(net).agg(sum("n").as("n"))).getOrElse(net)
+      }))
+    val morDerive = Map[String, DataFrame => DataFrame]("fact" -> (b => b))
+    (cat, batch _, derive, morDerive)
+  }
+
+  private def mixedConsistent(cat: TableCatalog, g: Long): Unit =
+    assert(cat.readAt(g, "n_live").head().getLong(0) == cat.readAt(g, "fact").count(),
+      s"rollup and resolved fact disagree at generation $g")
+
+  test("MoR member + snapshot rollup commit as one generation; every cut consistent") {
+    val (cat, batch, derive, morDerive) = mixedFixture(freshDir("morcat"))
+    (0 to 2).foreach { n =>
+      assert(CatalogSink.commitBatchMixed(cat, batch(n), n.toLong, derive, morDerive) == n.toLong)
+    }
+    (0L to 2L).foreach(mixedConsistent(cat, _))
+    assert(cat.readAt(0, "fact").count() == 5)   // 5 inserted
+    assert(cat.readAt(1, "fact").count() == 9)   // +5 −1
+    assert(cat.readAt(2, "fact").count() == 13)
+    // time travel: generation 1's cut is NOT disturbed by batch 2's delta
+    val g1Keys = cat.readAt(1, "fact").select("k").collect().map(_.getLong(0)).toSet
+    assert(!g1Keys.exists(_ >= 20L))
+    assert(CatalogSink.commitBatchMixed(cat, batch(2), 2L, derive, morDerive) == -1L)
+  }
+
+  test("crash between member delta commit and catalog publish: replay reuses the delta") {
+    val (cat, batch, derive, morDerive) = mixedFixture(freshDir("morcat-crash"))
+    CatalogSink.commitBatchMixed(cat, batch(0), 0L, derive, morDerive)
+    CatalogSink.commitBatchMixed(cat, batch(1), 1L, derive, morDerive)
+    // simulate the crash: the member took batch 2's delta, the catalog
+    // generation was never published
+    val store = cat.morStore("fact", Seq("k"))
+    store.commitDelta(batch(2).toDF(), 2L)
+    val gensBefore = store.generations().size
+    // replay of batch 2 must reuse that delta, not append a second copy
+    val g2 = CatalogSink.commitBatchMixed(cat, batch(2), 2L, derive, morDerive)
+    assert(g2 == 2L)
+    assert(store.generations().size == gensBefore) // no re-append
+    mixedConsistent(cat, 2L)
+    assert(cat.readAt(2, "fact").count() == 13)
+  }
+
+  test("crash between bootstrap base and first delta: replay still applies the delta") {
+    val (cat, batch, derive, morDerive) = mixedFixture(freshDir("morcat-boot"))
+    val store = cat.morStore("fact", Seq("k"))
+    // the bootstrap's empty base landed with ts=0, then the process died
+    import spark.implicits._
+    store.commitBase(Seq.empty[(Long, Long)].toDF("k", "v"), 0L)
+    val g0 = CatalogSink.commitBatchMixed(cat, batch(0), 0L, derive, morDerive)
+    assert(g0 == 0L)
+    // the base with ts=0 must NOT have been mistaken for the delta
+    assert(cat.readAt(0, "fact").count() == 5)
+    mixedConsistent(cat, 0L)
+  }
 }
