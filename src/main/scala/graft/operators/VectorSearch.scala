@@ -565,6 +565,20 @@ object VectorSearch {
       .withColumn("__e",
         if (residual) zip_with(col("__v"), element_at(cents, col("__cell") + 1), _ - _)
         else col("__v"))
+    adcTopK(encoded, probed, codebooks, k, excludeSelf)
+  }
+
+  /** Shared ADC scoring tail: distance tables from each probed
+    * (query, cell, residual-or-raw `__e`) row ride ONE broadcast;
+    * scoring is table lookups inside the broadcast join; the only
+    * shuffle is the rank window.
+    */
+  private def adcTopK(encoded: DataFrame, probed: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val subDim = codebooks.head.head.size
+    val m = codebooks.size
+    def sub(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
     val qtab = broadcast(probed.select(
       Seq(col("query_id"), col("__cell")) ++
         codebooks.zipWithIndex.map { case (cb, s) =>
@@ -579,6 +593,55 @@ object VectorSearch {
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("score", -adc)
     rankTopK(scored, "score", k)
+  }
+
+  /** Filter-aware IVF-PQ search — retrieval under a selective
+    * metadata predicate over an indexed corpus, where a FIXED nProbe
+    * fails both ways: probing few cells can leave under k predicate
+    * survivors (missing results the corpus holds), probing all cells
+    * wastes the index. Here the probe depth ADAPTS per query: cells
+    * are ranked by centroid distance as usual, the per-cell SURVIVOR
+    * counts (one aggregate over the prefiltered encoded relation —
+    * index-sized, not corpus-sized) cumulate along each query's probe
+    * order, and each query probes exactly as deep as needed for ≥ k
+    * survivors (all cells when the corpus itself holds fewer). The
+    * whole decision is relational — survivors aggregate → cum-sum
+    * window over (queries × cells) → depth join — no driver loop, so
+    * it holds at any query count.
+    *
+    * @param encodedFiltered [[encodeIvfPq]] output RESTRICTED to the
+    *   predicate's rows (join ids or filter a metadata column carried
+    *   through encode) — the on-disk index itself stays unfiltered
+    * @param excludeSelf default false: under a predicate the query
+    *   point is a legitimate corpus member iff it passes the filter
+    */
+  def searchIvfPqFiltered(
+      encodedFiltered: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(centroids.nonEmpty)
+    val subDim = codebooks.head.head.size
+    val dim = codebooks.size * subDim
+    val nCells = centroids.size
+    val surv = encodedFiltered.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"))
+    val qcells = queries
+      .select(col(queryIdCol).as("query_id"),
+        pqChecked(col(vecCol), dim, "searchIvfPqFiltered").as("__v"))
+      .select(col("query_id"), col("__v"),
+        posexplode(probeCells(col("__v"), dot(col("__v"), col("__v")),
+          centroids, nCells)).as(Seq("__rn", "__cell")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__rn"))
+    val withCum = qcells.join(surv, Seq("__cell"), "left")
+      .withColumn("__cum", sum(coalesce(col("__n"), lit(0L))).over(w))
+    val depth = withCum.groupBy(col("query_id"))
+      .agg(coalesce(min(when(col("__cum") >= k, col("__rn"))),
+        lit(nCells - 1)).as("__depth"))
+    val probed = withCum.join(depth, "query_id")
+      .filter(col("__rn") <= col("__depth"))
+      .select(col("query_id"), col("__cell"), col("__v").as("__e"))
+    adcTopK(encodedFiltered, probed, codebooks, k, excludeSelf)
   }
 
   def ivfPqTopK(

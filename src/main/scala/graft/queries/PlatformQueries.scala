@@ -162,11 +162,255 @@ object PlatformQueries {
       |GROUP BY user_id % 10
       |ORDER BY user_band""".stripMargin
 
+  // ───────────────────────────── v23: range-predicate file skipping
+
+  /** Range scans through the file-skipping index — v22 proves point
+    * lookups; this is the min/max-overlap half
+    * ([[graft.sources.FileSkipIndex.rangeScan]], Bloom inapplicable
+    * to intervals). Orders land key-sorted in 8 range files; four
+    * predicates then exercise the pruning spectrum: a first-quarter
+    * range (~2 files), a half-span range (~4), a 1%-span sliver (~1),
+    * and a range beyond the global max (ZERO file reads). Admitted-
+    * file counts are spec/smoke territory (`FileSkipIndexSpec`,
+    * ScaleSmoke); the oracle pins EXACTNESS — boundary inclusivity,
+    * the re-filter inside overhanging files, and the empty range's
+    * (0, NULL) aggregate row.
+    */
+  val v23_fileskip_range: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skiprange")
+      .toFile.getAbsolutePath + "/orders"
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    orders.repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(tmp)
+    val index = graft.sources.FileSkipIndex
+      .build(s, tmp, "k", expectedKeysPerFile = 1000000L).persist()
+    val Row2 = orders.agg(min(col("k")), max(col("k"))).head()
+    val (mn, mx) = (Row2.getLong(0), Row2.getLong(1))
+    val span = mx - mn
+    val ranges = Seq(
+      0 -> (mn, mn + span / 4),
+      1 -> (mn + span / 4, mn + (3 * span) / 4),
+      2 -> (mn + span / 2, mn + span / 2 + span / 100),
+      3 -> (mx + 10, mx + 1000))
+    ranges.map { case (id, (lo, hi)) =>
+      graft.sources.FileSkipIndex.rangeScan(s, index, tmp, "k", lo, hi)
+        .agg(count(col("k")).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .select(lit(id).as("range_id"), col("n_orders"), col("sum_cents"))
+    }.reduce(_ unionByName _).orderBy(col("range_id"))
+  }
+
+  val v23_sql: String =
+    """WITH b AS (
+      |  SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+      |), r(range_id, lo, hi) AS (
+      |  SELECT 0, mn, mn + (mx - mn) // 4 FROM b
+      |  UNION ALL SELECT 1, mn + (mx - mn) // 4, mn + (3 * (mx - mn)) // 4 FROM b
+      |  UNION ALL SELECT 2, mn + (mx - mn) // 2,
+      |                       mn + (mx - mn) // 2 + (mx - mn) // 100 FROM b
+      |  UNION ALL SELECT 3, mx + 10, mx + 1000 FROM b
+      |)
+      |SELECT CAST(r.range_id AS INT) AS range_id,
+      |  COUNT(o.o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM r LEFT JOIN orders o ON o.o_orderkey BETWEEN r.lo AND r.hi
+      |GROUP BY r.range_id
+      |ORDER BY range_id""".stripMargin
+
+  // ───────────────────────────── q49: graph-shaped recursive closure
+
+  /** Transitive closure over a REAL graph — the supplier↔order
+    * bipartite graph (lineitems with `l_linenumber <= 2`, so orders
+    * bridge up to two suppliers), nodes encoded order=2k /
+    * supplier=2k+1. q47 pins the monotone-spine recursion; this pins
+    * the graph shape: cycles (every undirected edge is one) and
+    * multi-path arrivals, where UNION ALL recursion diverges and
+    * only FIXPOINT semantics terminate. Spark-side that fixpoint is
+    * [[graft.operators.Reachability]] (per-round dedup = cycle
+    * guard); the DuckDB oracle is a genuine `WITH RECURSIVE … UNION`
+    * (Spark SQL rejects UNION in recursive CTEs —
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the two engines'
+    * duplicate-elimination semantics are pinned against each other.
+    * Output: per-seed closure size, split by node type, plus the
+    * node-id sum (set equality, not just cardinality).
+    */
+  val q49_graph_closure: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem").filter(col("l_linenumber") <= 2)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val bwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_orderkey") * 2).as("dst"))
+    val edges = fwd.unionByName(bwd).distinct()
+    val seeds = Tables(s, dir, "supplier")
+      .filter(col("s_suppkey") % 199 === 1)
+      .select(col("s_suppkey").as("seed"),
+        (col("s_suppkey") * 2 + 1).as("node"))
+    graft.operators.Reachability.reach(seeds, edges)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_orders"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"),
+        sum(col("node")).as("sum_nodes"))
+      .orderBy(col("seed"))
+  }
+
+  val q49_sql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem WHERE l_linenumber <= 2
+      |  UNION
+      |  SELECT l_suppkey * 2 + 1, l_orderkey * 2
+      |  FROM lineitem WHERE l_linenumber <= 2
+      |), reach(seed, node) AS (
+      |  SELECT s_suppkey, s_suppkey * 2 + 1 FROM supplier
+      |  WHERE s_suppkey % 199 = 1
+      |  UNION
+      |  SELECT r.seed, e.dst FROM reach r JOIN edges e ON e.src = r.node
+      |)
+      |SELECT seed, COUNT(*) AS n_nodes,
+      |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+      |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+      |FROM reach
+      |GROUP BY seed
+      |ORDER BY seed""".stripMargin
+
+  // ───────────────────────────── s18: filter-aware IVF-PQ probing
+
+  /** ANN under a selective predicate on the IVF-PQ INDEX path — s17
+    * pre-filters but then scores brute-force (bypassing the index);
+    * here the index serves the query and the probe depth ADAPTS
+    * ([[graft.operators.VectorSearch.searchIvfPqFiltered]]): per-cell
+    * predicate-survivor counts cumulate along each query's probe
+    * order, and each query probes exactly deep enough for ≥ k
+    * survivors (~6% selectivity × k=10 over 8 cells forces most
+    * queries well past a fixed nProbe=2). The decision is fully
+    * relational (aggregate + cum-sum window + join — no driver loop),
+    * and the oracle replays probe ranking, adaptive depth, PQ codes
+    * and ADC scoring end-to-end, so both the machinery and the
+    * adaptivity are hash-pinned.
+    */
+  val s18_filtered_ivfpq: Q = (s, dir) => {
+    import graft.operators.VectorSearch
+    val planes = DataPipelineQueries.derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    val encoded = VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
+      planes, codebooks)
+    val keep = e.filter(col("label") === 3 && col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"))
+    VectorSearch.searchIvfPqFiltered(
+        encoded.join(broadcast(keep), "id"),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        planes, codebooks, k = 10)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s14's IVF-PQ replay extended with the filtered survivor counts
+    * and the adaptive probe-depth rule (first rank whose cumulative
+    * survivors reach k, else all cells).
+    */
+  val s18_sql: String =
+    """WITH cents AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+      |         CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings
+      |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+      |),
+      |vecs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |cdists AS (
+      |  SELECT v.vec_id, c.j,
+      |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |           ORDER BY list_inner_product(v.vec, v.vec)
+      |                    - 2.0 * list_inner_product(v.vec, c.cvec)
+      |                    + list_inner_product(c.cvec, c.cvec) ASC, c.j ASC) AS rn
+      |  FROM vecs v CROSS JOIN cents c
+      |),
+      |assign AS (SELECT vec_id, j AS cell FROM cdists WHERE rn = 1),
+      |assignf AS (
+      |  SELECT a.vec_id, a.cell FROM assign a JOIN vecs v ON v.vec_id = a.vec_id
+      |  WHERE v.label = 3 AND v.vec_id % 2 = 0
+      |),
+      |surv AS (SELECT cell, COUNT(*) AS n FROM assignf GROUP BY cell),
+      |qc AS (
+      |  SELECT c.vec_id, c.j, c.rn,
+      |         SUM(COALESCE(s.n, 0)) OVER (PARTITION BY c.vec_id ORDER BY c.rn) AS cum
+      |  FROM cdists c LEFT JOIN surv s ON s.cell = c.j
+      |  WHERE c.vec_id < 5
+      |),
+      |depth AS (
+      |  SELECT vec_id, COALESCE(MIN(CASE WHEN cum >= 10 THEN rn END),
+      |                          (SELECT COUNT(*) FROM cents)) AS d
+      |  FROM qc GROUP BY vec_id
+      |),
+      |probes AS (
+      |  SELECT qc.vec_id, qc.j AS cell FROM qc JOIN depth ON depth.vec_id = qc.vec_id
+      |  WHERE qc.rn <= depth.d
+      |),
+      |cand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS id
+      |  FROM probes p JOIN assignf a ON a.cell = p.cell
+      |),
+      |ss AS (SELECT unnest(range(4)) AS s),
+      |subs AS (
+      |  SELECT v.vec_id, ss.s, list_slice(v.vec, ss.s*16 + 1, ss.s*16 + 16) AS sub
+      |  FROM vecs v CROSS JOIN ss
+      |),
+      |csubs AS (
+      |  SELECT c.j, ss.s, list_slice(c.cvec, ss.s*16 + 1, ss.s*16 + 16) AS csub
+      |  FROM cents c CROSS JOIN ss
+      |),
+      |sdists AS (
+      |  SELECT sb.vec_id, sb.s, cs.j,
+      |         list_inner_product(sb.sub, sb.sub)
+      |           - 2.0 * list_inner_product(sb.sub, cs.csub)
+      |           + list_inner_product(cs.csub, cs.csub) AS d
+      |  FROM subs sb JOIN csubs cs ON cs.s = sb.s
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT vec_id, s, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+      |    FROM sdists) t
+      |  WHERE rn = 1
+      |),
+      |qd AS (SELECT vec_id AS query_id, s, j, d FROM sdists WHERE vec_id < 5),
+      |parts AS (
+      |  SELECT cd.query_id, cd.id, co.s, q.d
+      |  FROM cand cd
+      |  JOIN codes co ON co.vec_id = cd.id
+      |  JOIN qd q ON q.query_id = cd.query_id AND q.s = co.s AND q.j = co.code
+      |),
+      |scores AS (
+      |  SELECT query_id, id,
+      |         ((MAX(CASE WHEN s = 0 THEN d END)
+      |           + MAX(CASE WHEN s = 1 THEN d END))
+      |           + MAX(CASE WHEN s = 2 THEN d END))
+      |           + MAX(CASE WHEN s = 3 THEN d END) AS dist
+      |  FROM parts GROUP BY query_id, id
+      |)
+      |SELECT query_id, rank, id FROM (
+      |  SELECT query_id, id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+      |  FROM scores) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
-    "w16_mor_catalog" -> w16_mor_catalog)
+    "w16_mor_catalog" -> w16_mor_catalog,
+    "v23_fileskip_range" -> v23_fileskip_range,
+    "q49_graph_closure" -> q49_graph_closure,
+    "s18_filtered_ivfpq" -> s18_filtered_ivfpq)
 
   val oracles: Map[String, String] = Map(
     "d43_bpe_tokenize" -> d43_sql,
-    "w16_mor_catalog" -> w16_sql)
+    "w16_mor_catalog" -> w16_sql,
+    "v23_fileskip_range" -> v23_sql,
+    "q49_graph_closure" -> q49_sql,
+    "s18_filtered_ivfpq" -> s18_sql)
 }

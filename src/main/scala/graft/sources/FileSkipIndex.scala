@@ -63,4 +63,29 @@ object FileSkipIndex {
     else
       spark.read.parquet(files: _*).filter(col(keyCol) === key)
   }
+
+  /** Files whose [min_key, max_key] OVERLAPS [lo, hi] — the pruning a
+    * RANGE predicate gets from the index. Only the min/max stats
+    * apply here (a Bloom answers membership, not interval overlap),
+    * so range pruning is tight exactly when the layout clusters the
+    * key ([[graft.operators.Compaction]] / Z-order) — scattered
+    * layouts admit everything, which the smoke measures honestly.
+    */
+  def candidateFilesRange(index: DataFrame, lo: Long, hi: Long): Seq[String] =
+    index.filter(col("min_key") <= hi && col("max_key") >= lo)
+      .select(col("__file")).collect().map(_.getString(0)).toSeq
+
+  /** Exact range scan through the index: read only overlapping files,
+    * then re-filter to the exact interval (file ranges overhang the
+    * predicate at both ends). Zero file I/O when nothing overlaps.
+    */
+  def rangeScan(spark: SparkSession, index: DataFrame, dir: String,
+      keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val files = candidateFilesRange(index, lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(dir).filter(lit(false))
+    else
+      spark.read.parquet(files: _*)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
 }

@@ -64,4 +64,31 @@ class FileSkipIndexSpec extends AnyFunSuite {
     assert(FileSkipIndex.candidateFiles(index, -5L).isEmpty)
     assert(FileSkipIndex.candidateFiles(index, 1000000L).isEmpty)
   }
+
+  test("a narrow range opens ~1 file; a quarter-span range ~2; both are exact") {
+    // keys are 0,2,..,19998 across 8 range files of ~1250 keys each
+    for ((lo, hi, maxFiles) <- Seq((5000L, 5100L, 2), (0L, 4998L, 3))) {
+      val admitted = FileSkipIndex.candidateFilesRange(index, lo, hi).size
+      assert(admitted >= 1 && admitted <= maxFiles,
+        s"[$lo,$hi] admitted $admitted files")
+      val got = FileSkipIndex.rangeScan(spark, index, dir, "k", lo, hi)
+        .orderBy("k").collect().map(_.getAs[Long]("k"))
+      val expect = (lo to hi).filter(_ % 2 == 0)
+      assert(got.toSeq == expect, s"range [$lo,$hi] rows wrong")
+    }
+  }
+
+  test("a range beyond the global max reads zero files") {
+    assert(FileSkipIndex.candidateFilesRange(index, 20000L, 30000L).isEmpty)
+    assert(FileSkipIndex.rangeScan(spark, index, dir, "k", 20000L, 30000L).isEmpty)
+    // and a range BELOW the min
+    assert(FileSkipIndex.candidateFilesRange(index, -100L, -1L).isEmpty)
+  }
+
+  test("boundary keys are inclusive on both ends") {
+    val got = FileSkipIndex.rangeScan(spark, index, dir, "k", 2500L, 5000L)
+      .agg(min("k"), max("k"), count(lit(1))).head()
+    assert(got.getLong(0) == 2500L && got.getLong(1) == 5000L)
+    assert(got.getLong(2) == 1251L)
+  }
 }
