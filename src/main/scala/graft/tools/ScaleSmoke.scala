@@ -47,8 +47,51 @@ object ScaleSmoke {
     if (mode == "all") engineSmoke(spark, Seq(1000000L))
     if (mode == "engine") engineSmoke(spark, Seq(1000000L, 10000000L))
     if (mode == "engine100") engineSmoke(spark, Seq(100000000L)) // opt-in: minutes
+    if (mode == "all") morSmoke(spark, 1000000L)
+    if (mode == "mor") morSmoke(spark, 10000000L)
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
+  }
+
+  /** MoR read-cost curve vs delta-stack depth (r8 verdict item 3):
+    * resolve latency at 0/1/10/100 uncompacted 1k-row deltas over an
+    * n-row base, the post-compaction reset, and the derived
+    * `compactEvery` recommendation — the deepest measured stack whose
+    * resolve stays within 2× the pure base scan. Write cost (flat
+    * O(batch) commits) is engineSmoke territory; this is the READ
+    * half of the trade the MoR docstring promises.
+    */
+  private def morSmoke(spark: SparkSession, n: Long): Unit = {
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-mor-curve")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(spark, root, Seq("k"))
+    st.commitBase(spark.range(n).select(col("id").as("k"), col("id").as("v")), 0L)
+    def delta(i: Int) = spark.range(1000)
+      .select(((col("id") * (n / 1000) + i * 37) % n).as("k"),
+        lit(-i.toLong).as("v"), lit("U").as("__op"))
+    val baseSec = timed { st.read().count() }
+    println(f"[scale] MoR resolve @ depth 0 (pure scan), $n rows: $baseSec%.2f s")
+    var committed = 0
+    var recommend = 0
+    for (target <- Seq(1, 10, 100)) {
+      while (committed < target) {
+        st.commitDelta(delta(committed), 1000L + committed); committed += 1
+      }
+      val sec = timed { st.read().count() }
+      val ratio = sec / math.max(baseSec, 1e-9)
+      println(f"[scale] MoR resolve @ depth $target%3d (1k-row deltas): " +
+        f"$sec%.2f s (${ratio}%.1fx base scan)")
+      if (ratio <= 2.0) recommend = target
+    }
+    val compactSec = timed { st.compact(999999L); () }
+    val resetSec = timed { st.read().count() }
+    println(f"[scale] MoR compact after depth 100: $compactSec%.2f s; " +
+      f"resolve after compact: $resetSec%.2f s")
+    println(s"[scale] compactEvery recommendation (2x-base-scan budget, " +
+      s"1k-row batches vs $n-row base): ~$recommend batches")
   }
 
   /** 500k-doc tier of the LSH/containment growth curves (10x the
@@ -695,6 +738,13 @@ object ScaleSmoke {
         println(s"[scale]   max idx: ${idx.agg(max("idx")).head().getLong(0)}")
       }
       spark.catalog.clearCache()
+      time(s"global index via parquet footers, $n rows") {
+        val gdir = java.nio.file.Files.createTempDirectory("graft-gidx-smoke")
+          .toFile.getAbsolutePath + "/t"
+        val idx = graft.operators.GlobalIndex.assignPersisted(
+          big, Seq("key", "row_id"), gdir, numPartitions = 32)
+        println(s"[scale]   max idx: ${idx.agg(max("idx")).head().getLong(0)}")
+      }
 
       // MoR vs CoW write cost: a 1k-row delta against an n-row table.
       // CoW rewrites the table (cost ∝ n); MoR commits the delta
@@ -741,6 +791,19 @@ object ScaleSmoke {
       time(s"full-scan point lookup (all 32 files)") {
         println(s"[scale]   rows: " +
           spark.read.parquet(skipRoot).filter(col("k") === n / 2).count())
+      }
+      // range predicates prune on min/max overlap alone — the admitted
+      // file count is the telemetry that generalizes v22's 1-of-32
+      // claim to intervals (a 5%-span range should open ~2-3 files)
+      for ((lo, hi, label) <- Seq(
+          (n / 2, n / 2 + n / 20, "5%-span range"),
+          (n / 2, n / 2 + n / 100, "1%-span range"),
+          (n + 10, n + 1000, "beyond-max range"))) {
+        time(s"indexed range scan, $label") {
+          val files = graft.sources.FileSkipIndex.candidateFilesRange(skipIdx, lo, hi)
+          println(s"[scale]   files admitted: ${files.size} of 32; rows: " +
+            graft.sources.FileSkipIndex.rangeScan(spark, skipIdx, skipRoot, "k", lo, hi).count())
+        }
       }
       skipIdx.unpersist()
       if (n <= 1000000L) time(s"ROW_NUMBER single-partition window, $n rows (reference)") {

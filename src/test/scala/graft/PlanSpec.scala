@@ -557,6 +557,39 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "partition predicate leaked past the scan:\n" + plan.take(2000))
   }
 
+  test("BPE encode path broadcasts the vocab (corpus never shuffles for the join)") {
+    val df = queries.PlatformQueries.d43_bpe_tokenize(spark, dir)
+    val plan = executedPlan(df)
+    val bcast = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastExchange") => p
+    }
+    assert(bcast.nonEmpty,
+      s"the Zipf-bounded vocab must ride a broadcast:\n${plan.toString.take(3000)}")
+    // the corpus side must reach the vocab join without an exchange:
+    // no SortMergeJoin anywhere in the encode path
+    assert(!plan.toString.contains("SortMergeJoin"),
+      s"corpus shuffled for the vocab join:\n${plan.toString.take(3000)}")
+  }
+
+  test("filter-aware IVF-PQ keeps corpus-side work to the ADC broadcast join") {
+    val df = queries.PlatformQueries.s18_filtered_ivfpq(spark, dir)
+    val plan = executedPlan(df)
+    val bcast = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastExchange") => p
+    }
+    assert(bcast.nonEmpty,
+      s"probe/ADC tables must broadcast:\n${plan.toString.take(3000)}")
+    // the adaptive-depth machinery (survivor agg, cum-sum window,
+    // depth join) shuffles only query×cells-sized relations; together
+    // with the rank window the plan stays within a small fixed budget
+    // — a corpus-sized extra exchange would blow it
+    val shuffles = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("ShuffleExchange") => p
+    }
+    assert(shuffles.size <= 5,
+      s"unexpected exchanges (${shuffles.size}):\n${plan.toString.take(3000)}")
+  }
+
   test("z_interleave runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.IntegerType

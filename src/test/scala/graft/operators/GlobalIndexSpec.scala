@@ -47,6 +47,18 @@ class GlobalIndexSpec extends AnyFunSuite {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("assignPersisted matches assign exactly (footer-count protocol)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gidx")
+      .toFile.getAbsolutePath + "/t"
+    val a = GlobalIndex.assign(df, Seq("weight", "id"), numPartitions = 7)
+      .select("id", "idx")
+    val b = GlobalIndex.assignPersisted(df, Seq("weight", "id"), dir,
+      numPartitions = 7).select("id", "idx")
+    assert(b.agg(min("idx"), max("idx"), countDistinct("idx")).head()
+      .toSeq == Seq(0L, 2999L, 3000L))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("plan has no single-partition global sort") {
     val indexed = GlobalIndex.assign(df, Seq("weight", "id"), numPartitions = 7)
     val plan = indexed.queryExecution.executedPlan.toString

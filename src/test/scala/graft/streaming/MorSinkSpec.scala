@@ -50,6 +50,26 @@ class MorSinkSpec extends AnyFunSuite {
     assert(kinds.count(_ == "base") >= 2, s"no mid-stream compaction in $kinds")
   }
 
+  test("compactEvery bounds the uncompacted delta stack over a long stream") {
+    import spark.implicits._
+    val st = new MorStore(spark, freshDir("morsink-bound"), Seq("k"))
+    st.commitBase(Seq((0L, 0L)).toDF("k", "v"), -1L)
+    val compactEvery = 3
+    for (b <- 0 until 10) {
+      MorSink.appendBatch(st,
+        Seq((b + 1L, b * 10L, "U")).toDF("k", "v", "__op"),
+        b.toLong, compactEvery = compactEvery)
+      // invariant AT EVERY POINT mid-stream, not just at the end: the
+      // read path never resolves more than compactEvery deltas
+      val gens = st.generations()
+      val lastBase = gens.filter(_._2 == "base").map(_._1).max
+      val pending = gens.count { case (g, k) => k == "delta" && g > lastBase }
+      assert(pending <= compactEvery,
+        s"after batch $b: $pending uncompacted deltas > $compactEvery")
+    }
+    assert(asMap(st) == (0L to 10L).map(k => k -> (if (k == 0) 0L else (k - 1) * 10L)).toMap)
+  }
+
   test("redelivered batch id is a cross-restart no-op") {
     import spark.implicits._
     val st = new MorStore(spark, freshDir("morsink-redeliver"), Seq("k"))
