@@ -63,4 +63,59 @@ object IncrementalView {
       Some(merge(state, aggregate(b, groupCols, specs), groupCols, specs))
     }.getOrElse(
       throw new IllegalArgumentException("refreshAll needs at least one batch"))
+
+  // ── signed (Z-set) maintenance: views under DELETES ─────────────────
+
+  /** Fold a SIGNED delta (each row `sign` = +1 insert / −1 retraction
+    * of a previously inserted row with exactly those values — the
+    * Z-set convention; a CDC upsert is retract(old) + insert(new))
+    * into COUNT/SUM state algebraically: per group, count += Σ sign
+    * and each sum += Σ sign·value; groups whose live count reaches 0
+    * vanish. This is what a takedown / right-to-be-forgotten pass
+    * needs at 100 TB — the view updates in O(|delta|), never a
+    * history re-aggregate. MIN/MAX are NOT algebraically retractable
+    * (deleting the min needs the runner-up); [[repairMinMax]] is the
+    * bounded escape hatch.
+    *
+    * Contract: the delta must be a valid retraction stream (never
+    * retract what was not inserted); over-retraction surfaces as a
+    * negative count, which this refuses to silently drop — callers
+    * get the negative row and their spec/oracle catches it.
+    */
+  def mergeSigned(state: Option[DataFrame], delta: DataFrame, signCol: String,
+      groupCols: Seq[String], countName: String,
+      sums: Seq[(String, Column)]): DataFrame = {
+    val sign = col(signCol).cast("long")
+    val aggs = (sum(sign).cast("long").as(countName)) +:
+      sums.map { case (n, e) => sum(sign * e).as(n) }
+    val batchAgg = delta.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val merged = state.map(_.unionByName(batchAgg)).getOrElse(batchAgg)
+    merged.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(countName)).cast("long").as(countName),
+        sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
+      .filter(col(countName) =!= 0L)
+  }
+
+  /** Repair MIN/MAX state after retractions: only groups the delta
+    * RETRACTED from are recomputed, from the authoritative live
+    * relation restricted to those groups (a semi join — the recompute
+    * is affected-groups-sized, not view-sized). Groups the delta only
+    * inserted into need no repair (min/max absorb inserts via
+    * [[merge]]). Returns the view with affected groups' min/max
+    * replaced; a group emptied by the delta disappears.
+    */
+  def repairMinMax(view: DataFrame, liveBase: DataFrame, delta: DataFrame,
+      signCol: String, groupCols: Seq[String],
+      minMaxSpecs: Seq[AggSpec]): DataFrame = {
+    val affected = delta.filter(col(signCol) < 0)
+      .select(groupCols.map(col): _*).distinct()
+    val recomputed = aggregate(
+      liveBase.join(affected, groupCols, "left_semi"), groupCols, minMaxSpecs)
+    val untouched = view.join(affected, groupCols, "left_anti")
+    val repaired = view.join(affected, groupCols, "left_semi")
+      .drop(minMaxSpecs.map(_.name): _*)
+      .join(recomputed, groupCols)
+    untouched.unionByName(repaired, allowMissingColumns = false)
+  }
 }

@@ -400,7 +400,144 @@ object PlatformQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ───────────────────────────── v24: Z-order multi-dim file skipping
+
+  /** MULTI-dimensional data skipping — the v23 machinery on a Z-ORDER
+    * layout. Orders land in 16 files range-partitioned by
+    * `z_interleave(custkey, order-day)` (the Morton-curve clustering
+    * Delta/Iceberg Z-ORDER runs), so every file covers a small
+    * RECTANGLE in (custkey, day) space and per-FILE min/max stats are
+    * tight on BOTH columns; a 1-dim sort would leave the second
+    * column's per-file range spanning everything (admitted-file
+    * telemetry in ScaleSmoke measures exactly that). The query
+    * intersects each dimension's [[graft.sources.FileSkipIndex]]
+    * candidate set and re-filters exactly; the oracle replays the
+    * two-range predicate over the raw table — any file the
+    * intersection wrongly skips loses rows and fails the hash.
+    */
+  val v24_zorder_skip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+      .toFile.getAbsolutePath + "/orders"
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").cast("int").as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("int").as("dd"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    orders
+      .withColumn("z", graft.functions.ZInterleave(col("ck"), col("dd")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(tmp)
+    val idxCk = graft.sources.FileSkipIndex.build(s, tmp, "ck").persist()
+    val idxDd = graft.sources.FileSkipIndex.build(s, tmp, "dd").persist()
+    val b = orders.agg(min(col("ck")), max(col("ck")),
+      min(col("dd")), max(col("dd"))).head()
+    val (ckMn, ckMx, ddMn, ddMx) =
+      (b.getInt(0).toLong, b.getInt(1).toLong, b.getInt(2).toLong, b.getInt(3).toLong)
+    val (ckLo, ckHi) = (ckMn + (ckMx - ckMn) / 4, ckMn + (ckMx - ckMn) / 2)
+    val (ddLo, ddHi) = (ddMn + (ddMx - ddMn) / 4, ddMn + (ddMx - ddMn) / 2)
+    val files = graft.sources.FileSkipIndex.candidateFilesRange(idxCk, ckLo, ckHi)
+      .intersect(graft.sources.FileSkipIndex.candidateFilesRange(idxDd, ddLo, ddHi))
+    val hits =
+      if (files.isEmpty) s.read.parquet(tmp).filter(lit(false))
+      else s.read.parquet(files: _*)
+    hits.filter(col("ck") >= ckLo && col("ck") <= ckHi &&
+        col("dd") >= ddLo && col("dd") <= ddHi)
+      .agg(count(col("k")).as("n_orders"),
+        sum(col("cents")).as("sum_cents"),
+        countDistinct(col("ck")).as("n_customers"))
+  }
+
+  val v24_sql: String =
+    """WITH d AS (
+      |  SELECT o_custkey AS ck,
+      |         DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dd,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), b AS (
+      |  SELECT MIN(ck) AS ckmn, MAX(ck) AS ckmx,
+      |         MIN(dd) AS ddmn, MAX(dd) AS ddmx FROM d
+      |), r AS (
+      |  SELECT ckmn + (ckmx - ckmn) // 4 AS cklo, ckmn + (ckmx - ckmn) // 2 AS ckhi,
+      |         ddmn + (ddmx - ddmn) // 4 AS ddlo, ddmn + (ddmx - ddmn) // 2 AS ddhi
+      |  FROM b
+      |)
+      |SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  COUNT(DISTINCT ck) AS n_customers
+      |FROM d, r
+      |WHERE ck BETWEEN cklo AND ckhi AND dd BETWEEN ddlo AND ddhi""".stripMargin
+
+  // ───────────────────────────── d46: retractable incremental view
+
+  /** Materialized-view maintenance under DELETES — the takedown /
+    * right-to-be-forgotten pass a training-corpus rollup needs.
+    * Three signed deltas (inserts + retractions of earlier inserts,
+    * the Z-set convention) fold into per-band COUNT/SUM state
+    * algebraically ([[graft.operators.IncrementalView.mergeSigned]]
+    * — O(|delta|), never a history re-aggregate), while MIN/MAX —
+    * not algebraically retractable — are repaired per batch by
+    * recomputing ONLY the retracted-from bands against the live set
+    * ([[graft.operators.IncrementalView.repairMinMax]]). The oracle
+    * aggregates the final live set directly, so both the algebraic
+    * fold and the bounded repair must land exactly.
+    */
+  val d46_retractable_view: Q = (s, dir) => {
+    import graft.operators.IncrementalView
+    val ev = Tables(s, dir, "events").select(col("event_id"),
+      (col("user_id") % 10).as("band"),
+      round(col("value") * 100).cast("long").as("cents"))
+    def part(m: Int) = ev.filter(col("event_id") % 3 === m)
+    val ret1 = part(0).filter(col("event_id") % 5 === 0)
+    val ret2 = part(1).filter(col("event_id") % 7 === 0)
+    def s1(df: DataFrame, sign: Int) = df.withColumn("__sign", lit(sign))
+    val deltas = Seq(
+      s1(part(0), 1),
+      s1(part(1), 1).unionByName(s1(ret1, -1)),
+      s1(part(2), 1).unionByName(s1(ret2, -1)))
+    val lives = Seq(
+      part(0),
+      part(0).unionByName(part(1)).except(ret1),
+      ev.except(ret1.unionByName(ret2)))
+    val mmSpecs = Seq(IncrementalView.minOf(col("cents"), "min_cents"),
+      IncrementalView.maxOf(col("cents"), "max_cents"))
+    val alg = deltas.foldLeft(Option.empty[DataFrame]) { (st, d) =>
+      Some(IncrementalView.mergeSigned(st, d, "__sign", Seq("band"),
+        "n_live", Seq("sum_cents" -> col("cents"))))
+    }.get
+    val mm = deltas.zip(lives).foldLeft(Option.empty[DataFrame]) {
+      case (st, (d, live)) =>
+        val inserted = IncrementalView.aggregate(
+          d.filter(col("__sign") > 0), Seq("band"), mmSpecs)
+        val merged = IncrementalView.merge(st, inserted, Seq("band"), mmSpecs)
+        Some(IncrementalView.repairMinMax(merged, live, d, "__sign",
+          Seq("band"), mmSpecs))
+    }.get
+    alg.join(mm, Seq("band"))
+      .select(col("band"), col("n_live"), col("sum_cents"),
+        col("min_cents"), col("max_cents"))
+      .orderBy(col("band"))
+  }
+
+  val d46_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id % 10 AS band,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), live AS (
+      |  SELECT * FROM ev
+      |  WHERE NOT (event_id % 3 = 0 AND event_id % 5 = 0)
+      |    AND NOT (event_id % 3 = 1 AND event_id % 7 = 0)
+      |)
+      |SELECT band, COUNT(*) AS n_live, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |FROM live
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d46_retractable_view" -> d46_retractable_view,
+    "v24_zorder_skip" -> v24_zorder_skip,
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
     "w16_mor_catalog" -> w16_mor_catalog,
     "v23_fileskip_range" -> v23_fileskip_range,
@@ -408,6 +545,8 @@ object PlatformQueries {
     "s18_filtered_ivfpq" -> s18_filtered_ivfpq)
 
   val oracles: Map[String, String] = Map(
+    "d46_retractable_view" -> d46_sql,
+    "v24_zorder_skip" -> v24_sql,
     "d43_bpe_tokenize" -> d43_sql,
     "w16_mor_catalog" -> w16_sql,
     "v23_fileskip_range" -> v23_sql,

@@ -806,6 +806,34 @@ object ScaleSmoke {
         }
       }
       skipIdx.unpersist()
+
+      // Z-order vs linear layout: pruning on the SECOND dimension.
+      // Both layouts hold the same (x, y) rows in 32 files; a y-range
+      // covering ~3% of the domain should open a few files under the
+      // Morton layout and nearly all 32 under the x-sorted one.
+      val dims = spark.range(n).select(
+        ((col("id") * 2654435761L) % 65536).cast("int").as("x"),
+        ((col("id") * 40503L) % 65536).cast("int").as("y"),
+        col("id").as("v"))
+      def layoutFiles(sortKey: org.apache.spark.sql.Column, tag: String): Int = {
+        val root = java.nio.file.Files.createTempDirectory(s"graft-z-$tag")
+          .toFile.getAbsolutePath + "/t"
+        dims.withColumn("__s", sortKey)
+          .repartitionByRange(32, col("__s")).sortWithinPartitions(col("__s"))
+          .drop("__s").write.mode("overwrite").parquet(root)
+        val idxY = graft.sources.FileSkipIndex.build(spark, root, "y")
+        graft.sources.FileSkipIndex.candidateFilesRange(idxY, 30000L, 32000L).size
+      }
+      time(s"z-order layout, y-range pruning, $n rows") {
+        val zf = layoutFiles(
+          graft.functions.ZInterleave(col("x"), col("y")), "morton")
+        println(s"[scale]   files admitted (z-order): $zf of 32")
+      }
+      time(s"linear x-sorted layout, y-range pruning, $n rows") {
+        val lf = layoutFiles(col("x"), "linear")
+        println(s"[scale]   files admitted (x-sorted): $lf of 32")
+      }
+
       if (n <= 1000000L) time(s"ROW_NUMBER single-partition window, $n rows (reference)") {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy(col("key"), col("row_id"))
