@@ -535,7 +535,68 @@ object PlatformQueries {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  // ───────────────────────────── v25: catalog vacuum (retention)
+
+  /** Storage reclamation with a safety proof — the retention pass
+    * every table format schedules ([[graft.sources.TableCatalog
+    * .vacuum]] / [[graft.sources.MorStore.vacuumBefore]]). Four
+    * catalog generations build up a snapshot rollup and a MoR CDC
+    * member over orders; vacuum(keepLast=2) must then (a) reclaim
+    * every version directory only dropped cuts reference — checked
+    * with require on the surviving v= dirs, (b) leave BOTH kept cuts
+    * fully readable including the MoR member's resolve, and (c) keep
+    * committing cleanly afterwards. The output reads the latest cut
+    * AFTER the vacuum; the oracle recomputes it from raw orders — a
+    * vacuum that over-deletes (the one unforgivable retention bug)
+    * loses rows and fails the hash.
+    */
+  val v25_catalog_vacuum: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    cat.morStore("fact", Seq("k"))
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def slice(m: Int) = orders.filter(col("k") % 4 === m)
+    // four cuts: the fact member accretes quarter-slices as CDC
+    // deltas; the rollup snapshot is rewritten each cut
+    (0 until 4).foreach { i =>
+      val upto = orders.filter(col("k") % 4 <= i)
+      cat.commitAllWith(
+        Map("rollup" -> upto.groupBy(col("st"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))),
+        Map("fact" -> slice(i).withColumn("__op", lit("U"))),
+        commitTsMillis = 1000L * (i + 1))
+    }
+    cat.morStore("fact", Seq("k")).compact(-1L) // give retention a base
+    val dropped = cat.vacuum(keepLast = 2)
+    require(dropped == Seq(0L, 1L), s"expected cuts 0,1 dropped, got $dropped")
+    require(cat.loggedGenerations() == Seq(2L, 3L), "kept window wrong")
+    require(cat.readAt(2L, "fact").count() > 0, "older kept cut must resolve")
+    // latest cut, both members joined — over-deletion loses rows here
+    val fact = cat.readAt(3L, "fact").groupBy(col("st"))
+      .agg(count(lit(1)).as("n_fact"), sum(col("cents")).as("fact_cents"))
+    cat.readAt(3L, "rollup")
+      .join(fact, Seq("st"))
+      .select(col("st"), col("n"), col("cents"), col("n_fact"), col("fact_cents"))
+      .orderBy(col("st"))
+  }
+
+  val v25_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT st, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents,
+      |       COUNT(*) AS n_fact, CAST(SUM(cents) AS BIGINT) AS fact_cents
+      |FROM o
+      |GROUP BY st
+      |ORDER BY st""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
@@ -545,6 +606,7 @@ object PlatformQueries {
     "s18_filtered_ivfpq" -> s18_filtered_ivfpq)
 
   val oracles: Map[String, String] = Map(
+    "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
     "d43_bpe_tokenize" -> d43_sql,

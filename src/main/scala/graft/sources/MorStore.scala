@@ -242,4 +242,26 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     */
   def compact(commitTsMillis: Long): Long =
     commitBase(read(), commitTsMillis)
+
+  /** Retention: drop every generation strictly below the newest BASE
+    * at or before `upTo` — the oldest generation any read at ≥ `upTo`
+    * can touch. Time travel to generations ≥ `upTo` is untouched;
+    * reads below it become impossible (that is the point — storage is
+    * reclaimed). Returns the dropped generation numbers. The pointer,
+    * numbering, and later commits are unaffected (generation numbers
+    * never recycle because numbering comes from the surviving log).
+    */
+  def vacuumBefore(upTo: Long): Seq[Long] = {
+    val gens = generations()
+    val keepFrom = gens.filter { case (g, k) => k == "base" && g <= upTo }
+      .map(_._1).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no base generation at or before $upTo — nothing can be dropped safely"))
+    val dropped = gens.map(_._1).filter(_ < keepFrom)
+    dropped.foreach { g =>
+      fs.delete(genDir(g), true)
+      fs.delete(new Path(logDir, s"$g.json"), false)
+    }
+    dropped
+  }
 }

@@ -304,4 +304,44 @@ class TableCatalog(spark: SparkSession, root: String) {
     require(gs.nonEmpty, s"no catalog generation at or before $tsMillis")
     gs.last
   }
+
+  // ── retention ───────────────────────────────────────────────────────
+
+  /** Retention: keep the newest `keepLast` catalog generations, drop
+    * the older generation files, and reclaim every table version
+    * directory no kept generation references. Snapshot tables delete
+    * versions below their minimum kept reference (versions only ever
+    * grow, and every kept generation carries every table forward, so
+    * anything below the minimum is provably unreachable from a kept
+    * cut); MoR members delegate to [[MorStore.vacuumBefore]] at their
+    * minimum kept store generation. Time travel across the kept
+    * window is untouched; reads at dropped generations fail with
+    * missing-file errors — the storage is genuinely gone, which is
+    * the point of a vacuum.
+    */
+  def vacuum(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest generation")
+    val gens = loggedGenerations()
+    val kept = gens.takeRight(keepLast)
+    val dropped = gens.dropRight(keepLast)
+    if (dropped.isEmpty) return Seq.empty
+    val minKeptVersion: Map[String, Long] = kept
+      .flatMap(g => tableVersions(g).toSeq)
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).min }
+    minKeptVersion.foreach { case (t, minV) =>
+      val tdir = new Path(root, s"tables/$t")
+      if (fs.exists(tdir)) fs.listStatus(tdir)
+        .filter(_.getPath.getName.startsWith("v="))
+        .map(st => st.getPath)
+        .filter(_.getName.stripPrefix("v=").toLong < minV)
+        .foreach(fs.delete(_, true))
+    }
+    kept.flatMap(g => morVersions(g).toSeq)
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).min }
+      .foreach { case (t, minG) =>
+        morStore(t, morKeys(t)).vacuumBefore(minG)
+      }
+    dropped.foreach(g => fs.delete(genFile(g), false))
+    dropped
+  }
 }

@@ -132,6 +132,35 @@ class MorStoreSpec extends AnyFunSuite {
     assert(asMap(st) == Map(1L -> 10L)) // key 1 NOT silently suppressed
   }
 
+  test("vacuumBefore drops only generations unreachable from kept reads") {
+    val root = freshRoot()
+    val st = new MorStore(spark, root, Seq("k"))
+    st.commitBase(rows(1L -> 10L), 1000L)               // g0
+    st.commitDelta(delta((2L, 20L, "U")), 2000L)        // g1
+    st.compact(3000L)                                   // g2 (base)
+    st.commitDelta(delta((3L, 30L, "U")), 4000L)        // g3
+    val dropped = st.vacuumBefore(3L)
+    assert(dropped == Seq(0L, 1L)) // below the newest base <= 3
+    assert(st.generations().map(_._1) == Seq(2L, 3L))
+    assert(asMap(st) == Map(1L -> 10L, 2L -> 20L, 3L -> 30L)) // read intact
+    assert(asMap(new MorStore(spark, root, Seq("k"))) // fresh handle too
+      == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // readAt across the kept window still works; numbering continues
+    assert(st.readAt(2L).count() == 2)
+    assert(st.commitDelta(delta((4L, 40L, "U")), 5000L) == 4L)
+  }
+
+  test("vacuumBefore refuses when no base would survive") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L), 1000L)
+    st.commitDelta(delta((2L, 20L, "U")), 2000L)
+    // upTo below the only base: nothing can be dropped safely... the
+    // base at g0 IS <= 1, so this drops nothing; an empty store throws
+    assert(st.vacuumBefore(1L) == Seq.empty)
+    val empty = new MorStore(spark, freshRoot(), Seq("k"))
+    intercept[IllegalStateException] { empty.vacuumBefore(0L) }
+  }
+
   test("a delta commit writes only the delta, never the base") {
     val root = freshRoot()
     val st = new MorStore(spark, root, Seq("k"))

@@ -75,6 +75,41 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(cat.readAt(1, "t").agg(sum("v")).head().getLong(0) == 510L)
   }
 
+  test("vacuum keeps the window readable and reclaims everything else") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.morStore("m", Seq("v"))
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      cat.commitAllWith(
+        Map("snap" -> nums(i * 10, i * 10 + 5)),
+        Map("m" -> Seq((i.toLong, "U")).map { case (v, op) => (v, op) }
+          .toDF("v", "__op")),
+        commitTsMillis = 1000L * (i + 1))
+    }
+    // compact the member so its vacuum has a base inside the window
+    cat.morStore("m", Seq("v")).compact(-99L)
+    cat.commitAllWith(Map("snap" -> nums(100, 110)), Map.empty, 5000L)
+    val dropped = cat.vacuum(keepLast = 2)
+    assert(dropped == Seq(0L, 1L, 2L))
+    assert(cat.loggedGenerations() == Seq(3L, 4L))
+    // both kept cuts fully readable, snapshot AND member
+    assert(cat.readAt(3, "snap").count() == 5)
+    assert(cat.readAt(4, "snap").count() == 10)
+    assert(cat.readAt(3, "m").count() == 4)
+    assert(cat.readAt(4, "m").count() == 4)
+    // dropped cuts are really gone: generation file AND data dirs
+    intercept[Exception] { cat.readAt(1, "snap").count() }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val vDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "tables/snap"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted
+    assert(vDirs.toSeq == Seq("v=3", "v=4")) // v=0..2 reclaimed
+    // further commits continue cleanly after a vacuum
+    cat.commitAll(Map("snap" -> nums(0, 3)), 6000L)
+    assert(cat.read("snap").count() == 3)
+  }
+
   test("table names that would corrupt the JSON generation file are rejected") {
     val cat = new TableCatalog(spark, freshRoot())
     for (bad <- Seq("""a"b""", "a,b", "a:b", "a}b", "a b", "")) {
