@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object Reachability {
 
-  /** All (seed, node) pairs reachable from `seeds` over directed
-    * `edges`. Seeds are their own round-0 nodes.
+  /** All (seed, node, depth) tuples reachable from `seeds` over
+    * directed `edges`. Seeds are their own round-0 nodes; `depth` is
+    * the SHORTEST hop count from the seed (BFS layers: a node enters
+    * the frontier exactly once, on its first arrival, so the recorded
+    * round is the minimum over all paths for free).
     *
     * @param seeds (seedCol, nodeCol) — starting frontier, one row per
     *              seed/start-node (a seed may start at several nodes)
@@ -47,7 +50,7 @@ object Reachability {
       .localCheckpoint() // edge pipeline (joins/LSH upstream) runs once
     var visited = seeds
       .select(col(seedCol).as(seedCol), col(nodeCol).as(nodeCol))
-      .distinct().localCheckpoint()
+      .distinct().withColumn("depth", lit(0L)).localCheckpoint()
     var frontier = visited
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
@@ -55,6 +58,7 @@ object Reachability {
         .select(frontier(seedCol), e("__dst").as(nodeCol))
         .distinct() // collapse multi-path arrivals BEFORE the anti join
         .join(visited, Seq(seedCol, nodeCol), "left_anti")
+        .withColumn("depth", lit(round + 1L))
         .localCheckpoint()
       visited = visited.unionByName(next).localCheckpoint()
       frontier = next

@@ -611,7 +611,52 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── q50: BFS depth (shortest-hop layers)
+
+  /** Shortest-hop DEPTH from [[graft.operators.Reachability]] — the
+    * bounded-hop closure a contamination-spread or lineage-chase
+    * query needs ("everything within k hops"). The graph is the
+    * functional walk n → (7n+3) mod 64 over the customer keys plus
+    * its codomain: out-degree 1, long tails into small cycles — so a
+    * depth-capped UNION ALL recursion stays linear in DuckDB and
+    * MIN(depth) per (seed, node) replays BFS first-arrival exactly.
+    * Cycles mean the UNION ALL would never terminate without the
+    * cap; the Spark side terminates at the FIXPOINT (dedup), and the
+    * oracle pins that both the reachable set and every layer number
+    * agree.
+    */
+  val q50_reach_depth: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("n"))
+    val domain = cust.unionByName(s.range(64).select(col("id").as("n"))).distinct()
+    val edges = domain.select(col("n").as("src"), ((col("n") * 7 + 3) % 64).as("dst"))
+    val seeds = cust.filter(col("n") % 397 === 1)
+      .select(col("n").as("seed"), col("n").as("node"))
+    graft.operators.Reachability.reach(seeds, edges, maxRounds = 128)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_nodes"),
+        max(col("depth")).as("max_depth"),
+        sum(col("node") * col("depth")).as("depth_weighted_sum"))
+      .orderBy(col("seed"))
+  }
+
+  val q50_sql: String =
+    """WITH RECURSIVE walk(seed, node, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 397 = 1
+      |  UNION ALL
+      |  SELECT seed, (node * 7 + 3) % 64, depth + 1 FROM walk WHERE depth < 100
+      |), first AS (
+      |  SELECT seed, node, MIN(depth) AS depth FROM walk GROUP BY seed, node
+      |)
+      |SELECT seed, COUNT(*) AS n_nodes,
+      |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+      |  CAST(SUM(node * depth) AS BIGINT) AS depth_weighted_sum
+      |FROM first
+      |GROUP BY seed
+      |ORDER BY seed""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q50_reach_depth" -> q50_reach_depth,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -622,6 +667,7 @@ object PlatformQueries {
     "s18_filtered_ivfpq" -> s18_filtered_ivfpq)
 
   val oracles: Map[String, String] = Map(
+    "q50_reach_depth" -> q50_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
