@@ -365,6 +365,27 @@ object ScaleSmoke {
       }
       println(f"[scale]   shuffled: ${bytes / 1e6}%.0f MB")
     }
+
+    // q49's BFS fixpoint at graph scale: a bipartite giant component
+    // (1M orders x 10k hubs, degree 2). The two hubs per order must be
+    // INDEPENDENT — any multiplier mod the same modulus makes h2 a
+    // function of h1 and the hub graph one long cycle whose diameter
+    // is the multiplicative order (hundreds of rounds, the cap fires);
+    // a real hash gives an expander and a handful of rounds.
+    val bn = 1000000L
+    val hubs = 10000L
+    val fwd = spark.range(bn).select(col("id").as("src"),
+      (col("id") % hubs + bn).as("dst"))
+    val alt = spark.range(bn).select(col("id").as("src"),
+      (pmod(xxhash64(col("id")), lit(hubs)) + bn).as("dst"))
+    val bedges = fwd.unionAll(alt)
+    val sym = bedges.unionAll(bedges.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = spark.range(3).select(col("id").as("seed"), (col("id") * 101L).as("node"))
+    time(s"q49 BFS fixpoint, $bn+$hubs nodes / ${2 * 2 * bn} directed edges, 3 seeds") {
+      val r = graft.operators.Reachability.reach(seeds.toDF(), sym)
+      println(s"[scale]   reached rows: ${r.count()}, max depth: " +
+        r.agg(max(col("depth"))).head().getLong(0))
+    }
   }
 
   /** s13 PQ/ADC growth: 4×16-dim subspaces, 8 codes each, 5 queries
