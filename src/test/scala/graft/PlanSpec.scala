@@ -590,6 +590,24 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"unexpected exchanges (${shuffles.size}):\n${plan.toString.take(3000)}")
   }
 
+  test("signed view fold is pure aggregation — no join, batch-sized shuffles only") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val state = Seq(("a", 5L, 100L), ("b", 2L, 30L)).toDF("g", "n", "s")
+    val delta = (0 until 1000).map(i => (s"g${i % 3}", i.toLong, if (i % 4 == 0) -1 else 1))
+      .toDF("g", "v", "__sign")
+    val folded = operators.IncrementalView.mergeSigned(
+      Some(state), delta, "__sign", Seq("g"), "n", Seq("s" -> col("v")))
+    val plan = executedPlan(folded)
+    assert(!plan.toString.contains("Join"),
+      s"signed fold must not join:\n${plan.toString.take(2000)}")
+    val shuffles = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("ShuffleExchange") => p
+    }
+    assert(shuffles.size <= 2, // batch aggregate + state merge, both group-sized
+      s"unexpected exchanges (${shuffles.size}):\n${plan.toString.take(2000)}")
+  }
+
   test("z_interleave runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.IntegerType
