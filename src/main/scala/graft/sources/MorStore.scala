@@ -213,10 +213,13 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
       // costs d FileScans and a d-deep plan, which measured 17.9×
       // the base scan at depth 100 (10M tier) before this; one scan
       // keeps resolve cost proportional to delta VOLUME, not count
+      // anchored to the file's PARENT directory ($-anchored), not the
+      // first g= anywhere in the path — a store rooted under a user
+      // path that itself contains "/g=N/" must not mis-recover
       val deltas = spark.read.option("mergeSchema", "true")
         .parquet(deltaGens.map(g => genDir(g).toString): _*)
         .withColumn("__gen", regexp_extract(
-          col("_metadata.file_path"), "/g=(\\d+)/", 1).cast("long"))
+          col("_metadata.file_path"), "/g=(\\d+)/[^/]+$", 1).cast("long"))
       // newest delta row per key wins; generation ties (several
       // events for one key INSIDE one batch) break on __seq, which
       // commitDelta guarantees exists whenever a tie is possible —

@@ -132,6 +132,18 @@ class MorStoreSpec extends AnyFunSuite {
     assert(asMap(st) == Map(1L -> 10L)) // key 1 NOT silently suppressed
   }
 
+  test("a store rooted under a path containing g=N still resolves correctly") {
+    // the resolve recovers generation numbers from file paths; a user
+    // root like .../g=7/... must not shadow the store's own g= dirs
+    val d = Files.createTempDirectory("graft-mor-gpath").toFile
+    d.deleteOnExit()
+    val st = new MorStore(spark, d.getAbsolutePath + "/g=7/t", Seq("k"))
+    st.commitBase(rows(1L -> 10L), 1000L)
+    st.commitDelta(delta((1L, 11L, "U"), (2L, 20L, "U")), 2000L)
+    st.commitDelta(delta((1L, 0L, "D")), 3000L)
+    assert(asMap(st) == Map(2L -> 20L))
+  }
+
   test("vacuumBefore drops only generations unreachable from kept reads") {
     val root = freshRoot()
     val st = new MorStore(spark, root, Seq("k"))
