@@ -616,7 +616,7 @@ object PlatformQueries {
   /** Shortest-hop DEPTH from [[graft.operators.Reachability]] — the
     * bounded-hop closure a contamination-spread or lineage-chase
     * query needs ("everything within k hops"). The graph is the
-    * functional walk n → (7n+3) mod 64 over the customer keys plus
+    * functional walk n → (7n+3) mod 16 over the customer keys plus
     * its codomain: out-degree 1, long tails into small cycles — so a
     * depth-capped UNION ALL recursion stays linear in DuckDB and
     * MIN(depth) per (seed, node) replays BFS first-arrival exactly.
@@ -628,11 +628,11 @@ object PlatformQueries {
   val q50_reach_depth: Q = (s, dir) => {
     val cust = Tables(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("n"))
-    val domain = cust.unionByName(s.range(64).select(col("id").as("n"))).distinct()
-    val edges = domain.select(col("n").as("src"), ((col("n") * 7 + 3) % 64).as("dst"))
+    val domain = cust.unionByName(s.range(16).select(col("id").as("n"))).distinct()
+    val edges = domain.select(col("n").as("src"), ((col("n") * 7 + 3) % 16).as("dst"))
     val seeds = cust.filter(col("n") % 397 === 1)
       .select(col("n").as("seed"), col("n").as("node"))
-    graft.operators.Reachability.reach(seeds, edges, maxRounds = 128)
+    graft.operators.Reachability.reach(seeds, edges, maxRounds = 32)
       .groupBy(col("seed"))
       .agg(count(lit(1)).as("n_nodes"),
         max(col("depth")).as("max_depth"),
@@ -644,7 +644,7 @@ object PlatformQueries {
     """WITH RECURSIVE walk(seed, node, depth) AS (
       |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 397 = 1
       |  UNION ALL
-      |  SELECT seed, (node * 7 + 3) % 64, depth + 1 FROM walk WHERE depth < 100
+      |  SELECT seed, (node * 7 + 3) % 16, depth + 1 FROM walk WHERE depth < 24
       |), first AS (
       |  SELECT seed, node, MIN(depth) AS depth FROM walk GROUP BY seed, node
       |)
