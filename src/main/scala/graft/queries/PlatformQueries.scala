@@ -655,7 +655,108 @@ object PlatformQueries {
       |GROUP BY seed
       |ORDER BY seed""".stripMargin
 
+  // ───────────────────────────── s19: hybrid retrieval (RRF fusion)
+
+  /** Hybrid search — the retrieval shape every RAG/curation stack
+    * actually ships: a LEXICAL ranking (t19's integer-exact BM25 over
+    * fixed query terms) and a SEMANTIC ranking (cosine top-k against
+    * a query vector) fused by reciprocal-rank fusion,
+    * `Σ 1000000 div (60 + rank)` (Cormack et al.'s RRF with the
+    * integer surrogate this suite's oracle discipline requires).
+    * Each list is a scalable top-k (TakeOrderedAndProject, no global
+    * window over the corpus — ranks are assigned on the already-
+    * top-50 lists); the fusion is one tiny full-outer join. Docs in
+    * only one list score on that list alone — exactly RRF's
+    * robustness story, pinned by nullable rank columns the oracle
+    * reproduces.
+    */
+  val s19_hybrid_rrf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val emb = Tables(s, dir, "embeddings")
+    // lexical: t19's integer BM25 pipeline, top-50
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+    val terms = Seq("vector", "stream", "merge", "window", "filter", "scan")
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val lexTop = tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("rarity", expr("(1000 * (n_docs - df)) div n_docs"))
+      .withColumn("contrib", expr(
+        "(rarity * 22 * tf * sumdl) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id"))
+      .limit(50)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("score_num").desc, col("doc_id")))) // 50-row frame
+      .select(col("doc_id"), col("rank_lex"))
+    // semantic: cosine top-50 against the vec_id-0 query vector
+    val sem = graft.operators.VectorSearch.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "vec_id", k = 50)
+      .select(col("id").as("doc_id"), col("rank").cast("int").as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L))
+        + coalesce(expr("1000000 div (60 + rank_sem)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("rrf"), col("rank_lex"), col("rank_sem"))
+  }
+
+  val s19_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> x <> '')) AS tok
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+      |), totals AS (
+      |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE tok IN ('vector', 'stream', 'merge', 'window', 'filter', 'scan')
+      |  GROUP BY doc_id, tok
+      |), dft AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+      |), scored AS (
+      |  SELECT tf.doc_id,
+      |    ((1000 * (n_docs - df)) // n_docs) * 22 * tf * sumdl
+      |      // (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs) AS contrib
+      |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), totals
+      |), lex AS (
+      |  SELECT doc_id,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY score_num DESC, doc_id) AS INT) AS rank_lex
+      |  FROM (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_num
+      |        FROM scored GROUP BY doc_id)
+      |  QUALIFY rank_lex <= 50
+      |), sem AS (
+      |  SELECT doc_id, rank_sem FROM (
+      |    SELECT c.vec_id AS doc_id,
+      |           CAST(ROW_NUMBER() OVER (
+      |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+      |                      c.vec_id ASC) AS INT) AS rank_sem
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id = 0)
+      |  WHERE rank_sem <= 50
+      |)
+      |SELECT doc_id,
+      |  COALESCE(1000000 // (60 + rank_lex), 0)
+      |    + COALESCE(1000000 // (60 + rank_sem), 0) AS rrf,
+      |  rank_lex, rank_sem
+      |FROM lex FULL JOIN sem USING (doc_id)
+      |ORDER BY rrf DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
@@ -667,6 +768,7 @@ object PlatformQueries {
     "s18_filtered_ivfpq" -> s18_filtered_ivfpq)
 
   val oracles: Map[String, String] = Map(
+    "s19_hybrid_rrf" -> s19_sql,
     "q50_reach_depth" -> q50_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
