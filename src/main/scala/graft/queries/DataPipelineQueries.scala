@@ -333,6 +333,62 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup-group resolution with a QUALITY-AWARE representative —
+    * curation keeps the best member of each near-dup group, not the
+    * arbitrary lowest id (d06's survivor): rank members by text
+    * length (the quality surrogate both engines compute identically)
+    * with doc_id as the tie-break, so a planted exact-dup group keeps
+    * its original and a perturbed group keeps its longest variant.
+    * Same pair graph and components as d06; one extra per-component
+    * rank window over group-cardinality rows.
+    */
+  val d47_group_representative: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = dupDocCorpus(s, dir)
+    val pairs = TextDedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    val memb = ConnectedComponents.dedupGroups(corpus, pairs, "doc_id")
+      .join(corpus.select(col("doc_id"), length(col("text")).as("__q")), "doc_id")
+    val rep = memb.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("__q").desc, col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("doc_id").as("rep_id"))
+    memb.join(rep, "component")
+      .select(col("doc_id"), col("component"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d47_sql: String =
+    s"""WITH RECURSIVE $DupDocCorpusSql,
+       |$ShinglesSql,
+       |$JaccardCtesSql,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.8),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+       |  UNION
+       |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |memb AS (
+       |  SELECT c.doc_id, COALESCE(mp.component, c.doc_id) AS component,
+       |         LENGTH(c.text) AS q
+       |  FROM corpus c LEFT JOIN comp mp ON mp.id = c.doc_id
+       |),
+       |rep AS (
+       |  SELECT component, doc_id AS rep_id FROM (
+       |    SELECT component, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY component
+       |                         ORDER BY q DESC, doc_id) AS rn
+       |    FROM memb) t
+       |  WHERE rn = 1
+       |)
+       |SELECT m.doc_id, m.component, r.rep_id, m.doc_id = r.rep_id AS is_rep
+       |FROM memb m JOIN rep r USING (component)
+       |ORDER BY m.doc_id""".stripMargin
+
   val d06_sql: String =
     s"""WITH RECURSIVE $DupDocCorpusSql,
        |$ShinglesSql,
@@ -1536,6 +1592,7 @@ object DataPipelineQueries {
     "d04_simhash" -> d04_simhash,
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d06_dedup_groups" -> d06_dedup_groups,
+    "d47_group_representative" -> d47_group_representative,
     "d07_decontaminate" -> d07_decontaminate,
     "d33_eval_overlap" -> d33_eval_overlap,
     "d08_stratified_sample" -> d08_stratified_sample,
@@ -1572,6 +1629,7 @@ object DataPipelineQueries {
     "d04_simhash" -> d04_sql,
     "d05_embedding_neardup" -> d05_sql,
     "d06_dedup_groups" -> d06_sql,
+    "d47_group_representative" -> d47_sql,
     "d07_decontaminate" -> d07_sql,
     "d33_eval_overlap" -> d33_sql,
     "d08_stratified_sample" -> d08_sql,
