@@ -716,6 +716,57 @@ object AnalyticsQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ───────────────────────────── t20: n-gram novelty (memorization risk)
+
+  /** Corpus-level NOVELTY profile — the memorization-risk metric a
+    * training-data audit wants: per document, the fraction of its
+    * distinct 3-grams that appear in NO other document (df = 1).
+    * Boilerplate-heavy docs score near zero, unique prose near one.
+    * Shape: one distinct-gram relation feeds both the document-
+    * frequency aggregate and the join back (t11's inverted-index
+    * pattern — two shuffles total, both gram-keyed and map-side
+    * combined; no windows, no self-join). Integer ppm output.
+    */
+  val t20_ngram_novelty: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val grams = graft.operators.TextDedup.shingles(docs, "doc_id", "text", n = 3)
+    val dfreq = grams.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val per = grams.join(dfreq, "shingle")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    per.join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("sum_grams"),
+        sum(col("n_unique")).as("sum_unique"),
+        expr("(1000000 * sum(n_unique)) div sum(n_grams)").as("novelty_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val t20_sql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id AS id, unnest(g) AS shingle FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(toks) = 0 THEN []
+       |           ELSE list_distinct(list_transform(range(0, GREATEST(len(toks) - 3, 0) + 1),
+       |             i -> array_to_string(toks[i + 1 : i + 3], ' '))) END AS g
+       |    FROM (SELECT doc_id, $ToksSql AS toks FROM documents) t) x
+       |), dfreq AS (
+       |  SELECT shingle, COUNT(*) AS df FROM grams GROUP BY shingle
+       |), per AS (
+       |  SELECT g.id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |         CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |  FROM grams g JOIN dfreq f USING (shingle) GROUP BY g.id
+       |)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+       |  CAST(SUM(n_unique) AS BIGINT) AS sum_unique,
+       |  (1000000 * CAST(SUM(n_unique) AS BIGINT)) // CAST(SUM(n_grams) AS BIGINT) AS novelty_ppm
+       |FROM per JOIN documents d ON d.doc_id = per.id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_anomaly_zscore" -> q39_anomaly_zscore,
     "d37_curation_v2" -> d37_curation_v2,
@@ -728,6 +779,7 @@ object AnalyticsQueries {
     "d36_compaction_roundtrip" -> d36_compaction_roundtrip,
     "v18_constraint_audit" -> v18_constraint_audit,
     "t18_bigram_loglik" -> t18_bigram_loglik,
+    "t20_ngram_novelty" -> t20_ngram_novelty,
     "t16_classifier_score" -> t16_classifier_score,
     "t17_distinct_gate" -> t17_distinct_gate,
     "d34_zorder_layout" -> d34_zorder_layout,
@@ -746,6 +798,7 @@ object AnalyticsQueries {
     "d36_compaction_roundtrip" -> d36_sql,
     "v18_constraint_audit" -> v18_sql,
     "t18_bigram_loglik" -> t18_sql,
+    "t20_ngram_novelty" -> t20_sql,
     "t16_classifier_score" -> t16_sql,
     "t17_distinct_gate" -> t17_sql,
     "d34_zorder_layout" -> d34_sql,
