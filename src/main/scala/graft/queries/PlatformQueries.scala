@@ -755,9 +755,76 @@ object PlatformQueries {
       |ORDER BY rrf DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // ───────────────────────────── w18: CDC dead-letter routing
+
+  /** Poison-row handling for a continuously-running CDC stream
+    * ([[graft.sources.MorStore.commitDeltaLenient]]): a batch mixing
+    * clean upserts/deletes with an unrecognized verb (`X` — would
+    * silently delete under naive resolve) and unordered same-key
+    * conflicts commits its CLEAN remainder while the poison rows
+    * divert to the dead-letter queue with a reason. Conflicted keys
+    * stay at their previous state (ALL copies are poison — which one
+    * the producer meant is unknowable without `__seq`). Output: the
+    * resolved per-band state plus DLQ accounting rows (band −1 =
+    * bad_op, −2 = dup_key); the oracle reconstructs both from the
+    * raw events, so a poison row leaking INTO the table, or a clean
+    * row leaking OUT, fails the hash.
+    */
+  val w18_cdc_dlq: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-dlq")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("event_id"))
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    st.commitBase(ev.filter(col("event_id") % 3 === 0), -1L)
+    def op(df: DataFrame, o: String) = df.withColumn("__op", lit(o))
+    val delta = op(ev.filter(col("event_id") % 3 === 1), "U")
+      .unionByName(op(ev.filter(col("event_id") % 3 === 0 && col("event_id") % 5 === 0), "D"))
+      .unionByName(op(ev.filter(col("event_id") % 3 === 2 && col("event_id") % 7 === 0), "X"))
+      .unionByName(op(ev.filter(col("event_id") % 3 === 1 && col("event_id") % 11 === 0)
+        .withColumn("cents", col("cents") + 5L), "U")) // conflicting twin
+    val (_, nDlq) = st.commitDeltaLenient(delta, 0L)
+    require(nDlq > 0, "fixture must divert rows")
+    val resolved = st.read()
+      .groupBy((col("user_id") % 10).as("band"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("cents")).as("sum_cents"))
+    val dlq = st.readDlq()
+      .groupBy(when(col("__reason") === "bad_op", -1L).otherwise(-2L).as("band"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("event_id")).as("sum_cents")) // id-sum as the audit value
+    resolved.unionByName(dlq).orderBy(col("band"))
+  }
+
+  val w18_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), dup_keys AS (
+      |  SELECT event_id FROM ev WHERE event_id % 3 = 1 AND event_id % 11 = 0
+      |), live AS (
+      |  SELECT event_id, user_id, cents FROM ev
+      |  WHERE event_id % 3 = 0 AND NOT (event_id % 5 = 0)
+      |  UNION ALL
+      |  SELECT event_id, user_id, cents FROM ev
+      |  WHERE event_id % 3 = 1
+      |    AND event_id NOT IN (SELECT event_id FROM dup_keys)
+      |)
+      |SELECT user_id % 10 AS band, COUNT(*) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM live GROUP BY user_id % 10
+      |UNION ALL
+      |SELECT -1, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+      |FROM ev WHERE event_id % 3 = 2 AND event_id % 7 = 0
+      |UNION ALL
+      |SELECT -2, CAST(2 * COUNT(*) AS BIGINT), CAST(2 * SUM(event_id) AS BIGINT)
+      |FROM dup_keys
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
+    "w18_cdc_dlq" -> w18_cdc_dlq,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -770,6 +837,7 @@ object PlatformQueries {
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
     "q50_reach_depth" -> q50_sql,
+    "w18_cdc_dlq" -> w18_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,

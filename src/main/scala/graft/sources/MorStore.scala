@@ -96,6 +96,50 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     }
   }
 
+  /** [[commitDelta]] with DEAD-LETTER routing instead of rejection —
+    * the operational posture for a continuously-running pipeline: one
+    * poison row must not stall the stream. Rows violating the delta
+    * contract divert to the store's DLQ (`_dlq/ts=<ts>`, parquet,
+    * with a `__reason` column) and the clean remainder commits
+    * normally. Reasons, in precedence order:
+    *  - `bad_op`: __op outside {U, D} (would silently delete);
+    *  - `dup_key`: among the good-op rows, several share a key with
+    *    no `__seq` to order them — ALL copies are poison (which one
+    *    the producer meant is unknowable), so the key stays at its
+    *    previous state rather than flipping a coin.
+    * An all-poison batch still commits an EMPTY delta so the batch id
+    * lands in the log and the exactly-once replay check holds.
+    * Returns (generation, dlqRowCount).
+    */
+  def commitDeltaLenient(delta: DataFrame, commitTsMillis: Long): (Long, Long) = {
+    require(delta.columns.contains(OpCol),
+      s"delta must carry $OpCol")
+    val tieCols = keyCols ++
+      (if (delta.columns.contains(SeqCol)) Seq(SeqCol) else Nil)
+    val w = Window.partitionBy(tieCols.map(col): _*)
+    val marked = delta
+      .withColumn("__bad_op", !col(OpCol).isin("U", "D"))
+      .withColumn("__k_dups",
+        count(when(!col("__bad_op"), 1)).over(w))
+    val poison = marked.filter(col("__bad_op") || col("__k_dups") > 1)
+      .withColumn("__reason",
+        when(col("__bad_op"), "bad_op").otherwise("dup_key"))
+      .drop("__bad_op", "__k_dups")
+    val dlqDest = new Path(root, s"_dlq/ts=$commitTsMillis")
+    poison.write.mode("overwrite").parquet(dlqDest.toString)
+    val dlqCount = spark.read.parquet(dlqDest.toString).count()
+    val clean = marked.filter(!col("__bad_op") && col("__k_dups") <= 1)
+      .drop("__bad_op", "__k_dups")
+    (commit(clean, commitTsMillis, kind = "delta", validateDelta = true), dlqCount)
+  }
+
+  /** The accumulated dead-letter rows (all lenient commits). */
+  def readDlq(): DataFrame = {
+    val d = new Path(root, "_dlq")
+    require(fs.exists(d), s"no DLQ at $root (no lenient commit diverted rows)")
+    spark.read.option("mergeSchema", "true").parquet(d.toString)
+  }
+
   private def commit(df: DataFrame, ts: Long, kind: String,
       validateDelta: Boolean = false): Long = {
     val g = generations().lastOption.map(_._1 + 1).getOrElse(0L)

@@ -144,6 +144,29 @@ class MorStoreSpec extends AnyFunSuite {
     assert(asMap(st) == Map(2L -> 20L))
   }
 
+  test("lenient commit: poison rows divert to the DLQ, clean rows land, batch id sticks") {
+    import spark.implicits._
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), -1L)
+    val d = Seq(
+      (1L, 11L, "U"),  // clean update
+      (2L, 0L, "X"),   // bad op — must NOT act as a delete
+      (3L, 31L, "U"),  // conflicted pair without __seq: BOTH poison
+      (3L, 32L, "U"),
+      (4L, 40L, "U")   // clean insert
+    ).toDF("k", "v", "__op")
+    val (g, nDlq) = st.commitDeltaLenient(d, 0L)
+    assert(g >= 0 && nDlq == 3)
+    // k=2 survives (bad op quarantined), k=3 stays at its PREVIOUS value
+    assert(asMap(st) == Map(1L -> 11L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    val reasons = st.readDlq().groupBy("__reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons == Map("bad_op" -> 1L, "dup_key" -> 2L))
+    // the batch id is logged even though rows were diverted:
+    // a redelivery of batch 0 must no-op
+    assert(st.tsCommitted(0L))
+  }
+
   test("vacuumBefore drops only generations unreachable from kept reads") {
     val root = freshRoot()
     val st = new MorStore(spark, root, Seq("k"))
