@@ -78,7 +78,15 @@ object Boilerplate {
       // the tail gram of a short doc covers only to the end of the doc
       .select(col("id"), col("pos").as("s"),
         least(col("pos") + n, col("n_toks")).as("e"))
+    mergeIntervals(occ)
+  }
 
+  /** Classic per-doc interval merge over (id, s, e): an interval
+    * starts a new span iff its start exceeds the running max end of
+    * all earlier intervals; span id = running count of span starts.
+    * Shuffled by doc id only (partitioned windows).
+    */
+  private def mergeIntervals(occ: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
@@ -94,6 +102,37 @@ object Boilerplate {
         (col("span_end") - col("span_start")).as("n_tokens"))
   }
 
+  /** TARGETED spans: token intervals covered by any n-gram present in
+    * `patterns` (one `gram` column — e.g. an eval set's shingles),
+    * merged per doc. [[passageSpans]] is the df-mined special case;
+    * this is the surgical one — decontamination by EXCISION, where
+    * dropping whole documents for one leaked paragraph would waste
+    * the rest. The pattern relation joins on the gram key (Catalyst
+    * broadcasts it when small; at 100 TB the join stays gram-keyed
+    * and shuffles pattern-matched occurrences only).
+    */
+  def matchSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, patterns: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val grams = toks.select(col("id"), size(col("toks")).as("n_toks"),
+      posexplode(WordGrams(col("toks"), n)).as(Seq("pos", "gram")))
+    val occ = grams
+      .join(patterns.select(col("gram")).distinct(), "gram")
+      .select(col("id"), col("pos").as("s"),
+        least(col("pos") + n, col("n_toks")).as("e"))
+    mergeIntervals(occ)
+  }
+
+  /** Documents with [[matchSpans]] intervals excised (tokens inside
+    * any span dropped, remainder re-joined with single spaces) —
+    * normalizing by construction, like [[stripPassages]].
+    */
+  def exciseSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, patterns: DataFrame): DataFrame =
+    dropSpanTokens(df, idCol, textCol,
+      matchSpans(df, idCol, textCol, n, patterns))
+
   /** Documents with boilerplate passages stripped: tokens inside any
     * [[passageSpans]] interval are dropped and the remainder re-joined
     * with single spaces. Documents with no frequent-gram coverage pass
@@ -103,8 +142,14 @@ object Boilerplate {
     */
   def stripPassages(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDf: Long)(implicit cs: CacheScope): DataFrame = {
-    val spans = passageSpans(df, idCol, textCol, n, minDf)
+      n: Int, minDf: Long)(implicit cs: CacheScope): DataFrame =
+    dropSpanTokens(df, idCol, textCol,
+      passageSpans(df, idCol, textCol, n, minDf))
+
+  /** Shared reassembly: drop tokens inside any span, re-join the rest. */
+  private def dropSpanTokens(df: DataFrame, idCol: String, textCol: String,
+      spansDf: DataFrame): DataFrame = {
+    val spans = spansDf
       .groupBy(col("id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))

@@ -2013,6 +2013,83 @@ object CurationQueries {
 
   // ── registry ────────────────────────────────────────────────────────
 
+  // ── d48: decontamination by span EXCISION ───────────────────────────
+
+  /** Targeted decontamination — excise the leaked PASSAGES instead of
+    * dropping whole documents (d07/d40 drop; at 100 TB a doc that
+    * quotes one eval paragraph is mostly good data). Eval-set 8-gram
+    * shingles drive [[graft.operators.Boilerplate.matchSpans]]
+    * (pattern-joined occurrences -> per-doc interval merge) and
+    * [[graft.operators.Boilerplate.exciseSpans]] rebuilds the text
+    * without the covered tokens. The output carries BOTH the span
+    * accounting (sum of merged span lengths) and the post-excision
+    * token counts, while the oracle derives remaining = total -
+    * excised — so a disagreement between the merge and the strip
+    * lambda cannot cancel out.
+    */
+  val d48_excise_contamination: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 37 === 0)
+    val pool = docs.filter(col("doc_id") % 37 =!= 0)
+    val patterns = TextDedup.shingles(evalSet, "doc_id", "text", n = 8)
+      .select(col("shingle").as("gram"))
+    val excised = Boilerplate.matchSpans(pool, "doc_id", "text", 8, patterns)
+      .groupBy(col("id")).agg(sum(col("n_tokens")).as("n_excised"))
+    val clean = Boilerplate.exciseSpans(pool, "doc_id", "text", 8, patterns)
+      .select(col("id"),
+        TextFunctions.tokenCount(col("clean_text")).cast(LongType).as("n_remaining"))
+    pool.select(col("doc_id").as("id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .join(excised, Seq("id"), "left")
+      .join(clean, Seq("id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(coalesce(col("n_excised"), lit(0L))).as("sum_excised"),
+        sum(col("n_remaining")).as("sum_remaining"),
+        sum(when(col("n_excised").isNotNull, 1L).otherwise(0L)).as("n_touched"))
+      .orderBy(col("lang"))
+  }
+
+  val d48_sql: String =
+    s"""WITH ${ngramPosSql(8)},
+       |evalg AS (SELECT DISTINCT gram FROM occ WHERE doc_id % 37 = 0),
+       |iv AS (
+       |  SELECT doc_id, pos AS s, LEAST(pos + 8, n_toks) AS e
+       |  FROM occ WHERE doc_id % 37 <> 0 AND gram IN (SELECT gram FROM evalg)
+       |),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM iv
+       |),
+       |sp AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM m
+       |),
+       |spans AS (
+       |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM sp GROUP BY doc_id, span
+       |),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_excised
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(t.toks)) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(COALESCE(p.n_excised, 0)) AS BIGINT) AS sum_excised,
+       |  CAST(SUM(len(t.toks)) - SUM(COALESCE(p.n_excised, 0)) AS BIGINT) AS sum_remaining,
+       |  CAST(SUM(CASE WHEN p.n_excised IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_touched
+       |FROM toks t
+       |JOIN documents d ON d.doc_id = t.doc_id
+       |LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+       |WHERE d.doc_id % 37 <> 0
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w07_asof_join" -> w07_asof_join,
     "d12_domain_mix" -> d12_domain_mix,
@@ -2041,6 +2118,7 @@ object CurationQueries {
     "q28_sliding_frame" -> q28_sliding_frame,
     "d24_frequent_ngrams" -> d24_frequent_ngrams,
     "d25_passage_spans" -> d25_passage_spans,
+    "d48_excise_contamination" -> d48_excise_contamination,
     "d26_token_budget" -> d26_token_budget,
     "q29_rank_functions" -> q29_rank_functions,
     "t12_readability" -> t12_readability,
@@ -2091,6 +2169,7 @@ object CurationQueries {
     "q28_sliding_frame" -> q28_sql,
     "d24_frequent_ngrams" -> d24_sql,
     "d25_passage_spans" -> d25_sql,
+    "d48_excise_contamination" -> d48_sql,
     "d26_token_budget" -> d26_sql,
     "q29_rank_functions" -> q29_sql,
     "t12_readability" -> t12_sql,
