@@ -821,10 +821,74 @@ object PlatformQueries {
       |FROM dup_keys
       |ORDER BY band""".stripMargin
 
+  // ───────────────────────────── w19: DLQ repair + replay
+
+  /** The second half of the dead-letter story: quarantined rows get
+    * REPAIRED and re-committed. After w18's lenient commit, the
+    * operator fixes the DLQ — bad-op rows are re-sent as upserts,
+    * unordered same-key conflicts get a deterministic `__seq`
+    * (rank by cents: the higher-valued twin is "later") — and the
+    * repaired batch commits through the STRICT path (commitDelta's
+    * full validation), which now accepts it. Final state: every
+    * quarantined key lands (conflicts at their seq-2 value); the
+    * oracle replays base, deletes, clean upserts, repaired conflicts
+    * and repaired bad-op rows from raw events.
+    */
+  val w19_dlq_replay: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft-dlqr")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("event_id"))
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    st.commitBase(ev.filter(col("event_id") % 3 === 0), -1L)
+    def op(df: DataFrame, o: String) = df.withColumn("__op", lit(o))
+    val delta = op(ev.filter(col("event_id") % 3 === 1), "U")
+      .unionByName(op(ev.filter(col("event_id") % 3 === 0 && col("event_id") % 5 === 0), "D"))
+      .unionByName(op(ev.filter(col("event_id") % 3 === 2 && col("event_id") % 7 === 0), "X"))
+      .unionByName(op(ev.filter(col("event_id") % 3 === 1 && col("event_id") % 11 === 0)
+        .withColumn("cents", col("cents") + 5L), "U"))
+    st.commitDeltaLenient(delta, 0L)
+    val repaired = st.readDlq()
+      .withColumn("__op",
+        when(col("__reason") === "bad_op", lit("U")).otherwise(col("__op")))
+      .withColumn("__seq", row_number().over(
+        Window.partitionBy(col("event_id"))
+          .orderBy(col("cents"), col("__op"))).cast("long"))
+      .drop("__reason", "ts") // ts = inferred DLQ partition (batch id)
+    st.commitDelta(repaired, 1L) // strict path accepts the repair
+    st.read()
+      .groupBy((col("user_id") % 10).as("band"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("band"))
+  }
+
+  val w19_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), live AS (
+      |  SELECT event_id, user_id, cents FROM ev
+      |  WHERE event_id % 3 = 0 AND NOT (event_id % 5 = 0)
+      |  UNION ALL
+      |  SELECT event_id, user_id,
+      |         CASE WHEN event_id % 11 = 0 THEN cents + 5 ELSE cents END
+      |  FROM ev WHERE event_id % 3 = 1
+      |  UNION ALL
+      |  SELECT event_id, user_id, cents FROM ev
+      |  WHERE event_id % 3 = 2 AND event_id % 7 = 0
+      |)
+      |SELECT user_id % 10 AS band, COUNT(*) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM live GROUP BY user_id % 10
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
     "w18_cdc_dlq" -> w18_cdc_dlq,
+    "w19_dlq_replay" -> w19_dlq_replay,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -838,6 +902,7 @@ object PlatformQueries {
     "s19_hybrid_rrf" -> s19_sql,
     "q50_reach_depth" -> q50_sql,
     "w18_cdc_dlq" -> w18_sql,
+    "w19_dlq_replay" -> w19_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,

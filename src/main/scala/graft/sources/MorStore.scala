@@ -70,11 +70,27 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     commit(delta, commitTsMillis, kind = "delta", validateDelta = true)
   }
 
-  /** Fail unless every __op ∈ {U, D} and (key ++ __seq-if-present) is
-    * unique — one aggregation job over the just-written generation.
+  /** Fail unless every __op ∈ {U, D}, (key ++ __seq-if-present) is
+    * unique (one aggregation job over the just-written generation),
+    * and the delta's row columns match the base schema exactly — an
+    * extra column (e.g. a partition column a DLQ read infers) would
+    * otherwise surface later as an unrelated union-arity error in the
+    * resolve, far from the commit that caused it.
     */
   private def validateDeltaFiles(dest: Path): Unit = {
     val written = spark.read.parquet(dest.toString)
+    generations().filter(_._2 == "base").map(_._1).lastOption.foreach { bg =>
+      val baseCols = spark.read.parquet(genDir(bg).toString).columns.toSet
+      val rowCols = written.columns
+        .filterNot(c => c == OpCol || c == SeqCol).toSet
+      if (rowCols != baseCols) {
+        fs.delete(dest, true)
+        throw new IllegalArgumentException(
+          s"delta rejected: row columns differ from the base schema " +
+            s"(extra: ${(rowCols -- baseCols).toSeq.sorted.mkString(",")}; " +
+            s"missing: ${(baseCols -- rowCols).toSeq.sorted.mkString(",")})")
+      }
+    }
     val tieCols = keyCols ++ (if (written.columns.contains(SeqCol)) Seq(SeqCol) else Nil)
     val viol = written
       .groupBy(tieCols.map(col): _*)
@@ -133,7 +149,12 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     (commit(clean, commitTsMillis, kind = "delta", validateDelta = true), dlqCount)
   }
 
-  /** The accumulated dead-letter rows (all lenient commits). */
+  /** The accumulated dead-letter rows (all lenient commits). The
+    * `ts=<batch>` directory layout surfaces as an inferred `ts`
+    * partition column — metadata identifying the quarantining batch;
+    * DROP it (and `__reason`) before re-committing repaired rows, or
+    * the commit-time schema guard rejects the delta.
+    */
   def readDlq(): DataFrame = {
     val d = new Path(root, "_dlq")
     require(fs.exists(d), s"no DLQ at $root (no lenient commit diverted rows)")
