@@ -884,11 +884,72 @@ object PlatformQueries {
       |FROM live GROUP BY user_id % 10
       |ORDER BY band""".stripMargin
 
+  // ───────────────────────────── w20: schema evolution on MoR
+
+  /** Schema DRIFT on the merge-on-read stack — v21's schema-on-read
+    * contract composed with O(batch) commits: a later CDC delta
+    * carries a NEW column (`commitDelta(allowEvolution = true)`); the
+    * resolve surfaces NULL for pre-evolution rows (no history
+    * rewrite — the only sane option at 100 TB), compaction folds the
+    * widened schema into the next base, and post-compaction deltas
+    * must carry the full evolved schema (the commit-time guard turns
+    * strict again). The oracle replays the drift from raw events.
+    */
+  val w20_mor_evolution: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-morevo")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("event_id"))
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    st.commitBase(ev.filter(col("event_id") % 3 === 0), -1L)
+    // pre-evolution delta: original schema
+    st.commitDelta(ev.filter(col("event_id") % 3 === 1)
+      .withColumn("__op", lit("U")), 0L)
+    // evolved delta: a new event_type-derived flag column arrives
+    st.commitDelta(ev.filter(col("event_id") % 3 === 2)
+        .withColumn("priority", (col("event_id") % 4).cast("long"))
+        .withColumn("__op", lit("U")),
+      1L, allowEvolution = true)
+    st.compact(2L) // widened schema folds into the new base
+    // post-compaction delta must carry the evolved schema
+    st.commitDelta(ev.filter(col("event_id") % 30 === 0)
+      .withColumn("priority", lit(9L))
+      .withColumn("cents", col("cents") + 1L)
+      .withColumn("__op", lit("U")), 3L)
+    st.read()
+      .groupBy((col("user_id") % 10).as("band"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        count(col("priority")).as("n_with_priority"),
+        sum(col("priority")).as("sum_priority"))
+      .orderBy(col("band"))
+  }
+
+  val w20_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), live AS (
+      |  SELECT event_id, user_id,
+      |         CASE WHEN event_id % 30 = 0 THEN cents + 1 ELSE cents END AS cents,
+      |         CASE WHEN event_id % 30 = 0 THEN 9
+      |              WHEN event_id % 3 = 2 THEN event_id % 4 END AS priority
+      |  FROM ev
+      |  WHERE event_id % 3 IN (0, 1, 2)
+      |)
+      |SELECT user_id % 10 AS band, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  COUNT(priority) AS n_with_priority,
+      |  CAST(SUM(priority) AS BIGINT) AS sum_priority
+      |FROM live GROUP BY user_id % 10
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
     "w18_cdc_dlq" -> w18_cdc_dlq,
     "w19_dlq_replay" -> w19_dlq_replay,
+    "w20_mor_evolution" -> w20_mor_evolution,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -903,6 +964,7 @@ object PlatformQueries {
     "q50_reach_depth" -> q50_sql,
     "w18_cdc_dlq" -> w18_sql,
     "w19_dlq_replay" -> w19_sql,
+    "w20_mor_evolution" -> w20_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,

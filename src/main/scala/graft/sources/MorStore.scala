@@ -64,10 +64,12 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     * before the generation becomes visible; violations abort with the
     * generation directory still invisible (no log entry, no pointer).
     */
-  def commitDelta(delta: DataFrame, commitTsMillis: Long): Long = {
+  def commitDelta(delta: DataFrame, commitTsMillis: Long,
+      allowEvolution: Boolean = false): Long = {
     require(delta.columns.contains(OpCol),
       s"delta must carry $OpCol in {U, D}")
-    commit(delta, commitTsMillis, kind = "delta", validateDelta = true)
+    commit(delta, commitTsMillis, kind = "delta", validateDelta = true,
+      allowEvolution = allowEvolution)
   }
 
   /** Fail unless every __op ∈ {U, D}, (key ++ __seq-if-present) is
@@ -77,13 +79,18 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     * otherwise surface later as an unrelated union-arity error in the
     * resolve, far from the commit that caused it.
     */
-  private def validateDeltaFiles(dest: Path): Unit = {
+  private def validateDeltaFiles(dest: Path, allowEvolution: Boolean): Unit = {
     val written = spark.read.parquet(dest.toString)
     generations().filter(_._2 == "base").map(_._1).lastOption.foreach { bg =>
       val baseCols = spark.read.parquet(genDir(bg).toString).columns.toSet
       val rowCols = written.columns
         .filterNot(c => c == OpCol || c == SeqCol).toSet
-      if (rowCols != baseCols) {
+      // evolution admits EXTRA columns (they become table columns, old
+      // rows surface NULL — the v21 schema-on-read contract on the MoR
+      // stack); a delta MISSING base columns is always malformed
+      val ok = if (allowEvolution) baseCols.subsetOf(rowCols)
+               else rowCols == baseCols
+      if (!ok) {
         fs.delete(dest, true)
         throw new IllegalArgumentException(
           s"delta rejected: row columns differ from the base schema " +
@@ -162,12 +169,12 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
   }
 
   private def commit(df: DataFrame, ts: Long, kind: String,
-      validateDelta: Boolean = false): Long = {
+      validateDelta: Boolean = false, allowEvolution: Boolean = false): Long = {
     val g = generations().lastOption.map(_._1 + 1).getOrElse(0L)
     val dest = genDir(g)
     fs.delete(dest, true) // orphan from a crashed commit
     df.write.mode("overwrite").parquet(dest.toString)
-    if (validateDelta) validateDeltaFiles(dest)
+    if (validateDelta) validateDeltaFiles(dest, allowEvolution)
     fs.mkdirs(logDir)
     val out = fs.create(new Path(logDir, s"$g.json"), true)
     out.write(s"""{"generation":$g,"ts":$ts,"kind":"$kind"}""".getBytes("UTF-8"))
@@ -298,9 +305,14 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
         .filter(col("__rn") === 1).drop("__rn")
       val untouched = base.join(latest.select(keyCols.map(col): _*),
         keyCols, "left_anti")
+      // allowMissingColumns: an evolved delta widened the schema —
+      // pre-evolution base rows surface NULL for the new columns
+      // (commit-time validation still rejects stray columns unless the
+      // commit explicitly evolved, so this leniency can't mask typos)
       untouched.unionByName(
         latest.filter(col(OpCol) === "U")
-          .drop(OpCol, "__gen", SeqCol))
+          .drop(OpCol, "__gen", SeqCol),
+        allowMissingColumns = true)
     }
   }
 

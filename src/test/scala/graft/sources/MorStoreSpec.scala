@@ -167,6 +167,28 @@ class MorStoreSpec extends AnyFunSuite {
     assert(st.tsCommitted(0L))
   }
 
+  test("schema evolution: opt-in only, NULL backfill, strict again after compaction") {
+    import spark.implicits._
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L), 0L)
+    val widened = Seq((3L, 30L, 7L, "U")).toDF("k", "v", "extra", "__op")
+    // stray column WITHOUT the flag: rejected, names the column
+    val e = intercept[IllegalArgumentException] { st.commitDelta(widened, 1L) }
+    assert(e.getMessage.contains("extra"))
+    // with the flag: accepted; old rows surface NULL
+    st.commitDelta(widened, 1L, allowEvolution = true)
+    val got = st.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("extra")))))
+    assert(got.toSeq == Seq(1L -> None, 2L -> None, 3L -> Some(7L)))
+    // compaction folds the widened schema into the base; a delta with
+    // the OLD schema is now missing a column -> rejected
+    st.compact(2L)
+    val eOld = intercept[IllegalArgumentException] {
+      st.commitDelta(delta((4L, 40L, "U")), 3L)
+    }
+    assert(eOld.getMessage.contains("missing: extra"))
+  }
+
   test("vacuumBefore drops only generations unreachable from kept reads") {
     val root = freshRoot()
     val st = new MorStore(spark, root, Seq("k"))
