@@ -49,6 +49,7 @@ object ScaleSmoke {
     if (mode == "engine100") engineSmoke(spark, Seq(100000000L)) // opt-in: minutes
     if (mode == "all") morSmoke(spark, 1000000L)
     if (mode == "mor") morSmoke(spark, 10000000L)
+    if (mode == "mor100") morSmoke(spark, 100000000L) // opt-in: minutes
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     spark.stop()
   }
