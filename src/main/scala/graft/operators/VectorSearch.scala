@@ -897,6 +897,33 @@ object VectorSearch {
   def quantizedKMeans(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int)(implicit cs: CacheScope): DataFrame = {
+    val (q, cents, _) = lloydTrain(df, idCol, vecCol, k, iters)
+    val best = array_min(array(cents.zipWithIndex.map { case (p, i) =>
+      struct(qCentDist2(col("__vv"), col("qvec"), p).as("d"), lit(i).as("c"))
+    }: _*))
+    q.select(col("id"), best.getField("c").as("cluster"),
+      best.getField("d").as("sq_dist"))
+  }
+
+  /** The MODEL half of [[quantizedKMeans]]: the learned centroids
+    * mapped back to the input's double space
+    * (`centroid_int × scale ÷ 127`, one multiply + one divide — IEEE-
+    * exact cross-engine) — for callers that need the codebook rather
+    * than the assignment, e.g. TRAINED PQ sub-codebooks (s20).
+    */
+  def quantizedKMeansModel(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int)(implicit cs: CacheScope): Seq[Seq[Double]] = {
+    val (_, cents, scale) = lloydTrain(df, idCol, vecCol, k, iters)
+    cents.map(_.map(ci => ci.toDouble * scale / 127.0))
+  }
+
+  /** Shared Lloyd loop: returns the persisted quantized corpus, the
+    * final INT centroids, and the quantization scale.
+    */
+  private def lloydTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int)(implicit cs: CacheScope): (DataFrame, Seq[Seq[Int]], Double) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val scale = quantScale(df, vecCol)
     val q = cs.persist(quantize(df, idCol, vecCol, scale)
@@ -921,10 +948,6 @@ object VectorSearch {
       }.toMap
       cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
     }
-    val best = array_min(array(cents.zipWithIndex.map { case (p, i) =>
-      struct(qCentDist2(col("__vv"), col("qvec"), p).as("d"), lit(i).as("c"))
-    }: _*))
-    q.select(col("id"), best.getField("c").as("cluster"),
-      best.getField("d").as("sq_dist"))
+    (q, cents, scale)
   }
 }

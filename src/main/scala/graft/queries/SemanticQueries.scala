@@ -526,6 +526,176 @@ object SemanticQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ── s20: PQ with TRAINED sub-codebooks ─────────────────────────────
+
+  /** s14's IVF-PQ with codebooks TRAINED per subspace — the round-8
+    * next-steps item that makes quantization error a function of the
+    * DATA rather than of arbitrary slice choices: each of the 4
+    * subspaces runs the s12 integer-exact Lloyd loop (k=8, 3 passes)
+    * over its 16-dim slice corpus, the learned integer centroids map
+    * back to doubles (`ci × scale ÷ 127`), and the index/search path
+    * is byte-identical to s14 with those codebooks. The oracle
+    * composes the s12 k-means replay (per subspace — quantization,
+    * seeding, two update rounds) INTO the s14 ADC replay, so the
+    * training dynamics and the search are pinned end-to-end in one
+    * hash.
+    */
+  val s20_trained_pq: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map { sub =>
+      VectorSearch.quantizedKMeansModel(
+        e.select(col("vec_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 3)
+    }
+    VectorSearch.ivfPqTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", queryIdCol = "vec_id",
+        centroids = planes, codebooks = codebooks, k = 10, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s20_sql: String =
+    s"""WITH cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+       |         CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM embeddings
+       |  WHERE vec_id > (SELECT MAX(vec_id) FROM embeddings) - 8
+       |),
+       |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |ss AS (SELECT unnest(range(4)) AS s),
+       |subs AS (
+       |  SELECT v.vec_id, ss.s, list_slice(v.vec, ss.s*16 + 1, ss.s*16 + 16) AS sub
+       |  FROM vecs v CROSS JOIN ss
+       |),
+       |scl AS (
+       |  SELECT s, MAX(list_max(list_transform(sub, x -> ABS(x)))) AS scale
+       |  FROM subs GROUP BY s
+       |),
+       |qs AS (
+       |  SELECT sb.vec_id, sb.s,
+       |         list_transform(sb.sub, x -> CAST(ROUND(x / sc.scale * 127) AS INT)) AS qvec
+       |  FROM subs sb JOIN scl sc ON sc.s = sb.s
+       |),
+       |uu AS (SELECT vec_id, s, qvec, unnest(range(1, len(qvec) + 1)) AS i FROM qs),
+       |el AS (SELECT vec_id, s, CAST(i - 1 AS INT) AS pos, qvec[i] AS val FROM uu),
+       |seeds AS (
+       |  SELECT s, vec_id, rn - 1 AS c FROM (
+       |    SELECT s, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+       |    FROM qs) t
+       |  WHERE rn <= 8
+       |),
+       |c0 AS (
+       |  SELECT sd.s, sd.c, el.pos, el.val FROM seeds sd
+       |  JOIN el ON el.vec_id = sd.vec_id AND el.s = sd.s
+       |),
+       |d1 AS (
+       |  SELECT e.vec_id, e.s, c.c,
+       |         CAST(SUM(CAST(e.val - c.val AS BIGINT) * (e.val - c.val)) AS BIGINT) AS dist
+       |  FROM el e JOIN c0 c ON c.s = e.s AND c.pos = e.pos
+       |  GROUP BY e.vec_id, e.s, c.c
+       |),
+       |a1 AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT vec_id, s, c,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+       |    FROM d1) t
+       |  WHERE rn = 1
+       |),
+       |s1 AS (
+       |  SELECT a.c, e.s, e.pos, CAST(SUM(e.val) AS BIGINT) AS sv,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM a1 a JOIN el e ON e.vec_id = a.vec_id AND e.s = a.s
+       |  GROUP BY a.c, e.s, e.pos
+       |),
+       |c1 AS (
+       |  SELECT p.s, p.c, p.pos,
+       |         COALESCE(CAST(FLOOR(CAST(x.sv AS DOUBLE) / x.n) AS INT), p.val) AS val
+       |  FROM c0 p LEFT JOIN s1 x ON x.c = p.c AND x.s = p.s AND x.pos = p.pos
+       |),
+       |d2 AS (
+       |  SELECT e.vec_id, e.s, c.c,
+       |         CAST(SUM(CAST(e.val - c.val AS BIGINT) * (e.val - c.val)) AS BIGINT) AS dist
+       |  FROM el e JOIN c1 c ON c.s = e.s AND c.pos = e.pos
+       |  GROUP BY e.vec_id, e.s, c.c
+       |),
+       |a2 AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT vec_id, s, c,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+       |    FROM d2) t
+       |  WHERE rn = 1
+       |),
+       |s2 AS (
+       |  SELECT a.c, e.s, e.pos, CAST(SUM(e.val) AS BIGINT) AS sv,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM a2 a JOIN el e ON e.vec_id = a.vec_id AND e.s = a.s
+       |  GROUP BY a.c, e.s, e.pos
+       |),
+       |c2 AS (
+       |  SELECT p.s, p.c, p.pos,
+       |         COALESCE(CAST(FLOOR(CAST(x.sv AS DOUBLE) / x.n) AS INT), p.val) AS val
+       |  FROM c1 p LEFT JOIN s2 x ON x.c = p.c AND x.s = p.s AND x.pos = p.pos
+       |),
+       |cbl AS (
+       |  SELECT cc.s, cc.c,
+       |         list((CAST(cc.val AS DOUBLE) * sc.scale) / 127.0 ORDER BY cc.pos) AS cvec
+       |  FROM c2 cc JOIN scl sc ON sc.s = cc.s
+       |  GROUP BY cc.s, cc.c
+       |),
+       |sdists AS (
+       |  SELECT sb.vec_id, sb.s, cb.c AS j,
+       |         list_inner_product(sb.sub, sb.sub)
+       |           - 2.0 * list_inner_product(sb.sub, cb.cvec)
+       |           + list_inner_product(cb.cvec, cb.cvec) AS d
+       |  FROM subs sb JOIN cbl cb ON cb.s = sb.s
+       |),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+       |    FROM sdists) t
+       |  WHERE rn = 1
+       |),
+       |cdists AS (
+       |  SELECT v.vec_id, c.j,
+       |         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |           ORDER BY list_inner_product(v.vec, v.vec)
+       |                    - 2.0 * list_inner_product(v.vec, c.cvec)
+       |                    + list_inner_product(c.cvec, c.cvec) ASC, c.j ASC) AS rn
+       |  FROM vecs v CROSS JOIN cents c
+       |),
+       |assign AS (SELECT vec_id, j AS cell FROM cdists WHERE rn = 1),
+       |probes AS (SELECT vec_id, j AS cell FROM cdists WHERE rn <= 2 AND vec_id < 5),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |),
+       |qd AS (SELECT vec_id AS query_id, s, j, d FROM sdists WHERE vec_id < 5),
+       |parts AS (
+       |  SELECT cd.query_id, cd.id, co.s, q.d
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.id
+       |  JOIN qd q ON q.query_id = cd.query_id AND q.s = co.s AND q.j = co.code
+       |),
+       |scores AS (
+       |  SELECT query_id, id,
+       |         ((MAX(CASE WHEN s = 0 THEN d END)
+       |           + MAX(CASE WHEN s = 1 THEN d END))
+       |           + MAX(CASE WHEN s = 2 THEN d END))
+       |           + MAX(CASE WHEN s = 3 THEN d END) AS dist
+       |  FROM parts GROUP BY query_id, id
+       |)
+       |SELECT query_id, rank, id FROM (
+       |  SELECT query_id, id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+       |  FROM scores) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
@@ -533,7 +703,8 @@ object SemanticQueries {
     "s13_pq_ann" -> s13_pq_ann,
     "s14_ivf_pq" -> s14_ivf_pq,
     "s15_ann_index_store" -> s15_ann_index_store,
-    "s16_ivf_pq_residual" -> s16_ivf_pq_residual)
+    "s16_ivf_pq_residual" -> s16_ivf_pq_residual,
+    "s20_trained_pq" -> s20_trained_pq)
 
   val oracles: Map[String, String] = Map(
     "d27_semantic_dedup" -> d27_sql,
@@ -542,5 +713,6 @@ object SemanticQueries {
     "s13_pq_ann" -> s13_sql,
     "s14_ivf_pq" -> s14_sql,
     "s15_ann_index_store" -> s14_sql,
-    "s16_ivf_pq_residual" -> s16_sql)
+    "s16_ivf_pq_residual" -> s16_sql,
+    "s20_trained_pq" -> s20_sql)
 }
