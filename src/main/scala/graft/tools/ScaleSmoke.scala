@@ -415,6 +415,39 @@ object ScaleSmoke {
         println(s"[scale]   result rows: ${graft.operators.VectorSearch
           .pqTopK(corpus, queries, "id", "v", "id", codebooks, k = 10).count()}")
       }
+
+      // s18's filter-aware probing at the same tier: a ~2% predicate
+      // over an IVF-PQ-encoded corpus, vs the probe-everything
+      // baseline. MEASURED VERDICT (recorded in COVERAGE): at 8
+      // coarse cells the baseline wins on wall time — scanning 100%
+      // of a 10k-row filtered index is trivial, and the adaptive
+      // machinery's extra tiny-stage latency (~0.6 s of survivor agg
+      // + cum-sum + depth join) buys nothing. The adaptive path's
+      // regime is MANY cells (1k+ at real scale), where
+      // probe-everything degenerates to a full index scan per query
+      // and candidate-volume reduction is the whole game. The smoke
+      // keeps both numbers so that claim stays falsifiable.
+      val centroids = {
+        val rows = corpus.filter(col("id") >= n - 16 && col("id") < n - 8)
+          .orderBy(col("id")).select(col("v")).collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
+        rows
+      }
+      val encoded = graft.operators.VectorSearch.encodeIvfPq(
+        corpus, "id", "v", centroids, codebooks).persist()
+      encoded.count()
+      val encodedF = encoded.filter(col("id") % 47 === 0) // ~2% survive
+      time(s"s18 filter-aware IVF-PQ top-10, $n vectors, ~2% predicate") {
+        println(s"[scale]   result rows: ${graft.operators.VectorSearch
+          .searchIvfPqFiltered(encodedF, queries, "id", "v",
+            centroids, codebooks, k = 10).count()}")
+      }
+      time(s"probe-everything baseline (nProbe = ${centroids.size})") {
+        println(s"[scale]   result rows: ${graft.operators.VectorSearch
+          .searchIvfPq(encodedF, queries, "id", "v", centroids, codebooks,
+            k = 10, nProbe = centroids.size, excludeSelf = false).count()}")
+      }
+      encoded.unpersist()
       corpus.unpersist()
     }
   }
