@@ -151,6 +151,10 @@ class TableCatalog(spark: SparkSession, root: String) {
     */
   def commitAllWith(snapshots: Map[String, DataFrame],
       morDeltas: Map[String, DataFrame], commitTsMillis: Long): Long = {
+    val both = snapshots.keySet.intersect(morDeltas.keySet)
+    require(both.isEmpty,
+      s"tables $both appear as BOTH snapshot and MoR member — readAt " +
+        "would silently prefer the snapshot and shadow the member")
     val staged = stage(snapshots)
     val morStaged = morDeltas.map { case (t, df) =>
       val store = morStore(t, morKeys(t))
