@@ -28,13 +28,27 @@ object PqRecallProbe {
         df.select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1))
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
       val exact = sets(VectorSearch.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", 10))
-      def overlap(books: Seq[Seq[Seq[Double]]]) = {
-        val got = sets(VectorSearch.ivfPqTopK(e, q, "vec_id", "embedding", "vec_id",
-          planes, books, 10, 2))
+      def overlap(books: Seq[Seq[Seq[Double]]], residual: Boolean = false) = {
+        val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
+          planes, books, residual = residual)
+        val got = sets(VectorSearch.searchIvfPq(enc, q, "vec_id", "embedding",
+          planes, books, 10, 2, residual = residual))
         exact.keys.toSeq.map(k => (got.getOrElse(k, Set.empty[Long]) & exact(k)).size).sum.toDouble /
           (exact.size * 10)
       }
-      println(f"$dir slice=${overlap(sliceBooks)}%.2f trained=${overlap(trainedBooks)}%.2f")
+      val centsLit = typedLit(planes.map(_.toArray).toArray)
+      val resid = VectorSearch.assignCells(e, "vec_id", "embedding", planes)
+        .select(col("id").as("vec_id"),
+          zip_with(col("__vec").cast("array<double>"),
+            element_at(centsLit, col("cell") + 1), (a, b) => a - b).as("embedding"))
+      val residBooks = (0 until 4).map { sub =>
+        VectorSearch.quantizedKMeansModel(
+          resid.select(col("vec_id"), slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+          "vec_id", "embedding", k = 8, iters = 3)
+      }
+      println(f"$dir slice=${overlap(sliceBooks)}%.2f trained=${overlap(trainedBooks)}%.2f " +
+        f"residual-slice=${overlap(sliceBooks, residual = true)}%.2f " +
+        f"residual-trained=${overlap(residBooks, residual = true)}%.2f")
     }
     spark.stop()
   }
