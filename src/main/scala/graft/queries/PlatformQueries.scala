@@ -944,12 +944,122 @@ object PlatformQueries {
       |FROM live GROUP BY user_id % 10
       |ORDER BY band""".stripMargin
 
+  // ───────────────────────────── q51: funnel analysis
+
+  /** Ordered-sequence FUNNEL — the windowFunnel-style product
+    * analytics every event warehouse ships: per user, the strictly
+    * ordered first-completion chain view → click → purchase, counted
+    * at the deepest stage reached within 24 h of the first view.
+    * Shape: three staged per-user aggregates chained by joins, all
+    * shuffled on the ONE user key (no windows over the event stream,
+    * no self-join explosion — each stage is a conditional MIN); the
+    * oracle replays the same staged minima.
+    */
+  val q51_funnel: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val u2 = ev.filter(col("event_type") === "click")
+      .join(u1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), first(col("t1")).as("t1"))
+    val u3 = ev.filter(col("event_type") === "purchase")
+      .join(u2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"),
+        first(col("t1")).as("t1"), first(col("t2")).as("t2"))
+    val allUsers = ev.select(col("user_id")).distinct()
+    val depth = allUsers
+      .join(u1.select(col("user_id"), col("t1")), Seq("user_id"), "left")
+      .join(u2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(u3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .withColumn("depth",
+        when(col("t3").isNotNull &&
+          col("t3") <= col("t1") + expr("INTERVAL 24 HOURS"), 3)
+        .when(col("t2").isNotNull &&
+          col("t2") <= col("t1") + expr("INTERVAL 24 HOURS"), 2)
+        .when(col("t1").isNotNull, 1)
+        .otherwise(0))
+    depth.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  val q51_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), u1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view'
+      |  GROUP BY user_id
+      |), u2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(u1.t1) AS t1
+      |  FROM ev e JOIN u1 ON u1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+      |  GROUP BY e.user_id
+      |), u3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3, MIN(u2.t1) AS t1, MIN(u2.t2) AS t2
+      |  FROM ev e JOIN u2 ON u2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+      |  GROUP BY e.user_id
+      |), d AS (
+      |  SELECT a.user_id,
+      |    CASE WHEN u3.t3 IS NOT NULL
+      |              AND u3.t3 <= u1.t1 + INTERVAL 24 HOUR THEN 3
+      |         WHEN u2.t2 IS NOT NULL
+      |              AND u2.t2 <= u1.t1 + INTERVAL 24 HOUR THEN 2
+      |         WHEN u1.t1 IS NOT NULL THEN 1
+      |         ELSE 0 END AS depth
+      |  FROM (SELECT DISTINCT user_id FROM ev) a
+      |  LEFT JOIN u1 ON u1.user_id = a.user_id
+      |  LEFT JOIN u2 ON u2.user_id = a.user_id
+      |  LEFT JOIN u3 ON u3.user_id = a.user_id
+      |)
+      |SELECT CAST(depth AS INT) AS depth, COUNT(*) AS n_users
+      |FROM d GROUP BY depth
+      |ORDER BY depth""".stripMargin
+
+  // ───────────────────────────── q52: retention cohorts
+
+  /** Cohort RETENTION — the week-over-week activity matrix: users
+    * cohorted by their first-activity week, counted per
+    * (cohort, offset) cell. Weeks are integer 7-day buckets from a
+    * fixed epoch (engine week-boundary conventions never enter).
+    * Two user-keyed shuffles: distinct (user, week), then the
+    * first-week aggregate joined back.
+    */
+  val q52_cohort_retention: Q = (s, dir) => {
+    val wk = (datediff(col("ts").cast("date"), lit("2024-01-01")) / 7)
+      .cast("long")
+    val uw = Tables(s, dir, "events")
+      .select(col("user_id"), wk.as("wk")).distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  val q52_sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      |  FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+      |)
+      |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+      |       COUNT(DISTINCT uw.user_id) AS n_users
+      |FROM uw JOIN cohort c ON c.user_id = uw.user_id
+      |GROUP BY c.cohort_wk, uw.wk - c.cohort_wk
+      |ORDER BY cohort_wk, week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
     "w18_cdc_dlq" -> w18_cdc_dlq,
     "w19_dlq_replay" -> w19_dlq_replay,
     "w20_mor_evolution" -> w20_mor_evolution,
+    "q51_funnel" -> q51_funnel,
+    "q52_cohort_retention" -> q52_cohort_retention,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -965,6 +1075,8 @@ object PlatformQueries {
     "w18_cdc_dlq" -> w18_sql,
     "w19_dlq_replay" -> w19_sql,
     "w20_mor_evolution" -> w20_sql,
+    "q51_funnel" -> q51_sql,
+    "q52_cohort_retention" -> q52_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
