@@ -1052,6 +1052,69 @@ object PlatformQueries {
       |GROUP BY c.cohort_wk, uw.wk - c.cohort_wk
       |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  // ───────────────────────────── q53: resample + linear interpolation
+
+  /** Time-series RESAMPLING to a fixed grid with linear
+    * interpolation — the gap-filling sibling of q41's forward fill
+    * (sensor/metrics pipelines interpolate, not repeat). Per user,
+    * consecutive event pairs form value intervals (one LEAD window on
+    * the user key); the daily grid joins into its covering interval
+    * and interpolates in INTEGER micros/cents arithmetic with
+    * explicit floor division (`(a − pmod(a, b)) div b` ≡ DuckDB's
+    * `//` — truncating `div` would disagree on negative slopes).
+    * Output: per grid day, users covered and the interpolated sum.
+    */
+  val q53_resample_interpolate: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("tus"))
+      .agg(min(col("cents")).as("cents")) // dedup equal-ts events deterministically
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+    val iv = ev
+      .withColumn("t2", lead(col("tus"), 1).over(w))
+      .withColumn("v2", lead(col("cents"), 1).over(w))
+      .filter(col("t2").isNotNull)
+    val epoch = to_timestamp(lit("2024-01-01 00:00:00"))
+    val grid = s.range(30).select(col("id").as("day"),
+      (unix_micros(epoch) + col("id") * 86400000000L).as("gus"))
+    val interp = iv.join(grid,
+        col("gus") >= col("tus") && col("gus") < col("t2"))
+      .withColumn("num", (col("v2") - col("cents")) * (col("gus") - col("tus")))
+      .withColumn("den", col("t2") - col("tus"))
+      .withColumn("ival", col("cents") + expr("num div den"))
+    interp.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"), sum(col("ival")).as("sum_interp"))
+      .orderBy(col("day"))
+  }
+
+  val q53_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |         MIN(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      |  FROM events
+      |  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+      |), iv AS (
+      |  SELECT user_id, tus, cents,
+      |         LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus) AS t2,
+      |         LEAD(cents) OVER (PARTITION BY user_id ORDER BY tus) AS v2
+      |  FROM ev
+      |  QUALIFY t2 IS NOT NULL
+      |), grid AS (
+      |  SELECT CAST(d AS BIGINT) AS day,
+      |         epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+      |           + CAST(d AS BIGINT) * 86400000000 AS gus
+      |  FROM (SELECT unnest(range(30)) AS d)
+      |), interp AS (
+      |  SELECT g.day,
+      |         iv.cents + ((iv.v2 - iv.cents) * (g.gus - iv.tus)) // (iv.t2 - iv.tus) AS ival
+      |  FROM iv JOIN grid g ON g.gus >= iv.tus AND g.gus < iv.t2
+      |)
+      |SELECT day, COUNT(*) AS n_users, CAST(SUM(ival) AS BIGINT) AS sum_interp
+      |FROM interp GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
@@ -1060,6 +1123,7 @@ object PlatformQueries {
     "w20_mor_evolution" -> w20_mor_evolution,
     "q51_funnel" -> q51_funnel,
     "q52_cohort_retention" -> q52_cohort_retention,
+    "q53_resample_interpolate" -> q53_resample_interpolate,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -1077,6 +1141,7 @@ object PlatformQueries {
     "w20_mor_evolution" -> w20_sql,
     "q51_funnel" -> q51_sql,
     "q52_cohort_retention" -> q52_sql,
+    "q53_resample_interpolate" -> q53_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
