@@ -1115,6 +1115,65 @@ object PlatformQueries {
       |FROM interp GROUP BY day
       |ORDER BY day""".stripMargin
 
+  // ───────────────────────────── v26: bitemporal report
+
+  /** BITEMPORAL analytics — EVENT time × SYSTEM time, the audit
+    * question every warehouse correction raises: "what did January's
+    * totals look like AS THE SYSTEM KNEW THEM at T, vs now?" Three
+    * snapshot generations of an orders extract land at system times
+    * 1000/2000/3000 (the later two apply price corrections to
+    * slices); the report buckets by ORDER month (event time) and
+    * reads the SAME buckets through two system-time travel points
+    * ([[graft.sources.SnapshotStore.asOf]]), surfacing per-month
+    * drift. The oracle recomputes both system-time states from the
+    * correction rules — a time-travel read that leaks a later
+    * correction into the earlier cut breaks the drift column.
+    */
+  val v26_bitemporal: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-bitemporal")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.SnapshotStore(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    st.commit(orders, 1000L)
+    st.commit(orders.withColumn("cents",
+      when(col("k") % 7 === 0, col("cents") + 100L).otherwise(col("cents"))), 2000L)
+    st.commit(orders.withColumn("cents",
+      when(col("k") % 7 === 0, col("cents") + 100L).otherwise(col("cents")))
+      .withColumn("cents",
+        when(col("k") % 11 === 0, col("cents") - 50L).otherwise(col("cents"))), 3000L)
+    def byMonth(df: DataFrame, name: String) =
+      df.groupBy(col("ym")).agg(sum(col("cents")).as(name))
+    byMonth(st.asOf(2000L), "cents_asof")
+      .join(byMonth(st.asOf(999999L), "cents_now"), "ym")
+      .withColumn("drift", col("cents_now") - col("cents_asof"))
+      .orderBy(col("ym"))
+  }
+
+  val v26_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |         YEAR(CAST(o_orderdate AS DATE)) * 100
+      |           + MONTH(CAST(o_orderdate AS DATE)) AS ym,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), snap2 AS (
+      |  SELECT ym, SUM(CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END) AS cents_asof
+      |  FROM o GROUP BY ym
+      |), now_ AS (
+      |  SELECT ym, SUM(CASE WHEN k % 11 = 0 THEN c2 - 50 ELSE c2 END) AS cents_now
+      |  FROM (SELECT ym, k,
+      |          CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS c2 FROM o) t
+      |  GROUP BY ym
+      |)
+      |SELECT ym, CAST(cents_asof AS BIGINT) AS cents_asof,
+      |       CAST(cents_now AS BIGINT) AS cents_now,
+      |       CAST(cents_now - cents_asof AS BIGINT) AS drift
+      |FROM snap2 JOIN now_ USING (ym)
+      |ORDER BY ym""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
@@ -1124,6 +1183,7 @@ object PlatformQueries {
     "q51_funnel" -> q51_funnel,
     "q52_cohort_retention" -> q52_cohort_retention,
     "q53_resample_interpolate" -> q53_resample_interpolate,
+    "v26_bitemporal" -> v26_bitemporal,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -1142,6 +1202,7 @@ object PlatformQueries {
     "q51_funnel" -> q51_sql,
     "q52_cohort_retention" -> q52_sql,
     "q53_resample_interpolate" -> q53_sql,
+    "v26_bitemporal" -> v26_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
