@@ -1174,6 +1174,61 @@ object PlatformQueries {
       |FROM snap2 JOIN now_ USING (ym)
       |ORDER BY ym""".stripMargin
 
+  // ───────────────────────────── w21: right-to-be-forgotten sweep
+
+  /** User-level HARD DELETE across every place data rests — the
+    * GDPR/erasure sweep a training-data platform must actually run:
+    * the user's live rows take CDC deletes (O(their rows), no table
+    * rewrite — MoR is what makes erasure cheap), and their
+    * QUARANTINED rows are physically purged from the DLQ
+    * ([[graft.sources.MorStore.purgeDlq]] — deleting a user from the
+    * live table while their raw rows sit readable in the quarantine
+    * area is not deletion). The query require-guards zero residuals
+    * in both places, then reports the post-erasure per-band totals;
+    * the oracle recomputes them from raw events minus the user — a
+    * leftover row anywhere shifts a band and fails the hash.
+    */
+  val w21_forget_user: Q = (s, dir) => {
+    val target = 7L
+    val root = java.nio.file.Files.createTempDirectory("graft-forget")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("event_id"))
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    st.commitBase(ev.filter(col("event_id") % 3 === 0), -1L)
+    val delta = ev.filter(col("event_id") % 3 === 1).withColumn("__op", lit("U"))
+      .unionByName(ev.filter(col("event_id") % 3 === 2 && col("event_id") % 7 === 0)
+        .withColumn("__op", lit("X"))) // poison -> DLQ (some rows are the target's)
+    st.commitDeltaLenient(delta, 0L)
+    // the sweep: delete the target's live keys, purge their DLQ rows
+    val dels = st.read().filter(col("user_id") === target)
+      .withColumn("__op", lit("D"))
+    st.commitDelta(dels, 1L)
+    st.purgeDlq(col("user_id") === target)
+    require(st.read().filter(col("user_id") === target).isEmpty,
+      "live residual rows survived the erasure")
+    require(st.readDlq().filter(col("user_id") === target).isEmpty,
+      "quarantined residual rows survived the erasure")
+    st.read()
+      .groupBy((col("user_id") % 10).as("band"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("band"))
+  }
+
+  val w21_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), live AS (
+      |  SELECT * FROM ev
+      |  WHERE (event_id % 3 = 0 OR event_id % 3 = 1) AND user_id <> 7
+      |)
+      |SELECT user_id % 10 AS band, COUNT(*) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM live GROUP BY user_id % 10
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s19_hybrid_rrf" -> s19_hybrid_rrf,
     "q50_reach_depth" -> q50_reach_depth,
@@ -1184,6 +1239,7 @@ object PlatformQueries {
     "q52_cohort_retention" -> q52_cohort_retention,
     "q53_resample_interpolate" -> q53_resample_interpolate,
     "v26_bitemporal" -> v26_bitemporal,
+    "w21_forget_user" -> w21_forget_user,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
@@ -1203,6 +1259,7 @@ object PlatformQueries {
     "q52_cohort_retention" -> q52_sql,
     "q53_resample_interpolate" -> q53_sql,
     "v26_bitemporal" -> v26_sql,
+    "w21_forget_user" -> w21_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,

@@ -168,6 +168,36 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     spark.read.option("mergeSchema", "true").parquet(d.toString)
   }
 
+  /** Physically REMOVE DLQ rows matching `pred` — the quarantine area
+    * holds raw quarantined data, so a right-to-be-forgotten sweep
+    * must reach it too (deleting a user from the live table while
+    * their rows sit readable in `_dlq` is not deletion). Each batch
+    * partition is rewritten without the matching rows via a
+    * temp-and-swap (a crash mid-purge leaves either the old or the
+    * new complete partition, never a torn one). Returns the number of
+    * rows removed.
+    */
+  def purgeDlq(pred: org.apache.spark.sql.Column): Long = {
+    val d = new Path(root, "_dlq")
+    require(fs.exists(d), s"no DLQ at $root")
+    var removed = 0L
+    fs.listStatus(d).filter(_.getPath.getName.startsWith("ts=")).foreach { st =>
+      val part = st.getPath
+      val cur = spark.read.parquet(part.toString)
+      val hits = cur.filter(pred).count()
+      if (hits > 0) {
+        removed += hits
+        val keep = cur.filter(!pred)
+        val tmp = new Path(d, s".${part.getName}.purging")
+        fs.delete(tmp, true)
+        keep.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(part, true)
+        require(fs.rename(tmp, part), s"DLQ purge swap failed for $part")
+      }
+    }
+    removed
+  }
+
   private def commit(df: DataFrame, ts: Long, kind: String,
       validateDelta: Boolean = false, allowEvolution: Boolean = false): Long = {
     val g = generations().lastOption.map(_._1 + 1).getOrElse(0L)
