@@ -112,4 +112,58 @@ object BpeInduction {
           length(col("word")))).cast("long").as("n_subwords"),
         sum(when(col("__n_syms").isNull, 1L).otherwise(0L)).as("n_oov_words"))
   }
+
+  /** Deterministic symbol → token-id table for a trained vocab: every
+    * subword symbol the training produced PLUS every single character
+    * of the training words (so an OOV word whose characters all
+    * appeared at train time — even fully merged away, like the 'h'
+    * inside a learned "th" — still round-trips to known ids), sorted,
+    * ids dense from 1. Id 0 is reserved for characters never seen at
+    * train time (the <unk> of this tokenizer).
+    */
+  def symbolization(vocab: Seq[SymWord]): Seq[(String, Int)] = {
+    val syms = (vocab.flatMap(_.syms) ++
+      vocab.flatMap(_.word.map(_.toString))).distinct.sorted
+    syms.zipWithIndex.map { case (sym, i) => (sym, i + 1) }
+  }
+
+  /** Per-document TOKEN-ID SEQUENCE under a trained vocab — what a
+    * training-data pipeline actually ships to the trainer, where
+    * [[tokenCounts]] only budgets. Same 100 TB shape as the counts
+    * path: the corpus explodes to positioned words, the Zipf-bounded
+    * (word → id-array) table BROADCASTS, and the per-doc sequence
+    * reassembles with one aggregation — no per-row merge loop. OOV
+    * words expand character-by-character through the symbolization (a
+    * literal map column; unknown characters are id 0). The sequence
+    * is emitted as an order-sensitive digest (`n_tokens`, md5 of the
+    * space-joined ids) so the result stays one row per document while
+    * still pinning every id at every position.
+    */
+  def tokenIdSequences(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[SymWord]): DataFrame = {
+    val symId = symbolization(vocab).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vtab = broadcast(
+      vocab.map(sw => (sw.word, sw.syms.map(symId))).toDF("word", "__ids"))
+    val charKeys = symId.keys.filter(_.length == 1).toSeq.sorted
+    val charMap = map_from_arrays(
+      array(charKeys.map(lit): _*),
+      array(charKeys.map(k => lit(symId(k))): _*))
+    df.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
+      .join(vtab, Seq("word"), "left")
+      // split-on-empty keeps a trailing "" (Pattern.split limit -1) —
+      // filter it, or every OOV word would grow a spurious id-0 token
+      .withColumn("__wids", coalesce(col("__ids"),
+        transform(filter(split(col("word"), ""), c => c =!= ""),
+          c => coalesce(element_at(charMap, c), lit(0)))))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("__wids")))).as("__ws"))
+      .select(col("id"), flatten(col("__ws.__wids")).as("__toks"))
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(col("__toks"), t => t.cast("string")))).as("seq_md5"))
+  }
 }

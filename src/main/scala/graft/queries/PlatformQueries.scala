@@ -103,6 +103,67 @@ object PlatformQueries {
       |GROUP BY w.lang
       |ORDER BY w.lang""".stripMargin
 
+  // ───────────────────────────── t21: BPE token-id sequences
+
+  /** Per-document TOKEN-ID SEQUENCES under the d43 tokenizer — the
+    * artifact a training pipeline actually ships (d43 only budgets
+    * counts). One row per document: token count + an order-sensitive
+    * md5 of the space-joined ids, so the oracle pins EVERY id at
+    * EVERY position while the result stays document-sized. The
+    * symbolization ([[BpeInduction.symbolization]]) ids every learned
+    * subword plus every training character (OOV fallback); unknown
+    * characters are id 0. Same plan shape as d43: vocab broadcast,
+    * corpus exploded once, one aggregate.
+    */
+  val t21_bpe_sequences: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    BpeInduction.tokenIdSequences(docs, "doc_id", "text", trainedVocab(s))
+      .orderBy(col("id"))
+  }
+
+  /** VALUES blocks regenerated by `runMain graft.tools.BpeVocabDump`
+    * (the id-sequence table and the per-character CASE arms are pure
+    * functions of [[BpeTrainCorpus]] + k).
+    */
+  val t21_sql: String =
+    """WITH vocab(word, ids) AS (
+      |  VALUES ('agg', '3'), ('batch', '7'), ('column', '9'), ('data', '11'),
+      |    ('fast', '17 5'), ('filter', '17 20 24 37 14'),
+      |    ('group', '18 34 27 39 31'), ('hash', '19 4'), ('join', '22 27 21'),
+      |    ('key', '23 12 42'), ('line', '24 21 12'), ('merge', '25 15'),
+      |    ('order', '29'), ('part', '32 37'), ('query', '33 39 16'),
+      |    ('scan', '36'), ('slow', '35 24 30'), ('sort', '35 28 37'),
+      |    ('spark', '35 32 23'), ('stream', '35 37 34 13'), ('table', '37 2'),
+      |    ('the', '38'), ('window', '41')
+      |), docs AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM documents
+      |), words AS (
+      |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS pos
+      |  FROM docs WHERE len(ws) > 0
+      |), wids AS (
+      |  SELECT w.doc_id, w.pos,
+      |    COALESCE(v.ids, array_to_string(
+      |      list_transform(range(1, length(w.word) + 1),
+      |        i -> CAST(CASE substr(w.word, CAST(i AS INTEGER), 1)
+      |          WHEN 'a' THEN 1 WHEN 'b' THEN 6 WHEN 'c' THEN 8
+      |          WHEN 'd' THEN 10 WHEN 'e' THEN 12 WHEN 'f' THEN 17
+      |          WHEN 'g' THEN 18 WHEN 'h' THEN 19 WHEN 'i' THEN 20
+      |          WHEN 'j' THEN 22 WHEN 'k' THEN 23 WHEN 'l' THEN 24
+      |          WHEN 'm' THEN 25 WHEN 'n' THEN 26 WHEN 'o' THEN 27
+      |          WHEN 'p' THEN 31 WHEN 'q' THEN 33 WHEN 'r' THEN 34
+      |          WHEN 's' THEN 35 WHEN 't' THEN 37 WHEN 'u' THEN 39
+      |          WHEN 'w' THEN 40 WHEN 'y' THEN 42
+      |          ELSE 0 END AS VARCHAR)), ' ')) AS ids
+      |  FROM words w LEFT JOIN vocab v ON v.word = w.word
+      |)
+      |SELECT doc_id AS id,
+      |  CAST(SUM(len(string_split(ids, ' '))) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(ids, ' ' ORDER BY pos)) AS seq_md5
+      |FROM wids GROUP BY doc_id ORDER BY id""".stripMargin
+
   // ───────────────────────────── w16: MoR member in a catalog cut
 
   /** A CDC fact table on MERGE-ON-READ cost inside a MULTI-TABLE
@@ -1244,6 +1305,7 @@ object PlatformQueries {
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
+    "t21_bpe_sequences" -> t21_bpe_sequences,
     "w16_mor_catalog" -> w16_mor_catalog,
     "v23_fileskip_range" -> v23_fileskip_range,
     "q49_graph_closure" -> q49_graph_closure,
@@ -1264,6 +1326,7 @@ object PlatformQueries {
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
     "d43_bpe_tokenize" -> d43_sql,
+    "t21_bpe_sequences" -> t21_sql,
     "w16_mor_catalog" -> w16_sql,
     "v23_fileskip_range" -> v23_sql,
     "q49_graph_closure" -> q49_sql,

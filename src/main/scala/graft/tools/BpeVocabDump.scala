@@ -23,9 +23,18 @@ object BpeVocabDump {
       k = PlatformQueries.BpeMerges)
     println(s"-- merges learned: ${merges.size}")
     merges.foreach(m => println(s"--   ${m.left} + ${m.right} (${m.pairCount})"))
-    val rows = vocab.collect().sortBy(_.word)
-      .map(sw => s"('${sw.word}', ${sw.syms.size})")
+    val vseq = vocab.collect().sortBy(_.word)
+    val rows = vseq.map(sw => s"('${sw.word}', ${sw.syms.size})")
     println("VALUES " + rows.mkString(", "))
+    // t21 blocks: the symbolized (word -> id sequence) table and the
+    // per-character CASE arms for the oracle's OOV expansion
+    val symId = BpeInduction.symbolization(vseq.toSeq).toMap
+    println("-- t21 vocab(word, ids):")
+    println("VALUES " + vseq.map(sw =>
+      s"('${sw.word}', '${sw.syms.map(symId).mkString(" ")}')").mkString(", "))
+    println("-- t21 char CASE arms:")
+    println(symId.filter(_._1.length == 1).toSeq.sortBy(_._1)
+      .map { case (c, i) => s"WHEN '$c' THEN $i" }.mkString(" "))
     spark.stop()
   }
 }

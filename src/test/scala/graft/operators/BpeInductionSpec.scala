@@ -99,6 +99,41 @@ class BpeInductionSpec extends AnyFunSuite {
     assert(got(1) == (2L, 2L, 4L, 1L))
   }
 
+  test("tokenIdSequences: sequence digest decodes, length ≡ tokenCounts, OOV chars id") {
+    import spark.implicits._
+    val train = Seq("low low lower lowest", "low low newest newest").toDF("text")
+    val (_, vocab) = BpeInduction.train(train, "text", k = 3)
+    val vseq = vocab.collect().toSeq
+    val symId = BpeInduction.symbolization(vseq).toMap
+    // every training character keeps an id even when merged away in
+    // every word (the 'h'-inside-"th" case from the scaladoc)
+    "lowernst".foreach(c => assert(symId.contains(c.toString)))
+    val docs = Seq((1L, "low lower"), (2L, "zzz low"), (3L, "  ")).toDF("doc_id", "text")
+    val got = BpeInduction.tokenIdSequences(docs, "doc_id", "text", vseq)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // expected sequences from the spec'd merge list (l,o)(lo,w)(e,s):
+    //   low -> [low]; lower -> [low, e, r]; zzz (OOV, z unseen) -> [0,0,0]
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seq1 = Seq(symId("low"), symId("low"), symId("e"), symId("r"))
+    assert(got(0) == (1L, 4L, md5(seq1.mkString(" "))))
+    val seq2 = Seq(0, 0, 0, symId("low"))
+    assert(got(1) == (2L, 4L, md5(seq2.mkString(" "))))
+    // whitespace-only doc vanishes (no tokens), same as the oracle
+    assert(got.length == 2)
+    // cross-implementation invariant: sequence length ≡ budget counts
+    val docs2 = (1L to 30L).map(i =>
+      (i, Seq("low", "lower", "zzz", "newest", "qx").take((i % 5 + 1).toInt)
+        .mkString(" "))).toDF("doc_id", "text")
+    val counts = BpeInduction.tokenCounts(docs2, "doc_id", "text", vocab)
+      .select("id", "n_subwords")
+    val seqs = BpeInduction.tokenIdSequences(docs2, "doc_id", "text", vseq)
+      .select($"id", $"n_tokens")
+    assert(counts.join(seqs, "id")
+      .filter($"n_subwords" =!= $"n_tokens").count() == 0L)
+  }
+
   test("exhaustion: single-char words stop the loop early") {
     import spark.implicits._
     val (merges, _) = BpeInduction.train(
