@@ -672,6 +672,69 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── v27: zero-copy clone lifecycle
+
+  /** Zero-copy CLONE ([[graft.sources.TableCatalog.cloneTable]]) —
+    * the O(1)-metadata table copy every warehouse ships (dev
+    * snapshots, experiment branches) and the one operation where a
+    * copy at 100 TB is a pointer or nothing. Lifecycle under the
+    * gate: src commits half of orders → `dst` clones it (require:
+    * NO data directory materializes) → src rewrites to the full
+    * table (the clone must not move) → dst diverges with its own
+    * write → vacuum(keepLast=2) drops the pre-clone cut but must PIN
+    * src's old version directory, which only the kept clone
+    * reference still needs. The output reads the clone at the
+    * pre-divergence cut, the diverged clone, and the rewritten
+    * source; the oracle recomputes all three slices from raw orders
+    * — a clone that drifted with its source, a divergence that leaked
+    * into the source, or a vacuum that reclaimed the pinned version
+    * all break the hash.
+    */
+  val v27_zero_copy_clone: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-clone")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cat.commitAll(Map("src" -> orders.filter(col("k") % 2 === 0)), 1000L)
+    val g1 = cat.cloneTable("src", "dst", 2000L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "tables/dst")),
+      "clone materialized a data directory — not zero-copy")
+    val g2 = cat.commitAll(Map("src" -> orders), 3000L)
+    val g3 = cat.commitAll(Map("dst" -> orders.filter(col("k") % 2 === 1)), 4000L)
+    cat.vacuum(keepLast = 2) // drops g0, g1; keeps g2 (dst = clone), g3
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "tables/src/v=0")),
+      "vacuum reclaimed the version only the kept clone references")
+    def slice(df: DataFrame, which: String) = df.groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("which", lit(which))
+    slice(cat.readAt(g2, "dst"), "clone")
+      .unionByName(slice(cat.readAt(g3, "dst"), "diverged"))
+      .unionByName(slice(cat.readAt(g3, "src"), "source"))
+      .select(col("which"), col("st"), col("n"), col("cents"))
+      .orderBy(col("which"), col("st"))
+  }
+
+  val v27_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'clone' AS which, st, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM o WHERE k % 2 = 0 GROUP BY st
+      |UNION ALL
+      |SELECT 'diverged', st, COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |FROM o WHERE k % 2 = 1 GROUP BY st
+      |UNION ALL
+      |SELECT 'source', st, COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |FROM o GROUP BY st
+      |ORDER BY which, st""".stripMargin
+
   // ───────────────────────────── q50: BFS depth (shortest-hop layers)
 
   /** Shortest-hop DEPTH from [[graft.operators.Reachability]] — the
@@ -1302,6 +1365,7 @@ object PlatformQueries {
     "v26_bitemporal" -> v26_bitemporal,
     "w21_forget_user" -> w21_forget_user,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
+    "v27_zero_copy_clone" -> v27_zero_copy_clone,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
@@ -1323,6 +1387,7 @@ object PlatformQueries {
     "v26_bitemporal" -> v26_sql,
     "w21_forget_user" -> w21_sql,
     "v25_catalog_vacuum" -> v25_sql,
+    "v27_zero_copy_clone" -> v27_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
     "d43_bpe_tokenize" -> d43_sql,

@@ -85,23 +85,65 @@ class TableCatalog(spark: SparkSession, root: String) {
     */
   private[graft] def publish(
       staged: Map[String, Long], commitTsMillis: Long,
-      morStaged: Map[String, Long] = Map.empty): Long = {
+      morStaged: Map[String, Long] = Map.empty,
+      cloned: Map[String, (String, Long)] = Map.empty): Long = {
     val prev = latestGeneration()
     val g = prev.map(_ + 1).getOrElse(0L)
-    val versions = prev.map(tableVersions).getOrElse(Map.empty) ++ staged
+    val versions = prev.map(tableVersions).getOrElse(Map.empty) ++ staged ++
+      cloned.map { case (t, (_, v)) => t -> v }
     val morVs = prev.map(morVersions).getOrElse(Map.empty) ++ morStaged
+    // location indirection: a CLONE's data lives under its SOURCE's
+    // physical directory; a staged (freshly written) table always
+    // lives under its own name, so a post-clone write resets the entry
+    val locs = (prev.map(tableLocations).getOrElse(Map.empty) --
+      staged.keys) ++ cloned.map { case (t, (src, _)) => t -> src }
     def jsonMap(m: Map[String, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":$v""" }.mkString(",")
+    def jsonStrMap(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
+      .map { case (t, v) => s""""$t":"$v"""" }.mkString(",")
     fs.mkdirs(catDir)
     val out = fs.create(genFile(g), true)
     out.write(
       (s"""{"generation":$g,"ts":$commitTsMillis,""" +
-        s""""tables":{${jsonMap(versions)}},"mor":{${jsonMap(morVs)}}}""")
+        s""""tables":{${jsonMap(versions)}},"mor":{${jsonMap(morVs)}},""" +
+        s""""locs":{${jsonStrMap(locs)}}}""")
         .getBytes("UTF-8"))
     out.close()
     committedTsCache += commitTsMillis
     swingPointer(g)
     g
+  }
+
+  /** ZERO-COPY CLONE: `dst` becomes a new catalog table whose data IS
+    * `src`'s current version — one metadata entry, no data movement
+    * (at 100 TB, the difference between an O(1) commit and a full
+    * rewrite; the Delta/Iceberg `CREATE TABLE … CLONE` shape). The
+    * clone is a genuine table from then on: later commits to `src`
+    * never disturb it (versions are immutable directories), and a
+    * write to `dst` diverges it under its own directory. A clone of a
+    * clone resolves to the PHYSICAL source, so indirection stays one
+    * hop deep forever. `dst` must be a fresh name — cloning onto an
+    * existing table would make its version sequence jump backward
+    * into another table's directory and corrupt time travel. Vacuum
+    * is clone-aware: a kept generation referencing `dst` pins the
+    * underlying source version directory (see [[vacuum]]).
+    */
+  def cloneTable(src: String, dst: String, commitTsMillis: Long): Long = {
+    requireSafeName(dst)
+    val g = latestGeneration().getOrElse(
+      throw new IllegalStateException(s"empty catalog at $root — nothing to clone"))
+    val vs = tableVersions(g)
+    require(vs.contains(src),
+      s"clone source '$src' is not a snapshot table of generation $g" +
+        (if (morVersions(g).contains(src))
+          " (it is a MoR member — compact it into a snapshot first)" else ""))
+    require(!vs.contains(dst) && !morVersions(g).contains(dst),
+      s"clone target '$dst' already exists — a clone must be a fresh name")
+    require(!fs.exists(new Path(root, s"tables/$dst")),
+      s"clone target '$dst' has a residual data directory")
+    val physical = tableLocations(g).getOrElse(src, src)
+    publish(Map.empty, commitTsMillis,
+      cloned = Map(dst -> (physical, vs(src))))
   }
 
   // ── MoR members ─────────────────────────────────────────────────────
@@ -255,6 +297,25 @@ class TableCatalog(spark: SparkSession, root: String) {
   def morVersions(g: Long): Map[String, Long] =
     parseVersionMap(genJson(g), "mor")
 
+  /** The table→physical-location map of generation `g` — entries
+    * exist only for CLONES (a table whose data directory is another
+    * table's); absent means the table lives under its own name.
+    * Generations written before clone support parse as empty.
+    */
+  def tableLocations(g: Long): Map[String, String] = {
+    val parts = genJson(g).split(""""locs":\{""")
+    if (parts.length < 2) Map.empty
+    else {
+      val body = parts(1).takeWhile(_ != '}')
+      if (body.trim.isEmpty) Map.empty
+      else body.split(",").map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.trim.stripPrefix("\"").stripSuffix("\"") ->
+          v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+    }
+  }
+
   /** Commit ts of generation `g`. */
   def generationTs(g: Long): Long = {
     val in = fs.open(genFile(g))
@@ -289,7 +350,9 @@ class TableCatalog(spark: SparkSession, root: String) {
     */
   def readAt(g: Long, table: String): DataFrame =
     tableVersions(g).get(table) match {
-      case Some(v) => spark.read.parquet(tableDir(table, v).toString)
+      case Some(v) =>
+        val loc = tableLocations(g).getOrElse(table, table)
+        spark.read.parquet(tableDir(loc, v).toString)
       case None =>
         val mv = morVersions(g).getOrElse(table,
           throw new IllegalArgumentException(s"table $table not in generation $g"))
@@ -329,8 +392,16 @@ class TableCatalog(spark: SparkSession, root: String) {
     val kept = gens.takeRight(keepLast)
     val dropped = gens.dropRight(keepLast)
     if (dropped.isEmpty) return Seq.empty
+    // keyed by PHYSICAL location, not table name: a kept generation
+    // whose CLONE references src/v=3 pins that directory even when
+    // src's own minimum kept version has moved past it
     val minKeptVersion: Map[String, Long] = kept
-      .flatMap(g => tableVersions(g).toSeq)
+      .flatMap { g =>
+        val locs = tableLocations(g)
+        tableVersions(g).toSeq.map { case (t, v) =>
+          locs.getOrElse(t, t) -> v
+        }
+      }
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).min }
     minKeptVersion.foreach { case (t, minV) =>
       val tdir = new Path(root, s"tables/$t")

@@ -110,6 +110,53 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(cat.read("snap").count() == 3)
   }
 
+  test("cloneTable is zero-copy, immutable under source writes, divergent under own writes") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.commitAll(Map("src" -> nums(0, 10)), 1000L)
+    val g1 = cat.cloneTable("src", "dst", 2000L)
+    // zero-copy: the clone commit wrote NO data directory for dst
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "tables/dst")))
+    assert(cat.readAt(g1, "dst").count() == 10)
+    // a later SOURCE commit does not disturb the clone
+    cat.commitAll(Map("src" -> nums(0, 50)), 3000L)
+    assert(cat.read("src").count() == 50 && cat.read("dst").count() == 10)
+    // a write to the clone diverges it under its OWN directory
+    val g3 = cat.commitAll(Map("dst" -> nums(0, 7)), 4000L)
+    assert(cat.read("dst").count() == 7)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "tables/dst")))
+    assert(cat.readAt(g1, "dst").count() == 10) // time travel intact
+    assert(cat.tableLocations(g3).get("dst").isEmpty) // indirection reset
+    // clone-of-clone resolves to the PHYSICAL source (one hop)
+    val g4 = cat.cloneTable("dst", "dst2", 5000L)
+    cat.cloneTable("src", "srcclone", 6000L)
+    val g5 = cat.cloneTable("srcclone", "srcclone2", 7000L)
+    assert(cat.tableLocations(g5)("srcclone2") == "src")
+    assert(cat.readAt(g4, "dst2").count() == 7)
+    assert(cat.read("srcclone2").count() == 50)
+    // guards: existing target, missing source
+    intercept[IllegalArgumentException] { cat.cloneTable("src", "dst", 8000L) }
+    intercept[IllegalArgumentException] { cat.cloneTable("nope", "x", 8000L) }
+  }
+
+  test("vacuum pins source versions that only a kept CLONE still references") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.commitAll(Map("src" -> nums(0, 10)), 1000L) // src v=0
+    cat.cloneTable("src", "dst", 2000L)             // dst -> src v=0
+    cat.commitAll(Map("src" -> nums(0, 99)), 3000L) // src v=1
+    cat.vacuum(keepLast = 1)
+    // without location-aware vacuum, src/v=0 (min OWN kept ref is 1)
+    // would be reclaimed and the kept clone would dangle
+    assert(cat.read("dst").count() == 10)
+    assert(cat.read("src").count() == 99)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "tables/src/v=0")))
+  }
+
   test("table names that would corrupt the JSON generation file are rejected") {
     val cat = new TableCatalog(spark, freshRoot())
     for (bad <- Seq("""a"b""", "a,b", "a:b", "a}b", "a b", "")) {
