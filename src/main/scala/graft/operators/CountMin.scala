@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a RELATION —
+  * the mergeable fixed-size frequency summary a 100 TB pipeline uses
+  * where an exact `groupBy(key)` would shuffle the full key universe:
+  * feed rate limiting, candidate heavy-hitter detection, join-side
+  * frequency hints for skew handling.
+  *
+  * The sketch is a (row, cell, c) DataFrame of at most depth×width
+  * rows. Build is ONE aggregation: the corpus explodes ×depth (one
+  * hashed cell per sketch row), then map-side partial aggregation
+  * compresses every partition to ≤ depth×width cells before the
+  * shuffle — the reduce moves sketch-sized state, never corpus-sized
+  * (the whole point at scale). Merging sketches of two corpora is
+  * union + re-aggregate, proven ≡ sketching the concatenation
+  * (`CountMinSpec`); estimates are one-sided (est ≥ true count,
+  * overestimate bounded by collisions).
+  *
+  * Hashing: row-salted md5 (`md5(row || ':' || key)` high bits mod
+  * width) — the engine-portable identity used across the library
+  * (same value in DuckDB via `CAST(('0x' || substr(md5(..),1,15)) AS
+  * BIGINT)`), so the oracle can replay the SKETCH ITSELF, not just
+  * its contract.
+  */
+object CountMin {
+
+  /** The sketch cell for `key` on sketch row `row` (both engines
+    * compute the same value — 15 hex digits < 2⁶⁰ keeps the conv
+    * result non-negative, so `% width` needs no sign fix).
+    */
+  def cellOf(row: Column, key: Column, width: Int): Column =
+    conv(substring(md5(concat(row.cast("string"), lit(":"), key)), 1, 15),
+      16, 10).cast("long") % width
+
+  /** Build the sketch over `df(keyCol)`: one row per touched
+    * (row, cell), `c` = number of key occurrences hashing there.
+    */
+  def build(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
+    df.select(col(keyCol).cast("string").as("k"))
+      .withColumn("row", explode(array((0 until depth).map(lit): _*)))
+      .select(col("row"), cellOf(col("row"), col("k"), width).as("cell"))
+      .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge sketches built with the SAME shape: union + cell-wise sum.
+    * (Associative and commutative — the property that lets per-day /
+    * per-partition sketches roll up without touching raw data.)
+    */
+  def merge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "nothing to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "cell").agg(sum(col("c")).as("c"))
+  }
+
+  /** Point estimates for `keys(keyCol)`: min over the key's depth
+    * cells (the CM estimator). The sketch side BROADCASTS — it is at
+    * most depth×width rows by construction — so probing never
+    * shuffles the key set. Missing cells count 0 (a key whose every
+    * cell is untouched was never seen).
+    */
+  def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol).cast("string").as("k")).distinct()
+      .withColumn("row", explode(array((0 until depth).map(lit): _*)))
+      .select(col("k"), col("row"), cellOf(col("row"), col("k"), width).as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+}

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.BpeInduction
+import graft.functions.TextFunctions
+import graft.operators.{BpeInduction, CountMin}
 
 /** Round-9 surface: the BPE encode path under the oracle gate, MoR
   * tables as catalog members, range-predicate file skipping, a
@@ -671,6 +672,77 @@ object PlatformQueries {
       |FROM o
       |GROUP BY st
       |ORDER BY st""".stripMargin
+
+  // ───────────────────────────── t22: Count-Min sketch frequencies
+
+  private val CmDepth = 4
+  private val CmWidth = 2048
+
+  /** Count-Min frequency estimates over the document token stream
+    * ([[CountMin]]) — the fixed-size mergeable summary that answers
+    * "how often does this token occur" over 100 TB with depth×width
+    * cells of state instead of a full-universe groupBy. The query
+    * builds the 4×2048 sketch in one aggregation, probes a fixed word
+    * list (pool words + an unseen one), and emits estimate vs exact
+    * with the overestimate — the oracle replays the SKETCH ITSELF
+    * (same row-salted md5 cells) plus the exact counts, so a wrong
+    * cell hash, a lost increment, or a broken min-estimator all shift
+    * values and fail the hash. One-sidedness (est ≥ exact, absent
+    * word → 0 exact) is visible in the gated output itself.
+    */
+  val t22_countmin_sketch: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+    val sketch = CountMin.build(toks, "word", CmDepth, CmWidth)
+    val probes = Seq("the", "scan", "data", "query", "merge", "slow",
+      "window", "zzznotaword").toDF("word")
+    val est = CountMin.estimate(sketch, probes, "word", CmDepth, CmWidth)
+      .withColumnRenamed("k", "word")
+    val exact = probes
+      .join(toks.groupBy(col("word")).agg(count(lit(1)).as("exact")),
+        Seq("word"), "left")
+      .withColumn("exact", coalesce(col("exact"), lit(0L)))
+    est.join(exact, Seq("word"))
+      .select(col("word"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overestimate"))
+      .orderBy(col("word"))
+  }
+
+  val t22_sql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |                x -> x <> '')) AS word
+      |  FROM documents
+      |), probes(word) AS (
+      |  VALUES ('the'), ('scan'), ('data'), ('query'), ('merge'), ('slow'),
+      |         ('window'), ('zzznotaword')
+      |), cells AS (
+      |  SELECT t.srow,
+      |         CAST(('0x' || substr(md5(CAST(t.srow AS VARCHAR) || ':' || word),
+      |               1, 15)) AS BIGINT) % $CmWidth AS cell,
+      |         COUNT(*) AS c
+      |  FROM toks CROSS JOIN range(0, $CmDepth) t(srow)
+      |  GROUP BY 1, 2
+      |), pest AS (
+      |  SELECT p.word, MIN(COALESCE(s.c, 0)) AS est
+      |  FROM probes p CROSS JOIN range(0, $CmDepth) t(srow)
+      |  LEFT JOIN cells s ON s.srow = t.srow
+      |   AND s.cell = CAST(('0x' || substr(md5(CAST(t.srow AS VARCHAR) || ':' ||
+      |                 p.word), 1, 15)) AS BIGINT) % $CmWidth
+      |  GROUP BY p.word
+      |), pexact AS (
+      |  SELECT p.word, COUNT(t.word) AS exact
+      |  FROM probes p LEFT JOIN toks t ON t.word = p.word
+      |  GROUP BY p.word
+      |)
+      |SELECT p.word, CAST(e.est AS BIGINT) AS est,
+      |       CAST(x.exact AS BIGINT) AS exact,
+      |       CAST(e.est - x.exact AS BIGINT) AS overestimate
+      |FROM probes p
+      |JOIN pest e ON e.word = p.word
+      |JOIN pexact x ON x.word = p.word
+      |ORDER BY p.word""".stripMargin
 
   // ───────────────────────────── v27: zero-copy clone lifecycle
 
@@ -1370,6 +1442,7 @@ object PlatformQueries {
     "v24_zorder_skip" -> v24_zorder_skip,
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
     "t21_bpe_sequences" -> t21_bpe_sequences,
+    "t22_countmin_sketch" -> t22_countmin_sketch,
     "w16_mor_catalog" -> w16_mor_catalog,
     "v23_fileskip_range" -> v23_fileskip_range,
     "q49_graph_closure" -> q49_graph_closure,
@@ -1392,6 +1465,7 @@ object PlatformQueries {
     "v24_zorder_skip" -> v24_sql,
     "d43_bpe_tokenize" -> d43_sql,
     "t21_bpe_sequences" -> t21_sql,
+    "t22_countmin_sketch" -> t22_sql,
     "w16_mor_catalog" -> w16_sql,
     "v23_fileskip_range" -> v23_sql,
     "q49_graph_closure" -> q49_sql,
