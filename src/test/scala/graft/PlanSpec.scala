@@ -571,6 +571,34 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"corpus shuffled for the vocab join:\n${plan.toString.take(3000)}")
   }
 
+  test("BPE sequence path keeps d43's contract: broadcast vocab, no corpus shuffle for the join") {
+    val df = queries.PlatformQueries.t21_bpe_sequences(spark, dir)
+    val plan = executedPlan(df)
+    assert(collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastExchange") => p
+    }.nonEmpty, s"vocab must broadcast:\n${plan.toString.take(3000)}")
+    assert(!plan.toString.contains("SortMergeJoin"),
+      s"corpus shuffled for the vocab join:\n${plan.toString.take(3000)}")
+  }
+
+  test("Count-Min build is one aggregation; probes broadcast the sketch") {
+    val toks = org.apache.spark.sql.functions.explode(
+      graft.functions.TextFunctions.tokens(
+        org.apache.spark.sql.functions.col("text")))
+    val docs = Tables(spark, dir, "documents").select(toks.as("word"))
+    val sk = graft.operators.CountMin.build(docs, "word", 4, 2048)
+    val buildPlan = planString(sk)
+    // exactly one aggregation pair (partial + final) over the exploded
+    // corpus: any join or window here would break the map-side-combine
+    // contract that keeps the reduce sketch-sized
+    assert(!buildPlan.contains("Join") && !buildPlan.contains("Window"),
+      buildPlan.take(2000))
+    val probes = docs.distinct()
+    val est = graft.operators.CountMin.estimate(sk, probes, "word", 4, 2048)
+    assert(planString(est).contains("BroadcastHashJoin"),
+      "sketch side must broadcast for probing")
+  }
+
   test("filter-aware IVF-PQ keeps corpus-side work to the ADC broadcast join") {
     val df = queries.PlatformQueries.s18_filtered_ivfpq(spark, dir)
     val plan = executedPlan(df)
