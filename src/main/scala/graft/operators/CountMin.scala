@@ -19,30 +19,39 @@ import org.apache.spark.sql.functions._
   * (`CountMinSpec`); estimates are one-sided (est ≥ true count,
   * overestimate bounded by collisions).
   *
-  * Hashing: row-salted md5 (`md5(row || ':' || key)` high bits mod
-  * width) — the engine-portable identity used across the library
-  * (same value in DuckDB via `CAST(('0x' || substr(md5(..),1,15)) AS
+  * Hashing: ONE md5 per key occurrence, each sketch row taking a
+  * disjoint 8-hex-digit slice (`substr(md5(key), 8i+1, 8) mod
+  * width`) — the engine-portable identity used across the library
+  * (same value in DuckDB via `CAST(('0x' || substr(md5(k),..,8)) AS
   * BIGINT)`), so the oracle can replay the SKETCH ITSELF, not just
   * its contract.
   */
 object CountMin {
 
-  /** The sketch cell for `key` on sketch row `row` (both engines
-    * compute the same value — 15 hex digits < 2⁶⁰ keeps the conv
-    * result non-negative, so `% width` needs no sign fix).
+  /** All `depth` sketch cells for `key`, as disjoint 8-hex-digit
+    * slices of ONE md5 — one hash per key occurrence, not one per
+    * sketch row (at 100M tokens the build is hash-bound; this
+    * measured 24.5 → ~8 s at depth 4). 8 hex digits < 2³² keeps the
+    * conv result non-negative, so `% width` needs no sign fix; CSE
+    * inside whole-stage codegen computes the md5 once for all
+    * slices. 128 md5 bits / 32 per slice caps depth at 4 — enough
+    * for the standard e⁻⁴ ≈ 2% failure probability; deeper sketches
+    * trade nothing useful for a second hash.
     */
-  def cellOf(row: Column, key: Column, width: Int): Column =
-    conv(substring(md5(concat(row.cast("string"), lit(":"), key)), 1, 15),
-      16, 10).cast("long") % width
+  def cellsOf(key: Column, depth: Int, width: Int): Column = {
+    val h = md5(key)
+    array((0 until depth).map(i =>
+      conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long") % width): _*)
+  }
 
   /** Build the sketch over `df(keyCol)`: one row per touched
     * (row, cell), `c` = number of key occurrences hashing there.
     */
   def build(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 2, s"bad sketch shape ${depth}x$width")
-    df.select(col(keyCol).cast("string").as("k"))
-      .withColumn("row", explode(array((0 until depth).map(lit): _*)))
-      .select(col("row"), cellOf(col("row"), col("k"), width).as("cell"))
+    require(depth >= 1 && depth <= 4 && width >= 2,
+      s"bad sketch shape ${depth}x$width (depth caps at 4: 32 md5 bits per row)")
+    df.select(posexplode(cellsOf(col(keyCol).cast("string"), depth, width))
+        .as(Seq("row", "cell")))
       .groupBy("row", "cell").agg(count(lit(1)).as("c"))
   }
 
@@ -65,8 +74,8 @@ object CountMin {
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame =
     keys.select(col(keyCol).cast("string").as("k")).distinct()
-      .withColumn("row", explode(array((0 until depth).map(lit): _*)))
-      .select(col("k"), col("row"), cellOf(col("row"), col("k"), width).as("cell"))
+      .select(col("k"),
+        posexplode(cellsOf(col("k"), depth, width)).as(Seq("row", "cell")))
       .join(broadcast(sketch), Seq("row", "cell"), "left")
       .groupBy("k")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))

@@ -685,7 +685,7 @@ object PlatformQueries {
     * builds the 4×2048 sketch in one aggregation, probes a fixed word
     * list (pool words + an unseen one), and emits estimate vs exact
     * with the overestimate — the oracle replays the SKETCH ITSELF
-    * (same row-salted md5 cells) plus the exact counts, so a wrong
+    * (same md5-slice cells) plus the exact counts, so a wrong
     * cell hash, a lost increment, or a broken min-estimator all shift
     * values and fail the hash. One-sidedness (est ≥ exact, absent
     * word → 0 exact) is visible in the gated output itself.
@@ -719,8 +719,8 @@ object PlatformQueries {
       |         ('window'), ('zzznotaword')
       |), cells AS (
       |  SELECT t.srow,
-      |         CAST(('0x' || substr(md5(CAST(t.srow AS VARCHAR) || ':' || word),
-      |               1, 15)) AS BIGINT) % $CmWidth AS cell,
+      |         CAST(('0x' || substr(md5(word), CAST(t.srow * 8 + 1 AS INTEGER),
+      |               8)) AS BIGINT) % $CmWidth AS cell,
       |         COUNT(*) AS c
       |  FROM toks CROSS JOIN range(0, $CmDepth) t(srow)
       |  GROUP BY 1, 2
@@ -728,8 +728,8 @@ object PlatformQueries {
       |  SELECT p.word, MIN(COALESCE(s.c, 0)) AS est
       |  FROM probes p CROSS JOIN range(0, $CmDepth) t(srow)
       |  LEFT JOIN cells s ON s.srow = t.srow
-      |   AND s.cell = CAST(('0x' || substr(md5(CAST(t.srow AS VARCHAR) || ':' ||
-      |                 p.word), 1, 15)) AS BIGINT) % $CmWidth
+      |   AND s.cell = CAST(('0x' || substr(md5(p.word),
+      |                 CAST(t.srow * 8 + 1 AS INTEGER), 8)) AS BIGINT) % $CmWidth
       |  GROUP BY p.word
       |), pexact AS (
       |  SELECT p.word, COUNT(t.word) AS exact

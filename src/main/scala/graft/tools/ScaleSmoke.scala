@@ -51,7 +51,55 @@ object ScaleSmoke {
     if (mode == "mor") morSmoke(spark, 10000000L)
     if (mode == "mor100") morSmoke(spark, 100000000L) // opt-in: minutes
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
+    if (mode == "all") cmSmoke(spark, 10000000L)
+    if (mode == "cm100") cmSmoke(spark, 100000000L) // opt-in
     spark.stop()
+  }
+
+  /** Count-Min vs exact groupBy at token scale: the sketch's reduce
+    * state is depth×width CELLS regardless of corpus size (map-side
+    * partials absorb the explode), where the exact count must build
+    * and shuffle hash state for the full ~0.9n-distinct key universe.
+    * The probe stage then estimates the known heavy keys from the
+    * stored sketch alone — no corpus touch.
+    */
+  private def cmSmoke(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val depth = 4; val width = 4096
+    // the regime the sketch exists for: a ~90%-unique key universe
+    // (head of 100 hot keys, near-unique tail) — exact counting must
+    // shuffle ~0.9n distinct keys; the sketch's reduce state stays
+    // depth×width cells no matter what
+    val toks = spark.range(n)
+      .select(concat(lit("k"),
+        when(col("id") % 10 === 0, col("id") % 100)
+          .otherwise(col("id")).cast("string")).as("word"))
+    val (skSec, skBytes) = withShuffleBytes(spark) {
+      timed {
+        graft.operators.CountMin.build(toks, "word", depth, width)
+          .write.mode("overwrite").parquet("/tmp/cm_smoke_sketch")
+      }
+    }
+    val sketch = spark.read.parquet("/tmp/cm_smoke_sketch")
+    println(f"[scale] CM build $n%,d tokens -> ${depth}x$width sketch: $skSec%.1f s, " +
+      f"shuffled ${skBytes / 1e6}%.1f MB (sketch rows: ${sketch.count()}%,d)")
+    val (exactSec, exBytes) = withShuffleBytes(spark) {
+      timed {
+        toks.groupBy("word").agg(count(lit(1)).as("c"))
+          .filter(col("c") > n / 100000).count()
+      }
+    }
+    println(f"[scale] exact groupBy over the same tokens: $exactSec%.1f s, " +
+      f"shuffled ${exBytes / 1e6}%.1f MB")
+    val probes = (0 until 10).map(i => s"k${i * 10}").toDF("word")
+    val probeSec = timed {
+      graft.operators.CountMin.estimate(sketch, probes, "word", depth, width).count()
+    }
+    println(f"[scale] 10-key probe against the stored sketch: $probeSec%.2f s " +
+      "(no corpus touch)")
   }
 
   /** MoR read-cost curve vs delta-stack depth (r8 verdict item 3):
