@@ -744,6 +744,71 @@ object PlatformQueries {
       |JOIN pexact x ON x.word = p.word
       |ORDER BY p.word""".stripMargin
 
+  // ───────────────────────────── w22: streaming Count-Min sketch
+
+  /** The [[CountMin]] sketch maintained over a STREAM
+    * ([[graft.streaming.SnapshotSink.foldBatch]]): each micro-batch
+    * builds its own batch sketch and commits merge(previous, batch)
+    * as the next snapshot generation — the canonical unbounded-stream
+    * summary, where state stays depth×width cells while the stream
+    * grows without bound and each commit reads only the previous
+    * SKETCH, never the stream's history. Three document batches
+    * arrive (doc_id mod 3); batch 1 is then REDELIVERED and must
+    * no-op (n_versions pins 3, not 4). Because the merge is exact,
+    * stream ≡ batch: the oracle computes the probe estimates from a
+    * FULL-corpus sketch replay — equality against the streamed fold
+    * IS the proof, and a double-applied or dropped batch shifts every
+    * estimate.
+    */
+  val w22_stream_sketch: Q = (s, dir) => {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sketchsink")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.SnapshotStore(s, root)
+    val docs = Tables(s, dir, "documents")
+    def toks(m: Int) = docs.filter(col("doc_id") % 3 === m)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+    val fold: (Option[DataFrame], DataFrame) => DataFrame = (prev, b) => {
+      val sk = CountMin.build(b, "word", CmDepth, CmWidth)
+      prev.map(p => CountMin.merge(Seq(p, sk))).getOrElse(sk)
+    }
+    (0 until 3).foreach(i =>
+      graft.streaming.SnapshotSink.foldBatch(st, toks(i), i.toLong, fold))
+    // crash-replay: batch 1 redelivered — the fold must apply once
+    graft.streaming.SnapshotSink.foldBatch(st, toks(1), 1L, fold)
+    val probes = Seq("the", "scan", "data", "query", "merge", "slow",
+      "window", "zzznotaword").toDF("word")
+    CountMin.estimate(st.readLatest(), probes, "word", CmDepth, CmWidth)
+      .select(col("k").as("word"), col("est"),
+        lit(st.loggedVersions().size.toLong).as("n_versions"))
+      .orderBy(col("word"))
+  }
+
+  val w22_sql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |                x -> x <> '')) AS word
+      |  FROM documents
+      |), probes(word) AS (
+      |  VALUES ('the'), ('scan'), ('data'), ('query'), ('merge'), ('slow'),
+      |         ('window'), ('zzznotaword')
+      |), cells AS (
+      |  SELECT t.srow,
+      |         CAST(('0x' || substr(md5(word), CAST(t.srow * 8 + 1 AS INTEGER),
+      |               8)) AS BIGINT) % $CmWidth AS cell,
+      |         COUNT(*) AS c
+      |  FROM toks CROSS JOIN range(0, $CmDepth) t(srow)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.word, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est,
+      |       3 AS n_versions
+      |FROM probes p CROSS JOIN range(0, $CmDepth) t(srow)
+      |LEFT JOIN cells s ON s.srow = t.srow
+      | AND s.cell = CAST(('0x' || substr(md5(p.word),
+      |               CAST(t.srow * 8 + 1 AS INTEGER), 8)) AS BIGINT) % $CmWidth
+      |GROUP BY p.word
+      |ORDER BY p.word""".stripMargin
+
   // ───────────────────────────── v27: zero-copy clone lifecycle
 
   /** Zero-copy CLONE ([[graft.sources.TableCatalog.cloneTable]]) —
@@ -1443,6 +1508,7 @@ object PlatformQueries {
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
     "t21_bpe_sequences" -> t21_bpe_sequences,
     "t22_countmin_sketch" -> t22_countmin_sketch,
+    "w22_stream_sketch" -> w22_stream_sketch,
     "w16_mor_catalog" -> w16_mor_catalog,
     "v23_fileskip_range" -> v23_fileskip_range,
     "q49_graph_closure" -> q49_graph_closure,
@@ -1466,6 +1532,7 @@ object PlatformQueries {
     "d43_bpe_tokenize" -> d43_sql,
     "t21_bpe_sequences" -> t21_sql,
     "t22_countmin_sketch" -> t22_sql,
+    "w22_stream_sketch" -> w22_sql,
     "w16_mor_catalog" -> w16_sql,
     "v23_fileskip_range" -> v23_sql,
     "q49_graph_closure" -> q49_sql,

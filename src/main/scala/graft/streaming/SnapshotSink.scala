@@ -26,15 +26,25 @@ object SnapshotSink {
     * returns the committed version, or -1 if the batch was already
     * committed (redelivery no-op).
     */
-  def appendBatch(store: SnapshotStore, batch: DataFrame, batchId: Long): Long = {
+  def appendBatch(store: SnapshotStore, batch: DataFrame, batchId: Long): Long =
+    foldBatch(store, batch, batchId,
+      (prev, b) => prev.map(_.unionByName(b)).getOrElse(b))
+
+  /** Generalized exactly-once fold: commit `fold(previous state,
+    * batch)` as the next generation (append is the union special
+    * case). This is what maintains an ALGEBRAIC summary over a stream
+    * — a [[graft.operators.CountMin]] sketch, an
+    * [[graft.operators.IncrementalView]] partial — where the state
+    * stays summary-sized while the stream is unbounded: each commit
+    * reads the previous sketch-sized generation, never the stream's
+    * history. Same batch-id idempotency as [[appendBatch]]: a
+    * redelivered batch is a no-op, so the fold applies exactly once.
+    */
+  def foldBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
+      fold: (Option[DataFrame], DataFrame) => DataFrame): Long = {
     if (store.history().exists(_._2 == batchId)) -1L
-    else {
-      val merged = store.latestVersion() match {
-        case Some(v) => store.read(v).unionByName(batch)
-        case None => batch
-      }
-      store.commit(merged, commitTsMillis = batchId)
-    }
+    else store.commit(fold(store.latestVersion().map(store.read), batch),
+      commitTsMillis = batchId)
   }
 
   /** Attach the sink to a stream (foreachBatch driver). */

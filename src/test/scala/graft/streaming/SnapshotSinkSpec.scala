@@ -71,4 +71,29 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(store.readLatest().count() == 3)
     assert(store.readLatest().agg(sum("event_id")).head().getLong(0) == 6L)
   }
+
+  test("foldBatch maintains an algebraic summary: fold applies exactly once per batch") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, freshDir("snapsink-foldb"))
+    // non-append fold: per-key running sum (state stays key-sized)
+    val fold: (Option[org.apache.spark.sql.DataFrame],
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (prev, b) => {
+        val bs = b.groupBy("k").agg(sum("v").as("s"))
+        prev.map(_.unionByName(bs).groupBy("k").agg(sum("s").as("s")))
+          .getOrElse(bs)
+      }
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val b1 = Seq(("a", 10L)).toDF("k", "v")
+    assert(SnapshotSink.foldBatch(store, b0, 0L, fold) == 0L)
+    assert(SnapshotSink.foldBatch(store, b1, 1L, fold) == 1L)
+    // crash replay: the fold must NOT double-apply (a replayed append
+    // merely duplicates rows; a replayed fold would corrupt the sums)
+    assert(SnapshotSink.foldBatch(store, b1, 1L, fold) == -1L)
+    val got = store.readLatest().orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 11L), ("b", 2L)))
+    // state stays summary-sized: 2 rows, not 3 events
+    assert(store.readLatest().count() == 2)
+  }
 }
