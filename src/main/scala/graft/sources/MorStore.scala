@@ -209,12 +209,8 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     val out = fs.create(new Path(logDir, s"$g.json"), true)
     out.write(s"""{"generation":$g,"ts":$ts,"kind":"$kind"}""".getBytes("UTF-8"))
     out.close()
-    val tmp = new Path(root, "_latest.tmp")
-    val p = fs.create(tmp, true)
-    p.write(g.toString.getBytes("UTF-8"))
-    p.close()
-    fs.delete(pointer, false)
-    require(fs.rename(tmp, pointer), s"pointer swing failed at g=$g")
+    PointerFile.swing(spark.sparkContext.hadoopConfiguration,
+      new Path(root), pointer, g.toString, s"mor g=$g")
     committedTsCache += ts
     g
   }

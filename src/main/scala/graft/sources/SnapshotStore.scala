@@ -62,14 +62,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
     out.close()
   }
 
-  private def swingPointer(v: Long): Unit = {
-    val tmp = new Path(root, "_latest.tmp")
-    val out = fs.create(tmp, true)
-    out.write(v.toString.getBytes("UTF-8"))
-    out.close()
-    fs.delete(pointer, false)
-    require(fs.rename(tmp, pointer), s"pointer swing failed at v=$v")
-  }
+  private def swingPointer(v: Long): Unit =
+    PointerFile.swing(spark.sparkContext.hadoopConfiguration,
+      new Path(root), pointer, v.toString, s"v=$v")
 
   // ── resolve / read ──────────────────────────────────────────────────
 

@@ -229,14 +229,9 @@ class TableCatalog(spark: SparkSession, root: String) {
     publish(staged, commitTsMillis, morStaged)
   }
 
-  private def swingPointer(g: Long): Unit = {
-    val tmp = new Path(root, "_latest.tmp")
-    val out = fs.create(tmp, true)
-    out.write(g.toString.getBytes("UTF-8"))
-    out.close()
-    fs.delete(pointer, false)
-    require(fs.rename(tmp, pointer), s"catalog pointer swing failed at g=$g")
-  }
+  private def swingPointer(g: Long): Unit =
+    PointerFile.swing(spark.sparkContext.hadoopConfiguration,
+      new Path(root), pointer, g.toString, s"catalog g=$g")
 
   // ── resolve / read ──────────────────────────────────────────────────
 
