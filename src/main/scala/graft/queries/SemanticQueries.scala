@@ -402,6 +402,52 @@ object SemanticQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ── w23: streaming ANN index maintenance ───────────────────────────
+
+  /** CONTINUOUS INGESTION into the persisted ANN index — the
+    * operational gap between s15 (index once, query many) and a live
+    * corpus: new vectors must become searchable without rebuilding
+    * the inverted file. Because [[VectorSearch.encodeIvfPq]] is
+    * row-local (each row's cell + codes depend only on that row and
+    * the FROZEN centroids/codebooks), a micro-batch encodes
+    * independently and APPENDS to the index store
+    * ([[graft.streaming.SnapshotSink.appendBatch]] — exactly-once on
+    * redelivery, snapshot isolation for concurrent readers, and
+    * O(batch) work per commit: raw vectors are encoded once and
+    * never touched again). Three vector batches arrive (vec_id mod
+    * 3); batch 1 is replayed and must no-op (require-guarded, with
+    * the version count pinned at 3); the final search over the
+    * ACCUMULATED index must equal s14/s15's batch-built result
+    * verbatim — the oracle is s14's full replay, so a lost, doubled,
+    * or re-encoded batch shifts the ranking and fails the hash.
+    */
+  val w23_stream_ann_index: Q = (s, dir) => {
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-annstream")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.SnapshotStore(s, root)
+    (0 until 3).foreach { i =>
+      val batch = e.filter(col("vec_id") % 3 === i)
+      graft.streaming.SnapshotSink.appendBatch(st,
+        VectorSearch.encodeIvfPq(batch, "vec_id", "embedding", planes, codebooks),
+        batchId = i.toLong)
+    }
+    // crash replay: batch 1 redelivered — must no-op, not re-append
+    require(graft.streaming.SnapshotSink.appendBatch(st,
+      VectorSearch.encodeIvfPq(e.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", planes, codebooks), batchId = 1L) == -1L,
+      "redelivered batch was re-applied")
+    require(st.loggedVersions().size == 3,
+      s"expected 3 index generations, got ${st.loggedVersions().size}")
+    VectorSearch.searchIvfPq(st.readLatest(), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", planes, codebooks, k = 10, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ── s16: IVF-PQ with residual encoding (IVFADC proper) ─────────────
 
   /** s14's index with the residual mechanism (Jégou et al. §IV —
@@ -906,6 +952,7 @@ object SemanticQueries {
     "s13_pq_ann" -> s13_pq_ann,
     "s14_ivf_pq" -> s14_ivf_pq,
     "s15_ann_index_store" -> s15_ann_index_store,
+    "w23_stream_ann_index" -> w23_stream_ann_index,
     "s16_ivf_pq_residual" -> s16_ivf_pq_residual,
     "s20_trained_pq" -> s20_trained_pq,
     "s21_residual_trained" -> s21_residual_trained)
@@ -917,6 +964,7 @@ object SemanticQueries {
     "s13_pq_ann" -> s13_sql,
     "s14_ivf_pq" -> s14_sql,
     "s15_ann_index_store" -> s14_sql,
+    "w23_stream_ann_index" -> s14_sql,
     "s16_ivf_pq_residual" -> s16_sql,
     "s20_trained_pq" -> s20_sql,
     "s21_residual_trained" -> s21_sql)
