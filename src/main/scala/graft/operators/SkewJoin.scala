@@ -109,4 +109,36 @@ object SkewJoin {
     totRows.unionByName(pctl(50)).unionByName(pctl(99)).unionByName(top)
       .orderBy(col("metric"))
   }
+
+  /** HYBRID hot-key salting — the production refinement of
+    * [[saltedJoin]]: blanket salting replicates the ENTIRE small side
+    * S×, taxing every cold key to fix a handful of hot ones. Here the
+    * big side splits on membership in `hotKeys` (a handful of values —
+    * from [[keySkewReport]]'s top-k or a
+    * [[graft.operators.CountMin]] probe — compiled into an IN
+    * predicate, never a join): the hot slice joins salted against a
+    * small side replicated S× FOR THE HOT KEYS ONLY, the cold
+    * majority joins completely untouched, and the union is the exact
+    * unsalted result (each row takes exactly one path; a key leaking
+    * into both paths would double rows — oracle-visible). At 100 TB:
+    * cold-path shuffle and small side stay 1×; only |hotKeys|·S extra
+    * dimension rows exist anywhere.
+    */
+  def hybridSkewJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      hotKeys: Seq[Seq[Any]],
+      saltBuckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(hotKeys.nonEmpty, "no hot keys — use a plain join")
+    require(hotKeys.forall(_.size == keys.size), "hot key arity mismatch")
+    val isHot: Column = hotKeys.map { hk =>
+      keys.zip(hk).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _)
+    }.reduce(_ || _)
+    val hot = saltedJoin(big.filter(isHot), small.filter(isHot), keys,
+      saltBuckets, joinType)
+    val cold = big.filter(!isHot).join(small.filter(!isHot), keys, joinType)
+    hot.unionByName(cold)
+  }
 }

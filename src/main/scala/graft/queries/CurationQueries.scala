@@ -242,6 +242,46 @@ object CurationQueries {
       |GROUP BY c.c_mktsegment
       |ORDER BY c.c_mktsegment""".stripMargin
 
+  // ── q54: hybrid hot-key skew join ───────────────────────────────────
+
+  /** [[SkewJoin.hybridSkewJoin]] — the production refinement of q19's
+    * blanket salting: the three heaviest user_ids (from an exact
+    * pre-count here; at 100 TB a [[graft.operators.CountMin]] probe or
+    * [[SkewJoin.keySkewReport]] top-k supplies them without a second
+    * full scan) take the salted path with the dimension replicated 8×
+    * FOR THOSE KEYS ONLY, while the cold majority joins untouched —
+    * blanket salting taxes every key with an 8× dimension to fix a
+    * handful. The result must be EXACTLY the plain join (each row
+    * takes one path; a hot key leaking into both would double its
+    * n_events), so the oracle is the unsalted join with a distinct
+    * count that pins multiplicities per segment.
+    */
+  val q54_hybrid_skew_join: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("value"))
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    // tiny driver collect: 3 rows, the hot-key list the salter needs
+    val hot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id")).limit(3)
+      .collect().map(r => Seq[Any](r.getLong(0))).toSeq
+    SkewJoin.hybridSkewJoin(ev, dim, Seq("user_id"), hot, saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q54_sql: String =
+    """SELECT c.c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
   // ── t09: per-language quality-percentile gate ───────────────────────
 
   /** Keep documents at or above their language's 2nd-decile quality —
@@ -2097,6 +2137,7 @@ object CurationQueries {
     "t07_quantiles" -> t07_quantiles,
     "t08_pii_redaction" -> t08_pii_redaction,
     "q19_skew_join" -> q19_skew_join,
+    "q54_hybrid_skew_join" -> q54_hybrid_skew_join,
     "t09_quality_filter" -> t09_quality_filter,
     "d14_chunking" -> d14_chunking,
     "t10_oov" -> t10_oov,
@@ -2148,6 +2189,7 @@ object CurationQueries {
     "t07_quantiles" -> t07_sql,
     "t08_pii_redaction" -> t08_sql,
     "q19_skew_join" -> q19_sql,
+    "q54_hybrid_skew_join" -> q54_sql,
     "t09_quality_filter" -> t09_sql,
     "d14_chunking" -> d14_sql,
     "t10_oov" -> t10_sql,

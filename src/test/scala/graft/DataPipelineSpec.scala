@@ -537,6 +537,25 @@ class DataPipelineSpec extends AnyFunSuite {
     val dc = graft.operators.SkewJoin.saltedDistinctCount(big, Seq("k"), "v", 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dc == Map(1L -> 900L, 2L -> 100L))
+
+    // hybrid: only the hot key takes the salted path; result identical,
+    // multiplicities included (a key leaking into both paths would
+    // double its rows and break the Seq comparison)
+    val hybrid = graft.operators.SkewJoin.hybridSkewJoin(
+      big, small, Seq("k"), hotKeys = Seq(Seq(1L)), saltBuckets = 8)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(hybrid == big.join(small, Seq("k")).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq)
+    // a declared hot key absent from the data is harmless
+    val hybrid2 = graft.operators.SkewJoin.hybridSkewJoin(
+      big, small, Seq("k"), hotKeys = Seq(Seq(1L), Seq(99L)), saltBuckets = 4)
+    assert(hybrid2.count() == 1000L)
+    // cold path's small side is NOT replicated: the only explode feeds
+    // the hot slice (blanket salting would explode the whole dimension)
+    val coldSmall = hybrid2.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(coldSmall.size == 1, "exactly one salt explode (the hot slice)")
   }
 
   test("text functions: tokens, counts, quality, langid") {
