@@ -265,6 +265,70 @@ object EngineQueries {
        |LIMIT 20""".stripMargin
   }
 
+  // ───────────────────────────── t23: BM25 served from a persisted index
+
+  /** t19 SERVED FROM A PERSISTED INVERTED INDEX — the search-engine
+    * split t19 leaves open: t19 tokenizes the corpus at query time;
+    * here the index (postings = (tok, doc_id, tf) for EVERY token,
+    * doc lengths beside it) is built INCREMENTALLY — two document
+    * micro-batches, each committing postings + doclen as ONE atomic
+    * catalog generation ([[graft.streaming.CatalogSink.commitBatch]];
+    * a torn commit would let a doc score with no length row or vice
+    * versa), with one batch replayed (exactly-once no-op,
+    * require-guarded). The query then scores ENTIRELY from the stored
+    * relations: tf filters postings to the query terms (at scale the
+    * postings sort/partition by `tok`, so term files prune via the
+    * v22 skipping machinery), df/Σdl/N are index-relation aggregates,
+    * and raw document text is NEVER read at query time. Oracle =
+    * t19's replay — index-serving must reproduce the scan-time
+    * ranking bit-identically.
+    */
+  val t23_bm25_index_serve: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25idx")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents")
+    def toksOf(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    // each doc lands in exactly one batch, so maintenance is a pure
+    // append of the batch's postings/lengths — no per-key merge
+    val derive = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+      "postings" -> ((prev, b) => {
+        val p = toksOf(b).groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        prev.map(_.unionByName(p)).getOrElse(p)
+      }),
+      "doclen" -> ((prev, b) => {
+        val d = toksOf(b).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        prev.map(_.unionByName(d)).getOrElse(d)
+      }))
+    (0 until 2).foreach { i =>
+      graft.streaming.CatalogSink.commitBatch(cat,
+        docs.filter(col("doc_id") % 2 === i), i.toLong, derive)
+    }
+    require(graft.streaming.CatalogSink.commitBatch(cat,
+      docs.filter(col("doc_id") % 2 === 1), 1L, derive) == -1L,
+      "redelivered index batch was re-applied")
+    require(cat.loggedGenerations().size == 2,
+      s"expected 2 index generations, got ${cat.loggedGenerations().size}")
+    // ── serve: stored relations only, text never touched ──
+    val postings = cat.read("postings")
+    val dl = cat.read("doclen")
+    val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+    val tf = postings.filter(col("tok").isin(Bm25Terms: _*))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("rarity", expr("(1000 * (n_docs - df)) div n_docs"))
+      .withColumn("contrib", expr(
+        "(rarity * 22 * tf * sumdl) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_terms"), sum(col("contrib")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ───────────────────────────── v20: cross-table atomic snapshot
 
   /** Cross-table snapshot consistency ([[TableCatalog]]): generation
@@ -796,6 +860,7 @@ object EngineQueries {
     "q42_pivot" -> q42_pivot,
     "q43_ntile_bins" -> q43_ntile_bins,
     "t19_bm25_topk" -> t19_bm25_topk,
+    "t23_bm25_index_serve" -> t23_bm25_index_serve,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -815,5 +880,6 @@ object EngineQueries {
     "q42_pivot" -> q42_sql,
     "q43_ntile_bins" -> q43_sql,
     "t19_bm25_topk" -> t19_sql,
+    "t23_bm25_index_serve" -> t19_sql,
     "v20_catalog_snapshot" -> v20_sql)
 }

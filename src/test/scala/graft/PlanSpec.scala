@@ -599,6 +599,15 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "sketch side must broadcast for probing")
   }
 
+  test("served BM25 never scans raw documents (index relations only)") {
+    val df = queries.EngineQueries.t23_bm25_index_serve(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("documents.parquet"),
+      "query-time plan read the raw corpus — the index is supposed to serve:\n" +
+        plan.take(2000))
+    assert(plan.contains("parquet"), "serve must read the stored index")
+  }
+
   test("filter-aware IVF-PQ keeps corpus-side work to the ADC broadcast join") {
     val df = queries.PlatformQueries.s18_filtered_ivfpq(spark, dir)
     val plan = executedPlan(df)
