@@ -282,6 +282,55 @@ object CurationQueries {
       |GROUP BY c.c_mktsegment
       |ORDER BY c.c_mktsegment""".stripMargin
 
+  // ── d49: fuzzy name matching (edit-distance join) ───────────────────
+
+  /** Entity-resolution fuzzy matching
+    * ([[graft.operators.EditDistanceJoin]]): a "dirty feed" of part
+    * names — one deterministic typo per name, the edit TYPE cycling
+    * substitution / deletion / insertion by key — must re-link to its
+    * clean source through the symmetric-deletion candidate join
+    * (candidates are string-length linear, never all-pairs; the
+    * codegen'd `levenshtein` verifies). This is the name/title dedup
+    * case the shingle family can't serve: one typo shifts every
+    * following n-gram, but the deletion neighborhood still collides.
+    * Both relations restrict to partkey % 10 = 0 so the oracle's
+    * brute-force cross join stays replayable at every scale; the
+    * oracle finds EVERY pair within distance 1 (including accidental
+    * near-misses between unrelated names), so a lossy candidate
+    * scheme loses rows and fails the hash.
+    */
+  val d49_fuzzy_name_match: Q = (s, dir) => {
+    val base = Tables(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val dirty = base.select((col("id") + 1000000L).as("id"),
+      when(col("id") % 3 === 0, concat(lit("x"), expr("substring(name, 2)")))
+        .when(col("id") % 3 === 1,
+          concat(expr("substring(name, 1, 1)"), expr("substring(name, 3)")))
+        .otherwise(concat(lit("z"), col("name"))).as("name"))
+    graft.operators.EditDistanceJoin
+      .joinWithin1(base, "id", "name", dirty, "id", "name")
+      .select(col("l_id"), col("r_id"), col("dist"))
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
+  val d49_sql: String =
+    """WITH base AS (
+      |  SELECT p_partkey AS id, p_name AS name FROM part
+      |  WHERE p_partkey % 10 = 0
+      |), dirty AS (
+      |  SELECT id + 1000000 AS id,
+      |    CASE id % 3
+      |      WHEN 0 THEN 'x' || substr(name, 2)
+      |      WHEN 1 THEN substr(name, 1, 1) || substr(name, 3)
+      |      ELSE 'z' || name END AS name
+      |  FROM base
+      |)
+      |SELECT b.id AS l_id, d.id AS r_id,
+      |       CAST(levenshtein(b.name, d.name) AS INTEGER) AS dist
+      |FROM base b CROSS JOIN dirty d
+      |WHERE levenshtein(b.name, d.name) <= 1
+      |ORDER BY l_id, r_id""".stripMargin
+
   // ── t09: per-language quality-percentile gate ───────────────────────
 
   /** Keep documents at or above their language's 2nd-decile quality —
@@ -2138,6 +2187,7 @@ object CurationQueries {
     "t08_pii_redaction" -> t08_pii_redaction,
     "q19_skew_join" -> q19_skew_join,
     "q54_hybrid_skew_join" -> q54_hybrid_skew_join,
+    "d49_fuzzy_name_match" -> d49_fuzzy_name_match,
     "t09_quality_filter" -> t09_quality_filter,
     "d14_chunking" -> d14_chunking,
     "t10_oov" -> t10_oov,
@@ -2190,6 +2240,7 @@ object CurationQueries {
     "t08_pii_redaction" -> t08_sql,
     "q19_skew_join" -> q19_sql,
     "q54_hybrid_skew_join" -> q54_sql,
+    "d49_fuzzy_name_match" -> d49_sql,
     "t09_quality_filter" -> t09_sql,
     "d14_chunking" -> d14_sql,
     "t10_oov" -> t10_sql,
