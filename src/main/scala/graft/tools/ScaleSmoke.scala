@@ -53,7 +53,39 @@ object ScaleSmoke {
     if (mode == "growth") growthSmoke(spark) // 500k tier: slow, opt-in
     if (mode == "all") cmSmoke(spark, 10000000L)
     if (mode == "cm100") cmSmoke(spark, 100000000L) // opt-in
+    if (mode == "all") editSmoke(spark, 100000L)
+    if (mode == "edit") editSmoke(spark, 1000000L) // opt-in
     spark.stop()
+  }
+
+  /** Edit-distance join growth: n synthetic ~18-char names, every
+    * 10th a single-char typo of its neighbor (planted links) — the
+    * candidate relation is Σ(len+1) ≈ 19n variants, so wall time
+    * should grow linearly in n plus the (output-sized) verification.
+    * A superlinear jump here would mean variant-key skew (short
+    * strings colliding) — the adversarial case the spec covers
+    * functionally and this measures at volume.
+    */
+  private def editSmoke(spark: SparkSession, n: Long): Unit = {
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // deterministic name: 3 md5-derived 6-char blocks; every 10th row
+    // replaces the first char of its neighbor's name (ed = 1)
+    def nameOf(id: org.apache.spark.sql.Column) = concat(
+      substring(md5(id.cast("string")), 1, 6),
+      substring(md5((id + 7).cast("string")), 1, 6),
+      substring(md5((id * 3).cast("string")), 1, 6))
+    val names = spark.range(n).select(col("id"),
+      when(col("id") % 10 === 9, concat(lit("Z"), substring(nameOf(col("id") - 1), 2, 17)))
+        .otherwise(nameOf(col("id"))).as("name"))
+    val sec = timed {
+      val pairs = graft.operators.EditDistanceJoin
+        .pairsWithin1(names, "id", "name").count()
+      println(f"[scale] edit-distance pairs found at $n%,d names: $pairs%,d " +
+        s"(planted ${n / 10})")
+    }
+    println(f"[scale] ed<=1 self-join over $n%,d names: $sec%.1f s")
   }
 
   /** Count-Min vs exact groupBy at token scale: the sketch's reduce
