@@ -108,4 +108,39 @@ object SchemaEvolution {
     result.columnsAdded.foldLeft(production) { (schema, nc) =>
       schema.add(StructField(nc.name, nc.dataType, nullable = true))
     }
+
+  /** Is `from → to` a WIDENING promotion — every `from` value
+    * representable in `to` with no loss? The auto-applicable half of
+    * the type-change channel (the reference flags ALL type changes
+    * manual; the upstream ALTERs that actually happen — int→bigint,
+    * float→double, decimal precision growth — are mechanical):
+    * integral up-chain, float→double, integral→decimal/double with
+    * room, and decimal growth that keeps scale and gains at least the
+    * integer digits it had. Everything else (narrowing, cross-family,
+    * scale changes) stays manual — silent truncation is the failure
+    * mode this classification exists to prevent.
+    */
+  def isWidening(from: DataType, to: DataType): Boolean = {
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    def intDigits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case LongType => 19; case _ => 0
+    }
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (f, t) if rank(f).isDefined && rank(t).isDefined =>
+        rank(f).get < rank(t).get
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if rank(f).isDefined && intDigits(f) <= 15 => true
+      case (f, d: DecimalType) if rank(f).isDefined =>
+        d.precision - d.scale >= intDigits(f)
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+  }
 }

@@ -809,6 +809,62 @@ object PlatformQueries {
       |GROUP BY p.word
       |ORDER BY p.word""".stripMargin
 
+  // ───────────────────────────── w24: widening type promotion
+
+  /** Type promotion on the MoR stack
+    * ([[graft.sources.MorStore.promote]]) — the upstream ALTER every
+    * long-lived CDC pipeline eventually meets: the source widens a
+    * column (int → bigint) and new deltas arrive in the wide type.
+    * Lifecycle under the gate: int base + int deltas → a LONG-typed
+    * delta is REJECTED at commit with the promote() hint (vanilla
+    * parquet scans cannot read int32 files as int64, so the drift
+    * must not reach the resolve) → promote folds the cast into a
+    * compaction → the same wide delta now commits, carrying values
+    * beyond int range. The output aggregates the resolved table with
+    * sums only 64-bit arithmetic can hold — a lost promotion, a
+    * truncated cast, or a delta applied to the wrong generation all
+    * shift the totals against the oracle's replay from raw orders.
+    */
+  val w24_type_promotion: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-promote")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("k"))
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice")).cast("int").as("dollars"))
+    st.commitBase(orders.filter(col("k") % 3 === 0), 1000L)
+    st.commitDelta(orders.filter(col("k") % 3 === 1)
+      .withColumn("__op", lit("U")), 2000L)
+    // the wide delta: dollars re-derived in CENTS × 1000 (long range)
+    def wide(m: Int) = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === m).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (round(col("o_totalprice") * 100).cast("long") * 1000000L).as("dollars"),
+        lit("U").as("__op"))
+    val rejected =
+      try { st.commitDelta(wide(2), 3000L); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("promote") }
+    require(rejected, "type-drifted delta must be rejected with the promote hint")
+    st.promote("dollars", org.apache.spark.sql.types.LongType, 4000L)
+    st.commitDelta(wide(2), 5000L) // now commits cleanly
+    st.read().groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("dollars")).as("sum_dollars"))
+      .orderBy(col("st"))
+  }
+
+  val w24_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CASE WHEN o_orderkey % 3 = 2
+      |              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000
+      |              ELSE CAST(CAST(ROUND(o_totalprice) AS INTEGER) AS BIGINT)
+      |         END AS dollars
+      |  FROM orders
+      |)
+      |SELECT st, COUNT(*) AS n, CAST(SUM(dollars) AS BIGINT) AS sum_dollars
+      |FROM o GROUP BY st ORDER BY st""".stripMargin
+
   // ───────────────────────────── v27: zero-copy clone lifecycle
 
   /** Zero-copy CLONE ([[graft.sources.TableCatalog.cloneTable]]) —
@@ -1509,6 +1565,7 @@ object PlatformQueries {
     "t21_bpe_sequences" -> t21_bpe_sequences,
     "t22_countmin_sketch" -> t22_countmin_sketch,
     "w22_stream_sketch" -> w22_stream_sketch,
+    "w24_type_promotion" -> w24_type_promotion,
     "w16_mor_catalog" -> w16_mor_catalog,
     "v23_fileskip_range" -> v23_fileskip_range,
     "q49_graph_closure" -> q49_graph_closure,
@@ -1533,6 +1590,7 @@ object PlatformQueries {
     "t21_bpe_sequences" -> t21_sql,
     "t22_countmin_sketch" -> t22_sql,
     "w22_stream_sketch" -> w22_sql,
+    "w24_type_promotion" -> w24_sql,
     "w16_mor_catalog" -> w16_sql,
     "v23_fileskip_range" -> v23_sql,
     "q49_graph_closure" -> q49_sql,

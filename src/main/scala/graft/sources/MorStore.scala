@@ -82,7 +82,8 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
   private def validateDeltaFiles(dest: Path, allowEvolution: Boolean): Unit = {
     val written = spark.read.parquet(dest.toString)
     generations().filter(_._2 == "base").map(_._1).lastOption.foreach { bg =>
-      val baseCols = spark.read.parquet(genDir(bg).toString).columns.toSet
+      val baseSchema = spark.read.parquet(genDir(bg).toString).schema
+      val baseCols = baseSchema.fieldNames.toSet
       val rowCols = written.columns
         .filterNot(c => c == OpCol || c == SeqCol).toSet
       // evolution admits EXTRA columns (they become table columns, old
@@ -97,6 +98,25 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
             s"(extra: ${(rowCols -- baseCols).toSeq.sorted.mkString(",")}; " +
             s"missing: ${(baseCols -- rowCols).toSeq.sorted.mkString(",")})")
       }
+      // a TYPE-drifted column (upstream ALTER int→bigint) would not
+      // fail here but deep in the resolve's multi-path scan, far from
+      // its cause — and vanilla parquet scans cannot read int32 files
+      // as int64 anyway. Reject at the commit with the fix spelled
+      // out: widening drift → promote() first; anything else → manual.
+      written.schema.fields
+        .filter(f => baseCols.contains(f.name)).foreach { f =>
+          val bt = baseSchema(f.name).dataType
+          if (bt != f.dataType) {
+            fs.delete(dest, true)
+            val hint =
+              if (graft.operators.SchemaEvolution.isWidening(bt, f.dataType))
+                s"widening drift — run promote(${f.name}, ${f.dataType.simpleString}) first"
+              else "not a widening — route to the manual evolution channel"
+            throw new IllegalArgumentException(
+              s"delta rejected: column '${f.name}' is ${f.dataType.simpleString} " +
+                s"but the base holds ${bt.simpleString} ($hint)")
+          }
+        }
     }
     val tieCols = keyCols ++ (if (written.columns.contains(SeqCol)) Seq(SeqCol) else Nil)
     val viol = written
@@ -348,6 +368,25 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     */
   def compact(commitTsMillis: Long): Long =
     commitBase(read(), commitTsMillis)
+
+  /** WIDENING type promotion (upstream ALTER int→bigint and friends):
+    * one compaction with the cast folded in — the only correct shape
+    * on vanilla parquet, whose scans cannot read int32 files as int64,
+    * so a zero-rewrite promotion would poison every later resolve.
+    * O(table), amortized by scheduling it with the compaction the
+    * delta stack needs anyway. Narrowing refuses (silent truncation);
+    * after the promote, deltas in the WIDE type commit normally.
+    */
+  def promote(colName: String, to: org.apache.spark.sql.types.DataType,
+      commitTsMillis: Long): Long = {
+    val cur = read()
+    require(cur.columns.contains(colName), s"no column '$colName'")
+    val from = cur.schema(colName).dataType
+    require(graft.operators.SchemaEvolution.isWidening(from, to),
+      s"promote($colName): ${from.simpleString} → ${to.simpleString} is not " +
+        "widening — a lossy change must go through the manual channel")
+    commitBase(cur.withColumn(colName, col(colName).cast(to)), commitTsMillis)
+  }
 
   /** Retention: drop every generation strictly below the newest BASE
     * at or before `upTo` — the oldest generation any read at ≥ `upTo`

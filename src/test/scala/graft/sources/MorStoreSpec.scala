@@ -144,6 +144,41 @@ class MorStoreSpec extends AnyFunSuite {
     assert(asMap(st) == Map(2L -> 20L))
   }
 
+  test("type promotion: drifted delta rejected with hint; promote widens; narrowing refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(Seq((1L, 10), (2L, 20)).toDF("k", "v"), 1000L) // v: INT
+    // a long-typed delta must be rejected AT THE COMMIT, with guidance
+    val e = intercept[IllegalArgumentException] {
+      st.commitDelta(Seq((3L, 30L, "U")).toDF("k", "v", "__op"), 2000L)
+    }
+    assert(e.getMessage.contains("promote"), e.getMessage)
+    assert(st.generations().map(_._2) == Seq("base")) // nothing leaked
+    // narrowing refuses (silent truncation is the failure mode)
+    val e2 = intercept[IllegalArgumentException] {
+      st.promote("v", ShortType, 2600L)
+    }
+    assert(e2.getMessage.contains("not"), e2.getMessage)
+    st.promote("v", LongType, 3000L)
+    assert(st.read().schema("v").dataType == LongType)
+    // wide delta now commits, with a value beyond int range
+    st.commitDelta(Seq((3L, 1L << 40, "U")).toDF("k", "v", "__op"), 4000L)
+    assert(asMap(st) == Map(1L -> 10L, 2L -> 20L, 3L -> (1L << 40)))
+    // classification table
+    import graft.operators.SchemaEvolution.isWidening
+    assert(isWidening(IntegerType, LongType))
+    assert(isWidening(FloatType, DoubleType))
+    assert(isWidening(IntegerType, DoubleType))
+    assert(!isWidening(LongType, DoubleType))       // 19 digits > 15-digit mantissa
+    assert(isWidening(IntegerType, DecimalType(12, 2)))
+    assert(!isWidening(IntegerType, DecimalType(9, 2))) // 7 int digits < 10
+    assert(isWidening(DecimalType(10, 2), DecimalType(14, 2)))
+    assert(!isWidening(DecimalType(10, 2), DecimalType(14, 4))) // scale change
+    assert(!isWidening(LongType, IntegerType))
+    assert(!isWidening(StringType, LongType))
+  }
+
   test("lenient commit: poison rows divert to the DLQ, clean rows land, batch id sticks") {
     import spark.implicits._
     val st = new MorStore(spark, freshRoot(), Seq("k"))
