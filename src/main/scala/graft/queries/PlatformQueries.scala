@@ -928,6 +928,67 @@ object PlatformQueries {
       |FROM o GROUP BY st
       |ORDER BY which, st""".stripMargin
 
+  // ───────────────────────────── v28: catalog DDL (rename / drop)
+
+  /** Catalog-level DDL as METADATA generations
+    * ([[graft.sources.TableCatalog.renameTable]]/[[graft.sources
+    * .TableCatalog.dropTable]]): rename moves a pointer (zero data
+    * movement — the location-indirection machinery v27 built), drop
+    * vanishes the name forward while earlier cuts still time-travel
+    * to it, and vacuum reclaims a dropped table's directory only once
+    * NO kept generation references it — by name or through a rename's
+    * location entry (require-guarded both ways). Output reads the
+    * renamed table at the latest cut and the dropped one at its last
+    * visible cut; the oracle recomputes both slices from raw orders.
+    */
+  val v28_catalog_ddl: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddl")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cat.commitAll(Map(
+      "facts" -> orders.filter(col("k") % 2 === 0),
+      "scratch" -> orders.filter(col("k") % 2 === 1)), 1000L)
+    cat.renameTable("facts", "orders_fact", 2000L)
+    val gDrop = cat.dropTable("scratch", 3000L)
+    def agg(df: DataFrame, which: String) = df.groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("which", lit(which))
+    // time-travel read of the dropped table, MATERIALIZED before the
+    // vacuum reclaims its files (the legitimate way to look at history
+    // that retention is about to erase)
+    val droppedAtCut = agg(cat.readAt(gDrop - 1, "scratch"), "dropped_at_cut")
+      .localCheckpoint()
+    cat.commitAll(Map("orders_fact" -> orders), 4000L)
+    cat.vacuum(keepLast = 2) // keeps the drop cut + the rewrite cut
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "tables/facts")),
+      "rename's physical source must survive while a kept cut references it")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "tables/scratch")),
+      "dropped table's directory must be reclaimed once unreferenced")
+    agg(cat.read("orders_fact"), "renamed_live")
+      .unionByName(droppedAtCut)
+      .select(col("which"), col("st"), col("n"), col("cents"))
+      .orderBy(col("which"), col("st"))
+  }
+
+  val v28_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'dropped_at_cut' AS which, st, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM o WHERE k % 2 = 1 GROUP BY st
+      |UNION ALL
+      |SELECT 'renamed_live', st, COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |FROM o GROUP BY st
+      |ORDER BY which, st""".stripMargin
+
   // ───────────────────────────── q50: BFS depth (shortest-hop layers)
 
   /** Shortest-hop DEPTH from [[graft.operators.Reachability]] — the
@@ -1559,6 +1620,7 @@ object PlatformQueries {
     "w21_forget_user" -> w21_forget_user,
     "v25_catalog_vacuum" -> v25_catalog_vacuum,
     "v27_zero_copy_clone" -> v27_zero_copy_clone,
+    "v28_catalog_ddl" -> v28_catalog_ddl,
     "d46_retractable_view" -> d46_retractable_view,
     "v24_zorder_skip" -> v24_zorder_skip,
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
@@ -1584,6 +1646,7 @@ object PlatformQueries {
     "w21_forget_user" -> w21_sql,
     "v25_catalog_vacuum" -> v25_sql,
     "v27_zero_copy_clone" -> v27_sql,
+    "v28_catalog_ddl" -> v28_sql,
     "d46_retractable_view" -> d46_sql,
     "v24_zorder_skip" -> v24_sql,
     "d43_bpe_tokenize" -> d43_sql,

@@ -86,17 +86,18 @@ class TableCatalog(spark: SparkSession, root: String) {
   private[graft] def publish(
       staged: Map[String, Long], commitTsMillis: Long,
       morStaged: Map[String, Long] = Map.empty,
-      cloned: Map[String, (String, Long)] = Map.empty): Long = {
+      cloned: Map[String, (String, Long)] = Map.empty,
+      dropped: Set[String] = Set.empty): Long = {
     val prev = latestGeneration()
     val g = prev.map(_ + 1).getOrElse(0L)
-    val versions = prev.map(tableVersions).getOrElse(Map.empty) ++ staged ++
-      cloned.map { case (t, (_, v)) => t -> v }
+    val versions = (prev.map(tableVersions).getOrElse(Map.empty) -- dropped) ++
+      staged ++ cloned.map { case (t, (_, v)) => t -> v }
     val morVs = prev.map(morVersions).getOrElse(Map.empty) ++ morStaged
     // location indirection: a CLONE's data lives under its SOURCE's
     // physical directory; a staged (freshly written) table always
     // lives under its own name, so a post-clone write resets the entry
     val locs = (prev.map(tableLocations).getOrElse(Map.empty) --
-      staged.keys) ++ cloned.map { case (t, (src, _)) => t -> src }
+      staged.keys -- dropped) ++ cloned.map { case (t, (src, _)) => t -> src }
     def jsonMap(m: Map[String, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":$v""" }.mkString(",")
     def jsonStrMap(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
@@ -144,6 +145,40 @@ class TableCatalog(spark: SparkSession, root: String) {
     val physical = tableLocations(g).getOrElse(src, src)
     publish(Map.empty, commitTsMillis,
       cloned = Map(dst -> (physical, vs(src))))
+  }
+
+  /** Atomic metadata-only RENAME: `to` appears pointing at `from`'s
+    * physical data, `from` disappears — ONE generation, zero data
+    * movement (DDL rename at the catalog level; the reference renames
+    * physical tables, this renames a pointer). Time travel is
+    * untouched: generations before the rename still read the OLD
+    * name. Same freshness constraints as [[cloneTable]].
+    */
+  def renameTable(from: String, to: String, commitTsMillis: Long): Long = {
+    requireSafeName(to)
+    val g = latestGeneration().getOrElse(
+      throw new IllegalStateException(s"empty catalog at $root"))
+    val vs = tableVersions(g)
+    require(vs.contains(from), s"rename source '$from' not in generation $g")
+    require(!vs.contains(to) && !morVersions(g).contains(to),
+      s"rename target '$to' already exists")
+    require(!fs.exists(new Path(root, s"tables/$to")),
+      s"rename target '$to' has a residual data directory")
+    val physical = tableLocations(g).getOrElse(from, from)
+    publish(Map.empty, commitTsMillis,
+      cloned = Map(to -> (physical, vs(from))), dropped = Set(from))
+  }
+
+  /** Atomic DROP: the table vanishes from the NEXT generation (one
+    * metadata commit, no data deletion — earlier generations still
+    * time-travel to it; [[vacuum]] reclaims the data once no kept
+    * generation references it, clone/rename references included).
+    */
+  def dropTable(t: String, commitTsMillis: Long): Long = {
+    val g = latestGeneration().getOrElse(
+      throw new IllegalStateException(s"empty catalog at $root"))
+    require(tableVersions(g).contains(t), s"table '$t' not in generation $g")
+    publish(Map.empty, commitTsMillis, dropped = Set(t))
   }
 
   // ── MoR members ─────────────────────────────────────────────────────
@@ -406,6 +441,16 @@ class TableCatalog(spark: SparkSession, root: String) {
         .filter(_.getName.stripPrefix("v=").toLong < minV)
         .foreach(fs.delete(_, true))
     }
+    // a DROPPED (or renamed-away) table whose physical directory no
+    // kept generation references — by own name OR through a clone's
+    // location entry — is fully reclaimable; without this it would
+    // leak forever (no per-version minimum ever mentions it)
+    val keptMor = kept.flatMap(g => morVersions(g).keys).toSet
+    val tablesDir = new Path(root, "tables")
+    if (fs.exists(tablesDir)) fs.listStatus(tablesDir)
+      .map(_.getPath)
+      .filter(p => !minKeptVersion.contains(p.getName) && !keptMor.contains(p.getName))
+      .foreach(fs.delete(_, true))
     kept.flatMap(g => morVersions(g).toSeq)
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).min }
       .foreach { case (t, minG) =>

@@ -157,6 +157,51 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "tables/src/v=0")))
   }
 
+  test("rename is one metadata generation; drop vanishes forward, time-travels back") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    val g0 = cat.commitAll(Map("a" -> nums(0, 10), "b" -> nums(0, 5)), 1000L)
+    val g1 = cat.renameTable("a", "a2", 2000L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // metadata-only: no new data directory, old name gone forward
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "tables/a2")))
+    assert(cat.read("a2").count() == 10)
+    assert(cat.tableVersions(g1).get("a").isEmpty)
+    assert(cat.readAt(g0, "a").count() == 10) // time travel to the old name
+    intercept[IllegalArgumentException] { cat.readAt(g1, "a") }
+    // a write to the renamed table diverges under its own directory
+    cat.commitAll(Map("a2" -> nums(0, 3)), 3000L)
+    assert(cat.read("a2").count() == 3)
+    assert(cat.readAt(g1, "a2").count() == 10)
+    // drop: gone at the next cut, readable at earlier cuts
+    val g3 = cat.dropTable("b", 4000L)
+    intercept[IllegalArgumentException] { cat.readAt(g3, "b") }
+    assert(cat.readAt(g1, "b").count() == 5)
+    intercept[IllegalArgumentException] { cat.dropTable("b", 5000L) } // already gone
+  }
+
+  test("vacuum reclaims a dropped table's directory once nothing kept references it") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.commitAll(Map("keep" -> nums(0, 5), "doomed" -> nums(0, 9)), 1000L)
+    cat.dropTable("doomed", 2000L)
+    cat.commitAll(Map("keep" -> nums(0, 6)), 3000L)
+    cat.vacuum(keepLast = 2) // kept cuts no longer reference 'doomed'
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "tables/doomed")))
+    assert(cat.read("keep").count() == 6)
+    // but a rename keeps its source's PHYSICAL dir alive via the loc entry
+    val root2 = freshRoot()
+    val cat2 = new TableCatalog(spark, root2)
+    cat2.commitAll(Map("old" -> nums(0, 7)), 1000L)
+    cat2.renameTable("old", "new", 2000L)
+    cat2.vacuum(keepLast = 1)
+    assert(cat2.read("new").count() == 7) // physical dir tables/old survived
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root2, "tables/old")))
+  }
+
   test("table names that would corrupt the JSON generation file are rejected") {
     val cat = new TableCatalog(spark, freshRoot())
     for (bad <- Seq("""a"b""", "a,b", "a:b", "a}b", "a b", "")) {
