@@ -92,7 +92,8 @@ class TableCatalog(spark: SparkSession, root: String) {
     val g = prev.map(_ + 1).getOrElse(0L)
     val versions = (prev.map(tableVersions).getOrElse(Map.empty) -- dropped) ++
       staged ++ cloned.map { case (t, (_, v)) => t -> v }
-    val morVs = prev.map(morVersions).getOrElse(Map.empty) ++ morStaged
+    val morVs = (prev.map(morVersions).getOrElse(Map.empty) -- dropped) ++
+      morStaged
     // location indirection: a CLONE's data lives under its SOURCE's
     // physical directory; a staged (freshly written) table always
     // lives under its own name, so a post-clone write resets the entry
@@ -177,7 +178,8 @@ class TableCatalog(spark: SparkSession, root: String) {
   def dropTable(t: String, commitTsMillis: Long): Long = {
     val g = latestGeneration().getOrElse(
       throw new IllegalStateException(s"empty catalog at $root"))
-    require(tableVersions(g).contains(t), s"table '$t' not in generation $g")
+    require(tableVersions(g).contains(t) || morVersions(g).contains(t),
+      s"table '$t' not in generation $g")
     publish(Map.empty, commitTsMillis, dropped = Set(t))
   }
 

@@ -202,6 +202,24 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root2, "tables/old")))
   }
 
+  test("a MoR member drops like any table; vacuum reclaims its whole store") {
+    import spark.implicits._
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.morStore("m", Seq("v"))
+    cat.commitAllWith(Map("snap" -> nums(0, 5)),
+      Map("m" -> Seq((1L, "U"), (2L, "U")).toDF("v", "__op")), 1000L)
+    val gDrop = cat.dropTable("m", 2000L)
+    intercept[IllegalArgumentException] { cat.readAt(gDrop, "m") }
+    assert(cat.readAt(gDrop - 1, "m").count() == 2) // time travel intact
+    cat.commitAll(Map("snap" -> nums(0, 8)), 3000L)
+    cat.vacuum(keepLast = 2) // no kept cut references the member
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "tables/m")))
+    assert(cat.read("snap").count() == 8)
+  }
+
   test("table names that would corrupt the JSON generation file are rejected") {
     val cat = new TableCatalog(spark, freshRoot())
     for (bad <- Seq("""a"b""", "a,b", "a:b", "a}b", "a b", "")) {
