@@ -331,6 +331,50 @@ object CurationQueries {
       |WHERE levenshtein(b.name, d.name) <= 1
       |ORDER BY l_id, r_id""".stripMargin
 
+  // ── d50: edit-distance join at threshold 2 ──────────────────────────
+
+  /** d49 at threshold TWO ([[graft.operators.EditDistanceJoin
+    * .joinWithin]] k=2, the ≤2-deletion neighborhoods): the dirty
+    * feed takes TWO edits per name (a deletion + a substitution, or a
+    * substitution + an appended character, by key parity), so the
+    * k=1 machinery would MISS every planted link and only the
+    * quadratic-free 2-deletion pigeonhole recovers them. Same
+    * restricted brute-force oracle discipline as d49 — every pair
+    * within distance 2 counts, accidental near-misses included.
+    */
+  val d50_fuzzy_match_k2: Q = (s, dir) => {
+    val base = Tables(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val dirty = base.select((col("id") + 1000000L).as("id"),
+      when(col("id") % 2 === 0,
+        // delete char 2, substitute (new) char 4 with 'q'
+        concat(expr("substring(name, 1, 1)"), expr("substring(name, 3, 2)"),
+          lit("q"), expr("substring(name, 6)")))
+        .otherwise( // substitute first char, append 'q'
+          concat(lit("x"), expr("substring(name, 2)"), lit("q"))).as("name"))
+    graft.operators.EditDistanceJoin
+      .joinWithin(base, "id", "name", dirty, "id", "name", k = 2)
+      .select(col("l_id"), col("r_id"), col("dist"))
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
+  val d50_sql: String =
+    """WITH base AS (
+      |  SELECT p_partkey AS id, p_name AS name FROM part
+      |  WHERE p_partkey % 10 = 0
+      |), dirty AS (
+      |  SELECT id + 1000000 AS id,
+      |    CASE WHEN id % 2 = 0
+      |      THEN substr(name, 1, 1) || substr(name, 3, 2) || 'q' || substr(name, 6)
+      |      ELSE 'x' || substr(name, 2) || 'q' END AS name
+      |  FROM base
+      |)
+      |SELECT b.id AS l_id, d.id AS r_id,
+      |       CAST(levenshtein(b.name, d.name) AS INTEGER) AS dist
+      |FROM base b CROSS JOIN dirty d
+      |WHERE levenshtein(b.name, d.name) <= 2
+      |ORDER BY l_id, r_id""".stripMargin
+
   // ── t09: per-language quality-percentile gate ───────────────────────
 
   /** Keep documents at or above their language's 2nd-decile quality —
@@ -2188,6 +2232,7 @@ object CurationQueries {
     "q19_skew_join" -> q19_skew_join,
     "q54_hybrid_skew_join" -> q54_hybrid_skew_join,
     "d49_fuzzy_name_match" -> d49_fuzzy_name_match,
+    "d50_fuzzy_match_k2" -> d50_fuzzy_match_k2,
     "t09_quality_filter" -> t09_quality_filter,
     "d14_chunking" -> d14_chunking,
     "t10_oov" -> t10_oov,
@@ -2241,6 +2286,7 @@ object CurationQueries {
     "q19_skew_join" -> q19_sql,
     "q54_hybrid_skew_join" -> q54_sql,
     "d49_fuzzy_name_match" -> d49_sql,
+    "d50_fuzzy_match_k2" -> d50_sql,
     "t09_quality_filter" -> t09_sql,
     "d14_chunking" -> d14_sql,
     "t10_oov" -> t10_sql,

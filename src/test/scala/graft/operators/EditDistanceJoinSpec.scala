@@ -70,6 +70,32 @@ class EditDistanceJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("k=2: lossless vs brute force on random corpora, including 2-edit combos") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 2).foreach { _ =>
+      val strs = (1 to 90).map(i =>
+        (i.toLong, (1 to (3 + rnd.nextInt(4))).map(_ => "abc"(rnd.nextInt(3))).mkString))
+      val df = strs.toDF("id", "s")
+      val got = EditDistanceJoin.pairsWithin(df, "id", "s", k = 2)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib && lev(sa, sb) <= 2
+      } yield (ia, ib)).toSet
+      assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    }
+    // mixed 2-edit shapes against a fixed anchor
+    val df2 = Seq((1L, "spark"), (2L, "sprk"), (3L, "sprak"), (4L, "parka"),
+      (5L, "spa"), (6L, "sparkler")).toDF("id", "s")
+    val got2 = EditDistanceJoin.pairsWithin(df2, "id", "s", k = 2)
+      .filter($"l_id" === 1L).select("r_id").collect().map(_.getLong(0)).toSet
+    // sprk (1 del), sprak (transpose = del+ins), spa (2 del),
+    // parka (del 's' + append 'a' = 2); sparkler is 3 -> out
+    assert(got2 == Set(2L, 3L, 4L, 5L), got2.toString)
+  }
+
   test("two-relation form carries strings and distances") {
     import spark.implicits._
     val l = Seq((1L, "data"), (2L, "graft")).toDF("id", "s")
