@@ -61,6 +61,9 @@ object CountMin {
     */
   def merge(sketches: Seq[DataFrame]): DataFrame = {
     require(sketches.nonEmpty, "nothing to merge")
+    sketches.foreach(s => require(
+      s.columns.toSet == Set("row", "cell", "c"),
+      s"not a sketch relation: ${s.columns.mkString(",")}"))
     sketches.reduce(_ unionByName _)
       .groupBy("row", "cell").agg(sum(col("c")).as("c"))
   }
@@ -72,11 +75,20 @@ object CountMin {
     * cell is untouched was never seen).
     */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
-      depth: Int, width: Int): DataFrame =
+      depth: Int, width: Int): DataFrame = {
+    // same shape guard as build: depth 5 would slice past md5's 32 hex
+    // digits into empty substrings and silently estimate 0 for every
+    // key. A WIDTH mismatch against the sketch is undetectable from
+    // the relation alone (cells are just longs) — callers must pass
+    // the build-time shape, which the w22/t22 lifecycle does by
+    // sharing the constants.
+    require(depth >= 1 && depth <= 4 && width >= 2,
+      s"bad sketch shape ${depth}x$width (depth caps at 4: 32 md5 bits per row)")
     keys.select(col(keyCol).cast("string").as("k")).distinct()
       .select(col("k"),
         posexplode(cellsOf(col("k"), depth, width)).as(Seq("row", "cell")))
       .join(broadcast(sketch), Seq("row", "cell"), "left")
       .groupBy("k")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
 }

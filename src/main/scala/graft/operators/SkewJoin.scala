@@ -133,6 +133,13 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(hotKeys.nonEmpty, "no hot keys — use a plain join")
     require(hotKeys.forall(_.size == keys.size), "hot key arity mismatch")
+    // right/full-outer would carry the replicated small side's
+    // UNMATCHED copies through the hot path (S rows where the plain
+    // join has one) — only inner/left flavors survive the replication
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"joinType '$joinType' not exactness-preserving under salting " +
+        "(right/full outer multiply unmatched build rows)")
     val isHot: Column = hotKeys.map { hk =>
       keys.zip(hk).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _)
     }.reduce(_ || _)

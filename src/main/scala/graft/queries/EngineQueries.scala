@@ -217,14 +217,16 @@ object EngineQueries {
     * carries the products up to Σdl ≈ 4·10¹³ (≫ any single corpus
     * shard); past that the same expressions move to decimal(38,0).
     */
-  val t19_bm25_topk: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+  /** The shared integer-exact BM25 scoring tail over (doc_id, tok,
+    * tf) + (doc_id, dl) relations — ONE implementation serving both
+    * t19 (scan-time tf) and t23 (tf from the stored postings): their
+    * oracle contract is bit-identical ranking, so a constant tweak
+    * edited in one copy but not the other would silently break the
+    * t23 gate. df/totals derive here so every caller prices terms the
+    * same way.
+    */
+  private def bm25Tail(tf: DataFrame, dl: DataFrame): DataFrame = {
     val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
-    val tf = toks.filter(col("tok").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dft), "tok")
       .join(dl, "doc_id")
@@ -236,6 +238,16 @@ object EngineQueries {
       .agg(count(lit(1)).as("matched_terms"), sum(col("contrib")).as("score_num"))
       .orderBy(col("score_num").desc, col("doc_id"))
       .limit(20)
+  }
+
+  val t19_bm25_topk: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    bm25Tail(tf, dl)
   }
 
   val t19_sql: String = {
@@ -312,21 +324,9 @@ object EngineQueries {
     require(cat.loggedGenerations().size == 2,
       s"expected 2 index generations, got ${cat.loggedGenerations().size}")
     // ── serve: stored relations only, text never touched ──
-    val postings = cat.read("postings")
-    val dl = cat.read("doclen")
-    val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
-    val tf = postings.filter(col("tok").isin(Bm25Terms: _*))
-    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dft), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
-      .withColumn("rarity", expr("(1000 * (n_docs - df)) div n_docs"))
-      .withColumn("contrib", expr(
-        "(rarity * 22 * tf * sumdl) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs)"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("matched_terms"), sum(col("contrib")).as("score_num"))
-      .orderBy(col("score_num").desc, col("doc_id"))
-      .limit(20)
+    bm25Tail(
+      cat.read("postings").filter(col("tok").isin(Bm25Terms: _*)),
+      cat.read("doclen"))
   }
 
   // ───────────────────────────── v20: cross-table atomic snapshot

@@ -103,9 +103,22 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
       // its cause — and vanilla parquet scans cannot read int32 files
       // as int64 anyway. Reject at the commit with the fix spelled
       // out: widening drift → promote() first; anything else → manual.
+      // The EFFECTIVE schema is base ++ columns added by earlier
+      // deltas (evolution), each a cheap footer read — checking only
+      // the base would let delta-vs-delta drift on an evolved column
+      // through to the resolve, the exact far-from-cause failure this
+      // guard exists to prevent.
+      val effective = scala.collection.mutable.Map[String, org.apache.spark
+        .sql.types.DataType](baseSchema.fields.map(f => f.name -> f.dataType): _*)
+      generations().collect { case (g, "delta") if g > bg => g }.foreach { dg =>
+        spark.read.parquet(genDir(dg).toString).schema.fields
+          .filterNot(f => f.name == OpCol || f.name == SeqCol)
+          .foreach(f => effective.getOrElseUpdate(f.name, f.dataType))
+      }
       written.schema.fields
-        .filter(f => baseCols.contains(f.name)).foreach { f =>
-          val bt = baseSchema(f.name).dataType
+        .filter(f => effective.contains(f.name) &&
+          f.name != OpCol && f.name != SeqCol).foreach { f =>
+          val bt = effective(f.name)
           if (bt != f.dataType) {
             fs.delete(dest, true)
             val hint =
@@ -114,7 +127,7 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
               else "not a widening — route to the manual evolution channel"
             throw new IllegalArgumentException(
               s"delta rejected: column '${f.name}' is ${f.dataType.simpleString} " +
-                s"but the base holds ${bt.simpleString} ($hint)")
+                s"but the table holds ${bt.simpleString} ($hint)")
           }
         }
     }

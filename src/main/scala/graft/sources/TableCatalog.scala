@@ -70,9 +70,23 @@ class TableCatalog(spark: SparkSession, root: String) {
     tables.keys.foreach(requireSafeName)
     val prev = latestGeneration().map(tableVersions).getOrElse(Map.empty)
     tables.map { case (t, df) =>
-      val v = prev.get(t).map(_ + 1).getOrElse(0L)
+      // version = max(latest reference, physical high-water mark) + 1.
+      // The directory scan matters when the name left the versions map
+      // (drop, rename-away) and is later recommitted: restarting at 0
+      // would DELETE-AND-OVERWRITE a version directory that earlier
+      // generations — or a renamed successor via its location entry —
+      // still reference, silently corrupting committed data. Existing
+      // directories are immutable until vacuum proves them unreachable,
+      // so their max is a safe floor.
+      val tdir = new Path(root, s"tables/$t")
+      val dirMax =
+        if (!fs.exists(tdir)) -1L
+        else fs.listStatus(tdir).map(_.getPath.getName)
+          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          .foldLeft(-1L)(math.max)
+      val v = math.max(prev.get(t).map(_ + 1).getOrElse(0L), dirMax + 1)
       val dest = tableDir(t, v)
-      fs.delete(dest, true) // orphan from a crashed commit
+      fs.delete(dest, true) // orphan from a crashed commit of this same v
       df.write.mode("overwrite").parquet(dest.toString)
       t -> v
     }
@@ -301,7 +315,12 @@ class TableCatalog(spark: SparkSession, root: String) {
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
       .sorted.toSeq
 
-  private def parseVersionMap(json: String, section: String): Map[String, Long] = {
+  /** ONE parser for every `"section":{...}` map in a generation file
+    * (values differ only in type — a second hand-rolled copy per
+    * section would have to track format changes in lockstep).
+    */
+  private def parseSection[A](json: String, section: String,
+      value: String => A): Map[String, A] = {
     val parts = json.split('"' + section + """":\{""")
     if (parts.length < 2) Map.empty // generation predates the section
     else {
@@ -309,10 +328,13 @@ class TableCatalog(spark: SparkSession, root: String) {
       if (body.trim.isEmpty) Map.empty
       else body.split(",").map { kv =>
         val Array(k, v) = kv.split(":")
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> value(v.trim)
       }.toMap
     }
   }
+
+  private def parseVersionMap(json: String, section: String): Map[String, Long] =
+    parseSection(json, section, _.toLong)
 
   private def genJson(g: Long): String = {
     val in = fs.open(genFile(g))
@@ -334,19 +356,9 @@ class TableCatalog(spark: SparkSession, root: String) {
     * table's); absent means the table lives under its own name.
     * Generations written before clone support parse as empty.
     */
-  def tableLocations(g: Long): Map[String, String] = {
-    val parts = genJson(g).split(""""locs":\{""")
-    if (parts.length < 2) Map.empty
-    else {
-      val body = parts(1).takeWhile(_ != '}')
-      if (body.trim.isEmpty) Map.empty
-      else body.split(",").map { kv =>
-        val Array(k, v) = kv.split(":")
-        k.trim.stripPrefix("\"").stripSuffix("\"") ->
-          v.trim.stripPrefix("\"").stripSuffix("\"")
-      }.toMap
-    }
-  }
+  def tableLocations(g: Long): Map[String, String] =
+    parseSection(genJson(g), "locs",
+      _.stripPrefix("\"").stripSuffix("\""))
 
   /** Commit ts of generation `g`. */
   def generationTs(g: Long): Long = {
@@ -380,16 +392,20 @@ class TableCatalog(spark: SparkSession, root: String) {
     * resolves base ∪ deltas up to the store generation this cut
     * recorded (later deltas, committed after `g`, are invisible).
     */
-  def readAt(g: Long, table: String): DataFrame =
-    tableVersions(g).get(table) match {
+  def readAt(g: Long, table: String): DataFrame = {
+    val json = genJson(g) // one read feeds versions AND locations
+    parseVersionMap(json, "tables").get(table) match {
       case Some(v) =>
-        val loc = tableLocations(g).getOrElse(table, table)
+        val loc = parseSection(json, "locs",
+          (s: String) => s.stripPrefix("\"").stripSuffix("\""))
+          .getOrElse(table, table)
         spark.read.parquet(tableDir(loc, v).toString)
       case None =>
-        val mv = morVersions(g).getOrElse(table,
+        val mv = parseVersionMap(json, "mor").getOrElse(table,
           throw new IllegalArgumentException(s"table $table not in generation $g"))
         morStore(table, morKeys(table)).readAt(mv)
     }
+  }
 
   /** Read `table` at the latest generation. */
   def read(table: String): DataFrame = readAt(latestGeneration()
@@ -424,23 +440,26 @@ class TableCatalog(spark: SparkSession, root: String) {
     val kept = gens.takeRight(keepLast)
     val dropped = gens.dropRight(keepLast)
     if (dropped.isEmpty) return Seq.empty
-    // keyed by PHYSICAL location, not table name: a kept generation
-    // whose CLONE references src/v=3 pins that directory even when
-    // src's own minimum kept version has moved past it
-    val minKeptVersion: Map[String, Long] = kept
+    // the kept SET of (physical location, version) pairs — keyed by
+    // physical location (a kept CLONE's location entry pins its source
+    // directory), and a SET rather than a per-location minimum: a
+    // clone pinning src/v=0 while src itself advanced to v=100 must
+    // not retain the 99 intermediate versions nothing references (the
+    // min-based rule leaked exactly those)
+    val keptRefs: Set[(String, Long)] = kept
       .flatMap { g =>
         val locs = tableLocations(g)
         tableVersions(g).toSeq.map { case (t, v) =>
           locs.getOrElse(t, t) -> v
         }
-      }
-      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).min }
-    minKeptVersion.foreach { case (t, minV) =>
+      }.toSet
+    val keptLocs = keptRefs.map(_._1)
+    keptLocs.foreach { t =>
       val tdir = new Path(root, s"tables/$t")
       if (fs.exists(tdir)) fs.listStatus(tdir)
         .filter(_.getPath.getName.startsWith("v="))
         .map(st => st.getPath)
-        .filter(_.getName.stripPrefix("v=").toLong < minV)
+        .filter(p => !keptRefs.contains(t -> p.getName.stripPrefix("v=").toLong))
         .foreach(fs.delete(_, true))
     }
     // a DROPPED (or renamed-away) table whose physical directory no
@@ -451,7 +470,7 @@ class TableCatalog(spark: SparkSession, root: String) {
     val tablesDir = new Path(root, "tables")
     if (fs.exists(tablesDir)) fs.listStatus(tablesDir)
       .map(_.getPath)
-      .filter(p => !minKeptVersion.contains(p.getName) && !keptMor.contains(p.getName))
+      .filter(p => !keptLocs.contains(p.getName) && !keptMor.contains(p.getName))
       .foreach(fs.delete(_, true))
     kept.flatMap(g => morVersions(g).toSeq)
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).min }

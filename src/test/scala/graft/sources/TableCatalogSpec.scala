@@ -220,6 +220,43 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(cat.read("snap").count() == 8)
   }
 
+  test("recommitting a dropped or renamed-away name never reuses version directories") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    val g0 = cat.commitAll(Map("t" -> nums(0, 10)), 1000L) // t/v=0
+    cat.dropTable("t", 2000L)
+    cat.commitAll(Map("t" -> nums(0, 99)), 3000L) // must NOT clobber v=0
+    assert(cat.readAt(g0, "t").count() == 10, "old generation corrupted")
+    assert(cat.read("t").count() == 99)
+    // the rename flavor: live clone reads THROUGH the old physical dir
+    val root2 = freshRoot()
+    val cat2 = new TableCatalog(spark, root2)
+    cat2.commitAll(Map("a" -> nums(0, 7)), 1000L) // a/v=0
+    cat2.renameTable("a", "b", 2000L)             // b -> (a, v=0)
+    cat2.commitAll(Map("a" -> nums(0, 50)), 3000L) // 'a' reborn — fresh version
+    assert(cat2.read("b").count() == 7,
+      "rename target corrupted by the reborn source's write")
+    assert(cat2.read("a").count() == 50)
+  }
+
+  test("vacuum under a clone pin reclaims the unreferenced intermediate versions") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.commitAll(Map("src" -> nums(0, 10)), 1000L)   // v=0
+    cat.cloneTable("src", "dst", 2000L)               // pins src/v=0
+    (1 to 4).foreach(i =>
+      cat.commitAll(Map("src" -> nums(0, 10 + i)), 2000L + i * 1000L)) // v=1..4
+    cat.vacuum(keepLast = 2) // kept cuts reference src v=0 (via dst), v=3, v=4
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "tables/src"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    // v=1, v=2 are referenced by NO kept generation — a per-location
+    // minimum (0) would leak them forever
+    assert(vdirs == Seq("v=0", "v=3", "v=4"), vdirs.toString)
+    assert(cat.read("dst").count() == 10 && cat.read("src").count() == 14)
+  }
+
   test("table names that would corrupt the JSON generation file are rejected") {
     val cat = new TableCatalog(spark, freshRoot())
     for (bad <- Seq("""a"b""", "a,b", "a:b", "a}b", "a b", "")) {
