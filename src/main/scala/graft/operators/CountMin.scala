@@ -68,6 +68,35 @@ object CountMin {
       .groupBy("row", "cell").agg(sum(col("c")).as("c"))
   }
 
+  /** Join-size estimate from two sketches of the SAME shape — the CM
+    * inner-product estimator (Cormode & Muthukrishnan 2005 §4.2): for
+    * an equi-join A ⋈ B on the sketched key, |result| = Σ_k
+    * f_A(k)·f_B(k), and every sketch row's cell-wise dot product
+    * Σ_cell a[cell]·b[cell] OVERestimates that sum (colliding keys
+    * only add cross terms), so min over rows is a one-sided estimate:
+    * est ≥ exact always. This is the planner-style cardinality probe
+    * a 100 TB engine runs before choosing a join strategy — two
+    * sketch-sized relations (≤ depth×width rows each, built earlier
+    * or maintained incrementally via [[merge]]) answer "how big is
+    * this join" without touching either input again.
+    *
+    * `depth` must be the common build shape: a row whose cells never
+    * collide across the two sketches contributes dot = 0, and only
+    * the 0..depth-1 spine makes that row's zero reach the min (an
+    * inner-join-only version would silently drop it and overestimate).
+    */
+  def innerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"bad depth $depth (build caps at 4)")
+    Seq(a, b).foreach(s => require(
+      s.columns.toSet == Set("row", "cell", "c"),
+      s"not a sketch relation: ${s.columns.mkString(",")}"))
+    val dots = a.join(b.withColumnRenamed("c", "cb"), Seq("row", "cell"))
+      .groupBy(col("row")).agg(sum(col("c") * col("cb")).as("dot"))
+    a.sparkSession.range(depth).select(col("id").as("row"))
+      .join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est"))
+  }
+
   /** Point estimates for `keys(keyCol)`: min over the key's depth
     * cells (the CM estimator). The sketch side BROADCASTS — it is at
     * most depth×width rows by construction — so probing never

@@ -744,6 +744,65 @@ object PlatformQueries {
       |JOIN pexact x ON x.word = p.word
       |ORDER BY p.word""".stripMargin
 
+  // ───────────────────────────── t24: join-size estimate (CM inner product)
+
+  /** Sketch-based JOIN CARDINALITY estimation
+    * ([[CountMin.innerProduct]]) — the planner probe that answers
+    * "how many rows will events ⋈ customer produce" from two
+    * depth×width summaries instead of running (or even scanning) the
+    * join: at 100 TB the sketches are maintained incrementally
+    * (w22's fold) and the estimate costs a sketch×sketch join of
+    * ≤ depth×width rows. The estimate is ONE-SIDED (each sketch row's
+    * dot product only gains collision cross-terms), so the gated
+    * output shows est ≥ exact with the overestimate explicit; the
+    * oracle replays both sketches cell-for-cell (same md5-slice
+    * identity as t22) plus the true join count, so a hashing drift, a
+    * lost increment, or a broken min-of-rows estimator all shift
+    * values and fail the hash.
+    */
+  val t24_join_size_estimate: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events").select(col("user_id"))
+    val cu = Tables(s, dir, "customer").select(col("c_custkey"))
+    val est = CountMin.innerProduct(
+      CountMin.build(ev, "user_id", CmDepth, CmWidth),
+      CountMin.build(cu, "c_custkey", CmDepth, CmWidth), CmDepth)
+    val exact = ev.join(cu, col("user_id") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact"))
+    est.crossJoin(exact)
+      .select(col("est"), col("exact"),
+        (col("est") - col("exact")).as("overestimate"))
+  }
+
+  val t24_sql: String =
+    s"""WITH ev_cells AS (
+      |  SELECT t.srow,
+      |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |               CAST(t.srow * 8 + 1 AS INTEGER), 8)) AS BIGINT) % $CmWidth AS cell,
+      |         COUNT(*) AS c
+      |  FROM events CROSS JOIN range(0, $CmDepth) t(srow)
+      |  GROUP BY 1, 2
+      |), cu_cells AS (
+      |  SELECT t.srow,
+      |         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+      |               CAST(t.srow * 8 + 1 AS INTEGER), 8)) AS BIGINT) % $CmWidth AS cell,
+      |         COUNT(*) AS c
+      |  FROM customer CROSS JOIN range(0, $CmDepth) t(srow)
+      |  GROUP BY 1, 2
+      |), dots AS (
+      |  SELECT a.srow, SUM(a.c * b.c) AS dot
+      |  FROM ev_cells a JOIN cu_cells b ON a.srow = b.srow AND a.cell = b.cell
+      |  GROUP BY a.srow
+      |), est AS (
+      |  SELECT MIN(COALESCE(d.dot, 0)) AS est
+      |  FROM range(0, $CmDepth) r(srow) LEFT JOIN dots d ON d.srow = r.srow
+      |), ex AS (
+      |  SELECT COUNT(*) AS exact
+      |  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |)
+      |SELECT CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact,
+      |       CAST(est.est - ex.exact AS BIGINT) AS overestimate
+      |FROM est, ex""".stripMargin
+
   // ───────────────────────────── w22: streaming Count-Min sketch
 
   /** The [[CountMin]] sketch maintained over a STREAM
@@ -1626,6 +1685,7 @@ object PlatformQueries {
     "d43_bpe_tokenize" -> d43_bpe_tokenize,
     "t21_bpe_sequences" -> t21_bpe_sequences,
     "t22_countmin_sketch" -> t22_countmin_sketch,
+    "t24_join_size_estimate" -> t24_join_size_estimate,
     "w22_stream_sketch" -> w22_stream_sketch,
     "w24_type_promotion" -> w24_type_promotion,
     "w16_mor_catalog" -> w16_mor_catalog,
@@ -1652,6 +1712,7 @@ object PlatformQueries {
     "d43_bpe_tokenize" -> d43_sql,
     "t21_bpe_sequences" -> t21_sql,
     "t22_countmin_sketch" -> t22_sql,
+    "t24_join_size_estimate" -> t24_sql,
     "w22_stream_sketch" -> w22_sql,
     "w24_type_promotion" -> w24_sql,
     "w16_mor_catalog" -> w16_sql,

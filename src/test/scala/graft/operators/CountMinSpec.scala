@@ -63,6 +63,48 @@ class CountMinSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("inner product is one-sided: est >= exact join size, exact when width dominates") {
+    import spark.implicits._
+    val a = corpus(6, 3000)
+    val b = corpus(7, 1200)
+    val exact = a.join(b, "word").count()
+    // narrow sketch: collisions guaranteed, estimate must stay >= exact
+    val narrow = CountMin.innerProduct(
+      CountMin.build(a, "word", 4, 32),
+      CountMin.build(b, "word", 4, 32), 4).collect()(0).getLong(0)
+    assert(narrow >= exact, s"narrow $narrow < exact $exact")
+    // wide sketch: ~20 distinct keys in 2^16 cells -> no collisions,
+    // every row's dot product IS the true inner product
+    val wide = CountMin.innerProduct(
+      CountMin.build(a, "word", 4, 1 << 16),
+      CountMin.build(b, "word", 4, 1 << 16), 4).collect()(0).getLong(0)
+    assert(wide == exact, s"wide $wide != exact $exact")
+  }
+
+  test("inner product of disjoint key sets reaches 0 through the row spine") {
+    import spark.implicits._
+    // wide sketches of disjoint singletons: no (row, cell) collides, the
+    // dots relation is EMPTY — only the 0..depth-1 spine lets the min
+    // see the zero rows (an inner-join-only estimator would return no
+    // rows or a garbage min here)
+    val est = CountMin.innerProduct(
+      CountMin.build(Seq("only_a").toDF("word"), "word", 4, 1 << 16),
+      CountMin.build(Seq("only_b").toDF("word"), "word", 4, 1 << 16), 4)
+      .collect()(0).getLong(0)
+    assert(est == 0L)
+  }
+
+  test("inner product is symmetric and rejects non-sketch relations") {
+    import spark.implicits._
+    val sa = CountMin.build(corpus(8, 800), "word", 4, 64)
+    val sb = CountMin.build(corpus(9, 600), "word", 4, 64)
+    assert(CountMin.innerProduct(sa, sb, 4).collect()(0).getLong(0) ==
+      CountMin.innerProduct(sb, sa, 4).collect()(0).getLong(0))
+    intercept[IllegalArgumentException] {
+      CountMin.innerProduct(sa, Seq(("x", 1L)).toDF("word", "c"), 4)
+    }
+  }
+
   test("probe joins broadcast the sketch side, never shuffling the key set") {
     val c = corpus(5, 500)
     val sk = CountMin.build(c, "word", 4, 256)
