@@ -744,6 +744,64 @@ object PlatformQueries {
       |JOIN pexact x ON x.word = p.word
       |ORDER BY p.word""".stripMargin
 
+  // ───────────────────────────── q55: rolling z-score anomaly detection
+
+  /** Rolling z-score ANOMALY DETECTION over the event time series —
+    * the metrics-monitoring staple: each (event_type, day) revenue
+    * total is scored against the trailing 7-day window (PRECEDING
+    * rows only — the current day must not dilute its own baseline),
+    * flagged when it sits more than 2σ from the trailing mean. The
+    * whole test is integer-exact: with n = window size, x = today's
+    * cents, s1/s2 = trailing sum and sum of squares,
+    * |x − s1/n| > 2σ  ⟺  (n·x − s1)² > 4·(n·s2 − s1²) · n / n — both
+    * sides scaled by n² — so no float ever appears and the oracle
+    * hash is stable. Warm-up days (< 7 trailing points) emit NULL
+    * rather than a verdict from a thin baseline. Scale shape: one
+    * shuffle to (event_type, day) dailies — corpus-sized input,
+    * days×types-sized state — then a window over the TINY daily
+    * relation; the squared terms stay in long up to ~3·10⁹ daily
+    * cents per type, past which both sides move to decimal(38,0).
+    */
+  val q55_rolling_anomaly: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val dev = col("n_prior") * col("cents") - col("s1")
+    val varN2 = col("n_prior") * col("s2") - col("s1") * col("s1") // n²·var
+    daily
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("anomaly", when(col("n_prior") < 7, lit(null).cast("int"))
+        .otherwise((dev * dev > lit(4) * col("n_prior") * varN2).cast("int")))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("n_prior"), col("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q55_sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), st AS (
+      |  SELECT event_type, day, cents,
+      |         COUNT(*) OVER w AS n_prior,
+      |         CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS s1,
+      |         CAST(COALESCE(SUM(cents * cents) OVER w, 0) AS BIGINT) AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, day, cents, CAST(n_prior AS BIGINT) AS n_prior,
+      |       CASE WHEN n_prior < 7 THEN NULL
+      |            ELSE CAST((n_prior*cents - s1)*(n_prior*cents - s1) >
+      |                      4*n_prior*(n_prior*s2 - s1*s1) AS INTEGER) END AS anomaly
+      |FROM st ORDER BY event_type, day""".stripMargin
+
   // ───────────────────────────── t24: join-size estimate (CM inner product)
 
   /** Sketch-based JOIN CARDINALITY estimation
@@ -1686,6 +1744,7 @@ object PlatformQueries {
     "t21_bpe_sequences" -> t21_bpe_sequences,
     "t22_countmin_sketch" -> t22_countmin_sketch,
     "t24_join_size_estimate" -> t24_join_size_estimate,
+    "q55_rolling_anomaly" -> q55_rolling_anomaly,
     "w22_stream_sketch" -> w22_stream_sketch,
     "w24_type_promotion" -> w24_type_promotion,
     "w16_mor_catalog" -> w16_mor_catalog,
@@ -1713,6 +1772,7 @@ object PlatformQueries {
     "t21_bpe_sequences" -> t21_sql,
     "t22_countmin_sketch" -> t22_sql,
     "t24_join_size_estimate" -> t24_sql,
+    "q55_rolling_anomaly" -> q55_sql,
     "w22_stream_sketch" -> w22_sql,
     "w24_type_promotion" -> w24_sql,
     "w16_mor_catalog" -> w16_sql,
