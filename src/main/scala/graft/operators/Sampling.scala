@@ -30,6 +30,23 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, ratePct: Column): DataFrame =
     df.filter(hashBucket(col(idCol)) < ratePct)
 
+  /** Group-consistent train/eval split — the LEAKAGE-SAFE version of
+    * the naive per-row split: membership is a pure function of the
+    * row's GROUP key (content hash, dup-group representative, source
+    * domain …), so every member of a duplicate group lands in the
+    * same side and the eval set can never contain a near-copy of a
+    * training document. A per-doc-id hash split fails exactly this
+    * way — planted variants of a train doc leak into eval and inflate
+    * every benchmark downstream. Pure narrow projection: no shuffle,
+    * no state, deterministic across engines and reruns (the group-key
+    * hash is the same md5-bucket identity as [[hashBucket]]).
+    */
+  def leakageSafeSplit(df: DataFrame, groupKey: Column, trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct $trainPct not in (0,100)")
+    df.withColumn("split",
+      when(hashBucket(groupKey) < trainPct, "train").otherwise("eval"))
+  }
+
   /** Fine-grained bucket (parts-per-million) for mixture targets where
     * the 0-99 bucket is too coarse.
     */

@@ -177,6 +177,62 @@ object DataPipelineQueries {
       |GROUP BY 1
       |ORDER BY survivor_id""".stripMargin
 
+  /** Leakage-safe train/eval split ([[Sampling.leakageSafeSplit]]):
+    * the split key is the NORMALIZED-CONTENT group, not the doc id,
+    * so the planted shouted variants (d17's corpus — same text after
+    * canonicalization, doc_id 300k apart) land in the same side as
+    * their originals instead of leaking a train doc's near-copy into
+    * eval. The gated output makes the safety property visible: the
+    * `straddling_groups` row counts groups split across sides and
+    * must be 0 (a doc-id-keyed split leaves it > 0 here by
+    * construction — the variants' ids hash independently).
+    */
+  val d52_leakage_split: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(
+      d.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+    val split = Sampling.leakageSafeSplit(
+      corpus.withColumn("grp", md5(TextDedup.normalizedText(col("text")))),
+      col("grp"), trainPct = 90)
+    val per = split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+    val straddle = split.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("straddling_groups").as("split"), col("n_docs"),
+        col("n_docs").as("n_groups"))
+    per.unionByName(straddle).orderBy(col("split"))
+  }
+
+  val d52_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000, upper(text) || ' !!' FROM documents WHERE doc_id % 10 = 3
+      |), g AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS grp
+      |  FROM corpus
+      |), sp AS (
+      |  SELECT doc_id, grp,
+      |         CASE WHEN CAST(('0x' || substr(md5(grp), 1, 15)) AS BIGINT) % 100 < 90
+      |              THEN 'train' ELSE 'eval' END AS split
+      |  FROM g
+      |), per AS (
+      |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+      |  FROM sp GROUP BY split
+      |), straddle AS (
+      |  SELECT 'straddling_groups' AS split,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(COUNT(*) AS BIGINT) AS n_groups
+      |  FROM (SELECT grp FROM sp GROUP BY grp HAVING COUNT(DISTINCT split) > 1)
+      |)
+      |SELECT * FROM per UNION ALL SELECT * FROM straddle ORDER BY split""".stripMargin
+
   /** Asymmetric containment ≥ 0.9: documents whose 3-gram set is mostly
     * INSIDE another document's (quotes, boilerplate wrappers). Ordered
     * pairs — the planted near-dups produce both directions; truncations
@@ -1585,6 +1641,7 @@ object DataPipelineQueries {
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
     "d16_containment" -> d16_containment,
     "d17_normalized_dedup" -> d17_normalized_dedup,
+    "d52_leakage_split" -> d52_leakage_split,
     "d19_containment_prefix" -> d19_containment_prefix,
     "d21_fingerprint_pairs" -> d21_fingerprint_pairs,
     "d23_fingerprint_prefix" -> d23_fingerprint_prefix,
@@ -1622,6 +1679,7 @@ object DataPipelineQueries {
     "d02_ngram_jaccard" -> d02_sql,
     "d16_containment" -> d16_sql,
     "d17_normalized_dedup" -> d17_sql,
+    "d52_leakage_split" -> d52_sql,
     "d19_containment_prefix" -> d19_sql,
     "d21_fingerprint_pairs" -> d21_sql,
     "d23_fingerprint_prefix" -> d23_sql,

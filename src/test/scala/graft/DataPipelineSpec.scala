@@ -943,6 +943,30 @@ class DataPipelineSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
     }
   }
+
+  test("leakageSafeSplit: dup-group members never straddle, doc-id split does") {
+    import spark.implicits._
+    // 200 docs, each with a near-copy 100k ids away sharing its
+    // normalized content — the d17/d52 planting shape
+    val base = (0L until 200L).map(i => (i, s"Doc body $i"))
+    val variants = base.map { case (i, t) => (i + 100000L, t.toUpperCase + " !!") }
+    val corpus = (base ++ variants).toDF("doc_id", "text")
+      .withColumn("grp", md5(TextDedup.normalizedText(col("text"))))
+    val byGroup = Sampling.leakageSafeSplit(corpus, col("grp"), 90)
+    assert(byGroup.groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() == 0, "group split leaked")
+    // both sides populated (90/10 over 200 groups)
+    assert(byGroup.select("split").distinct().count() == 2)
+    // the naive per-doc split DOES straddle: ids i and i+100000 hash
+    // independently, so among 200 pairs at 90/10 some pair disagrees
+    val byDoc = Sampling.leakageSafeSplit(corpus, col("doc_id"), 90)
+    assert(byDoc.groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() > 0,
+      "doc-id split unexpectedly leak-free — planting broken?")
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(corpus, col("grp"), 100)
+    }
+  }
 }
 
 object DataPipelineSpec {
