@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{TextFunctions, WinnowedFingerprint}
-import graft.operators.{ConnectedComponents, Decontaminate, IncrementalDedup, Multimodal, Sampling, TextDedup, VectorSearch}
+import graft.operators.{ConnectedComponents, Decontaminate, IncrementalDedup, Multimodal, PageRank, Sampling, TextDedup, VectorSearch}
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
   * text analysis, multimodal) as driver-checked queries.
@@ -176,6 +176,68 @@ object DataPipelineQueries {
       |FROM corpus
       |GROUP BY 1
       |ORDER BY survivor_id""".stripMargin
+
+  /** Link-graph authority scoring ([[graft.operators.PageRank]]):
+    * 5 integer-exact PageRank iterations over the customer↔supplier
+    * trade graph (an edge per trading pair, both directions — the
+    * bipartite stand-in for a web link graph), top-20 authorities.
+    * This is the curation signal web-corpus pipelines weight
+    * documents by: a supplier trading with many well-connected
+    * customers outranks one with the same degree of marginal ones —
+    * degree alone cannot produce this ordering. The fixed-point
+    * arithmetic (ppb ranks, every division integral) makes the k-th
+    * iterate bit-identical across engines, so the oracle replays all
+    * five rounds as unrolled CTEs and the hash pins every rank. Scale
+    * shape: 2 shuffles per iteration (share join on src, contribution
+    * aggregate on dst) over the edge relation — the canonical
+    * distributed PageRank.
+    */
+  val d51_link_authority: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val raw = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.run(edges, iterations = 5)
+      .select(col("node"), col("rank").as("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("node"))
+      .limit(20)
+  }
+
+  val d51_sql: String = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT n2.node,
+         |         CAST(15000000000 // (100 * m.n) + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n2 CROSS JOIN meta m
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+         |    FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN outdeg d ON d.src = e.src
+         |    GROUP BY e.dst
+         |  ) c ON c.node = n2.node
+         |)""".stripMargin
+    s"""WITH eraw AS (
+       |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_orderkey % 20 = 0
+       |), edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM eraw UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges
+       |), meta AS (SELECT COUNT(*) AS n FROM nodes),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000000 // m.n AS BIGINT) AS rank
+       |       FROM nodes CROSS JOIN meta m),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, rank AS rank_ppb FROM r5
+       |ORDER BY rank_ppb DESC, node LIMIT 20""".stripMargin
+  }
 
   /** Leakage-safe train/eval split ([[Sampling.leakageSafeSplit]]):
     * the split key is the NORMALIZED-CONTENT group, not the doc id,
@@ -1642,6 +1704,7 @@ object DataPipelineQueries {
     "d16_containment" -> d16_containment,
     "d17_normalized_dedup" -> d17_normalized_dedup,
     "d52_leakage_split" -> d52_leakage_split,
+    "d51_link_authority" -> d51_link_authority,
     "d19_containment_prefix" -> d19_containment_prefix,
     "d21_fingerprint_pairs" -> d21_fingerprint_pairs,
     "d23_fingerprint_prefix" -> d23_fingerprint_prefix,
@@ -1680,6 +1743,7 @@ object DataPipelineQueries {
     "d16_containment" -> d16_sql,
     "d17_normalized_dedup" -> d17_sql,
     "d52_leakage_split" -> d52_sql,
+    "d51_link_authority" -> d51_sql,
     "d19_containment_prefix" -> d19_sql,
     "d21_fingerprint_pairs" -> d21_sql,
     "d23_fingerprint_prefix" -> d23_sql,
