@@ -50,45 +50,80 @@ class TableCatalog(spark: SparkSession, root: String) {
       s"table name '$t' outside [A-Za-z0-9_.-]+ — generation files " +
         "are plain JSON and a quote/comma/brace in a name would corrupt them")
 
+  /** Per-root JVM-wide commit lock: all TableCatalog instances over
+    * the same root (however many are constructed) serialize their
+    * publish critical sections. Intrinsic monitor — reentrant, so DDL
+    * methods that validate-then-publish can hold it across both.
+    */
+  private def commitLock: Object =
+    TableCatalog.lockFor(fs.makeQualified(new Path(root)).toString)
+
   // ── commit ──────────────────────────────────────────────────────────
 
   /** Atomically commit all frames in `tables` as one catalog
     * generation; unchanged tables carry forward. Returns the new
     * generation number. Nothing becomes visible until the final
-    * pointer rename.
+    * pointer rename. Concurrent commits are safe (staging is
+    * nonce-isolated, version placement serializes) with
+    * LAST-WRITER-WINS per table — a read-modify-write that must not
+    * lose a concurrent update uses [[commitAllIf]] or [[transact]].
     */
   def commitAll(tables: Map[String, DataFrame], commitTsMillis: Long): Long = {
     val staged = stage(tables)
     publish(staged, commitTsMillis)
   }
 
-  /** Step 1 only — write the generation directories, swing NOTHING.
-    * Exposed so crash-recovery behavior is testable: a stage with no
-    * [[publish]] must be invisible to every reader.
+  /** OPTIMISTIC-CONCURRENCY commit: publish only if the catalog still
+    * sits at `expectedGeneration` (the generation the caller read its
+    * inputs from — `None` for "catalog was empty"). Otherwise throws
+    * [[TableCatalog.CommitConflictException]] WITHOUT publishing —
+    * the caller re-reads and recomputes ([[transact]] wraps the
+    * loop). The heavy data write happens before the check (staging is
+    * nonce-isolated, so a loser's files never collide with the
+    * winner's); only the metadata placement is serialized.
     */
-  private[graft] def stage(tables: Map[String, DataFrame]): Map[String, Long] = {
+  def commitAllIf(tables: Map[String, DataFrame], commitTsMillis: Long,
+      expectedGeneration: Option[Long]): Long =
+    publish(stage(tables), commitTsMillis,
+      expectedPrev = Some(expectedGeneration))
+
+  /** The OCC retry loop: `body` receives the snapshot generation it
+    * should read from (None = empty catalog), derives the tables to
+    * commit, and the commit lands only if no other writer advanced
+    * the catalog in between — otherwise body re-runs against the
+    * fresh snapshot, up to `maxAttempts`. Serializable
+    * read-modify-write without locks held across the (arbitrarily
+    * expensive) derivation.
+    */
+  def transact(commitTsMillis: Long, maxAttempts: Int = 5)(
+      body: Option[Long] => Map[String, DataFrame]): Long = {
+    require(maxAttempts >= 1, s"maxAttempts $maxAttempts < 1")
+    var last: TableCatalog.CommitConflictException = null
+    for (_ <- 1 to maxAttempts) {
+      val snap = latestGeneration()
+      try return commitAllIf(body(snap), commitTsMillis, snap)
+      catch { case e: TableCatalog.CommitConflictException => last = e }
+    }
+    throw last
+  }
+
+  /** Step 1 only — write the generation directories, swing NOTHING.
+    * Data lands under a writer-unique `stage-<nonce>` directory, so
+    * two writers staging the SAME table never touch each other's
+    * files (the version number doesn't exist yet — it is allocated at
+    * [[publish]] under the commit lock, where the loser of a race
+    * simply places at the next number). A crash here leaves orphan
+    * stage directories no generation references — invisible, and
+    * reclaimed by [[vacuum]]. Exposed so crash-recovery behavior is
+    * testable.
+    */
+  private[graft] def stage(tables: Map[String, DataFrame]): Map[String, String] = {
     tables.keys.foreach(requireSafeName)
-    val prev = latestGeneration().map(tableVersions).getOrElse(Map.empty)
     tables.map { case (t, df) =>
-      // version = max(latest reference, physical high-water mark) + 1.
-      // The directory scan matters when the name left the versions map
-      // (drop, rename-away) and is later recommitted: restarting at 0
-      // would DELETE-AND-OVERWRITE a version directory that earlier
-      // generations — or a renamed successor via its location entry —
-      // still reference, silently corrupting committed data. Existing
-      // directories are immutable until vacuum proves them unreachable,
-      // so their max is a safe floor.
-      val tdir = new Path(root, s"tables/$t")
-      val dirMax =
-        if (!fs.exists(tdir)) -1L
-        else fs.listStatus(tdir).map(_.getPath.getName)
-          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-          .foldLeft(-1L)(math.max)
-      val v = math.max(prev.get(t).map(_ + 1).getOrElse(0L), dirMax + 1)
-      val dest = tableDir(t, v)
-      fs.delete(dest, true) // orphan from a crashed commit of this same v
-      df.write.mode("overwrite").parquet(dest.toString)
-      t -> v
+      val stageName = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+      df.write.mode("overwrite")
+        .parquet(new Path(root, s"tables/$t/$stageName").toString)
+      t -> stageName
     }
   }
 
@@ -96,35 +131,80 @@ class TableCatalog(spark: SparkSession, root: String) {
     * `morStaged` maps MoR member tables to the [[MorStore]]
     * generation that belongs to this cut (data already durable in the
     * member's own log — the catalog records a POINTER, never a copy).
+    *
+    * Runs under the per-root commit lock (same-JVM writers — the
+    * Spark driver is where commits originate; a MULTI-driver
+    * deployment needs a storage-level CAS such as HDFS
+    * create-exclusive or an S3 conditional put in place of the lock,
+    * same protocol shape). Inside the lock: version numbers are
+    * allocated as max(latest reference, physical high-water mark)+1 —
+    * the directory scan matters when a name left the versions map
+    * (drop, rename-away) and is recommitted: restarting at 0 would
+    * overwrite a directory older generations still reference — then
+    * staged directories RENAME into place (metadata-cheap; the heavy
+    * write already happened outside the lock), and the generation
+    * file is written to a temp name and renamed WITHOUT overwrite, so
+    * a torn generation file (crash mid-write) can never exist under a
+    * logged name — loggedGenerations lists only fully-written files.
     */
   private[graft] def publish(
-      staged: Map[String, Long], commitTsMillis: Long,
+      staged: Map[String, String], commitTsMillis: Long,
       morStaged: Map[String, Long] = Map.empty,
       cloned: Map[String, (String, Long)] = Map.empty,
-      dropped: Set[String] = Set.empty): Long = {
+      dropped: Set[String] = Set.empty,
+      expectedPrev: Option[Option[Long]] = None): Long = commitLock.synchronized {
     val prev = latestGeneration()
+    expectedPrev.foreach { exp =>
+      if (prev != exp) {
+        // loser's staged directories are orphans — reclaim them now
+        // rather than waiting for vacuum (the caller will restage)
+        staged.foreach { case (t, stageName) =>
+          fs.delete(new Path(root, s"tables/$t/$stageName"), true) }
+        throw new TableCatalog.CommitConflictException(exp, prev)
+      }
+    }
     val g = prev.map(_ + 1).getOrElse(0L)
-    val versions = (prev.map(tableVersions).getOrElse(Map.empty) -- dropped) ++
-      staged ++ cloned.map { case (t, (_, v)) => t -> v }
+    val prevVs = prev.map(tableVersions).getOrElse(Map.empty)
+    val placed = staged.map { case (t, stageName) =>
+      val tdir = new Path(root, s"tables/$t")
+      val dirMax = fs.listStatus(tdir).map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        .foldLeft(-1L)(math.max)
+      val v = math.max(prevVs.get(t).map(_ + 1).getOrElse(0L), dirMax + 1)
+      require(fs.rename(new Path(tdir, stageName), tableDir(t, v)),
+        s"stage placement failed: $t/$stageName -> v=$v")
+      t -> v
+    }
+    val versions = (prevVs -- dropped) ++
+      placed ++ cloned.map { case (t, (_, v)) => t -> v }
     val morVs = (prev.map(morVersions).getOrElse(Map.empty) -- dropped) ++
       morStaged
     // location indirection: a CLONE's data lives under its SOURCE's
     // physical directory; a staged (freshly written) table always
     // lives under its own name, so a post-clone write resets the entry
     val locs = (prev.map(tableLocations).getOrElse(Map.empty) --
-      staged.keys -- dropped) ++ cloned.map { case (t, (src, _)) => t -> src }
+      placed.keys -- dropped) ++ cloned.map { case (t, (src, _)) => t -> src }
     def jsonMap(m: Map[String, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":$v""" }.mkString(",")
     def jsonStrMap(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":"$v"""" }.mkString(",")
     fs.mkdirs(catDir)
-    val out = fs.create(genFile(g), true)
+    val tmp = new Path(catDir, s"$g.json.tmp")
+    val out = fs.create(tmp, true)
     out.write(
       (s"""{"generation":$g,"ts":$commitTsMillis,""" +
         s""""tables":{${jsonMap(versions)}},"mor":{${jsonMap(morVs)}},""" +
         s""""locs":{${jsonStrMap(locs)}}}""")
         .getBytes("UTF-8"))
     out.close()
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(genFile(g).toUri,
+        spark.sparkContext.hadoopConfiguration).rename(tmp, genFile(g))
+    catch {
+      case e: Exception => throw new IllegalStateException(
+        s"generation $g already exists — an external writer raced this " +
+          "commit (cross-process OCC needs a storage-level CAS)", e)
+    }
     committedTsCache += commitTsMillis
     swingPointer(g)
     g
@@ -457,9 +537,12 @@ class TableCatalog(spark: SparkSession, root: String) {
     keptLocs.foreach { t =>
       val tdir = new Path(root, s"tables/$t")
       if (fs.exists(tdir)) fs.listStatus(tdir)
-        .filter(_.getPath.getName.startsWith("v="))
         .map(st => st.getPath)
-        .filter(p => !keptRefs.contains(t -> p.getName.stripPrefix("v=").toLong))
+        .filter(p => (p.getName.startsWith("v=") &&
+          !keptRefs.contains(t -> p.getName.stripPrefix("v=").toLong)) ||
+          // orphan stage-<nonce> dirs from crashed or conflicted
+          // commits (vacuum runs quiescent — no stage is in flight)
+          p.getName.startsWith("stage-"))
         .foreach(fs.delete(_, true))
     }
     // a DROPPED (or renamed-away) table whose physical directory no
@@ -480,4 +563,25 @@ class TableCatalog(spark: SparkSession, root: String) {
     dropped.foreach(g => fs.delete(genFile(g), false))
     dropped
   }
+}
+
+object TableCatalog {
+
+  /** A [[TableCatalog.commitAllIf]]/[[TableCatalog.transact]] lost
+    * the optimistic race: the catalog advanced past the generation
+    * the writer derived its commit from. Nothing was published; the
+    * writer re-reads and recomputes.
+    */
+  final class CommitConflictException(
+      val expected: Option[Long], val actual: Option[Long])
+    extends RuntimeException(
+      s"concurrent commit: derived from generation " +
+        s"${expected.fold("<empty>")(_.toString)} but the catalog is at " +
+        s"${actual.fold("<empty>")(_.toString)} — re-read and retry")
+
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(qualifiedRoot: String): Object =
+    commitLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
 }

@@ -45,13 +45,13 @@ class TableCatalogSpec extends AnyFunSuite {
   test("a staged but unpublished commit is invisible to every read path") {
     val cat = new TableCatalog(spark, freshRoot())
     cat.commitAll(Map("a" -> nums(0, 10), "b" -> nums(0, 100)), 1000L)
-    // crash between stage and publish: data directories exist, no
-    // generation references them
+    // crash between stage and publish: data directories exist (under
+    // writer-unique stage-<nonce> names), no generation references them
     val staged = cat.stage(Map("a" -> nums(0, 999), "b" -> nums(0, 999)))
-    assert(staged.values.forall(_ == 1L))
+    assert(staged.values.forall(_.startsWith("stage-")))
     assert(cat.latestGeneration().contains(0L))
     assert(cat.read("a").count() == 10 && cat.read("b").count() == 100)
-    // the next real commit overwrites the orphans and publishes cleanly
+    // the next real commit is untouched by the orphans
     val g = cat.commitAll(Map("a" -> nums(0, 30), "b" -> nums(0, 300)), 2000L)
     assert(g == 1)
     assert(cat.read("a").count() == 30 && cat.read("b").count() == 300)
@@ -255,6 +255,53 @@ class TableCatalogSpec extends AnyFunSuite {
     // minimum (0) would leak them forever
     assert(vdirs == Seq("v=0", "v=3", "v=4"), vdirs.toString)
     assert(cat.read("dst").count() == 10 && cat.read("src").count() == 14)
+  }
+
+  test("commitAllIf: a stale writer conflicts without publishing; retry lands") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.commitAll(Map("t" -> nums(0, 10)), 1000L)
+    // two logical writers read the same snapshot
+    val snapA = cat.latestGeneration()
+    val snapB = cat.latestGeneration()
+    assert(cat.commitAllIf(Map("t" -> nums(0, 20)), 2000L, snapA) == 1L)
+    // B derived from the now-stale snapshot: must NOT clobber A
+    val e = intercept[TableCatalog.CommitConflictException] {
+      cat.commitAllIf(Map("u" -> nums(0, 5)), 3000L, snapB)
+    }
+    assert(e.expected == snapB && e.actual.contains(1L))
+    assert(cat.latestGeneration().contains(1L), "conflicted commit published!")
+    assert(cat.read("t").count() == 20)
+    // retry from the fresh snapshot lands; no stage orphans left behind
+    assert(cat.commitAllIf(Map("u" -> nums(0, 5)), 3000L,
+      cat.latestGeneration()) == 2L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "tables/u"))
+      .map(_.getPath.getName).filter(_.startsWith("stage-"))
+    assert(stDirs.isEmpty, stDirs.mkString(","))
+  }
+
+  test("transact: concurrent read-modify-writers never lose an update") {
+    import spark.implicits._
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.commitAll(Map("log" -> Seq(0L).toDF("n")), 0L)
+    // 4 threads each append their id to the log via read-modify-write;
+    // a lost update would drop a row. transact retries losers.
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        cat.transact(i * 1000L, maxAttempts = 10) { snap =>
+          val cur = cat.readAt(snap.get, "log")
+          Map("log" -> cur.unionByName(Seq(i.toLong).toDF("n")))
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rows = cat.read("log").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(0L, 1L, 2L, 3L, 4L), rows.toString)
+    assert(cat.latestGeneration().contains(4L)) // one generation per writer
   }
 
   test("table names that would corrupt the JSON generation file are rejected") {
