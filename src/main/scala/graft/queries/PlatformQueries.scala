@@ -1106,6 +1106,74 @@ object PlatformQueries {
       |FROM o GROUP BY st
       |ORDER BY which, st""".stripMargin
 
+  // ───────────────────────────── v29: write-audit-publish on a branch
+
+  /** WRITE-AUDIT-PUBLISH over catalog branch refs
+    * ([[graft.sources.TableCatalog.createBranch]]/`commitAllOn`/
+    * `publishBranch`) — the quality-gate deployment pattern the
+    * reference's staging-then-merge pipeline approximates with
+    * physical staging tables (stage → validate → swap;
+    * FIX_DUPLICATE_INSERTS_ON_RETRY.md's stage/swap discipline), here
+    * as pure metadata: the candidate batch (carrying two poison rows)
+    * commits on branch `wap`, the audit reads the BRANCH and fails,
+    * the fix recommits on the branch, the clean audit fast-forwards
+    * main — one pointer swing, so readers atomically see the audited
+    * cut and never any intermediate. require-guards pin that the
+    * audit saw the poison on the branch and that main never did.
+    * Output: final published table by status + the audit ledger row;
+    * the oracle recomputes the published slice from raw orders and
+    * pins the rejected row as literals.
+    */
+  val v29_catalog_wap: Q = (s, dir) => {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wap")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cat.commitAll(Map("facts" -> orders.filter(col("k") % 2 === 0)), 1000L)
+    cat.createBranch("wap")
+    val poison = Seq((-1L, "X", -100L), (-2L, "X", -200L))
+      .toDF("k", "st", "cents")
+    cat.commitAllOn("wap",
+      Map("facts" -> orders.unionByName(poison)), 2000L)
+    def badRows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("cents") <= 0 || col("st").isNull)
+    val rejected = badRows(cat.readRef("wap", "facts"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")).head()
+    require(rejected.getLong(0) == 2, "audit must see the poison on the branch")
+    require(badRows(cat.read("facts")).isEmpty,
+      "poison visible on main before publish — branch isolation broken")
+    cat.commitAllOn("wap",
+      Map("facts" -> cat.readRef("wap", "facts")
+        .filter(col("cents") > 0 && col("st").isNotNull)), 3000L)
+    require(badRows(cat.readRef("wap", "facts")).isEmpty,
+      "fix commit left poison on the branch")
+    cat.publishBranch("wap")
+    cat.read("facts").groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("which", lit("published"))
+      .unionByName(s.createDataFrame(Seq(
+        ("X", rejected.getLong(0), rejected.getLong(1), "audit_rejected")))
+        .toDF("st", "n", "cents", "which"))
+      .select(col("which"), col("st"), col("n"), col("cents"))
+      .orderBy(col("which"), col("st"))
+  }
+
+  val v29_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'published' AS which, st, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM o GROUP BY st
+      |UNION ALL
+      |SELECT 'audit_rejected', 'X', 2, -300
+      |ORDER BY which, st""".stripMargin
+
   // ───────────────────────────── q50: BFS depth (shortest-hop layers)
 
   /** Shortest-hop DEPTH from [[graft.operators.Reachability]] — the
@@ -1750,7 +1818,8 @@ object PlatformQueries {
     "w16_mor_catalog" -> w16_mor_catalog,
     "v23_fileskip_range" -> v23_fileskip_range,
     "q49_graph_closure" -> q49_graph_closure,
-    "s18_filtered_ivfpq" -> s18_filtered_ivfpq)
+    "s18_filtered_ivfpq" -> s18_filtered_ivfpq,
+    "v29_catalog_wap" -> v29_catalog_wap)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -1778,5 +1847,6 @@ object PlatformQueries {
     "w16_mor_catalog" -> w16_sql,
     "v23_fileskip_range" -> v23_sql,
     "q49_graph_closure" -> q49_sql,
-    "s18_filtered_ivfpq" -> s18_sql)
+    "s18_filtered_ivfpq" -> s18_sql,
+    "v29_catalog_wap" -> v29_sql)
 }

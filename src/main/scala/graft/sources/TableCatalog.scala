@@ -44,11 +44,18 @@ class TableCatalog(spark: SparkSession, root: String) {
   private def catDir = new Path(root, "_catalog")
   private def genFile(g: Long) = new Path(catDir, s"$g.json")
   private def pointer = new Path(root, "_latest")
+  private def refsDir = new Path(root, "_refs")
+  private def refPath(ref: String): Path =
+    if (ref == TableCatalog.Main) pointer else new Path(refsDir, ref)
 
-  private def requireSafeName(t: String): Unit =
+  private def requireSafeName(t: String): Unit = {
     require(t.matches("[A-Za-z0-9_.-]+"),
       s"table name '$t' outside [A-Za-z0-9_.-]+ — generation files " +
         "are plain JSON and a quote/comma/brace in a name would corrupt them")
+    require(!TableCatalog.ReservedNames.contains(t),
+      s"table name '$t' collides with a generation-file field name — " +
+        "the hand-rolled JSON parse keys on field labels")
+  }
 
   /** Per-root JVM-wide commit lock: all TableCatalog instances over
     * the same root (however many are constructed) serialize their
@@ -152,8 +159,9 @@ class TableCatalog(spark: SparkSession, root: String) {
       morStaged: Map[String, Long] = Map.empty,
       cloned: Map[String, (String, Long)] = Map.empty,
       dropped: Set[String] = Set.empty,
-      expectedPrev: Option[Option[Long]] = None): Long = commitLock.synchronized {
-    val prev = latestGeneration()
+      expectedPrev: Option[Option[Long]] = None,
+      ref: String = TableCatalog.Main): Long = commitLock.synchronized {
+    val prev = headOf(ref)
     expectedPrev.foreach { exp =>
       if (prev != exp) {
         // loser's staged directories are orphans — reclaim them now
@@ -163,7 +171,11 @@ class TableCatalog(spark: SparkSession, root: String) {
         throw new TableCatalog.CommitConflictException(exp, prev)
       }
     }
-    val g = prev.map(_ + 1).getOrElse(0L)
+    // generation numbers are GLOBAL across refs (one shared log, so a
+    // branch commit can never collide with a main commit's file); the
+    // parent field records which generation this one extends, making
+    // each ref's history a chain through the shared log
+    val g = loggedGenerations().lastOption.map(_ + 1).getOrElse(0L)
     val prevVs = prev.map(tableVersions).getOrElse(Map.empty)
     val placed = staged.map { case (t, stageName) =>
       val tdir = new Path(root, s"tables/$t")
@@ -193,6 +205,7 @@ class TableCatalog(spark: SparkSession, root: String) {
     val out = fs.create(tmp, true)
     out.write(
       (s"""{"generation":$g,"ts":$commitTsMillis,""" +
+        s""""ref":"$ref","parent":${prev.getOrElse(-1L)},""" +
         s""""tables":{${jsonMap(versions)}},"mor":{${jsonMap(morVs)}},""" +
         s""""locs":{${jsonStrMap(locs)}}}""")
         .getBytes("UTF-8"))
@@ -206,7 +219,8 @@ class TableCatalog(spark: SparkSession, root: String) {
           "commit (cross-process OCC needs a storage-level CAS)", e)
     }
     committedTsCache += commitTsMillis
-    swingPointer(g)
+    refCache.put(g, ref)
+    swingRef(ref, g)
     g
   }
 
@@ -360,33 +374,145 @@ class TableCatalog(spark: SparkSession, root: String) {
     publish(staged, commitTsMillis, morStaged)
   }
 
-  private def swingPointer(g: Long): Unit =
+  private def swingRef(ref: String, g: Long): Unit = {
+    if (ref != TableCatalog.Main) fs.mkdirs(refsDir)
     PointerFile.swing(spark.sparkContext.hadoopConfiguration,
-      new Path(root), pointer, g.toString, s"catalog g=$g")
+      new Path(root), refPath(ref), g.toString, s"catalog $ref g=$g")
+  }
+
+  private def readRefPointer(ref: String): Option[Long] = {
+    val p = refPath(ref)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close()
+      Some(s.toLong)
+    }
+  }
+
+  // ── branches ────────────────────────────────────────────────────────
+
+  /** Create branch `name` at main's current head — an isolated line
+    * of commits over the SAME shared generation log (Nessie/Iceberg
+    * branch refs): [[commitAllOn]] advances only the branch pointer,
+    * so main's readers never see branch generations until
+    * [[publishBranch]] fast-forwards them in. The enabling layout
+    * fact: every generation file is a SELF-CONTAINED version map, so
+    * a ref is nothing but a pointer — branching costs one file.
+    */
+  def createBranch(name: String): Unit = commitLock.synchronized {
+    requireSafeName(name)
+    require(name != TableCatalog.Main, "'main' is the trunk ref")
+    require(headOf(name).isEmpty, s"branch '$name' already exists")
+    val g = latestGeneration().getOrElse(throw new IllegalStateException(
+      s"empty catalog at $root — commit to main before branching"))
+    // a DROPPED branch's generations keep their ref label in the log;
+    // recreating the name at an older point would let the per-ref
+    // orphan heal resurrect them as this branch's head — refuse until
+    // vacuum ages them out (or a fresh name is picked)
+    val stale = loggedGenerations().filter(x => x > g && refOf(x) == name)
+    require(stale.isEmpty,
+      s"branch name '$name' has dropped generations ${stale.mkString(",")} " +
+        "still in the log beyond the branch point — they would resurrect")
+    swingRef(name, g)
+  }
+
+  /** Live branch names (main excluded). */
+  def branches(): Seq[String] =
+    if (!fs.exists(refsDir)) Seq.empty
+    else fs.listStatus(refsDir).map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp")).sorted.toSeq
+
+  /** Delete branch `name`'s pointer. Its generations stay in the log
+    * (readable by number) until they age out of [[vacuum]]'s window.
+    */
+  def dropBranch(name: String): Unit = commitLock.synchronized {
+    require(name != TableCatalog.Main, "cannot drop the trunk ref")
+    fs.delete(refPath(name), false)
+  }
+
+  /** Commit a generation ON a ref: `main` is [[commitAll]]; a branch
+    * must have been created first ([[createBranch]] — a typo'd ref
+    * must not silently fork a new line of history).
+    */
+  def commitAllOn(ref: String, tables: Map[String, DataFrame],
+      commitTsMillis: Long): Long = {
+    require(ref == TableCatalog.Main || headOf(ref).nonEmpty,
+      s"no branch '$ref' — createBranch first")
+    publish(stage(tables), commitTsMillis, ref = ref)
+  }
+
+  /** Read `table` at ref `ref`'s head. */
+  def readRef(ref: String, table: String): DataFrame =
+    readAt(headOf(ref).getOrElse(throw new IllegalStateException(
+      s"no ref '$ref' at $root")), table)
+
+  /** FAST-FORWARD main to branch `name`'s head — the publish half of
+    * write-audit-publish: candidate data commits on the branch, an
+    * audit reads the branch, and only a clean audit swings main's
+    * pointer (one metadata write; readers atomically see every
+    * branch commit at once, or none). Requires main's head to be an
+    * ANCESTOR of the branch head (walked over the recorded parent
+    * chain) — if main advanced independently, throws
+    * [[TableCatalog.CommitConflictException]] without touching main;
+    * the caller re-branches from the new head and replays (same OCC
+    * posture as [[transact]], at branch granularity). Returns main's
+    * new head generation.
+    */
+  def publishBranch(name: String): Long = commitLock.synchronized {
+    val bh = headOf(name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' at $root"))
+    val mh = headOf(TableCatalog.Main)
+    // walk the branch's parent chain down to (or past) main's head; a
+    // vacuumed-away parent ends the walk as a conflict, never a crash
+    var cur: Option[Long] = Some(bh)
+    while (cur.nonEmpty && mh.forall(cur.get > _))
+      cur = parentOf(cur.get).filter(g => fs.exists(genFile(g)))
+    if (cur != mh)
+      throw new TableCatalog.CommitConflictException(cur, mh)
+    swingRef(TableCatalog.Main, bh)
+    bh
+  }
 
   // ── resolve / read ──────────────────────────────────────────────────
 
-  /** max(pointer, newest logged generation), else None (empty
-    * catalog). Healing PAST the pointer is safe and required: a
-    * generation file is only ever written after every table version
-    * it references is fully staged (publish step 2 of 3), so a crash
-    * between the generation-file write and the pointer swing leaves a
-    * complete, readable generation that the pointer merely hasn't
-    * caught up to. Without the heal, the next commit would reuse that
-    * generation number and overwrite the file — and a redelivered
-    * micro-batch whose id is logged in the orphaned file would no-op,
-    * silently losing the batch (the exactly-once hole ADVICE r8
-    * flagged at CatalogSink:37).
+  /** Ref `ref`'s head: max(its pointer, newest logged generation
+    * COMMITTED ON this ref), else None. Healing PAST the pointer is
+    * safe and required: a generation file is only ever written after
+    * every table version it references is fully staged (publish step
+    * 2 of 3), so a crash between the generation-file write and the
+    * pointer swing leaves a complete, readable generation the pointer
+    * merely hasn't caught up to. Without the heal, the next commit
+    * would reuse that generation number and overwrite the file — and
+    * a redelivered micro-batch whose id is logged in the orphaned
+    * file would no-op, silently losing the batch (the exactly-once
+    * hole ADVICE r8 flagged at CatalogSink:37). The heal is PER-REF
+    * (each generation records the ref it was committed on), so a
+    * branch writer's orphan can never yank main's head onto the
+    * branch. Only generations beyond the pointer are ever inspected,
+    * and their refs are cached — steady-state cost is one listing.
     */
-  def latestGeneration(): Option[Long] = {
-    val logged = loggedGenerations().lastOption
-    if (fs.exists(pointer)) {
-      val in = fs.open(pointer)
-      val s = scala.io.Source.fromInputStream(in).mkString.trim
-      in.close()
-      Some(logged.fold(s.toLong)(math.max(s.toLong, _)))
-    } else logged
+  def headOf(ref: String): Option[Long] = {
+    val pv = readRefPointer(ref)
+    // a missing pointer means "empty catalog" only for main (its first
+    // commit can crash pre-swing); for a branch it means the branch
+    // does not exist — createBranch swings the pointer BEFORE any
+    // branch commit, so healing from the bare log would resurrect
+    // dropped branches
+    if (ref != TableCatalog.Main && pv.isEmpty) None
+    else {
+      val healed = loggedGenerations()
+        .filter(g => pv.forall(_ < g)).filter(refOf(_) == ref).lastOption
+      (pv, healed) match {
+        case (None, h) => h
+        case (Some(p), h) => Some(h.fold(p)(math.max(p, _)))
+      }
+    }
   }
+
+  /** Main's head generation, else None (empty catalog). */
+  def latestGeneration(): Option[Long] = headOf(TableCatalog.Main)
 
   /** All committed generations, ascending. */
   def loggedGenerations(): Seq[Long] =
@@ -448,6 +574,34 @@ class TableCatalog(spark: SparkSession, root: String) {
     s.split(""""ts":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
   }
 
+  /** The ref generation `g` was committed on — cached per handle
+    * (generation files are immutable). Files from before branch
+    * support carry no ref field and parse as main.
+    */
+  private val refCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, String]()
+
+  private def refOf(g: Long): String =
+    refCache.computeIfAbsent(g, _ => {
+      val parts = genJson(g).split(""""ref":"""")
+      if (parts.length < 2) TableCatalog.Main
+      else parts(1).takeWhile(_ != '"')
+    })
+
+  /** The generation `g` extends (None at a root). Pre-branch files
+    * carry no parent field; their history was linear, so the parent
+    * is g−1 when that file still exists.
+    */
+  private[graft] def parentOf(g: Long): Option[Long] = {
+    val parts = genJson(g).split(""""parent":""")
+    if (parts.length < 2)
+      Some(g - 1).filter(p => p >= 0 && fs.exists(genFile(p)))
+    else {
+      val v = parts(1).takeWhile(c => c.isDigit || c == '-').toLong
+      if (v < 0) None else Some(v)
+    }
+  }
+
   /** Commit timestamps already logged — seeded from the commit log
     * ONCE per catalog handle, then maintained in memory, so a
     * streaming sink's per-batch redelivery check is O(1) instead of
@@ -491,13 +645,19 @@ class TableCatalog(spark: SparkSession, root: String) {
   def read(table: String): DataFrame = readAt(latestGeneration()
     .getOrElse(throw new IllegalStateException(s"empty catalog at $root")), table)
 
-  /** The newest generation committed at or before `ts` — cross-table
-    * AS OF TIMESTAMP.
+  /** The newest MAIN-lineage generation committed at or before `ts` —
+    * cross-table AS OF TIMESTAMP. Walks main's parent chain (not the
+    * raw log: the log also holds branch generations whose candidate
+    * data never published), stopping at a vacuumed-away parent.
     */
   def generationAsOf(tsMillis: Long): Long = {
-    val gs = loggedGenerations().filter(generationTs(_) <= tsMillis)
-    require(gs.nonEmpty, s"no catalog generation at or before $tsMillis")
-    gs.last
+    var cur = latestGeneration()
+    while (cur.nonEmpty) {
+      if (generationTs(cur.get) <= tsMillis) return cur.get
+      cur = parentOf(cur.get).filter(g => fs.exists(genFile(g)))
+    }
+    throw new IllegalArgumentException(
+      s"no catalog generation at or before $tsMillis")
   }
 
   // ── retention ───────────────────────────────────────────────────────
@@ -517,8 +677,27 @@ class TableCatalog(spark: SparkSession, root: String) {
   def vacuum(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest generation")
     val gens = loggedGenerations()
-    val kept = gens.takeRight(keepLast)
-    val dropped = gens.dropRight(keepLast)
+    // cutoff = the keepLast-th newest generation on MAIN'S parent
+    // chain (the raw log tail could be all branch generations, and
+    // counting those against the window would silently shrink main's
+    // retained history); everything at or beyond the cutoff stays —
+    // including branch generations, whose candidate data a pending
+    // publishBranch still needs — plus every live branch HEAD
+    // regardless of age (a slow audit must not lose its table data)
+    val mainKept = {
+      val b = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = latestGeneration()
+      while (cur.nonEmpty && b.size < keepLast) {
+        b += cur.get
+        cur = parentOf(cur.get).filter(g => fs.exists(genFile(g)))
+      }
+      b.toSeq
+    }
+    if (mainKept.isEmpty) return Seq.empty
+    val cutoff = mainKept.last
+    val refHeads = branches().flatMap(headOf(_)).toSet
+    val kept = gens.filter(g => g >= cutoff || refHeads.contains(g))
+    val dropped = gens.filterNot(g => g >= cutoff || refHeads.contains(g))
     if (dropped.isEmpty) return Seq.empty
     // the kept SET of (physical location, version) pairs — keyed by
     // physical location (a kept CLONE's location entry pins its source
@@ -567,10 +746,21 @@ class TableCatalog(spark: SparkSession, root: String) {
 
 object TableCatalog {
 
+  /** The trunk ref every read/commit defaults to. */
+  val Main = "main"
+
+  /** Field labels of the hand-rolled generation JSON — a table named
+    * after one would collide with the label-keyed parse.
+    */
+  private[sources] val ReservedNames =
+    Set("generation", "ts", "ref", "parent", "tables", "mor", "locs")
+
   /** A [[TableCatalog.commitAllIf]]/[[TableCatalog.transact]] lost
     * the optimistic race: the catalog advanced past the generation
     * the writer derived its commit from. Nothing was published; the
-    * writer re-reads and recomputes.
+    * writer re-reads and recomputes. Also thrown by
+    * [[TableCatalog.publishBranch]] when main advanced independently
+    * of the branch (non-fast-forward).
     */
   final class CommitConflictException(
       val expected: Option[Long], val actual: Option[Long])
