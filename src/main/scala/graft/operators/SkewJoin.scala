@@ -124,6 +124,70 @@ object SkewJoin {
     * cold-path shuffle and small side stay 1×; only |hotKeys|·S extra
     * dimension rows exist anywhere.
     */
+  /** Hot-key detection WITHOUT a second full scan: probe the SMALL
+    * side's key values (for an equi-join, the only keys that can
+    * appear in the result) against a [[CountMin]] sketch of the big
+    * side's key column, and return those whose estimated frequency
+    * reaches `minCount`, heaviest first, capped at `maxHotKeys`. The
+    * sketch is one map-side-combined pass over the big side (shuffle
+    * state is sketch-sized, never corpus-sized) and the probe
+    * broadcasts the sketch against the dimension — at 100 TB this
+    * replaces q54's exact per-key pre-count, whose groupBy shuffles
+    * the big side's full key universe. CM error is ONE-SIDED
+    * (est ≥ true), so a collision can only promote a cold key into
+    * the hot list — harmless over-salting — never hide a hot one:
+    * exactness of [[hybridSkewJoin]] is unaffected by sketch error.
+    */
+  def sketchHotKeys(
+      sketch: DataFrame,
+      candidates: DataFrame,
+      keyCol: String,
+      minCount: Long,
+      depth: Int,
+      width: Int,
+      maxHotKeys: Int = 64): Seq[Seq[Any]] = {
+    require(minCount >= 1 && maxHotKeys >= 1)
+    candidates.select(col(keyCol)).distinct()
+      .select(col(keyCol), posexplode(
+        CountMin.cellsOf(col(keyCol).cast("string"), depth, width))
+        .as(Seq("row", "cell")))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .filter(col("est") >= minCount)
+      .orderBy(col("est").desc, col(keyCol))
+      .limit(maxHotKeys)
+      .collect().map(r => Seq[Any](r.get(0))).toSeq
+  }
+
+  /** The self-contained sketch-planned join: sketch the big side's
+    * key, detect hot keys via [[sketchHotKeys]], and dispatch — no
+    * hot keys means a plain join (zero overhead for unskewed data);
+    * otherwise [[hybridSkewJoin]] salts exactly the hot slice. The
+    * result is the exact unsalted join either way; only the PLAN
+    * changes with the data's skew. This is the planner loop a
+    * warehouse runs from table statistics, expressed over a
+    * single-pass mergeable sketch that an ingest pipeline can also
+    * maintain incrementally ([[CountMin.merge]]) — then the planning
+    * scan costs nothing at all.
+    */
+  def sketchPlannedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      minHotCount: Long,
+      saltBuckets: Int = 16,
+      depth: Int = 4,
+      width: Int = 1024,
+      joinType: String = "inner",
+      maxHotKeys: Int = 64): DataFrame = {
+    val sketch = CountMin.build(big.select(col(key)), key, depth, width)
+    val hot = sketchHotKeys(sketch, small, key, minHotCount, depth, width,
+      maxHotKeys)
+    if (hot.isEmpty) big.join(small, Seq(key), joinType)
+    else hybridSkewJoin(big, small, Seq(key), hot, saltBuckets, joinType)
+  }
+
   def hybridSkewJoin(
       big: DataFrame,
       small: DataFrame,

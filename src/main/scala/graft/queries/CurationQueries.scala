@@ -282,6 +282,55 @@ object CurationQueries {
       |GROUP BY c.c_mktsegment
       |ORDER BY c.c_mktsegment""".stripMargin
 
+  // ── q56: sketch-planned skew join ───────────────────────────────────
+
+  /** The 100 TB completion of q54's hot-key story: hot keys come from
+    * a [[graft.operators.CountMin]] probe
+    * ([[SkewJoin.sketchPlannedJoin]]) instead of an exact per-key
+    * pre-count — one map-side-combined sketch pass over the fact side
+    * (shuffle state ≤ depth×width cells, never the key universe) and
+    * a broadcast probe of the DIMENSION's keys, the only keys an
+    * equi-join result can contain. The skew is planted
+    * deterministically (60% of events collapse onto user 7) so the
+    * detector has something real to find; the threshold is 16× the
+    * uniform share, derived from two cheap counts. CM error is
+    * one-sided, so a hash collision can only over-salt a cold key —
+    * the oracle (the plain unsalted join, multiplicities pinned by the
+    * distinct count) is invariant to whatever the sketch decides.
+    */
+  val q56_sketch_skew_join: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events").select(
+      when(col("user_id") % 5 < 3, lit(7L))
+        .otherwise(col("user_id")).as("user_id"),
+      col("value"))
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    // two scalar counts (table-stats reads at scale), then the sketch
+    val avgShare = math.max(1L,
+      ev.count() / math.max(1L, ev.select(col("user_id")).distinct().count()))
+    SkewJoin.sketchPlannedJoin(ev, dim, "user_id",
+        minHotCount = 16L * avgShare, saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q56_sql: String =
+    """WITH e AS (
+      |  SELECT CASE WHEN user_id % 5 < 3 THEN 7 ELSE user_id END AS user_id,
+      |         value
+      |  FROM events
+      |)
+      |SELECT c.c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
   // ── d49: fuzzy name matching (edit-distance join) ───────────────────
 
   /** Entity-resolution fuzzy matching
@@ -2231,6 +2280,7 @@ object CurationQueries {
     "t08_pii_redaction" -> t08_pii_redaction,
     "q19_skew_join" -> q19_skew_join,
     "q54_hybrid_skew_join" -> q54_hybrid_skew_join,
+    "q56_sketch_skew_join" -> q56_sketch_skew_join,
     "d49_fuzzy_name_match" -> d49_fuzzy_name_match,
     "d50_fuzzy_match_k2" -> d50_fuzzy_match_k2,
     "t09_quality_filter" -> t09_quality_filter,
@@ -2285,6 +2335,7 @@ object CurationQueries {
     "t08_pii_redaction" -> t08_sql,
     "q19_skew_join" -> q19_sql,
     "q54_hybrid_skew_join" -> q54_sql,
+    "q56_sketch_skew_join" -> q56_sql,
     "d49_fuzzy_name_match" -> d49_sql,
     "d50_fuzzy_match_k2" -> d50_sql,
     "t09_quality_filter" -> t09_sql,

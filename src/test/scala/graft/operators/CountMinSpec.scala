@@ -112,4 +112,49 @@ class CountMinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  // ── sketch-driven skew planning (SkewJoin.sketchHotKeys/PlannedJoin) ──
+
+  private def skewed(nCold: Int, coldEach: Int, hotEach: Int) = {
+    import spark.implicits._
+    val cold = (1 to nCold).flatMap(i => Seq.fill(coldEach)(i.toLong))
+    (cold ++ Seq.fill(hotEach)(0L)).toDF("k")
+  }
+
+  test("sketchHotKeys finds exactly the planted heavy key at a wide width") {
+    import spark.implicits._
+    val big = skewed(nCold = 50, coldEach = 10, hotEach = 500)
+    val dim = (0 to 60).map(_.toLong).toDF("k") // includes keys absent from big
+    val sk = CountMin.build(big, "k", 4, 1024)
+    val hot = SkewJoin.sketchHotKeys(sk, dim, "k",
+      minCount = 100L, depth = 4, width = 1024)
+    assert(hot == Seq(Seq(0L)), hot.toString)
+  }
+
+  test("a narrow (collision-heavy) sketch can only over-salt, never miss") {
+    import spark.implicits._
+    val big = skewed(nCold = 50, coldEach = 10, hotEach = 500)
+    val dim = (0 to 60).map(_.toLong).toDF("k")
+    val sk = CountMin.build(big, "k", 2, 4) // 8 cells for 51 keys
+    val hot = SkewJoin.sketchHotKeys(sk, dim, "k",
+      minCount = 100L, depth = 2, width = 4)
+    assert(hot.contains(Seq(0L)), s"one-sided error still missed the hot key: $hot")
+  }
+
+  test("sketchPlannedJoin is exactly the plain join, hot or not") {
+    import spark.implicits._
+    val big = skewed(nCold = 30, coldEach = 8, hotEach = 300)
+      .withColumn("payload", col("k") * 7)
+    val dim = (0 to 40).map(i => (i.toLong, s"seg${i % 3}")).toDF("k", "seg")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "seg").collect()
+        .map(_.toString).sorted.toSeq
+    val plain = canon(big.join(dim, Seq("k")))
+    // threshold low enough to fire the hybrid path
+    assert(canon(SkewJoin.sketchPlannedJoin(big, dim, "k",
+      minHotCount = 100L, saltBuckets = 4)) == plain)
+    // threshold too high: detector returns nothing, plain-join fallback
+    assert(canon(SkewJoin.sketchPlannedJoin(big, dim, "k",
+      minHotCount = 10000L, saltBuckets = 4)) == plain)
+  }
 }
