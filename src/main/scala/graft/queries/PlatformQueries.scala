@@ -1174,6 +1174,59 @@ object PlatformQueries {
       |SELECT 'audit_rejected', 'X', 2, -300
       |ORDER BY which, st""".stripMargin
 
+  // ───────────────────────────── q57: degree-oriented triangle count
+
+  /** [[graft.operators.Triangles]] over a deterministic graph on the
+    * customer keys: circulant edges (n, n+δ) for δ ∈ {1, 2, 5} — every
+    * consecutive triple closes a triangle — plus a HUB (node 1 linked
+    * to every key ≡ 0 mod 7) that contributes zero triangles but a
+    * quadratic wedge load: exactly the skew the degree orientation
+    * exists to absorb (the hub is every one of its edges' HIGHER
+    * endpoint, so it sources no wedges at all). The oracle replays
+    * the canonical 3-way self-join and the ΣC(d,2) wedge total;
+    * n_wedges pins the degree relation exactly, n_triangles the
+    * closure.
+    */
+  val q57_triangle_count: Q = (s, dir) => {
+    val nodes = Tables(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("n"))
+    val circulant = Seq(1, 2, 5).map { d =>
+      nodes.select(col("n").as("s"))
+        .join(nodes.select(col("n").as("t")), col("t") === col("s") + d)
+    }.reduce(_ unionByName _)
+    val hub = nodes.filter(col("n") % 7 === 0 && col("n") =!= 1)
+      .select(lit(1L).as("s"), col("n").as("t"))
+    graft.operators.Triangles.count(
+      graft.operators.Triangles.canonical(
+        circulant.unionByName(hub), "s", "t"))
+  }
+
+  val q57_sql: String =
+    """WITH nodes AS (SELECT CAST(c_custkey AS BIGINT) AS n FROM customer),
+      |edges0 AS (
+      |  SELECT a.n AS s, b.n AS t FROM nodes a JOIN nodes b ON b.n = a.n + 1
+      |  UNION ALL
+      |  SELECT a.n, b.n FROM nodes a JOIN nodes b ON b.n = a.n + 2
+      |  UNION ALL
+      |  SELECT a.n, b.n FROM nodes a JOIN nodes b ON b.n = a.n + 5
+      |  UNION ALL
+      |  SELECT 1, n FROM nodes WHERE n % 7 = 0 AND n <> 1
+      |),
+      |e AS (
+      |  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+      |  FROM edges0 WHERE s <> t
+      |),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS d
+      |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY n
+      |)
+      |SELECT
+      |  (SELECT COUNT(*) FROM e e1
+      |     JOIN e e2 ON e2.a = e1.b
+      |     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+      |  CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges""".stripMargin
+
   // ───────────────────────────── q50: BFS depth (shortest-hop layers)
 
   /** Shortest-hop DEPTH from [[graft.operators.Reachability]] — the
@@ -1819,7 +1872,8 @@ object PlatformQueries {
     "v23_fileskip_range" -> v23_fileskip_range,
     "q49_graph_closure" -> q49_graph_closure,
     "s18_filtered_ivfpq" -> s18_filtered_ivfpq,
-    "v29_catalog_wap" -> v29_catalog_wap)
+    "v29_catalog_wap" -> v29_catalog_wap,
+    "q57_triangle_count" -> q57_triangle_count)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -1848,5 +1902,6 @@ object PlatformQueries {
     "v23_fileskip_range" -> v23_sql,
     "q49_graph_closure" -> q49_sql,
     "s18_filtered_ivfpq" -> s18_sql,
-    "v29_catalog_wap" -> v29_sql)
+    "v29_catalog_wap" -> v29_sql,
+    "q57_triangle_count" -> q57_sql)
 }
