@@ -1174,6 +1174,74 @@ object PlatformQueries {
       |SELECT 'audit_rejected', 'X', 2, -300
       |ORDER BY which, st""".stripMargin
 
+  // ───────────────────────────── w25: change data feed consumption
+
+  /** CHANGE DATA FEED ([[graft.sources.MorStore.changesBetween]] +
+    * [[graft.sources.MorStore.applyChanges]]) — the incremental-read
+    * contract downstream pipelines consume at 100 TB: a consumer that
+    * snapshotted the table at generation g refreshes by reading ONLY
+    * the delta generations in (g, head] (O(changes), never a scan)
+    * and folding them into its copy. The lifecycle here crosses a
+    * COMPACTION — physically a new base, logically change-free, and
+    * the feed emits nothing for it (require-guarded) — and the
+    * consumer's folded state is require-checked identical to the
+    * store's own resolve before aggregating it. The oracle replays
+    * the final logical state relationally; it hash-matching proves
+    * snapshot + changes ≡ direct read.
+    */
+  val w25_change_feed: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("k"))
+    val base = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    st.commitBase(base, 1000L)
+    st.commitDelta(base.filter(col("k") % 3 === 1)
+      .withColumn(st.OpCol, lit("D")), 2000L)
+    // consumer snapshots here (generation 1) …
+    val consumerAt = st.generations().last._1
+    val consumerState = st.readAt(consumerAt).localCheckpoint()
+    // … while the store keeps moving: upserts, a compaction, inserts
+    st.commitDelta(base.filter(col("k") % 4 === 0)
+      .withColumn("cents", col("cents") + 500L)
+      .withColumn(st.OpCol, lit("U")), 3000L)
+    st.compact(4000L)
+    st.commitDelta(base.filter(col("k") % 13 === 0)
+      .select((col("k") + 20000000L).as("k"), lit("N").as("st"),
+        lit(777L).as("cents"))
+      .withColumn(st.OpCol, lit("U")), 5000L)
+    val head = st.generations().last._1
+    val feed = st.changesBetween(consumerAt, head)
+    require(feed.filter(col(st.ChangeGenCol) === 3L).isEmpty,
+      "compaction leaked rows into the changefeed")
+    val refreshed = graft.sources.MorStore
+      .applyChanges(Some(consumerState), feed, Seq("k"))
+    require(refreshed.exceptAll(st.read()).isEmpty &&
+      st.read().exceptAll(refreshed).isEmpty,
+      "consumer state after apply diverges from the store's resolve")
+    refreshed.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("st"))
+  }
+
+  val w25_sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), final AS (
+      |  SELECT k, st,
+      |         CASE WHEN k % 4 = 0 THEN cents + 500 ELSE cents END AS cents
+      |  FROM base WHERE (k % 4 = 0) OR (k % 3 <> 1)
+      |  UNION ALL
+      |  SELECT k + 20000000, 'N', 777 FROM base WHERE k % 13 = 0
+      |)
+      |SELECT st, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM final
+      |GROUP BY st
+      |ORDER BY st""".stripMargin
+
   // ───────────────────────────── q57: degree-oriented triangle count
 
   /** [[graft.operators.Triangles]] over a deterministic graph on the
@@ -1873,7 +1941,8 @@ object PlatformQueries {
     "q49_graph_closure" -> q49_graph_closure,
     "s18_filtered_ivfpq" -> s18_filtered_ivfpq,
     "v29_catalog_wap" -> v29_catalog_wap,
-    "q57_triangle_count" -> q57_triangle_count)
+    "q57_triangle_count" -> q57_triangle_count,
+    "w25_change_feed" -> w25_change_feed)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -1903,5 +1972,6 @@ object PlatformQueries {
     "q49_graph_closure" -> q49_sql,
     "s18_filtered_ivfpq" -> s18_sql,
     "v29_catalog_wap" -> v29_sql,
-    "q57_triangle_count" -> q57_sql)
+    "q57_triangle_count" -> q57_sql,
+    "w25_change_feed" -> w25_sql)
 }

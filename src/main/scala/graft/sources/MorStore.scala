@@ -382,6 +382,62 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
   def compact(commitTsMillis: Long): Long =
     commitBase(read(), commitTsMillis)
 
+  // ── change data feed ────────────────────────────────────────────────
+
+  /** Marks which generation a changefeed row came from (ordering key
+    * for [[MorStore.applyChanges]]).
+    */
+  val ChangeGenCol = "__change_gen"
+
+  /** CHANGE DATA FEED: the row-level changes that move a consumer
+    * from generation `fromExclusive`'s state to `toInclusive`'s —
+    * O(|changes|) reads of exactly the delta generations in the
+    * window, never a table scan (the Delta-CDF / Iceberg
+    * incremental-read shape; this is what lets a downstream rollup
+    * at 100 TB refresh from a day's CDC instead of re-reading ten
+    * years). Rows carry `__op` ∈ {U, D}, `__seq` when the source
+    * delta had one, and [[ChangeGenCol]] for ordering. Window rules:
+    *  - delta generation → its rows verbatim;
+    *  - COMPACTION base → nothing (resolve(g) ≡ resolve(g−1): a fold
+    *    is physically new but logically change-free);
+    *  - the OLDEST visible generation, when `fromExclusive` lies
+    *    before it (pass -1 for "from the beginning") → its rows as U
+    *    upserts: the initial snapshot of the snapshot+changes
+    *    protocol, which stays correct after a vacuum reclaimed the
+    *    pre-compaction history.
+    * `fromExclusive` must be -1 or a visible generation — a consumer
+    * resuming from a vacuumed-away generation cannot know which
+    * changes it missed, so the read REFUSES rather than silently
+    * skipping history.
+    */
+  def changesBetween(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val gens = generations()
+    require(gens.nonEmpty, s"empty MoR table at $root")
+    require(fromExclusive <= toInclusive,
+      s"bad window ($fromExclusive, $toInclusive]")
+    require(gens.exists(_._1 == toInclusive),
+      s"generation $toInclusive not visible at $root")
+    require(fromExclusive == -1L || gens.exists(_._1 == fromExclusive),
+      s"changefeed resume point $fromExclusive is not a visible " +
+        s"generation (vacuumed away?) — restart from -1")
+    val oldest = gens.head._1
+    val window = gens.filter { case (g, _) =>
+      g > fromExclusive && g <= toInclusive }
+    val parts = window.flatMap {
+      case (g, "delta") =>
+        Some(spark.read.parquet(genDir(g).toString)
+          .withColumn(ChangeGenCol, lit(g)))
+      case (g, _) if g == oldest && fromExclusive < oldest =>
+        Some(spark.read.parquet(genDir(g).toString)
+          .withColumn(OpCol, lit("U")).withColumn(ChangeGenCol, lit(g)))
+      case _ => None
+    }
+    if (parts.isEmpty)
+      read().limit(0).withColumn(OpCol, lit("U"))
+        .withColumn(ChangeGenCol, lit(-1L))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** WIDENING type promotion (upstream ALTER int→bigint and friends):
     * one compaction with the cast folded in — the only correct shape
     * on vanilla parquet, whose scans cannot read int32 files as int64,
@@ -421,5 +477,43 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
       fs.delete(new Path(logDir, s"$g.json"), false)
     }
     dropped
+  }
+}
+
+object MorStore {
+
+  /** Consumer-side application of a [[MorStore.changesBetween]] feed:
+    * fold `changes` into `state` (the consumer's copy of the table at
+    * the feed's `fromExclusive` generation; None bootstraps from a
+    * feed that starts with the initial snapshot). The resolve is the
+    * store's own: newest change per key wins, ordered by
+    * (`__change_gen`, `__seq`), D drops the key, U upserts the row —
+    * so consumer state after apply ≡ the store's resolve at the
+    * feed's `toInclusive` generation (spec-pinned). One window over
+    * the CHANGES plus a changes-keyed anti join against state:
+    * O(|state| + |changes|), the whole point of consuming a feed.
+    */
+  def applyChanges(state: Option[DataFrame], changes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(changes.columns.contains("__op"),
+      "not a changefeed: no __op column")
+    require(changes.columns.contains("__change_gen"),
+      "not a changefeed: no __change_gen column")
+    val seqOrder =
+      if (changes.columns.contains("__seq"))
+        coalesce(col("__seq"), lit(0L)).desc
+      else lit(0).desc
+    val latest = changes.withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__change_gen").desc, seqOrder)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = latest.filter(col("__op") === "U")
+      .drop("__op", "__change_gen", "__seq")
+    state match {
+      case None => upserts
+      case Some(st) =>
+        st.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(upserts, allowMissingColumns = true)
+    }
   }
 }

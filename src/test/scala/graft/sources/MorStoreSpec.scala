@@ -266,4 +266,79 @@ class MorStoreSpec extends AnyFunSuite {
     assert(fs.listStatus(baseDir).map(_.getModificationTime).max == mtimeBefore)
     assert(st.generations().map(_._2) == Seq("base", "delta"))
   }
+
+  // ── change data feed ──────────────────────────────────────────────
+
+  private def applied(st: MorStore, state: Option[org.apache.spark.sql.DataFrame],
+      from: Long, to: Long): Map[Long, Long] =
+    MorStore.applyChanges(state, st.changesBetween(from, to), Seq("k"))
+      .collect().map(r => r.getLong(r.fieldIndex("k")) ->
+        r.getLong(r.fieldIndex("v"))).toMap
+
+  private def stateMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(r.fieldIndex("k")) ->
+      r.getLong(r.fieldIndex("v"))).toMap
+
+  test("changefeed from -1 bootstraps a consumer to the store's exact state") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), 1000L)
+    st.commitDelta(delta((2L, 21L, "U"), (4L, 40L, "U")), 2000L)
+    st.commitDelta(delta((1L, 0L, "D"), (2L, 22L, "U")), 3000L)
+    val head = st.generations().last._1
+    assert(applied(st, None, -1L, head) == asMap(st))
+  }
+
+  test("incremental resume: consumer at g applies (g, head] and matches the resolve") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L), 1000L)
+    st.commitDelta(delta((3L, 30L, "U")), 2000L)
+    val mid = st.generations().last._1
+    val consumerState = st.readAt(mid).localCheckpoint()
+    st.commitDelta(delta((1L, 0L, "D"), (4L, 40L, "U")), 3000L)
+    st.commitDelta(delta((4L, 41L, "U")), 4000L)
+    val head = st.generations().last._1
+    assert(applied(st, Some(consumerState), mid, head) == asMap(st))
+    assert(asMap(st) == Map(2L -> 20L, 3L -> 30L, 4L -> 41L))
+  }
+
+  test("a compaction emits NO changes; the feed skips it silently") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L), 1000L)
+    st.commitDelta(delta((1L, 11L, "U")), 2000L)
+    val before = st.generations().last._1
+    st.compact(3000L)
+    val head = st.generations().last._1
+    assert(st.changesBetween(before, head).count() == 0)
+    // and a window SPANNING the compaction carries only the real deltas
+    st.commitDelta(delta((2L, 0L, "D")), 4000L)
+    val head2 = st.generations().last._1
+    val span = st.changesBetween(0L, head2)
+    assert(span.count() == 2) // the U and the D, not the folded base
+    assert(applied(st, Some(st.readAt(0L)), 0L, head2) == asMap(st))
+  }
+
+  test("bootstrap after vacuum: oldest visible base becomes the initial snapshot") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L), 1000L)
+    st.commitDelta(delta((1L, 11L, "U")), 2000L)
+    st.compact(3000L)
+    st.commitDelta(delta((3L, 30L, "U")), 4000L)
+    st.vacuumBefore(st.generations().collect { case (g, "base") => g }.last)
+    val head = st.generations().last._1
+    assert(applied(st, None, -1L, head) == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    // resuming from a vacuumed-away generation refuses instead of
+    // silently skipping the missed history
+    intercept[IllegalArgumentException] { st.changesBetween(0L, head) }
+  }
+
+  test("same-key ties inside one delta resolve by __seq in the feed too") {
+    import spark.implicits._
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L), 1000L)
+    st.commitDelta(Seq((1L, 11L, "U", 0L), (1L, 0L, "D", 1L))
+      .toDF("k", "v", "__op", "__seq"), 2000L)
+    val head = st.generations().last._1
+    assert(applied(st, Some(st.readAt(0L)), 0L, head) == Map.empty[Long, Long])
+    assert(asMap(st) == Map.empty[Long, Long])
+  }
 }
