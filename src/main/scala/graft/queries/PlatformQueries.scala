@@ -1174,6 +1174,72 @@ object PlatformQueries {
       |SELECT 'audit_rejected', 'X', 2, -300
       |ORDER BY which, st""".stripMargin
 
+  // ───────────────────────────── q58: sweep-line peak concurrency
+
+  /** Interval-overlap counting by SWEEP LINE — "how many sessions are
+    * open at once, and when does the peak hit" — the capacity-planning
+    * query a naive self-join answers in O(n²) interval pairs; the
+    * sweep is two projections (+1 at start, −1 at end), a net-delta
+    * aggregate per distinct instant, and ONE running sum per group —
+    * O(n log n) by sort, no join at all. Intervals are half-open
+    * [s, e): netting the deltas per instant BEFORE the running sum
+    * makes every prefix value (and so the peak and its argmin
+    * timestamp) deterministic under tie reordering — summing raw ±1
+    * rows with a ROWS frame would visit order-dependent
+    * intermediates. Sessions: each event opens at ts for
+    * (user_id mod 50 + 1) minutes; epoch-second arithmetic end to
+    * end, so no timestamp-type drift between engines.
+    */
+  val q58_peak_concurrency: Q = (s, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events").select(
+      col("event_type"),
+      unix_timestamp(col("ts")).as("t0"),
+      (unix_timestamp(col("ts")) + ((col("user_id") % 50) + 1) * 60).as("t1"))
+    val deltas = ev.select(col("event_type"), col("t0").as("t"), lit(1L).as("d"))
+      .unionByName(ev.select(col("event_type"), col("t1").as("t"),
+        lit(-1L).as("d")))
+    val net = deltas.groupBy(col("event_type"), col("t"))
+      .agg(sum(col("d")).as("net"))
+    val run = net.withColumn("open", sum(col("net")).over(
+      W.partitionBy(col("event_type")).orderBy(col("t"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    run.withColumn("mo",
+        max(col("open")).over(W.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("open")).as("peak"),
+        min(when(col("open") === col("mo"), col("t"))).as("peak_at"),
+        sum(when(col("net") > 0, col("net")).otherwise(0L)).as("n_opens"))
+      .orderBy(col("event_type"))
+  }
+
+  val q58_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t0,
+      |         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |           + ((user_id % 50) + 1) * 60 AS t1
+      |  FROM events
+      |), deltas AS (
+      |  SELECT event_type, t0 AS t, 1 AS d FROM ev
+      |  UNION ALL
+      |  SELECT event_type, t1, -1 FROM ev
+      |), net AS (
+      |  SELECT event_type, t, SUM(d) AS net FROM deltas GROUP BY 1, 2
+      |), run AS (
+      |  SELECT event_type, t, net,
+      |         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) AS open
+      |  FROM net
+      |)
+      |SELECT event_type,
+      |       CAST(MAX(open) AS BIGINT) AS peak,
+      |       CAST(MIN(CASE WHEN open = mo THEN t END) AS BIGINT) AS peak_at,
+      |       CAST(SUM(CASE WHEN net > 0 THEN net ELSE 0 END) AS BIGINT) AS n_opens
+      |FROM (SELECT *, MAX(open) OVER (PARTITION BY event_type) AS mo FROM run)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ───────────────────────────── w25: change data feed consumption
 
   /** CHANGE DATA FEED ([[graft.sources.MorStore.changesBetween]] +
@@ -1942,7 +2008,8 @@ object PlatformQueries {
     "s18_filtered_ivfpq" -> s18_filtered_ivfpq,
     "v29_catalog_wap" -> v29_catalog_wap,
     "q57_triangle_count" -> q57_triangle_count,
-    "w25_change_feed" -> w25_change_feed)
+    "w25_change_feed" -> w25_change_feed,
+    "q58_peak_concurrency" -> q58_peak_concurrency)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -1973,5 +2040,6 @@ object PlatformQueries {
     "s18_filtered_ivfpq" -> s18_sql,
     "v29_catalog_wap" -> v29_sql,
     "q57_triangle_count" -> q57_sql,
-    "w25_change_feed" -> w25_sql)
+    "w25_change_feed" -> w25_sql,
+    "q58_peak_concurrency" -> q58_sql)
 }
