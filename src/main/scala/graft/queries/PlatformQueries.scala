@@ -1308,6 +1308,87 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── w26: streaming write-audit-publish
+
+  /** STREAMING WAP — the w14 exactly-once multi-table sink aimed at a
+    * BRANCH ([[graft.streaming.CatalogSink.commitBatchOn]]): each
+    * micro-batch commits raw + maintained rollup as one branch
+    * generation, and main's readers see batches only when an audit of
+    * the branch passes and `publishBranch` fast-forwards them in —
+    * two clean batches publish atomically, then a poisoned batch
+    * fails the audit and is EXCISED by a correction commit on the
+    * branch (raw filtered, rollup recomputed) before the next
+    * publish. require-guards pin: the redelivered poison batch
+    * no-ops (exactly-once holds across refs), the poison is visible
+    * on the branch and never on main, and the published cut equals
+    * the corrected line. The oracle sees the full events table — a
+    * leaked poison row, lost batch, or torn publish all break the
+    * hash.
+    */
+  val w26_stream_wap: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.IncrementalView
+    val root = java.nio.file.Files.createTempDirectory("graft-streamwap")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    cat.commitAll(Map("events_raw" -> ev.limit(0)), -1L)
+    cat.createBranch("ingest")
+    val specs = Seq(IncrementalView.countRows("n_events"),
+      IncrementalView.sumOf(col("cents"), "sum_cents"))
+    val derive = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+      "events_raw" -> ((prev, b) => prev.map(_.unionByName(b)).getOrElse(b)),
+      "user_stats" -> ((prev, b) => IncrementalView.merge(prev,
+        IncrementalView.aggregate(b, Seq("user_id"), specs),
+        Seq("user_id"), specs)))
+    def bad(df: DataFrame) = df.filter(col("cents") <= 0)
+    val b0 = ev.filter(col("event_id") % 3 === 0)
+    val b1 = ev.filter(col("event_id") % 3 === 1)
+    val poison = Seq((-1L, 999L, -5000L), (-2L, 999L, -6000L))
+      .toDF("event_id", "user_id", "cents")
+    val b2 = ev.filter(col("event_id") % 3 === 2).unionByName(poison)
+    graft.streaming.CatalogSink.commitBatchOn(cat, "ingest", b0, 0L, derive)
+    graft.streaming.CatalogSink.commitBatchOn(cat, "ingest", b1, 1L, derive)
+    require(bad(cat.readRef("ingest", "events_raw")).isEmpty, "audit 1 dirty")
+    cat.publishBranch("ingest") // two clean batches land atomically
+    graft.streaming.CatalogSink.commitBatchOn(cat, "ingest", b2, 2L, derive)
+    require(graft.streaming.CatalogSink.commitBatchOn(
+      cat, "ingest", b2, 2L, derive) == -1L,
+      "redelivered batch re-committed — exactly-once broken on the branch")
+    require(bad(cat.readRef("ingest", "events_raw")).count() == 2,
+      "audit must see the poison on the branch")
+    require(bad(cat.read("events_raw")).isEmpty,
+      "poison reached main without a publish")
+    // correction: excise on the branch, recompute the rollup, re-audit
+    val corrected = cat.readRef("ingest", "events_raw")
+      .filter(col("cents") > 0)
+    cat.commitAllOn("ingest", Map(
+      "events_raw" -> corrected,
+      "user_stats" -> IncrementalView.aggregate(
+        corrected, Seq("user_id"), specs)), 100L)
+    require(bad(cat.readRef("ingest", "events_raw")).isEmpty, "audit 2 dirty")
+    cat.publishBranch("ingest")
+    val raw = cat.read("events_raw")
+      .agg(count(lit(1)).as("n_raw"), sum(col("event_id")).as("sum_ids"))
+    val stats = cat.read("user_stats")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("stats_n_events"),
+        sum(col("sum_cents")).as("stats_sum_cents"))
+    raw.crossJoin(stats)
+      .select(lit(cat.loggedGenerations().size.toLong).as("n_generations"),
+        col("n_raw"), col("sum_ids"), col("n_users"),
+        col("stats_n_events"), col("stats_sum_cents"))
+  }
+
+  val w26_sql: String =
+    """SELECT 5 AS n_generations, COUNT(*) AS n_raw,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS stats_n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS stats_sum_cents
+      |FROM events""".stripMargin
+
   // ───────────────────────────── q57: degree-oriented triangle count
 
   /** [[graft.operators.Triangles]] over a deterministic graph on the
@@ -2009,7 +2090,8 @@ object PlatformQueries {
     "v29_catalog_wap" -> v29_catalog_wap,
     "q57_triangle_count" -> q57_triangle_count,
     "w25_change_feed" -> w25_change_feed,
-    "q58_peak_concurrency" -> q58_peak_concurrency)
+    "q58_peak_concurrency" -> q58_peak_concurrency,
+    "w26_stream_wap" -> w26_stream_wap)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2041,5 +2123,6 @@ object PlatformQueries {
     "v29_catalog_wap" -> v29_sql,
     "q57_triangle_count" -> q57_sql,
     "w25_change_feed" -> w25_sql,
-    "q58_peak_concurrency" -> q58_sql)
+    "q58_peak_concurrency" -> q58_sql,
+    "w26_stream_wap" -> w26_sql)
 }

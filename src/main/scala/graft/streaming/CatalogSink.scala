@@ -32,22 +32,37 @@ object CatalogSink {
     */
   def commitBatch(
       cat: TableCatalog, batch: DataFrame, batchId: Long,
+      derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame]): Long =
+    commitBatchOn(cat, TableCatalog.Main, batch, batchId, derive)
+
+  /** [[commitBatch]] against a BRANCH ref — the ingestion half of
+    * STREAMING write-audit-publish: micro-batches land on the branch
+    * (each one still a consistent multi-table cut of the branch's
+    * line), main's readers see nothing until an audit passes and
+    * [[TableCatalog.publishBranch]] fast-forwards every pending batch
+    * in with one pointer swing. The redelivery check stays
+    * catalog-GLOBAL (batch ids are logged per generation, whichever
+    * ref carried them), so a crash-replay after a publish — when the
+    * batch's generation now sits on MAIN's lineage — still no-ops.
+    */
+  def commitBatchOn(
+      cat: TableCatalog, ref: String, batch: DataFrame, batchId: Long,
       derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame]): Long = {
     // O(1) in-memory check (seeded once from the log); a generation
     // file orphaned by a crash between its write and the pointer
-    // swing counts as committed BECAUSE the catalog's pointer heal
-    // (TableCatalog.latestGeneration) makes it reader-visible — the
+    // swing counts as committed BECAUSE the catalog's per-ref pointer
+    // heal (TableCatalog.headOf) makes it reader-visible — the
     // replayed batch correctly no-ops against an already-durable cut.
     if (cat.tsCommitted(batchId)) -1L
     else {
-      val prevGen = cat.latestGeneration()
+      val prevGen = cat.headOf(ref)
       val newStates = derive.map { case (t, fn) =>
         val prev = prevGen.flatMap { g =>
           cat.tableVersions(g).get(t).map(_ => cat.readAt(g, t))
         }
         t -> fn(prev, batch)
       }
-      cat.commitAll(newStates, commitTsMillis = batchId)
+      cat.commitAllOn(ref, newStates, commitTsMillis = batchId)
     }
   }
 

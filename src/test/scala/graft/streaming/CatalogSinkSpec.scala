@@ -176,4 +176,28 @@ class CatalogSinkSpec extends AnyFunSuite {
     assert(cat.readAt(0, "fact").count() == 5)
     mixedConsistent(cat, 0L)
   }
+
+  test("branch ingestion: batches invisible on main until publish; replay no-ops across refs") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, freshDir("catsink-branch"))
+    cat.commitAll(Map("raw" -> Seq.empty[(Long, Long)].toDF("k", "v")), -1L)
+    cat.createBranch("ingest")
+    def batch(lo: Long): DataFrame =
+      (lo until lo + 5).map(i => (i % 3, i)).toDF("k", "v")
+    assert(CatalogSink.commitBatchOn(cat, "ingest", batch(0), 0L, derive) == 1L)
+    assert(CatalogSink.commitBatchOn(cat, "ingest", batch(5), 1L, derive) == 2L)
+    // isolation: main still at the empty baseline
+    assert(cat.read("raw").count() == 0)
+    assert(cat.readRef("ingest", "raw").count() == 10)
+    // every branch generation is itself a consistent cross-table cut
+    consistent(cat, 1L); consistent(cat, 2L)
+    cat.publishBranch("ingest")
+    assert(cat.read("raw").count() == 10)
+    consistent(cat, cat.latestGeneration().get)
+    // replay of batch 1 AFTER its generation moved onto main's
+    // lineage: the catalog-global ts check still no-ops it
+    assert(CatalogSink.commitBatchOn(cat, "ingest", batch(5), 1L, derive) == -1L)
+    assert(CatalogSink.commitBatch(cat, batch(5), 1L, derive) == -1L)
+    assert(cat.read("raw").count() == 10)
+  }
 }
