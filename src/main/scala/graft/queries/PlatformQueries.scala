@@ -1308,6 +1308,58 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── q59: binned interval-overlap join
+
+  /** Interval×interval OVERLAP JOIN ([[graft.operators.IntervalJoin
+    * .binnedOverlap]]) — which concurrent session pairs ran together,
+    * per event type. The non-equi overlap predicate would plan as a
+    * broadcast nested loop / cartesian product; binning turns it into
+    * one hashed equi-join on (event_type, time-bin) with the
+    * first-overlapping-bin rule deduping multi-bin pairs for free
+    * (no distinct shuffle) — exactness pinned by the oracle's plain
+    * non-equi self-join, which DuckDB executes as its IEJoin. The
+    * session sample (event_id ≡ 0 mod 20) keeps the oracle's pair
+    * count replayable at every scale; `l.event_id < r.event_id`
+    * halves the symmetric pairs and drops self-pairs. Output also
+    * sums exact overlap seconds, so a pair found in the wrong bin or
+    * twice breaks the hash.
+    */
+  val q59_interval_join: Q = (s, dir) => {
+    val sessions = Tables(s, dir, "events")
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + ((col("user_id") % 50) + 1) * 600).as("e"))
+    graft.operators.IntervalJoin
+      .binnedOverlap(sessions, sessions, "s", "e", binWidth = 900L,
+        keys = Seq("event_type"))
+      .filter(col("l_event_id") < col("r_event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("l_e"), col("r_e")) -
+          greatest(col("l_s"), col("r_s"))).as("overlap_secs"))
+      .orderBy(col("event_type"))
+  }
+
+  val q59_sql: String =
+    """WITH sess AS (
+      |  SELECT event_id, event_type,
+      |         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+      |         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |           + ((user_id % 50) + 1) * 600 AS e
+      |  FROM events WHERE event_id % 20 = 0
+      |)
+      |SELECT a.event_type,
+      |       COUNT(*) AS n_pairs,
+      |       CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT)
+      |         AS overlap_secs
+      |FROM sess a JOIN sess b
+      |  ON a.event_type = b.event_type
+      | AND a.s < b.e AND b.s < a.e
+      | AND a.event_id < b.event_id
+      |GROUP BY a.event_type
+      |ORDER BY a.event_type""".stripMargin
+
   // ───────────────────────────── w26: streaming write-audit-publish
 
   /** STREAMING WAP — the w14 exactly-once multi-table sink aimed at a
@@ -2091,7 +2143,8 @@ object PlatformQueries {
     "q57_triangle_count" -> q57_triangle_count,
     "w25_change_feed" -> w25_change_feed,
     "q58_peak_concurrency" -> q58_peak_concurrency,
-    "w26_stream_wap" -> w26_stream_wap)
+    "w26_stream_wap" -> w26_stream_wap,
+    "q59_interval_join" -> q59_interval_join)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2124,5 +2177,6 @@ object PlatformQueries {
     "q57_triangle_count" -> q57_sql,
     "w25_change_feed" -> w25_sql,
     "q58_peak_concurrency" -> q58_sql,
-    "w26_stream_wap" -> w26_sql)
+    "w26_stream_wap" -> w26_sql,
+    "q59_interval_join" -> q59_sql)
 }
