@@ -655,4 +655,44 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("z_interleave") && plan.contains("*(1)"),
       "z_interleave must stay in a codegen stage:\n" + plan.take(2000))
   }
+
+  test("binned interval join plans as a hashed equi-join, never a nested loop") {
+    val plan = planString(queries.PlatformQueries.q59_interval_join(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "overlap join fell back to a quadratic physical join:\n" + plan.take(2000))
+    assert(plan.contains("Join"), "no join at all?\n" + plan.take(2000))
+  }
+
+  test("triangle counting is equi-joins only (no cartesian wedge pairing)") {
+    val plan = executedPlan(queries.PlatformQueries.q57_triangle_count(spark, dir))
+    val quad = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("CartesianProduct") ||
+        p.nodeName.contains("BroadcastNestedLoopJoin") => p
+    }
+    // the single allowed nested loop is the 1-row × 1-row scalar
+    // combine of n_triangles with n_wedges — the wedge/closure path
+    // itself must stay hashed equi-joins
+    assert(quad.size <= 1 &&
+      quad.forall(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      s"wedge or closure join planned quadratic:\n${plan.toString.take(2000)}")
+  }
+
+  test("sketch-planned skew join probes via a broadcast of the sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CountMin, SkewJoin}
+    val ev = Tables(spark, dir, "events").select(col("user_id"))
+    val sketch = CountMin.build(ev, "user_id", 4, 1024)
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"))
+    val probe = dim.select(col("user_id"), posexplode(
+        CountMin.cellsOf(col("user_id").cast("string"), 4, 1024))
+        .as(Seq("row", "cell")))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+    assert(planString(probe).contains("BroadcastHashJoin"),
+      "hot-key probe must broadcast the sketch, not shuffle the dimension")
+    // and the detector itself finds keys without erroring end-to-end
+    val hot = SkewJoin.sketchHotKeys(sketch, dim, "user_id", 1L, 4, 1024, 3)
+    assert(hot.nonEmpty)
+  }
 }
