@@ -55,7 +55,57 @@ object ScaleSmoke {
     if (mode == "cm100") cmSmoke(spark, 100000000L) // opt-in
     if (mode == "all") editSmoke(spark, 100000L)
     if (mode == "edit") editSmoke(spark, 1000000L) // opt-in
+    if (mode == "all") triSmoke(spark, 1000000L)
+    if (mode == "tri") triSmoke(spark, 10000000L) // opt-in
+    if (mode == "all") ivjSmoke(spark, 300000L)
+    if (mode == "interval") ivjSmoke(spark, 1000000L) // opt-in
     spark.stop()
+  }
+
+  /** Triangle counting at n nodes: circulant deltas {1,2,5} (≈ n−2
+    * planted triangles from consecutive triples) plus a hub linked to
+    * every 7th node — degree n/7, the exact shape that makes naive
+    * wedge enumeration quadratic. Degree orientation must keep this
+    * linear-ish: the hub is every one of its edges' higher endpoint,
+    * so it sources zero wedges.
+    */
+  private def triSmoke(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Triangles
+    val nodes = spark.range(1, n + 1).select(col("id").as("n"))
+    val circ = Seq(1, 2, 5).map(d =>
+      nodes.filter(col("n") + d <= n)
+        .select(col("n").as("s"), (col("n") + d).as("t")))
+      .reduce(_ unionByName _)
+    val hub = nodes.filter(col("n") % 7 === 0 && col("n") =!= 1)
+      .select(lit(1L).as("s"), col("n").as("t"))
+    val canon = Triangles.canonical(circ.unionByName(hub), "s", "t")
+    val r = time(s"tri n=$n (hub degree ${n / 7})") {
+      Triangles.count(canon).head()
+    }
+    println(s"[scale] tri n=$n: triangles=${r.getLong(0)} wedges=${r.getLong(1)}")
+    require(r.getLong(0) >= n - 2, s"lost planted triangles: ${r.getLong(0)}")
+  }
+
+  /** Binned interval-overlap self-join at n intervals (~16-tick spans
+    * over a 2n timeline ⇒ ~8 concurrent ⇒ output ≈ 8n pairs).
+    * Exactness cross-check at volume: two different bin widths must
+    * count the SAME pairs (both are exact paths; a dedup bug or a
+    * bin-boundary leak breaks the equality).
+    */
+  private def ivjSmoke(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IntervalJoin
+    val iv = spark.range(n).select(col("id"),
+      ((col("id") * 7919) % (2 * n)).as("s"),
+      ((col("id") * 7919) % (2 * n) + 16).as("e"))
+    def pairs(w: Long): Long = time(s"interval n=$n width=$w") {
+      IntervalJoin.binnedOverlap(iv, iv, "s", "e", w)
+        .filter(col("l_id") < col("r_id")).count()
+    }
+    val a = pairs(16L); val b = pairs(64L)
+    println(s"[scale] interval n=$n: pairs=$a")
+    require(a == b, s"bin widths disagree: $a vs $b — dedup broken")
   }
 
   /** Edit-distance join growth: n synthetic ~18-char names, every
