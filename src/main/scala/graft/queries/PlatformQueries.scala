@@ -1308,6 +1308,57 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── v30: tag-pinned reproducible cut
+
+  /** IMMUTABLE TAGS ([[graft.sources.TableCatalog.createTag]]) — the
+    * reproducibility ref a training pipeline needs: tag the exact
+    * cross-table cut a run consumed ("train-v1"), and that cut stays
+    * byte-identical and vacuum-proof no matter how the live table is
+    * rewritten afterwards. The flow rewrites the table twice after
+    * tagging and vacuums down to a window that would have reclaimed
+    * the tagged generation — the require pins that the tag's data
+    * directory survived; the output reads the SAME table through the
+    * tag and live, and the oracle recomputes both slices from raw
+    * orders (a moved tag or a reclaimed pin breaks the hash).
+    */
+  val v30_catalog_tag: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-tag")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cat.commitAll(Map("corpus" -> orders.filter(col("k") % 3 === 0)), 1000L)
+    cat.createTag("train-v1")
+    cat.commitAll(Map("corpus" -> orders.filter(col("k") % 3 =!= 0)), 2000L)
+    cat.commitAll(Map("corpus" -> orders), 3000L)
+    cat.commitAll(Map("corpus" -> orders.filter(col("k") % 2 === 0)), 4000L)
+    // window {g3, g2}: g1 reclaims, g0 would too but the tag pins it
+    val dropped = cat.vacuum(keepLast = 2)
+    require(dropped == Seq(1L), s"vacuum kept the wrong window: $dropped")
+    def slice(df: DataFrame, which: String) = df.groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("which", lit(which))
+    slice(cat.readTag("train-v1", "corpus"), "tagged")
+      .unionByName(slice(cat.read("corpus"), "live"))
+      .select(col("which"), col("st"), col("n"), col("cents"))
+      .orderBy(col("which"), col("st"))
+  }
+
+  val v30_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'live' AS which, st, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM o WHERE k % 2 = 0 GROUP BY st
+      |UNION ALL
+      |SELECT 'tagged', st, COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |FROM o WHERE k % 3 = 0 GROUP BY st
+      |ORDER BY which, st""".stripMargin
+
   // ───────────────────────────── q59: binned interval-overlap join
 
   /** Interval×interval OVERLAP JOIN ([[graft.operators.IntervalJoin
@@ -2144,7 +2195,8 @@ object PlatformQueries {
     "w25_change_feed" -> w25_change_feed,
     "q58_peak_concurrency" -> q58_peak_concurrency,
     "w26_stream_wap" -> w26_stream_wap,
-    "q59_interval_join" -> q59_interval_join)
+    "q59_interval_join" -> q59_interval_join,
+    "v30_catalog_tag" -> v30_catalog_tag)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2178,5 +2230,6 @@ object PlatformQueries {
     "w25_change_feed" -> w25_sql,
     "q58_peak_concurrency" -> q58_sql,
     "w26_stream_wap" -> w26_sql,
-    "q59_interval_join" -> q59_sql)
+    "q59_interval_join" -> q59_sql,
+    "v30_catalog_tag" -> v30_sql)
 }

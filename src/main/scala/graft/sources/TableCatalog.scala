@@ -432,9 +432,60 @@ class TableCatalog(spark: SparkSession, root: String) {
     fs.delete(refPath(name), false)
   }
 
+  // ── tags ────────────────────────────────────────────────────────────
+
+  private def tagsDir = new Path(root, "_tags")
+  private def tagPath(name: String) = new Path(tagsDir, name)
+
+  /** Pin an IMMUTABLE tag at generation `at` (default: main's head) —
+    * the audit/reproducibility ref: "the exact cross-table cut this
+    * model trained on", addressable by name forever and excluded from
+    * [[vacuum]] reclamation. Unlike a branch, a tag can never move
+    * and never takes commits.
+    */
+  def createTag(name: String, at: Option[Long] = None): Long =
+    commitLock.synchronized {
+      requireSafeName(name)
+      require(!fs.exists(tagPath(name)), s"tag '$name' already exists")
+      val g = at.getOrElse(latestGeneration().getOrElse(
+        throw new IllegalStateException(s"empty catalog at $root")))
+      require(fs.exists(genFile(g)), s"no generation $g to tag")
+      fs.mkdirs(tagsDir)
+      PointerFile.swing(spark.sparkContext.hadoopConfiguration,
+        new Path(root), tagPath(name), g.toString, s"catalog tag $name g=$g")
+      g
+    }
+
+  /** Live tag names. */
+  def tags(): Seq[String] =
+    if (!fs.exists(tagsDir)) Seq.empty
+    else fs.listStatus(tagsDir).map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp")).sorted.toSeq
+
+  /** The generation tag `name` pins. */
+  def tagGeneration(name: String): Long = {
+    require(fs.exists(tagPath(name)), s"no tag '$name' at $root")
+    val in = fs.open(tagPath(name))
+    val s = scala.io.Source.fromInputStream(in).mkString.trim
+    in.close()
+    s.toLong
+  }
+
+  /** Read `table` at tag `name`'s pinned cut. */
+  def readTag(name: String, table: String): DataFrame =
+    readAt(tagGeneration(name), table)
+
+  /** Delete tag `name` (the data it pinned becomes reclaimable at the
+    * next [[vacuum]] unless otherwise referenced).
+    */
+  def dropTag(name: String): Unit = commitLock.synchronized {
+    fs.delete(tagPath(name), false)
+  }
+
   /** Commit a generation ON a ref: `main` is [[commitAll]]; a branch
     * must have been created first ([[createBranch]] — a typo'd ref
-    * must not silently fork a new line of history).
+    * must not silently fork a new line of history). Tags are not
+    * commit targets.
     */
   def commitAllOn(ref: String, tables: Map[String, DataFrame],
       commitTsMillis: Long): Long = {
@@ -695,7 +746,8 @@ class TableCatalog(spark: SparkSession, root: String) {
     }
     if (mainKept.isEmpty) return Seq.empty
     val cutoff = mainKept.last
-    val refHeads = branches().flatMap(headOf(_)).toSet
+    val refHeads = branches().flatMap(headOf(_)).toSet ++
+      tags().map(tagGeneration) // a tag pins its cut forever
     val kept = gens.filter(g => g >= cutoff || refHeads.contains(g))
     val dropped = gens.filterNot(g => g >= cutoff || refHeads.contains(g))
     if (dropped.isEmpty) return Seq.empty

@@ -161,6 +161,30 @@ class TableCatalogBranchSpec extends AnyFunSuite {
     }
   }
 
+  test("tags pin a cut through rewrites and vacuum; they never move or take commits") {
+    val cat = new TableCatalog(spark, freshRoot())
+    cat.commitAll(Map("t" -> nums(0, 10)), 1000L) // g0
+    cat.createTag("train-v1")
+    assert(cat.tags() == Seq("train-v1") && cat.tagGeneration("train-v1") == 0L)
+    cat.commitAll(Map("t" -> nums(0, 20)), 2000L) // g1
+    cat.commitAll(Map("t" -> nums(0, 30)), 3000L) // g2
+    cat.commitAll(Map("t" -> nums(0, 40)), 4000L) // g3
+    // vacuum would drop g0/g1 — the tag pins g0 (and its table data)
+    val dropped = cat.vacuum(keepLast = 2)
+    assert(dropped == Seq(1L), dropped.toString)
+    assert(cat.readTag("train-v1", "t").count() == 10)
+    assert(cat.read("t").count() == 40)
+    // a tag is not a commit target and cannot be re-pinned
+    intercept[IllegalArgumentException] {
+      cat.commitAllOn("train-v1", Map("t" -> nums(0, 5)), 5000L)
+    }
+    intercept[IllegalArgumentException] { cat.createTag("train-v1") }
+    // dropping releases the pin: the next vacuum reclaims g0
+    cat.dropTag("train-v1")
+    assert(cat.vacuum(keepLast = 2).contains(0L))
+    intercept[Exception] { cat.readTag("train-v1", "t") }
+  }
+
   test("write-audit-publish: audit rejects on the branch, main never sees bad data") {
     import spark.implicits._
     val cat = new TableCatalog(spark, freshRoot())
