@@ -1308,6 +1308,72 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── w27: CoW→MoR replication via CDC extraction
+
+  /** REPLICATION BRIDGE ([[graft.operators.CdcExtract]]): mirror a
+    * copy-on-write [[graft.sources.SnapshotStore]]'s history into a
+    * merge-on-read [[graft.sources.MorStore]] by extracting the
+    * row-level diff of each version pair (one full-outer join,
+    * null-safe struct compare) and committing it as an O(|changes|)
+    * delta — full-load-plus-ongoing-replication without the source
+    * ever emitting CDC itself. The version chain exercises updates
+    * (price bump), deletes (status F keys ≡0 mod 6), and inserts
+    * (fresh high keys); a require pins mirror ≡ source at head
+    * before aggregating, and the oracle replays the final state from
+    * raw orders — a missed change, phantom delete, or double-applied
+    * update all break the hash.
+    */
+  val w27_replicate_cow_mor: Q = (s, dir) => {
+    val base = java.nio.file.Files.createTempDirectory("graft-repl")
+      .toFile.getAbsolutePath
+    val src = new graft.sources.SnapshotStore(s, base + "/src")
+    val mirror = new graft.sources.MorStore(s, base + "/mirror", Seq("k"))
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v0 = orders
+    val v1 = orders.withColumn("cents",
+      when(col("k") % 9 === 0, col("cents") + 250L).otherwise(col("cents")))
+    val v2 = v1.filter(!(col("st") === "F" && col("k") % 6 === 0))
+      .unionByName(orders.filter(col("k") % 17 === 0)
+        .select((col("k") + 30000000L).as("k"), lit("R").as("st"),
+          lit(999L).as("cents")))
+    Seq(v0, v1, v2).zipWithIndex.foreach { case (v, i) =>
+      src.commit(v, commitTsMillis = (i + 1) * 1000L) }
+    val versions = src.loggedVersions()
+    mirror.commitBase(src.asOf(1500L), 0L)
+    versions.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      mirror.commitDelta(graft.operators.CdcExtract.changes(
+        src.read(a), src.read(b), Seq("k")), (i + 1).toLong)
+    }
+    val live = src.readLatest()
+    val got = mirror.read()
+    require(got.exceptAll(live).isEmpty && live.exceptAll(got).isEmpty,
+      "mirror diverged from the source head")
+    got.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("st"))
+  }
+
+  val w27_sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), bumped AS (
+      |  SELECT k, st,
+      |         CASE WHEN k % 9 = 0 THEN cents + 250 ELSE cents END AS cents
+      |  FROM base
+      |), final AS (
+      |  SELECT * FROM bumped WHERE NOT (st = 'F' AND k % 6 = 0)
+      |  UNION ALL
+      |  SELECT k + 30000000, 'R', 999 FROM base WHERE k % 17 = 0
+      |)
+      |SELECT st, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM final
+      |GROUP BY st
+      |ORDER BY st""".stripMargin
+
   // ───────────────────────────── v30: tag-pinned reproducible cut
 
   /** IMMUTABLE TAGS ([[graft.sources.TableCatalog.createTag]]) — the
@@ -2196,7 +2262,8 @@ object PlatformQueries {
     "q58_peak_concurrency" -> q58_peak_concurrency,
     "w26_stream_wap" -> w26_stream_wap,
     "q59_interval_join" -> q59_interval_join,
-    "v30_catalog_tag" -> v30_catalog_tag)
+    "v30_catalog_tag" -> v30_catalog_tag,
+    "w27_replicate_cow_mor" -> w27_replicate_cow_mor)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2231,5 +2298,6 @@ object PlatformQueries {
     "q58_peak_concurrency" -> q58_sql,
     "w26_stream_wap" -> w26_sql,
     "q59_interval_join" -> q59_sql,
-    "v30_catalog_tag" -> v30_sql)
+    "v30_catalog_tag" -> v30_sql,
+    "w27_replicate_cow_mor" -> w27_sql)
 }
