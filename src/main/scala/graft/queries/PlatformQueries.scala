@@ -1308,6 +1308,81 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── d53: rolling 7-day distinct users
+
+  /** Rolling-window DISTINCT — "unique users in the trailing 7 days,
+    * per day" — which no window frame can express (COUNT(DISTINCT)
+    * over a moving frame isn't supported, and per-day HLL union is
+    * approximate). The exact scale shape is DEDUP-THEN-EXPLODE
+    * COVERAGE: collapse to distinct (user, day) pairs FIRST (map-side
+    * combined, activity-volume → user-day volume), explode each pair
+    * to the ≤7 trailing days it covers, dedup (user, covered-day) —
+    * a user active twice inside one window still counts once — and
+    * count per day. Shuffle volume is user-days × window, never raw
+    * events × window. Output restricts to days that actually occur
+    * (the calendar spine is the data's own).
+    */
+  val d53_rolling_distinct: Q = (s, dir) => {
+    val ud = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cover = ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("d"))
+      .distinct()
+    val days = ud.select(col("day").as("d")).distinct()
+    cover.join(days, Seq("d"), "left_semi")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("users_7d"))
+      .orderBy(col("d"))
+  }
+
+  val d53_sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events
+      |), days AS (SELECT DISTINCT day AS d FROM ud)
+      |SELECT d.d, COUNT(DISTINCT u.user_id) AS users_7d
+      |FROM days d JOIN ud u ON u.day BETWEEN d.d - 6 AND d.d
+      |GROUP BY d.d
+      |ORDER BY d.d""".stripMargin
+
+  // ───────────────────────────── q60: dynamic partition pruning
+
+  /** DYNAMIC PARTITION PRUNING — the star-join scan killer at 100 TB:
+    * the fact table is lang-partitioned, the dimension's selective
+    * filter (`grp = 1`) is on a NON-partition attribute, so static
+    * pruning can't touch the fact scan; at runtime Spark builds the
+    * surviving dimension keys and prunes fact partitions before
+    * reading them (`PartitionFilters: [dynamicpruningexpression…]` —
+    * PlanSpec-guarded). The oracle resolves the dimension statically,
+    * so a fact partition wrongly pruned (or wrongly read twice)
+    * breaks the hash.
+    */
+  val q60_dynamic_pruning: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp")
+      .toFile.getAbsolutePath
+    Tables(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp + "/facts")
+    Tables(s, dir, "documents").select(col("lang")).distinct()
+      .withColumn("grp", when(col("lang").isin("en", "de"), 1L).otherwise(0L))
+      .write.mode("overwrite").parquet(tmp + "/dim")
+    val facts = s.read.parquet(tmp + "/facts")
+    val dim = s.read.parquet(tmp + "/dim").filter(col("grp") === 1L)
+    facts.join(dim, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q60_sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'de')
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ───────────────────────────── w27: CoW→MoR replication via CDC extraction
 
   /** REPLICATION BRIDGE ([[graft.operators.CdcExtract]]): mirror a
@@ -2263,7 +2338,9 @@ object PlatformQueries {
     "w26_stream_wap" -> w26_stream_wap,
     "q59_interval_join" -> q59_interval_join,
     "v30_catalog_tag" -> v30_catalog_tag,
-    "w27_replicate_cow_mor" -> w27_replicate_cow_mor)
+    "w27_replicate_cow_mor" -> w27_replicate_cow_mor,
+    "d53_rolling_distinct" -> d53_rolling_distinct,
+    "q60_dynamic_pruning" -> q60_dynamic_pruning)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2299,5 +2376,7 @@ object PlatformQueries {
     "w26_stream_wap" -> w26_sql,
     "q59_interval_join" -> q59_sql,
     "v30_catalog_tag" -> v30_sql,
-    "w27_replicate_cow_mor" -> w27_sql)
+    "w27_replicate_cow_mor" -> w27_sql,
+    "d53_rolling_distinct" -> d53_sql,
+    "q60_dynamic_pruning" -> q60_sql)
 }

@@ -678,6 +678,14 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"wedge or closure join planned quadratic:\n${plan.toString.take(2000)}")
   }
 
+  test("q60 actually triggers dynamic partition pruning on the fact scan") {
+    val plan = initialPlanString(
+      queries.PlatformQueries.q60_dynamic_pruning(spark, dir))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "fact scan has no runtime partition filter — DPP did not fire:\n" +
+        plan.take(2000))
+  }
+
   test("sketch-planned skew join probes via a broadcast of the sketch") {
     import org.apache.spark.sql.functions._
     import graft.operators.{CountMin, SkewJoin}
