@@ -1308,6 +1308,78 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── v31: catalog-resident skip index
+
+  /** Secondary index AS A CATALOG TABLE ([[graft.sources
+    * .CatalogIndex]]): the v22/v23 file-skip relation stored under the
+    * same snapshot machinery as the data it indexes, with VERIFIED
+    * COVERAGE — each index row records the table version it was built
+    * from, and a lookup uses the index only when that version is
+    * current, falling back to an exact full scan otherwise
+    * (asynchronous index maintenance with a provable staleness
+    * check). The flow: commit orders range-clustered on the key,
+    * refresh, point-lookup min/max keys (require: index used, ONE
+    * file opened of many); rewrite WITHOUT refreshing (require: the
+    * lookup refuses the stale index and falls back, still exact);
+    * refresh and re-prune. Output = the looked-up rows; the oracle
+    * replays them with scalar subqueries.
+    */
+  val v31_catalog_index: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-catidx-q")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cat.commitAll(Map("facts" ->
+      orders.repartitionByRange(16, col("k"))), 1000L)
+    graft.sources.CatalogIndex.refresh(s, cat, "facts", "k", 2000L)
+    val bounds = orders.agg(min(col("k")), max(col("k"))).head()
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    def look(key: Long, which: String) = {
+      val (df, used, opened) = graft.sources.CatalogIndex
+        .lookup(s, cat, "facts", "k", key)
+      require(used, s"index not used for $key")
+      require(opened <= 2,
+        s"index admitted $opened of 16 files for point key $key")
+      df.withColumn("which", lit(which))
+    }
+    val hit = look(kmin, "lo").unionByName(look(kmax, "hi"))
+      .localCheckpoint() // materialize BEFORE the stale rewrite below
+    // rewrite without refresh: the lookup must refuse the stale index
+    cat.commitAll(Map("facts" ->
+      orders.withColumn("cents", col("cents") + 1L)
+        .repartitionByRange(16, col("k"))), 3000L)
+    val (stale, usedStale, _) = graft.sources.CatalogIndex
+      .lookup(s, cat, "facts", "k", kmin)
+    require(!usedStale, "stale index served a lookup")
+    require(stale.head().getLong(2) == hit.filter(col("which") === "lo")
+      .head().getLong(2) + 1L, "fallback read stale data")
+    graft.sources.CatalogIndex.refresh(s, cat, "facts", "k", 4000L)
+    val (fresh, usedFresh, openedFresh) = graft.sources.CatalogIndex
+      .lookup(s, cat, "facts", "k", kmax)
+    require(usedFresh && openedFresh <= 2, "refresh did not restore pruning")
+    hit.unionByName(fresh.withColumn("which", lit("hi2")))
+      .select(col("which"), col("k"), col("st"), col("cents"))
+      .orderBy(col("which"), col("k"))
+  }
+
+  val v31_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'hi' AS which, k, st, cents FROM o
+      |WHERE k = (SELECT MAX(k) FROM o)
+      |UNION ALL
+      |SELECT 'hi2', k, st, cents + 1 FROM o
+      |WHERE k = (SELECT MAX(k) FROM o)
+      |UNION ALL
+      |SELECT 'lo', k, st, cents FROM o
+      |WHERE k = (SELECT MIN(k) FROM o)
+      |ORDER BY which, k""".stripMargin
+
   // ───────────────────────────── d53: rolling 7-day distinct users
 
   /** Rolling-window DISTINCT — "unique users in the trailing 7 days,
@@ -1586,7 +1658,8 @@ object PlatformQueries {
       "user_stats" -> ((prev, b) => IncrementalView.merge(prev,
         IncrementalView.aggregate(b, Seq("user_id"), specs),
         Seq("user_id"), specs)))
-    def bad(df: DataFrame) = df.filter(col("cents") <= 0)
+    // poison is NEGATIVE; legitimate zero-value events exist at sf0.1
+    def bad(df: DataFrame) = df.filter(col("cents") < 0)
     val b0 = ev.filter(col("event_id") % 3 === 0)
     val b1 = ev.filter(col("event_id") % 3 === 1)
     val poison = Seq((-1L, 999L, -5000L), (-2L, 999L, -6000L))
@@ -1606,7 +1679,7 @@ object PlatformQueries {
       "poison reached main without a publish")
     // correction: excise on the branch, recompute the rollup, re-audit
     val corrected = cat.readRef("ingest", "events_raw")
-      .filter(col("cents") > 0)
+      .filter(col("cents") >= 0)
     cat.commitAllOn("ingest", Map(
       "events_raw" -> corrected,
       "user_stats" -> IncrementalView.aggregate(
@@ -2340,7 +2413,8 @@ object PlatformQueries {
     "v30_catalog_tag" -> v30_catalog_tag,
     "w27_replicate_cow_mor" -> w27_replicate_cow_mor,
     "d53_rolling_distinct" -> d53_rolling_distinct,
-    "q60_dynamic_pruning" -> q60_dynamic_pruning)
+    "q60_dynamic_pruning" -> q60_dynamic_pruning,
+    "v31_catalog_index" -> v31_catalog_index)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2378,5 +2452,6 @@ object PlatformQueries {
     "v30_catalog_tag" -> v30_sql,
     "w27_replicate_cow_mor" -> w27_sql,
     "d53_rolling_distinct" -> d53_sql,
-    "q60_dynamic_pruning" -> q60_sql)
+    "q60_dynamic_pruning" -> q60_sql,
+    "v31_catalog_index" -> v31_sql)
 }

@@ -696,6 +696,27 @@ class TableCatalog(spark: SparkSession, root: String) {
   def read(table: String): DataFrame = readAt(latestGeneration()
     .getOrElse(throw new IllegalStateException(s"empty catalog at $root")), table)
 
+  /** The physical directory holding snapshot `table`'s data at
+    * generation `g` (location indirection resolved) — for sidecar
+    * builders like [[CatalogIndex]] that need the version's actual
+    * file paths. MoR members have no single directory and throw.
+    */
+  def versionDir(g: Long, table: String): String = {
+    val json = genJson(g)
+    val v = parseVersionMap(json, "tables").getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table $table is not a snapshot table of generation $g"))
+    val loc = parseSection(json, "locs",
+      (s: String) => s.stripPrefix("\"").stripSuffix("\""))
+      .getOrElse(table, table)
+    tableDir(loc, v).toString
+  }
+
+  /** Snapshot `table`'s version number at generation `g`. */
+  def versionOf(g: Long, table: String): Long =
+    tableVersions(g).getOrElse(table, throw new IllegalArgumentException(
+      s"table $table is not a snapshot table of generation $g"))
+
   /** The newest MAIN-lineage generation committed at or before `ts` —
     * cross-table AS OF TIMESTAMP. Walks main's parent chain (not the
     * raw log: the log also holds branch generations whose candidate
