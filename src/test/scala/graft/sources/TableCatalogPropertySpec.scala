@@ -107,4 +107,97 @@ class TableCatalogPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Branch/tag interleavings against an in-memory model: main state,
+    * per-branch state with a base-version staleness marker (publish
+    * must fast-forward exactly when main has not advanced past the
+    * branch's base), and tag snapshots that survive everything
+    * including vacuum. The targeted BranchSpec pins each behavior
+    * alone; this pins the interactions — a publish racing a main
+    * commit, a tag over a branch-published cut, vacuum across live
+    * branches — where per-ref healing or lineage bugs would bite.
+    */
+  test("random branch/tag/publish interleavings match the ref model") {
+    val rnd = new scala.util.Random(99173L)
+    (1 to 2).foreach { round =>
+      val cat = new TableCatalog(spark, freshRoot())
+      var ts = 0L
+      def tick(): Long = { ts += 1000; ts }
+      var main = Map("t0" -> Seq(1L, 2L))
+      cat.commitAll(main.map { case (t, v) => t -> df(v) }, tick())
+      var mainVer = 0
+      var nextB = 0
+      // branch -> (state, baseVersion, committedSinceBase)
+      var branches = Map.empty[String, (Map[String, Seq[Long]], Int, Boolean)]
+      var tags = Map.empty[String, Map[String, Seq[Long]]]
+      var nGens = 1 // generations ever logged (for vacuum keepLast)
+
+      (1 to 30).foreach { _ =>
+        rnd.nextInt(12) match {
+          case r if r <= 2 => // commit to main
+            val data = Map(s"t${rnd.nextInt(3)}" ->
+              Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(1000).toLong))
+            cat.commitAll(data.map { case (t, v) => t -> df(v) }, tick())
+            main = main ++ data; mainVer += 1; nGens += 1
+          case 3 | 4 => // create branch at main head
+            nextB += 1; val b = s"b$nextB"
+            cat.createBranch(b)
+            branches += b -> (main, mainVer, false)
+          case 5 | 6 | 7 if branches.nonEmpty => // commit on a branch
+            val b = branches.keys.toSeq.sorted.apply(
+              rnd.nextInt(branches.size))
+            val (st, base, _) = branches(b)
+            val data = Map(s"t${rnd.nextInt(3)}" ->
+              Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(1000).toLong))
+            cat.commitAllOn(b, data.map { case (t, v) => t -> df(v) }, tick())
+            branches += b -> (st ++ data, base, true); nGens += 1
+          case 8 if branches.nonEmpty => // publish: FF or conflict
+            val b = branches.keys.toSeq.sorted.apply(
+              rnd.nextInt(branches.size))
+            val (st, base, committed) = branches(b)
+            if (base == mainVer) {
+              cat.publishBranch(b)
+              main = st
+              // a no-commit publish is a pointer no-op: main's head
+              // does not move, so other branches stay fast-forwardable
+              if (committed) mainVer += 1
+              branches += b -> (st, mainVer, false)
+            } else {
+              intercept[TableCatalog.CommitConflictException] {
+                cat.publishBranch(b)
+              }
+              // conflicted: recover by re-branching the model's way
+              cat.dropBranch(b)
+              branches -= b
+            }
+          case 9 => // tag the current main cut
+            val t = s"tag${tags.size}"
+            cat.createTag(t)
+            tags += t -> main
+          case 10 if nGens > 2 => // vacuum a random window
+            cat.vacuum(keepLast = 1 + rnd.nextInt(2))
+          case _ if branches.nonEmpty && rnd.nextBoolean() => // drop a branch
+            val b = branches.keys.toSeq.sorted.apply(
+              rnd.nextInt(branches.size))
+            cat.dropBranch(b); branches -= b
+          case _ => ()
+        }
+        // invariants after EVERY op
+        val g = cat.latestGeneration().get
+        main.foreach { case (t, rows) =>
+          assert(readSet(cat, g, t) == rows.sorted,
+            s"round $round: main read of '$t' diverged") }
+        branches.foreach { case (b, (st, _, _)) =>
+          st.foreach { case (t, rows) =>
+            assert(cat.readRef(b, t).collect().map(_.getLong(0)).sorted
+              .toSeq == rows.sorted,
+              s"round $round: branch $b read of '$t' diverged") } }
+        tags.foreach { case (tg, st) =>
+          st.foreach { case (t, rows) =>
+            assert(cat.readTag(tg, t).collect().map(_.getLong(0)).sorted
+              .toSeq == rows.sorted,
+              s"round $round: tag $tg read of '$t' diverged") } }
+      }
+    }
+  }
 }
