@@ -448,6 +448,62 @@ object SemanticQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ── s22: ANN index deletions (tombstone + compact) ─────────────────
+
+  /** DELETIONS in the live ANN index — the operational gap w23's
+    * append-only ingestion leaves open (right-to-be-forgotten, stale
+    * document eviction): the encoded index lives in a
+    * [[graft.sources.MorStore]] keyed by vector id, so deletes are
+    * O(batch) TOMBSTONE deltas (the Lucene/Milvus mark-then-compact
+    * shape) applied by the store's resolve at serve time, and a
+    * compaction folds them away physically. Batches: base third,
+    * upsert third, then a mixed delta (final third + D tombstones for
+    * ids ≡ 4 mod 9, all previously ingested); a replayed mixed batch
+    * must no-op. The serve after compaction must equal the batch
+    * search over the surviving corpus — the oracle is s14's replay
+    * with the deletion predicate on the candidate side, so a vector
+    * that outlives its tombstone (or a tombstone that kills a
+    * neighbor) shifts the ranking and fails the hash.
+    */
+  val s22_ann_deletions: Q = (s, dir) => {
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      VectorSearch.encodeIvfPq(df, "vec_id", "embedding", planes, codebooks)
+    val root = java.nio.file.Files.createTempDirectory("graft-anndel")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("id")) // encode renames the key
+    st.commitBase(enc(e.filter(col("vec_id") % 3 === 0)), -1L)
+    graft.streaming.MorSink.appendBatch(st,
+      enc(e.filter(col("vec_id") % 3 === 1)).withColumn(st.OpCol, lit("U")), 0L)
+    val mixed = enc(e.filter(col("vec_id") % 3 === 2))
+      .withColumn(st.OpCol, lit("U"))
+      .unionByName(enc(e.filter(col("vec_id") % 9 === 4))
+        .withColumn(st.OpCol, lit("D")))
+    graft.streaming.MorSink.appendBatch(st, mixed, 1L)
+    require(graft.streaming.MorSink.appendBatch(st, mixed, 1L) == -1L,
+      "redelivered tombstone batch re-applied")
+    require(st.read().filter(col("id") % 9 === 4).isEmpty,
+      "tombstoned vectors still served")
+    st.compact(-2L)
+    require(st.read().filter(col("id") % 9 === 4).isEmpty,
+      "compaction resurrected tombstoned vectors")
+    VectorSearch.searchIvfPq(st.read(), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", planes, codebooks, k = 10, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s14's replay with the deletion predicate on the candidate side —
+    * string surgery keeps the two replays in lockstep by
+    * construction.
+    */
+  def s22_sql: String = s14_sql.replace(
+    "a.vec_id <> p.vec_id",
+    "a.vec_id <> p.vec_id AND a.vec_id % 9 <> 4")
+
   // ── s16: IVF-PQ with residual encoding (IVFADC proper) ─────────────
 
   /** s14's index with the residual mechanism (Jégou et al. §IV —
@@ -955,7 +1011,8 @@ object SemanticQueries {
     "w23_stream_ann_index" -> w23_stream_ann_index,
     "s16_ivf_pq_residual" -> s16_ivf_pq_residual,
     "s20_trained_pq" -> s20_trained_pq,
-    "s21_residual_trained" -> s21_residual_trained)
+    "s21_residual_trained" -> s21_residual_trained,
+    "s22_ann_deletions" -> s22_ann_deletions)
 
   val oracles: Map[String, String] = Map(
     "d27_semantic_dedup" -> d27_sql,
@@ -967,5 +1024,6 @@ object SemanticQueries {
     "w23_stream_ann_index" -> s14_sql,
     "s16_ivf_pq_residual" -> s16_sql,
     "s20_trained_pq" -> s20_sql,
-    "s21_residual_trained" -> s21_sql)
+    "s21_residual_trained" -> s21_sql,
+    "s22_ann_deletions" -> s22_sql)
 }
