@@ -1308,6 +1308,95 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── t25: corpus term-drift report
+
+  /** DISTRIBUTION DRIFT between two corpus slices — the data-quality
+    * gate a training pipeline runs between crawl snapshots ("did the
+    * term mix shift?"): per-term occurrence rates in each half
+    * (doc_id parity stands in for the two snapshots), drift scored as
+    * the absolute rate difference in ppm with INTEGER arithmetic
+    * (`a·10⁶ div N_A − b·10⁶ div N_B` — the engine-portable surrogate
+    * for PSI/KL this suite's oracle discipline requires), floored to
+    * terms with ≥ 50 total occurrences so rare-term noise can't crowd
+    * the report. One token explode, one count aggregate (map-side
+    * combined), a broadcast totals join, and a top-k — no shuffle
+    * beyond the term counts at any corpus size.
+    */
+  val t25_term_drift: Q = (s, dir) => {
+    import graft.functions.TextFunctions
+    val toks = Tables(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("half"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(col("half"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("half"), 1L).otherwise(0L)).as("b"))
+    val tot = counts.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("a") + col("b") >= 50)
+      .select(col("tok"), col("a"), col("b"),
+        abs(expr("a * 1000000 div na") - expr("b * 1000000 div nb"))
+          .as("drift_ppm"))
+      .orderBy(col("drift_ppm").desc, col("tok"))
+      .limit(15)
+  }
+
+  val t25_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 2 = 0 AS half,
+      |         unnest(list_filter(string_split_regex(trim(lower(text)),
+      |           '\s+'), x -> x <> '')) AS tok
+      |  FROM documents
+      |), counts AS (
+      |  SELECT tok,
+      |         SUM(CASE WHEN half THEN 1 ELSE 0 END) AS a,
+      |         SUM(CASE WHEN NOT half THEN 1 ELSE 0 END) AS b
+      |  FROM toks GROUP BY tok
+      |), tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM counts)
+      |SELECT tok, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      |       CAST(ABS(a * 1000000 // na - b * 1000000 // nb) AS BIGINT)
+      |         AS drift_ppm
+      |FROM counts, tot
+      |WHERE a + b >= 50
+      |ORDER BY drift_ppm DESC, tok
+      |LIMIT 15""".stripMargin
+
+  // ───────────────────────────── v32: ORC interchange round-trip
+
+  /** ORC as an interchange format (Spark's second built-in columnar
+    * format; warehouse migrations land data in either): lineitem
+    * round-trips through ORC files and aggregates FROM THE ORC SCAN —
+    * the oracle sees only the original parquet, so any value
+    * mangled in translation (decimal widening, date shift, null
+    * drift) fails the hash. Complements v19 (CSV) and d38 (JSONL) on
+    * the text side.
+    */
+  val v32_orc_roundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+      .toFile.getAbsolutePath + "/li"
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        countDistinct(col("l_shipdate")).as("n_ship_dates"),
+        sum(col("l_orderkey") * col("l_linenumber")).as("key_dot"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val v32_sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |  COUNT(DISTINCT l_shipdate) AS n_ship_dates,
+      |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_dot
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ───────────────────────────── v31: catalog-resident skip index
 
   /** Secondary index AS A CATALOG TABLE ([[graft.sources
@@ -2414,7 +2503,9 @@ object PlatformQueries {
     "w27_replicate_cow_mor" -> w27_replicate_cow_mor,
     "d53_rolling_distinct" -> d53_rolling_distinct,
     "q60_dynamic_pruning" -> q60_dynamic_pruning,
-    "v31_catalog_index" -> v31_catalog_index)
+    "v31_catalog_index" -> v31_catalog_index,
+    "t25_term_drift" -> t25_term_drift,
+    "v32_orc_roundtrip" -> v32_orc_roundtrip)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2453,5 +2544,7 @@ object PlatformQueries {
     "w27_replicate_cow_mor" -> w27_sql,
     "d53_rolling_distinct" -> d53_sql,
     "q60_dynamic_pruning" -> q60_sql,
-    "v31_catalog_index" -> v31_sql)
+    "v31_catalog_index" -> v31_sql,
+    "t25_term_drift" -> t25_sql,
+    "v32_orc_roundtrip" -> v32_sql)
 }
