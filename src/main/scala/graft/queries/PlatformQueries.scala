@@ -1360,6 +1360,90 @@ object PlatformQueries {
       |ORDER BY drift_ppm DESC, tok
       |LIMIT 15""".stripMargin
 
+  // ───────────────────────────── t26: audience overlap (HLL ∩ estimate)
+
+  /** SET-OPERATION analytics on mergeable sketches — audience overlap
+    * ("how many users both clicked AND purchased, per segment") from
+    * three HLLs via inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), where the union sketch is one `hll_union` of already-
+    * built sketches — no re-scan, the property that lets pre-computed
+    * per-audience sketches answer overlap questions at 100 TB without
+    * touching raw events. Inclusion-exclusion COMPOUNDS sketch error,
+    * so the honest gate is relative to the UNION size (±15% of |A∪B|,
+    * floored at 5), not the intersection — exact values ride along
+    * (the d45/t17 discipline) and each engine runs its own estimator
+    * inside the same gate.
+    */
+  val t26_audience_overlap: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .join(Tables(s, dir, "customer"),
+        col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("seg")).agg(
+      hll_sketch_estimate(hll_sketch_agg(
+        when(col("event_type") === "click", col("user_id")))).as("ea"),
+      hll_sketch_estimate(hll_sketch_agg(
+        when(col("event_type") === "purchase", col("user_id")))).as("eb"),
+      hll_sketch_estimate(hll_sketch_agg(
+        when(col("event_type").isin("click", "purchase"), col("user_id"))))
+        .as("eu"))
+    val cu = ev.filter(col("event_type") === "click")
+      .select(col("seg"), col("user_id")).distinct()
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("seg"), col("user_id")).distinct()
+    val exA = cu.groupBy(col("seg")).agg(count(lit(1)).as("n_click"))
+    val exB = pu.groupBy(col("seg")).agg(count(lit(1)).as("n_purchase"))
+    val exO = cu.join(pu, Seq("seg", "user_id"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n_overlap"))
+    val exU = cu.unionByName(pu).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("n_union"))
+    exA.join(exB, Seq("seg"), "full_outer")
+      .join(exO, Seq("seg"), "full_outer")
+      .join(exU, Seq("seg"), "full_outer")
+      .join(sk, Seq("seg"))
+      .select(col("seg"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_union"), lit(0L)).as("n_union"),
+        (abs(col("ea") + col("eb") - col("eu") -
+          coalesce(col("n_overlap"), lit(0L))) <=
+          greatest(coalesce(col("n_union"), lit(0L)) * 15 / lit(100), lit(5.0)))
+          .as("within_gate"))
+      .orderBy(col("seg"))
+  }
+
+  val t26_sql: String =
+    """WITH ev AS (
+      |  SELECT c.c_mktsegment AS seg, e.event_type, e.user_id
+      |  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |), cu AS (SELECT DISTINCT seg, user_id FROM ev WHERE event_type = 'click'),
+      |pu AS (SELECT DISTINCT seg, user_id FROM ev WHERE event_type = 'purchase'),
+      |ex AS (
+      |  SELECT seg,
+      |    (SELECT COUNT(*) FROM cu WHERE cu.seg = s.seg) AS n_click,
+      |    (SELECT COUNT(*) FROM pu WHERE pu.seg = s.seg) AS n_purchase,
+      |    (SELECT COUNT(*) FROM cu JOIN pu USING (seg, user_id)
+      |      WHERE cu.seg = s.seg) AS n_overlap,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM cu UNION SELECT * FROM pu) u
+      |      WHERE u.seg = s.seg) AS n_union
+      |  FROM (SELECT DISTINCT seg FROM ev) s
+      |), apx AS (
+      |  SELECT seg,
+      |    approx_count_distinct(CASE WHEN event_type = 'click'
+      |      THEN user_id END) AS ea,
+      |    approx_count_distinct(CASE WHEN event_type = 'purchase'
+      |      THEN user_id END) AS eb,
+      |    approx_count_distinct(CASE WHEN event_type IN ('click', 'purchase')
+      |      THEN user_id END) AS eu
+      |  FROM ev GROUP BY seg
+      |)
+      |SELECT ex.seg, n_click, n_purchase, n_overlap, n_union,
+      |  ABS(ea + eb - eu - n_overlap) <=
+      |    GREATEST(n_union * 15 / 100.0, 5.0) AS within_gate
+      |FROM ex JOIN apx ON apx.seg = ex.seg
+      |ORDER BY ex.seg""".stripMargin
+
   // ───────────────────────────── v32: ORC interchange round-trip
 
   /** ORC as an interchange format (Spark's second built-in columnar
@@ -2505,7 +2589,8 @@ object PlatformQueries {
     "q60_dynamic_pruning" -> q60_dynamic_pruning,
     "v31_catalog_index" -> v31_catalog_index,
     "t25_term_drift" -> t25_term_drift,
-    "v32_orc_roundtrip" -> v32_orc_roundtrip)
+    "v32_orc_roundtrip" -> v32_orc_roundtrip,
+    "t26_audience_overlap" -> t26_audience_overlap)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2546,5 +2631,6 @@ object PlatformQueries {
     "q60_dynamic_pruning" -> q60_sql,
     "v31_catalog_index" -> v31_sql,
     "t25_term_drift" -> t25_sql,
-    "v32_orc_roundtrip" -> v32_sql)
+    "v32_orc_roundtrip" -> v32_sql,
+    "t26_audience_overlap" -> t26_sql)
 }
