@@ -1360,6 +1360,61 @@ object PlatformQueries {
       |ORDER BY drift_ppm DESC, tok
       |LIMIT 15""".stripMargin
 
+  // ───────────────────────────── d54: curriculum interleaving
+
+  /** CURRICULUM ORDERING for training export — samples ranked by
+    * difficulty (length), cut into 10 strata, pseudo-shuffled within
+    * each stratum, and INTERLEAVED so consecutive training samples
+    * cycle through the difficulty spectrum (position = k·10 + stratum
+    * for the stratum's k-th sample). Scale shape: BOTH global
+    * orderings come from [[graft.operators.GlobalIndex.assign]] (one
+    * range exchange + broadcast offsets each — no single-partition
+    * window, no NTILE over the world); the stratum cut is rank
+    * arithmetic on the contiguous index, within-stratum order is a
+    * deterministic md5 pseudo-shuffle, and stratum base offsets are a
+    * 10-row broadcast. The oracle replays with window row_numbers —
+    * order-sensitive through the first 40 positions, so an off-by-one
+    * stratum cut or a non-contiguous index breaks the hash.
+    */
+  val d54_curriculum: Q = (s, dir) => {
+    import graft.operators.GlobalIndex
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    val ranked = GlobalIndex.assign(docs, Seq("n_chars", "doc_id"),
+      idxCol = "drank")
+    val strat = ranked
+      .withColumn("stratum", expr(s"drank * 10 div ${n}L"))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"),
+        lit("curriculum"))))
+    val idx2 = GlobalIndex.assign(strat, Seq("stratum", "h", "doc_id"),
+      idxCol = "gidx")
+    val starts = idx2.groupBy(col("stratum")).agg(min(col("gidx")).as("start"))
+    idx2.join(broadcast(starts), "stratum")
+      .withColumn("pos", (col("gidx") - col("start")) * 10 + col("stratum"))
+      .orderBy(col("pos")).limit(40)
+      .select(col("pos"), col("doc_id"), col("stratum"), col("n_chars"))
+  }
+
+  val d54_sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS drank,
+      |         COUNT(*) OVER () AS n
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_chars, (drank * 10) // n AS stratum,
+      |         md5(doc_id || 'curriculum') AS h
+      |  FROM r
+      |), p AS (
+      |  SELECT doc_id, n_chars, stratum,
+      |         ROW_NUMBER() OVER (PARTITION BY stratum
+      |                            ORDER BY h, doc_id) - 1 AS k
+      |  FROM s
+      |)
+      |SELECT CAST(k * 10 + stratum AS BIGINT) AS pos, doc_id,
+      |       CAST(stratum AS BIGINT) AS stratum, n_chars
+      |FROM p ORDER BY pos LIMIT 40""".stripMargin
+
   // ───────────────────────────── t26: audience overlap (HLL ∩ estimate)
 
   /** SET-OPERATION analytics on mergeable sketches — audience overlap
@@ -2590,7 +2645,8 @@ object PlatformQueries {
     "v31_catalog_index" -> v31_catalog_index,
     "t25_term_drift" -> t25_term_drift,
     "v32_orc_roundtrip" -> v32_orc_roundtrip,
-    "t26_audience_overlap" -> t26_audience_overlap)
+    "t26_audience_overlap" -> t26_audience_overlap,
+    "d54_curriculum" -> d54_curriculum)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2632,5 +2688,6 @@ object PlatformQueries {
     "v31_catalog_index" -> v31_sql,
     "t25_term_drift" -> t25_sql,
     "v32_orc_roundtrip" -> v32_sql,
-    "t26_audience_overlap" -> t26_sql)
+    "t26_audience_overlap" -> t26_sql,
+    "d54_curriculum" -> d54_sql)
 }
