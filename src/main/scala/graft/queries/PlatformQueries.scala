@@ -1360,6 +1360,73 @@ object PlatformQueries {
       |ORDER BY drift_ppm DESC, tok
       |LIMIT 15""".stripMargin
 
+  // ───────────────────────────── w28: changefeed-maintained aggregate view
+
+  /** MATERIALIZED AGGREGATE OVER A CHANGE DATA FEED — the lakehouse
+    * view-maintenance loop: a grouped COUNT/SUM view follows a MoR
+    * table by folding each feed window's NET per-key transitions
+    * ([[graft.sources.MorStore.signedChanges]] — −1 pre-image from
+    * the consumer's own state, +1 new row) through the Z-set merge
+    * ([[graft.operators.IncrementalView.mergeSigned]]). The deltas
+    * include GROUP-MOVING updates (status flips), the case applying
+    * only new rows gets wrong: the old group must lose the row the
+    * new group gains. require pins maintained ≡ recomputed before
+    * output; the oracle replays the final state relationally. Refresh
+    * cost is O(state + changes) — never a re-aggregation of history.
+    */
+  val w28_view_maintenance: Q = (s, dir) => {
+    import graft.operators.IncrementalView
+    val root = java.nio.file.Files.createTempDirectory("graft-viewmnt")
+      .toFile.getAbsolutePath + "/t"
+    val st = new graft.sources.MorStore(s, root, Seq("k"))
+    val base = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    st.commitBase(base, 0L)
+    val state = st.readAt(0L).localCheckpoint()
+    val view0 = IncrementalView.mergeSigned(None,
+      state.withColumn("__sign", lit(1L)), "__sign", Seq("st"),
+      "n_rows", Seq("sum_cents" -> col("cents")))
+    // group-moving updates: keys ≡0 mod 5 flip to status 'X' (+100)
+    st.commitDelta(base.filter(col("k") % 5 === 0)
+      .withColumn("st", lit("X"))
+      .withColumn("cents", col("cents") + 100L)
+      .withColumn(st.OpCol, lit("U")), 1L)
+    // deletes: keys ≡3 mod 7 (disjoint rows may overlap the update —
+    // later generation wins, the feed nets it)
+    st.commitDelta(base.filter(col("k") % 7 === 3)
+      .withColumn(st.OpCol, lit("D")), 2L)
+    val head = st.generations().last._1
+    val signed = graft.sources.MorStore.signedChanges(state,
+      st.changesBetween(0L, head), Seq("k"))
+    val view1 = IncrementalView.mergeSigned(Some(view0), signed, "__sign",
+      Seq("st"), "n_rows", Seq("sum_cents" -> col("cents")))
+    val direct = st.read().groupBy(col("st"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("cents")).as("sum_cents"))
+    require(view1.exceptAll(direct).isEmpty &&
+      direct.exceptAll(view1).isEmpty,
+      "maintained view diverged from the recompute")
+    view1.orderBy(col("st"))
+  }
+
+  val w28_sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), final AS (
+      |  SELECT k,
+      |         CASE WHEN k % 5 = 0 THEN 'X' ELSE st END AS st,
+      |         CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE k % 7 <> 3 -- the later delete wins over the update
+      |)
+      |SELECT st, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM final
+      |GROUP BY st
+      |ORDER BY st""".stripMargin
+
   // ───────────────────────────── d54: curriculum interleaving
 
   /** CURRICULUM ORDERING for training export — samples ranked by
@@ -2646,7 +2713,8 @@ object PlatformQueries {
     "t25_term_drift" -> t25_term_drift,
     "v32_orc_roundtrip" -> v32_orc_roundtrip,
     "t26_audience_overlap" -> t26_audience_overlap,
-    "d54_curriculum" -> d54_curriculum)
+    "d54_curriculum" -> d54_curriculum,
+    "w28_view_maintenance" -> w28_view_maintenance)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2689,5 +2757,6 @@ object PlatformQueries {
     "t25_term_drift" -> t25_sql,
     "v32_orc_roundtrip" -> v32_sql,
     "t26_audience_overlap" -> t26_sql,
-    "d54_curriculum" -> d54_sql)
+    "d54_curriculum" -> d54_sql,
+    "w28_view_maintenance" -> w28_sql)
 }

@@ -493,8 +493,8 @@ object MorStore {
     * the CHANGES plus a changes-keyed anti join against state:
     * O(|state| + |changes|), the whole point of consuming a feed.
     */
-  def applyChanges(state: Option[DataFrame], changes: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+  /** Newest change per key of a feed, ordered by (generation, seq). */
+  private def latestOf(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(changes.columns.contains("__op"),
       "not a changefeed: no __op column")
     require(changes.columns.contains("__change_gen"),
@@ -503,10 +503,15 @@ object MorStore {
       if (changes.columns.contains("__seq"))
         coalesce(col("__seq"), lit(0L)).desc
       else lit(0).desc
-    val latest = changes.withColumn("__rn", row_number().over(
+    changes.withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__change_gen").desc, seqOrder)))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  def applyChanges(state: Option[DataFrame], changes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val latest = latestOf(changes, keyCols)
     val upserts = latest.filter(col("__op") === "U")
       .drop("__op", "__change_gen", "__seq")
     state match {
@@ -515,5 +520,30 @@ object MorStore {
         st.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(upserts, allowMissingColumns = true)
     }
+  }
+
+  /** Z-SET view of a changefeed for RETRACTABLE aggregate maintenance
+    * ([[graft.operators.IncrementalView.mergeSigned]]): the NET
+    * per-key transition of the window as signed rows — `-1` for each
+    * touched key's OLD row (its pre-image, taken from the consumer's
+    * own state at the feed's start — no store-side read
+    * amplification), `+1` for each upserted NEW row. Folding these
+    * into a grouped COUNT/SUM view moves a key BETWEEN groups
+    * correctly (the case naive apply-new-rows aggregation gets
+    * wrong), deletes retract, and intermediate flip-flops inside the
+    * window cancel by construction because only the net transition is
+    * emitted. Cost: one window over the changes + one semi join
+    * against state — O(|state| + |changes|).
+    */
+  def signedChanges(state: DataFrame, changes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val latest = latestOf(changes, keyCols)
+    val minus = state
+      .join(latest.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .withColumn("__sign", lit(-1L))
+    val plus = latest.filter(col("__op") === "U")
+      .drop("__op", "__change_gen", "__seq")
+      .withColumn("__sign", lit(1L))
+    minus.unionByName(plus, allowMissingColumns = true)
   }
 }

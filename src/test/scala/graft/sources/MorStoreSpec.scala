@@ -331,6 +331,46 @@ class MorStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { st.changesBetween(0L, head) }
   }
 
+  test("signed changefeed maintains a grouped view exactly (random model)") {
+    import graft.operators.IncrementalView
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    for (trial <- 1 to 3) {
+      val st = new MorStore(spark, freshRoot(), Seq("k"))
+      def grp(v: Long) = s"g${v % 3}"
+      val base = (1L to 25L).map(k => (k, rnd.nextInt(30).toLong))
+      st.commitBase(base.map { case (k, v) => (k, v, grp(v)) }
+        .toDF("k", "v", "g"), 0L)
+      val snapGen = st.generations().last._1
+      val state = st.readAt(snapGen).localCheckpoint()
+      // view at snapshot: +1 fold of the state itself
+      val view0 = IncrementalView.mergeSigned(None,
+        state.withColumn("__sign", lit(1L)), "__sign", Seq("g"),
+        "n", Seq("sum_v" -> col("v")))
+      // two random delta batches: group-moving updates + deletes + inserts
+      (1 to 2).foreach { b =>
+        val ups = (1L to 25L).filter(_ => rnd.nextBoolean()).map { k =>
+          val v = rnd.nextInt(30).toLong; (k, v, grp(v), "U")
+        }
+        val dels = (1L to 25L).filter(_ => rnd.nextInt(4) == 0)
+          .filterNot(k => ups.exists(_._1 == k))
+          .map(k => (k, 0L, "gx", "D"))
+        val ins = Seq((100L + b, b.toLong, grp(b.toLong), "U"))
+        st.commitDelta((ups ++ dels ++ ins)
+          .toDF("k", "v", "g", "__op"), b.toLong)
+      }
+      val head = st.generations().last._1
+      val signed = MorStore.signedChanges(state,
+        st.changesBetween(snapGen, head), Seq("k"))
+      val view1 = IncrementalView.mergeSigned(Some(view0), signed, "__sign",
+        Seq("g"), "n", Seq("sum_v" -> col("v")))
+      val direct = st.read().groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("sum_v"))
+      assert(view1.exceptAll(direct).isEmpty && direct.exceptAll(view1).isEmpty,
+        s"trial $trial: maintained view diverged from recompute")
+    }
+  }
+
   test("same-key ties inside one delta resolve by __seq in the feed too") {
     import spark.implicits._
     val st = new MorStore(spark, freshRoot(), Seq("k"))
