@@ -1360,6 +1360,76 @@ object PlatformQueries {
       |ORDER BY drift_ppm DESC, tok
       |LIMIT 15""".stripMargin
 
+  // ───────────────────────────── d55: multi-signal dedup groups
+
+  /** SIGNAL-COMPOSED dedup — the production posture: no single
+    * similarity signal catches every duplicate (shingle MinHash
+    * misses paraphrase, embedding cosine misses verbatim-but-OCR-
+    * mangled), so curation unions the edge sets and resolves
+    * components over the COMBINED graph. Here the d03 text pairs
+    * (proven ≡ exact Jaccard at these margins) and the d05 embedding
+    * pairs (proven ≡ brute-force cosine) union into one edge
+    * relation over the shared item-id space; one
+    * [[graft.operators.ConnectedComponents]] pass labels every item
+    * — chains that cross signals (text-links a~b, vector-links b~c)
+    * collapse to one survivor, which neither signal alone produces.
+    * The oracle replays BOTH exact pair sets and the closure in one
+    * recursive CTE.
+    */
+  val d55_multi_signal_dedup: Q = (s, dir) => {
+    import graft.queries.DataPipelineQueries.{derivedPlanes, dupDocCorpus, dupVecCorpus}
+    import graft.operators.{ConnectedComponents, TextDedup, VectorSearch}
+    val docs = dupDocCorpus(s, dir)
+    val vecs = dupVecCorpus(s, dir)
+    val tpairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    // 256 planes / 32 bands: d05's proven-lossless banding settings
+    val vpairs = VectorSearch.cosineNearDupPairs(vecs, "vec_id", "vec",
+      threshold = 0.9, planes = derivedPlanes(s, dir, 256), bands = 32)
+    val edges = tpairs.select(col("id_a"), col("id_b"))
+      .unionByName(vpairs.select(col("id_a"), col("id_b")))
+    val items = docs.select(col("doc_id").as("id"))
+      .unionByName(vecs.select(col("vec_id").as("id"))).distinct()
+    ConnectedComponents.dedupGroups(items, edges, "id")
+      .orderBy(col("id"))
+  }
+
+  val d55_sql: String = {
+    import graft.queries.DataPipelineQueries.{DupDocCorpusSql, DupVecCorpusSql, JaccardCtesSql, ShinglesSql}
+    s"""WITH RECURSIVE $DupDocCorpusSql,
+       |$ShinglesSql,
+       |$JaccardCtesSql,
+       |$DupVecCorpusSql,
+       |tedges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.8),
+       |vedges AS (
+       |  SELECT va.vec_id AS a, vb.vec_id AS b
+       |  FROM vecs va JOIN vecs vb ON va.vec_id < vb.vec_id
+       |  WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.9
+       |),
+       |edges AS (SELECT a, b FROM tedges UNION SELECT a, b FROM vedges),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+       |  UNION
+       |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |items AS (
+       |  -- explicit DISTINCT: DuckDB 1.0 does not dedup a plain UNION
+       |  -- inside a WITH RECURSIVE block's non-recursive CTEs
+       |  SELECT DISTINCT id FROM (
+       |    SELECT doc_id AS id FROM corpus
+       |    UNION ALL
+       |    SELECT vec_id FROM vecs
+       |  ) u
+       |)
+       |SELECT i.id,
+       |       COALESCE(mp.component, i.id) AS component,
+       |       COALESCE(mp.component, i.id) = i.id AS is_survivor
+       |FROM items i LEFT JOIN comp mp ON mp.id = i.id
+       |ORDER BY i.id""".stripMargin
+  }
+
   // ───────────────────────────── w28: changefeed-maintained aggregate view
 
   /** MATERIALIZED AGGREGATE OVER A CHANGE DATA FEED — the lakehouse
@@ -2714,7 +2784,8 @@ object PlatformQueries {
     "v32_orc_roundtrip" -> v32_orc_roundtrip,
     "t26_audience_overlap" -> t26_audience_overlap,
     "d54_curriculum" -> d54_curriculum,
-    "w28_view_maintenance" -> w28_view_maintenance)
+    "w28_view_maintenance" -> w28_view_maintenance,
+    "d55_multi_signal_dedup" -> d55_multi_signal_dedup)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2758,5 +2829,6 @@ object PlatformQueries {
     "v32_orc_roundtrip" -> v32_sql,
     "t26_audience_overlap" -> t26_sql,
     "d54_curriculum" -> d54_sql,
-    "w28_view_maintenance" -> w28_sql)
+    "w28_view_maintenance" -> w28_sql,
+    "d55_multi_signal_dedup" -> d55_sql)
 }
