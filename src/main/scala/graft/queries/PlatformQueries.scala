@@ -1360,6 +1360,58 @@ object PlatformQueries {
       |ORDER BY drift_ppm DESC, tok
       |LIMIT 15""".stripMargin
 
+  // ───────────────────────────── v33: consistent export / verified import
+
+  /** BACKUP/PROMOTE a catalog cut ([[graft.sources.CatalogExport]]):
+    * every snapshot table of ONE generation exports with a row-count
+    * manifest, commits landing mid-export never leak in (the cut is a
+    * pinned generation — snapshot isolation extended to the backup
+    * path), and import into a fresh catalog verifies the manifest and
+    * lands as one atomic generation. The flow exports a two-table
+    * cut, advances the SOURCE afterwards (the drifted table must not
+    * appear in the copy), imports, and reads the IMPORTED catalog;
+    * the oracle recomputes both tables' slices from raw orders, so a
+    * leaked post-export commit, a dropped table, or a count drift
+    * breaks the hash.
+    */
+  val v33_catalog_export: Q = (s, dir) => {
+    val base = java.nio.file.Files.createTempDirectory("graft-export-q")
+      .toFile.getAbsolutePath
+    val cat = new graft.sources.TableCatalog(s, base + "/src")
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cat.commitAll(Map(
+      "facts" -> orders.filter(col("k") % 2 === 0),
+      "dim" -> orders.filter(col("k") % 2 === 1)), 1000L)
+    val g = cat.latestGeneration().get
+    graft.sources.CatalogExport.exportCut(s, cat, g, base + "/backup")
+    // source keeps moving AFTER the cut was exported
+    cat.commitAll(Map("facts" -> orders), 2000L)
+    val cat2 = new graft.sources.TableCatalog(s, base + "/dst")
+    graft.sources.CatalogExport.importCut(s, cat2, base + "/backup", 100L)
+    def slice(t: String) = cat2.read(t).groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("which", lit(t))
+    slice("dim").unionByName(slice("facts"))
+      .select(col("which"), col("st"), col("n"), col("cents"))
+      .orderBy(col("which"), col("st"))
+  }
+
+  val v33_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'dim' AS which, st, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM o WHERE k % 2 = 1 GROUP BY st
+      |UNION ALL
+      |SELECT 'facts', st, COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |FROM o WHERE k % 2 = 0 GROUP BY st
+      |ORDER BY which, st""".stripMargin
+
   // ───────────────────────────── d55: multi-signal dedup groups
 
   /** SIGNAL-COMPOSED dedup — the production posture: no single
@@ -2785,7 +2837,8 @@ object PlatformQueries {
     "t26_audience_overlap" -> t26_audience_overlap,
     "d54_curriculum" -> d54_curriculum,
     "w28_view_maintenance" -> w28_view_maintenance,
-    "d55_multi_signal_dedup" -> d55_multi_signal_dedup)
+    "d55_multi_signal_dedup" -> d55_multi_signal_dedup,
+    "v33_catalog_export" -> v33_catalog_export)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2830,5 +2883,6 @@ object PlatformQueries {
     "t26_audience_overlap" -> t26_sql,
     "d54_curriculum" -> d54_sql,
     "w28_view_maintenance" -> w28_sql,
-    "d55_multi_signal_dedup" -> d55_sql)
+    "d55_multi_signal_dedup" -> d55_sql,
+    "v33_catalog_export" -> v33_sql)
 }
