@@ -1360,6 +1360,47 @@ object PlatformQueries {
       |ORDER BY drift_ppm DESC, tok
       |LIMIT 15""".stripMargin
 
+  // ───────────────────────────── q61: broadcast star join
+
+  /** STAR-SCHEMA join citizenship: the fact table (lineitem) joins
+    * three dimensions of descending size (orders → customer →
+    * nation) in one pass. The plan contract — PlanSpec-guarded — is
+    * that the small dimensions BROADCAST (customer and nation never
+    * shuffle the fact) and the only fact-side exchange feeds the
+    * final aggregate, not the joins; at 100 TB the difference
+    * between this and a chain of shuffle joins is the whole game.
+    * orders is fact-sized at TPC-H ratios, so its join may shuffle —
+    * the guard pins the two genuinely small sides.
+    */
+  val q61_star_join: Q = (s, dir) => {
+    val li = Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), round(col("l_extendedprice") * 100)
+        .cast("long").as("price_cents"))
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("cents"))
+      .orderBy(col("n_name"))
+  }
+
+  val q61_sql: String =
+    """SELECT n.n_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
   // ───────────────────────────── v33: consistent export / verified import
 
   /** BACKUP/PROMOTE a catalog cut ([[graft.sources.CatalogExport]]):
@@ -2838,7 +2879,8 @@ object PlatformQueries {
     "d54_curriculum" -> d54_curriculum,
     "w28_view_maintenance" -> w28_view_maintenance,
     "d55_multi_signal_dedup" -> d55_multi_signal_dedup,
-    "v33_catalog_export" -> v33_catalog_export)
+    "v33_catalog_export" -> v33_catalog_export,
+    "q61_star_join" -> q61_star_join)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2884,5 +2926,6 @@ object PlatformQueries {
     "d54_curriculum" -> d54_sql,
     "w28_view_maintenance" -> w28_sql,
     "d55_multi_signal_dedup" -> d55_sql,
-    "v33_catalog_export" -> v33_sql)
+    "v33_catalog_export" -> v33_sql,
+    "q61_star_join" -> q61_sql)
 }

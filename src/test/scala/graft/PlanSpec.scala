@@ -678,6 +678,16 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"wedge or closure join planned quadratic:\n${plan.toString.take(2000)}")
   }
 
+  test("q61 star join broadcasts both small dimensions (fact never re-shuffles for them)") {
+    val plan = executedPlan(queries.PlatformQueries.q61_star_join(spark, dir))
+    val bhj = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastHashJoin") => p
+    }
+    assert(bhj.size >= 2,
+      s"customer and nation must broadcast, saw ${bhj.size} broadcast joins:\n" +
+        plan.toString.take(1500))
+  }
+
   test("q60 actually triggers dynamic partition pruning on the fact scan") {
     val plan = initialPlanString(
       queries.PlatformQueries.q60_dynamic_pruning(spark, dir))
