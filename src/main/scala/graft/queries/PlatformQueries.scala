@@ -1360,6 +1360,58 @@ object PlatformQueries {
       |ORDER BY drift_ppm DESC, tok
       |LIMIT 15""".stripMargin
 
+  // ───────────────────────────── v34: catalog history audit
+
+  /** DESCRIBE HISTORY ([[graft.sources.TableCatalog.history]]): the
+    * generation log as a relation — (generation, ts, ref, parent,
+    * on_main, table counts) — over a deterministic lifecycle: main
+    * commits, a branch that publishes, a branch that never does, and
+    * a tag. `on_main` is resolved by walking the recorded parent
+    * chain, so the published branch's generations flip true while the
+    * abandoned branch's stay false — the audit trail distinguishing
+    * "in production lineage" from "candidate that never shipped". The
+    * history is a pure function of the scripted lifecycle, so the
+    * oracle pins every row as literals; data reads ride along to tie
+    * the metadata to real content.
+    */
+  val v34_catalog_history: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-history")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cat.commitAll(Map("t" -> orders.filter(col("k") % 2 === 0)), 1000L) // g0
+    cat.createBranch("shipped")
+    cat.commitAllOn("shipped", Map("t" -> orders), 2000L)               // g1
+    cat.publishBranch("shipped")
+    cat.createBranch("abandoned")
+    cat.commitAllOn("abandoned",
+      Map("t" -> orders.filter(col("k") % 3 === 0)), 3000L)             // g2
+    cat.commitAll(Map("u" -> orders.filter(col("k") % 5 === 0)), 4000L) // g3
+    cat.createTag("audit-cut")
+    val rowCount = cat.read("t").count()
+    cat.history()
+      .withColumn("head_t_rows", lit(rowCount))
+      .select(col("generation"), col("ts"), col("ref"), col("parent"),
+        col("on_main"), col("n_tables"), col("head_t_rows"))
+      .orderBy(col("generation"))
+  }
+
+  val v34_sql: String =
+    """WITH n AS (SELECT COUNT(*) AS c FROM orders)
+      |SELECT * FROM (
+      |  SELECT 0 AS generation, 1000 AS ts, 'main' AS ref,
+      |         -1 AS parent, TRUE AS on_main, 1 AS n_tables,
+      |         (SELECT c FROM n) AS head_t_rows
+      |  UNION ALL
+      |  SELECT 1, 2000, 'shipped', 0, TRUE, 1, (SELECT c FROM n)
+      |  UNION ALL
+      |  SELECT 2, 3000, 'abandoned', 1, FALSE, 1, (SELECT c FROM n)
+      |  UNION ALL
+      |  SELECT 3, 4000, 'main', 1, TRUE, 2, (SELECT c FROM n)
+      |) ORDER BY generation""".stripMargin
+
   // ───────────────────────────── q61: broadcast star join
 
   /** STAR-SCHEMA join citizenship: the fact table (lineitem) joins
@@ -2880,7 +2932,8 @@ object PlatformQueries {
     "w28_view_maintenance" -> w28_view_maintenance,
     "d55_multi_signal_dedup" -> d55_multi_signal_dedup,
     "v33_catalog_export" -> v33_catalog_export,
-    "q61_star_join" -> q61_star_join)
+    "q61_star_join" -> q61_star_join,
+    "v34_catalog_history" -> v34_catalog_history)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2927,5 +2980,6 @@ object PlatformQueries {
     "w28_view_maintenance" -> w28_sql,
     "d55_multi_signal_dedup" -> d55_sql,
     "v33_catalog_export" -> v33_sql,
-    "q61_star_join" -> q61_sql)
+    "q61_star_join" -> q61_sql,
+    "v34_catalog_history" -> v34_sql)
 }

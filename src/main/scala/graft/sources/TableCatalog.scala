@@ -565,6 +565,33 @@ class TableCatalog(spark: SparkSession, root: String) {
   /** Main's head generation, else None (empty catalog). */
   def latestGeneration(): Option[Long] = headOf(TableCatalog.Main)
 
+  /** DESCRIBE HISTORY: one row per logged generation — (generation,
+    * ts, ref, parent, on_main, n_tables, n_mor) — with `on_main`
+    * resolved by walking main's parent chain, so branch generations
+    * that never published show false. A metadata relation (rows =
+    * generations); the audit surface "what changed when, on which
+    * line of history".
+    */
+  def history(): DataFrame = {
+    val mainChain = {
+      val b = scala.collection.mutable.Set.empty[Long]
+      var cur = latestGeneration()
+      while (cur.nonEmpty) {
+        b += cur.get
+        cur = parentOf(cur.get).filter(g => fs.exists(genFile(g)))
+      }
+      b.toSet
+    }
+    val rows = loggedGenerations().map { g =>
+      (g, generationTs(g), refOf(g), parentOf(g).getOrElse(-1L),
+        mainChain.contains(g), tableVersions(g).size.toLong,
+        morVersions(g).size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("generation", "ts", "ref", "parent", "on_main",
+      "n_tables", "n_mor")
+  }
+
   /** All committed generations, ascending. */
   def loggedGenerations(): Seq[Long] =
     if (!fs.exists(catDir)) Seq.empty
