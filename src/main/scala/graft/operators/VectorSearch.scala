@@ -614,16 +614,23 @@ object VectorSearch {
     *   through encode) — the on-disk index itself stays unfiltered
     * @param excludeSelf default false: under a predicate the query
     *   point is a legitimate corpus member iff it passes the filter
+    * @param residual MUST match the `residual` flag `encodedFiltered`
+    *   was encoded with (same contract as [[searchIvfPq]]): against a
+    *   residual-encoded index a raw-vector ADC table measures distances
+    *   in the wrong frame and silently mis-ranks — when set, `__e` is
+    *   the query's residual w.r.t. each probed cell's centroid
     */
   def searchIvfPqFiltered(
       encodedFiltered: DataFrame, queries: DataFrame,
       queryIdCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      k: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, excludeSelf: Boolean = false,
+      residual: Boolean = false): DataFrame = {
     require(centroids.nonEmpty)
     val subDim = codebooks.head.head.size
     val dim = codebooks.size * subDim
     val nCells = centroids.size
+    val cents = typedLit(centroids.map(_.toArray).toArray)
     val surv = encodedFiltered.groupBy(col("__cell"))
       .agg(count(lit(1)).as("__n"))
     val qcells = queries
@@ -640,7 +647,10 @@ object VectorSearch {
         lit(nCells - 1)).as("__depth"))
     val probed = withCum.join(depth, "query_id")
       .filter(col("__rn") <= col("__depth"))
-      .select(col("query_id"), col("__cell"), col("__v").as("__e"))
+      .select(col("query_id"), col("__cell"),
+        (if (residual)
+          zip_with(col("__v"), element_at(cents, col("__cell") + 1), _ - _)
+        else col("__v")).as("__e"))
     adcTopK(encodedFiltered, probed, codebooks, k, excludeSelf)
   }
 

@@ -250,10 +250,17 @@ object EngineQueries {
     bm25Tail(tf, dl)
   }
 
-  val t19_sql: String = {
+  val t19_sql: String = bm25OracleSql("documents")
+
+  /** One oracle body for every BM25 query (t19 scan-time, t23
+    * index-served, t27 index-with-deletes): the contract across all
+    * three is BIT-IDENTICAL ranking over their corpus, so the SQL
+    * differs only in which corpus relation feeds the tokenizer.
+    */
+  private def bm25OracleSql(corpusRel: String): String = {
     val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest($ToksSql) AS tok FROM documents
+       |  SELECT doc_id, unnest($ToksSql) AS tok FROM $corpusRel
        |), dl AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
        |), totals AS (
@@ -327,6 +334,68 @@ object EngineQueries {
     bm25Tail(
       cat.read("postings").filter(col("tok").isin(Bm25Terms: _*)),
       cat.read("doclen"))
+  }
+
+  // ───────────────────────────── t27: postings maintenance under deletes
+
+  /** t23's persisted index under DELETIONS — the maintenance story an
+    * append-only inverted index leaves open: a right-to-be-forgotten
+    * (or recrawl-replaced) document must leave the index AND its
+    * statistics. Rewriting term-partitioned postings per delete is the
+    * one thing an inverted index cannot afford (a doc touches as many
+    * term files as it has distinct tokens), so deletion is MoR-style —
+    * the s22 tombstone shape applied to text retrieval: batch 2
+    * commits a `tombstones` id relation in the SAME catalog (one
+    * atomic generation; postings/doclen carry forward untouched), and
+    * the serve path anti-joins it on doc_id before scoring. df, Σdl
+    * and N then come out right FOR FREE because [[bm25Tail]] derives
+    * all three from the relations it is fed — there is no separate
+    * stats object to invalidate. The tombstone side stays
+    * broadcast-sized (deleted ids, not postings rows), so at 100 TB
+    * the anti-join never shuffles the index. Oracle = t19's replay on
+    * the SURVIVING corpus — a leaked posting, a stale df, or a
+    * tombstoned doc still scoring all shift the ranking and fail the
+    * hash; a periodic compaction (rewrite postings minus tombstones,
+    * reset the tombstone relation) is the same trade [[MorStore
+    * .compact]] prices.
+    */
+  val t27_bm25_index_delete: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25del")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents")
+    def toksOf(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val derive = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+      "postings" -> ((prev, b) => {
+        val p = toksOf(b).groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        prev.map(_.unionByName(p)).getOrElse(p)
+      }),
+      "doclen" -> ((prev, b) => {
+        val d = toksOf(b).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        prev.map(_.unionByName(d)).getOrElse(d)
+      }))
+    (0 until 2).foreach { i =>
+      graft.streaming.CatalogSink.commitBatch(cat,
+        docs.filter(col("doc_id") % 2 === i), i.toLong, derive)
+    }
+    // batch 2: the deletion — ids only, committed atomically beside
+    // the (untouched) postings; a replay of the delete batch no-ops
+    val deriveDel = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+      "tombstones" -> ((prev, b) => {
+        val t = b.select(col("doc_id"))
+        prev.map(_.unionByName(t)).getOrElse(t)
+      }))
+    val deleted = docs.filter(col("doc_id") % 5 === 0)
+    graft.streaming.CatalogSink.commitBatch(cat, deleted, 2L, deriveDel)
+    require(graft.streaming.CatalogSink.commitBatch(cat, deleted, 2L,
+      deriveDel) == -1L, "redelivered delete batch was re-applied")
+    val tomb = broadcast(cat.read("tombstones"))
+    val livePostings = cat.read("postings")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val liveDl = cat.read("doclen").join(tomb, Seq("doc_id"), "left_anti")
+    bm25Tail(livePostings.filter(col("tok").isin(Bm25Terms: _*)), liveDl)
   }
 
   // ───────────────────────────── v20: cross-table atomic snapshot
@@ -861,6 +930,7 @@ object EngineQueries {
     "q43_ntile_bins" -> q43_ntile_bins,
     "t19_bm25_topk" -> t19_bm25_topk,
     "t23_bm25_index_serve" -> t23_bm25_index_serve,
+    "t27_bm25_index_delete" -> t27_bm25_index_delete,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -881,5 +951,7 @@ object EngineQueries {
     "q43_ntile_bins" -> q43_sql,
     "t19_bm25_topk" -> t19_sql,
     "t23_bm25_index_serve" -> t19_sql,
+    "t27_bm25_index_delete" ->
+      bm25OracleSql("(SELECT * FROM documents WHERE doc_id % 5 <> 0)"),
     "v20_catalog_snapshot" -> v20_sql)
 }

@@ -1283,8 +1283,19 @@ object PlatformQueries {
       "compaction leaked rows into the changefeed")
     val refreshed = graft.sources.MorStore
       .applyChanges(Some(consumerState), feed, Seq("k"))
-    require(refreshed.exceptAll(st.read()).isEmpty &&
-      st.read().exceptAll(refreshed).isEmpty,
+    // multiset equality via (count, order-independent row-hash sum):
+    // two cheap codegen'd aggregates instead of two exceptAll shuffles
+    // over the full table — this internal invariant was ~40% of the
+    // query's wall time as exceptAll, and the ORACLE still verifies the
+    // final output row-for-row regardless
+    def stateSig(df: org.apache.spark.sql.DataFrame) = {
+      // hash % large prime keeps the ANSI-mode sum far from Long range
+      // (|row hash| < 1e9, so even billions of rows cannot overflow)
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("k"), col("st"),
+        col("cents")) % 1000000007L)).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(stateSig(refreshed) == stateSig(st.read()),
       "consumer state after apply diverges from the store's resolve")
     refreshed.groupBy(col("st"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
@@ -1411,6 +1422,73 @@ object PlatformQueries {
       |  UNION ALL
       |  SELECT 3, 4000, 'main', 1, TRUE, 2, (SELECT c FROM n)
       |) ORDER BY generation""".stripMargin
+
+  // ───────────────────────────── v35: AS OF TIMESTAMP + age retention
+
+  /** Time-ADDRESSED time travel and retention by AGE — the user-facing
+    * half of the catalog's MVCC: `readAsOf(t)` resolves the newest cut
+    * on the ref's lineage committed at or before t
+    * ([[graft.sources.TableCatalog.generationAsOf]]), and
+    * `vacuumOlderThan(t)` reclaims history strictly older than the AS
+    * OF anchor while keeping the anchor itself — so every
+    * time-addressed read inside the retention window survives the
+    * sweep. The lifecycle: three cuts at t=1000/2000/3000 (thirds of
+    * orders accreting to the full table), AS OF reads BETWEEN the
+    * commit instants, an age vacuum at t=2500 (drops exactly cut 0),
+    * then the same AS OF reads again — identical — plus a branch
+    * committed at t=5000 proving AS OF follows the BRANCH lineage, not
+    * main's. Output = latest cut's per-status rollup with the mid-window
+    * AS OF row count pinned as a column; the oracle recomputes both from
+    * raw orders, so an anchor mis-resolution (off-by-one generation) or
+    * an over-eager vacuum shifts counts and fails the hash.
+    */
+  val v35_as_of_timestamp: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-asof")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    (0 until 3).foreach { i =>
+      cat.commitAll(Map("t" -> orders.filter(col("k") % 3 <= i)),
+        1000L * (i + 1))
+    }
+    def midRows() = cat.readAsOf(2500L, "t").count() // cut 1: k%3<=1
+    val beforeVacuum = midRows()
+    // branch lineage: forked from main's head (g2), one commit at t=5000
+    cat.createBranch("audit")
+    cat.commitAllOn("audit",
+      Map("t" -> orders.filter(col("k") % 7 === 0)), 5000L)
+    require(cat.generationAsOf(5000L, "audit") != cat.generationAsOf(5000L),
+      "branch AS OF must resolve on the branch lineage")
+    require(cat.readAsOf(2500L, "t", "audit").count() == beforeVacuum,
+      "pre-fork AS OF must agree across refs sharing the lineage")
+    val dropped = cat.vacuumOlderThan(2500L)
+    require(dropped == Seq(0L), s"expected exactly cut 0 dropped, got $dropped")
+    require(midRows() == beforeVacuum,
+      "AS OF inside the retention window changed across the vacuum")
+    require(raises(cat.readAt(0L, "t").count()),
+      "the vacuumed cut must be genuinely unreadable")
+    cat.read("t").groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("mid_asof_rows", lit(beforeVacuum))
+      .orderBy(col("st"))
+  }
+
+  private def raises(body: => Any): Boolean =
+    try { body; false } catch { case _: Exception => true }
+
+  val v35_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT st, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents,
+      |       (SELECT COUNT(*) FROM o WHERE k % 3 <= 1) AS mid_asof_rows
+      |FROM o
+      |GROUP BY st
+      |ORDER BY st""".stripMargin
 
   // ───────────────────────────── q61: broadcast star join
 
@@ -2933,7 +3011,8 @@ object PlatformQueries {
     "d55_multi_signal_dedup" -> d55_multi_signal_dedup,
     "v33_catalog_export" -> v33_catalog_export,
     "q61_star_join" -> q61_star_join,
-    "v34_catalog_history" -> v34_catalog_history)
+    "v34_catalog_history" -> v34_catalog_history,
+    "v35_as_of_timestamp" -> v35_as_of_timestamp)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -2981,5 +3060,6 @@ object PlatformQueries {
     "d55_multi_signal_dedup" -> d55_sql,
     "v33_catalog_export" -> v33_sql,
     "q61_star_join" -> q61_sql,
-    "v34_catalog_history" -> v34_sql)
+    "v34_catalog_history" -> v34_sql,
+    "v35_as_of_timestamp" -> v35_sql)
 }

@@ -44,6 +44,11 @@ object CatalogIndex {
   def covers(cat: TableCatalog, table: String, keyCol: String): Boolean = {
     val g = cat.latestGeneration().getOrElse(return false)
     if (!cat.tableVersions(g).contains(indexTable(table))) return false
+    // the DATA table may have been dropped or renamed away while its
+    // __skipidx table lingers — versionOf would throw here, crashing
+    // lookup() instead of letting it fall through to read()'s clear
+    // missing-table error
+    if (!cat.tableVersions(g).contains(table)) return false
     val head = cat.readAt(g, indexTable(table)).limit(1).collect()
     head.nonEmpty &&
       head(0).getAs[Long]("__v") == cat.versionOf(g, table) &&

@@ -131,11 +131,19 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
           }
         }
     }
+    // NULL-safe op check: `isin` on a null __op yields NULL, so a bare
+    // !isin never flags it — and a committed null-op row that wins the
+    // per-key window would then be EXCLUDED by the resolve's
+    // `__op === "U"` filter, silently deleting the key (the exact
+    // failure this validator's message claims to prevent). coalesce
+    // pins null to "bad", and the reported value substitutes a marker
+    // (max(null) would erase the flag it just raised).
     val tieCols = keyCols ++ (if (written.columns.contains(SeqCol)) Seq(SeqCol) else Nil)
+    val badOp = !coalesce(col(OpCol).isin("U", "D"), lit(false))
     val viol = written
       .groupBy(tieCols.map(col): _*)
       .agg(count(lit(1)).as("__c"),
-        max(when(!col(OpCol).isin("U", "D"), col(OpCol))).as("__badOp"))
+        max(when(badOp, coalesce(col(OpCol), lit("<null>")))).as("__badOp"))
       .filter(col("__c") > 1 || col("__badOp").isNotNull)
       .limit(1).collect()
     if (viol.nonEmpty) {
@@ -173,8 +181,11 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     val tieCols = keyCols ++
       (if (delta.columns.contains(SeqCol)) Seq(SeqCol) else Nil)
     val w = Window.partitionBy(tieCols.map(col): _*)
+    // NULL-safe: a null __op must land in the DLQ as bad_op, not fall
+    // through BOTH filters (a bare !isin is NULL for null input, so the
+    // row would be neither poison nor clean — silently dropped)
     val marked = delta
-      .withColumn("__bad_op", !col(OpCol).isin("U", "D"))
+      .withColumn("__bad_op", !coalesce(col(OpCol).isin("U", "D"), lit(false)))
       .withColumn("__k_dups",
         count(when(!col("__bad_op"), 1)).over(w))
     val poison = marked.filter(col("__bad_op") || col("__k_dups") > 1)
@@ -297,6 +308,51 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
 
   /** O(1) amortized: was any visible generation committed with this ts? */
   def tsCommitted(ts: Long): Boolean = committedTsCache.contains(ts)
+
+  /** Streaming-sink redelivery check with O(1) RESTART seeding: reads
+    * the persisted [[BatchMark]] (one file) plus only the generations
+    * newer than its floor — the commit-vs-mark crash window — instead
+    * of the whole log. Valid ONLY for monotone gapless Structured
+    * Streaming batch ids (see [[BatchMark]]); other callers use
+    * [[tsCommitted]].
+    */
+  def batchCommitted(id: Long): Boolean =
+    id <= batchSeed._1 || batchSeed._2.contains(id)
+
+  /** Persist the batch high-water mark after a sink commit of `id`. */
+  def markBatch(id: Long): Unit = {
+    batchSeed._2 += id
+    BatchMark.mark(spark.sparkContext.hadoopConfiguration, fs,
+      new Path(root), visibleGenIds().lastOption.getOrElse(-1L), id)
+  }
+
+  // generation ids ≤ the pointer from the LISTING alone — one round
+  // trip, no per-generation json reads (generations() reads every
+  // file for its kind, which would defeat the O(1) restart)
+  private def visibleGenIds(): Seq[Long] = {
+    val logged =
+      if (!fs.exists(logDir)) Seq.empty
+      else fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
+        .sorted.toSeq
+    if (!fs.exists(pointer)) logged
+    else {
+      val in = fs.open(pointer)
+      val last = scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      in.close()
+      logged.filter(_ <= last)
+    }
+  }
+
+  // (maxMarkedId, ts of generations above the mark's floor) — the tail
+  // scan is the crash window only, so a restart seeds in O(1): one
+  // mark read, one listing, and a json read per ABOVE-FLOOR generation
+  private lazy val batchSeed: (Long, scala.collection.mutable.Set[Long]) = {
+    val (floor, maxId) = BatchMark.read(fs, new Path(root)).getOrElse((-1L, -1L))
+    val s = scala.collection.mutable.Set.empty[Long]
+    visibleGenIds().filter(_ > floor).foreach(g => s += generationTs(g))
+    (maxId, s)
+  }
 
   /** True before the first visible commit. */
   def isEmpty: Boolean = generations().isEmpty

@@ -52,7 +52,57 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val rows = spark.read.parquet(dest.toString).count()
     writeLog(v, commitTsMillis, rows)
     swingPointer(v)
+    committedTsCache += commitTsMillis
     v
+  }
+
+  /** Commit timestamps of every logged version — seeded from the log
+    * ONCE per store handle, then maintained on commit, so the streaming
+    * sink's per-batch redelivery check costs O(1) instead of O(total
+    * versions) filesystem round-trips per micro-batch (unbounded growth
+    * over a long-running stream — the same fix MorStore and
+    * TableCatalog already carry; ADVICE r9).
+    */
+  private lazy val committedTsCache: scala.collection.mutable.Set[Long] = {
+    val s = scala.collection.mutable.Set.empty[Long]
+    history().foreach { case (_, ts, _) => s += ts }
+    s
+  }
+
+  /** O(1) amortized: was any version committed with this ts? */
+  def tsCommitted(ts: Long): Boolean = committedTsCache.contains(ts)
+
+  /** Streaming-sink redelivery check with O(1) RESTART seeding (one
+    * [[BatchMark]] read + the crash-window tail of the log, not the
+    * whole log). Only for monotone gapless batch ids — see
+    * [[BatchMark]]; other callers use [[tsCommitted]].
+    */
+  def batchCommitted(id: Long): Boolean =
+    id <= batchSeed._1 || batchSeed._2.contains(id)
+
+  /** Persist the batch high-water mark after a sink commit of `id`. */
+  def markBatch(id: Long): Unit = {
+    batchSeed._2 += id
+    BatchMark.mark(spark.sparkContext.hadoopConfiguration, fs,
+      new Path(root), loggedVersions().lastOption.getOrElse(-1L), id)
+  }
+
+  // the tail scan reads ONLY the log files above the mark's floor —
+  // a history() call here would re-read every version's log entry and
+  // defeat the O(1) restart this exists to provide
+  private lazy val batchSeed: (Long, scala.collection.mutable.Set[Long]) = {
+    val (floor, maxId) = BatchMark.read(fs, new Path(root)).getOrElse((-1L, -1L))
+    val s = scala.collection.mutable.Set.empty[Long]
+    loggedVersions().filter(_ > floor).foreach(v => s += tsOf(v))
+    (maxId, s)
+  }
+
+  /** Commit ts of one logged version (single log-file read). */
+  private def tsOf(v: Long): Long = {
+    val in = fs.open(new Path(logDir, s"$v.json"))
+    val s = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    s.split(""""ts":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
   }
 
   private def writeLog(v: Long, ts: Long, rows: Long): Unit = {

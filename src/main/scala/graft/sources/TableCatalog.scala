@@ -177,6 +177,27 @@ class TableCatalog(spark: SparkSession, root: String) {
     // each ref's history a chain through the shared log
     val g = loggedGenerations().lastOption.map(_ + 1).getOrElse(0L)
     val prevVs = prev.map(tableVersions).getOrElse(Map.empty)
+    // Name-collision guard ACROSS generations (commitAllWith guards only
+    // within one call): a snapshot committed under a name that is
+    // already a MoR member — or a MoR member committed over an existing
+    // snapshot name — would leave both entries live, and readAt's
+    // snapshot-first preference would silently shadow the other. The
+    // staged directories are reclaimed before raising, matching the
+    // OCC-conflict path above.
+    val prevMor = prev.map(morVersions).getOrElse(Map.empty)
+    val snapOverMor = (staged.keySet ++ cloned.keySet)
+      .intersect(prevMor.keySet -- dropped -- morStaged.keys)
+    val morOverSnap = morStaged.keySet
+      .intersect(prevVs.keySet -- dropped -- staged.keys -- cloned.keys)
+    if (snapOverMor.nonEmpty || morOverSnap.nonEmpty) {
+      staged.foreach { case (t, stageName) =>
+        fs.delete(new Path(root, s"tables/$t/$stageName"), true) }
+      throw new IllegalArgumentException(
+        s"commit rejected: ${(snapOverMor ++ morOverSnap).toSeq.sorted.mkString(", ")} " +
+          "would exist as BOTH snapshot and MoR member — readAt would " +
+          "silently prefer the snapshot and shadow the member (drop the " +
+          "old entry in the same commit to convert a table's kind)")
+    }
     val placed = staged.map { case (t, stageName) =>
       val tdir = new Path(root, s"tables/$t")
       val dirMax = fs.listStatus(tdir).map(_.getPath.getName)
@@ -189,8 +210,7 @@ class TableCatalog(spark: SparkSession, root: String) {
     }
     val versions = (prevVs -- dropped) ++
       placed ++ cloned.map { case (t, (_, v)) => t -> v }
-    val morVs = (prev.map(morVersions).getOrElse(Map.empty) -- dropped) ++
-      morStaged
+    val morVs = (prevMor -- dropped) ++ morStaged
     // location indirection: a CLONE's data lives under its SOURCE's
     // physical directory; a staged (freshly written) table always
     // lives under its own name, so a post-clone write resets the entry
@@ -699,6 +719,30 @@ class TableCatalog(spark: SparkSession, root: String) {
   /** O(1) amortized: was any generation committed with this ts? */
   def tsCommitted(ts: Long): Boolean = committedTsCache.contains(ts)
 
+  /** Streaming-sink redelivery check with O(1) RESTART seeding (one
+    * [[BatchMark]] read + the crash-window tail of the log, not every
+    * generation file). Only for monotone gapless batch ids — see
+    * [[BatchMark]]; other callers use [[tsCommitted]]. Visibility
+    * matches [[tsCommitted]]: every LOGGED generation counts (orphans
+    * included — the pointer heal makes them reader-visible).
+    */
+  def batchCommitted(id: Long): Boolean =
+    id <= batchSeed._1 || batchSeed._2.contains(id)
+
+  /** Persist the batch high-water mark after a sink commit of `id`. */
+  def markBatch(id: Long): Unit = {
+    batchSeed._2 += id
+    BatchMark.mark(spark.sparkContext.hadoopConfiguration, fs,
+      new Path(root), loggedGenerations().lastOption.getOrElse(-1L), id)
+  }
+
+  private lazy val batchSeed: (Long, scala.collection.mutable.Set[Long]) = {
+    val (floor, maxId) = BatchMark.read(fs, new Path(root)).getOrElse((-1L, -1L))
+    val s = scala.collection.mutable.Set.empty[Long]
+    loggedGenerations().filter(_ > floor).foreach(g => s += generationTs(g))
+    (maxId, s)
+  }
+
   /** Read `table` at catalog generation `g` — every table read at the
     * same `g` is one consistent cross-table cut. A MoR member
     * resolves base ∪ deltas up to the store generation this cut
@@ -749,15 +793,32 @@ class TableCatalog(spark: SparkSession, root: String) {
     * raw log: the log also holds branch generations whose candidate
     * data never published), stopping at a vacuumed-away parent.
     */
-  def generationAsOf(tsMillis: Long): Long = {
-    var cur = latestGeneration()
+  def generationAsOf(tsMillis: Long): Long =
+    generationAsOf(tsMillis, TableCatalog.Main)
+
+  /** AS OF TIMESTAMP resolution on an arbitrary ref's lineage: the
+    * newest generation on `ref`'s parent chain whose commit ts is at
+    * or before `tsMillis` (branch/tag reads time-travel along THEIR
+    * history, not main's), stopping at a vacuumed-away parent.
+    */
+  def generationAsOf(tsMillis: Long, ref: String): Long = {
+    var cur = headOf(ref)
     while (cur.nonEmpty) {
       if (generationTs(cur.get) <= tsMillis) return cur.get
       cur = parentOf(cur.get).filter(g => fs.exists(genFile(g)))
     }
     throw new IllegalArgumentException(
-      s"no catalog generation at or before $tsMillis")
+      s"no catalog generation at or before $tsMillis on $ref")
   }
+
+  /** Read `table` AS OF TIMESTAMP `tsMillis` — the newest cut on
+    * `ref`'s lineage committed at or before that instant. Generation
+    * addressing ([[readAt]]) stays the primitive; this is the
+    * time-addressed surface every lakehouse exposes beside it.
+    */
+  def readAsOf(tsMillis: Long, table: String,
+      ref: String = TableCatalog.Main): DataFrame =
+    readAt(generationAsOf(tsMillis, ref), table)
 
   // ── retention ───────────────────────────────────────────────────────
 
@@ -775,14 +836,10 @@ class TableCatalog(spark: SparkSession, root: String) {
     */
   def vacuum(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest generation")
-    val gens = loggedGenerations()
     // cutoff = the keepLast-th newest generation on MAIN'S parent
     // chain (the raw log tail could be all branch generations, and
     // counting those against the window would silently shrink main's
-    // retained history); everything at or beyond the cutoff stays —
-    // including branch generations, whose candidate data a pending
-    // publishBranch still needs — plus every live branch HEAD
-    // regardless of age (a slow audit must not lose its table data)
+    // retained history)
     val mainKept = {
       val b = scala.collection.mutable.ArrayBuffer[Long]()
       var cur = latestGeneration()
@@ -793,9 +850,35 @@ class TableCatalog(spark: SparkSession, root: String) {
       b.toSeq
     }
     if (mainKept.isEmpty) return Seq.empty
-    val cutoff = mainKept.last
+    vacuumBelow(mainKept.last)
+  }
+
+  /** Retention by AGE (`VACUUM … RETAIN`-shaped): reclaim generations
+    * strictly older than the newest main-chain generation committed at
+    * or before `tsMillis`. That anchor generation itself is KEPT — it
+    * is what any surviving `readAsOf(t)` with t ≥ `tsMillis` resolves
+    * to, so every time-addressed read inside the retention window stays
+    * answerable after the sweep. A catalog whose history is entirely
+    * younger than the cutoff reclaims nothing. Returns the dropped
+    * generation ids.
+    */
+  def vacuumOlderThan(tsMillis: Long): Seq[Long] = {
+    val anchor =
+      try generationAsOf(tsMillis)
+      catch { case _: IllegalArgumentException => return Seq.empty }
+    vacuumBelow(anchor)
+  }
+
+  /** Shared reclamation core: drop every generation below `cutoff`
+    * except live branch HEADS (a slow audit must not lose its table
+    * data) and tagged cuts (a tag pins its cut forever); branch
+    * generations at or beyond the cutoff stay too — a pending
+    * publishBranch still needs their candidate data.
+    */
+  private def vacuumBelow(cutoff: Long): Seq[Long] = {
+    val gens = loggedGenerations()
     val refHeads = branches().flatMap(headOf(_)).toSet ++
-      tags().map(tagGeneration) // a tag pins its cut forever
+      tags().map(tagGeneration)
     val kept = gens.filter(g => g >= cutoff || refHeads.contains(g))
     val dropped = gens.filterNot(g => g >= cutoff || refHeads.contains(g))
     if (dropped.isEmpty) return Seq.empty

@@ -48,12 +48,14 @@ object CatalogSink {
   def commitBatchOn(
       cat: TableCatalog, ref: String, batch: DataFrame, batchId: Long,
       derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame]): Long = {
-    // O(1) in-memory check (seeded once from the log); a generation
-    // file orphaned by a crash between its write and the pointer
-    // swing counts as committed BECAUSE the catalog's per-ref pointer
-    // heal (TableCatalog.headOf) makes it reader-visible — the
-    // replayed batch correctly no-ops against an already-durable cut.
-    if (cat.tsCommitted(batchId)) -1L
+    // O(1) check AND O(1) restart seeding (persisted BatchMark); a
+    // generation file orphaned by a crash between its write and the
+    // pointer swing counts as committed BECAUSE the catalog's per-ref
+    // pointer heal (TableCatalog.headOf) makes it reader-visible — the
+    // replayed batch correctly no-ops against an already-durable cut
+    // (the mark's crash-window tail scan reads LOGGED generations, so
+    // orphans are seen).
+    if (cat.batchCommitted(batchId)) -1L
     else {
       val prevGen = cat.headOf(ref)
       val newStates = derive.map { case (t, fn) =>
@@ -62,7 +64,9 @@ object CatalogSink {
         }
         t -> fn(prev, batch)
       }
-      cat.commitAllOn(ref, newStates, commitTsMillis = batchId)
+      val g = cat.commitAllOn(ref, newStates, commitTsMillis = batchId)
+      cat.markBatch(batchId)
+      g
     }
   }
 
@@ -79,7 +83,7 @@ object CatalogSink {
       cat: TableCatalog, batch: DataFrame, batchId: Long,
       derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame],
       morDerive: Map[String, DataFrame => DataFrame]): Long = {
-    if (cat.tsCommitted(batchId)) -1L
+    if (cat.batchCommitted(batchId)) -1L
     else {
       val prevGen = cat.latestGeneration()
       val newStates = derive.map { case (t, fn) =>
@@ -88,8 +92,11 @@ object CatalogSink {
         }
         t -> fn(prev, batch)
       }
-      cat.commitAllWith(newStates, morDerive.map { case (t, fn) => t -> fn(batch) },
+      val g = cat.commitAllWith(newStates,
+        morDerive.map { case (t, fn) => t -> fn(batch) },
         commitTsMillis = batchId)
+      cat.markBatch(batchId)
+      g
     }
   }
 

@@ -30,12 +30,14 @@ object MorSink {
     */
   def appendBatch(store: MorStore, delta: DataFrame, batchId: Long,
       compactEvery: Int = 0): Long = {
-    // O(1) in-memory check, seeded from the log once per store handle
-    // — a per-batch scan of every historical generation's metadata
-    // would grow without bound over a long-running stream (ADVICE r8)
-    if (store.tsCommitted(batchId)) -1L
+    // O(1) check AND O(1) restart seeding: the persisted BatchMark
+    // high-water file replaces both the per-batch log scan (ADVICE r8)
+    // and the per-restart whole-log seed (ADVICE r9 — a 10⁴-generation
+    // stream paid 10⁴ metadata reads before its first batch)
+    if (store.batchCommitted(batchId)) -1L
     else {
       val g = store.commitDelta(delta, commitTsMillis = batchId)
+      store.markBatch(batchId)
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
         store.compact(commitTsMillis = -(batchId + 1))
       g

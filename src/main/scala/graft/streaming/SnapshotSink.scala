@@ -42,9 +42,17 @@ object SnapshotSink {
     */
   def foldBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
       fold: (Option[DataFrame], DataFrame) => DataFrame): Long = {
-    if (store.history().exists(_._2 == batchId)) -1L
-    else store.commit(fold(store.latestVersion().map(store.read), batch),
-      commitTsMillis = batchId)
+    // O(1) check AND O(1) restart seeding via the persisted BatchMark —
+    // a history() scan here was O(total versions) of filesystem
+    // round-trips per micro-batch (ADVICE r9), and even the seeded
+    // cache re-read the whole log once per restarted handle
+    if (store.batchCommitted(batchId)) -1L
+    else {
+      val v = store.commit(fold(store.latestVersion().map(store.read), batch),
+        commitTsMillis = batchId)
+      store.markBatch(batchId)
+      v
+    }
   }
 
   /** Attach the sink to a stream (foreachBatch driver). */

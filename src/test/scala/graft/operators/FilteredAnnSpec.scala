@@ -114,6 +114,35 @@ class FilteredAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("residual flag matches a residual-encoded index (ADVICE r9)") {
+    // encode with residual=true; the filtered search must build its ADC
+    // tables from per-cell residuals too, or distances are measured in
+    // the wrong frame and rankings silently drift
+    val pred = col("label") === 2
+    val encRes = VectorSearch.encodeIvfPq(corpus, "vec_id", "embedding",
+        centroids, codebooks, residual = true)
+      .join(corpus.filter(pred).select(col("vec_id").as("id")), "id")
+    val adaptive = resultSets(VectorSearch.searchIvfPqFiltered(
+      encRes, queries, "vec_id", "embedding",
+      centroids, codebooks, k = K, residual = true))
+    val exact = resultSets(VectorSearch.bruteForceTopK(
+      corpus.filter(pred), queries, "vec_id", "embedding", "vec_id",
+      k = K, excludeSelf = false))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q => (got.getOrElse(q, Set.empty) & exact(q)).size.toDouble
+        / exact(q).size).sum / exact.size
+    assert(recall(adaptive) >= 0.6,
+      s"residual filtered recall ${recall(adaptive)} under the 0.6 gate")
+    assert(adaptive.values.forall(_.size == K))
+    // and the frames must agree with the unfiltered residual search on
+    // the same encoded relation (same ADC math, different probing only)
+    val full = resultSets(VectorSearch.searchIvfPq(
+      encRes, queries, "vec_id", "embedding", centroids, codebooks,
+      k = K, nProbe = centroids.size, excludeSelf = false, residual = true))
+    assert(adaptive == full,
+      "adaptive residual probing diverged from all-cells residual search")
+  }
+
   test("fewer than k survivors in the whole corpus: all cells probed, all returned") {
     // ids 4, 104, 204 (label = 4 % 6 = 4): 3 survivors corpus-wide
     val pred = col("label") === 4 && col("vec_id") % 100 === 4 && col("vec_id") < 300

@@ -74,4 +74,27 @@ class CatalogIndexSpec extends AnyFunSuite {
     val (_, used, _) = CatalogIndex.lookup(spark, cat, "t", "v", 63L)
     assert(!used)
   }
+
+  test("a dropped data table with a lingering __skipidx denies coverage, not crashes (ADVICE r9)") {
+    val cat = new TableCatalog(spark, freshRoot())
+    cat.commitAll(Map("t" -> table(100)), 1000L)
+    CatalogIndex.refresh(spark, cat, "t", "k", 2000L)
+    assert(CatalogIndex.covers(cat, "t", "k"))
+    cat.dropTable("t", 3000L) // __skipidx_t stays in the catalog
+    // covers() used to call versionOf unconditionally and throw from
+    // inside lookup(); it must return false so the caller reaches the
+    // read path's CLEAR missing-table error instead
+    assert(!CatalogIndex.covers(cat, "t", "k"))
+    val e = intercept[Exception] {
+      CatalogIndex.lookup(spark, cat, "t", "k", 40L)._1.collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("t"),
+      "fallback must surface the missing-table error, not an index crash")
+    // the rename flavor: index under the OLD name no longer covers
+    val cat2 = new TableCatalog(spark, freshRoot())
+    cat2.commitAll(Map("t" -> table(100)), 1000L)
+    CatalogIndex.refresh(spark, cat2, "t", "k", 2000L)
+    cat2.renameTable("t", "u", 3000L)
+    assert(!CatalogIndex.covers(cat2, "t", "k"))
+  }
 }

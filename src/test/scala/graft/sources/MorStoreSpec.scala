@@ -202,6 +202,29 @@ class MorStoreSpec extends AnyFunSuite {
     assert(st.tsCommitted(0L))
   }
 
+  test("a NULL __op is a bad op in BOTH validators, never a silent delete/drop") {
+    import spark.implicits._
+    // strict path: !isin on a null op is NULL, so an unguarded validator
+    // would pass the row — and a committed null-op row that wins the
+    // per-key window is excluded by the resolve's __op === "U" filter,
+    // silently deleting the key (ADVICE r9)
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L), 0L)
+    val nullOp = Seq((1L, 11L, Option("U")), (2L, 21L, Option.empty[String]))
+      .toDF("k", "v", "__op")
+    val e = intercept[IllegalArgumentException] { st.commitDelta(nullOp, 1L) }
+    assert(e.getMessage.contains("unrecognized") && e.getMessage.contains("<null>"))
+    assert(asMap(st) == Map(1L -> 10L, 2L -> 20L)) // nothing committed
+    // lenient path: the null-op row must land in the DLQ as bad_op, not
+    // fall through both the poison and clean filters (silently dropped)
+    val (g, nDlq) = st.commitDeltaLenient(nullOp, 2L)
+    assert(g >= 0 && nDlq == 1)
+    assert(asMap(st) == Map(1L -> 11L, 2L -> 20L)) // k=2 keeps its previous value
+    val dlq = st.readDlq().select("k", "__reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dlq == Map(2L -> "bad_op"))
+  }
+
   test("schema evolution: opt-in only, NULL backfill, strict again after compaction") {
     import spark.implicits._
     val st = new MorStore(spark, freshRoot(), Seq("k"))

@@ -316,4 +316,63 @@ class TableCatalogSpec extends AnyFunSuite {
     cat.commitAll(Map("ok_Name-1.x" -> nums(0, 3)), 1000L) // safe charset passes
     assert(cat.read("ok_Name-1.x").count() == 3)
   }
+
+  test("AS OF TIMESTAMP resolves per-ref lineage; vacuumOlderThan keeps the anchor") {
+    val cat = new TableCatalog(spark, freshRoot())
+    cat.commitAll(Map("t" -> nums(0, 10)), 1000L)  // g0
+    cat.commitAll(Map("t" -> nums(0, 20)), 2000L)  // g1
+    cat.commitAll(Map("t" -> nums(0, 30)), 3000L)  // g2
+    // between-commit instants resolve DOWN to the newest earlier cut
+    assert(cat.readAsOf(1500L, "t").count() == 10)
+    assert(cat.readAsOf(2000L, "t").count() == 20) // exact ts inclusive
+    assert(cat.readAsOf(99999L, "t").count() == 30)
+    intercept[IllegalArgumentException] { cat.readAsOf(999L, "t") }
+    // branch lineage: AS OF on the branch sees ITS commit, main doesn't
+    cat.createBranch("b")
+    cat.commitAllOn("b", Map("t" -> nums(0, 5)), 5000L)
+    assert(cat.readAsOf(6000L, "t", "b").count() == 5)
+    assert(cat.readAsOf(6000L, "t").count() == 30)
+    assert(cat.readAsOf(2500L, "t", "b").count() == 20) // pre-fork: shared
+    // age-based retention: anchor (newest gen <= cutoff ts) is KEPT so
+    // every AS OF at or after the cutoff still answers
+    val dropped = cat.vacuumOlderThan(2500L)
+    assert(dropped == Seq(0L), dropped.toString)
+    assert(cat.readAsOf(2500L, "t").count() == 20)
+    assert(cat.readAsOf(99999L, "t").count() == 30)
+    intercept[Exception] { cat.readAt(0L, "t").count() }
+    // a cutoff older than all history reclaims nothing
+    val cat2 = new TableCatalog(spark, freshRoot())
+    cat2.commitAll(Map("t" -> nums(0, 3)), 5000L)
+    assert(cat2.vacuumOlderThan(100L).isEmpty)
+    assert(cat2.read("t").count() == 3)
+  }
+
+  test("a snapshot cannot shadow an existing MoR member across generations (ADVICE r9)") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, freshRoot())
+    cat.morStore("m", Seq("v"))
+    cat.commitAllWith(Map("snap" -> nums(0, 5)),
+      Map("m" -> Seq((1L, "U"), (2L, "U")).toDF("v", "__op")), 1000L)
+    // commitAllWith guards the SAME-call collision; this is the
+    // cross-generation one: a later plain commitAll under the member's
+    // name would land in `tables` while the member stays in `mor`, and
+    // readAt would silently prefer the snapshot
+    val e = intercept[IllegalArgumentException] {
+      cat.commitAll(Map("m" -> nums(0, 9)), 2000L)
+    }
+    assert(e.getMessage.contains("BOTH snapshot and MoR member"))
+    assert(cat.read("m").count() == 2, "member must stay intact and visible")
+    assert(cat.latestGeneration().contains(0L), "rejected commit must not publish")
+    // the reverse direction: a MoR delta under an existing SNAPSHOT name
+    cat.morStore("snap", Seq("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.commitAllWith(Map.empty,
+        Map("snap" -> Seq((7L, "U")).toDF("v", "__op")), 3000L)
+    }
+    assert(e2.getMessage.contains("BOTH snapshot and MoR member"))
+    // dropping the old entry in the same commit converts the kind
+    val g = cat.publish(cat.stage(Map("m" -> nums(0, 9))), 4000L,
+      dropped = Set("m"))
+    assert(cat.readAt(g, "m").count() == 9)
+  }
 }

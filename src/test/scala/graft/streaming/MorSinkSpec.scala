@@ -79,4 +79,30 @@ class MorSinkSpec extends AnyFunSuite {
     assert(MorSink.appendBatch(st, d0, 0L) == -1L)
     assert(asMap(st) == Map(1L -> 10L, 2L -> 20L))
   }
+
+  test("a restarted handle seeds from the persisted mark: old ids no-op, new ids commit") {
+    import spark.implicits._
+    val dir = freshDir("morsink-mark")
+    val st = new MorStore(spark, dir, Seq("k"))
+    st.commitBase(Seq((1L, 10L)).toDF("k", "v"), -1L)
+    (0L until 4L).foreach { b =>
+      assert(MorSink.appendBatch(st,
+        Seq((b + 2L, b * 100L, "U")).toDF("k", "v", "__op"), b) >= 0L)
+    }
+    // the mark is durable, not just in-memory
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_maxbatch")))
+    // restart: a FRESH handle over the same root (the lazy cache is
+    // gone) — redelivered ids still no-op, the next id still commits
+    val restarted = new MorStore(spark, dir, Seq("k"))
+    val replay = Seq((99L, 99L, "U")).toDF("k", "v", "__op")
+    (0L until 4L).foreach(b =>
+      assert(MorSink.appendBatch(restarted, replay, b) == -1L,
+        s"batch $b replayed after restart"))
+    assert(MorSink.appendBatch(restarted,
+      Seq((9L, 900L, "U")).toDF("k", "v", "__op"), 4L) >= 0L)
+    assert(asMap(restarted) ==
+      Map(1L -> 10L, 2L -> 0L, 3L -> 100L, 4L -> 200L, 5L -> 300L, 9L -> 900L))
+  }
 }

@@ -96,4 +96,44 @@ class SnapshotSinkSpec extends AnyFunSuite {
     // state stays summary-sized: 2 rows, not 3 events
     assert(store.readLatest().count() == 2)
   }
+
+  test("restart seeding reads ONE mark + the crash-window tail, never the 1k-generation log") {
+    val dir = freshDir("snapsink-1k")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def put(rel: String, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, rel), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    // fabricate a 1000-version log where every entry EXCEPT the newest
+    // is UNPARSEABLE: a restart seed that touched any of them would
+    // throw, so this passing PROVES seeding read only the mark file
+    // and the above-floor tail — O(1), not O(versions) (ADVICE r9)
+    (0 until 999).foreach(v => put(s"_log/$v.json", ""))
+    put("_log/999.json", """{"version":999,"ts":999,"rows":0}""")
+    put("_latest", "999")
+    put("_maxbatch", "998 998") // crash window: v999 committed, mark stale
+    val store = new SnapshotStore(spark, dir)
+    assert(store.batchCommitted(500L), "id under the mark must be committed")
+    assert(store.batchCommitted(999L), "crash-window tail id must be committed")
+    assert(!store.batchCommitted(1000L))
+  }
+
+  test("redelivery check is the seeded O(1) ts cache, and a fresh handle re-seeds from the log") {
+    import spark.implicits._
+    val dir = freshDir("snapsink-seed")
+    val store = new SnapshotStore(spark, dir)
+    val b = Seq((1L, 10L)).toDF("event_id", "user_id")
+    (0L until 5L).foreach(i => assert(SnapshotSink.appendBatch(store, b, i) == i))
+    // same handle: cache maintained on commit
+    assert(store.tsCommitted(4L) && !store.tsCommitted(5L))
+    assert(SnapshotSink.appendBatch(store, b, 3L) == -1L)
+    // restart (fresh handle over the same root): the cache seeds from
+    // the log ONCE, and the per-batch check must not rescan history —
+    // a redelivered id still no-ops, a new id still commits
+    val restarted = new SnapshotStore(spark, dir)
+    assert(SnapshotSink.appendBatch(restarted, b, 2L) == -1L)
+    assert(SnapshotSink.appendBatch(restarted, b, 5L) == 5L)
+    assert(restarted.loggedVersions().size == 6)
+  }
 }
