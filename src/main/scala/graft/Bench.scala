@@ -18,14 +18,6 @@ object Bench {
     */
   private val FastThresh = 0.3
 
-  /** Very-slow tier bound (on the PRIOR median): queries at or above
-    * this get `Runs` timed runs with the cold first run staying in the
-    * kept pool (on a quiet box it is the slowest and the median lands
-    * on a steady-state run) — they are the profiling targets the judge
-    * spot-checks with QueryTime, so their medians must be steady-state.
-    */
-  private val SlowThresh = 3.0
-
   /** Self-imposed wall budget. Round 9's official artifact died rc=124:
     * 228 queries x (warmup + 3 runs) outran the driver's kill timer and
     * the summary line never printed. Two independent defenses now hold:
@@ -35,8 +27,7 @@ object Bench {
     * single run and all retry/backoff budgets drop to zero, so the
     * bench terminates on its own well inside any sane driver budget.
     */
-  private val SoftCapMs = 420000L
-  private val MidCapMs = 300000L
+  private val SoftCapMs = 380000L
   private val BackoffDeadlineMs = 240000L
 
   /** Set by the shutdown hook; read by the run loop and the failure
@@ -356,19 +347,20 @@ object Bench {
     // second tail runs last, where a budget squeeze costs nothing but
     // jitter. The artifact keys by id, so order is invisible to readers.
     //
-    // Tier by PRIOR (steady-state, from bench_priors.json), not by the
-    // cold first run — codegen inflates a cold run 2-10× for cheap
-    // queries and would promote half the suite a tier:
-    //   slow (prior >= SlowThresh): Runs timed runs; the cold first run
-    //     stays in the pool and drops out of the median on a quiet box.
-    //   mid  (FastThresh..SlowThresh): 2 runs, figure = the faster
-    //     (one-sided noise); downgraded to 1 past MidCapMs.
-    //   fast (< FastThresh): 1 run, which doubles as its own
-    //     (millisecond) codegen — plus a rescue run when the observed
-    //     time wildly disagrees with the prior.
+    // Run counts: EVERY query gets a cold run plus one steady run (the
+    // cold run absorbs codegen/AQE compilation; the figure is the
+    // faster of the two, i.e. the steady one on a quiet box — without
+    // the second run the sub-second tail reports codegen, not the
+    // plan, inflating the suite total ~35%). No third run: measured
+    // budget arithmetic (cold pass ≈ 270 s + steady pass ≈ 220 s +
+    // startup ≈ 45 s) leaves no room for one, and a slow query whose
+    // two runs disagree gets extra runs from the retry/backoff logic
+    // anyway — that targets the noise exactly where it shows instead of
+    // taxing every heavy query three ways.
     // Past SoftCapMs every remaining query gets exactly 1 run and no
     // retries: terminating with slightly noisier figures beats the
-    // round-9 outcome of terminating with none.
+    // round-9 outcome of terminating with none (descending order puts
+    // only the cheapest, least-interesting queries past the cap).
     //
     // Session warmup first: the first query would otherwise absorb the
     // one-time session costs (parquet reader init, codegen framework,
@@ -376,7 +368,11 @@ object Bench {
     val priorOf: String => Double = n =>
       prior.get(n).orElse(prior.get(n.split('_').head)).getOrElse(1.0)
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => -priorOf(n) }
-    ordered.headOption.foreach { case (_, fn) =>
+    // Three warmup executions, untimed: one is not enough — the first
+    // TIMED query otherwise still pays JVM-wide JIT compilation of the
+    // scheduler/shuffle paths (measured: the suite's heaviest query ran
+    // 1.6× its steady-state when first, even after a single warmup)
+    ordered.take(3).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
@@ -387,17 +383,15 @@ object Bench {
         val p = priorOf(name)
         val r1 = once(name, fn)
         var runs = Seq(r1)
-        if (!degraded && r1._1 >= 0 && !stopping) {
-          if (p >= SlowThresh)
-            runs = runs ++ (1 to (Runs - 1)).map(_ => once(name, fn))
-          else if (p >= FastThresh && elapsedMs <= MidCapMs)
-            runs = runs :+ once(name, fn)
-          else if (p < FastThresh && r1._1 >= math.max(FastThresh, 3 * p))
-            // fast by prior but the observed run is not: one more run,
-            // keep the faster — a codegen stall or contention blip must
-            // not become the query's only figure
-            runs = runs :+ once(name, fn)
-        }
+        // degraded mode still grants a rescue run when the cold run is
+        // WILDLY above the prior (≥10×): one-time per-JVM costs that
+        // land on an arbitrary query — the BPE vocab trains on whichever
+        // tokenizer query touches it first (~6 s of driver latency) —
+        // must not become that query's only figure, and the rescue run
+        // costs the steady time, not the outlier time
+        if (r1._1 >= 0 && !stopping &&
+            (!degraded || (p > 0 && r1._1 >= 10 * p)))
+          runs = runs :+ once(name, fn)
         var retries = 0
         // only multi-run queries retry: a fast query's figure can't be
         // meaningfully contaminated, and the retry budget is wall time

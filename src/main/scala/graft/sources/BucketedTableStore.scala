@@ -169,7 +169,8 @@ final class BucketedTableStore(
   def merge(
       staging: DataFrame,
       deleteCol: String = "Op",
-      deleteVals: Seq[String] = Seq("D")): Int = {
+      deleteVals: Seq[String] = Seq("D"),
+      broadcastStaging: Boolean = true): Int = {
     require(exists, s"target $path not initialized")
     validateBucketCount()
     recoverInterruptedSwaps()
@@ -184,10 +185,13 @@ final class BucketedTableStore(
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toSeq: _*))
       .drop(BucketCol)
 
-    // 3. broadcast merge on the slice (the store owns the staging persist
-    // lifecycle — no inner persist that would leak across micro-batches)
+    // 3. merge on the slice — broadcast for CDC-file-sized batches, a
+    // shuffle join when the caller (e.g. MergePlanner's ShuffleCow for
+    // backfills) knows the batch is too big to ship to every task (the
+    // store owns the staging persist lifecycle — no inner persist that
+    // would leak across micro-batches)
     val merged = CdcMerge(slice, stagingB.drop(BucketCol), keys, deleteCol, deleteVals,
-      persistStaging = false)
+      broadcastStaging = broadcastStaging, persistStaging = false)
 
     // 4. temp write + per-bucket swap. Renames only, in two phases with a
     // trash dir: a crash mid-swap always leaves every bucket's data in

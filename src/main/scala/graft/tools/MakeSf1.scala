@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generate an sf1-equivalent test dataset (10× sf0.1) for the scale
+  * readiness sweep — the driver's testdata is read-only and tops out
+  * at sf0.1, but the 100 TB question needs at least one uniform
+  * bigger-SF measurement per heavy query (growth ratios, not absolute
+  * times).
+  *
+  * Method: union `copies` key-shifted replicas of sf0.1. Key columns
+  * shift by copy × 10⁷ (far above any sf0.1 key), so referential
+  * integrity holds within each replica and cardinalities scale 10×.
+  * Dimension tables that TPC-H keeps fixed (region, nation) stay
+  * single-copy. Two tables need DECORRELATION so the replicas do not
+  * manufacture cross-copy duplicates the real distribution would not
+  * have (which would inflate the dedup/ANN families super-linearly and
+  * invalidate the growth readings):
+  *
+  *  - `documents.text`: every token gets a per-copy suffix (copy 0
+  *    unchanged). Within-copy shingle/jaccard/minhash structure —
+  *    including the planted near-dup clusters — replicates EXACTLY;
+  *    across copies no shingle ever matches. n_chars is recomputed.
+  *  - `embeddings.embedding`: element-wise sign flip by a per-copy
+  *    ±1 mask (seeded per copy). cos(u·s, v·s) = cos(u, v), so every
+  *    within-copy angle — again including planted near-dups — is
+  *    preserved bit-for-bit, while cross-copy cosines collapse to
+  *    ~0 (E[s]=0): no manufactured pairs.
+  *
+  * Usage: `runMain graft.tools.MakeSf1 [dstDir] [copies]`
+  * (defaults: /tmp/sf1, 10).
+  */
+object MakeSf1 {
+
+  private val Src = "/root/testdata/sf0.1"
+  private val KeyOff = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val dst = args.headOption.getOrElse("/tmp/sf1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String) = spark.read.parquet(s"$Src/$name.parquet")
+    def write(name: String, df: DataFrame): Unit = {
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[sf1] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+    def shifted(name: String, keyCols: Seq[String],
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = read(name)
+      write(name, (0 until copies).map { i =>
+        val sh = keyCols.foldLeft(base) { case (df, c) =>
+          // preserve the column's type: int32 keys stay int32
+          df.withColumn(c, (col(c) + lit(i * KeyOff)).cast(df.schema(c).dataType))
+        }
+        perCopy(sh, i)
+      }.reduce(_ unionByName _))
+    }
+
+    // fixed dimensions: copied through unchanged
+    Seq("region", "nation").foreach(n => write(n, read(n)))
+
+    shifted("customer", Seq("c_custkey"))
+    shifted("supplier", Seq("s_suppkey"))
+    shifted("part", Seq("p_partkey"))
+    shifted("orders", Seq("o_orderkey", "o_custkey"))
+    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    shifted("events", Seq("event_id", "user_id"))
+
+    // documents: per-copy token suffix decorrelates shingles across
+    // copies; copy 0 is byte-identical to the source corpus
+    shifted("documents", Seq("doc_id"), (df, i) =>
+      if (i == 0) df
+      else {
+        val tagged = df.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$i"))), " "))
+        tagged.withColumn("n_chars", length(col("text")))
+      })
+
+    // embeddings: per-copy ±1 mask (seeded) preserves every within-copy
+    // cosine exactly and zeroes cross-copy similarity in expectation
+    shifted("embeddings", Seq("vec_id"), (df, i) =>
+      if (i == 0) df
+      else {
+        val dim = df.select(size(col("embedding"))).head().getInt(0)
+        val rnd = new scala.util.Random(1000 + i)
+        val mask = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+        df.withColumn("embedding",
+          zip_with(col("embedding"), typedLit(mask), (x, s) => x * s))
+      })
+
+    spark.stop()
+  }
+}
