@@ -417,16 +417,41 @@ object TextDedup {
     * ≈ the whole fingerprint set when minShared ≪ n — measured: a
     * prefix variant of this operator was SLOWER than the join it
     * replaced) — at scale use the fractional
-    * [[fingerprintContainmentPrefix]] instead.
+    * [[fingerprintContainmentPrefix]] instead, or bound the hot keys
+    * with `maxDf`.
+    *
+    * `maxDf` is MOSS's boilerplate suppression (Schleimer et al. run
+    * it as standard practice: fingerprints appearing in very many
+    * documents are template/boilerplate, not copying evidence): a
+    * fingerprint whose document frequency exceeds `maxDf` is dropped
+    * from the inverted index BEFORE the self-join, bounding that key's
+    * candidate contribution at maxDf² and the whole join at
+    * Σ min(df, maxDf)². This is a semantic choice, not an
+    * approximation of the uncapped answer — `shared_fps` counts only
+    * non-ubiquitous fingerprints, so a pair held together solely by
+    * corpus-wide grams (measured: one 10×-replicated hot token turned
+    * the sf1 join quadratic) no longer qualifies. The hot set is tiny
+    * (≤ total_fps / maxDf ids), so the suppression is a broadcast
+    * anti-join, never a shuffle.
     */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minShared: Int = 5)(implicit cs: CacheScope): DataFrame = {
+      k: Int = 8, w: Int = 4, minShared: Int = 5,
+      maxDf: Int = Int.MaxValue)(implicit cs: CacheScope): DataFrame = {
     // persist before the self-join: Spark computes each side of a
     // self-join independently (no exchange/stage reuse — measured,
     // see CcPlanCheck), so an uncached fps would re-fingerprint the
     // corpus twice
-    val fps = cs.persist(df.select(col(idCol).as("id"),
-      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp")))
+    val raw = df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowedFingerprint(col(textCol), k, w)).as("fp"))
+    val fps = cs.persist(
+      if (maxDf == Int.MaxValue) raw
+      else {
+        // fingerprints are distinct per document, so count(1) per fp
+        // IS the document frequency
+        val hot = raw.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("fp")
+        raw.join(broadcast(hot), Seq("fp"), "left_anti")
+      })
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

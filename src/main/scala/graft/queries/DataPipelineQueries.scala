@@ -1086,6 +1086,52 @@ object DataPipelineQueries {
        |WHERE shared_fps >= 5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** d21 with MOSS boilerplate suppression (maxDf = 64): fingerprints
+    * held by more than 64 documents are template noise, not copying
+    * evidence, and their posting lists are what turns the inverted-
+    * index self-join quadratic on replicated corpora (the sf1 growth
+    * sweep measured one corpus-wide hot fingerprint driving d21's join
+    * from seconds to minutes — df² on a key whose df scales with the
+    * corpus). The cap bounds every key's candidate contribution at
+    * maxDf², making the join Σ min(df, maxDf)² ≤ maxDf · total_fps —
+    * linear in the corpus. The oracle replays the suppression exactly
+    * (HAVING count(*) <= 64 on the fingerprint relation), so this is a
+    * different DECLARED semantic, not an approximation gate.
+    */
+  val d56_fingerprint_capped: Q = (s, dir) => {
+    TextDedup.fingerprintPairs(dupDocCorpus(s, dir), "doc_id", "text",
+        k = 8, w = 4, minShared = 5, maxDf = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val d56_sql: String =
+    s"""WITH $DupDocCorpusSql,
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN []
+       |         ELSE list_transform(range(1, GREATEST(length(text) - 8, 0) + 2),
+       |           i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) END AS hs
+       |  FROM corpus
+       |),
+       |fps AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(
+       |      range(1, GREATEST(length(hs) - 4, 0) + 2),
+       |      s -> list_min(list_slice(hs, s, s + 3))))) AS fp
+       |  FROM grams
+       |),
+       |fpx AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+       |keep AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(*) <= 64),
+       |fpk AS (SELECT f.doc_id, f.fp FROM fpx f JOIN keep k USING (fp)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+       |  FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, shared_fps FROM pairs
+       |WHERE shared_fps >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Directed fingerprint containment at scale: prefix-filtered
     * candidates (rarest ⌊(1−t)·n⌋+1 fingerprints by document frequency
     * — see [[TextDedup.fingerprintContainmentPrefix]]) with exact
@@ -1707,6 +1753,7 @@ object DataPipelineQueries {
     "d51_link_authority" -> d51_link_authority,
     "d19_containment_prefix" -> d19_containment_prefix,
     "d21_fingerprint_pairs" -> d21_fingerprint_pairs,
+    "d56_fingerprint_capped" -> d56_fingerprint_capped,
     "d23_fingerprint_prefix" -> d23_fingerprint_prefix,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
@@ -1746,6 +1793,7 @@ object DataPipelineQueries {
     "d51_link_authority" -> d51_sql,
     "d19_containment_prefix" -> d19_sql,
     "d21_fingerprint_pairs" -> d21_sql,
+    "d56_fingerprint_capped" -> d56_sql,
     "d23_fingerprint_prefix" -> d23_sql,
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,

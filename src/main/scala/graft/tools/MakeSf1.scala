@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions._
   * have (which would inflate the dedup/ANN families super-linearly and
   * invalidate the growth readings):
   *
-  *  - `documents.text`: every token gets a per-copy suffix (copy 0
-  *    unchanged). Within-copy shingle/jaccard/minhash structure —
-  *    including the planted near-dup clusters — replicates EXACTLY;
-  *    across copies no shingle ever matches. n_chars is recomputed.
+  *  - `documents.text`: a per-copy Caesar rotation of a-z (copy 0
+  *    unchanged). A bijection on characters preserves ALL equality
+  *    structure within a copy — word shingles, char k-gram windows,
+  *    token/char counts, the planted near-dup clusters — while no
+  *    letter-bearing token or window ever matches across copies. The
+  *    first cut of this tool used per-TOKEN suffixes instead, which
+  *    decorrelates word-level shingles but NOT char-level windows
+  *    inside 8-char tokens: one corpus-wide hot fingerprint survived
+  *    all 10 copies and drove d21's inverted-index self-join quadratic
+  *    (df² on a df that scales with the corpus). Hash VALUES differ per
+  *    copy (md5 of rotated text), so winnowing may select different
+  *    windows per copy — statistically equivalent, which is what a
+  *    growth reading needs. Caveat: rotated copies are not English, so
+  *    content-sensitive filters (langid, stopword-ratio quality) score
+  *    copies 1-9 differently — growth readings for those queries
+  *    measure scan-linearity, not filter-selectivity fidelity.
   *  - `embeddings.embedding`: element-wise sign flip by a per-copy
   *    ±1 mask (seeded per copy). cos(u·s, v·s) = cos(u, v), so every
   *    within-copy angle — again including planted near-dups — is
@@ -74,16 +86,15 @@ object MakeSf1 {
     shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     shifted("events", Seq("event_id", "user_id"))
 
-    // documents: per-copy token suffix decorrelates shingles across
-    // copies; copy 0 is byte-identical to the source corpus
+    // documents: per-copy Caesar rotation decorrelates BOTH word
+    // shingles and char k-gram windows across copies (see header);
+    // copy 0 is byte-identical to the source corpus and n_chars is
+    // preserved exactly (bijection on characters)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     shifted("documents", Seq("doc_id"), (df, i) =>
       if (i == 0) df
-      else {
-        val tagged = df.withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"x$i"))), " "))
-        tagged.withColumn("n_chars", length(col("text")))
-      })
+      else df.withColumn("text",
+        translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
 
     // embeddings: per-copy ±1 mask (seeded) preserves every within-copy
     // cosine exactly and zeroes cross-copy similarity in expectation

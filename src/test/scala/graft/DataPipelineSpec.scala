@@ -159,6 +159,31 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) > pairs((1L, 3L)))
   }
 
+  test("fingerprint pairs maxDf: no-op above corpus size, suppresses corpus-wide boilerplate") {
+    // 12 docs all sharing one boilerplate sentence (its fingerprints
+    // have df = 12); two true near-dups share a second, rare passage
+    val boiler = "subscribe to our newsletter for updates and offers every single week"
+    val rare = "the archival records from nineteen twelve describe a harbor flood event"
+    val c = docs(
+      ((1L to 10L).map(i => i -> s"$boiler unique$i${i}ripple$i tail${i}stone$i") :+
+        (11L -> s"$boiler $rare") :+ (12L -> s"$boiler $rare extra")): _*)
+    val uncapped = TextDedup.fingerprintPairs(c, "doc_id", "text", minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cap >= corpus size: bit-identical to the uncapped baseline
+    val wideCap = TextDedup.fingerprintPairs(c, "doc_id", "text", minShared = 5, maxDf = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wideCap == uncapped)
+    // cap below the boilerplate df: pairs held together only by the
+    // shared template vanish; the rare-passage pair survives with its
+    // shared count reduced by exactly the suppressed fingerprints
+    val capped = TextDedup.fingerprintPairs(c, "doc_id", "text", minShared = 5, maxDf = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.contains((11L, 12L)), s"rare-passage pair must survive: $capped")
+    assert(capped((11L, 12L)) < uncapped((11L, 12L)))
+    assert(!capped.contains((1L, 2L)), s"template-only pair must be suppressed: $capped")
+    assert(uncapped.contains((1L, 2L)))
+  }
+
   test("hashed verification policy returns the string-exact pairs and jaccards") {
     import spark.implicits._
     val df = ((1L to 60L).map(i => (i, "alpha beta gamma delta epsilon zeta eta")) ++
