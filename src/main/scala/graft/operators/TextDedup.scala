@@ -662,6 +662,92 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ──────────────────────────────── persisted LSH dedup index (serve)
+
+  /** Index relations for a persisted MinHash-LSH dedup index from ONE
+    * document batch — the index-served counterpart of
+    * [[minhashLshPairs]], completing the same split the BM25 postings
+    * index makes for retrieval: build once, maintained by appends (and
+    * MoR tombstones at the catalog layer), queried per incoming batch
+    * without ever re-shingling the corpus.
+    *
+    *  - `bands` (id, band, band_key): the LSH candidate router.
+    *  - `shingles` (id, shingle): the exact-verification relation. Raw
+    *    strings — the string-exact default policy of
+    *    [[minhashLshPairs]] (exact by construction, not probability);
+    *    a deployment trading that for fixed 8-byte keys stores
+    *    `xxhash64(shingle)` instead (the documented
+    *    `hashedVerification` trade).
+    *  - `sizes` (id, n_shingles): |shingle set| for the jaccard
+    *    denominator, so lookups never re-aggregate the index.
+    *
+    * Each document must land in exactly one batch: maintenance is then
+    * a pure append of the batch's three relations (no per-key merge),
+    * committed atomically as one catalog generation by the caller.
+    */
+  def lshIndexRelations(batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32): Map[String, DataFrame] = {
+    val sh = shingles(batch, idCol, textCol, n)
+    Map(
+      "bands" -> lshBandsFromShingles(sh, numHashes, bands),
+      "shingles" -> sh,
+      "sizes" -> sh.groupBy("id").agg(count(lit(1)).as("n_shingles")))
+  }
+
+  /** Near-dup lookup of a QUERY batch against a persisted LSH index:
+    * (id_q, id_c, jaccard) for every query doc within exact Jaccard ≥
+    * `threshold` of an indexed doc (same n/numHashes/bands as the
+    * build — band keys must be computed identically or candidates are
+    * garbage). The exactness argument is [[minhashLshPairs]]'s: band
+    * collisions route candidates, the shingle join verifies exactly,
+    * and at 128/32 the miss probability above threshold 0.8 is ~5e-8 —
+    * so the output equals the exact query-vs-corpus jaccard operator.
+    *
+    * Scale shape: the query BATCH is the bounded side — its band keys
+    * broadcast into the index band scan, so the corpus-sized index is
+    * scanned once and never shuffled. Verification prunes the shingle
+    * index to candidate ids (broadcast semi-join) before the
+    * intersection join, so corpus shingles of non-candidates are never
+    * shuffled either; like [[minhashLshPairs]] the candidate-side
+    * broadcast degrades to shuffle joins past `broadcastCandidateLimit`
+    * (a query doc colliding with a giant duplicate cluster), correctness
+    * unchanged. Callers apply tombstone anti-joins to the index
+    * relations BEFORE passing them (the t27 pattern), which keeps the
+    * jaccard denominators right for free — sizes ride beside shingles.
+    */
+  def lshIndexLookup(queries: DataFrame, idCol: String, textCol: String,
+      idxBands: DataFrame, idxShingles: DataFrame, idxSizes: DataFrame,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8,
+      broadcastCandidateLimit: Long = 100000L)(implicit cs: CacheScope): DataFrame = {
+    val qsh = cs.persist(shingles(queries, idCol, textCol, n)
+      .withColumnRenamed("id", "__qid").withColumnRenamed("shingle", "__qsh"))
+    val qb = lshBandsFromShingles(
+      qsh.select(col("__qid").as("id"), col("__qsh").as("shingle")),
+      numHashes, bands)
+    val cands = cs.persist(idxBands
+      .join(broadcast(qb.withColumnRenamed("id", "__qid")), Seq("band", "band_key"))
+      .select(col("__qid"), col("id").as("__cid")).distinct())
+    val gate: DataFrame => DataFrame =
+      if (cands.count() <= broadcastCandidateLimit) broadcast else identity
+    val qsizes = qsh.groupBy("__qid").agg(count(lit(1)).as("__nq"))
+    val qPairSh = qsh.join(gate(cands), "__qid")
+      .select(col("__qid"), col("__cid"), col("__qsh"))
+    val inter = idxShingles
+      .join(gate(cands).select(col("__cid")).distinct(),
+        col("id") === col("__cid"), "left_semi")
+      .join(gate(qPairSh),
+        col("id") === col("__cid") && col("shingle") === col("__qsh"))
+      .groupBy(col("__qid"), col("__cid")).agg(count(lit(1)).as("__ninter"))
+    inter
+      .join(qsizes, "__qid")
+      .join(idxSizes.select(col("id").as("__cid"), col("n_shingles").as("__nc")), "__cid")
+      .withColumn("jaccard", col("__ninter").cast(DoubleType) /
+        (col("__nq") + col("__nc") - col("__ninter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__qid").as("id_q"), col("__cid").as("id_c"), col("jaccard"))
+  }
+
   // ───────────────────────────────────────────── SimHash
 
   /** SimHash bit width: 60 bits, from the leading 15 hex chars of the

@@ -1659,6 +1659,119 @@ object PlatformQueries {
        |ORDER BY i.id""".stripMargin
   }
 
+  // ───────────────────────────── d57: persisted LSH dedup index serve
+
+  /** DEDUP-AS-A-SERVICE: the near-dup gate served from a PERSISTED
+    * MinHash-LSH index instead of re-shingling the corpus per lookup —
+    * the same build/serve split t23 makes for BM25 and s15 for ANN,
+    * closing the trio. Lifecycle: two document micro-batches each
+    * commit the index relations (bands / shingles / sizes —
+    * [[graft.operators.TextDedup.lshIndexRelations]]) as ONE atomic
+    * catalog generation (a torn commit would route candidates with no
+    * verification rows), one batch replayed (exactly-once no-op,
+    * require-guarded); batch 2 commits MoR tombstones (the t27/s22
+    * shape — ids only, index untouched), and the serve path anti-joins
+    * them on id, which keeps jaccard denominators right for free
+    * because sizes ride beside shingles. The lookup
+    * ([[graft.operators.TextDedup.lshIndexLookup]]) broadcasts only
+    * the query batch's band keys and candidate set — the corpus-sized
+    * index is scanned, never shuffled. Oracle = EXACT query-vs-
+    * surviving-corpus jaccard replayed from raw text: a tombstone
+    * leak, a torn band/shingle cut, or a stale size row all shift a
+    * jaccard value and fail the hash.
+    */
+  val d57_lsh_index_serve: Q = (s, dir) => {
+    import graft.operators.TextDedup
+    import graft.streaming.CatalogSink
+    import graft.sources.TableCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-lshidx")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame] =
+      Seq("bands", "shingles", "sizes").map { rel =>
+        rel -> ((prev: Option[DataFrame], b: DataFrame) => {
+          val r = TextDedup.lshIndexRelations(b, "doc_id", "text")(rel)
+          prev.map(_.unionByName(r)).getOrElse(r)
+        })
+      }.toMap
+    (0 until 2).foreach { i =>
+      CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 2 === i),
+        i.toLong, derive)
+    }
+    require(CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 2 === 1),
+      1L, derive) == -1L, "redelivered index batch was re-applied")
+    val deriveDel = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
+      "tombstones" -> ((prev, b) => {
+        val t = b.select(col("doc_id").as("id"))
+        prev.map(_.unionByName(t)).getOrElse(t)
+      }))
+    CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 20 === 5),
+      2L, deriveDel)
+    val tomb = broadcast(cat.read("tombstones"))
+    def live(rel: String) =
+      cat.read(rel).join(tomb, Seq("id"), "left_anti")
+    // incoming batch: exact copies + 'zz'-perturbed near-dups of
+    // corpus docs (dupDocCorpus's construction, as fresh ids)
+    val qdocs = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+    TextDedup.lshIndexLookup(qdocs, "doc_id", "text",
+        live("bands"), live("shingles"), live("sizes"))
+      .orderBy(col("id_q"), col("id_c"))
+  }
+
+  val d57_sql: String =
+    s"""WITH live AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 5
+       |),
+       |qdocs AS (
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
+       |),
+       |csh AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT id,
+       |           CASE WHEN len(toks) = 0 THEN []
+       |                ELSE list_distinct(list_transform(range(0, GREATEST(len(toks) - 3, 0) + 1),
+       |                  i -> array_to_string(toks[i + 1 : i + 3], ' '))) END AS grams
+       |    FROM (SELECT doc_id AS id,
+       |                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |          FROM live) t
+       |  ) g
+       |),
+       |qsh AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT id,
+       |           CASE WHEN len(toks) = 0 THEN []
+       |                ELSE list_distinct(list_transform(range(0, GREATEST(len(toks) - 3, 0) + 1),
+       |                  i -> array_to_string(toks[i + 1 : i + 3], ' '))) END AS grams
+       |    FROM (SELECT doc_id AS id,
+       |                 list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |          FROM qdocs) t
+       |  ) g
+       |),
+       |csz AS (SELECT id, COUNT(*) AS nc FROM csh GROUP BY id),
+       |qsz AS (SELECT id, COUNT(*) AS nq FROM qsh GROUP BY id),
+       |inter AS (
+       |  SELECT q.id AS id_q, c.id AS id_c, COUNT(*) AS n_inter
+       |  FROM qsh q JOIN csh c ON q.shingle = c.shingle
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT i.id_q, i.id_c,
+       |         CAST(i.n_inter AS DOUBLE) / (qs.nq + cs.nc - i.n_inter) AS jaccard
+       |  FROM inter i
+       |  JOIN qsz qs ON qs.id = i.id_q
+       |  JOIN csz cs ON cs.id = i.id_c
+       |)
+       |SELECT id_q, id_c, jaccard FROM scored
+       |WHERE jaccard >= 0.8
+       |ORDER BY id_q, id_c""".stripMargin
+
   // ───────────────────────────── w28: changefeed-maintained aggregate view
 
   /** MATERIALIZED AGGREGATE OVER A CHANGE DATA FEED — the lakehouse
@@ -3018,7 +3131,8 @@ object PlatformQueries {
     "v33_catalog_export" -> v33_catalog_export,
     "q61_star_join" -> q61_star_join,
     "v34_catalog_history" -> v34_catalog_history,
-    "v35_as_of_timestamp" -> v35_as_of_timestamp)
+    "v35_as_of_timestamp" -> v35_as_of_timestamp,
+    "d57_lsh_index_serve" -> d57_lsh_index_serve)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -3067,5 +3181,6 @@ object PlatformQueries {
     "v33_catalog_export" -> v33_sql,
     "q61_star_join" -> q61_sql,
     "v34_catalog_history" -> v34_sql,
-    "v35_as_of_timestamp" -> v35_sql)
+    "v35_as_of_timestamp" -> v35_sql,
+    "d57_lsh_index_serve" -> d57_sql)
 }

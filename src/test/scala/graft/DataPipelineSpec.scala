@@ -184,6 +184,41 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(uncapped.contains((1L, 2L)))
   }
 
+  test("lsh index lookup equals exact query-vs-corpus jaccard, both broadcast gates") {
+    import spark.implicits._
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      3L -> "one two three four five six seven eight nine ten eleven twelve",
+      4L -> "totally unrelated words about catalyst plans and shuffles here")
+    val queries = docs(
+      101L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // exact of 1
+      102L -> "zz two three four five six seven eight nine ten eleven twelve", // near of 3
+      103L -> "nothing in common with anything stored in the index")
+    val idx = TextDedup.lshIndexRelations(corpus, "doc_id", "text")
+    // exact truth: directed query->corpus jaccard over shingle sets
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val corpusMap = corpus.collect().map(r => r.getLong(0) -> shingleSet(r.getString(1))).toMap
+    val expected = queries.collect().flatMap { r =>
+      val (qid, qs) = (r.getLong(0), shingleSet(r.getString(1)))
+      corpusMap.flatMap { case (cid, cs) =>
+        val j = qs.intersect(cs).size.toDouble / qs.union(cs).size
+        if (j >= 0.8) Some((qid, cid) -> j) else None
+      }
+    }.toMap
+    for (limit <- Seq(100000L, 0L)) { // broadcast gate open, then forced shuffle
+      val got = TextDedup.lshIndexLookup(queries, "doc_id", "text",
+          idx("bands"), idx("shingles"), idx("sizes"),
+          broadcastCandidateLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == expected, s"limit=$limit: $got vs $expected")
+    }
+    assert(expected.contains((101L, 1L)) && expected.contains((102L, 3L)))
+  }
+
   test("hashed verification policy returns the string-exact pairs and jaccards") {
     import spark.implicits._
     val df = ((1L to 60L).map(i => (i, "alpha beta gamma delta epsilon zeta eta")) ++
