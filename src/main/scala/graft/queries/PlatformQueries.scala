@@ -1772,6 +1772,66 @@ object PlatformQueries {
        |WHERE jaccard >= 0.8
        |ORDER BY id_q, id_c""".stripMargin
 
+  // ─────────────────── w29: admission served from the persisted index
+
+  /** w10's SEQUENTIAL CORPUS ADMISSION served from the d57 persisted
+    * LSH index instead of re-shingling the admitted store per batch —
+    * the state a streaming near-dup gate should actually carry at
+    * 100 TB (w10's `CorpusAdmission` recomputes the admitted corpus's
+    * shingles every micro-batch; here the admitted corpus is shingled
+    * exactly once, when admitted). Per batch: lookup the batch against
+    * the index ([[graft.operators.TextDedup.lshIndexLookup]] — only
+    * the batch broadcasts), reject matches at jaccard ≥ 0.8, append
+    * the survivors' bands/shingles/sizes as ONE atomic generation
+    * ([[graft.streaming.CatalogSink.commitBatch]], exactly-once).
+    * Admission must be SEQUENTIALLY identical to w10 — batch 3's fate
+    * depends on what batch 2 admitted — so the oracle is w10's chained
+    * replay VERBATIM: index-serving is an execution strategy, not a
+    * semantic, and any divergence (a stale size row, a lost band, a
+    * tombstone of a doc that should still gate) breaks the shared
+    * hash.
+    */
+  val w29_indexed_admission: Q = (s, dir) => {
+    import graft.operators.TextDedup
+    import graft.streaming.CatalogSink
+    import graft.sources.TableCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-admidx")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batches = Seq(
+      d,
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")),
+      d.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+    val derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame] =
+      Seq("bands", "shingles", "sizes").map { rel =>
+        rel -> ((prev: Option[DataFrame], b: DataFrame) => {
+          val r = TextDedup.lshIndexRelations(b, "doc_id", "text")(rel)
+          prev.map(_.unionByName(r)).getOrElse(r)
+        })
+      }.toMap
+    val admitted = batches.zipWithIndex.map { case (b, i) =>
+      val adm =
+        if (i == 0) b.persist()
+        else {
+          val rejected = TextDedup.lshIndexLookup(b, "doc_id", "text",
+              cat.read("bands"), cat.read("shingles"), cat.read("sizes"))
+            .select(col("id_q").as("doc_id")).distinct()
+          b.join(broadcast(rejected), Seq("doc_id"), "left_anti").persist()
+        }
+      adm.count() // pin the admission BEFORE the index advances
+      CatalogSink.commitBatch(cat, adm, i.toLong, derive)
+      if (i == 1) // exactly-once: a redelivered micro-batch must no-op
+        require(CatalogSink.commitBatch(cat, adm, 1L, derive) == -1L,
+          "redelivered admission batch was re-applied")
+      adm.select(col("doc_id"), lit(i + 1).as("batch_seq"))
+    }
+    admitted.reduce(_ unionAll _).orderBy(col("doc_id"))
+  }
+
   // ───────────────────────────── w28: changefeed-maintained aggregate view
 
   /** MATERIALIZED AGGREGATE OVER A CHANGE DATA FEED — the lakehouse
@@ -3132,7 +3192,8 @@ object PlatformQueries {
     "q61_star_join" -> q61_star_join,
     "v34_catalog_history" -> v34_catalog_history,
     "v35_as_of_timestamp" -> v35_as_of_timestamp,
-    "d57_lsh_index_serve" -> d57_lsh_index_serve)
+    "d57_lsh_index_serve" -> d57_lsh_index_serve,
+    "w29_indexed_admission" -> w29_indexed_admission)
 
   val oracles: Map[String, String] = Map(
     "s19_hybrid_rrf" -> s19_sql,
@@ -3182,5 +3243,6 @@ object PlatformQueries {
     "q61_star_join" -> q61_sql,
     "v34_catalog_history" -> v34_sql,
     "v35_as_of_timestamp" -> v35_sql,
-    "d57_lsh_index_serve" -> d57_sql)
+    "d57_lsh_index_serve" -> d57_sql,
+    "w29_indexed_admission" -> StreamingQueries.w10_sql)
 }

@@ -59,7 +59,53 @@ object ScaleSmoke {
     if (mode == "tri") triSmoke(spark, 10000000L) // opt-in
     if (mode == "all") ivjSmoke(spark, 300000L)
     if (mode == "interval") ivjSmoke(spark, 1000000L) // opt-in
+    if (mode == "mergeplan") mergePlanSmoke(spark, "/root/testdata/sf0.1")
     spark.stop()
+  }
+
+  /** MergePlanner crossover measurement: a FIXED-size update batch
+    * (~9k rows, 1.5% of the table) scattered over T of the store's 64
+    * buckets, T ∈ {1, 4, 16, 32, 64}. Times the bucket-pruned
+    * broadcast CoW rewrite against the O(batch) MoR delta commit at
+    * each T — CoW cost grows with T (it rewrites T/64 of the table),
+    * the delta commit stays flat, and the wall-time crossing is the
+    * empirical bucketFrac boundary that [[graft.operators.MergePlanner
+    * .Thresholds]] encodes. The MoR read-resolve is timed once at the
+    * end (the deferred cost a delta route amortizes over compaction).
+    * Numbers land in COVERAGE.md.
+    */
+  private def mergePlanSmoke(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.MergePlanner
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val root = Files.createTempDirectory("mergeplan").toString
+    val store = time("init 600k rows / 64 buckets") {
+      graft.sources.BucketedTableStore.create(spark, s"$root/li", keys, li, numBuckets = 64)
+    }
+    val mor = new graft.sources.MorStore(spark, s"$root/mor", keys)
+    time("mor base commit (same 600k)") { mor.commitBase(li, 1L) }
+    val bucket = pmod(hash(keys.map(col): _*), lit(64))
+    Seq(1, 4, 16, 32, 64).foreach { t =>
+      // ~9k rows regardless of T: all 64 buckets hold ~9.4k rows each,
+      // and an independent hash keeps 1/T of the rows in T buckets
+      val batch = li.withColumn("__b", bucket).filter(col("__b") < t)
+        .filter(pmod(hash(keys.map(col) :+ lit(17): _*), lit(t)) === 0)
+        .drop("__b")
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .withColumn("Op", lit("U")).persist()
+      val n = batch.count()
+      val p = MergePlanner.probe(batch, keys, 64)
+      println(s"[scale] T=$t: $n rows, probe buckets=${p.bucketsTouched}, " +
+        s"chosen=${MergePlanner.choose(p, 64)}")
+      time(f"  T=$t broadcast CoW merge") { store.merge(batch) }
+      time(f"  T=$t MoR delta commit") {
+        mor.commitDelta(batch.withColumnRenamed("Op", mor.OpCol), 1000L + t)
+      }
+      batch.unpersist()
+    }
+    time("mor read resolve (base + 5 deltas)") {
+      println(s"[scale] mor rows: ${mor.read().count()}")
+    }
   }
 
   /** Triangle counting at n nodes: circulant deltas {1,2,5} (≈ n−2
