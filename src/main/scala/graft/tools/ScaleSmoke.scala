@@ -88,9 +88,12 @@ object ScaleSmoke {
     Seq(1, 4, 16, 32, 64).foreach { t =>
       // ~9k rows regardless of T: all 64 buckets hold ~9.4k rows each,
       // and an independent hash keeps 1/T of the rows in T buckets
+      // dropDuplicates: the synthetic lineitem carries a handful of
+      // repeated (orderkey, linenumber) keys, and the MoR delta
+      // contract rejects same-key rows without a __seq
       val batch = li.withColumn("__b", bucket).filter(col("__b") < t)
         .filter(pmod(hash(keys.map(col) :+ lit(17): _*), lit(t)) === 0)
-        .drop("__b")
+        .drop("__b").dropDuplicates(keys)
         .withColumn("l_quantity", col("l_quantity") + 1)
         .withColumn("Op", lit("U")).persist()
       val n = batch.count()
