@@ -1680,7 +1680,14 @@ object PlatformQueries {
     * leak, a torn band/shingle cut, or a stale size row all shift a
     * jaccard value and fail the hash.
     */
-  val d57_lsh_index_serve: Q = (s, dir) => {
+  /** Shared d57/d58 lifecycle: build the LSH index over `documents`
+    * in two exactly-once generations, tombstone `doc_id % 20 = 5`,
+    * and return (catalog, query batch) — the query batch is
+    * dupDocCorpus's construction (exact copies + 'zz'-perturbed
+    * near-dups) as fresh ids.
+    */
+  private def lshIndexFixture(s: SparkSession, dir: String)
+      : (graft.sources.TableCatalog, DataFrame) = {
     import graft.operators.TextDedup
     import graft.streaming.CatalogSink
     import graft.sources.TableCatalog
@@ -1708,18 +1715,61 @@ object PlatformQueries {
       }))
     CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 20 === 5),
       2L, deriveDel)
-    val tomb = broadcast(cat.read("tombstones"))
-    def live(rel: String) =
-      cat.read(rel).join(tomb, Seq("id"), "left_anti")
-    // incoming batch: exact copies + 'zz'-perturbed near-dups of
-    // corpus docs (dupDocCorpus's construction, as fresh ids)
     val qdocs = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+    (cat, qdocs)
+  }
+
+  val d57_lsh_index_serve: Q = (s, dir) => {
+    import graft.operators.TextDedup
+    val (cat, qdocs) = lshIndexFixture(s, dir)
+    val tomb = broadcast(cat.read("tombstones"))
+    def live(rel: String) =
+      cat.read(rel).join(tomb, Seq("id"), "left_anti")
     TextDedup.lshIndexLookup(qdocs, "doc_id", "text",
         live("bands"), live("shingles"), live("sizes"))
+      .orderBy(col("id_q"), col("id_c"))
+  }
+
+  // ─────────────────── d58: LSH index compaction (tombstones folded)
+
+  /** The COMPACTION that prices d57's MoR trade: one atomic generation
+    * rewrites bands/shingles/sizes MINUS the tombstoned ids and resets
+    * the tombstone relation to empty ([[graft.sources.TableCatalog
+    * .transact]] — readers see either the tombstoned index or the
+    * compacted one, never a torn mix), after which the serve path
+    * drops its anti-joins entirely. Compaction is an EXECUTION event,
+    * not a semantic one, so the oracle is d57's VERBATIM: the
+    * compacted index must serve bit-identical matches to the
+    * tombstone-masked one. Post-conditions require-guarded: the
+    * tombstone relation is empty and time travel still reads the
+    * pre-compaction index (the generation log keeps the MoR history).
+    */
+  val d58_index_compaction: Q = (s, dir) => {
+    import graft.operators.TextDedup
+    val (cat, qdocs) = lshIndexFixture(s, dir)
+    val preGen = cat.latestGeneration().getOrElse(
+      throw new IllegalStateException("empty index catalog"))
+    val preBands = cat.read("bands").count()
+    val tomb = broadcast(cat.read("tombstones"))
+    cat.transact(4L) { _ =>
+      Map(
+        "bands" -> cat.read("bands").join(tomb, Seq("id"), "left_anti"),
+        "shingles" -> cat.read("shingles").join(tomb, Seq("id"), "left_anti"),
+        "sizes" -> cat.read("sizes").join(tomb, Seq("id"), "left_anti"),
+        "tombstones" -> cat.read("tombstones").limit(0))
+    }
+    require(cat.read("tombstones").count() == 0,
+      "compaction left live tombstones")
+    require(cat.read("bands").count() < preBands,
+      "compaction rewrote nothing")
+    require(cat.readAt(preGen, "bands").count() == preBands,
+      "time travel lost the pre-compaction index")
+    TextDedup.lshIndexLookup(qdocs, "doc_id", "text",
+        cat.read("bands"), cat.read("shingles"), cat.read("sizes"))
       .orderBy(col("id_q"), col("id_c"))
   }
 
@@ -3193,6 +3243,7 @@ object PlatformQueries {
     "v34_catalog_history" -> v34_catalog_history,
     "v35_as_of_timestamp" -> v35_as_of_timestamp,
     "d57_lsh_index_serve" -> d57_lsh_index_serve,
+    "d58_index_compaction" -> d58_index_compaction,
     "w29_indexed_admission" -> w29_indexed_admission)
 
   val oracles: Map[String, String] = Map(
@@ -3244,5 +3295,6 @@ object PlatformQueries {
     "v34_catalog_history" -> v34_sql,
     "v35_as_of_timestamp" -> v35_sql,
     "d57_lsh_index_serve" -> d57_sql,
+    "d58_index_compaction" -> d57_sql,
     "w29_indexed_admission" -> StreamingQueries.w10_sql)
 }
