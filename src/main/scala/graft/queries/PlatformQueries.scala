@@ -1680,6 +1680,29 @@ object PlatformQueries {
     * leak, a torn band/shingle cut, or a stale size row all shift a
     * jaccard value and fail the hash.
     */
+  /** Derive map appending a batch's LSH index relations — one
+    * [[graft.operators.TextDedup.lshIndexRelations]] call per BATCH
+    * (memoized on the batch instance), not per relation: the three
+    * members share the persisted shingle relation, so the batch is
+    * shingled once however many members the commit writes.
+    */
+  private def lshIndexDerive()
+      : Map[String, (Option[DataFrame], DataFrame) => DataFrame] = {
+    import graft.operators.TextDedup
+    val memo = new java.util.IdentityHashMap[DataFrame, Map[String, DataFrame]]()
+    def relsOf(b: DataFrame): Map[String, DataFrame] = memo.synchronized {
+      var r = memo.get(b)
+      if (r == null) { r = TextDedup.lshIndexRelations(b, "doc_id", "text"); memo.put(b, r) }
+      r
+    }
+    Seq("bands", "shingles", "sizes").map { rel =>
+      rel -> ((prev: Option[DataFrame], b: DataFrame) => {
+        val r = relsOf(b)(rel)
+        prev.map(_.unionByName(r)).getOrElse(r)
+      })
+    }.toMap
+  }
+
   /** Shared d57/d58 lifecycle: build the LSH index over `documents`
     * in two exactly-once generations, tombstone `doc_id % 20 = 5`,
     * and return (catalog, query batch) — the query batch is
@@ -1695,13 +1718,7 @@ object PlatformQueries {
       .toFile.getAbsolutePath + "/cat"
     val cat = new TableCatalog(s, root)
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    val derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame] =
-      Seq("bands", "shingles", "sizes").map { rel =>
-        rel -> ((prev: Option[DataFrame], b: DataFrame) => {
-          val r = TextDedup.lshIndexRelations(b, "doc_id", "text")(rel)
-          prev.map(_.unionByName(r)).getOrElse(r)
-        })
-      }.toMap
+    val derive = lshIndexDerive()
     (0 until 2).foreach { i =>
       CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 2 === i),
         i.toLong, derive)
@@ -1856,13 +1873,7 @@ object PlatformQueries {
       d.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(lit("zz"), expr("substring(text, 3)")).as("text")))
-    val derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame] =
-      Seq("bands", "shingles", "sizes").map { rel =>
-        rel -> ((prev: Option[DataFrame], b: DataFrame) => {
-          val r = TextDedup.lshIndexRelations(b, "doc_id", "text")(rel)
-          prev.map(_.unionByName(r)).getOrElse(r)
-        })
-      }.toMap
+    val derive = lshIndexDerive()
     val admitted = batches.zipWithIndex.map { case (b, i) =>
       val adm =
         if (i == 0) b.persist()
