@@ -745,9 +745,13 @@ object TextDedup {
       .join(gate(qPairSh),
         col("id") === col("__cid") && col("shingle") === col("__qsh"))
       .groupBy(col("__qid"), col("__cid")).agg(count(lit(1)).as("__ninter"))
-    inter
-      .join(qsizes, "__qid")
-      .join(idxSizes.select(col("id").as("__cid"), col("n_shingles").as("__nc")), "__cid")
+    // stat joins keep the corpus-sized sizes relation on the probe
+    // side: qsizes is batch-bounded (unconditional broadcast), the
+    // intersection counts are candidate-bounded (gated), so the index
+    // is only ever scanned here, same as the shingle join above
+    val withQ = inter.join(broadcast(qsizes), "__qid")
+    idxSizes.select(col("id").as("__cid"), col("n_shingles").as("__nc"))
+      .join(gate(withQ), "__cid")
       .withColumn("jaccard", col("__ninter").cast(DoubleType) /
         (col("__nq") + col("__nc") - col("__ninter")))
       .filter(col("jaccard") >= threshold)

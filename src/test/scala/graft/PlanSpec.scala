@@ -335,6 +335,37 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("fingerprint df-cap suppression is a broadcast anti-join (index never shuffles for it)") {
+    val corpus = queries.DataPipelineQueries.dupDocCorpus(spark, dir)
+    val plan = planString(operators.TextDedup.fingerprintPairs(
+      corpus, "doc_id", "text", maxDf = 64))
+    // the hot set is ≤ total_fps/maxDf ids: it must ship as a broadcast
+    // LeftAnti, not force a shuffle of the fingerprint relation
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "hot-fingerprint suppression must broadcast:\n" + plan.take(3000))
+  }
+
+  test("LSH index lookup: query side always broadcasts; verification follows the gate") {
+    val corpus = queries.DataPipelineQueries.dupDocCorpus(spark, dir)
+    val idx = operators.TextDedup.lshIndexRelations(corpus, "doc_id", "text")
+    val q = corpus.limit(50)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val open = planString(operators.TextDedup.lshIndexLookup(q, "doc_id", "text",
+        idx("bands"), idx("shingles"), idx("sizes")))
+      assert(open.contains("BroadcastHashJoin"),
+        "query band keys must broadcast into the index scan:\n" + open.take(3000))
+      assert(!open.contains("SortMergeJoin"),
+        "open gate: the index must never shuffle for a lookup:\n" + open.take(3000))
+      val closed = planString(operators.TextDedup.lshIndexLookup(q, "doc_id", "text",
+        idx("bands"), idx("shingles"), idx("sizes"), broadcastCandidateLimit = 0L))
+      // the band-key join still broadcasts (explicit query-side hint);
+      // the candidate/verification joins degrade to shuffles
+      assert(closed.contains("SortMergeJoin") || closed.contains("ShuffledHashJoin"),
+        "closed gate: verification must fall back to shuffle joins:\n" + closed.take(3000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("line dedup reassembles inside the aggregate (no window, no row_number)") {
     import spark.implicits._
     val corpus = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
