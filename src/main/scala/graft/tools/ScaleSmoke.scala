@@ -60,7 +60,59 @@ object ScaleSmoke {
     if (mode == "all") ivjSmoke(spark, 300000L)
     if (mode == "interval") ivjSmoke(spark, 1000000L) // opt-in
     if (mode == "mergeplan") mergePlanSmoke(spark, "/root/testdata/sf0.1")
+    if (mode == "lshserve") lshServeSmoke(spark, Seq(10000L, 100000L))
+    if (mode == "lshserve100") lshServeSmoke(spark, Seq(1000000L)) // opt-in: minutes
     spark.stop()
+  }
+
+  /** Persisted-LSH-index serve growth: a FIXED 400-doc query batch
+    * (200 near-dups of the first 10k corpus docs + 200 fresh) looked
+    * up against indexes built over n ∈ {10k, 100k} clustered docs
+    * (10-member clusters of identical text, so posting lists are
+    * bounded at 10 and every near-dup query matches its whole
+    * cluster). The lookup's cost model is "scan the index once,
+    * broadcast only the batch" — so lookup wall should grow far
+    * slower than the 10× index growth, and the build (shingle +
+    * band + write, once per corpus) is where the linear cost lives.
+    * Numbers land in COVERAGE.md.
+    */
+  private def lshServeSmoke(spark: SparkSession, ns: Seq[Long]): Unit = {
+    import graft.operators.TextDedup
+    def clustered(n: Long) = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_$j"))), 1, 7))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    // fixed query batch: 200 single-token perturbations of cluster
+    // members (jaccard 12/14 ≈ 0.86 vs every member of the source
+    // cluster) + 200 docs of globally unique words (match nothing)
+    val near = clustered(10000L).filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("zz"), expr("substring(text, 8)")).as("text"))
+    val freshWords = (0 until 15).map(j =>
+      substring(md5(concat(col("id").cast("string"), lit(s"_fresh$j"))), 1, 7))
+    val fresh = spark.range(200).select((col("id") + 20000000L).as("doc_id"),
+      concat_ws(" ", freshWords: _*).as("text"))
+    val queries = near.unionAll(fresh).repartition(8).persist()
+    println(s"[scale] lshserve query batch: ${queries.count()} docs")
+    ns.foreach { n =>
+      val corpus = clustered(n).repartition(32).persist()
+      corpus.count()
+      val root = Files.createTempDirectory("lshserve").toString + "/cat"
+      val cat = new graft.sources.TableCatalog(spark, root)
+      time(s"index build+commit, $n docs") {
+        cat.commitAll(TextDedup.lshIndexRelations(corpus, "doc_id", "text"), 1L)
+      }
+      time(s"index lookup, 400 queries vs $n-doc index") {
+        val m = TextDedup.lshIndexLookup(queries, "doc_id", "text",
+          cat.read("bands"), cat.read("shingles"), cat.read("sizes")).count()
+        println(s"[scale]   matches: $m")
+      }
+      corpus.unpersist()
+    }
+    queries.unpersist()
   }
 
   /** MergePlanner crossover measurement: a FIXED-size update batch

@@ -375,6 +375,78 @@ class StreamingWindowSpec extends AnyFunSuite {
       s"stream admitted ${admitted.toSet} != batch $batchResult")
   }
 
+  test("index-served admission under foreachBatch equals the re-shingling admission") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // same chain as the corpus-admission test: sequential state across
+    // micro-batches, but the stream's state is the PERSISTED LSH index
+    // (w29's shape) instead of in-memory admitted frames
+    val b1 = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and runs far away",
+      2L -> "entirely different content about catalyst optimizer rules engine today").toDF("doc_id", "text")
+    val b2 = Seq(
+      11L -> "the quick brown fox jumps over the lazy dog and runs far away",
+      12L -> "fresh second batch document with its own words and nothing shared").toDF("doc_id", "text")
+    val b3 = Seq(
+      21L -> "a quick brown fox jumps over the lazy dog and runs far away",
+      22L -> "fresh second batch document with its own words and nothing shared",
+      23L -> "completely novel third batch text that matches nothing else here").toDF("doc_id", "text")
+    val expected = {
+      val adm = new graft.streaming.CorpusAdmission("doc_id", "text", threshold = 0.5)
+      Seq(b1, b2, b3).flatMap(b =>
+        adm.admit(b).select("doc_id").collect().map(_.getLong(0))).toSet
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-admstream")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(spark, root)
+    val memo = new java.util.IdentityHashMap[org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame]]()
+    def relsOf(b: org.apache.spark.sql.DataFrame) = memo.synchronized {
+      var r = memo.get(b)
+      if (r == null) {
+        r = graft.operators.TextDedup.lshIndexRelations(b, "doc_id", "text")
+        memo.put(b, r)
+      }
+      r
+    }
+    val derive: Map[String, (Option[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame] =
+      Seq("bands", "shingles", "sizes").map { rel =>
+        rel -> ((prev: Option[org.apache.spark.sql.DataFrame], b: org.apache.spark.sql.DataFrame) => {
+          val r = relsOf(b)(rel)
+          prev.map(_.unionByName(r)).getOrElse(r)
+        })
+      }.toMap
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val adm =
+          if (cat.latestGeneration().isEmpty) df
+          else {
+            val rejected = graft.operators.TextDedup.lshIndexLookup(
+                df, "doc_id", "text",
+                cat.read("bands"), cat.read("shingles"), cat.read("sizes"),
+                threshold = 0.5)
+              .select(col("id_q").as("doc_id")).distinct()
+            df.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+          }
+        val pinned = adm.localCheckpoint()
+        graft.streaming.CatalogSink.commitBatch(cat, pinned, id, derive)
+        admitted ++= pinned.select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    Seq(b1, b2, b3).foreach { b =>
+      ms.addData(b.collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(admitted.toSet == expected,
+      s"index-served stream admitted ${admitted.toSet} != $expected")
+    assert(cat.loggedGenerations().size == 3, "one generation per micro-batch")
+  }
+
   test("watermarked dedup: dropDuplicatesWithinWatermark equals the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
