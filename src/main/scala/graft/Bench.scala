@@ -88,7 +88,7 @@ object Bench {
         .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       def parse(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
-        val it = node.fields()
+        val it = node.properties().iterator()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) {
           val e = it.next(); val v = e.getValue.asDouble(-1.0)

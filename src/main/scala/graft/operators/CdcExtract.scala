@@ -41,6 +41,6 @@ object CdcExtract {
           .otherwise(col(s"__new.$c")).as(c)) :+
         when(col("__new").isNull, lit("D")).otherwise(lit("U")).as("__op"): _*)
       // restore the input column order (keys may not be leading)
-      .select(oldDf.columns.map(col) :+ col("__op"): _*)
+      .select(oldDf.columns.toIndexedSeq.map(col) :+ col("__op"): _*)
   }
 }

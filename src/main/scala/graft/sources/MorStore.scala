@@ -109,7 +109,7 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
       // through to the resolve, the exact far-from-cause failure this
       // guard exists to prevent.
       val effective = scala.collection.mutable.Map[String, org.apache.spark
-        .sql.types.DataType](baseSchema.fields.map(f => f.name -> f.dataType): _*)
+        .sql.types.DataType](baseSchema.fields.toIndexedSeq.map(f => f.name -> f.dataType): _*)
       generations().collect { case (g, "delta") if g > bg => g }.foreach { dg =>
         spark.read.parquet(genDir(dg).toString).schema.fields
           .filterNot(f => f.name == OpCol || f.name == SeqCol)

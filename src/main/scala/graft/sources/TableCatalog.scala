@@ -625,7 +625,7 @@ class TableCatalog(spark: SparkSession, root: String) {
     */
   private def parseSection[A](json: String, section: String,
       value: String => A): Map[String, A] = {
-    val parts = json.split('"' + section + """":\{""")
+    val parts = json.split("\"" + section + "\":\\{")
     if (parts.length < 2) Map.empty // generation predates the section
     else {
       val body = parts(1).takeWhile(_ != '}')

@@ -592,7 +592,7 @@ object ScaleSmoke {
         time(s"d31 propagation, $n nodes / ~${(n * 4) / 3} edges, 3 rounds") {
           val out = graft.operators.Propagation.propagate(edges, "a", "b", iters = 3)
           println(s"[scale]   nodes scored: ${out.count()}, " +
-            s"score sum: ${out.agg(sum(col("score"))).head.getLong(0)}")
+            s"score sum: ${out.agg(sum(col("score"))).head().getLong(0)}")
         }
       }
       println(f"[scale]   shuffled: ${bytes / 1e6}%.0f MB")
