@@ -446,11 +446,16 @@ object TextDedup {
     val fps = cs.persist(
       if (maxDf == Int.MaxValue) raw
       else {
+        // raw feeds BOTH the df aggregate and the anti-join probe, so
+        // persist it too — otherwise the corpus is fingerprinted twice
+        // before fps ever caches (the exact double-scan the self-join
+        // persist below exists to avoid)
+        val rawC = cs.persist(raw)
         // fingerprints are distinct per document, so count(1) per fp
         // IS the document frequency
-        val hot = raw.groupBy("fp").agg(count(lit(1)).as("__df"))
+        val hot = rawC.groupBy("fp").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf).select("fp")
-        raw.join(broadcast(hot), Seq("fp"), "left_anti")
+        rawC.join(broadcast(hot), Seq("fp"), "left_anti")
       })
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

@@ -1680,28 +1680,31 @@ object PlatformQueries {
     * leak, a torn band/shingle cut, or a stale size row all shift a
     * jaccard value and fail the hash.
     */
-  /** Derive map appending a batch's LSH index relations — one
-    * [[graft.operators.TextDedup.lshIndexRelations]] call per BATCH
-    * (memoized on the batch instance), not per relation: the three
-    * members share the persisted shingle relation, so the batch is
-    * shingled once however many members the commit writes.
+  /** Commit one batch's LSH index relations as one atomic generation —
+    * one [[graft.operators.TextDedup.lshIndexRelations]] call per
+    * BATCH, not per relation (the three members share the persisted
+    * shingle relation, so the batch is shingled once however many
+    * members the commit writes). The per-batch shingle cache is
+    * RELEASED as soon as the commit's parquet writes materialize it
+    * ([[graft.operators.CacheScope.scoped]]): the earlier memoized
+    * form pinned one shingle cache + DataFrame per micro-batch for the
+    * life of the process — harmless in the bench (caches cleared
+    * between queries) but unbounded for the long-running streaming
+    * binding d57/w29 advertise (ADVICE r10).
     */
-  private def lshIndexDerive()
-      : Map[String, (Option[DataFrame], DataFrame) => DataFrame] = {
-    import graft.operators.TextDedup
-    val memo = new java.util.IdentityHashMap[DataFrame, Map[String, DataFrame]]()
-    def relsOf(b: DataFrame): Map[String, DataFrame] = memo.synchronized {
-      var r = memo.get(b)
-      if (r == null) { r = TextDedup.lshIndexRelations(b, "doc_id", "text"); memo.put(b, r) }
-      r
+  private def commitLshIndexBatch(cat: graft.sources.TableCatalog,
+      batch: DataFrame, batchId: Long): Long =
+    graft.operators.CacheScope.scoped { implicit cs =>
+      val rels =
+        graft.operators.TextDedup.lshIndexRelations(batch, "doc_id", "text")
+      val derive = Seq("bands", "shingles", "sizes").map { rel =>
+        rel -> ((prev: Option[DataFrame], _: DataFrame) => {
+          val r = rels(rel)
+          prev.map(_.unionByName(r)).getOrElse(r)
+        })
+      }.toMap
+      graft.streaming.CatalogSink.commitBatch(cat, batch, batchId, derive)
     }
-    Seq("bands", "shingles", "sizes").map { rel =>
-      rel -> ((prev: Option[DataFrame], b: DataFrame) => {
-        val r = relsOf(b)(rel)
-        prev.map(_.unionByName(r)).getOrElse(r)
-      })
-    }.toMap
-  }
 
   /** Shared d57/d58 lifecycle: build the LSH index over `documents`
     * in two exactly-once generations, tombstone `doc_id % 20 = 5`,
@@ -1718,13 +1721,11 @@ object PlatformQueries {
       .toFile.getAbsolutePath + "/cat"
     val cat = new TableCatalog(s, root)
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    val derive = lshIndexDerive()
     (0 until 2).foreach { i =>
-      CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 2 === i),
-        i.toLong, derive)
+      commitLshIndexBatch(cat, docs.filter(col("doc_id") % 2 === i), i.toLong)
     }
-    require(CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 2 === 1),
-      1L, derive) == -1L, "redelivered index batch was re-applied")
+    require(commitLshIndexBatch(cat, docs.filter(col("doc_id") % 2 === 1),
+      1L) == -1L, "redelivered index batch was re-applied")
     val deriveDel = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
       "tombstones" -> ((prev, b) => {
         val t = b.select(col("doc_id").as("id"))
@@ -1772,6 +1773,12 @@ object PlatformQueries {
       throw new IllegalStateException("empty index catalog"))
     val preBands = cat.read("bands").count()
     val tomb = broadcast(cat.read("tombstones"))
+    // the exact number of band rows the tombstones cover — the shrink
+    // assertion below compares against THIS, not `< preBands`, so a
+    // corpus where no tombstoned doc produced band rows (e.g. all
+    // <3-token texts) still validates instead of throwing a
+    // data-dependent require deep inside a bench query
+    val tombBands = cat.read("bands").join(tomb, Seq("id"), "left_semi").count()
     cat.transact(4L) { _ =>
       Map(
         "bands" -> cat.read("bands").join(tomb, Seq("id"), "left_anti"),
@@ -1781,8 +1788,8 @@ object PlatformQueries {
     }
     require(cat.read("tombstones").count() == 0,
       "compaction left live tombstones")
-    require(cat.read("bands").count() < preBands,
-      "compaction rewrote nothing")
+    require(cat.read("bands").count() == preBands - tombBands,
+      s"compaction reclaimed the wrong row count (expected $tombBands fewer)")
     require(cat.readAt(preGen, "bands").count() == preBands,
       "time travel lost the pre-compaction index")
     TextDedup.lshIndexLookup(qdocs, "doc_id", "text",
@@ -1873,7 +1880,6 @@ object PlatformQueries {
       d.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(lit("zz"), expr("substring(text, 3)")).as("text")))
-    val derive = lshIndexDerive()
     val admitted = batches.zipWithIndex.map { case (b, i) =>
       val adm =
         if (i == 0) b.persist()
@@ -1884,9 +1890,9 @@ object PlatformQueries {
           b.join(broadcast(rejected), Seq("doc_id"), "left_anti").persist()
         }
       adm.count() // pin the admission BEFORE the index advances
-      CatalogSink.commitBatch(cat, adm, i.toLong, derive)
+      commitLshIndexBatch(cat, adm, i.toLong)
       if (i == 1) // exactly-once: a redelivered micro-batch must no-op
-        require(CatalogSink.commitBatch(cat, adm, 1L, derive) == -1L,
+        require(commitLshIndexBatch(cat, adm, 1L) == -1L,
           "redelivered admission batch was re-applied")
       adm.select(col("doc_id"), lit(i + 1).as("batch_seq"))
     }

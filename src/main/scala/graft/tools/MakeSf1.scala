@@ -89,7 +89,22 @@ object MakeSf1 {
     // documents: per-copy Caesar rotation decorrelates BOTH word
     // shingles and char k-gram windows across copies (see header);
     // copy 0 is byte-identical to the source corpus and n_chars is
-    // preserved exactly (bijection on characters)
+    // preserved exactly (bijection on characters).
+    // Two preconditions guard the decorrelation itself (ADVICE r10):
+    // the rotation maps only a-z, so any digit/uppercase/punctuation
+    // would be invariant across copies and silently re-plant the
+    // cross-copy hot-fingerprint correlation this scheme fixes; and
+    // copy i uses rotation i % 26, so copies >= 26 would get the
+    // identity rotation and correlate with copy 0.
+    require(copies <= 26,
+      s"Caesar decorrelation supports at most 26 copies (got $copies): " +
+        "copy i rotates by i % 26, so copy 26 would repeat copy 0")
+    val nonLower = read("documents")
+      .filter(!col("text").rlike("^[a-z ]*$")).count()
+    require(nonLower == 0,
+      s"documents corpus must be pure lowercase+space for Caesar " +
+        s"decorrelation ($nonLower rows contain other characters — " +
+        "extend translate() to cover the full charset before rerunning)")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     shifted("documents", Seq("doc_id"), (df, i) =>
       if (i == 0) df
