@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Revisioned inverted-index relations — the storage half of the BM25
+  * build/serve split (t19 scan-time vs t23 index-served), extended so
+  * the index survives STREAMING maintenance: ingests, re-crawls that
+  * REPLACE a document's previous revision, and deletes, all without
+  * ever rewriting term-partitioned postings (a document touches as
+  * many term files as it has distinct tokens — the one rewrite an
+  * inverted index cannot afford; cf. the reference's retention
+  * DELETE-over-merge shape, handler.py:736-849, applied to postings).
+  *
+  * Every relation row carries the REVISION (the committing batch id):
+  *
+  *  - `postings` (doc_id, tok, tf, rev) — appended per batch
+  *  - `doclen`   (doc_id, dl, rev)      — appended per batch
+  *  - `tombstones` (doc_id, kill_below) — a replace/delete of doc D at
+  *    batch B appends (D, B): every index row of D with rev < B is
+  *    dead. A later re-ingest at rev > B revives the id (the recrawl
+  *    lifecycle), and MAX(kill_below) per doc is the serve-time mask.
+  *
+  * Deletion/replacement stays broadcast-sized (ids, not postings
+  * rows), so at 100 TB the serve-path anti-join never shuffles the
+  * index; BM25's df/Σdl/N statistics come out right for free because
+  * the scoring tail derives all three from the relations it is fed.
+  */
+object InvertedIndex {
+
+  /** One ingest batch's index relations: `postings` (doc_id, tok, tf,
+    * rev) and `doclen` (doc_id, dl, rev). The term-frequency aggregate
+    * is persisted under the [[CacheScope]] — `doclen` folds it
+    * (dl = Σ tf over the doc's terms), so the batch is tokenized
+    * exactly once however many members the caller's commit writes.
+    */
+  def postingsRelations(batch: DataFrame, idCol: String, textCol: String,
+      rev: Long)(implicit cs: CacheScope): Map[String, DataFrame] = {
+    val tf = cs.persist(
+      batch.select(col(idCol).as("doc_id"),
+          explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+    Map(
+      "postings" -> tf.withColumn("rev", lit(rev)),
+      "doclen" -> tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .withColumn("rev", lit(rev)))
+  }
+
+  /** The live view of a revisioned relation under its tombstones:
+    * drop every row whose `rev` is below its doc's kill floor
+    * (MAX(kill_below) per doc — a doc deleted at batch 3 and
+    * re-ingested at batch 5 serves its rev-5 rows). The tombstone
+    * side is ids, never postings rows, so the mask is an explicit
+    * broadcast anti-join — the index is scanned, never shuffled, for
+    * a maintenance event (PlanSpec-guarded).
+    */
+  def liveView(rel: DataFrame, tombstones: DataFrame): DataFrame = {
+    val kill = tombstones.groupBy(col("doc_id"))
+      .agg(max(col("kill_below")).as("__kill"))
+    rel.as("__r").join(broadcast(kill).as("__k"),
+      col("__r.doc_id") === col("__k.doc_id") &&
+        col("__r.rev") < col("__k.__kill"),
+      "left_anti")
+  }
+}

@@ -398,6 +398,64 @@ object EngineQueries {
     bm25Tail(livePostings.filter(col("tok").isin(Bm25Terms: _*)), liveDl)
   }
 
+  // ───────────────────────────── w30: streaming postings maintenance
+
+  /** The t23/t27 postings index under CONTINUOUS maintenance — the
+    * retrieval-serving story's last open edge (the LSH dedup index got
+    * its streaming sink as w29): a stream of document micro-batches
+    * keeps the inverted index current through ingests, a RECRAWL that
+    * replaces documents' previous revisions, and deletes, each batch
+    * ONE atomic exactly-once generation
+    * ([[graft.streaming.PostingsIndex.commitBatch]] — postings/doclen
+    * appends and the replaced/deleted ids' tombstones land together;
+    * torn, a recrawled doc would score twice or a deleted one at all).
+    * Revisions make replacement append-only: index rows carry the
+    * committing batch id, tombstones carry (doc_id, kill_below), and
+    * the serve mask is rev < MAX(kill_below) — so the recrawl never
+    * rewrites a term file, and a post-delete re-ingest would revive
+    * the id naturally. Serving stays index-only ([[graft.streaming
+    * .PostingsIndex.live]]: stored relations + broadcast tombstone
+    * anti-joins — raw text never read at query time, the index never
+    * shuffled for a maintenance event, PlanSpec-guarded). df/Σdl/N
+    * follow every replace/delete for free because [[bm25Tail]]
+    * derives them from the relations it is fed. Oracle = t19's replay
+    * on the stream's FINAL surviving corpus (recrawled texts, deleted
+    * docs gone): a stale revision still scoring, a lost new posting,
+    * or a leaked deleted doc all shift the ranking and fail the hash
+    * — the recrawl prepends two QUERY TERMS ("vector stream ") so
+    * replaced revisions move the top-20 by construction.
+    */
+  val w30_streaming_postings: Q = (s, dir) => {
+    import graft.streaming.PostingsIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25stream")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val none = docs.limit(0)
+    // batches 0-1: fresh ingest by parity
+    (0 until 2).foreach { i =>
+      PostingsIndex.commitBatch(cat, docs.filter(col("doc_id") % 2 === i),
+        none, i.toLong)
+    }
+    require(PostingsIndex.commitBatch(cat,
+      docs.filter(col("doc_id") % 2 === 1), none, 1L) == -1L,
+      "redelivered ingest batch was re-applied")
+    // batch 2: recrawl — new text REPLACES the docs' rev-0/1 postings
+    val recrawl = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(lit("vector stream "), col("text")))
+    PostingsIndex.commitBatch(cat, recrawl, none, 2L, replace = true)
+    // batch 3: right-to-be-forgotten deletes (ids only)
+    val dels = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+    PostingsIndex.commitBatch(cat, none, dels, 3L)
+    require(PostingsIndex.commitBatch(cat, none, dels, 3L) == -1L,
+      "redelivered delete batch was re-applied")
+    require(cat.loggedGenerations().size == 4,
+      s"expected 4 generations, got ${cat.loggedGenerations().size}")
+    // ── serve: stored relations only, text never touched ──
+    val (tf, dl) = PostingsIndex.live(cat)
+    bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
+  }
+
   // ───────────────────────────── v20: cross-table atomic snapshot
 
   /** Cross-table snapshot consistency ([[TableCatalog]]): generation
@@ -931,6 +989,7 @@ object EngineQueries {
     "t19_bm25_topk" -> t19_bm25_topk,
     "t23_bm25_index_serve" -> t23_bm25_index_serve,
     "t27_bm25_index_delete" -> t27_bm25_index_delete,
+    "w30_streaming_postings" -> w30_streaming_postings,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -953,5 +1012,13 @@ object EngineQueries {
     "t23_bm25_index_serve" -> t19_sql,
     "t27_bm25_index_delete" ->
       bm25OracleSql("(SELECT * FROM documents WHERE doc_id % 5 <> 0)"),
+    // the stream's final surviving corpus: deletes out, recrawled
+    // texts (two prepended query terms) in — index-serving under
+    // maintenance must reproduce the scan-time ranking bit-identically
+    "w30_streaming_postings" -> bm25OracleSql(
+      """(SELECT doc_id,
+        |        CASE WHEN doc_id % 10 = 3
+        |             THEN 'vector stream ' || text ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0)""".stripMargin),
     "v20_catalog_snapshot" -> v20_sql)
 }

@@ -366,6 +366,35 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("postings live view: tombstone mask broadcasts; serve plan never tokenizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val rels = operators.CacheScope.scoped { implicit cs =>
+      val r = operators.InvertedIndex.postingsRelations(corpus, "doc_id", "text", 0L)
+      r.map { case (k, v) => k -> v.localCheckpoint() }
+    }
+    val tomb = Seq((3L, 1L), (7L, 2L)).toDF("doc_id", "kill_below")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planString(
+        operators.InvertedIndex.liveView(rels("postings"), tomb))
+      // a replace/delete ships ids, never postings rows: the mask must
+      // be a broadcast LeftAnti even with auto-broadcast off — the
+      // corpus-sized index is scanned, never shuffled, for maintenance
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        "tombstone mask must broadcast:\n" + plan.take(3000))
+      assert(!plan.contains("SortMergeJoin"),
+        "the index must never shuffle for its tombstone mask:\n" + plan.take(3000))
+      // serving is index-only: stored relations feed scoring directly,
+      // so the serve plan contains no tokenizer (Generate/explode) —
+      // raw document text is never touched at query time
+      assert(!plan.contains("Generate"),
+        "serve path must not re-tokenize:\n" + plan.take(3000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("line dedup reassembles inside the aggregate (no window, no row_number)") {
     import spark.implicits._
     val corpus = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")

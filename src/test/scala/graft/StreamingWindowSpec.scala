@@ -447,6 +447,69 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(cat.loggedGenerations().size == 3, "one generation per micro-batch")
   }
 
+  test("postings index under foreachBatch: live view equals the surviving corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // w30's maintenance lifecycle driven through a REAL stream:
+    //  b0: ingest docs 1-4
+    //  b1: mixed micro-batch — fresh doc 5, RECRAWL of doc 2 (new
+    //      text replaces rev 0), DELETE of doc 3 — one atomic commit
+    //  b2: re-ingest doc 3 (revives the deleted id at a newer rev)
+    val b0 = Seq(
+      (1L, "alpha beta gamma", "I"),
+      (2L, "beta beta delta", "I"),
+      (3L, "gamma delta", "I"),
+      (4L, "alpha alpha alpha epsilon", "I"))
+    val b1 = Seq(
+      (5L, "epsilon zeta", "I"),
+      (2L, "eta eta theta beta", "R"),
+      (3L, "", "D"))
+    val b2 = Seq((3L, "iota kappa kappa", "I"))
+    val root = java.nio.file.Files.createTempDirectory("graft-poststream")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(spark, root)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "text", "op")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pinned = df.localCheckpoint()
+        graft.streaming.PostingsIndex.commitBatch(cat,
+          upserts = pinned.filter(col("op") =!= "D").drop("op"),
+          deletes = pinned.filter(col("op") === "D").select("doc_id"),
+          batchId = id,
+          replace = true)
+        ()
+      }
+      .start()
+    Seq(b0, b1, b2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(cat.loggedGenerations().size == 3, "one generation per micro-batch")
+    // a redelivered micro-batch must no-op against the ledger
+    assert(graft.streaming.PostingsIndex.commitBatch(cat,
+      b2.toDF("doc_id", "text", "op").drop("op"),
+      spark.emptyDataset[Long].toDF("doc_id"), 2L, replace = true) == -1L)
+    // final corpus after replay: 1, 2 (recrawled), 4, 5, 3 (revived)
+    val corpus = Seq(
+      1L -> "alpha beta gamma", 2L -> "eta eta theta beta",
+      4L -> "alpha alpha alpha epsilon", 5L -> "epsilon zeta",
+      3L -> "iota kappa kappa").toDF("doc_id", "text")
+    val expectedTf = corpus.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val (livePost, liveDl) = graft.streaming.PostingsIndex.live(cat)
+    val gotTf = livePost.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tok"),
+        r.getAs[Long]("tf"))).toSet
+    assert(gotTf == expectedTf,
+      s"live postings diverged: extra=${gotTf -- expectedTf} missing=${expectedTf -- gotTf}")
+    val gotDl = liveDl.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"))).toSet
+    assert(gotDl == Set(1L -> 3L, 2L -> 4L, 4L -> 4L, 5L -> 2L, 3L -> 3L),
+      s"live doclen diverged: $gotDl")
+  }
+
   test("watermarked dedup: dropDuplicatesWithinWatermark equals the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
