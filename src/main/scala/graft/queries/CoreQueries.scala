@@ -403,8 +403,12 @@ object CoreQueries {
       .unionAll(branch(m === 2, k, st, p, "D", "2030-01-01 00:00:00", 2))
       .unionAll(branch(m === 3, k, st, p + 111.0, "U", "2030-01-01 00:00:00", 1))
       .unionAll(branch(m === 3, k, st, p + 222.0, "U", "2030-01-01 00:00:00", 2))
-      .unionAll(branch(m === 4, k + 100000000L, lit("N"), p, "I", "2030-01-01 00:00:00", 1))
-      .unionAll(branch(m === 5, k + 200000000L, lit("X"), p, "D", "2030-01-01 00:00:00", 1))
+      // insert/delete keys sit in the BILLIONS so they stay disjoint
+      // from any generated keyspace: MakeSf1's copy shift is 10⁷ per
+      // copy (≤ 2.6·10⁸ at its 26-copy cap), and a colliding "fresh"
+      // key silently flips an insert into an update at bigger SFs
+      .unionAll(branch(m === 4, k + 4000000000L, lit("N"), p, "I", "2030-01-01 00:00:00", 1))
+      .unionAll(branch(m === 5, k + 5000000000L, lit("X"), p, "D", "2030-01-01 00:00:00", 1))
   }
 
   /** The flagship: stage → dedup (cascade) → MERGE (update/delete/insert),
@@ -450,11 +454,11 @@ object CoreQueries {
       |         'U', TIMESTAMP '2030-01-01 00:00:00', 2
       |  FROM orders WHERE o_orderkey % 10 = 3
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority,
+      |  SELECT o_orderkey + 4000000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority,
       |         'I', TIMESTAMP '2030-01-01 00:00:00', 1
       |  FROM orders WHERE o_orderkey % 10 = 4
       |  UNION ALL
-      |  SELECT o_orderkey + 200000000, o_custkey, 'X', o_totalprice, o_orderdate, o_orderpriority,
+      |  SELECT o_orderkey + 5000000000, o_custkey, 'X', o_totalprice, o_orderdate, o_orderpriority,
       |         'D', TIMESTAMP '2030-01-01 00:00:00', 1
       |  FROM orders WHERE o_orderkey % 10 = 5
       |)""".stripMargin

@@ -636,7 +636,7 @@ object EngineQueries {
       .withColumn("cents", col("cents") + 1000L)
       .withColumn(st.OpCol, lit("U")), 3000L)
     st.commitDelta(base.filter(col("k") % 11 === 0)
-      .select((col("k") + 10000000L).as("k"), lit("O").as("st"),
+      .select((col("k") + 1000000000L).as("k"), lit("O").as("st"),
         lit(12345L).as("cents"))
       .withColumn(st.OpCol, lit("U")), 4000L)
     st.compact(5000L)
@@ -656,7 +656,7 @@ object EngineQueries {
       |         CASE WHEN k % 5 = 0 THEN cents + 1000 ELSE cents END AS cents
       |  FROM base WHERE (k % 5 = 0) OR (k % 7 <> 0)
       |  UNION ALL
-      |  SELECT k + 10000000, 'O', 12345 FROM base WHERE k % 11 = 0
+      |  SELECT k + 1000000000, 'O', 12345 FROM base WHERE k % 11 = 0
       |)
       |SELECT st, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM final

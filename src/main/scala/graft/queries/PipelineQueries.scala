@@ -25,11 +25,13 @@ object PipelineQueries {
     * built once per (dir) and reused — exactly like the driver-generated
     * parquet tables themselves. The store, ledger and merge state stay
     * per-run fresh (a rerun on the same store would ledger-skip).
-    * `-v1` versions the generator; bump if syntheticOrdersCdc changes.
+    * `-v2` versions the generator; bump if syntheticOrdersCdc changes
+    * (v2: insert/delete key offsets moved to the billions so they stay
+    * disjoint from MakeSf1's copy-shifted keyspace).
     */
   private def batchFixture(s: SparkSession, dir: String): java.io.File = {
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft-q18-fixture-v1-${math.abs(dir.hashCode)}")
+      s"${System.getProperty("java.io.tmpdir")}/graft-q18-fixture-v2-${math.abs(dir.hashCode)}")
     val fileKey = new java.io.File(s"$root/fair/orders/2030/01/01/batch-001.parquet")
     if (fileKey.isFile) return fileKey
     // ONE real parquet file, rows totally ordered (o_orderkey, seq) so

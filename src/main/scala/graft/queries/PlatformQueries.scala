@@ -1280,7 +1280,7 @@ object PlatformQueries {
       .withColumn(st.OpCol, lit("U")), 3000L)
     st.compact(4000L)
     st.commitDelta(base.filter(col("k") % 13 === 0)
-      .select((col("k") + 20000000L).as("k"), lit("N").as("st"),
+      .select((col("k") + 2000000000L).as("k"), lit("N").as("st"),
         lit(777L).as("cents"))
       .withColumn(st.OpCol, lit("U")), 5000L)
     val head = st.generations().last._1
@@ -1318,7 +1318,7 @@ object PlatformQueries {
       |         CASE WHEN k % 4 = 0 THEN cents + 500 ELSE cents END AS cents
       |  FROM base WHERE (k % 4 = 0) OR (k % 3 <> 1)
       |  UNION ALL
-      |  SELECT k + 20000000, 'N', 777 FROM base WHERE k % 13 = 0
+      |  SELECT k + 2000000000, 'N', 777 FROM base WHERE k % 13 = 0
       |)
       |SELECT st, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM final
@@ -2317,7 +2317,7 @@ object PlatformQueries {
       when(col("k") % 9 === 0, col("cents") + 250L).otherwise(col("cents")))
     val v2 = v1.filter(!(col("st") === "F" && col("k") % 6 === 0))
       .unionByName(orders.filter(col("k") % 17 === 0)
-        .select((col("k") + 30000000L).as("k"), lit("R").as("st"),
+        .select((col("k") + 3000000000L).as("k"), lit("R").as("st"),
           lit(999L).as("cents")))
     Seq(v0, v1, v2).zipWithIndex.foreach { case (v, i) =>
       src.commit(v, commitTsMillis = (i + 1) * 1000L) }
@@ -2348,7 +2348,7 @@ object PlatformQueries {
       |), final AS (
       |  SELECT * FROM bumped WHERE NOT (st = 'F' AND k % 6 = 0)
       |  UNION ALL
-      |  SELECT k + 30000000, 'R', 999 FROM base WHERE k % 17 = 0
+      |  SELECT k + 3000000000, 'R', 999 FROM base WHERE k % 17 = 0
       |)
       |SELECT st, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM final

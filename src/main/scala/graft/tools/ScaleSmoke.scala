@@ -62,7 +62,105 @@ object ScaleSmoke {
     if (mode == "mergeplan") mergePlanSmoke(spark, "/root/testdata/sf0.1")
     if (mode == "lshserve") lshServeSmoke(spark, Seq(10000L, 100000L))
     if (mode == "lshserve100") lshServeSmoke(spark, Seq(1000000L)) // opt-in: minutes
+    if (mode == "tombcurve") tombCurveSmoke(spark, 100000L)
     spark.stop()
+  }
+
+  /** Serve-cost-vs-tombstone-fraction curve — the measurement behind
+    * [[graft.streaming.IndexMaintenance.DefaultThreshold]]. Over a
+    * 100k-doc clustered corpus: build each index once, then at dead
+    * fractions f ∈ {0, 0.1, 0.2, 0.3, 0.5} time the MASKED serve (LSH:
+    * the 400-query d57 lookup; postings: a 6-term scoring aggregate
+    * over the live relations), and at the end time the compaction
+    * transact plus the post-compaction serve. The threshold trade: the
+    * masked serve pays the dead fraction on EVERY lookup, compaction
+    * pays one member-relation rewrite once. Numbers land in
+    * COVERAGE.md.
+    */
+  private def tombCurveSmoke(spark: SparkSession, n: Long): Unit = {
+    import graft.operators.TextDedup
+    import graft.streaming.{IndexMaintenance, PostingsIndex}
+    def clustered(m: Long) = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_$j"))), 1, 7))
+      spark.range(m).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    val corpus = clustered(n).repartition(32).persist()
+    corpus.count()
+    val fracs = Seq(0.0, 0.1, 0.2, 0.3, 0.5)
+    // ── LSH dedup index ──
+    val near = corpus.filter(col("doc_id") % 500 === 0).limit(200)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val queries = near.repartition(8).persist()
+    queries.count()
+    val lshRoot = Files.createTempDirectory("tombcurve-lsh").toString + "/cat"
+    val lshCat = new graft.sources.TableCatalog(spark, lshRoot)
+    time(s"lsh index build, $n docs") {
+      lshCat.commitAll(TextDedup.lshIndexRelations(corpus, "doc_id", "text"), 0L)
+    }
+    // warm-up lookup (codegen + file listing): the curve measures the
+    // MASK's marginal cost, not first-run constants
+    TextDedup.lshIndexLookup(queries, "doc_id", "text", lshCat.read("bands"),
+      lshCat.read("shingles"), lshCat.read("sizes")).count()
+    fracs.zipWithIndex.foreach { case (f, i) =>
+      lshCat.commitAll(Map("tombstones" ->
+        corpus.filter(pmod(col("doc_id"), lit(1000)) < (f * 1000).toLong)
+          .select(col("doc_id").as("id"))), (i + 1).toLong)
+      time(f"lsh masked lookup, dead=$f%.1f") {
+        val tomb = broadcast(lshCat.read("tombstones"))
+        def live(r: String) = lshCat.read(r).join(tomb, Seq("id"), "left_anti")
+        println(s"[scale]   matches: " + TextDedup.lshIndexLookup(
+          queries, "doc_id", "text",
+          live("bands"), live("shingles"), live("sizes")).count())
+      }
+    }
+    time("lsh compaction transact (dead=0.5)") {
+      require(IndexMaintenance.compactLshIfNeeded(lshCat, 99L).nonEmpty)
+    }
+    time("lsh lookup post-compaction") {
+      println(s"[scale]   matches: " + TextDedup.lshIndexLookup(
+        queries, "doc_id", "text", lshCat.read("bands"),
+        lshCat.read("shingles"), lshCat.read("sizes")).count())
+    }
+    // ── BM25 postings index ──
+    val postRoot = Files.createTempDirectory("tombcurve-post").toString + "/cat"
+    val postCat = new graft.sources.TableCatalog(spark, postRoot)
+    val none = corpus.limit(0)
+    time(s"postings index build, $n docs") {
+      PostingsIndex.commitBatch(postCat, corpus, none, 0L)
+    }
+    // probe terms from the LAST cluster (ids n-10..n-1, pmod 990-999):
+    // never tombstoned by any fraction step, so every serve scores the
+    // same 10 docs and the timings compare like for like
+    val terms = corpus.filter(col("doc_id") === (n - 1))
+      .select(explode(split(col("text"), " ")))
+      .collect().map(_.getString(0)).take(6)
+    def serveOnce(): Long = {
+      val (tf, dl) = PostingsIndex.live(postCat)
+      tf.filter(col("tok").isin(terms.toSeq: _*))
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("s"))
+        .join(dl, "doc_id")
+        .agg(count(lit(1)), sum(expr("s * dl"))).collect()(0).getLong(0)
+    }
+    serveOnce() // warm-up
+    fracs.zipWithIndex.foreach { case (f, i) =>
+      if (f > 0) PostingsIndex.commitBatch(postCat, none,
+        corpus.filter(pmod(col("doc_id"), lit(1000)) < (f * 1000).toLong)
+          .select("doc_id"), (i + 1).toLong)
+      time(f"postings masked serve, dead=$f%.1f") {
+        println(s"[scale]   scored docs: ${serveOnce()}")
+      }
+    }
+    time("postings compaction transact (dead=0.5)") {
+      require(IndexMaintenance.compactPostingsIfNeeded(postCat, 99L).nonEmpty)
+    }
+    time("postings serve post-compaction") {
+      println(s"[scale]   scored docs: ${serveOnce()}")
+    }
+    queries.unpersist(); corpus.unpersist()
   }
 
   /** Persisted-LSH-index serve growth: a FIXED 400-doc query batch
