@@ -132,6 +132,49 @@ object MergePlanner {
     * so the contract holds trivially; this dispatcher is for the
     * scatter-heavy tables that need both cost models.
     */
+  /** The resolved current view of a CoW home with an undrained MoR
+    * side: net side ops applied on top (deletes drop, upserts replace;
+    * upsert rows are projected to the home schema — scatter batches
+    * may carry staging metadata the home's merge intersection would
+    * have dropped, and may lack columns a later evolution added).
+    */
+  def resolvedView(cow: BucketedTableStore, morSide: MorStore): DataFrame = {
+    val home = cow.read()
+    if (morSide.isEmpty) home
+    else {
+      val net = morSide.netChanges()
+      val upserts = net.filter(col(morSide.OpCol) === "U")
+      val aligned = upserts.select(home.columns.toSeq.map(c =>
+        if (upserts.columns.contains(c)) col(c)
+        else lit(null).cast(home.schema(c).dataType).as(c)): _*)
+      home.join(net.select(cow.keys.map(col): _*), cow.keys, "left_anti")
+        .unionByName(aligned)
+    }
+  }
+
+  /** Normalize a CDC batch into a MoR delta that reproduces the CoW
+    * merge EXACTLY: the merge's WHEN-NOT-MATCHED insert applies to
+    * every staging row — including deletes — so a D on a key ABSENT
+    * from the current resolved state must land as an INSERT of the
+    * staged row (the reference's unmatched-delete behavior,
+    * handler.py:876-946), while a D on a present key deletes it. The
+    * presence probe broadcasts the batch's keys into ONE column-pruned
+    * scan of home ∪ side — still O(scan) cheaper than the
+    * whole-table rewrite the delta route avoided.
+    */
+  private[graft] def normalizeDelta(cow: BucketedTableStore, morSide: MorStore,
+      staging: DataFrame, opCol: String): DataFrame = {
+    val keys = cow.keys
+    val present = resolvedView(cow, morSide).select(keys.map(col): _*)
+      .join(broadcast(staging.select(keys.map(col): _*)), keys, "left_semi")
+      .withColumn("__present", lit(true))
+    staging.join(broadcast(present), keys, "left")
+      .withColumn(morSide.OpCol,
+        when(col(opCol) === "D" && col("__present"), lit("D"))
+          .otherwise(lit("U")))
+      .drop("__present", opCol)
+  }
+
   def mergeAdaptive(
       cow: BucketedTableStore, morSide: MorStore, staging: DataFrame,
       opCol: String = "__op",
@@ -140,7 +183,7 @@ object MergePlanner {
     val chosen = choose(p, cow.numBuckets, th)
     chosen match {
       case MorDelta =>
-        val delta = staging.withColumnRenamed(opCol, morSide.OpCol)
+        val delta = normalizeDelta(cow, morSide, staging, opCol)
         if (morSide.isEmpty) {
           // bootstrap: the MoR side-table's base is the EMPTY relation
           // with the row schema (all live data is in the CoW home);
@@ -151,9 +194,9 @@ object MergePlanner {
           morSide.commitBase(staging.sparkSession.createDataFrame(
             staging.sparkSession.sparkContext
               .emptyRDD[org.apache.spark.sql.Row], rowSchema),
-            System.nanoTime() / 1000000L)
+            freshTs(morSide))
         }
-        morSide.commitDelta(delta, System.nanoTime() / 1000000L)
+        morSide.commitDelta(delta, freshTs(morSide))
       case _ =>
         // both CoW flavors route through the store's bucket-pruned
         // rewrite; the broadcast hint follows the decision
@@ -161,5 +204,45 @@ object MergePlanner {
           broadcastStaging = chosen == BroadcastCow)
     }
     chosen
+  }
+
+  /** Fold the MoR side-table's accumulated scatter back into the CoW
+    * home and reset it — the drain the [[mergeAdaptive]] ordering
+    * contract requires before a CoW merge of overlapping keys. ONE
+    * bucket-pruned rewrite applies the NET per-key change
+    * ([[graft.sources.MorStore.netChanges]] — latest op wins, deletes
+    * included), so N scattered MorDelta batches cost one amortized
+    * rewrite instead of N; the broadcast hint follows the net batch's
+    * size through the same threshold the per-batch routing uses.
+    * Returns touched bucket count (0 when the side was already empty).
+    *
+    * The reset commits an empty BASE generation, so a crash between
+    * the merge and the reset replays the net changes — idempotent,
+    * because the net batch is last-write-wins against rows it already
+    * wrote.
+    */
+  def drain(cow: BucketedTableStore, morSide: MorStore,
+      th: Thresholds = Thresholds()): Int =
+    if (morSide.isEmpty) 0
+    else {
+      val net = morSide.netChanges()
+      val rows = net.count()
+      val touched = cow.merge(net.drop(morSide.SeqCol),
+        deleteCol = morSide.OpCol, deleteVals = Seq("D"),
+        broadcastStaging = rows <= th.broadcastMaxRows)
+      morSide.commitBase(net.filter(lit(false)).drop(
+        morSide.OpCol, morSide.SeqCol), freshTs(morSide))
+      touched
+    }
+
+  /** A commit ts the store has not logged. MoR commits are idempotent
+    * BY TS, so a base bootstrap and its first delta (or two batches)
+    * landing in the same wall millisecond would silently swallow the
+    * second commit — probe the logged set and step past collisions.
+    */
+  private def freshTs(st: MorStore): Long = {
+    var t = System.nanoTime() / 1000000L
+    while (st.tsCommitted(t)) t += 1L
+    t
   }
 }

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.TableKeys
-import graft.operators.{CdcDedup, CdcMerge, EvolutionLog, FileLedger, SchemaEvolution}
+import graft.operators.{CdcDedup, CdcMerge, EvolutionLog, FileLedger, MergePlanner, SchemaEvolution}
 import graft.routing.CdcPath
-import graft.sources.BucketedTableStore
+import graft.sources.{BucketedTableStore, MorStore}
 
 /** Batch CDC pipeline: one file (or micro-batch of files) applied to one
   * target table — the reference's `lambda_handler` re-expressed
@@ -19,6 +19,19 @@ import graft.sources.BucketedTableStore
   * into lazy DataFrames; the MVCC retry loop collapses into deterministic
   * single-writer semantics per table; exactly-once comes from the ledger +
   * idempotent merge instead of engine MVCC.
+  *
+  * MERGE strategy is per-batch ADAPTIVE by default ([[MergePlanner]]):
+  * the typical small concentrated CDC file takes the bucket-pruned
+  * broadcast CoW rewrite exactly as before, but a batch that SCATTERS
+  * across most buckets commits as an O(batch) MoR delta to the table's
+  * side-store instead of rewriting the table to change a sliver. The
+  * side-store drains back into the CoW home (one amortized rewrite of
+  * the NET changes, [[MergePlanner.drain]]) before any later CoW-routed
+  * batch of the same table — preserving per-key apply order — so CoW
+  * buckets never interleave with undrained scatter. Readers use
+  * [[readTable]], which resolves home ∪ side; `adaptiveMerge = false`
+  * restores the static always-CoW path (then `storeFor(...).read()`
+  * alone is complete).
   */
 final class CdcPipeline(
     spark: SparkSession,
@@ -30,13 +43,49 @@ final class CdcPipeline(
     pathRoot: String = "fair",
     cleanupProbability: Double = 0.0,
     cleanupRetentionDays: Int = 30,
-    cleanupRng: () => Double = () => math.random()) {
+    cleanupRng: () => Double = () => math.random(),
+    adaptiveMerge: Boolean = true) {
 
   val ledger = new FileLedger(spark, s"$storeRoot/_ledger")
   val evolutionLog = new EvolutionLog(spark, s"$storeRoot/_evolution_log")
 
+  /** Commit-ts allocator for the MoR side-stores. MoR commits are
+    * idempotent BY TS (a replayed commitTsMillis no-ops), so two
+    * commits in the same wall millisecond — base bootstrap + first
+    * delta, or two small files applied back-to-back — would silently
+    * swallow the second. Allocate strictly increasing values and skip
+    * any ts the store already logged (restart with an existing side).
+    */
+  private val lastSideTs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def freshSideTs(side: MorStore): Long = {
+    var t = math.max(System.currentTimeMillis(), lastSideTs.get() + 1L)
+    while (side.tsCommitted(t)) t += 1L
+    lastSideTs.set(t)
+    t
+  }
+
   def storeFor(table: String, keys: Seq[String]): BucketedTableStore =
     new BucketedTableStore(spark, s"$storeRoot/$table", keys, numBuckets)
+
+  /** The table's MoR side-store accumulating scatter-routed batches
+    * until a drain folds them home (kept OUTSIDE the CoW store's
+    * directory — the bucketed layout owns that namespace).
+    */
+  def morSideFor(table: String, keys: Seq[String]): MorStore =
+    new MorStore(spark, s"$storeRoot/_morside/$table", keys)
+
+  /** The table's complete current state: the CoW home with any
+    * undrained side-store scatter resolved on top (net per-key ops —
+    * deletes drop, upserts replace). With an empty side this is
+    * exactly `storeFor(...).read()`.
+    */
+  def readTable(table: String): DataFrame = {
+    val keys = tableKeys.keysFor(table)
+      .getOrElse(throw new IllegalArgumentException(s"no keys for $table"))
+    val store = storeFor(table, keys)
+    if (!adaptiveMerge) store.read()
+    else MergePlanner.resolvedView(store, morSideFor(table, keys))
+  }
 
   import CdcPipeline._
 
@@ -95,9 +144,44 @@ final class CdcPipeline(
       // STEP 3: dedup via the cascade (handler.py:407-479)
       val dedup = CdcDedup.dedup(staging, keys, gate = true)
 
-      // STEP 4+5: column prep + MERGE (handler.py:876-946) inside the
-      // bucketed store — rewrites only affected buckets.
-      val touched = store.merge(dedup, deleteCol, deleteVals)
+      // STEP 4+5: column prep + MERGE (handler.py:876-946). The
+      // physical strategy is per-batch adaptive: probe the batch (one
+      // map-side-combined aggregation — rows + approx buckets
+      // touched), route concentrated batches through the bucket-pruned
+      // CoW rewrite and scattered ones to the MoR side-store as an
+      // O(batch) delta; any CoW-routed batch drains accumulated
+      // scatter first so per-key apply order holds.
+      val touched =
+        if (!adaptiveMerge) store.merge(dedup, deleteCol, deleteVals)
+        else {
+          val side = morSideFor(table, keys)
+          val p = MergePlanner.probe(dedup, keys, numBuckets)
+          MergePlanner.choose(p, numBuckets) match {
+            case MergePlanner.MorDelta =>
+              // normalizeDelta reproduces the CoW merge's semantics
+              // exactly — including the WHEN-NOT-MATCHED insert of
+              // unmatched DELETE rows (handler.py:876-946)
+              val premapped = dedup.withColumn("__cdc_op",
+                when(col(deleteCol).isin(deleteVals.map(lit): _*), lit("D"))
+                  .otherwise(lit("U")))
+                .drop(deleteCol)
+              val delta = MergePlanner.normalizeDelta(
+                store, side, premapped, "__cdc_op")
+              if (side.isEmpty) {
+                val rowSchema = org.apache.spark.sql.types.StructType(
+                  delta.schema.filterNot(_.name == side.OpCol))
+                side.commitBase(spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  rowSchema), freshSideTs(side))
+              }
+              side.commitDelta(delta, freshSideTs(side))
+              0
+            case chosen =>
+              MergePlanner.drain(store, side)
+              store.merge(dedup, deleteCol, deleteVals,
+                broadcastStaging = chosen == MergePlanner.BroadcastCow)
+          }
+        }
 
       // STEP 7: ledger (handler.py:962-967)
       ledger.markCompleted(CdcPath.ledgerKey(fileKey))

@@ -13,8 +13,8 @@ import graft.operators.{ConnectedComponents, Decontaminate, IncrementalDedup, Mu
   *
   * The documents/embeddings testdata has no organic duplicates, so dedup
   * queries run over a *planted* corpus: the original table unioned with
-  * deterministic exact-dup copies (+100000 ids) and near-dup copies
-  * (+200000 ids, slightly perturbed) — both expressible identically in
+  * deterministic exact-dup copies (+1000000000 ids) and near-dup copies
+  * (+2000000000 ids, slightly perturbed) — both expressible identically in
   * the DuckDB oracle.
   *
   * Determinism: no raw floating-point aggregate ever reaches a hashed
@@ -28,17 +28,17 @@ object DataPipelineQueries {
 
   // ── shared planted corpora ──────────────────────────────────────────
 
-  /** documents ∪ exact copies (ids %10=0 → +100000) ∪ near-dup copies
-    * (ids %10=5 → +200000, first two chars replaced).
+  /** documents ∪ exact copies (ids %10=0 → +1000000000) ∪ near-dup copies
+    * (ids %10=5 → +2000000000, first two chars replaced).
     */
   def dupDocCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionAll(
         d.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
       .unionAll(
         d.filter(col("doc_id") % 10 === 5)
-          .select((col("doc_id") + 200000L).as("doc_id"),
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
             concat(lit("zz"), expr("substring(text, 3)")).as("text")))
       // the documents parquet is a single small file → 1-3 input
       // partitions; spread the (expression-heavy) shingling across cores.
@@ -51,23 +51,23 @@ object DataPipelineQueries {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
+      |  SELECT doc_id + 2000000000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
       |)""".stripMargin
 
-  /** embeddings (as DOUBLE[]) ∪ exact copies (%10=5 → +200000) ∪ near-dup
-    * copies (%10=0 → +100000, first component +0.5).
+  /** embeddings (as DOUBLE[]) ∪ exact copies (%10=5 → +2000000000) ∪ near-dup
+    * copies (%10=0 → +1000000000, first component +0.5).
     */
   def dupVecCorpus(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("vec"))
     e.unionAll(
         e.filter(col("vec_id") % 10 === 5)
-          .select((col("vec_id") + 200000L).as("vec_id"), col("vec")))
+          .select((col("vec_id") + 2000000000L).as("vec_id"), col("vec")))
       .unionAll(
         e.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000L).as("vec_id"),
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
             concat(array(element_at(col("vec"), 1) + 0.5),
               slice(col("vec"), 2, 10000)).as("vec")))
   }
@@ -76,9 +76,9 @@ object DataPipelineQueries {
     """vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 200000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 5
+      |  SELECT vec_id + 2000000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 5
       |  UNION ALL
-      |  SELECT vec_id + 100000,
+      |  SELECT vec_id + 1000000000,
       |         list_concat([CAST(embedding[1] AS DOUBLE) + 0.5], CAST(embedding[2:] AS DOUBLE[]))
       |  FROM embeddings WHERE vec_id % 10 = 0
       |)""".stripMargin
@@ -1298,9 +1298,9 @@ object DataPipelineQueries {
   val d09_incremental_dedup: Q = (s, dir) => {
     val store = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val batch = store.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .unionAll(store.filter(col("doc_id") % 10 === 5)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(lit("zz"), expr("substring(text, 3)")).as("text")))
       .repartition(s.sparkContext.defaultParallelism)
     val storeIndex = IncrementalDedup.bandIndex(
@@ -1311,9 +1311,9 @@ object DataPipelineQueries {
 
   val d09_sql: String =
     s"""WITH batch AS (
-       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT doc_id + 200000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
+       |  SELECT doc_id + 2000000000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
        |),
        |bsh AS (
        |  ${gramsSql("batch", 3)}

@@ -68,7 +68,9 @@ object PipelineQueries {
       case CdcPipeline.Applied(_, _, _) => ()
       case other => throw new IllegalStateException(s"pipeline outcome: $other")
     }
-    pipe.storeFor("orders", Seq("o_orderkey")).read()
+    // readTable: the complete state under adaptive merge — the q18
+    // batch scatters over every bucket, so it routes to the MoR side
+    pipe.readTable("orders")
       .orderBy(col("o_orderkey"))
   }
 

@@ -1734,9 +1734,9 @@ object PlatformQueries {
     CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 20 === 5),
       2L, deriveDel)
     val qdocs = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 5)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(lit("zz"), expr("substring(text, 3)")).as("text")))
     (cat, qdocs)
   }
@@ -1802,9 +1802,9 @@ object PlatformQueries {
        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 5
        |),
        |qdocs AS (
-       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT doc_id + 200000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
+       |  SELECT doc_id + 2000000000, 'zz' || substr(text, 3) FROM documents WHERE doc_id % 10 = 5
        |),
        |csh AS (
        |  SELECT id, unnest(grams) AS shingle FROM (
@@ -1876,9 +1876,9 @@ object PlatformQueries {
     val batches = Seq(
       d,
       d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text")),
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")),
       d.filter(col("doc_id") % 10 === 5)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(lit("zz"), expr("substring(text, 3)")).as("text")))
     val admitted = batches.zipWithIndex.map { case (b, i) =>
       val adm =

@@ -91,7 +91,7 @@ object SemanticQueries {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("vec"))
     val corpus = dupVecCorpus(s, dir)
-      .filter(col("vec_id") >= 100000L || col("vec_id") % 100 >= 10)
+      .filter(col("vec_id") >= 1000000000L || col("vec_id") % 100 >= 10)
     VectorSearch.decontamFlags(corpus, evals, "vec_id", "vec", "vec_id",
         threshold = 0.85)
       .select(col("id").as("vec_id"), col("n_eval_hits"), col("best_eval_id"))
@@ -108,7 +108,7 @@ object SemanticQueries {
        |  SELECT c.vec_id, e.eval_id,
        |         list_cosine_similarity(c.vec, e.evec) AS cos
        |  FROM vecs c CROSS JOIN evals e
-       |  WHERE (c.vec_id >= 100000 OR c.vec_id % 100 >= 10)
+       |  WHERE (c.vec_id >= 1000000000 OR c.vec_id % 100 >= 10)
        |    AND list_cosine_similarity(c.vec, e.evec) >= 0.85
        |),
        |ranked AS (

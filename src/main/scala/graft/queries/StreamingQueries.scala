@@ -262,9 +262,9 @@ object StreamingQueries {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val b1 = d
     val b2 = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
     val b3 = d.filter(col("doc_id") % 10 === 5)
-      .select((col("doc_id") + 200000L).as("doc_id"),
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
         concat(lit("zz"), expr("substring(text, 3)")).as("text"))
     val adm = new graft.streaming.CorpusAdmission("doc_id", "text")
     Seq(b1, b2, b3).zipWithIndex
@@ -277,7 +277,7 @@ object StreamingQueries {
 
   /** The three batches are exactly DupDocCorpusSql's three branches, so
     * the pair CTEs are d02's; id ranges encode batch membership
-    * (b1 < 100000 ≤ b2 < 200000 ≤ b3).
+    * (b1 < 1000000000 ≤ b2 < 2000000000 ≤ b3).
     */
   val w10_sql: String =
     s"""WITH ${DataPipelineQueries.DupDocCorpusSql},
@@ -285,25 +285,25 @@ object StreamingQueries {
        |${DataPipelineQueries.JaccardCtesSql},
        |rej2 AS (
        |  SELECT DISTINCT id_b FROM pairs
-       |  WHERE jaccard >= 0.8 AND id_a < 100000 AND id_b >= 100000 AND id_b < 200000
+       |  WHERE jaccard >= 0.8 AND id_a < 1000000000 AND id_b >= 1000000000 AND id_b < 2000000000
        |),
        |adm2 AS (
        |  SELECT doc_id FROM corpus
-       |  WHERE doc_id >= 100000 AND doc_id < 200000
+       |  WHERE doc_id >= 1000000000 AND doc_id < 2000000000
        |    AND doc_id NOT IN (SELECT id_b FROM rej2)
        |),
        |rej3 AS (
        |  SELECT DISTINCT id_b FROM pairs
-       |  WHERE jaccard >= 0.8 AND id_b >= 200000
-       |    AND (id_a < 100000 OR id_a IN (SELECT doc_id FROM adm2))
+       |  WHERE jaccard >= 0.8 AND id_b >= 2000000000
+       |    AND (id_a < 1000000000 OR id_a IN (SELECT doc_id FROM adm2))
        |),
        |admitted AS (
-       |  SELECT doc_id, 1 AS batch_seq FROM corpus WHERE doc_id < 100000
+       |  SELECT doc_id, 1 AS batch_seq FROM corpus WHERE doc_id < 1000000000
        |  UNION ALL
        |  SELECT doc_id, 2 FROM adm2
        |  UNION ALL
        |  SELECT doc_id, 3 FROM corpus
-       |  WHERE doc_id >= 200000 AND doc_id NOT IN (SELECT id_b FROM rej3)
+       |  WHERE doc_id >= 2000000000 AND doc_id NOT IN (SELECT id_b FROM rej3)
        |)
        |SELECT doc_id, CAST(batch_seq AS INT) AS batch_seq FROM admitted
        |ORDER BY doc_id""".stripMargin

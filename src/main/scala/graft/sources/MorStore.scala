@@ -494,6 +494,36 @@ class MorStore(spark: SparkSession, root: String, keyCols: Seq[String]) {
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** The NET per-key change of the whole visible history: each touched
+    * key's LATEST (row, `__op`) — U for a key whose final state is a
+    * live row, D for one whose final event deleted it. This is the
+    * drain/replication primitive ([[graft.operators.MergePlanner
+    * .drain]]): applying these rows as one CDC batch to another keyed
+    * store reproduces this store's head INCLUDING its deletes, which
+    * [[read]] (live rows only) cannot express. One window over the
+    * changefeed — O(|history|), amortized over however many scattered
+    * batches accumulated.
+    */
+  def netChanges(): DataFrame = {
+    val gens = generations()
+    require(gens.nonEmpty, s"empty MoR table at $root")
+    val head = gens.last._1
+    // The newest BASE is the snapshot floor — the same visibility cut
+    // read() uses. changesBetween(-1, …) would be WRONG here: it
+    // treats mid-stream bases as change-free compaction folds and
+    // keeps emitting the deltas behind them, so a drain's reset-base
+    // (which DOES change the resolve, to empty) would resurrect the
+    // drained scatter.
+    val floor = gens.filter(_._2 == "base").map(_._1)
+      .lastOption.getOrElse(gens.head._1)
+    val baseAsU = readAt(floor).withColumn(OpCol, lit("U"))
+      .withColumn(ChangeGenCol, lit(floor))
+    MorStore.latestOf(
+      baseAsU.unionByName(changesBetween(floor, head),
+        allowMissingColumns = true), keyCols)
+      .drop(ChangeGenCol)
+  }
+
   /** WIDENING type promotion (upstream ALTER int→bigint and friends):
     * one compaction with the cast folded in — the only correct shape
     * on vanilla parquet, whose scans cannot read int32 files as int64,

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+import graft.sources.TableCatalog
+
+/** Tombstone-fraction compaction policy for the persisted serving
+  * indexes — the trigger d58 (LSH) and the postings compaction leave
+  * manual, made automatic the way [[MorSink]]'s `compactEvery` prices
+  * MoR delta stacks. MoR counts COMMITS because its serve cost grows
+  * with the delta stack depth; a tombstoned index's serve cost grows
+  * with the MASKED ROW FRACTION instead (the anti-join scans dead rows
+  * only to drop them, and every lookup pays it), so the trigger here
+  * is the measured dead fraction of the per-document relation — the
+  * exact quantity serving wastes.
+  *
+  * Policy: after a maintenance commit, if dead_rows / total_rows of
+  * the per-doc relation (`sizes` for the LSH index, `doclen` for the
+  * postings index) is ≥ `threshold`, fold the tombstones into every
+  * member relation and reset the tombstone relation — ONE atomic
+  * [[TableCatalog.transact]] generation, so readers see either the
+  * masked index or the compacted one, never a torn mix, and AS OF
+  * still reads the pre-compaction state. Below threshold: no-op, no
+  * generation. The check costs two count jobs over the smallest
+  * member relation (one row per doc — metadata-cheap on parquet),
+  * never a scan of bands/postings.
+  *
+  * The default threshold comes from the measured serve-cost curve
+  * (ScaleSmoke `tombcurve`, figures in COVERAGE.md). At 100k docs the
+  * postings mask costs ~2× per serve (0.7-1.1 s masked vs 0.38 s
+  * compacted — a flat broadcast + anti-join toll once ANY tombstone
+  * exists, plus the dead-row scan that grows with the index), while
+  * the LSH mask hides inside verification noise; a compaction transact
+  * (~2.4 s) amortizes in under ten serves. The fraction trigger's
+  * deeper job is bounding what the threshold DENOMINATES: the
+  * tombstone relation rides every serve as a broadcast, so letting it
+  * grow unboundedly (a pure count trigger can — N tiny delete batches)
+  * eventually breaks the never-shuffle-the-index contract; a fraction
+  * cap keeps the broadcast ≤ threshold × corpus ids by construction.
+  * Compacting much below ~0.3 thrashes generations on a trickle of
+  * deletes for overhead the measurements can't even see.
+  */
+object IndexMaintenance {
+
+  /** Dead fraction ≥ this triggers compaction (see scaladoc). */
+  val DefaultThreshold = 0.3
+
+  /** Masked-row fraction of the d57 LSH dedup index: tombstoned ids
+    * over indexed docs, measured on `sizes` (one row per doc).
+    */
+  def lshDeadFraction(cat: TableCatalog): Double =
+    deadFraction(cat, "sizes",
+      (rel, tomb) => rel.join(broadcast(tomb), Seq("id"), "left_anti"))
+
+  /** Masked-row fraction of the w30 postings index, measured on
+    * `doclen` (one row per doc REVISION — replaced revisions count as
+    * dead rows, which is right: the serve mask pays for them too).
+    */
+  def postingsDeadFraction(cat: TableCatalog): Double =
+    deadFraction(cat, "doclen", InvertedIndex.liveView)
+
+  /** Compact the LSH dedup index iff its dead fraction crossed
+    * `threshold`: one transact folds tombstones out of
+    * bands/shingles/sizes and empties the tombstone relation (the d58
+    * event, scheduled instead of manual). Returns the compaction
+    * generation, or None below threshold.
+    */
+  def compactLshIfNeeded(cat: TableCatalog, batchId: Long,
+      threshold: Double = DefaultThreshold): Option[Long] =
+    compactIfNeeded(cat, batchId, threshold, lshDeadFraction,
+      Seq("bands", "shingles", "sizes"),
+      (rel, tomb) => rel.join(broadcast(tomb), Seq("id"), "left_anti"))
+
+  /** Compact the postings index iff its dead fraction crossed
+    * `threshold`: one transact folds every killed revision out of
+    * postings/doclen and empties the tombstone relation. Surviving
+    * rows keep their revision — later replaces/deletes carry higher
+    * kill floors, so compaction never disturbs the rev contract.
+    */
+  def compactPostingsIfNeeded(cat: TableCatalog, batchId: Long,
+      threshold: Double = DefaultThreshold): Option[Long] =
+    compactIfNeeded(cat, batchId, threshold, postingsDeadFraction,
+      Seq("postings", "doclen"), InvertedIndex.liveView)
+
+  private def deadFraction(cat: TableCatalog, perDocRel: String,
+      mask: (DataFrame, DataFrame) => DataFrame): Double =
+    cat.latestGeneration() match {
+      case Some(head) if cat.tableVersions(head).contains("tombstones") =>
+        val tomb = cat.read("tombstones")
+        if (tomb.isEmpty) 0.0
+        else {
+          val rel = cat.read(perDocRel)
+          val total = rel.count()
+          if (total == 0L) 0.0
+          else 1.0 - mask(rel, tomb).count().toDouble / total
+        }
+      case _ => 0.0
+    }
+
+  private def compactIfNeeded(cat: TableCatalog, batchId: Long,
+      threshold: Double, fraction: TableCatalog => Double,
+      members: Seq[String],
+      mask: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
+    require(threshold > 0.0,
+      s"threshold $threshold must be positive (0 would compact on every delete)")
+    if (fraction(cat) < threshold) None
+    else Some(cat.transact(batchId) { snap =>
+      // fold against the SNAPSHOT the transact validated — a conflict
+      // retry re-invokes this body with the fresh snapshot
+      val g = snap.getOrElse(
+        throw new IllegalStateException("compacting an empty catalog"))
+      val tomb = broadcast(cat.readAt(g, "tombstones"))
+      members.map(m => m -> mask(cat.readAt(g, m), tomb)).toMap +
+        ("tombstones" -> cat.readAt(g, "tombstones").limit(0))
+    })
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TableCatalog
+import graft.streaming.{IndexMaintenance, PostingsIndex}
+
+/** The tombstone-fraction compaction trigger: crossing the threshold
+  * schedules EXACTLY one transact; below it, none — and compaction is
+  * a pure execution event (served results bit-identical, history
+  * intact).
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpCat(prefix: String): TableCatalog =
+    new TableCatalog(spark, java.nio.file.Files
+      .createTempDirectory(prefix).toFile.getAbsolutePath + "/cat")
+
+  private def corpus10 = (1 to 10).map(i =>
+      i.toLong -> s"document number $i talks about topic${i % 3} and shares words")
+    .toDF("doc_id", "text")
+
+  test("LSH index: below threshold no transact, above exactly one, serve identical") {
+    import graft.operators.TextDedup
+    val cat = tmpCat("graft-lshcmp")
+    val docs = corpus10
+    graft.operators.CacheScope.scoped { implicit cs =>
+      cat.commitAll(TextDedup.lshIndexRelations(docs, "doc_id", "text"), 0L)
+    }
+    // tombstone 2 of 10 docs → dead fraction 0.2 < 0.3: must NOT compact
+    cat.commitAll(Map("tombstones" ->
+      docs.filter(col("doc_id") <= 2).select(col("doc_id").as("id"))), 1L)
+    val gensBefore = cat.loggedGenerations().size
+    assert(math.abs(IndexMaintenance.lshDeadFraction(cat) - 0.2) < 1e-9)
+    assert(IndexMaintenance.compactLshIfNeeded(cat, 2L).isEmpty,
+      "compaction fired below threshold")
+    assert(cat.loggedGenerations().size == gensBefore,
+      "a below-threshold check must write no generation")
+    // tombstone 2 more (4/10 = 0.4 ≥ 0.3): exactly one transact
+    cat.commitAll(Map("tombstones" -> cat.read("tombstones").unionByName(
+      docs.filter(col("doc_id") === 3 || col("doc_id") === 4)
+        .select(col("doc_id").as("id")))), 3L)
+    val q = docs.filter(col("doc_id") >= 8) // lookup batch
+    def serveMasked() = {
+      val tomb = broadcast(cat.read("tombstones"))
+      def live(r: String) = cat.read(r).join(tomb, Seq("id"), "left_anti")
+      TextDedup.lshIndexLookup(q, "doc_id", "text",
+          live("bands"), live("shingles"), live("sizes"))
+        .collect().map(_.toSeq).toSet
+    }
+    val before = serveMasked()
+    val preGen = cat.latestGeneration().get
+    val compacted = IndexMaintenance.compactLshIfNeeded(cat, 4L)
+    assert(compacted.nonEmpty, "compaction must fire at 0.4 dead")
+    assert(cat.loggedGenerations().size == gensBefore + 2,
+      "exactly one compaction generation (plus the tombstone commit)")
+    assert(cat.read("tombstones").isEmpty, "compaction must reset tombstones")
+    assert(IndexMaintenance.lshDeadFraction(cat) == 0.0)
+    // idempotent: a second check is a no-op
+    assert(IndexMaintenance.compactLshIfNeeded(cat, 5L).isEmpty)
+    // compaction is an execution event: the compacted index serves the
+    // same matches the masked one did (tombstone relation now empty,
+    // so serveMasked's anti-join is a no-op over the compacted rows)
+    assert(serveMasked() == before, "compacted serve diverged")
+    // AS OF: the pre-compaction generation still reads the full index
+    assert(cat.readAt(preGen, "tombstones").count() == 4L,
+      "time travel lost the pre-compaction tombstones")
+  }
+
+  test("postings index: fraction follows replaced revisions; trigger compacts once") {
+    val cat = tmpCat("graft-postcmp")
+    val docs = corpus10
+    val none = docs.limit(0)
+    PostingsIndex.commitBatch(cat, docs, none, 0L)
+    assert(IndexMaintenance.postingsDeadFraction(cat) == 0.0)
+    // replace 2 docs and delete 1: doclen now has 12 rows (10 rev-0 +
+    // 2 rev-1 replacements), of which docs 1-3's rev-0 rows are dead
+    // → 3/12 = 0.25 < 0.3 → no compaction
+    PostingsIndex.commitBatch(cat,
+      docs.filter(col("doc_id") <= 2)
+        .withColumn("text", concat(lit("fresh "), col("text"))),
+      docs.filter(col("doc_id") === 3).select("doc_id"), 1L, replace = true)
+    val f1 = IndexMaintenance.postingsDeadFraction(cat)
+    assert(math.abs(f1 - 0.25) < 1e-9, s"fraction $f1")
+    val gens = cat.loggedGenerations().size
+    assert(IndexMaintenance.compactPostingsIfNeeded(cat, 2L).isEmpty)
+    assert(cat.loggedGenerations().size == gens)
+    // delete 2 more docs: 5 dead / 12 ≈ 0.42 ≥ 0.3 → one transact
+    PostingsIndex.commitBatch(cat, none,
+      docs.filter(col("doc_id") === 4 || col("doc_id") === 5)
+        .select("doc_id"), 3L)
+    val (preTf, preDl) = PostingsIndex.live(cat)
+    val beforeTf = preTf.collect().map(_.toSeq.take(3)).toSet
+    val beforeDl = preDl.collect().map(_.toSeq.take(2)).toSet
+    val g = IndexMaintenance.compactPostingsIfNeeded(cat, 4L)
+    assert(g.nonEmpty, "postings compaction must fire at 0.42 dead")
+    assert(cat.read("tombstones").isEmpty)
+    assert(IndexMaintenance.postingsDeadFraction(cat) == 0.0)
+    val (postTf, postDl) = PostingsIndex.live(cat)
+    assert(postTf.collect().map(_.toSeq.take(3)).toSet == beforeTf,
+      "compacted postings diverged")
+    assert(postDl.collect().map(_.toSeq.take(2)).toSet == beforeDl,
+      "compacted doclen diverged")
+    // the rev contract survives compaction: a later delete still masks
+    PostingsIndex.commitBatch(cat, none,
+      docs.filter(col("doc_id") === 6).select("doc_id"), 5L)
+    val (tf2, _) = PostingsIndex.live(cat)
+    assert(tf2.filter(col("doc_id") === 6).isEmpty,
+      "post-compaction delete failed to mask")
+  }
+}

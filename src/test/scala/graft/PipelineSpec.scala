@@ -156,6 +156,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.processFile("/nope/random.parquet") == CdcPipeline.Skipped("Not a CDC file"))
   }
 
+  test("adaptive merge: scatter routes to the MoR side, a CoW batch drains it first") {
+    import spark.implicits._
+    val root = tmpDir()
+    val keys = TableKeys.parse("""{"users": "id"}""")
+    val pipe = new CdcPipeline(spark, s"$root/store", keys, numBuckets = 8)
+    val initial = (1L to 200L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "amount")
+    pipe.initialLoad("users", initial)
+    val side = pipe.morSideFor("users", Seq("id"))
+    val home = pipe.storeFor("users", Seq("id"))
+
+    // batch 1 SCATTERS: 100 keys uniform over all 8 buckets (+ one
+    // unmatched delete) → MorDelta route, home untouched
+    writeCdcFile(s"$root/fair/users/2026/08/12/b1.parquet",
+      (2L to 200L by 2).map(i =>
+        (i, "upd", i * 2.0, "U", "2026-08-12 00:00:00", 0L)) :+
+        ((999L, "ghost", 0.0, "D", "2026-08-12 00:00:00", 0L)))
+    assert(pipe.processFile(s"$root/fair/users/2026/08/12/b1.parquet")
+      .isInstanceOf[CdcPipeline.Applied])
+    assert(!side.isEmpty, "scattered batch must land as a MoR side delta")
+    assert(home.read().count() == 200L, "home must not be rewritten for scatter")
+    // readTable resolves home ∪ side with FULL merge parity: updates
+    // applied AND the unmatched delete inserted (the CoW merge's
+    // WHEN-NOT-MATCHED insert applies to delete rows too)
+    val viewed = snapshot(pipe.readTable("users"))
+    assert(viewed.contains((999L, "ghost", 0.0)),
+      "unmatched delete must surface as an inserted row")
+    assert(viewed.contains((2L, "upd", 4.0)) && viewed.contains((3L, "v3", 3.0)))
+
+    // batch 2 is CONCENTRATED: 2 keys → BroadcastCow route, which must
+    // drain the side first so per-key order holds (the delete of 999
+    // only works if the side's ghost insert was folded home already)
+    writeCdcFile(s"$root/fair/users/2026/08/13/b2.parquet", Seq(
+      (1L, "one", -1.0, "U", "2026-08-13 00:00:00", 0L),
+      (999L, "ghost", 0.0, "D", "2026-08-13 00:00:00", 0L)))
+    assert(pipe.processFile(s"$root/fair/users/2026/08/13/b2.parquet")
+      .isInstanceOf[CdcPipeline.Applied])
+    assert(side.isEmpty || side.netChanges().isEmpty,
+      "a CoW-routed batch must drain the side")
+    val expected = (1L to 200L).map(i =>
+      if (i == 1L) (1L, "one", -1.0)
+      else if (i % 2 == 0) (i, "upd", i * 2.0)
+      else (i, s"v$i", i * 1.0)).sortBy(_._1)
+    assert(snapshot(home.read()) == expected,
+      "home alone must be complete after the drain")
+    assert(snapshot(pipe.readTable("users")) == expected)
+  }
+
   test("pipeline: empty CDC file applies as a no-op and is ledgered") {
     import spark.implicits._
     val root = tmpDir()

@@ -404,4 +404,27 @@ class MorStoreSpec extends AnyFunSuite {
     assert(applied(st, Some(st.readAt(0L)), 0L, head) == Map.empty[Long, Long])
     assert(asMap(st) == Map.empty[Long, Long])
   }
+
+  test("netChanges: latest op per key incl. deletes; a reset base cuts history") {
+    val st = new MorStore(spark, freshRoot(), Seq("k"))
+    st.commitBase(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), 0L)
+    st.commitDelta(delta((2L, 21L, "U"), (3L, 0L, "D"), (4L, 40L, "U")), 1L)
+    st.commitDelta(delta((4L, 0L, "D"), (5L, 50L, "U")), 2L)
+    def net(s: MorStore): Map[Long, (Long, String)] =
+      s.netChanges().collect()
+        .map(r => r.getAs[Long]("k") ->
+          (r.getAs[Long]("v"), r.getAs[String](s.OpCol))).toMap
+    // base rows as U, overridden by later deltas; final D survives as D
+    // (the drain/replication signal read() cannot express)
+    assert(net(st) == Map(
+      1L -> (10L, "U"), 2L -> (21L, "U"), 3L -> (0L, "D"),
+      4L -> (0L, "D"), 5L -> (50L, "U")))
+    // a reset base (the drain's truncate) is the new snapshot floor:
+    // pre-base deltas must NOT resurrect (changesBetween(-1,…) would)
+    st.commitBase(rows(), 3L)
+    assert(st.netChanges().isEmpty,
+      "net after a reset base must be empty")
+    st.commitDelta(delta((6L, 60L, "U")), 4L)
+    assert(net(st) == Map(6L -> (60L, "U")))
+  }
 }
