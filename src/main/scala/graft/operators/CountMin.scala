@@ -55,6 +55,20 @@ object CountMin {
       .groupBy("row", "cell").agg(count(lit(1)).as("c"))
   }
 
+  /** Upper bound on the HEAVIEST key's true count — without knowing
+    * which key it is: for every key k and sketch row r,
+    * true(k) ≤ cell_r(h_r(k)) ≤ max_cell(r), so the minimum over rows
+    * of the row-max bounds every key from above. One sketch-sized
+    * aggregate; 0 for an empty sketch. This is the probe that lets a
+    * skew-aware planner SKIP hot-key detection entirely when the
+    * bound already clears the threshold (the common, unskewed case) —
+    * [[MergePlanner.probe]]'s hot-bucket bound and
+    * [[SkewJoin.sketchPlannedJoin]]'s fast path both ride it.
+    */
+  def heaviestKeyBound(sketch: DataFrame): Long =
+    sketch.groupBy(col("row")).agg(max(col("c")).as("m"))
+      .agg(coalesce(min(col("m")), lit(0L))).head().getLong(0)
+
   /** Merge sketches built with the SAME shape: union + cell-wise sum.
     * (Associative and commutative — the property that lets per-day /
     * per-partition sketches roll up without touching raw data.)

@@ -99,14 +99,13 @@ object MergePlanner {
     val hot =
       if (!withHotBound) -1L
       else {
-        // CM row-max minimum: an upper bound on the heaviest bucket.
-        // depth 4 × width 2048 ≈ 8k cells — sketch-sized regardless of
-        // batch size, map-side combined like every CountMin build.
-        val sk = CountMin.build(
+        // CM row-max minimum: an upper bound on the heaviest bucket
+        // ([[CountMin.heaviestKeyBound]]). depth 4 × width 2048 ≈ 8k
+        // cells — sketch-sized regardless of batch size, map-side
+        // combined like every CountMin build.
+        CountMin.heaviestKeyBound(CountMin.build(
           staging.select(bucket.cast("string").as("__bkt")),
-          "__bkt", depth = 4, width = 2048)
-        sk.groupBy(col("row")).agg(max(col("c")).as("m"))
-          .agg(min(col("m"))).head().getLong(0)
+          "__bkt", depth = 4, width = 2048))
       }
     Probe(r.getLong(0), r.getLong(1), hot)
   }

@@ -182,10 +182,23 @@ object SkewJoin {
       joinType: String = "inner",
       maxHotKeys: Int = 64): DataFrame = {
     val sketch = CountMin.build(big.select(col(key)), key, depth, width)
-    val hot = sketchHotKeys(sketch, small, key, minHotCount, depth, width,
-      maxHotKeys)
-    if (hot.isEmpty) big.join(small, Seq(key), joinType)
-    else hybridSkewJoin(big, small, Seq(key), hot, saltBuckets, joinType)
+      .persist() // bound probe + candidate probe share one build pass
+    try {
+      // The row-max minimum bounds EVERY key's count from above
+      // ([[CountMin.heaviestKeyBound]]), so when it clears the
+      // threshold no key can be hot and the per-candidate probe —
+      // the scan of the dimension's keys against the sketch — is
+      // skipped outright. Unskewed data (the common case) pays one
+      // sketch build plus one sketch-sized aggregate, nothing keyed.
+      if (CountMin.heaviestKeyBound(sketch) < minHotCount)
+        big.join(small, Seq(key), joinType)
+      else {
+        val hot = sketchHotKeys(sketch, small, key, minHotCount, depth,
+          width, maxHotKeys)
+        if (hot.isEmpty) big.join(small, Seq(key), joinType)
+        else hybridSkewJoin(big, small, Seq(key), hot, saltBuckets, joinType)
+      }
+    } finally sketch.unpersist(blocking = false)
   }
 
   def hybridSkewJoin(

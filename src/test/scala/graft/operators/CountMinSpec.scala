@@ -157,4 +157,39 @@ class CountMinSpec extends AnyFunSuite {
     assert(canon(SkewJoin.sketchPlannedJoin(big, dim, "k",
       minHotCount = 10000L, saltBuckets = 4)) == plain)
   }
+
+  test("heaviestKeyBound bounds every key from above; 0 for an empty sketch") {
+    import spark.implicits._
+    val big = skewed(nCold = 50, coldEach = 10, hotEach = 500)
+    val sk = CountMin.build(big, "k", 4, 1024)
+    val bound = CountMin.heaviestKeyBound(sk)
+    val trueMax = big.groupBy("k").count().agg(max("count")).head().getLong(0)
+    assert(bound >= trueMax, s"bound $bound < true max $trueMax")
+    // wide sketch, 51 keys: the hot row-max is the hot key itself
+    assert(bound <= trueMax + 50L * 10L, s"bound $bound implausibly loose")
+    assert(CountMin.heaviestKeyBound(
+      CountMin.build(Seq.empty[Long].toDF("k"), "k", 4, 64)) == 0L)
+  }
+
+  test("a clearing bound skips hot-key detection: the candidate probe never runs") {
+    import spark.implicits._
+    // uniform big side: every key 10x, so the row-max bound is far
+    // below the threshold and NO key can be hot
+    val big = (0 until 50).flatMap(k => Seq.fill(10)(k.toLong)).toDF("k")
+      .withColumn("payload", col("k") * 7)
+    // poisoned dimension KEY: any evaluation of the candidate probe
+    // (sketchHotKeys collects eagerly) throws; the lazily-returned
+    // plain join is never materialized here
+    val poisonedDim = spark.range(5)
+      .select(expr("CAST(raise_error('candidate probe ran under a clearing bound') AS BIGINT)").as("k"))
+    val out = SkewJoin.sketchPlannedJoin(big, poisonedDim, "k",
+      minHotCount = 100L, saltBuckets = 4)
+    assert(out.columns.contains("k"), "plain-join plan expected")
+    // and with a REAL dimension the result is exactly the plain join
+    val dim = (0 to 60).map(i => (i.toLong, s"seg${i % 3}")).toDF("k", "seg")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "seg").collect().map(_.toString).sorted.toSeq
+    assert(canon(SkewJoin.sketchPlannedJoin(big, dim, "k",
+      minHotCount = 100L, saltBuckets = 4)) == canon(big.join(dim, Seq("k"))))
+  }
 }
