@@ -123,13 +123,12 @@ object MergePlanner {
     * scatter until its compaction folds it back). Returns the strategy
     * taken so callers/specs can assert the routing.
     *
-    * NOTE the ordering contract: once any batch lands in `morSide`,
-    * later CoW merges of OVERLAPPING keys would apply out of order —
-    * callers that mix strategies on one key space must drain (compact
-    * + merge back) `morSide` first, or route consistently per key
-    * range. [[graft.pipeline.CdcPipeline]] uses one store per table,
-    * so the contract holds trivially; this dispatcher is for the
-    * scatter-heavy tables that need both cost models.
+    * ORDERING: once any batch lands in `morSide`, a later CoW merge
+    * of overlapping keys would apply out of order — so a CoW-routed
+    * batch [[drain]]s the side FIRST (one amortized rewrite of the
+    * accumulated net changes), then merges. Readers of the pair use
+    * [[resolvedView]] between drains. [[graft.pipeline.CdcPipeline]]
+    * runs the same protocol per table.
     */
   /** The resolved current view of a CoW home with an undrained MoR
     * side: net side ops applied on top (deletes drop, upserts replace;
@@ -197,6 +196,9 @@ object MergePlanner {
         }
         morSide.commitDelta(delta, freshTs(morSide))
       case _ =>
+        // fold any accumulated scatter home first — per-key apply
+        // order must match the batch arrival order
+        drain(cow, morSide, th)
         // both CoW flavors route through the store's bucket-pruned
         // rewrite; the broadcast hint follows the decision
         cow.merge(staging, deleteCol = opCol, deleteVals = Seq("D"),

@@ -60,6 +60,14 @@ object ScaleSmoke {
     if (mode == "all") ivjSmoke(spark, 300000L)
     if (mode == "interval") ivjSmoke(spark, 1000000L) // opt-in
     if (mode == "mergeplan") mergePlanSmoke(spark, "/root/testdata/sf0.1")
+    // sf1 (6M rows): the table where the CoW-vs-MoR crossing actually
+    // shows (at 600k, per-commit fixed cost hides it — r10 verdict);
+    // once at the sf0.1 64-bucket layout scaled up, once at a
+    // 10x-bucket layout that keeps per-bucket rows at the sf0.1 size
+    if (mode == "mergeplan-sf1") {
+      mergePlanSmoke(spark, "/tmp/sf1", numBuckets = 64)
+      mergePlanSmoke(spark, "/tmp/sf1", numBuckets = 640)
+    }
     if (mode == "lshserve") lshServeSmoke(spark, Seq(10000L, 100000L))
     if (mode == "lshserve100") lshServeSmoke(spark, Seq(1000000L)) // opt-in: minutes
     if (mode == "tombcurve") tombCurveSmoke(spark, 100000L)
@@ -224,20 +232,23 @@ object ScaleSmoke {
     * end (the deferred cost a delta route amortizes over compaction).
     * Numbers land in COVERAGE.md.
     */
-  private def mergePlanSmoke(spark: SparkSession, dir: String): Unit = {
+  private def mergePlanSmoke(spark: SparkSession, dir: String,
+      numBuckets: Int = 64): Unit = {
     import graft.operators.MergePlanner
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nRows = li.count()
     val keys = Seq("l_orderkey", "l_linenumber")
     val root = Files.createTempDirectory("mergeplan").toString
-    val store = time("init 600k rows / 64 buckets") {
-      graft.sources.BucketedTableStore.create(spark, s"$root/li", keys, li, numBuckets = 64)
+    val store = time(s"init $nRows rows / $numBuckets buckets") {
+      graft.sources.BucketedTableStore.create(spark, s"$root/li", keys, li,
+        numBuckets = numBuckets)
     }
     val mor = new graft.sources.MorStore(spark, s"$root/mor", keys)
-    time("mor base commit (same 600k)") { mor.commitBase(li, 1L) }
-    val bucket = pmod(hash(keys.map(col): _*), lit(64))
-    Seq(1, 4, 16, 32, 64).foreach { t =>
-      // ~9k rows regardless of T: all 64 buckets hold ~9.4k rows each,
-      // and an independent hash keeps 1/T of the rows in T buckets
+    time(s"mor base commit (same $nRows)") { mor.commitBase(li, 1L) }
+    val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))
+    Seq(1, 4, 16, 32, 64).map(t => t * numBuckets / 64).distinct.foreach { t =>
+      // fixed-size batch regardless of T (~1.5% of the table): an
+      // independent hash keeps 1/T of the rows in T buckets.
       // dropDuplicates: the synthetic lineitem carries a handful of
       // repeated (orderkey, linenumber) keys, and the MoR delta
       // contract rejects same-key rows without a __seq
@@ -247,9 +258,9 @@ object ScaleSmoke {
         .withColumn("l_quantity", col("l_quantity") + 1)
         .withColumn("Op", lit("U")).persist()
       val n = batch.count()
-      val p = MergePlanner.probe(batch, keys, 64)
+      val p = MergePlanner.probe(batch, keys, numBuckets)
       println(s"[scale] T=$t: $n rows, probe buckets=${p.bucketsTouched}, " +
-        s"chosen=${MergePlanner.choose(p, 64)}")
+        s"chosen=${MergePlanner.choose(p, numBuckets)}")
       time(f"  T=$t broadcast CoW merge") { store.merge(batch) }
       time(f"  T=$t MoR delta commit") {
         mor.commitDelta(batch.withColumnRenamed("Op", mor.OpCol), 1000L + t)

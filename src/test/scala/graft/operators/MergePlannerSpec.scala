@@ -89,11 +89,17 @@ class MergePlannerSpec extends AnyFunSuite {
     assert(mor.read().count() == 200)
     assert(cow.read().filter(col("k") === 5L).head().getLong(1) == 50L,
       "scattered batch must NOT rewrite the CoW store")
-    // 3. backfill: over the row cap → shuffle CoW, rewrite applies
+    // 3. backfill: over the row cap → shuffle CoW, which DRAINS the
+    //    side first (per-key apply order), then rewrites
     val backfill = rows(0L until 800L).withColumn("v", col("v") + 7L)
       .withColumn("Op", lit("U"))
     assert(mergeAdaptive(cow, mor, backfill, opCol = "Op", th = th) == ShuffleCow)
+    assert(mor.netChanges().isEmpty,
+      "a CoW-routed batch must drain the accumulated scatter first")
     assert(cow.read().filter(col("k") === 5L).head().getLong(1) == 57L)
+    // key 1500 was never in the scatter or backfill: drain + rewrite
+    // must leave untouched keys at their initial values (v = 10k)
+    assert(cow.read().filter(col("k") === 1500L).head().getLong(1) == 15000L)
   }
 
   test("plan contract: the broadcast hint follows the decision") {
