@@ -456,6 +456,51 @@ object EngineQueries {
     bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
   }
 
+  // ───────────────────────────── w31: scheduled postings compaction
+
+  /** w30's maintained index with the COMPACTION TRIGGER in the loop —
+    * d58/w30 leave folding tombstones a manual event; here
+    * [[graft.streaming.IndexMaintenance.compactPostingsIfNeeded]]
+    * runs after every maintenance commit and the dead-row fraction
+    * decides: the mid-stream bulk delete (⅓ of the corpus) crosses
+    * the 0.3 threshold and schedules EXACTLY one atomic compaction
+    * transact; the later trickle delete (~10% of survivors) stays
+    * below it and keeps serving through the tombstone mask. The
+    * require-pinned trigger pattern (None, None, Some, None) is the
+    * policy's contract — a trigger firing on the trickle would thrash
+    * generations, one missing the bulk delete would let the serve-path
+    * broadcast grow unboundedly. Compaction is an execution event, so
+    * the oracle is t19's replay on the surviving corpus — identical
+    * whether rows are masked or physically gone; a compaction that
+    * dropped a live revision or resurrected a dead one breaks the
+    * hash.
+    */
+  val w31_postings_autocompact: Q = (s, dir) => {
+    import graft.streaming.{IndexMaintenance, PostingsIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25auto")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val none = docs.limit(0)
+    val batches = Seq[(DataFrame, DataFrame)](
+      (docs.filter(col("doc_id") % 2 === 0), none),
+      (docs.filter(col("doc_id") % 2 === 1), none),
+      // bulk delete: ~33% dead → the trigger must fire once
+      (none, docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))),
+      // trickle delete: ~10% of survivors → below threshold, masked
+      (none, docs.filter(col("doc_id") % 10 === 7).select(col("doc_id"))))
+    val fired = batches.zipWithIndex.map { case ((up, del), i) =>
+      PostingsIndex.commitBatch(cat, up, del, i.toLong)
+      IndexMaintenance.compactPostingsIfNeeded(cat, 100L + i).nonEmpty
+    }
+    require(fired == Seq(false, false, true, false),
+      s"trigger pattern diverged: $fired")
+    require(cat.read("tombstones").count() > 0,
+      "the trickle delete should still be serving through the mask")
+    val (tf, dl) = PostingsIndex.live(cat)
+    bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
+  }
+
   // ───────────────────────────── v20: cross-table atomic snapshot
 
   /** Cross-table snapshot consistency ([[TableCatalog]]): generation
@@ -990,6 +1035,7 @@ object EngineQueries {
     "t23_bm25_index_serve" -> t23_bm25_index_serve,
     "t27_bm25_index_delete" -> t27_bm25_index_delete,
     "w30_streaming_postings" -> w30_streaming_postings,
+    "w31_postings_autocompact" -> w31_postings_autocompact,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1020,5 +1066,10 @@ object EngineQueries {
         |        CASE WHEN doc_id % 10 = 3
         |             THEN 'vector stream ' || text ELSE text END AS text
         | FROM documents WHERE doc_id % 7 <> 0)""".stripMargin),
+    // the stream's surviving corpus after both delete waves —
+    // compaction must not change the served answer
+    "w31_postings_autocompact" -> bm25OracleSql(
+      "(SELECT doc_id, text FROM documents" +
+        " WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 7)"),
     "v20_catalog_snapshot" -> v20_sql)
 }
