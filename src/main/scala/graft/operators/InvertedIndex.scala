@@ -49,6 +49,39 @@ object InvertedIndex {
         .withColumn("rev", lit(rev)))
   }
 
+  /** Positional postings of one batch: (doc_id, pos, tok), pos
+    * 1-based token position — the index member phrase/proximity
+    * queries serve from (positions beside term-frequency postings is
+    * the standard Lucene layout; tf postings alone cannot distinguish
+    * "new york" from "york new").
+    */
+  def positions(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    batch.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+
+  /** Exact-phrase occurrences from positional postings: docs where
+    * `phrase`'s terms appear at CONSECUTIVE positions, with their
+    * occurrence counts. Each term's postings are filtered FIRST (the
+    * per-term posting list — selective for real query terms), then
+    * chained on position adjacency: term i's positions shift by −i so
+    * every join is a plain equi-join on (doc_id, start_pos). At scale
+    * the join inputs are posting-list-sized, never corpus-sized, and
+    * the chain shuffles on (doc_id, pos) — no window, no collect.
+    */
+  def phraseCount(positions: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    def term(t: String, i: Int) =
+      positions.filter(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    phrase.zipWithIndex.tail
+      .foldLeft(term(phrase.head, 0)) { case (acc, (t, i)) =>
+        acc.join(term(t, i), Seq("doc_id", "pos"))
+      }
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** The live view of a revisioned relation under its tombstones:
     * drop every row whose `rev` is below its doc's kill floor
     * (MAX(kill_below) per doc — a doc deleted at batch 3 and

@@ -456,6 +456,66 @@ object EngineQueries {
     bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
   }
 
+  // ───────────────────────────── t28: phrase search (positional postings)
+
+  /** EXACT-PHRASE retrieval from positional postings — the index
+    * member tf-postings (t19/t23/w30) cannot express: "new york" and
+    * "york new" share identical term statistics, only POSITIONS
+    * separate them (the Lucene positional-postings layout,
+    * [[graft.operators.InvertedIndex.positions]]). The query phrase is
+    * chosen FROM THE DATA — the corpus's most frequent word trigram
+    * (ties by gram ascending), derived on the Spark side entirely from
+    * the positional relation (a 3-way self-join on position adjacency
+    * — the same joins phrase serving uses, so the selection pass
+    * exercises the machinery it feeds) and in the oracle from
+    * non-distinct trigram expansion; both reduce to one deterministic
+    * 1-row argmax. Serving then runs
+    * [[graft.operators.InvertedIndex.phraseCount]]: per-term posting
+    * lists filtered first, chained on shifted-position equi-joins —
+    * posting-list-sized inputs, never corpus-sized. Output: every doc
+    * containing the phrase with its occurrence count; one lost or
+    * off-by-one position anywhere shifts a count and fails the hash.
+    */
+  val t28_phrase_search: Q = (s, dir) => {
+    import graft.operators.InvertedIndex
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pos = InvertedIndex.positions(docs, "doc_id", "text").persist()
+    def shifted(i: Int) = pos.select(col("doc_id"),
+      (col("pos") - i).as("p"), col("tok").as(s"t$i"))
+    val grams = shifted(0)
+      .join(shifted(1), Seq("doc_id", "p"))
+      .join(shifted(2), Seq("doc_id", "p"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t0"), col("t1"), col("t2")).as("gram"))
+    // 1-row driver collect: the corpus's top trigram is the query
+    val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(1)
+      .collect()(0).getString(0)
+    InvertedIndex.phraseCount(pos, top.split(" ").toSeq)
+      .orderBy(col("doc_id"))
+  }
+
+  val t28_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(t) < 3 THEN []
+      |         ELSE list_transform(range(0, len(t) - 3 + 1),
+      |                i -> array_to_string(t[i + 1 : i + 3], ' ')) END) AS gram
+      |  FROM toks
+      |), top AS (
+      |  SELECT gram FROM grams GROUP BY gram
+      |  ORDER BY COUNT(*) DESC, gram LIMIT 1
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |FROM grams
+      |WHERE gram = (SELECT gram FROM top)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ───────────────────────────── w31: scheduled postings compaction
 
   /** w30's maintained index with the COMPACTION TRIGGER in the loop —
@@ -1036,6 +1096,7 @@ object EngineQueries {
     "t27_bm25_index_delete" -> t27_bm25_index_delete,
     "w30_streaming_postings" -> w30_streaming_postings,
     "w31_postings_autocompact" -> w31_postings_autocompact,
+    "t28_phrase_search" -> t28_phrase_search,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1071,5 +1132,6 @@ object EngineQueries {
     "w31_postings_autocompact" -> bm25OracleSql(
       "(SELECT doc_id, text FROM documents" +
         " WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 7)"),
+    "t28_phrase_search" -> t28_sql,
     "v20_catalog_snapshot" -> v20_sql)
 }

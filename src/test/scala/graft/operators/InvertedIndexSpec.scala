@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Positional-postings semantics: 1-based positions, phrase matching
+  * via shifted equi-joins — including the overlap and repeated-term
+  * edges a substring-style mental model gets wrong.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def posOf(docs: Seq[(Long, String)]) =
+    InvertedIndex.positions(docs.toDF("doc_id", "text"), "doc_id", "text")
+
+  private def counts(docs: Seq[(Long, String)], phrase: String): Map[Long, Long] =
+    InvertedIndex.phraseCount(posOf(docs), phrase.split(" ").toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("positions are 1-based and lowercased-token aligned") {
+    val p = posOf(Seq(1L -> "  The quick  Fox ")).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(p.toSeq == Seq(1L -> "the", 2L -> "quick", 3L -> "fox"))
+  }
+
+  test("phrase occurrences count every start position, order-sensitively") {
+    val docs = Seq(
+      1L -> "new york is not york new",   // 1 match, reversal not counted
+      2L -> "new york new york",          // 2 non-overlapping matches
+      3L -> "york new",                   // reversal only: no match
+      4L -> "new",                        // phrase longer than doc
+      5L -> "")
+    assert(counts(docs, "new york") == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("repeated-term phrases count overlapping occurrences") {
+    // "a a" in "a a a a": starts at 1,2,3 — overlaps included (the
+    // positional-join definition; substring scanners agree here)
+    assert(counts(Seq(1L -> "a a a a"), "a a") == Map(1L -> 3L))
+    // "a b a" in "a b a b a": starts at 1 and 3
+    assert(counts(Seq(1L -> "a b a b a"), "a b a") == Map(1L -> 2L))
+  }
+
+  test("single-term phrase degenerates to term frequency") {
+    assert(counts(Seq(1L -> "x y x x", 2L -> "y"), "x") == Map(1L -> 3L))
+  }
+}
