@@ -257,11 +257,19 @@ object EngineQueries {
     * three is BIT-IDENTICAL ranking over their corpus, so the SQL
     * differs only in which corpus relation feeds the tokenizer.
     */
-  private def bm25OracleSql(corpusRel: String): String = {
-    val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  private def bm25OracleSql(corpusRel: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($ToksSql) AS tok FROM $corpusRel
-       |), dl AS (
+       |)$Bm25OracleTailSql""".stripMargin
+
+  /** The scoring tail of [[bm25OracleSql]] from the `toks` CTE down —
+    * exposed separately so composed oracles (w32: BM25 over the
+    * ADMITTED corpus) can prepend their own corpus-defining CTE stack
+    * and still share the one scoring body bit-for-bit.
+    */
+  private def Bm25OracleTailSql: String = {
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s""", dl AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
        |), totals AS (
        |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
@@ -560,6 +568,76 @@ object EngineQueries {
     val (tf, dl) = PostingsIndex.live(cat)
     bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
   }
+
+  // ─────────────── w32: one transaction, two index families
+
+  /** CROSS-INDEX ATOMIC ADMISSION — the w29 dedup gate (LSH index)
+    * and the w30 retrieval index (BM25 postings) maintained by the
+    * SAME micro-batch commit: five relations (bands/shingles/sizes +
+    * postings/doclen) land as ONE atomic catalog generation per
+    * batch. The property this buys is MEMBERSHIP CONSISTENCY between
+    * index families — a document the gate admits is searchable in the
+    * same generation, and a crash between "deduped" and "indexed"
+    * cannot strand a doc in one index but not the other (with
+    * separate commits, a replayed batch would re-shingle docs the
+    * postings already serve, or serve docs the gate never admitted).
+    * require-pinned after every generation: the id set of `sizes`
+    * equals the id set of `doclen` (both families index exactly the
+    * ≥1-token admitted docs). Admission itself is w10's chained
+    * semantics served from the persisted index (w29); the final
+    * answer is BM25 over whatever got admitted, so the oracle is the
+    * admission CTE chain composed with t19's scoring tail — one stale
+    * index row, one torn generation, or one doc in only one family
+    * shifts the ranking and fails the shared hash.
+    */
+  val w32_unified_index_admission: Q = (s, dir) => {
+    import graft.streaming.UnifiedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-uniidx")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batches = Seq(
+      d,
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")),
+      d.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val adm =
+        if (i == 0) b.persist()
+        else {
+          val rejected = TextDedup.lshIndexLookup(b, "doc_id", "text",
+              cat.read("bands"), cat.read("shingles"), cat.read("sizes"))
+            .select(col("id_q").as("doc_id")).distinct()
+          b.join(broadcast(rejected), Seq("doc_id"), "left_anti").persist()
+        }
+      adm.count() // pin the admission BEFORE the index advances
+      UnifiedIndex.commitBatch(cat, adm, i.toLong)
+      if (i == 1) // exactly-once covers BOTH families in one check
+        require(UnifiedIndex.commitBatch(cat, adm, 1L) == -1L,
+          "redelivered unified batch was re-applied")
+      require(UnifiedIndex.membershipConsistent(cat),
+        s"cross-index membership diverged after batch $i")
+      adm.unpersist()
+    }
+    bm25Tail(cat.read("postings").filter(col("tok").isin(Bm25Terms: _*)),
+      cat.read("doclen"))
+  }
+
+  /** w10's admission CTE chain (who is in the corpus) composed with
+    * t19's BM25 scoring tail (how the corpus ranks) — both shared
+    * verbatim with their owning queries, so a divergence in EITHER
+    * semantic breaks exactly one hash pair.
+    */
+  val w32_sql: String =
+    s"""WITH ${StreamingQueries.AdmissionCtesSql},
+       |adm_corpus AS (
+       |  SELECT c.doc_id, c.text FROM corpus c JOIN admitted a USING (doc_id)
+       |),
+       |toks AS (
+       |  SELECT doc_id, unnest($ToksSql) AS tok FROM adm_corpus
+       |)$Bm25OracleTailSql""".stripMargin
 
   // ───────────────────────────── v20: cross-table atomic snapshot
 
@@ -1097,6 +1175,7 @@ object EngineQueries {
     "w30_streaming_postings" -> w30_streaming_postings,
     "w31_postings_autocompact" -> w31_postings_autocompact,
     "t28_phrase_search" -> t28_phrase_search,
+    "w32_unified_index_admission" -> w32_unified_index_admission,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1133,5 +1212,6 @@ object EngineQueries {
       "(SELECT doc_id, text FROM documents" +
         " WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 7)"),
     "t28_phrase_search" -> t28_sql,
+    "w32_unified_index_admission" -> w32_sql,
     "v20_catalog_snapshot" -> v20_sql)
 }

@@ -275,12 +275,15 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The three batches are exactly DupDocCorpusSql's three branches, so
-    * the pair CTEs are d02's; id ranges encode batch membership
-    * (b1 < 1000000000 ≤ b2 < 2000000000 ≤ b3).
+  /** The chained-admission CTE stack (corpus … admitted) shared by
+    * every query whose semantics are "the corpus w10 admits": the
+    * three batches are exactly DupDocCorpusSql's three branches, the
+    * pair CTEs are d02's, and id ranges encode batch membership
+    * (b1 < 1000000000 ≤ b2 < 2000000000 ≤ b3). Ends with
+    * `admitted(doc_id, batch_seq)`.
     */
-  val w10_sql: String =
-    s"""WITH ${DataPipelineQueries.DupDocCorpusSql},
+  val AdmissionCtesSql: String =
+    s"""${DataPipelineQueries.DupDocCorpusSql},
        |${DataPipelineQueries.ShinglesSql},
        |${DataPipelineQueries.JaccardCtesSql},
        |rej2 AS (
@@ -304,7 +307,10 @@ object StreamingQueries {
        |  UNION ALL
        |  SELECT doc_id, 3 FROM corpus
        |  WHERE doc_id >= 2000000000 AND doc_id NOT IN (SELECT id_b FROM rej3)
-       |)
+       |)""".stripMargin
+
+  val w10_sql: String =
+    s"""WITH $AdmissionCtesSql
        |SELECT doc_id, CAST(batch_seq AS INT) AS batch_seq FROM admitted
        |ORDER BY doc_id""".stripMargin
 

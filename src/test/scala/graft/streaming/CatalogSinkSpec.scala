@@ -200,4 +200,36 @@ class CatalogSinkSpec extends AnyFunSuite {
     assert(CatalogSink.commitBatch(cat, batch(5), 1L, derive) == -1L)
     assert(cat.read("raw").count() == 10)
   }
+
+  test("unified index commit: both families advance in lockstep at every generation") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, freshDir("uniidx"))
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta"), (2L, "the quick brown fox jumps")),
+      Seq((3L, "merge scan filter stream vector"), (4L, "")), // empty doc: in NEITHER family
+      Seq((5L, "beta"))) // 1-token doc: whole text is its one shingle AND its one doclen row
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val g = UnifiedIndex.commitBatch(cat, b.toDF("doc_id", "text"), i.toLong)
+      assert(g == i.toLong,
+        "each unified commit must be EXACTLY one catalog generation")
+      // the invariant holds at the new head...
+      assert(UnifiedIndex.membershipConsistent(cat))
+    }
+    // ...and retroactively at every historical cut (no torn generation
+    // anywhere in the line — the atomicity claim, not just a head check)
+    (0L to 2L).foreach(g => assert(UnifiedIndex.membershipConsistent(cat, Some(g)),
+      s"generation $g is a torn cross-family cut"))
+    // the empty doc is absent from BOTH families; the 1-token doc is in both
+    assert(cat.read("doclen").filter(col("doc_id") === 4L).isEmpty)
+    assert(cat.read("sizes").filter(col("id") === 4L).isEmpty)
+    assert(cat.read("doclen").filter(col("doc_id") === 5L).count() == 1)
+    assert(cat.read("sizes").filter(col("id") === 5L).count() == 1)
+    // redelivery no-ops across ALL five relations at once
+    val preCounts = Seq("bands", "shingles", "sizes", "postings", "doclen")
+      .map(r => cat.read(r).count())
+    assert(UnifiedIndex.commitBatch(cat,
+      batches(1).toDF("doc_id", "text"), 1L) == -1L)
+    assert(Seq("bands", "shingles", "sizes", "postings", "doclen")
+      .map(r => cat.read(r).count()) == preCounts)
+  }
 }
