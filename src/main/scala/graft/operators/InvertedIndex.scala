@@ -82,6 +82,36 @@ object InvertedIndex {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Proximity pairs from positional postings: for two DISTINCT query
+    * terms, every same-doc occurrence pair within `window` positions,
+    * aggregated per doc — pair count, closest distance, and an
+    * integer proximity mass Σ (window + 1 − dist) that rewards near
+    * co-occurrence linearly (the span-scoring family of Clarke et
+    * al.'s cover density, integer-exact so oracles replay it
+    * bit-identically). Like [[phraseCount]], each term's postings are
+    * filtered FIRST, so the join inputs are posting-list-sized and
+    * the only shuffle is the (doc_id) equi-join; the per-doc pair
+    * blowup is tf(a)·tf(b) — bounded by the query terms' own
+    * frequencies, and the window filter drops far pairs before any
+    * aggregation.
+    */
+  def proximity(positions: DataFrame, termA: String, termB: String,
+      window: Int): DataFrame = {
+    require(termA != termB, "proximity terms must be distinct")
+    require(window > 0, "window must be positive")
+    val pa = positions.filter(col("tok") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = positions.filter(col("tok") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .withColumn("dist", abs(col("pa") - col("pb")))
+      .filter(col("dist") <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_close_pairs"),
+        min(col("dist")).as("min_dist"),
+        sum(lit(window + 1) - col("dist")).as("prox_score"))
+  }
+
   /** The live view of a revisioned relation under its tombstones:
     * drop every row whose `rev` is below its doc's kill floor
     * (MAX(kill_below) per doc — a doc deleted at batch 3 and

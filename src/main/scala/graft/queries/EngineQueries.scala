@@ -524,6 +524,52 @@ object EngineQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ───────────────── t29: proximity-scored retrieval (positions)
+
+  /** PROXIMITY retrieval from the positional relation — the ranking
+    * signal between bag-of-words (t19: position-blind) and exact
+    * phrase (t28: adjacency-only): documents where the two query
+    * terms co-occur within a 5-token window, scored by the integer
+    * proximity mass Σ (window + 1 − dist) over all close pairs
+    * ([[graft.operators.InvertedIndex.proximity]] — the cover-density
+    * scoring family, cleared of floats so the oracle replays
+    * bit-identically). Per-term posting lists filter BEFORE the join,
+    * so inputs are posting-list-sized; the only shuffle is the doc_id
+    * equi-join; the window filter drops far pairs pre-aggregation.
+    * Output: every co-occurrence doc with pair count, closest
+    * distance, and mass — one off-by-one position anywhere (a lost
+    * token, a 0-vs-1-based drift) shifts a distance and fails the
+    * hash.
+    */
+  val t29_proximity_search: Q = (s, dir) => {
+    import graft.operators.InvertedIndex
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pos = InvertedIndex.positions(docs, "doc_id", "text")
+    InvertedIndex.proximity(pos, "vector", "stream", window = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val t29_sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $ToksSql AS t FROM documents
+       |), posed AS (
+       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM toks
+       |), ptok AS (
+       |  SELECT doc_id, pos, t[pos] AS tok FROM posed
+       |), pa AS (SELECT doc_id, pos AS pa FROM ptok WHERE tok = 'vector'),
+       |pb AS (SELECT doc_id, pos AS pb FROM ptok WHERE tok = 'stream'),
+       |close_pairs AS (
+       |  SELECT a.doc_id, ABS(a.pa - b.pb) AS dist
+       |  FROM pa a JOIN pb b ON a.doc_id = b.doc_id
+       |  WHERE ABS(a.pa - b.pb) <= 5
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_close_pairs,
+       |  CAST(MIN(dist) AS BIGINT) AS min_dist,
+       |  CAST(SUM(6 - dist) AS BIGINT) AS prox_score
+       |FROM close_pairs
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ───────────────────────────── w31: scheduled postings compaction
 
   /** w30's maintained index with the COMPACTION TRIGGER in the loop —
@@ -1175,6 +1221,7 @@ object EngineQueries {
     "w30_streaming_postings" -> w30_streaming_postings,
     "w31_postings_autocompact" -> w31_postings_autocompact,
     "t28_phrase_search" -> t28_phrase_search,
+    "t29_proximity_search" -> t29_proximity_search,
     "w32_unified_index_admission" -> w32_unified_index_admission,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
@@ -1212,6 +1259,7 @@ object EngineQueries {
       "(SELECT doc_id, text FROM documents" +
         " WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 7)"),
     "t28_phrase_search" -> t28_sql,
+    "t29_proximity_search" -> t29_sql,
     "w32_unified_index_admission" -> w32_sql,
     "v20_catalog_snapshot" -> v20_sql)
 }

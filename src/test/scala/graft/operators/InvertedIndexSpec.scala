@@ -53,4 +53,25 @@ class InvertedIndexSpec extends AnyFunSuite {
   test("single-term phrase degenerates to term frequency") {
     assert(counts(Seq(1L -> "x y x x", 2L -> "y"), "x") == Map(1L -> 3L))
   }
+
+  test("proximity counts all close pairs, direction-blind, window-inclusive") {
+    val docs = Seq(
+      1L -> "a x b",           // dist 2: one pair
+      2L -> "b x x x x x a",   // dist 6 > window 5: excluded entirely
+      3L -> "a b x x a",       // pairs: (1,2)=1, (5,2)=3 → n=2, min=1, mass=5+3
+      4L -> "a a",             // no b: absent
+      5L -> "b a")             // reversed order still counts: dist 1
+    val r = InvertedIndex.proximity(posOf(docs), "a", "b", window = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(r == Map(
+      1L -> ((1L, 2L, 4L)),
+      3L -> ((2L, 1L, 8L)),
+      5L -> ((1L, 1L, 5L))))
+    // window boundary is inclusive: dist == window scores 1
+    val edge = InvertedIndex.proximity(
+      posOf(Seq(1L -> "a x x x x b")), "a", "b", window = 5)
+      .collect()(0)
+    assert((edge.getLong(1), edge.getLong(2), edge.getLong(3)) == ((1L, 5L, 1L)))
+  }
 }
