@@ -671,6 +671,71 @@ object EngineQueries {
       cat.read("doclen"))
   }
 
+  // ─────────── w33: cross-family forget + one compaction for both
+
+  /** THE DELETE SIDE of w32's unified index: one tombstone set
+    * removes a document from BOTH families atomically
+    * ([[graft.streaming.UnifiedIndex.delete]] — a GDPR erasure that
+    * lands in the dedup gate but not retrieval would keep serving the
+    * forgotten text), both serves mask through the SAME broadcast
+    * anti-join ([[graft.streaming.UnifiedIndex.lshLive]]/
+    * [[graft.streaming.UnifiedIndex.postingsLive]]), and ONE
+    * fraction-triggered transact folds the tombstones out of all
+    * FIVE relations at once
+    * ([[graft.streaming.IndexMaintenance.compactUnifiedIfNeeded]] — a
+    * per-family compaction pair could tear). Trigger pattern
+    * require-pinned: the bulk erasure (⅓) fires exactly one
+    * compaction, the later trickle (~10%) keeps serving masked. The
+    * LSH side is pinned in-query (an exact copy of a live doc matches
+    * its original; NO served match is ever a tombstoned id — data-
+    * independent, so corpus-internal duplicate groups can't flake
+    * it); the retrieval side is the oracle: BM25 over exactly the
+    * surviving corpus, identical whether dead rows are masked or
+    * folded.
+    */
+  val w33_unified_forget: Q = (s, dir) => {
+    import graft.streaming.{IndexMaintenance, UnifiedIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft-uniforget")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    (0 until 2).foreach { i =>
+      UnifiedIndex.commitBatch(cat, d.filter(col("doc_id") % 2 === i), i.toLong)
+    }
+    // bulk erasure (~33% dead): the shared trigger must fire ONCE
+    UnifiedIndex.delete(cat, d.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")), 2L)
+    require(IndexMaintenance.compactUnifiedIfNeeded(cat, 100L).nonEmpty,
+      "bulk erasure must trigger the cross-family compaction")
+    require(cat.read("tombstones").isEmpty,
+      "compaction left live tombstones")
+    require(UnifiedIndex.membershipConsistent(cat),
+      "compaction tore the families apart")
+    // trickle erasure (~10% of survivors): below threshold, serve masked
+    UnifiedIndex.delete(cat, d.filter(col("doc_id") % 10 === 2)
+      .select(col("doc_id")), 3L)
+    require(IndexMaintenance.compactUnifiedIfNeeded(cat, 101L).isEmpty,
+      "trickle erasure must NOT trigger compaction")
+    // LSH-side mask pin: copies of live docs match their originals;
+    // no served candidate is EVER a tombstoned id (folded or masked)
+    val (bands, shingles, sizes) = UnifiedIndex.lshLive(cat)
+    val probes = d.filter(col("doc_id") % 20 === 0) // mixes all delete classes
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val matches = TextDedup.lshIndexLookup(probes, "doc_id", "text",
+      bands, shingles, sizes).persist()
+    require(matches.filter(col("id_c") % 3 === 1
+        || col("id_c") % 10 === 2).isEmpty,
+      "a tombstoned id was served as a dedup candidate")
+    require(matches.filter(col("id_c") === col("id_q") - 1000000000L)
+        .count() == d.filter(col("doc_id") % 20 === 0
+          && col("doc_id") % 3 =!= 1 && col("doc_id") % 10 =!= 2
+          && length(trim(col("text"))) > 0).count(),
+      "a live doc's exact copy failed to match its original")
+    matches.unpersist()
+    val (tf, dl) = UnifiedIndex.postingsLive(cat)
+    bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
+  }
+
   /** w10's admission CTE chain (who is in the corpus) composed with
     * t19's BM25 scoring tail (how the corpus ranks) — both shared
     * verbatim with their owning queries, so a divergence in EITHER
@@ -1223,6 +1288,7 @@ object EngineQueries {
     "t28_phrase_search" -> t28_phrase_search,
     "t29_proximity_search" -> t29_proximity_search,
     "w32_unified_index_admission" -> w32_unified_index_admission,
+    "w33_unified_forget" -> w33_unified_forget,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1261,5 +1327,10 @@ object EngineQueries {
     "t28_phrase_search" -> t28_sql,
     "t29_proximity_search" -> t29_sql,
     "w32_unified_index_admission" -> w32_sql,
+    // the surviving corpus after both erasure waves — masking vs
+    // folding is an execution event, the answer must not move
+    "w33_unified_forget" -> bm25OracleSql(
+      "(SELECT doc_id, text FROM documents" +
+        " WHERE doc_id % 3 <> 1 AND doc_id % 10 <> 2)"),
     "v20_catalog_snapshot" -> v20_sql)
 }

@@ -61,6 +61,18 @@ object IndexMaintenance {
   def postingsDeadFraction(cat: TableCatalog): Double =
     deadFraction(cat, "doclen", InvertedIndex.liveView)
 
+  private val IdMask: (DataFrame, DataFrame) => DataFrame =
+    (rel, tomb) => rel.join(broadcast(tomb), Seq("id"), "left_anti")
+
+  /** [[IdMask]] for relations keyed `doc_id` against an id-shaped
+    * tombstone relation (the unified family: one tombstone set, two
+    * key spellings).
+    */
+  private val DocIdMask: (DataFrame, DataFrame) => DataFrame =
+    (rel, tomb) => rel.join(
+      broadcast(tomb.select(col("id").as("doc_id"))),
+      Seq("doc_id"), "left_anti")
+
   /** Compact the LSH dedup index iff its dead fraction crossed
     * `threshold`: one transact folds tombstones out of
     * bands/shingles/sizes and empties the tombstone relation (the d58
@@ -70,8 +82,7 @@ object IndexMaintenance {
   def compactLshIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double = DefaultThreshold): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, lshDeadFraction,
-      Seq("bands", "shingles", "sizes"),
-      (rel, tomb) => rel.join(broadcast(tomb), Seq("id"), "left_anti"))
+      Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap)
 
   /** Compact the postings index iff its dead fraction crossed
     * `threshold`: one transact folds every killed revision out of
@@ -82,7 +93,26 @@ object IndexMaintenance {
   def compactPostingsIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double = DefaultThreshold): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, postingsDeadFraction,
-      Seq("postings", "doclen"), InvertedIndex.liveView)
+      Seq("postings", "doclen").map(_ -> (InvertedIndex.liveView _)).toMap)
+
+  /** Masked-row fraction of the unified (w32) index — one tombstone
+    * set prices BOTH families, measured once on `sizes` (the same id
+    * set as `doclen` by [[UnifiedIndex]]'s membership invariant).
+    */
+  def unifiedDeadFraction(cat: TableCatalog): Double =
+    deadFraction(cat, "sizes", IdMask)
+
+  /** Compact the unified index iff the shared dead fraction crossed
+    * `threshold`: ONE transact folds the one tombstone set out of all
+    * FIVE member relations — the cross-family analogue of the w32
+    * commit (a per-family compaction pair could tear: one family
+    * compacted, the other still masking).
+    */
+  def compactUnifiedIfNeeded(cat: TableCatalog, batchId: Long,
+      threshold: Double = DefaultThreshold): Option[Long] =
+    compactIfNeeded(cat, batchId, threshold, unifiedDeadFraction,
+      Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap ++
+        Seq("postings", "doclen").map(_ -> DocIdMask).toMap)
 
   private def deadFraction(cat: TableCatalog, perDocRel: String,
       mask: (DataFrame, DataFrame) => DataFrame): Double =
@@ -101,8 +131,7 @@ object IndexMaintenance {
 
   private def compactIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double, fraction: TableCatalog => Double,
-      members: Seq[String],
-      mask: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
+      members: Map[String, (DataFrame, DataFrame) => DataFrame]): Option[Long] = {
     require(threshold > 0.0,
       s"threshold $threshold must be positive (0 would compact on every delete)")
     if (fraction(cat) < threshold) None
@@ -112,7 +141,7 @@ object IndexMaintenance {
       val g = snap.getOrElse(
         throw new IllegalStateException("compacting an empty catalog"))
       val tomb = broadcast(cat.readAt(g, "tombstones"))
-      members.map(m => m -> mask(cat.readAt(g, m), tomb)).toMap +
+      members.map { case (m, mask) => m -> mask(cat.readAt(g, m), tomb) } +
         ("tombstones" -> cat.readAt(g, "tombstones").limit(0))
     })
   }

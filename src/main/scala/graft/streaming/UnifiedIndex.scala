@@ -53,6 +53,45 @@ object UnifiedIndex {
       } finally toks.unpersist(blocking = false)
     }
 
+  /** Tombstone `ids` (a 1-column id relation, any column name) out of
+    * BOTH families as one atomic generation: the GDPR/right-to-be-
+    * forgotten path. One tombstone relation serves both families —
+    * the delete cannot land in one index and not the other, mirroring
+    * [[commitBatch]]'s atomicity on the way out. Exactly-once on
+    * redelivery like every maintenance commit.
+    */
+  def delete(cat: TableCatalog, ids: DataFrame, batchId: Long): Long = {
+    val t = ids.select(col(ids.columns.head).as("id"))
+    CatalogSink.commitBatch(cat, t, batchId, Map(
+      "tombstones" -> ((prev, b) =>
+        prev.map(_.unionByName(b)).getOrElse(b))))
+  }
+
+  private def tomb(cat: TableCatalog): DataFrame =
+    if (cat.latestGeneration().exists(g =>
+        cat.tableVersions(g).contains("tombstones")))
+      cat.read("tombstones")
+    else cat.read("sizes").select(col("id")).limit(0)
+
+  /** The LSH gate's live relations (bands, shingles, sizes) under the
+    * shared tombstones — pass these to `TextDedup.lshIndexLookup`;
+    * sizes ride along so Jaccard denominators stay right for free.
+    */
+  def lshLive(cat: TableCatalog): (DataFrame, DataFrame, DataFrame) = {
+    val t = broadcast(tomb(cat))
+    def live(rel: String) = cat.read(rel).join(t, Seq("id"), "left_anti")
+    (live("bands"), live("shingles"), live("sizes"))
+  }
+
+  /** The retrieval side's live relations (postings, doclen) under the
+    * SAME tombstones — one delete masks both families' serves.
+    */
+  def postingsLive(cat: TableCatalog): (DataFrame, DataFrame) = {
+    val t = broadcast(tomb(cat).select(col("id").as("doc_id")))
+    def live(rel: String) = cat.read(rel).join(t, Seq("doc_id"), "left_anti")
+    (live("postings"), live("doclen"))
+  }
+
   /** The cross-family membership invariant at a generation (head when
     * None): ids indexed by the gate (`sizes`) ≡ ids served by
     * retrieval (`doclen`). Both families index exactly the ≥1-token

@@ -119,4 +119,45 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(tf2.filter(col("doc_id") === 6).isEmpty,
       "post-compaction delete failed to mask")
   }
+
+  test("unified index: one delete masks both families; one transact folds all five") {
+    import graft.streaming.UnifiedIndex
+    val cat = tmpCat("graft-unicmp")
+    val docs = corpus10
+    UnifiedIndex.commitBatch(cat, docs, 0L)
+    assert(IndexMaintenance.unifiedDeadFraction(cat) == 0.0)
+    // forget 2 of 10 (0.2 < 0.3): masked in BOTH serves, no transact
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") <= 2)
+      .select("doc_id"), 1L)
+    assert(math.abs(IndexMaintenance.unifiedDeadFraction(cat) - 0.2) < 1e-9)
+    val gens = cat.loggedGenerations().size
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 2L).isEmpty)
+    assert(cat.loggedGenerations().size == gens)
+    val (_, _, sizes) = UnifiedIndex.lshLive(cat)
+    val (tf, dl) = UnifiedIndex.postingsLive(cat)
+    assert(sizes.filter(col("id") <= 2).isEmpty, "LSH serve leaked a tombstone")
+    assert(tf.filter(col("doc_id") <= 2).isEmpty
+      && dl.filter(col("doc_id") <= 2).isEmpty,
+      "postings serve leaked a tombstone")
+    // forget 2 more (0.4 ≥ 0.3): ONE transact folds all five relations
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") === 3
+      || col("doc_id") === 4).select("doc_id"), 2L)
+    val beforeDl = dl.collect().map(_.toSeq).toSet // live view pre-fold
+    val g = IndexMaintenance.compactUnifiedIfNeeded(cat, 3L)
+    assert(g.nonEmpty, "unified compaction must fire at 0.4 dead")
+    assert(cat.loggedGenerations().size == gens + 2)
+    assert(cat.read("tombstones").isEmpty)
+    Seq("bands", "shingles", "sizes").foreach(r =>
+      assert(cat.read(r).filter(col("id") <= 4).isEmpty,
+        s"$r kept folded rows"))
+    Seq("postings", "doclen").foreach(r =>
+      assert(cat.read(r).filter(col("doc_id") <= 4).isEmpty,
+        s"$r kept folded rows"))
+    // the families stayed in lockstep through delete + compaction
+    assert(UnifiedIndex.membershipConsistent(cat))
+    val (_, dlPost) = UnifiedIndex.postingsLive(cat)
+    assert(dlPost.collect().map(_.toSeq).toSet
+      == beforeDl.filter(_.head.asInstanceOf[Long] > 4),
+      "compacted serve diverged from the masked one")
+  }
 }
