@@ -1001,7 +1001,134 @@ object SemanticQueries {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ── s23: hybrid retrieval served from BOTH persisted indexes ──────
+
+  /** s19's hybrid RRF with NOTHING scanned at query time — the lexical
+    * list serves from a persisted postings index (the t23 split) and
+    * the semantic list from a persisted IVF-PQ code store (the s15
+    * split): corpus text and corpus vectors are each read exactly once,
+    * at INDEX BUILD, and the fused query touches only stored relations
+    * (plus the raw query vector — the query side is inherently raw).
+    * This is the serving economics at 100 TB: per-query cost is
+    * posting-lists + probed-cells, not two corpus scans. The semantic
+    * ranking is the INDEX's (IVF-PQ/ADC — s14's semantics, top-50),
+    * not brute cosine: approximation is the index's documented
+    * contract, so the oracle replays the same coarse argmins and ADC
+    * folds rather than pretending the index is exact. Lexical ranking
+    * is t19/t23's integer BM25 (index-serving is bit-identical to
+    * scan-time — t23's proven contract), top-50. Fusion is s19's
+    * integer RRF verbatim: Σ 1000000 div (60 + rank), nulls score 0.
+    */
+  val s23_hybrid_index_serve: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.CatalogSink
+    // build: postings index (one atomic generation; t23's layout)
+    val docs = Tables(s, dir, "documents")
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-hybidx")
+        .toFile.getAbsolutePath + "/cat")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    CatalogSink.commitBatch(cat, docs, 0L, Map(
+      "postings" -> ((_, _) => toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))),
+      "doclen" -> ((_, _) => toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl")))))
+    // build: IVF-PQ code store (s15's layout)
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val e = Tables(s, dir, "embeddings")
+    val st = new graft.sources.SnapshotStore(s,
+      java.nio.file.Files.createTempDirectory("graft-hybann")
+        .toFile.getAbsolutePath + "/t")
+    st.commit(VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
+      planes, codebooks), commitTsMillis = 1000L)
+    // serve: lexical top-50 from the stored postings (s19's lex shape,
+    // tf/dl sourced from the index relations instead of a corpus scan)
+    val terms = Seq("vector", "stream", "merge", "window", "filter", "scan")
+    val tf = cat.read("postings").filter(col("tok").isin(terms: _*))
+    val dl = cat.read("doclen")
+    val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val lexTop = tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("rarity", expr("(1000 * (n_docs - df)) div n_docs"))
+      .withColumn("contrib", expr(
+        "(rarity * 22 * tf * sumdl) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id"))
+      .limit(50)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("score_num").desc, col("doc_id")))) // 50-row frame
+      .select(col("doc_id"), col("rank_lex"))
+    // serve: semantic top-50 from the stored codes (s14's ranking)
+    val sem = VectorSearch.searchIvfPq(st.readLatest(),
+        e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", planes, codebooks, k = 50, nProbe = 2)
+      .select(col("id").as("doc_id"), col("rank").cast("int").as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L))
+        + coalesce(expr("1000000 div (60 + rank_sem)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("rrf"), col("rank_lex"), col("rank_sem"))
+  }
+
+  /** Lex CTEs are s19's verbatim (t23's contract: index-serving ≡
+    * scan-time BM25); the sem list is s14's IVF-PQ replay narrowed to
+    * query 0 / top-50 by targeted replaces (the s22 string-surgery
+    * discipline — the two replays move in lockstep by construction);
+    * fusion tail is s19's.
+    */
+  val s23_sql: String = {
+    val semReplay = s14_sql
+      .replace("rn <= 2 AND vec_id < 5", "rn <= 2 AND vec_id = 0")
+      .replace("WHERE vec_id < 5", "WHERE vec_id = 0")
+      .replace("WHERE rank <= 10", "WHERE rank <= 50")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                x -> x <> '')) AS tok
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+       |), totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |  WHERE tok IN ('vector', 'stream', 'merge', 'window', 'filter', 'scan')
+       |  GROUP BY doc_id, tok
+       |), dft AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ((1000 * (n_docs - df)) // n_docs) * 22 * tf * sumdl
+       |      // (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs) AS contrib
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), totals
+       |), lex AS (
+       |  SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score_num DESC, doc_id) AS INT) AS rank_lex
+       |  FROM (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_num
+       |        FROM scored GROUP BY doc_id)
+       |  QUALIFY rank_lex <= 50
+       |), sem AS (
+       |  SELECT id AS doc_id, CAST(rank AS INT) AS rank_sem
+       |  FROM ($semReplay) ivfpq
+       |)
+       |SELECT doc_id,
+       |  COALESCE(1000000 // (60 + rank_lex), 0)
+       |    + COALESCE(1000000 // (60 + rank_sem), 0) AS rrf,
+       |  rank_lex, rank_sem
+       |FROM lex FULL JOIN sem USING (doc_id)
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s23_hybrid_index_serve" -> s23_hybrid_index_serve,
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
     "s12_kmeans" -> s12_kmeans,
@@ -1015,6 +1142,7 @@ object SemanticQueries {
     "s22_ann_deletions" -> s22_ann_deletions)
 
   val oracles: Map[String, String] = Map(
+    "s23_hybrid_index_serve" -> s23_sql,
     "d27_semantic_dedup" -> d27_sql,
     "s09_embedding_decontam" -> s09_sql,
     "s12_kmeans" -> s12_sql,

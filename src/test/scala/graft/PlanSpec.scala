@@ -668,6 +668,22 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("parquet"), "serve must read the stored index")
   }
 
+  test("hybrid fusion serves from both indexes — neither corpus rescanned") {
+    val df = queries.SemanticQueries.s23_hybrid_index_serve(spark, dir)
+    val plan = planString(df)
+    // the lexical list must come from the postings relations, not a
+    // re-tokenized corpus; the semantic list from the stored codes,
+    // not re-encoded raw vectors — the fused query's plan therefore
+    // contains NO documents scan and exactly the one embeddings read
+    // that carries the raw QUERY vector (inherently raw; bounded)
+    assert(!plan.contains("documents.parquet"),
+      "fused plan re-scanned the raw corpus text:\n" + plan.take(2000))
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(embScans <= 2, // query vector + (pre-AQE) its probe twin
+      s"fused plan re-read corpus vectors ($embScans embeddings scans):\n" +
+        plan.take(2000))
+  }
+
   test("filter-aware IVF-PQ keeps corpus-side work to the ADC broadcast join") {
     val df = queries.PlatformQueries.s18_filtered_ivfpq(spark, dir)
     val plan = executedPlan(df)
