@@ -1496,6 +1496,67 @@ object PlatformQueries {
       |GROUP BY st
       |ORDER BY st""".stripMargin
 
+  // ───────────────────────────── v36: catalog-wide RESTORE
+
+  /** RESTORE — the undo verb of the catalog's MVCC
+    * ([[graft.sources.TableCatalog.restore]]): after a corrupting
+    * overwrite AND a mistaken DROP, one metadata commit re-points the
+    * whole table map at the last good generation. Zero data movement
+    * (the restored table's version DIRECTORY is the old one, pinned
+    * by a require on `versionOf`), and history is append-only: the
+    * corrupted cut stays time-travelable for audit below the new
+    * head. Lifecycle: good cut (t full + dimension x) → corrupting
+    * overwrite of t → DROP x → restore(good) → require t's rows and
+    * version match the good generation, x is back, and readAt still
+    * serves the corruption for forensics. Output = restored t's
+    * per-status rollup with x's row count pinned — resurrecting the
+    * wrong version or losing the dropped table shifts it and fails
+    * the hash.
+    */
+  val v36_catalog_restore: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-restore")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(s, root)
+    val orders = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val nation = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    cat.commitAll(Map("t" -> orders.filter(col("k") % 3 === 0)), 1000L)
+    val good = cat.commitAll(Map("t" -> orders, "x" -> nation), 2000L)
+    val goodRows = cat.read("t").count()
+    val goodV = cat.versionOf(good, "t")
+    // the incident: a corrupting overwrite, then a mistaken DROP
+    val bad = cat.commitAll(Map("t" -> orders.filter(col("k") % 100 === 0)),
+      3000L)
+    cat.dropTable("x", 4000L)
+    cat.restore(good, 5000L)
+    require(cat.read("t").count() == goodRows,
+      "restore did not bring back the good cut")
+    require(cat.versionOf(cat.latestGeneration().get, "t") == goodV,
+      "restore must re-point at the OLD version directory (zero-copy)")
+    require(cat.read("x").count() == nation.count(),
+      "restore must resurrect the dropped table")
+    require(cat.readAt(bad, "t").count() < goodRows,
+      "history must keep serving the corrupted cut for audit")
+    cat.read("t").groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("dim_rows", lit(cat.read("x").count()))
+      .orderBy(col("st"))
+  }
+
+  val v36_sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT st, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents,
+      |       (SELECT COUNT(*) FROM nation) AS dim_rows
+      |FROM o
+      |GROUP BY st
+      |ORDER BY st""".stripMargin
+
   // ───────────────────────────── q61: broadcast star join
 
   /** STAR-SCHEMA join citizenship: the fact table (lineitem) joins
@@ -3259,6 +3320,7 @@ object PlatformQueries {
     "q61_star_join" -> q61_star_join,
     "v34_catalog_history" -> v34_catalog_history,
     "v35_as_of_timestamp" -> v35_as_of_timestamp,
+    "v36_catalog_restore" -> v36_catalog_restore,
     "d57_lsh_index_serve" -> d57_lsh_index_serve,
     "d58_index_compaction" -> d58_index_compaction,
     "w29_indexed_admission" -> w29_indexed_admission)
@@ -3311,6 +3373,7 @@ object PlatformQueries {
     "q61_star_join" -> q61_sql,
     "v34_catalog_history" -> v34_sql,
     "v35_as_of_timestamp" -> v35_sql,
+    "v36_catalog_restore" -> v36_sql,
     "d57_lsh_index_serve" -> d57_sql,
     "d58_index_compaction" -> d57_sql,
     "w29_indexed_admission" -> StreamingQueries.w10_sql)

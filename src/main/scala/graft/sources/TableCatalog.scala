@@ -298,6 +298,36 @@ class TableCatalog(spark: SparkSession, root: String) {
       cloned = Map(to -> (physical, vs(from))), dropped = Set(from))
   }
 
+  /** Atomic RESTORE: the next generation's table map becomes
+    * generation `g`'s — every snapshot table re-points at its
+    * g-version directory through the clone indirection (ZERO data
+    * movement — at 100 TB, the difference between an O(tables)
+    * metadata commit and a full rewrite), tables created after `g`
+    * disappear, tables dropped since `g` reappear, and MoR members
+    * roll their delta pointers back (delta files are immutable and
+    * append-only, so an old pointer is always readable). History is
+    * untouched: RESTORE is a NEW generation (the Delta `RESTORE
+    * TABLE … VERSION AS OF` shape catalog-wide), so the mistake being
+    * undone stays time-travelable for audit and reclaimable by
+    * vacuum, and a restore of the restore is just another commit.
+    */
+  def restore(g: Long, commitTsMillis: Long): Long = {
+    require(loggedGenerations().contains(g),
+      s"generation $g is not in the log (vacuumed or never committed)")
+    val head = latestGeneration().getOrElse(
+      throw new IllegalStateException(s"empty catalog at $root"))
+    val vs = tableVersions(g)
+    val locs = tableLocations(g)
+    // drop the ENTIRE head table map and re-add g's through the clone
+    // path: kind changes since g (snapshot↔MoR under one name) then
+    // can't trip publish's cross-kind shadow guard
+    val headTables = tableVersions(head).keySet ++ morVersions(head).keySet
+    publish(Map.empty, commitTsMillis,
+      morStaged = morVersions(g),
+      cloned = vs.map { case (t, v) => t -> (locs.getOrElse(t, t), v) },
+      dropped = headTables)
+  }
+
   /** Atomic DROP: the table vanishes from the NEXT generation (one
     * metadata commit, no data deletion — earlier generations still
     * time-travel to it; [[vacuum]] reclaims the data once no kept

@@ -375,4 +375,34 @@ class TableCatalogSpec extends AnyFunSuite {
       dropped = Set("m"))
     assert(cat.readAt(g, "m").count() == 9)
   }
+
+  test("restore re-points snapshots zero-copy, rolls MoR pointers back, keeps history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new TableCatalog(spark, freshRoot())
+    cat.morStore("m", Seq("v"))
+    // good state: snapshot + one MoR delta
+    cat.commitAllWith(Map("snap" -> nums(0, 10)),
+      Map("m" -> Seq((1L, "U"), (2L, "U")).toDF("v", "__op")), 1000L)
+    val good = cat.latestGeneration().get
+    val goodV = cat.versionOf(good, "snap")
+    // the incident: snap corrupted, m takes a delete delta, extra table lands
+    cat.commitAllWith(Map("snap" -> nums(0, 2), "extra" -> nums(0, 3)),
+      Map("m" -> Seq((1L, "D"), (5L, "U")).toDF("v", "__op")), 2000L)
+    assert(cat.read("m").collect().map(_.getLong(0)).toSet == Set(2L, 5L))
+    val gr = cat.restore(good, 3000L)
+    // snapshot: same rows through the SAME version directory (zero-copy)
+    assert(cat.read("snap").count() == 10)
+    assert(cat.versionOf(gr, "snap") == goodV)
+    // MoR member: the delta pointer rolled back — delete/upsert undone
+    assert(cat.read("m").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the post-good table is gone from the head, but history keeps it all
+    intercept[IllegalArgumentException] { cat.read("extra") }
+    assert(cat.readAt(gr - 1, "snap").count() == 2)
+    assert(cat.readAt(gr - 1, "extra").count() == 3)
+    // a restore is a normal commit: later writes diverge freely
+    cat.commitAll(Map("snap" -> nums(0, 4)), 4000L)
+    assert(cat.read("snap").count() == 4)
+    assert(cat.readAt(gr, "snap").count() == 10)
+  }
 }
