@@ -201,6 +201,30 @@ class CatalogSinkSpec extends AnyFunSuite {
     assert(cat.read("raw").count() == 10)
   }
 
+  test("restore does not reopen the exactly-once window: replayed batches still no-op") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, freshDir("catsink-restore"))
+    def batch(lo: Long): DataFrame =
+      (lo until lo + 5).map(i => (i % 3, i)).toDF("k", "v")
+    assert(CatalogSink.commitBatch(cat, batch(0), 0L, derive) == 0L)
+    val good = cat.latestGeneration().get
+    assert(CatalogSink.commitBatch(cat, batch(5), 1L, derive) == 1L)
+    // operator rolls the catalog back UNDER the running stream
+    cat.restore(good, 9000L)
+    assert(cat.read("raw").count() == 5)
+    // batch 1's generation is off the head line now — but it IS logged,
+    // so a crash-replay of batch 1 must STILL no-op (re-applying it
+    // would double rows the restore deliberately rolled away only if
+    // the operator re-sends it; exactly-once is about redelivery, and
+    // redelivery must never resurrect rolled-back data by accident)
+    assert(CatalogSink.commitBatch(cat, batch(5), 1L, derive) == -1L)
+    assert(cat.read("raw").count() == 5)
+    // genuinely NEW batches extend the restored line consistently
+    assert(CatalogSink.commitBatch(cat, batch(10), 2L, derive) >= 0L)
+    assert(cat.read("raw").count() == 10)
+    consistent(cat, cat.latestGeneration().get)
+  }
+
   test("unified index commit: both families advance in lockstep at every generation") {
     import spark.implicits._
     val cat = new TableCatalog(spark, freshDir("uniidx"))
