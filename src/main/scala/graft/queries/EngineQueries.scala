@@ -524,6 +524,49 @@ object EngineQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ──────── t30: phrase search served from a STORED positional index
+
+  /** t28 with the positional relation as a PERSISTED INDEX MEMBER —
+    * the t19→t23 split applied to positions: the corpus is tokenized
+    * exactly once, at index build ([[graft.operators.InvertedIndex
+    * .positions]] committed as one catalog generation), and BOTH
+    * halves of the query — the
+    * data-derived phrase selection (top-trigram argmax through the
+    * position-adjacency self-joins) and the serving count
+    * ([[graft.operators.InvertedIndex.phraseCount]]) — read only the
+    * stored relation; raw text is never touched at query time
+    * (PlanSpec-pinned: no documents scan). At 100 TB the positions
+    * relation sorts/partitions by `tok` like the tf postings, so the
+    * per-term filters prune via the same skipping machinery. Oracle =
+    * t28's replay verbatim — index-serving is an execution strategy,
+    * and any stored-position drift (an off-by-one rev, a lost token)
+    * shifts a count and breaks the shared hash.
+    */
+  val t30_phrase_index_serve: Q = (s, dir) => {
+    import graft.operators.InvertedIndex
+    import graft.streaming.CatalogSink
+    val root = java.nio.file.Files.createTempDirectory("graft-posidx")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    CatalogSink.commitBatch(cat, docs, 0L, Map(
+      "positions" -> ((_, _) => InvertedIndex.positions(docs, "doc_id", "text"))))
+    val pos = cat.read("positions").persist()
+    def shifted(i: Int) = pos.select(col("doc_id"),
+      (col("pos") - i).as("p"), col("tok").as(s"t$i"))
+    val grams = shifted(0)
+      .join(shifted(1), Seq("doc_id", "p"))
+      .join(shifted(2), Seq("doc_id", "p"))
+      .select(concat_ws(" ", col("t0"), col("t1"), col("t2")).as("gram"))
+    val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(1)
+      .collect()(0).getString(0)
+    val out = InvertedIndex.phraseCount(pos, top.split(" ").toSeq)
+      .orderBy(col("doc_id"))
+    pos.unpersist()
+    out
+  }
+
   // ───────────────── t29: proximity-scored retrieval (positions)
 
   /** PROXIMITY retrieval from the positional relation — the ranking
@@ -1288,6 +1331,7 @@ object EngineQueries {
     "w31_postings_autocompact" -> w31_postings_autocompact,
     "t28_phrase_search" -> t28_phrase_search,
     "t29_proximity_search" -> t29_proximity_search,
+    "t30_phrase_index_serve" -> t30_phrase_index_serve,
     "w32_unified_index_admission" -> w32_unified_index_admission,
     "w33_unified_forget" -> w33_unified_forget,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
@@ -1327,6 +1371,8 @@ object EngineQueries {
         " WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 7)"),
     "t28_phrase_search" -> t28_sql,
     "t29_proximity_search" -> t29_sql,
+    // index-serving is an execution strategy: t28's replay verbatim
+    "t30_phrase_index_serve" -> t28_sql,
     "w32_unified_index_admission" -> w32_sql,
     // the surviving corpus after both erasure waves — masking vs
     // folding is an execution event, the answer must not move
