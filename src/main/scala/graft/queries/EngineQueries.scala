@@ -567,6 +567,69 @@ object EngineQueries {
     out
   }
 
+  // ──────── w34: positional index under streaming maintenance
+
+  /** t30's positional index MAINTAINED BY A STREAM — w30's
+    * revision/tombstone contract applied to the relation where stale
+    * revisions are not just wasted rows but WRONG ANSWERS: a recrawl
+    * shifts every token position, so an unmasked old revision feeds
+    * the adjacency joins phantom starts and the phrase counts drift.
+    * Lifecycle: two ingest batches, a recrawl wave (docs %10=3
+    * re-ingested with two prepended tokens — every position moves by
+    * 2, and the recrawled texts now CONTAIN new adjacencies), a
+    * delete wave (%7=0), one batch redelivered (exactly-once no-op,
+    * require-guarded). Serving reads only the live view
+    * ([[graft.streaming.PostingsIndex.livePositions]] — broadcast
+    * kill-floor anti-join): the phrase argmax AND the occurrence
+    * counts both run on it, raw text untouched at query time. Oracle
+    * = t28's replay on the stream's final surviving corpus — one
+    * unmasked stale position anywhere shifts the argmax or a count
+    * and fails the hash.
+    */
+  val w34_positional_maintenance: Q = (s, dir) => {
+    import graft.operators.InvertedIndex
+    import graft.streaming.PostingsIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-posmnt")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val none = docs.limit(0)
+    val noneIds = docs.select(col("doc_id")).limit(0)
+    PostingsIndex.commitPositionsBatch(cat, docs.filter(col("doc_id") % 2 === 0), noneIds, 0L)
+    PostingsIndex.commitPositionsBatch(cat, docs.filter(col("doc_id") % 2 === 1), noneIds, 1L)
+    val recrawl = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(lit("vector stream "), col("text")))
+    PostingsIndex.commitPositionsBatch(cat, recrawl, noneIds, 2L, replace = true)
+    require(PostingsIndex.commitPositionsBatch(cat, recrawl, noneIds, 2L,
+      replace = true) == -1L, "redelivered recrawl batch was re-applied")
+    PostingsIndex.commitPositionsBatch(cat, none,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 3L)
+    val pos = PostingsIndex.livePositions(cat).persist()
+    def shifted(i: Int) = pos.select(col("doc_id"),
+      (col("pos") - i).as("p"), col("tok").as(s"t$i"))
+    val top = shifted(0)
+      .join(shifted(1), Seq("doc_id", "p"))
+      .join(shifted(2), Seq("doc_id", "p"))
+      .select(concat_ws(" ", col("t0"), col("t1"), col("t2")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(1)
+      .collect()(0).getString(0)
+    val out = InvertedIndex.phraseCount(pos, top.split(" ").toSeq)
+      .orderBy(col("doc_id"))
+    pos.unpersist()
+    out
+  }
+
+  /** t28's replay with the corpus rewritten to the stream's final
+    * surviving state (recrawled texts in, deletes out) — the w30
+    * oracle-surgery discipline on the positional family.
+    */
+  val w34_sql: String = t28_sql.replace("FROM documents",
+    """FROM (SELECT doc_id,
+      |        CASE WHEN doc_id % 10 = 3
+      |             THEN 'vector stream ' || text ELSE text END AS text
+      | FROM documents WHERE doc_id % 7 <> 0) surv""".stripMargin)
+
   // ───────────────── t29: proximity-scored retrieval (positions)
 
   /** PROXIMITY retrieval from the positional relation — the ranking
@@ -1332,6 +1395,7 @@ object EngineQueries {
     "t28_phrase_search" -> t28_phrase_search,
     "t29_proximity_search" -> t29_proximity_search,
     "t30_phrase_index_serve" -> t30_phrase_index_serve,
+    "w34_positional_maintenance" -> w34_positional_maintenance,
     "w32_unified_index_admission" -> w32_unified_index_admission,
     "w33_unified_forget" -> w33_unified_forget,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
@@ -1373,6 +1437,7 @@ object EngineQueries {
     "t29_proximity_search" -> t29_sql,
     // index-serving is an execution strategy: t28's replay verbatim
     "t30_phrase_index_serve" -> t28_sql,
+    "w34_positional_maintenance" -> w34_sql,
     "w32_unified_index_admission" -> w32_sql,
     // the surviving corpus after both erasure waves — masking vs
     // folding is an execution event, the answer must not move

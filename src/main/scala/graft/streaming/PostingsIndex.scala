@@ -65,4 +65,33 @@ object PostingsIndex {
     (InvertedIndex.liveView(cat.read("postings"), tomb),
       InvertedIndex.liveView(cat.read("doclen"), tomb))
   }
+
+  /** [[commitBatch]] for the POSITIONAL index member: same revision /
+    * tombstone / exactly-once contract, but the maintained relation is
+    * (doc_id, pos, tok, rev) — phrase and proximity serving need the
+    * order tf postings erase, and a RECRAWL shifts every position, so
+    * masking stale revisions is not an optimization here but the
+    * correctness of every downstream adjacency join.
+    */
+  def commitPositionsBatch(cat: TableCatalog, upserts: DataFrame,
+      deletes: DataFrame, batchId: Long, idCol: String = "doc_id",
+      textCol: String = "text", replace: Boolean = false): Long = {
+    val rel = InvertedIndex.positions(upserts, idCol, textCol)
+      .withColumn("rev", lit(batchId))
+    val deadIds = {
+      val del = deletes.select(col(idCol).as("doc_id"))
+      if (replace) del.unionByName(upserts.select(col(idCol).as("doc_id")))
+      else del
+    }
+    val killed = deadIds.withColumn("kill_below", lit(batchId))
+    def append(r: DataFrame): (Option[DataFrame], DataFrame) => DataFrame =
+      (prev, _) => prev.map(_.unionByName(r)).getOrElse(r)
+    CatalogSink.commitBatch(cat, upserts, batchId, Map(
+      "positions" -> append(rel),
+      "tombstones" -> append(killed)))
+  }
+
+  /** The live positional relation at the head (see [[live]]). */
+  def livePositions(cat: TableCatalog): DataFrame =
+    InvertedIndex.liveView(cat.read("positions"), cat.read("tombstones"))
 }
