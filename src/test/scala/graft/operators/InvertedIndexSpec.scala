@@ -54,6 +54,37 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(counts(Seq(1L -> "x y x x", 2L -> "y"), "x") == Map(1L -> 3L))
   }
 
+  test("recrawl masking: stale positions never feed the adjacency joins") {
+    import graft.streaming.PostingsIndex
+    val cat = new graft.sources.TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-posmask")
+        .toFile.getAbsolutePath + "/cat")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noneIds = spark.range(0).select(col("id").as("doc_id"))
+    PostingsIndex.commitPositionsBatch(cat,
+      Seq(1L -> "a b c", 2L -> "b c d").toDF("doc_id", "text"), noneIds, 0L)
+    // recrawl doc 1: "b c" moves from positions (2,3) to (1,2); the
+    // stale revision would still claim a "a b" start at position 1
+    PostingsIndex.commitPositionsBatch(cat,
+      Seq(1L -> "b c a").toDF("doc_id", "text"), noneIds, 1L, replace = true)
+    // delete doc 2 entirely
+    PostingsIndex.commitPositionsBatch(cat, none,
+      Seq(2L).toDF("doc_id"), 2L)
+    val live = PostingsIndex.livePositions(cat)
+    def phrase(p: String) = InvertedIndex.phraseCount(live, p.split(" ").toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phrase("a b") == Map.empty, "stale revision served a phantom start")
+    assert(phrase("b c") == Map(1L -> 1L), "fresh revision missing or doubled")
+    assert(phrase("c a") == Map(1L -> 1L))
+    assert(phrase("c d") == Map.empty, "deleted doc still served")
+    // re-ingest after delete revives the id at the new revision
+    PostingsIndex.commitPositionsBatch(cat,
+      Seq(2L -> "d c b").toDF("doc_id", "text"), noneIds, 3L)
+    assert(InvertedIndex.phraseCount(PostingsIndex.livePositions(cat),
+      Seq("d", "c")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(2L -> 1L))
+  }
+
   test("proximity counts all close pairs, direction-blind, window-inclusive") {
     val docs = Seq(
       1L -> "a x b",           // dist 2: one pair
