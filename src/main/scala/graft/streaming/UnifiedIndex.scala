@@ -99,12 +99,18 @@ object UnifiedIndex {
     * one doclen row; an empty doc has neither), so equality is exact.
     */
   def membershipConsistent(cat: TableCatalog, gen: Option[Long] = None): Boolean = {
-    def rel(name: String) = gen match {
-      case Some(g) => cat.readAt(g, name)
-      case None => cat.read(name)
+    val g = gen.orElse(cat.latestGeneration()).getOrElse(return true)
+    val present = cat.tableVersions(g).keySet
+    // a generation before any ingest (e.g. a tombstone-only first
+    // batch) has NEITHER family: trivially consistent. Exactly one
+    // family present IS the torn state this invariant exists to catch.
+    (present("sizes"), present("doclen")) match {
+      case (false, false) => true
+      case (true, true) =>
+        val gate = cat.readAt(g, "sizes").select(col("id"))
+        val retr = cat.readAt(g, "doclen").select(col("doc_id").as("id"))
+        gate.exceptAll(retr).isEmpty && retr.exceptAll(gate).isEmpty
+      case _ => false
     }
-    val gate = rel("sizes").select(col("id"))
-    val retr = rel("doclen").select(col("doc_id").as("id"))
-    gate.exceptAll(retr).isEmpty && retr.exceptAll(gate).isEmpty
   }
 }
