@@ -59,6 +59,34 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
   private def samples[T](gen: Gen[T], n: Int, seed: Long = 7L): Seq[T] =
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  test("streaming binding: a real foreachBatch stream maintains both families") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val cat = new TableCatalog(spark, java.nio.file.Files
+      .createTempDirectory("graft-unistream").toFile.getAbsolutePath + "/cat")
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-unistream-ckpt").toFile.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        UnifiedIndex.commitBatch(cat, batch, id); ()
+      }
+      .start()
+    try {
+      ms.addData(1L -> "alpha beta gamma", 2L -> "the quick fox")
+      q.processAllAvailable()
+      ms.addData(3L -> "merge scan filter")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cat.loggedGenerations() == Seq(0L, 1L))
+    (0L to 1L).foreach(g => assert(UnifiedIndex.membershipConsistent(cat, Some(g))))
+    assert(cat.read("doclen").count() == 3)
+    assert(cat.read("sizes").count() == 3)
+    // a crash-replay of micro-batch 1 through the same sink no-ops
+    assert(UnifiedIndex.commitBatch(cat,
+      Seq(3L -> "merge scan filter").toDF("doc_id", "text"), 1L) == -1L)
+  }
+
   test("any interleaving: families stay in lockstep and serve the interpreter's corpus") {
     samples(stepsGen, 6).zipWithIndex.foreach { case (steps, i) =>
       val cat = new TableCatalog(spark, java.nio.file.Files
