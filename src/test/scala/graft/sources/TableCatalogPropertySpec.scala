@@ -65,11 +65,19 @@ class TableCatalogPropertySpec extends AnyFunSuite {
               t -> Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(1000).toLong)).toMap
             cat.commitAll(data.map { case (t, v) => t -> df(v) }, tick())
             model = model :+ (live ++ data)
-          case 5 | 6 => // clone to a fresh name
+          case 5 => // clone to a fresh name
             val src = names(rnd.nextInt(names.size))
             val dst = name()
             cat.cloneTable(src, dst, tick())
             model = model :+ (live + (dst -> live(src)))
+          case 6 => // RESTORE to a random kept generation: the head's
+            // table map becomes that cut's (dropped names revive,
+            // later names vanish), as one new generation — and the
+            // restored entries' old version dirs must survive any
+            // LATER vacuum exactly like clone pins do
+            val target = dropped + rnd.nextInt(model.size - dropped)
+            cat.restore(target.toLong, tick())
+            model = model :+ model(target)
           case 7 => // rename to a fresh name
             val from = names(rnd.nextInt(names.size))
             val to = name()
