@@ -567,6 +567,32 @@ object EngineQueries {
     out
   }
 
+  // ──── t31: proximity served from the stored positional index
+
+  /** t29's proximity signal through t30's STORED positional member —
+    * the last scan-built retrieval signal moves behind the index: the
+    * corpus is tokenized once at build, and the windowed pair
+    * aggregation ([[graft.operators.InvertedIndex.proximity]]) reads
+    * only the stored relation, so per-query cost is the two terms'
+    * posting lists however large the corpus (PlanSpec-pinned: no
+    * documents scan). Oracle = t29's replay verbatim (index-serving
+    * is an execution strategy; a stored-position drift shifts a
+    * distance and breaks the shared hash).
+    */
+  val t31_proximity_index_serve: Q = (s, dir) => {
+    import graft.operators.InvertedIndex
+    import graft.streaming.CatalogSink
+    val root = java.nio.file.Files.createTempDirectory("graft-proxidx")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    CatalogSink.commitBatch(cat, docs, 0L, Map(
+      "positions" -> ((_, _) => InvertedIndex.positions(docs, "doc_id", "text"))))
+    InvertedIndex.proximity(cat.read("positions"), "vector", "stream",
+        window = 5)
+      .orderBy(col("doc_id"))
+  }
+
   // ──────── w34: positional index under streaming maintenance
 
   /** t30's positional index MAINTAINED BY A STREAM — w30's
@@ -1395,6 +1421,7 @@ object EngineQueries {
     "t28_phrase_search" -> t28_phrase_search,
     "t29_proximity_search" -> t29_proximity_search,
     "t30_phrase_index_serve" -> t30_phrase_index_serve,
+    "t31_proximity_index_serve" -> t31_proximity_index_serve,
     "w34_positional_maintenance" -> w34_positional_maintenance,
     "w32_unified_index_admission" -> w32_unified_index_admission,
     "w33_unified_forget" -> w33_unified_forget,
@@ -1437,6 +1464,8 @@ object EngineQueries {
     "t29_proximity_search" -> t29_sql,
     // index-serving is an execution strategy: t28's replay verbatim
     "t30_phrase_index_serve" -> t28_sql,
+    // index-serving is an execution strategy: t29's replay verbatim
+    "t31_proximity_index_serve" -> t29_sql,
     "w34_positional_maintenance" -> w34_sql,
     "w32_unified_index_admission" -> w32_sql,
     // the surviving corpus after both erasure waves — masking vs

@@ -676,6 +676,14 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("parquet"), "serve must read the stored positions")
   }
 
+  test("proximity serves from the stored positional index — no raw text") {
+    val df = queries.EngineQueries.t31_proximity_index_serve(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("documents.parquet"),
+      "proximity serve re-tokenized the raw corpus:\n" + plan.take(2000))
+    assert(plan.contains("parquet"), "serve must read the stored positions")
+  }
+
   test("hybrid fusion serves from both indexes — neither corpus rescanned") {
     val df = queries.SemanticQueries.s23_hybrid_index_serve(spark, dir)
     val plan = planString(df)
