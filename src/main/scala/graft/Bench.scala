@@ -18,6 +18,25 @@ object Bench {
     */
   private val FastThresh = 0.3
 
+  /** Heavy tier (r11 verdict item 1): queries whose PRIOR median is at
+    * or above this get ONE timed run instead of cold+steady — the
+    * other end of the same budget arithmetic that pairs the sub-second
+    * tail. The >5 s class is all lifecycle composites (w32/w33/w29/
+    * d58/d10/d55/v25): driver-sequential chains of exactly-once commit
+    * jobs, where codegen is a few percent of wall, so the cold run IS
+    * a fair figure — and each steady run dropped returns 5-14 s of
+    * wall to a budget the driver kills near ~800 s. Noise protection
+    * survives three ways: the figure is seeded against the prior (a
+    * cold run ≥10× prior triggers the rescue run below), a flagged
+    * single run still gets the backoff pass's extra run, and
+    * q17/q18 — the BASELINE.md comparables — are pinned to the full
+    * solo protocol via SoloAlways regardless of their priors.
+    * Mid-tier pairing was measured counterproductive for exactly this
+    * class (see PairThresh note) — run-count cuts are the lever that
+    * works on driver-sequential chains.
+    */
+  private val HeavyThresh = 5.0
+
   /** Self-imposed wall budget. Round 9's official artifact died rc=124:
     * 228 queries x (warmup + 3 runs) outran the driver's kill timer and
     * the summary line never printed. Two independent defenses now hold:
@@ -442,7 +461,10 @@ object Bench {
     solo.foreach { case (name, fn) =>
       if (stopping) ()
       else {
-        val degraded = elapsedMs > SoftCapMs
+        // heavy tier rides the degraded path: 1 run, prior-seeded
+        // rescue when the cold run lands ≥10× the prior
+        val degraded = elapsedMs > SoftCapMs ||
+          (priorOf(name) >= HeavyThresh && !SoloAlways(name))
         var runs = measure(name, fn, degraded, clear = true)
         var retries = 0
         // only multi-run queries retry: a fast query's figure can't be

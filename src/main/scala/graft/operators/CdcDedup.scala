@@ -115,15 +115,48 @@ object CdcDedup {
     *             window shuffle if the batch is already key-unique.
     */
   def dedup(df: DataFrame, keys: Seq[String], gate: Boolean = true): DataFrame = {
-    val dropCols = df.columns.filter(c => c == "rn" || c == IngestionSeqCol || c == "__source_file").toSeq
-    if (gate && !needsDedup(df, keys)) {
-      df.drop(dropCols: _*)
-    } else {
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderSpec(df.schema): _*)
-      df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
-        .drop(dropCols: _*)
-    }
+    if (gate && !needsDedup(df, keys)) skipPath(df)
+    else windowPath(df, keys)
+  }
+
+  /** [[dedup]] fused with [[MergePlanner.probe]]: ONE aggregation pass
+    * over the staging batch yields BOTH the gate decision (total vs
+    * distinct keys) AND the merge planner's probe (deduped row count +
+    * approx distinct target buckets) — the separate probe job is gone
+    * from the pipeline (it cost a second full-batch aggregation per
+    * file). The fusion is exact, not approximate: dedup keeps one row
+    * per key tuple, so the deduped batch has `unique_keys` rows and
+    * touches the same bucket set as the raw batch, and HLL++ registers
+    * depend only on the SET of hashed values, so duplicates cannot
+    * move the bucket estimate.
+    *
+    * `numBuckets` must match the target store's bucketing (same
+    * contract as [[MergePlanner.probe]]).
+    */
+  def dedupAndProbe(df: DataFrame, keys: Seq[String], numBuckets: Int)
+      : (DataFrame, MergePlanner.Probe) = {
+    val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))
+    val row = df.agg(
+      count(lit(1)).as("total_rows"),
+      count_distinct(struct(keys.map(col): _*)).as("unique_keys"),
+      approx_count_distinct(bucket).as("buckets_touched")).head()
+    val (total, unique) = (row.getLong(0), row.getLong(1))
+    val out = if (total == unique) skipPath(df) else windowPath(df, keys)
+    (out, MergePlanner.Probe(unique, row.getLong(2), -1L))
+  }
+
+  private def transientCols(df: DataFrame): Seq[String] =
+    df.columns.filter(c =>
+      c == "rn" || c == IngestionSeqCol || c == "__source_file").toSeq
+
+  private def skipPath(df: DataFrame): DataFrame =
+    df.drop(transientCols(df): _*)
+
+  private def windowPath(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderSpec(df.schema): _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .drop(transientCols(df): _*)
   }
 }

@@ -141,13 +141,23 @@ final class CdcPipeline(
           System.err.println(s"[graft] evolution-log append failed for $table: ${e.getMessage}")
         }
 
-      // STEP 3: dedup via the cascade (handler.py:407-479)
-      val dedup = CdcDedup.dedup(staging, keys, gate = true)
+      // STEP 3: dedup via the cascade (handler.py:407-479). On the
+      // adaptive path the gate aggregation ALSO carries the merge
+      // planner's probe (CdcDedup.dedupAndProbe — exact fusion: the
+      // deduped batch has `unique_keys` rows and the same bucket set),
+      // so the probe's former second full-batch pass is gone and the
+      // adaptive routing costs exactly what the reference's dedup gate
+      // already paid (handler.py:423-439).
+      val (dedup, fusedProbe) =
+        if (adaptiveMerge) {
+          val (d, p) = CdcDedup.dedupAndProbe(staging, keys, numBuckets)
+          (d, Some(p))
+        } else (CdcDedup.dedup(staging, keys, gate = true), None)
 
       // STEP 4+5: column prep + MERGE (handler.py:876-946). The
-      // physical strategy is per-batch adaptive: probe the batch (one
-      // map-side-combined aggregation — rows + approx buckets
-      // touched), route concentrated batches through the bucket-pruned
+      // physical strategy is per-batch adaptive: probe the batch (the
+      // fused aggregation above — rows + approx buckets touched),
+      // route concentrated batches through the bucket-pruned
       // CoW rewrite and scattered ones to the MoR side-store as an
       // O(batch) delta; any CoW-routed batch drains accumulated
       // scatter first so per-key apply order holds.
@@ -155,8 +165,7 @@ final class CdcPipeline(
         if (!adaptiveMerge) store.merge(dedup, deleteCol, deleteVals)
         else {
           val side = morSideFor(table, keys)
-          val p = MergePlanner.probe(dedup, keys, numBuckets)
-          MergePlanner.choose(p, numBuckets) match {
+          MergePlanner.choose(fusedProbe.get, numBuckets) match {
             case MergePlanner.MorDelta =>
               // normalizeDelta reproduces the CoW merge's semantics
               // exactly — including the WHEN-NOT-MATCHED insert of

@@ -792,10 +792,13 @@ object EngineQueries {
         }
       adm.count() // pin the admission BEFORE the index advances
       UnifiedIndex.commitBatch(cat, adm, i.toLong)
-      if (i == 1) // exactly-once covers BOTH families in one check
+      if (i == 1) // exactly-once covers ALL families in one check
         require(UnifiedIndex.commitBatch(cat, adm, 1L) == -1L,
           "redelivered unified batch was re-applied")
-      require(UnifiedIndex.membershipConsistent(cat),
+      // the O(aggregate) detector — the production-shaped per-batch
+      // pin (r11 item 6); the exceptAll forensic stays in the spec
+      // suite, which proves both flag the same torn states
+      require(UnifiedIndex.membershipConsistentFast(cat),
         s"cross-index membership diverged after batch $i")
       adm.unpersist()
     }
@@ -840,8 +843,13 @@ object EngineQueries {
       .select(col("doc_id")), 2L)
     require(IndexMaintenance.compactUnifiedIfNeeded(cat, 100L).nonEmpty,
       "bulk erasure must trigger the cross-family compaction")
-    require(cat.read("tombstones").isEmpty,
-      "compaction left live tombstones")
+    // matched tombstones fold away; what MAY survive is exactly the
+    // erase ledger for never-admitted ids (empty-text docs have no
+    // index rows — their erase requests stay durable by design), so
+    // the pin is "no survivor masks an admitted row", not emptiness
+    require(cat.read("tombstones").join(cat.read("sizes"),
+        Seq("id"), "left_semi").isEmpty,
+      "compaction left a tombstone that still masks admitted rows")
     require(UnifiedIndex.membershipConsistent(cat),
       "compaction tore the families apart")
     // trickle erasure (~10% of survivors): below threshold, serve masked
@@ -882,6 +890,70 @@ object EngineQueries {
        |toks AS (
        |  SELECT doc_id, unnest($ToksSql) AS tok FROM adm_corpus
        |)$Bm25OracleTailSql""".stripMargin
+
+  // ─────────── w35: the positional family inside the unified commit
+
+  /** POSITIONS INSIDE THE w32 TRANSACTION — round 11 shipped the
+    * positional index on its own commit
+    * ([[graft.streaming.PostingsIndex.commitPositionsBatch]]), leaving
+    * exactly the torn window w32 exists to close: a crash between the
+    * five-relation commit and the positions commit strands a document
+    * BM25-searchable but invisible to every phrase query. Now ONE
+    * [[graft.streaming.UnifiedIndex.commitBatch]] carries all SIX
+    * relations (bands/shingles/sizes + postings/doclen/positions) as
+    * one atomic generation, the batch tokenized ONCE for all three
+    * text-side members (posexplode — positions project the cached
+    * relation postings/doclen aggregate). Lifecycle: one ingest
+    * generation (the multi-batch lockstep is w32's pinned property), a
+    * redelivery (exactly-once covers all six in one batch-id check,
+    * require-pinned), the torn-state pin via the O(aggregate) fast
+    * membership detector across all THREE families (the production-
+    * shaped per-batch check; the exceptAll forensic stays in the spec
+    * suite, which proves both flag the same tears), a cross-family
+    * forget, then phrase serving from the LIVE positional member
+    * ([[graft.streaming.UnifiedIndex.positionsLive]]) under the SAME
+    * tombstone set the BM25/LSH serves mask with — a forgotten doc
+    * stops matching phrases in the generation it stops ranking.
+    * Oracle = t28's phrase replay (argmax trigram + occurrence
+    * counts) over the surviving corpus — one unmasked position, one
+    * torn family, or one doc in five relations but not the sixth
+    * shifts the argmax or a count and fails the hash.
+    */
+  val w35_unified_phrase: Q = (s, dir) => {
+    import graft.operators.InvertedIndex
+    import graft.streaming.UnifiedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-uniphrase")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    UnifiedIndex.commitBatch(cat, d, 0L)
+    require(UnifiedIndex.commitBatch(cat, d, 0L) == -1L,
+      "redelivered six-relation batch was re-applied")
+    require(UnifiedIndex.membershipConsistentFast(cat),
+      "a family tore inside the unified commit")
+    UnifiedIndex.delete(cat, d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), 1L)
+    val pos = UnifiedIndex.positionsLive(cat).persist()
+    def shifted(i: Int) = pos.select(col("doc_id"),
+      (col("pos") - i).as("p"), col("tok").as(s"t$i"))
+    val top = shifted(0)
+      .join(shifted(1), Seq("doc_id", "p"))
+      .join(shifted(2), Seq("doc_id", "p"))
+      .select(concat_ws(" ", col("t0"), col("t1"), col("t2")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(1)
+      .collect()(0).getString(0)
+    val out = InvertedIndex.phraseCount(pos, top.split(" ").toSeq)
+      .orderBy(col("doc_id"))
+    pos.unpersist()
+    out
+  }
+
+  /** t28's replay over the forget's surviving corpus — the w34
+    * oracle-surgery discipline on the unified family.
+    */
+  val w35_sql: String = t28_sql.replace("FROM documents",
+    "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) surv")
 
   // ───────────────────────────── v20: cross-table atomic snapshot
 
@@ -1425,6 +1497,7 @@ object EngineQueries {
     "w34_positional_maintenance" -> w34_positional_maintenance,
     "w32_unified_index_admission" -> w32_unified_index_admission,
     "w33_unified_forget" -> w33_unified_forget,
+    "w35_unified_phrase" -> w35_unified_phrase,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1473,5 +1546,8 @@ object EngineQueries {
     "w33_unified_forget" -> bm25OracleSql(
       "(SELECT doc_id, text FROM documents" +
         " WHERE doc_id % 3 <> 1 AND doc_id % 10 <> 2)"),
+    // t28's phrase replay over the forget's survivors — one doc in
+    // five relations but not the sixth shifts a count and fails this
+    "w35_unified_phrase" -> w35_sql,
     "v20_catalog_snapshot" -> v20_sql)
 }

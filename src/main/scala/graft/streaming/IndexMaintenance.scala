@@ -104,15 +104,25 @@ object IndexMaintenance {
 
   /** Compact the unified index iff the shared dead fraction crossed
     * `threshold`: ONE transact folds the one tombstone set out of all
-    * FIVE member relations — the cross-family analogue of the w32
+    * SIX member relations — the cross-family analogue of the w32
     * commit (a per-family compaction pair could tear: one family
     * compacted, the other still masking).
+    *
+    * Tombstones for ids the index NEVER ADMITTED survive the fold
+    * (`retainUnmatched`): they are the durable erase ledger for
+    * documents that have not arrived yet ([[UnifiedIndex.delete]]'s
+    * GDPR contract — dropping them would serve the doc when it is
+    * finally admitted). Matched tombstones fold away as before, so
+    * the relation stays erase-ledger-sized, and the fraction trigger
+    * is unaffected (an unmatched tombstone masks zero rows, so it
+    * never counts toward the dead fraction it is retained past).
     */
   def compactUnifiedIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double = DefaultThreshold): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, unifiedDeadFraction,
       Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap ++
-        Seq("postings", "doclen").map(_ -> DocIdMask).toMap)
+        Seq("postings", "doclen", "positions").map(_ -> DocIdMask).toMap,
+      retainUnmatched = Some("sizes"))
 
   private def deadFraction(cat: TableCatalog, perDocRel: String,
       mask: (DataFrame, DataFrame) => DataFrame): Double =
@@ -131,7 +141,8 @@ object IndexMaintenance {
 
   private def compactIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double, fraction: TableCatalog => Double,
-      members: Map[String, (DataFrame, DataFrame) => DataFrame]): Option[Long] = {
+      members: Map[String, (DataFrame, DataFrame) => DataFrame],
+      retainUnmatched: Option[String] = None): Option[Long] = {
     require(threshold > 0.0,
       s"threshold $threshold must be positive (0 would compact on every delete)")
     if (fraction(cat) < threshold) None
@@ -141,8 +152,16 @@ object IndexMaintenance {
       val g = snap.getOrElse(
         throw new IllegalStateException("compacting an empty catalog"))
       val tomb = broadcast(cat.readAt(g, "tombstones"))
+      // retained tombstones: ids that matched NOTHING in the per-doc
+      // relation — the erase requests whose documents have not arrived
+      // (unified family only; revisioned families revive by design)
+      val survivors = retainUnmatched match {
+        case Some(perDoc) => cat.readAt(g, "tombstones")
+          .join(cat.readAt(g, perDoc).select(col("id")), Seq("id"), "left_anti")
+        case None => cat.readAt(g, "tombstones").limit(0)
+      }
       members.map { case (m, mask) => m -> mask(cat.readAt(g, m), tomb) } +
-        ("tombstones" -> cat.readAt(g, "tombstones").limit(0))
+        ("tombstones" -> survivors)
     })
   }
 }
