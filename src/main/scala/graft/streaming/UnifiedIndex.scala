@@ -177,17 +177,22 @@ object UnifiedIndex {
     */
   def membershipConsistentFast(cat: TableCatalog, gen: Option[Long] = None): Boolean =
     checkMembership(cat, gen) { case (a, b) =>
-      def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // raw count rides along so a DUPLICATED per-doc row (which the
+      // exceptAll multiset compare flags) is caught too — the per-doc
+      // relations are one-row-per-id by contract, so raw == distinct
+      // on every healthy family
+      def sig(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
         val r = df.agg(
+          count(lit(1)).as("rows"),
           count_distinct(col("id")).as("n"),
           coalesce(
             sum_distinct(xxhash64(col("id"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
             lit(java.math.BigDecimal.ZERO)).as("h")).head()
-        (r.getLong(0), r.getDecimal(1))
+        (r.getLong(0), r.getLong(1), r.getDecimal(2))
       }
-      val (na, ha) = sig(a); val (nb, hb) = sig(b)
-      na == nb && ha.compareTo(hb) == 0
+      val (ra, na, ha) = sig(a); val (rb, nb, hb) = sig(b)
+      ra == rb && na == nb && ra == na && ha.compareTo(hb) == 0
     }
 
   private def checkMembership(cat: TableCatalog, gen: Option[Long])(

@@ -160,4 +160,47 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       == beforeDl.filter(_.head.asInstanceOf[Long] > 4),
       "compacted serve diverged from the masked one")
   }
+
+  test("unified index: positions fold in the same transact; erase-before-admit survives it") {
+    import graft.streaming.UnifiedIndex
+    val cat = tmpCat("graft-uniposc")
+    val docs = corpus10
+    // the erase request RACES AHEAD of its document: id 99 not admitted
+    UnifiedIndex.delete(cat, Seq(99L).toDF("doc_id"), 0L)
+    UnifiedIndex.commitBatch(cat, docs, 1L)
+    // cross the trigger with admitted deletes (4/10 masked ≥ 0.3)
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") <= 4)
+      .select("doc_id"), 2L)
+    val livePre = UnifiedIndex.positionsLive(cat).collect().map(_.toSeq).toSet
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 3L).nonEmpty)
+    // the sixth relation folded with the other five...
+    assert(cat.read("positions").filter(col("doc_id") <= 4).isEmpty,
+      "positions kept folded rows")
+    assert(UnifiedIndex.membershipConsistent(cat),
+      "compaction tore positions from the other families")
+    // ...and folding is a pure execution event for phrase serving
+    assert(UnifiedIndex.positionsLive(cat).collect().map(_.toSeq).toSet
+      == livePre, "compacted positional serve diverged from the masked one")
+    // the never-admitted erase SURVIVED the fold (durable ledger)...
+    assert(cat.read("tombstones").collect().map(_.getLong(0)).toSet
+      == Set(99L), "compaction dropped a pending erase request")
+    // ...and masks the doc the moment it is finally admitted
+    UnifiedIndex.commitBatch(cat,
+      Seq(99L -> "late arrival text late arrival").toDF("doc_id", "text"), 4L)
+    val (_, _, sizes) = UnifiedIndex.lshLive(cat)
+    val (tf, dl) = UnifiedIndex.postingsLive(cat)
+    assert(sizes.filter(col("id") === 99L).isEmpty
+        && tf.filter(col("doc_id") === 99L).isEmpty
+        && dl.filter(col("doc_id") === 99L).isEmpty
+        && UnifiedIndex.positionsLive(cat)
+          .filter(col("doc_id") === 99L).isEmpty,
+      "an erased-before-admission doc was served after admission")
+    // now MATCHED, the tombstone folds away at the next compaction
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 5L,
+      threshold = 1e-9).nonEmpty)
+    assert(cat.read("tombstones").isEmpty,
+      "a matched tombstone survived its compaction")
+    assert(cat.read("sizes").filter(col("id") === 99L).isEmpty,
+      "the erased doc's rows survived the fold")
+  }
 }

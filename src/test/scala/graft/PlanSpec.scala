@@ -684,6 +684,21 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("parquet"), "serve must read the stored positions")
   }
 
+  test("unified phrase serve: stored positions only, tombstones broadcast-masked") {
+    val df = queries.EngineQueries.w35_unified_phrase(spark, dir)
+    val plan = planString(df)
+    // serving reads the unified index's sixth relation, never the raw
+    // corpus; the forget mask is a broadcast anti-join on the id-sized
+    // tombstone relation — the index is scanned, never shuffled, for
+    // a maintenance event
+    assert(!plan.contains("documents.parquet"),
+      "unified phrase serve re-tokenized the raw corpus:\n" + plan.take(2000))
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(plan).nonEmpty,
+      "tombstone mask must ride a broadcast anti-join:\n" + plan.take(2000))
+    assert(!"SortMergeJoin [^\\n]*LeftAnti".r.findFirstIn(plan).nonEmpty,
+      "the index was SHUFFLED for a maintenance mask:\n" + plan.take(2000))
+  }
+
   test("hybrid fusion serves from both indexes — neither corpus rescanned") {
     val df = queries.SemanticQueries.s23_hybrid_index_serve(spark, dir)
     val plan = planString(df)

@@ -121,4 +121,38 @@ class MergePlannerSpec extends AnyFunSuite {
         "ShuffleCow/backfill path must not force a broadcast")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("fused gate+probe: one pass reproduces dedup() and probe() exactly") {
+    import spark.implicits._
+    // duplicated-key batch: the gate must take the window path
+    val dup = Seq(
+      (1L, "old", "2024-01-01 00:00:00"),
+      (1L, "new", "2024-06-01 00:00:00"),
+      (2L, "only", "2024-01-01 00:00:00"))
+      .toDF("id", "payload", "lts")
+      .withColumn("load_timestamp", col("lts").cast("timestamp"))
+      .drop("lts")
+    val (d1, p1) = CdcDedup.dedupAndProbe(dup, Seq("id"), numBuckets = 8)
+    assert(d1.collect().map(_.toSeq).toSet
+      == CdcDedup.dedup(dup, Seq("id")).collect().map(_.toSeq).toSet,
+      "fused dedup diverged from dedup()")
+    assert(d1.filter(col("payload") === "new").count() == 1,
+      "the cascade's newest-load_timestamp winner changed")
+    // the probe equals a standalone probe of the DEDUPED output —
+    // dedup keeps one row per key, so rows == distinct keys and the
+    // bucket set is unchanged (HLL registers see the same value set)
+    val ref = probe(CdcDedup.dedup(dup, Seq("id")), Seq("id"), 8)
+    assert(p1.rows == ref.rows && p1.bucketsTouched == ref.bucketsTouched,
+      s"fused probe $p1 diverged from standalone $ref")
+    // key-unique batch: the gate must take the skip path — no window
+    // in the plan, same probe contract
+    val uniq = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    val (d2, p2) = CdcDedup.dedupAndProbe(uniq, Seq("id"), 8)
+    assert(d2.collect().map(_.toSeq).toSet
+      == uniq.collect().map(_.toSeq).toSet)
+    assert(!d2.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "a key-unique batch must skip the window shuffle")
+    val refU = probe(uniq, Seq("id"), 8)
+    assert(p2.rows == 2 && p2.bucketsTouched == refU.bucketsTouched)
+  }
 }

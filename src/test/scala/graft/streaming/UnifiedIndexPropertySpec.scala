@@ -124,10 +124,14 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
         // sometimes fold the tombstones: serving must not change
         if (i % 2 == 0)
           IndexMaintenance.compactUnifiedIfNeeded(cat, 1000L, threshold = 1e-9)
-        // (a) lockstep at every surviving generation
+        // (a) lockstep at every surviving generation — and the
+        // O(aggregate) fast detector agrees with the exceptAll
+        // forensic on every consistent state
         cat.loggedGenerations().foreach { g =>
           assert(UnifiedIndex.membershipConsistent(cat, Some(g)),
             s"sample $i: generation $g tore the families apart")
+          assert(UnifiedIndex.membershipConsistentFast(cat, Some(g)),
+            s"sample $i: fast detector false-alarmed at generation $g")
         }
         // (b) both live id sets == interpreter's ≥1-token survivors
         val expected = model.collect {
@@ -146,7 +150,72 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
             id -> t.trim.split("\\s+").count(_.nonEmpty).toLong
         }
         assert(dlMap == expDl.toMap, s"sample $i: doc lengths diverged")
+        // (d) the positional member rides the SAME lifecycle: live ids
+        // in lockstep, per-doc position counts equal the doc lengths,
+        // and the stored token sequence IS the interpreter's text
+        val posLive = UnifiedIndex.positionsLive(cat)
+        val posIds = posLive.select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        assert(posIds == expected, s"sample $i: positional ids diverged")
+        val posSeq = posLive.collect()
+          .groupBy(_.getLong(0))
+          .map { case (id, rows) =>
+            id -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toList
+          }
+        val expSeq = model.collect {
+          case (id, t) if t.trim.split("\\s+").exists(_.nonEmpty) =>
+            id -> t.trim.split("\\s+").filter(_.nonEmpty).toList
+        }
+        assert(posSeq == expSeq.toMap,
+          s"sample $i: stored token sequences diverged")
       }
     }
+  }
+
+  test("torn states: the fast detector flags everything the exceptAll path does") {
+    import graft.sources.TableCatalog
+    def freshCat(tag: String) = new TableCatalog(spark, java.nio.file.Files
+      .createTempDirectory(s"graft-torn$tag").toFile.getAbsolutePath + "/cat")
+    def ids(xs: Long*) = xs.toDF("id")
+    def docIds(xs: Long*) = xs.toDF("doc_id").withColumn("dl", lit(1L))
+    def posRows(xs: Long*) = xs.toDF("doc_id")
+      .withColumn("pos", lit(1L)).withColumn("tok", lit("x"))
+    def both(cat: TableCatalog): (Boolean, Boolean) =
+      (UnifiedIndex.membershipConsistent(cat),
+        UnifiedIndex.membershipConsistentFast(cat))
+    // a missing family: the original w32 torn window
+    val c1 = freshCat("missing")
+    c1.commitAll(Map(
+      "sizes" -> ids(1L, 2L).withColumn("n", lit(3L)),
+      "doclen" -> docIds(1L, 2L)), 0L)
+    assert(both(c1) == (false, false), "missing positional family")
+    // same COUNT, different ids: only the hash sum can see it
+    val c2 = freshCat("swap")
+    c2.commitAll(Map(
+      "sizes" -> ids(1L, 2L).withColumn("n", lit(3L)),
+      "doclen" -> docIds(1L, 3L),
+      "positions" -> posRows(1L, 2L)), 0L)
+    assert(both(c2) == (false, false), "count-preserving id swap")
+    // an id stranded in one family
+    val c3 = freshCat("strand")
+    c3.commitAll(Map(
+      "sizes" -> ids(1L, 2L, 3L).withColumn("n", lit(3L)),
+      "doclen" -> docIds(1L, 2L),
+      "positions" -> posRows(1L, 2L)), 0L)
+    assert(both(c3) == (false, false), "id stranded in the gate only")
+    // a DUPLICATED per-doc row (multiset tear)
+    val c4 = freshCat("dup")
+    c4.commitAll(Map(
+      "sizes" -> ids(1L, 2L).withColumn("n", lit(3L)),
+      "doclen" -> docIds(1L, 1L, 2L),
+      "positions" -> posRows(1L, 2L)), 0L)
+    assert(both(c4) == (false, false), "duplicated doclen row")
+    // and the healthy state passes both
+    val c5 = freshCat("ok")
+    c5.commitAll(Map(
+      "sizes" -> ids(1L, 2L).withColumn("n", lit(3L)),
+      "doclen" -> docIds(1L, 2L),
+      "positions" -> posRows(1L, 2L)), 0L)
+    assert(both(c5) == (true, true), "healthy state")
   }
 }
