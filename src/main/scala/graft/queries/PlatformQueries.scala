@@ -1758,13 +1758,10 @@ object PlatformQueries {
     graft.operators.CacheScope.scoped { implicit cs =>
       val rels =
         graft.operators.TextDedup.lshIndexRelations(batch, "doc_id", "text")
-      val derive = Seq("bands", "shingles", "sizes").map { rel =>
-        rel -> ((prev: Option[DataFrame], _: DataFrame) => {
-          val r = rels(rel)
-          prev.map(_.unionByName(r)).getOrElse(r)
-        })
-      }.toMap
-      graft.streaming.CatalogSink.commitBatch(cat, batch, batchId, derive)
+      // append members: one batch-sized segment per relation, O(batch)
+      // physical writes however large the accumulated index
+      graft.streaming.CatalogSink.commitBatchAppend(cat, batchId,
+        Seq("bands", "shingles", "sizes").map(r => r -> rels(r)).toMap)
     }
 
   /** Shared d57/d58 lifecycle: build the LSH index over `documents`
@@ -1787,13 +1784,9 @@ object PlatformQueries {
     }
     require(commitLshIndexBatch(cat, docs.filter(col("doc_id") % 2 === 1),
       1L) == -1L, "redelivered index batch was re-applied")
-    val deriveDel = Map[String, (Option[DataFrame], DataFrame) => DataFrame](
-      "tombstones" -> ((prev, b) => {
-        val t = b.select(col("doc_id").as("id"))
-        prev.map(_.unionByName(t)).getOrElse(t)
-      }))
-    CatalogSink.commitBatch(cat, docs.filter(col("doc_id") % 20 === 5),
-      2L, deriveDel)
+    CatalogSink.commitBatchAppend(cat, 2L, Map(
+      "tombstones" -> docs.filter(col("doc_id") % 20 === 5)
+        .select(col("doc_id").as("id"))))
     val qdocs = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 5)

@@ -160,13 +160,15 @@ class TableCatalog(spark: SparkSession, root: String) {
       cloned: Map[String, (String, Long)] = Map.empty,
       dropped: Set[String] = Set.empty,
       expectedPrev: Option[Option[Long]] = None,
-      ref: String = TableCatalog.Main): Long = commitLock.synchronized {
+      ref: String = TableCatalog.Main,
+      appended: Map[String, String] = Map.empty,
+      appendRestored: Map[String, Seq[Long]] = Map.empty): Long = commitLock.synchronized {
     val prev = headOf(ref)
     expectedPrev.foreach { exp =>
       if (prev != exp) {
         // loser's staged directories are orphans — reclaim them now
         // rather than waiting for vacuum (the caller will restage)
-        staged.foreach { case (t, stageName) =>
+        (staged ++ appended).foreach { case (t, stageName) =>
           fs.delete(new Path(root, s"tables/$t/$stageName"), true) }
         throw new TableCatalog.CommitConflictException(exp, prev)
       }
@@ -185,12 +187,15 @@ class TableCatalog(spark: SparkSession, root: String) {
     // staged directories are reclaimed before raising, matching the
     // OCC-conflict path above.
     val prevMor = prev.map(morVersions).getOrElse(Map.empty)
-    val snapOverMor = (staged.keySet ++ cloned.keySet)
+    val prevApp = prev.map(appendVersions).getOrElse(Map.empty)
+    val snapOverMor = (staged.keySet ++ cloned.keySet ++ appended.keySet ++
+      appendRestored.keySet)
       .intersect(prevMor.keySet -- dropped -- morStaged.keys)
     val morOverSnap = morStaged.keySet
-      .intersect(prevVs.keySet -- dropped -- staged.keys -- cloned.keys)
+      .intersect((prevVs.keySet ++ prevApp.keySet) -- dropped --
+        staged.keys -- cloned.keys -- appended.keys -- appendRestored.keys)
     if (snapOverMor.nonEmpty || morOverSnap.nonEmpty) {
-      staged.foreach { case (t, stageName) =>
+      (staged ++ appended).foreach { case (t, stageName) =>
         fs.delete(new Path(root, s"tables/$t/$stageName"), true) }
       throw new IllegalArgumentException(
         s"commit rejected: ${(snapOverMor ++ morOverSnap).toSeq.sorted.mkString(", ")} " +
@@ -198,28 +203,52 @@ class TableCatalog(spark: SparkSession, root: String) {
           "silently prefer the snapshot and shadow the member (drop the " +
           "old entry in the same commit to convert a table's kind)")
     }
-    val placed = staged.map { case (t, stageName) =>
-      val tdir = new Path(root, s"tables/$t")
-      val dirMax = fs.listStatus(tdir).map(_.getPath.getName)
-        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-        .foldLeft(-1L)(math.max)
-      val v = math.max(prevVs.get(t).map(_ + 1).getOrElse(0L), dirMax + 1)
-      require(fs.rename(new Path(tdir, stageName), tableDir(t, v)),
-        s"stage placement failed: $t/$stageName -> v=$v")
-      t -> v
-    }
-    val versions = (prevVs -- dropped) ++
+    def place(dirs: Map[String, String]): Map[String, Long] =
+      dirs.map { case (t, stageName) =>
+        val tdir = new Path(root, s"tables/$t")
+        val dirMax = fs.listStatus(tdir).map(_.getPath.getName)
+          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          .foldLeft(-1L)(math.max)
+        val v = math.max(prevVs.get(t).map(_ + 1).getOrElse(0L), dirMax + 1)
+        require(fs.rename(new Path(tdir, stageName), tableDir(t, v)),
+          s"stage placement failed: $t/$stageName -> v=$v")
+        t -> v
+      }
+    val placed = place(staged)
+    // APPEND-member segments: the staged directory holds ONE BATCH; the
+    // generation's self-contained chain = the new segment plus every
+    // segment the previous generation served — or, when the name was
+    // last committed as a snapshot (a compaction fold), that snapshot
+    // version as the chain's base. A snapshot/clone commit under the
+    // name resets the kind (the chain entry is dropped below), which
+    // is how a compaction transact folds a chain back to one segment.
+    val appPlaced = place(appended)
+    val appLists: Map[String, Seq[Long]] =
+      (prevApp -- dropped -- staged.keys -- cloned.keys) ++
+        appendRestored ++
+        appPlaced.map { case (t, v) =>
+          val base = prevApp.get(t)
+            .orElse(prevVs.get(t).map(Seq(_)))
+            .getOrElse(Seq.empty)
+          t -> (v +: base)
+        }
+    val versions = (prevVs -- dropped -- appPlaced.keys -- appendRestored.keys) ++
       placed ++ cloned.map { case (t, (_, v)) => t -> v }
     val morVs = (prevMor -- dropped) ++ morStaged
     // location indirection: a CLONE's data lives under its SOURCE's
     // physical directory; a staged (freshly written) table always
     // lives under its own name, so a post-clone write resets the entry
     val locs = (prev.map(tableLocations).getOrElse(Map.empty) --
-      placed.keys -- dropped) ++ cloned.map { case (t, (src, _)) => t -> src }
+      placed.keys -- appPlaced.keys -- dropped) ++
+      cloned.map { case (t, (src, _)) => t -> src }
     def jsonMap(m: Map[String, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":$v""" }.mkString(",")
     def jsonStrMap(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":"$v"""" }.mkString(",")
+    // chains encode as dash-joined strings ("9-7-3", newest first):
+    // the hand-rolled section parser splits entries on commas, so a
+    // JSON array value would tear it
+    val appJson = appLists.map { case (t, vs) => t -> vs.mkString("-") }
     fs.mkdirs(catDir)
     val tmp = new Path(catDir, s"$g.json.tmp")
     val out = fs.create(tmp, true)
@@ -227,6 +256,7 @@ class TableCatalog(spark: SparkSession, root: String) {
       (s"""{"generation":$g,"ts":$commitTsMillis,""" +
         s""""ref":"$ref","parent":${prev.getOrElse(-1L)},""" +
         s""""tables":{${jsonMap(versions)}},"mor":{${jsonMap(morVs)}},""" +
+        s""""app":{${jsonStrMap(appJson)}},""" +
         s""""locs":{${jsonStrMap(locs)}}}""")
         .getBytes("UTF-8"))
     out.close()
@@ -320,12 +350,16 @@ class TableCatalog(spark: SparkSession, root: String) {
     val locs = tableLocations(g)
     // drop the ENTIRE head table map and re-add g's through the clone
     // path: kind changes since g (snapshot↔MoR under one name) then
-    // can't trip publish's cross-kind shadow guard
-    val headTables = tableVersions(head).keySet ++ morVersions(head).keySet
+    // can't trip publish's cross-kind shadow guard. Append members
+    // restore by chain copy — g's chain directories are immutable, so
+    // re-recording the list IS the zero-copy restore.
+    val headTables = tableVersions(head).keySet ++ morVersions(head).keySet ++
+      appendVersions(head).keySet
     publish(Map.empty, commitTsMillis,
       morStaged = morVersions(g),
       cloned = vs.map { case (t, v) => t -> (locs.getOrElse(t, t), v) },
-      dropped = headTables)
+      dropped = headTables,
+      appendRestored = appendVersions(g))
   }
 
   /** Atomic DROP: the table vanishes from the NEXT generation (one
@@ -336,8 +370,7 @@ class TableCatalog(spark: SparkSession, root: String) {
   def dropTable(t: String, commitTsMillis: Long): Long = {
     val g = latestGeneration().getOrElse(
       throw new IllegalStateException(s"empty catalog at $root"))
-    require(tableVersions(g).contains(t) || morVersions(g).contains(t),
-      s"table '$t' not in generation $g")
+    require(memberNames(g).contains(t), s"table '$t' not in generation $g")
     publish(Map.empty, commitTsMillis, dropped = Set(t))
   }
 
@@ -422,6 +455,30 @@ class TableCatalog(spark: SparkSession, root: String) {
       t -> g
     }
     publish(staged, commitTsMillis, morStaged)
+  }
+
+  /** Atomically commit snapshot rewrites AND pure-append segments as
+    * ONE catalog generation. Each append member's DataFrame is ONLY
+    * the batch's new rows: the commit stages a batch-sized segment and
+    * the generation records it prepended to the member's chain
+    * ([[appendVersions]]), so maintaining an arbitrarily large
+    * append-only relation costs O(batch) physical writes per commit —
+    * the property the index families (postings, positions, LSH bands)
+    * need at 100 TB, where a full-state rewrite per micro-batch IS the
+    * scale-killer. Reads stay plain multi-directory parquet scans
+    * (never a resolve or shuffle — segments are disjoint by the
+    * caller's every-row-lands-once contract). A later SNAPSHOT commit
+    * under the same name (e.g. a compaction transact's fold) resets
+    * the chain to one directory; a later append chains on top of that
+    * snapshot. All-or-nothing with the snapshot halves: one
+    * generation file references every staged directory or none.
+    */
+  def commitAllAppend(snapshots: Map[String, DataFrame],
+      appends: Map[String, DataFrame], commitTsMillis: Long): Long = {
+    val both = snapshots.keySet.intersect(appends.keySet)
+    require(both.isEmpty,
+      s"tables $both appear as BOTH snapshot and append in one commit")
+    publish(stage(snapshots), commitTsMillis, appended = stage(appends))
   }
 
   private def swingRef(ref: String, g: Long): Unit = {
@@ -685,6 +742,31 @@ class TableCatalog(spark: SparkSession, root: String) {
   def morVersions(g: Long): Map[String, Long] =
     parseVersionMap(genJson(g), "mor")
 
+  /** The APPEND-member→segment-chain map of generation `g` (newest
+    * segment first). An append member's state at a generation is the
+    * UNION of its chain's immutable segment directories — each commit
+    * stages only its own batch, so maintenance writes are physically
+    * O(batch) however large the accumulated relation (the Lucene
+    * segment model on the catalog's versioned layout). Generations
+    * written before append support parse as empty.
+    */
+  def appendVersions(g: Long): Map[String, Seq[Long]] =
+    parseSection(genJson(g), "app",
+      _.stripPrefix("\"").stripSuffix("\"")).collect {
+      case (t, s) if s.nonEmpty => t -> s.split("-").toSeq.map(_.toLong)
+    }
+
+  /** Every member name of generation `g`, whatever its kind (snapshot,
+    * append chain, or MoR) — the existence check maintenance policies
+    * and invariants key on.
+    */
+  def memberNames(g: Long): Set[String] = {
+    val json = genJson(g)
+    parseVersionMap(json, "tables").keySet ++
+      parseVersionMap(json, "mor").keySet ++
+      parseSection(json, "app", identity[String] _).keySet
+  }
+
   /** The table→physical-location map of generation `g` — entries
     * exist only for CLONES (a table whose data directory is another
     * table's); absent means the table lives under its own name.
@@ -787,9 +869,20 @@ class TableCatalog(spark: SparkSession, root: String) {
           .getOrElse(table, table)
         spark.read.parquet(tableDir(loc, v).toString)
       case None =>
-        val mv = parseVersionMap(json, "mor").getOrElse(table,
-          throw new IllegalArgumentException(s"table $table not in generation $g"))
-        morStore(table, morKeys(table)).readAt(mv)
+        // append member: the state IS the union of the chain's
+        // immutable segment directories — one multi-path scan, no
+        // resolve/shuffle (segments are disjoint pure appends)
+        parseSection(json, "app",
+          (s: String) => s.stripPrefix("\"").stripSuffix("\""))
+          .get(table).filter(_.nonEmpty) match {
+          case Some(chain) =>
+            spark.read.parquet(chain.split("-").toSeq
+              .map(v => tableDir(table, v.toLong).toString): _*)
+          case None =>
+            val mv = parseVersionMap(json, "mor").getOrElse(table,
+              throw new IllegalArgumentException(s"table $table not in generation $g"))
+            morStore(table, morKeys(table)).readAt(mv)
+        }
     }
   }
 
@@ -923,7 +1016,13 @@ class TableCatalog(spark: SparkSession, root: String) {
         val locs = tableLocations(g)
         tableVersions(g).toSeq.map { case (t, v) =>
           locs.getOrElse(t, t) -> v
-        }
+        } ++
+          // every segment of a kept generation's append chain is live
+          // (chains reference old directories transitively forever
+          // until a snapshot/compaction fold resets them)
+          appendVersions(g).toSeq.flatMap { case (t, chain) =>
+            chain.map(t -> _)
+          }
       }.toSet
     val keptLocs = keptRefs.map(_._1)
     keptLocs.foreach { t =>
@@ -966,7 +1065,7 @@ object TableCatalog {
     * after one would collide with the label-keyed parse.
     */
   private[sources] val ReservedNames =
-    Set("generation", "ts", "ref", "parent", "tables", "mor", "locs")
+    Set("generation", "ts", "ref", "parent", "tables", "mor", "locs", "app")
 
   /** A [[TableCatalog.commitAllIf]]/[[TableCatalog.transact]] lost
     * the optimistic race: the catalog advanced past the generation

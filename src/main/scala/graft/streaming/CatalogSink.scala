@@ -100,6 +100,29 @@ object CatalogSink {
     }
   }
 
+  /** Exactly-once APPEND-member sink: each micro-batch commits ONLY
+    * its own rows per member ([[TableCatalog.commitAllAppend]] — a
+    * batch-sized segment prepended to the member's chain), under the
+    * same batch-id ledger as [[commitBatch]]. This is the physical
+    * contract the index families need: with the full-state derive
+    * shape, "append" meant rewriting the accumulated relation every
+    * micro-batch — O(index) writes per batch, the one cost an
+    * inverted/LSH index cannot afford at 100 TB. Here maintenance
+    * writes are O(batch) and reads stay plain multi-segment scans.
+    * `snapshots` rides along for members that genuinely rewrite
+    * (small per-doc summaries, folded states) in the SAME atomic
+    * generation.
+    */
+  def commitBatchAppend(cat: TableCatalog, batchId: Long,
+      appends: Map[String, DataFrame],
+      snapshots: Map[String, DataFrame] = Map.empty): Long =
+    if (cat.batchCommitted(batchId)) -1L
+    else {
+      val g = cat.commitAllAppend(snapshots, appends, commitTsMillis = batchId)
+      cat.markBatch(batchId)
+      g
+    }
+
   /** Attach the sink to a stream (foreachBatch driver). */
   def attach(stream: DataFrame, cat: TableCatalog, checkpointDir: String,
       derive: Map[String, (Option[DataFrame], DataFrame) => DataFrame],

@@ -127,7 +127,7 @@ object IndexMaintenance {
   private def deadFraction(cat: TableCatalog, perDocRel: String,
       mask: (DataFrame, DataFrame) => DataFrame): Double =
     cat.latestGeneration() match {
-      case Some(head) if cat.tableVersions(head).contains("tombstones") =>
+      case Some(head) if cat.memberNames(head).contains("tombstones") =>
         val tomb = cat.read("tombstones")
         if (tomb.isEmpty) 0.0
         else {

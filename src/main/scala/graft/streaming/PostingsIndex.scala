@@ -46,12 +46,13 @@ object PostingsIndex {
         else del
       }
       val killed = deadIds.withColumn("kill_below", lit(batchId))
-      def append(r: DataFrame): (Option[DataFrame], DataFrame) => DataFrame =
-        (prev, _) => prev.map(_.unionByName(r)).getOrElse(r)
-      CatalogSink.commitBatch(cat, upserts, batchId, Map(
-        "postings" -> append(rels("postings")),
-        "doclen" -> append(rels("doclen")),
-        "tombstones" -> append(killed)))
+      // append members: each commit stages only this batch's rows —
+      // term-partitioned postings are the one relation a per-batch
+      // full rewrite can never afford (see UnifiedIndex scaladoc)
+      CatalogSink.commitBatchAppend(cat, batchId, Map(
+        "postings" -> rels("postings"),
+        "doclen" -> rels("doclen"),
+        "tombstones" -> killed))
     }
 
   /** The served index: (live postings, live doclen) at the catalog
@@ -84,11 +85,9 @@ object PostingsIndex {
       else del
     }
     val killed = deadIds.withColumn("kill_below", lit(batchId))
-    def append(r: DataFrame): (Option[DataFrame], DataFrame) => DataFrame =
-      (prev, _) => prev.map(_.unionByName(r)).getOrElse(r)
-    CatalogSink.commitBatch(cat, upserts, batchId, Map(
-      "positions" -> append(rel),
-      "tombstones" -> append(killed)))
+    CatalogSink.commitBatchAppend(cat, batchId, Map(
+      "positions" -> rel,
+      "tombstones" -> killed))
   }
 
   /** The live positional relation at the head (see [[live]]). */

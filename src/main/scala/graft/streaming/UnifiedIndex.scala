@@ -29,8 +29,17 @@ import graft.sources.TableCatalog
   * family costs no extra scan of the text); both caches are released
   * as soon as the commit's writes materialize them, so a long-running
   * stream pins no per-batch state. Each relation is a pure append
-  * (every doc lands in exactly one batch), so maintenance is O(batch)
-  * however many families ride the commit.
+  * (every doc lands in exactly one batch) committed as a catalog
+  * APPEND MEMBER ([[graft.sources.TableCatalog.commitAllAppend]]):
+  * the commit stages one batch-sized segment per relation and the
+  * generation prepends it to the member's chain, so maintenance is
+  * O(batch) PHYSICALLY — not just logically — however many families
+  * ride the commit and however large the accumulated index (with
+  * full-state commits every micro-batch would rewrite the whole
+  * index: the one write pattern an inverted/LSH index cannot afford
+  * at 100 TB). Serves read the chain as one multi-segment parquet
+  * scan; the fraction-triggered compaction transact folds a long
+  * chain back to one segment (a snapshot commit resets the chain).
   */
 object UnifiedIndex {
 
@@ -52,20 +61,21 @@ object UnifiedIndex {
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
           col("tok"))
         .persist()
-      try {
-        def app(r: DataFrame): (Option[DataFrame], DataFrame) => DataFrame =
-          (prev, _) => prev.map(_.unionByName(r)).getOrElse(r)
-        CatalogSink.commitBatch(cat, adm, batchId, Map(
-          "bands" -> app(lsh("bands")),
-          "shingles" -> app(lsh("shingles")),
-          "sizes" -> app(lsh("sizes")),
-          "postings" -> app(toks.groupBy(col("doc_id"), col("tok"))
-            .agg(count(lit(1)).as("tf"))),
-          "doclen" -> app(toks.groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("dl"))),
-          "positions" -> app(toks.select(col("doc_id"), col("pos"),
-            col("tok")))))
-      } finally toks.unpersist(blocking = false)
+      try
+        // append members: each relation stages ONLY this batch's rows
+        // (an O(batch) segment prepended to the chain) — full-state
+        // derive here would rewrite the whole index per micro-batch
+        CatalogSink.commitBatchAppend(cat, batchId, Map(
+          "bands" -> lsh("bands"),
+          "shingles" -> lsh("shingles"),
+          "sizes" -> lsh("sizes"),
+          "postings" -> toks.groupBy(col("doc_id"), col("tok"))
+            .agg(count(lit(1)).as("tf")),
+          "doclen" -> toks.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("dl")),
+          "positions" -> toks.select(col("doc_id"), col("pos"),
+            col("tok"))))
+      finally toks.unpersist(blocking = false)
     }
 
   /** Tombstone `ids` (a 1-column id relation, any column name) out of
@@ -88,16 +98,13 @@ object UnifiedIndex {
     * share of admitted docs, so the serve-path broadcast stays
     * erase-ledger-sized.
     */
-  def delete(cat: TableCatalog, ids: DataFrame, batchId: Long): Long = {
-    val t = ids.select(col(ids.columns.head).as("id"))
-    CatalogSink.commitBatch(cat, t, batchId, Map(
-      "tombstones" -> ((prev, b) =>
-        prev.map(_.unionByName(b)).getOrElse(b))))
-  }
+  def delete(cat: TableCatalog, ids: DataFrame, batchId: Long): Long =
+    CatalogSink.commitBatchAppend(cat, batchId, Map(
+      "tombstones" -> ids.select(col(ids.columns.head).as("id"))))
 
   private def tomb(cat: TableCatalog): DataFrame =
     if (cat.latestGeneration().exists(g =>
-        cat.tableVersions(g).contains("tombstones")))
+        cat.memberNames(g).contains("tombstones")))
       cat.read("tombstones")
     else cat.read("sizes").select(col("id")).limit(0)
 
@@ -135,7 +142,7 @@ object UnifiedIndex {
     * `doclen` are per-doc already; `positions` needs the distinct.
     */
   private def familyIds(cat: TableCatalog, g: Long): Seq[Option[DataFrame]] = {
-    val present = cat.tableVersions(g).keySet
+    val present = cat.memberNames(g)
     Seq(
       if (present("sizes")) Some(cat.readAt(g, "sizes").select(col("id")))
       else None,

@@ -118,7 +118,7 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
           }
         }
       val built = cat.latestGeneration()
-        .exists(g => cat.tableVersions(g).contains("sizes"))
+        .exists(g => cat.memberNames(g).contains("sizes"))
       if (!built) () // no ingest ever happened: nothing to serve
       else {
         // sometimes fold the tombstones: serving must not change
