@@ -376,6 +376,63 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(cat.readAt(g, "m").count() == 9)
   }
 
+  test("append members: segment chains, AS OF, snapshot reset, O(batch) staging") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    // three O(batch) commits: each stages ONLY its own rows
+    val g0 = cat.commitAllAppend(Map.empty, Map("log" -> nums(0, 10)), 1000L)
+    val g1 = cat.commitAllAppend(Map.empty, Map("log" -> nums(10, 15)), 2000L)
+    val g2 = cat.commitAllAppend(
+      Map("summary" -> nums(0, 1)), Map("log" -> nums(15, 18)), 3000L)
+    assert(Seq(g0, g1, g2) == Seq(0L, 1L, 2L))
+    // head = union of the chain; AS OF = each generation's own chain
+    assert(cat.read("log").count() == 18)
+    assert(cat.readAt(0, "log").count() == 10)
+    assert(cat.readAt(1, "log").count() == 15)
+    assert(cat.appendVersions(2)("log") == Seq(2L, 1L, 0L))
+    // the snapshot half rode the SAME atomic generation
+    assert(cat.readAt(2, "summary").count() == 1)
+    // physical O(batch): three segment dirs, each holding one batch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def segs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "tables/log"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(segs == Seq("v=0", "v=1", "v=2"))
+    assert(spark.read.parquet(s"$root/tables/log/v=2").count() == 3,
+      "a segment must hold only its own batch, not the accumulated state")
+    // a SNAPSHOT commit under the name folds the chain to one directory
+    val g3 = cat.commitAll(Map("log" -> cat.read("log").filter(col("v") < 5)), 4000L)
+    assert(cat.read("log").count() == 5)
+    assert(cat.appendVersions(g3).get("log").isEmpty,
+      "a snapshot commit must reset the member's kind")
+    // ...and a later append CHAINS ON the folded snapshot
+    cat.commitAllAppend(Map.empty, Map("log" -> nums(100, 102)), 5000L)
+    assert(cat.read("log").count() == 7)
+    assert(cat.readAt(g3, "log").count() == 5) // fold still time-travels
+    // pre-fold generations still read their full chains
+    assert(cat.readAt(2, "log").count() == 18)
+  }
+
+  test("append members: restore copies chains zero-copy; vacuum pins chained segments") {
+    val root = freshRoot()
+    val cat = new TableCatalog(spark, root)
+    cat.commitAllAppend(Map.empty, Map("log" -> nums(0, 10)), 1000L)
+    val target = cat.commitAllAppend(Map.empty, Map("log" -> nums(10, 15)), 2000L)
+    cat.commitAll(Map("log" -> nums(0, 2)), 3000L) // a "mistake" fold
+    val gr = cat.restore(target, 4000L)
+    assert(cat.read("log").count() == 15, "restore lost part of the chain")
+    assert(cat.appendVersions(gr)("log") == Seq(1L, 0L))
+    // vacuum keeping only the restore generation must pin BOTH chained
+    // segments (they are referenced transitively by the kept chain)
+    cat.vacuum(keepLast = 1)
+    assert(cat.read("log").count() == 15, "vacuum reclaimed a chained segment")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "tables/log"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(segs == Seq("v=0", "v=1"), s"expected the fold reclaimed, got $segs")
+  }
+
   test("restore re-points snapshots zero-copy, rolls MoR pointers back, keeps history") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
