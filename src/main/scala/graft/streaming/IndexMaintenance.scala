@@ -73,27 +73,61 @@ object IndexMaintenance {
       broadcast(tomb.select(col("id").as("doc_id"))),
       Seq("doc_id"), "left_anti")
 
+  /** Segment-count ceiling: an append member's serve cost ALSO
+    * degrades with CHAIN LENGTH, independent of dead rows — every
+    * serve lists and opens each segment directory (the classic
+    * small-files problem), so a delete-free stream would fragment
+    * forever under a dead-fraction-only trigger. When the policy's
+    * longest member chain reaches this, the same fold fires as pure
+    * DEFRAGMENTATION (tombstones folded too if any exist; the
+    * snapshot commit resets every chain to one directory). The
+    * default is sized so a per-serve listing stays trivially cheap
+    * while a steady stream still amortizes each fold over many
+    * commits.
+    */
+  val DefaultMaxSegments = 64
+
+  /** Longest append-member chain among `members` at the head — the
+    * fragmentation the segment-count trigger prices. Metadata-only:
+    * one generation-file read, no data touched.
+    */
+  def fragmentation(cat: TableCatalog, members: Iterable[String]): Int =
+    cat.latestGeneration() match {
+      case Some(head) =>
+        val chains = cat.appendVersions(head)
+        val ms = members.toSet
+        chains.collect { case (t, c) if ms(t) => c.size }
+          .foldLeft(0)(math.max)
+      case None => 0
+    }
+
   /** Compact the LSH dedup index iff its dead fraction crossed
-    * `threshold`: one transact folds tombstones out of
-    * bands/shingles/sizes and empties the tombstone relation (the d58
-    * event, scheduled instead of manual). Returns the compaction
-    * generation, or None below threshold.
+    * `threshold` OR its chains fragmented past `maxSegments`: one
+    * transact folds tombstones out of bands/shingles/sizes and
+    * empties the tombstone relation (the d58 event, scheduled instead
+    * of manual). Returns the compaction generation, or None below
+    * both triggers.
     */
   def compactLshIfNeeded(cat: TableCatalog, batchId: Long,
-      threshold: Double = DefaultThreshold): Option[Long] =
+      threshold: Double = DefaultThreshold,
+      maxSegments: Int = DefaultMaxSegments): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, lshDeadFraction,
-      Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap)
+      Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap,
+      maxSegments = maxSegments)
 
   /** Compact the postings index iff its dead fraction crossed
-    * `threshold`: one transact folds every killed revision out of
-    * postings/doclen and empties the tombstone relation. Surviving
-    * rows keep their revision — later replaces/deletes carry higher
-    * kill floors, so compaction never disturbs the rev contract.
+    * `threshold` or its chains fragmented past `maxSegments`: one
+    * transact folds every killed revision out of postings/doclen and
+    * empties the tombstone relation. Surviving rows keep their
+    * revision — later replaces/deletes carry higher kill floors, so
+    * compaction never disturbs the rev contract.
     */
   def compactPostingsIfNeeded(cat: TableCatalog, batchId: Long,
-      threshold: Double = DefaultThreshold): Option[Long] =
+      threshold: Double = DefaultThreshold,
+      maxSegments: Int = DefaultMaxSegments): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, postingsDeadFraction,
-      Seq("postings", "doclen").map(_ -> (InvertedIndex.liveView _)).toMap)
+      Seq("postings", "doclen").map(_ -> (InvertedIndex.liveView _)).toMap,
+      maxSegments = maxSegments)
 
   /** Masked-row fraction of the unified (w32) index — one tombstone
     * set prices BOTH families, measured once on `sizes` (the same id
@@ -118,11 +152,12 @@ object IndexMaintenance {
     * never counts toward the dead fraction it is retained past).
     */
   def compactUnifiedIfNeeded(cat: TableCatalog, batchId: Long,
-      threshold: Double = DefaultThreshold): Option[Long] =
+      threshold: Double = DefaultThreshold,
+      maxSegments: Int = DefaultMaxSegments): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, unifiedDeadFraction,
       Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap ++
         Seq("postings", "doclen", "positions").map(_ -> DocIdMask).toMap,
-      retainUnmatched = Some("sizes"))
+      retainUnmatched = Some("sizes"), maxSegments = maxSegments)
 
   private def deadFraction(cat: TableCatalog, perDocRel: String,
       mask: (DataFrame, DataFrame) => DataFrame): Double =
@@ -142,26 +177,43 @@ object IndexMaintenance {
   private def compactIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double, fraction: TableCatalog => Double,
       members: Map[String, (DataFrame, DataFrame) => DataFrame],
-      retainUnmatched: Option[String] = None): Option[Long] = {
+      retainUnmatched: Option[String] = None,
+      maxSegments: Int = DefaultMaxSegments): Option[Long] = {
     require(threshold > 0.0,
       s"threshold $threshold must be positive (0 would compact on every delete)")
-    if (fraction(cat) < threshold) None
+    require(maxSegments > 1,
+      s"maxSegments $maxSegments must exceed 1 (every append starts a 1-chain)")
+    // cheap-first: fragmentation is one generation-file read; the dead
+    // fraction costs two counts over the smallest member relation
+    if (fragmentation(cat, members.keys) < maxSegments &&
+        fraction(cat) < threshold) None
     else Some(cat.transact(batchId) { snap =>
       // fold against the SNAPSHOT the transact validated — a conflict
       // retry re-invokes this body with the fresh snapshot
       val g = snap.getOrElse(
         throw new IllegalStateException("compacting an empty catalog"))
-      val tomb = broadcast(cat.readAt(g, "tombstones"))
-      // retained tombstones: ids that matched NOTHING in the per-doc
-      // relation — the erase requests whose documents have not arrived
-      // (unified family only; revisioned families revive by design)
-      val survivors = retainUnmatched match {
-        case Some(perDoc) => cat.readAt(g, "tombstones")
-          .join(cat.readAt(g, perDoc).select(col("id")), Seq("id"), "left_anti")
-        case None => cat.readAt(g, "tombstones").limit(0)
+      // a fragmentation-triggered fold on a delete-free stream has no
+      // tombstone relation yet: fold with an empty mask (pure
+      // defragmentation — the snapshot commit resets every chain)
+      val hasTomb = cat.memberNames(g).contains("tombstones")
+      def tombAt = cat.readAt(g, "tombstones")
+      val folded = members.map { case (m, mask) =>
+        m -> (if (hasTomb) mask(cat.readAt(g, m), broadcast(tombAt))
+              else cat.readAt(g, m))
       }
-      members.map { case (m, mask) => m -> mask(cat.readAt(g, m), tomb) } +
-        ("tombstones" -> survivors)
+      if (!hasTomb) folded
+      else {
+        // retained tombstones: ids that matched NOTHING in the per-doc
+        // relation — the erase requests whose documents have not
+        // arrived (unified family only; revisioned families revive by
+        // design)
+        val survivors = retainUnmatched match {
+          case Some(perDoc) => tombAt
+            .join(cat.readAt(g, perDoc).select(col("id")), Seq("id"), "left_anti")
+          case None => tombAt.limit(0)
+        }
+        folded + ("tombstones" -> survivors)
+      }
     })
   }
 }

@@ -161,6 +161,35 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "compacted serve diverged from the masked one")
   }
 
+  test("fragmentation trigger: a delete-free stream folds at the segment ceiling") {
+    import graft.streaming.UnifiedIndex
+    val cat = tmpCat("graft-frag")
+    val docs = corpus10
+    val allMembers =
+      Seq("bands", "shingles", "sizes", "postings", "doclen", "positions")
+    // five ingest-only batches: no tombstone ever exists, so the
+    // dead-fraction trigger can never fire — chains would fragment
+    // forever without the segment ceiling
+    val fired = (0 until 5).map { i =>
+      UnifiedIndex.commitBatch(cat, docs.filter(col("doc_id") % 5 === i),
+        i.toLong)
+      IndexMaintenance.compactUnifiedIfNeeded(cat, 100L + i,
+        maxSegments = 4).nonEmpty
+    }
+    // chains grow 1,2,3,4 → the ceiling fires EXACTLY once at 4; the
+    // fold resets to one directory and the next append chains to 2
+    assert(fired == Seq(false, false, false, true, false),
+      s"trigger pattern diverged: $fired")
+    assert(IndexMaintenance.fragmentation(cat, allMembers) == 2)
+    // the pure-defrag fold is an execution event: everything serves,
+    // families in lockstep, whole corpus intact
+    assert(UnifiedIndex.membershipConsistent(cat))
+    val (_, dl) = UnifiedIndex.postingsLive(cat)
+    assert(dl.count() == 10, "defragmentation lost documents")
+    assert(UnifiedIndex.positionsLive(cat)
+      .select("doc_id").distinct().count() == 10)
+  }
+
   test("unified index: positions fold in the same transact; erase-before-admit survives it") {
     import graft.streaming.UnifiedIndex
     val cat = tmpCat("graft-uniposc")
