@@ -747,6 +747,46 @@ object EngineQueries {
     bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
   }
 
+  // ─────────── w36: scheduled DEFRAGMENTATION of an append chain
+
+  /** THE OTHER compaction trigger: w31 folds when the DEAD fraction
+    * crosses the threshold; a delete-free feed never trips that, yet
+    * its append-member chains fragment one segment per micro-batch —
+    * every serve lists and opens each segment directory (the classic
+    * small-files problem), so at stream lifetimes the chain length is
+    * itself a serve cost. [[graft.streaming.IndexMaintenance]]'s
+    * segment ceiling prices exactly that: four ingest-only batches
+    * (no tombstone relation ever exists), the ceiling at 4 fires ONE
+    * pure-defragmentation fold — require-pinned (None, None, None,
+    * Some), chain length 1 after — and BM25 serves from the folded
+    * index. Defragmentation is an execution event, so the oracle is
+    * t19's replay over the full corpus: a fold that lost or
+    * duplicated one posting row anywhere shifts a tf/df and fails the
+    * hash.
+    */
+  val w36_postings_defrag: Q = (s, dir) => {
+    import graft.streaming.{IndexMaintenance, PostingsIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft-defrag")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val noneIds = docs.select(col("doc_id")).limit(0)
+    val members = Seq("postings", "doclen")
+    val fired = (0 until 4).map { i =>
+      PostingsIndex.commitBatch(cat, docs.filter(col("doc_id") % 4 === i),
+        noneIds, i.toLong)
+      IndexMaintenance.compactPostingsIfNeeded(cat, 100L + i,
+        maxSegments = 4).nonEmpty
+    }
+    require(fired == Seq(false, false, false, true),
+      s"defrag trigger pattern diverged: $fired")
+    // a folded member IS a snapshot — one directory, zero chain
+    require(IndexMaintenance.fragmentation(cat, members) == 0,
+      "the fold must reset every chain to a single snapshot directory")
+    val (tf, dl) = PostingsIndex.live(cat)
+    bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
+  }
+
   // ─────────────── w32: one transaction, two index families
 
   /** CROSS-INDEX ATOMIC ADMISSION — the w29 dedup gate (LSH index)
@@ -1498,6 +1538,7 @@ object EngineQueries {
     "w32_unified_index_admission" -> w32_unified_index_admission,
     "w33_unified_forget" -> w33_unified_forget,
     "w35_unified_phrase" -> w35_unified_phrase,
+    "w36_postings_defrag" -> w36_postings_defrag,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1549,5 +1590,8 @@ object EngineQueries {
     // t28's phrase replay over the forget's survivors — one doc in
     // five relations but not the sixth shifts a count and fails this
     "w35_unified_phrase" -> w35_sql,
+    // defragmentation is an execution event: t19's replay verbatim —
+    // a fold that loses or duplicates a posting row fails the hash
+    "w36_postings_defrag" -> t19_sql,
     "v20_catalog_snapshot" -> v20_sql)
 }
