@@ -71,7 +71,69 @@ object ScaleSmoke {
     if (mode == "lshserve") lshServeSmoke(spark, Seq(10000L, 100000L))
     if (mode == "lshserve100") lshServeSmoke(spark, Seq(1000000L)) // opt-in: minutes
     if (mode == "tombcurve") tombCurveSmoke(spark, 100000L)
+    if (mode == "fragcurve") fragCurveSmoke(spark, 100000L)
     spark.stop()
+  }
+
+  /** Serve-cost-vs-chain-length curve — the measurement behind
+    * [[graft.streaming.IndexMaintenance.DefaultMaxSegments]]. Over a
+    * 100k-doc clustered corpus: commit the postings index as N
+    * append-member segments (delete-free, so the dead-fraction
+    * trigger never applies) and time the 6-term scoring serve at
+    * chain lengths 1, 8, 32, 128; then the pure-defrag fold and the
+    * post-fold serve. The ceiling's trade: every serve pays the
+    * chain's file-listing/open cost, one fold pays a whole-index
+    * rewrite once. Numbers land in COVERAGE.md.
+    */
+  private def fragCurveSmoke(spark: SparkSession, n: Long): Unit = {
+    import graft.streaming.{IndexMaintenance, PostingsIndex}
+    def clustered(m: Long) = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_$j"))), 1, 7))
+      spark.range(m).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    val corpus = clustered(n).repartition(32).persist()
+    corpus.count()
+    val terms = corpus.filter(col("doc_id") === (n - 1))
+      .select(explode(split(col("text"), " ")))
+      .collect().map(_.getString(0)).take(6)
+    def serveOnce(cat: graft.sources.TableCatalog): Long = {
+      val (tf, dl) = PostingsIndex.live(cat)
+      tf.filter(col("tok").isin(terms.toSeq: _*))
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("s"))
+        .join(dl, "doc_id")
+        .agg(count(lit(1)), sum(expr("s * dl"))).collect()(0).getLong(0)
+    }
+    // SAME full corpus at every point — only the segmentation varies,
+    // so the curve isolates fragmentation from index size
+    var last: graft.sources.TableCatalog = null
+    Seq(1, 32, 128).foreach { segs =>
+      val root = Files.createTempDirectory(s"fragcurve$segs").toString + "/cat"
+      val cat = new graft.sources.TableCatalog(spark, root)
+      val none = corpus.select(col("doc_id")).limit(0)
+      time(f"build as $segs%3d segments") {
+        (0 until segs).foreach { i =>
+          PostingsIndex.commitBatch(cat,
+            corpus.filter(pmod(col("doc_id"), lit(segs)) === i), none,
+            i.toLong)
+        }
+      }
+      serveOnce(cat) // warm-up constants per catalog
+      time(f"postings serve, chain=$segs%3d") {
+        println(s"[scale]   scored docs: ${serveOnce(cat)}")
+      }
+      last = cat
+    }
+    time("defrag fold (chain=128 -> snapshot)") {
+      require(IndexMaintenance.compactPostingsIfNeeded(last, 999L,
+        maxSegments = 128).nonEmpty)
+    }
+    time("postings serve post-fold") {
+      println(s"[scale]   scored docs: ${serveOnce(last)}")
+    }
+    corpus.unpersist()
   }
 
   /** Serve-cost-vs-tombstone-fraction curve — the measurement behind
