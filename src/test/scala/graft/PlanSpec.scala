@@ -684,6 +684,32 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("parquet"), "serve must read the stored positions")
   }
 
+  test("append-member chain read: one multi-directory scan, no shuffle between segments") {
+    import graft.sources.TableCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-chainplan")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(spark, root)
+    val docs = Tables(spark, dir, "documents").select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    import org.apache.spark.sql.functions.{col => c}
+    (0 until 3).foreach { i =>
+      cat.commitAllAppend(Map.empty,
+        Map("seg" -> docs.filter(c("doc_id") % 3 === i)), i.toLong)
+    }
+    val read = cat.read("seg").filter(c("doc_id") % 7 === 0)
+    val plan = initialPlanString(read)
+    // the chain must read as ONE FileScan over an InMemoryFileIndex of
+    // all three segment directories — a per-segment union (3 scans) is
+    // tolerable, but any Exchange/resolve between segments would break
+    // the segments-are-disjoint-appends contract
+    assert(!plan.contains("Exchange"),
+      "a chain read shuffled between segments:\n" + plan.take(2000))
+    assert(plan.contains("InMemoryFileIndex(3 paths)")
+        || "FileScan".r.findAllIn(plan).size <= 3,
+      "chain read shape unexpected:\n" + plan.take(2000))
+  }
+
   test("unified phrase serve: stored positions only, tombstones broadcast-masked") {
     val df = queries.EngineQueries.w35_unified_phrase(spark, dir)
     val plan = planString(df)
