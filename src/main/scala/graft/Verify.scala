@@ -7,13 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def freshSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = freshSession()
     new java.io.File(outDir).mkdirs()
     // dev-loop filter: SPARK_GRAFT_ONLY=q01_agg,d40_... runs a subset
     // (unset in the driver environment → full suite)
@@ -22,6 +26,16 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
+      // self-heal: a fatal executor event can stop the context mid-run
+      // (observed once in a 246-query single-JVM sf1 sweep) — without
+      // this, every later query fails "stopped SparkContext" and the
+      // round's correctness artifact silently loses them
+      if (spark.sparkContext.isStopped) {
+        System.err.println(s"[verify] SparkContext stopped — recreating session before $name")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = freshSession()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
