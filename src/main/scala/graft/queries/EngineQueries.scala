@@ -995,6 +995,85 @@ object EngineQueries {
   val w35_sql: String = t28_sql.replace("FROM documents",
     "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) surv")
 
+  // ─────────── w37: recrawl INSIDE the unified transaction
+
+  /** RECRAWL AS ONE ATOMIC GENERATION ACROSS ALL SIX RELATIONS — the
+    * lifecycle r11 explicitly deferred ("recrawl/replace lifecycles
+    * belong to the separate revisioned postings family"): now every
+    * unified index row carries its committing batch id as a REVISION,
+    * tombstones carry (id, kill_below), and
+    * [[graft.streaming.UnifiedIndex.commitBatch]] with `replace=true`
+    * lands a document's NEW revision in bands/shingles/sizes/postings/
+    * doclen/positions AND the kill floor masking every older revision
+    * in the SAME generation — so there is no state where a recrawled
+    * doc ranks under its new text but phrase-matches its old one (or
+    * gates dedup on stale shingles), and no term file is ever
+    * rewritten for it. Forget ([[graft.streaming.UnifiedIndex.delete]])
+    * rides the same relation at kill_below = ∞, masking even
+    * revisions admitted AFTER the request. Lifecycle: full ingest →
+    * recrawl wave (two prepended query terms, so stale revisions move
+    * the ranking by construction) → redelivery of the recrawl (one
+    * batch-id check covers six appends + the floor) → forget wave
+    * overlapping the recrawled ids → per-revision membership lockstep
+    * (fast detector) → in-query pins that exactly ONE revision serves
+    * per live doc and every live recrawled doc phrase-matches its new
+    * prefix → a forced compaction that folds every dead revision and
+    * every satisfied floor (require-pinned: no finite floor survives,
+    * no survivor masks an admitted row) → BM25 from the live
+    * relations. Oracle = t19's replay over the final logical corpus
+    * (recrawled texts in, forgotten docs out): one stale revision
+    * still scoring anywhere shifts tf/df/dl and fails the hash.
+    */
+  val w37_unified_recrawl: Q = (s, dir) => {
+    import graft.streaming.{IndexMaintenance, UnifiedIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft-unirecrawl")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    UnifiedIndex.commitBatch(cat, d, 0L)
+    // recrawl wave: new text REPLACES the docs' rev-0 rows everywhere
+    val recrawl = d.filter(col("doc_id") % 10 === 4)
+      .withColumn("text", concat(lit("merge window "), col("text")))
+    UnifiedIndex.commitBatch(cat, recrawl, 1L, replace = true)
+    require(UnifiedIndex.commitBatch(cat, recrawl, 1L, replace = true) == -1L,
+      "redelivered recrawl batch was re-applied")
+    // forget wave, overlapping recrawled ids (doc_id ≡ 14 mod 70):
+    // the ∞ floor must dominate the recrawl floor
+    UnifiedIndex.delete(cat, d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), 2L)
+    require(UnifiedIndex.membershipConsistentFast(cat),
+      "a family tore across revisions")
+    // exactly ONE revision serves per live doc — a stale rev-0 row
+    // surviving beside its rev-1 replacement doubles a doclen
+    val (_, dlLive) = UnifiedIndex.postingsLive(cat)
+    require(dlLive.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).isEmpty, "a stale revision is still serving")
+    // the positional member follows the SAME floors: every live
+    // recrawled doc phrase-matches its new prefix (and a forgotten
+    // one never does)
+    val phraseDocs = graft.operators.InvertedIndex.phraseCount(
+      UnifiedIndex.positionsLive(cat), Seq("merge", "window"))
+    val liveRecrawled = recrawl.select(col("doc_id"))
+      .filter(col("doc_id") % 7 =!= 0)
+    require(liveRecrawled.join(phraseDocs, Seq("doc_id"), "left_anti").isEmpty,
+      "a live recrawled doc lost its new-revision phrase")
+    require(phraseDocs.filter(col("doc_id") % 7 === 0).isEmpty,
+      "a forgotten doc still phrase-matches")
+    // fold: every dead revision destroyed, every satisfied floor gone
+    require(IndexMaintenance.compactUnifiedIfNeeded(cat, 100L,
+      threshold = 1e-9).nonEmpty, "the fold must fire at this dead fraction")
+    require(cat.read("tombstones")
+      .filter(col("kill_below") =!= UnifiedIndex.ForgetFloor).isEmpty,
+      "a finite recrawl floor survived its compaction")
+    require(cat.read("tombstones").join(cat.read("sizes"),
+        Seq("id"), "left_semi").isEmpty,
+      "compaction left a tombstone that still masks admitted rows")
+    require(UnifiedIndex.membershipConsistent(cat),
+      "compaction tore the families apart")
+    val (tf, dl) = UnifiedIndex.postingsLive(cat)
+    bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
+  }
+
   // ───────────────────────────── v20: cross-table atomic snapshot
 
   /** Cross-table snapshot consistency ([[TableCatalog]]): generation
@@ -1539,6 +1618,7 @@ object EngineQueries {
     "w33_unified_forget" -> w33_unified_forget,
     "w35_unified_phrase" -> w35_unified_phrase,
     "w36_postings_defrag" -> w36_postings_defrag,
+    "w37_unified_recrawl" -> w37_unified_recrawl,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1593,5 +1673,13 @@ object EngineQueries {
     // defragmentation is an execution event: t19's replay verbatim —
     // a fold that loses or duplicates a posting row fails the hash
     "w36_postings_defrag" -> t19_sql,
+    // the final LOGICAL corpus after the recrawl + forget waves:
+    // revisions and kill floors are execution machinery — one stale
+    // revision scoring (or a lost new one) shifts tf/df/dl and fails
+    "w37_unified_recrawl" -> bm25OracleSql(
+      """(SELECT doc_id,
+        |        CASE WHEN doc_id % 10 = 4
+        |             THEN 'merge window ' || text ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0)""".stripMargin),
     "v20_catalog_snapshot" -> v20_sql)
 }

@@ -64,14 +64,20 @@ object IndexMaintenance {
   private val IdMask: (DataFrame, DataFrame) => DataFrame =
     (rel, tomb) => rel.join(broadcast(tomb), Seq("id"), "left_anti")
 
-  /** [[IdMask]] for relations keyed `doc_id` against an id-shaped
-    * tombstone relation (the unified family: one tombstone set, two
-    * key spellings).
+  /** The unified family's kill-floor mask ([[UnifiedIndex]]'s serve
+    * semantics, reused at the fold so compaction destroys EXACTLY the
+    * rows serving masks): per id the MAX kill_below dominates (a
+    * forget's [[UnifiedIndex.ForgetFloor]] over any recrawl floor),
+    * and a row dies iff its revision sits below it.
     */
-  private val DocIdMask: (DataFrame, DataFrame) => DataFrame =
-    (rel, tomb) => rel.join(
-      broadcast(tomb.select(col("id").as("doc_id"))),
-      Seq("doc_id"), "left_anti")
+  private def killMask(key: String): (DataFrame, DataFrame) => DataFrame =
+    (rel, tomb) => {
+      val floors = tomb.groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
+      rel.as("__r").join(broadcast(floors).as("__k"),
+        col(s"__r.$key") === col("__k.id") &&
+          col("__r.rev") < col("__k.__kill"),
+        "left_anti")
+    }
 
   /** Segment-count ceiling: an append member's serve cost ALSO
     * degrades with CHAIN LENGTH, independent of dead rows — every
@@ -130,11 +136,14 @@ object IndexMaintenance {
       maxSegments = maxSegments)
 
   /** Masked-row fraction of the unified (w32) index — one tombstone
-    * set prices BOTH families, measured once on `sizes` (the same id
-    * set as `doclen` by [[UnifiedIndex]]'s membership invariant).
+    * set prices BOTH families, measured once on `sizes` (the same
+    * (id, rev) set as `doclen` by [[UnifiedIndex]]'s membership
+    * invariant). Dead rows here are REVISIONS below their id's kill
+    * floor: replaced recrawl revisions count beside forgotten docs,
+    * which is right — the serve mask pays for both.
     */
   def unifiedDeadFraction(cat: TableCatalog): Double =
-    deadFraction(cat, "sizes", IdMask)
+    deadFraction(cat, "sizes", killMask("id"))
 
   /** Compact the unified index iff the shared dead fraction crossed
     * `threshold`: ONE transact folds the one tombstone set out of all
@@ -142,21 +151,25 @@ object IndexMaintenance {
     * commit (a per-family compaction pair could tear: one family
     * compacted, the other still masking).
     *
-    * Tombstones for ids the index NEVER ADMITTED survive the fold
-    * (`retainUnmatched`): they are the durable erase ledger for
-    * documents that have not arrived yet ([[UnifiedIndex.delete]]'s
-    * GDPR contract — dropping them would serve the doc when it is
-    * finally admitted). Matched tombstones fold away as before, so
-    * the relation stays erase-ledger-sized, and the fraction trigger
-    * is unaffected (an unmatched tombstone masks zero rows, so it
-    * never counts toward the dead fraction it is retained past).
+    * Tombstone survivors are exactly the PENDING ERASE requests:
+    * forget tombstones ([[UnifiedIndex.ForgetFloor]]) whose id had no
+    * rows to destroy — the durable erase ledger for documents that
+    * have not arrived yet ([[UnifiedIndex.delete]]'s GDPR contract;
+    * dropping one would serve the doc when it is finally admitted).
+    * Every SATISFIED forget (its rows just folded away) and every
+    * finite recrawl floor (its dead revisions just folded away, and
+    * batch-id monotonicity means no future row can land under it)
+    * folds with the rows it masked, so the relation stays
+    * erase-ledger-sized, and the fraction trigger is unaffected (a
+    * pending tombstone masks zero rows, so it never counts toward the
+    * dead fraction it is retained past).
     */
   def compactUnifiedIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double = DefaultThreshold,
       maxSegments: Int = DefaultMaxSegments): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, unifiedDeadFraction,
-      Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap ++
-        Seq("postings", "doclen", "positions").map(_ -> DocIdMask).toMap,
+      Seq("bands", "shingles", "sizes").map(_ -> killMask("id")).toMap ++
+        Seq("postings", "doclen", "positions").map(_ -> killMask("doc_id")).toMap,
       retainUnmatched = Some("sizes"), maxSegments = maxSegments)
 
   private def deadFraction(cat: TableCatalog, perDocRel: String,
@@ -203,12 +216,15 @@ object IndexMaintenance {
       }
       if (!hasTomb) folded
       else {
-        // retained tombstones: ids that matched NOTHING in the per-doc
-        // relation — the erase requests whose documents have not
-        // arrived (unified family only; revisioned families revive by
-        // design)
+        // retained tombstones: PENDING erase requests — forget floors
+        // whose id matched NOTHING in the per-doc relation, i.e. the
+        // erases whose documents have not arrived (unified family
+        // only; the standalone revisioned families revive by design).
+        // Satisfied forgets and finite recrawl floors fold with the
+        // rows they masked.
         val survivors = retainUnmatched match {
           case Some(perDoc) => tombAt
+            .filter(col("kill_below") === UnifiedIndex.ForgetFloor)
             .join(cat.readAt(g, perDoc).select(col("id")), Seq("id"), "left_anti")
           case None => tombAt.limit(0)
         }

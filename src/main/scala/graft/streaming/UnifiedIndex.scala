@@ -22,6 +22,31 @@ import graft.sources.TableCatalog
   * but invisible to every phrase query (the exact tear r11 shipped:
   * positions rode their own commit).
   *
+  * REVISIONS (kill-floor semantics across all six relations): every
+  * index row carries the committing batch id as its `rev`; tombstones
+  * carry (id, kill_below) and a serve masks rev < MAX(kill_below) per
+  * id. Two tombstone classes share the one relation:
+  *
+  *   - RECRAWL floors (finite, = the replacing batch's id): written by
+  *     [[commitBatch]] with `replace = true` IN THE SAME atomic
+  *     generation as the replacement rows, so a document's re-crawl
+  *     replaces its old revision in all six relations at once — stale
+  *     shingles can't gate, stale postings can't rank, stale positions
+  *     can't feed an adjacency join — without rewriting a single term
+  *     file. Compaction folds the dead revisions and drops the floor
+  *     (safe because batch ids are STRICTLY INCREASING — Structured
+  *     Streaming's contract — so no future row can land under a folded
+  *     floor).
+  *   - FORGET tombstones (kill_below = Long.MaxValue): the GDPR path
+  *     ([[delete]]). An erase request masks every revision, including
+  *     ones admitted AFTER the request (the erase-races-ahead case),
+  *     and survives compaction until it has destroyed matching rows —
+  *     the durable erase ledger. Once a fold has physically removed
+  *     the id's rows the satisfied request folds away too; a LATER
+  *     re-crawl of the same id is then a new ingestion event and
+  *     serves normally (an erase is a destruction order for data held
+  *     NOW, not a forever-ban on the id).
+  *
   * Cost shape per batch: the batch is shingled once (the shared
   * relation behind all three LSH members, cached through the scope)
   * and tokenized once WITH positions (posexplode — postings and doclen
@@ -29,8 +54,8 @@ import graft.sources.TableCatalog
   * family costs no extra scan of the text); both caches are released
   * as soon as the commit's writes materialize them, so a long-running
   * stream pins no per-batch state. Each relation is a pure append
-  * (every doc lands in exactly one batch) committed as a catalog
-  * APPEND MEMBER ([[graft.sources.TableCatalog.commitAllAppend]]):
+  * (every doc REVISION lands in exactly one batch) committed as a
+  * catalog APPEND MEMBER ([[graft.sources.TableCatalog.commitAllAppend]]):
   * the commit stages one batch-sized segment per relation and the
   * generation prepends it to the member's chain, so maintenance is
   * O(batch) PHYSICALLY — not just logically — however many families
@@ -43,13 +68,29 @@ import graft.sources.TableCatalog
   */
 object UnifiedIndex {
 
+  /** `kill_below` of a forget tombstone: masks every revision, past
+    * and future, until a compaction physically destroys the rows.
+    */
+  val ForgetFloor: Long = Long.MaxValue
+
   /** Commit `adm` (an admitted micro-batch of (idCol, textCol) docs)
-    * into all three index families as one atomic generation. Returns
-    * the committed generation, or -1 on redelivery (the exactly-once
-    * check covers ALL six relations at once — that is the point).
+    * into all three index families as one atomic generation at
+    * revision `batchId`. With `replace = true` the same generation
+    * also tombstones every upserted id below this revision — the
+    * RECRAWL path: the new rows serve, every older revision is masked
+    * in all six relations at once, and no torn state between "old
+    * revision dead" and "new revision live" can exist. Returns the
+    * committed generation, or -1 on redelivery (the exactly-once
+    * check covers ALL relations at once — that is the point).
+    *
+    * Batch ids must be strictly increasing across commits (the
+    * Structured Streaming contract): revisions and recrawl floors are
+    * compared numerically, and compaction folds finite floors on the
+    * strength of it.
     */
   def commitBatch(cat: TableCatalog, adm: DataFrame, batchId: Long,
-      idCol: String = "doc_id", textCol: String = "text"): Long =
+      idCol: String = "doc_id", textCol: String = "text",
+      replace: Boolean = false): Long =
     CacheScope.scoped { implicit cs =>
       val lsh = TextDedup.lshIndexRelations(adm, idCol, textCol)
       // ONE tokenize feeds all three text-side relations: positions
@@ -61,21 +102,28 @@ object UnifiedIndex {
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
           col("tok"))
         .persist()
-      try
+      val rev = lit(batchId)
+      try {
         // append members: each relation stages ONLY this batch's rows
         // (an O(batch) segment prepended to the chain) — full-state
         // derive here would rewrite the whole index per micro-batch
-        CatalogSink.commitBatchAppend(cat, batchId, Map(
-          "bands" -> lsh("bands"),
-          "shingles" -> lsh("shingles"),
-          "sizes" -> lsh("sizes"),
+        val appends = Map(
+          "bands" -> lsh("bands").withColumn("rev", rev),
+          "shingles" -> lsh("shingles").withColumn("rev", rev),
+          "sizes" -> lsh("sizes").withColumn("rev", rev),
           "postings" -> toks.groupBy(col("doc_id"), col("tok"))
-            .agg(count(lit(1)).as("tf")),
+            .agg(count(lit(1)).as("tf")).withColumn("rev", rev),
           "doclen" -> toks.groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("dl")),
+            .agg(count(lit(1)).as("dl")).withColumn("rev", rev),
           "positions" -> toks.select(col("doc_id"), col("pos"),
-            col("tok"))))
-      finally toks.unpersist(blocking = false)
+            col("tok")).withColumn("rev", rev))
+        val withFloors =
+          if (!replace) appends
+          else appends + ("tombstones" -> adm
+            .select(col(idCol).as("id"),
+              lit(batchId).as("kill_below")))
+        CatalogSink.commitBatchAppend(cat, batchId, withFloors)
+      } finally toks.unpersist(blocking = false)
     }
 
   /** Tombstone `ids` (a 1-column id relation, any column name) out of
@@ -85,83 +133,113 @@ object UnifiedIndex {
     * [[commitBatch]]'s atomicity on the way out. Exactly-once on
     * redelivery like every maintenance commit.
     *
-    * Ids never admitted are appended UNCONDITIONALLY — the deliberate
-    * GDPR-safe choice, not an oversight: an erase request must be
-    * durable even when it races ahead of the document it names (the
-    * doc may be mid-admission, or arrive in a later crawl), so the
-    * tombstone lands first and masks the id the moment anything is
-    * admitted under it. The bloat this allows is bounded two ways:
-    * [[IndexMaintenance.compactUnifiedIfNeeded]] folds every MATCHED
-    * tombstone but RETAINS the never-admitted ones (forgetting an
-    * erase request because its doc had not arrived yet would serve
-    * the doc when it does), and the fraction trigger caps the masked
-    * share of admitted docs, so the serve-path broadcast stays
-    * erase-ledger-sized.
+    * The floor is [[ForgetFloor]] — the erase masks every revision of
+    * the id, including revisions admitted AFTER the request, so an
+    * erase that races ahead of its document is durable by
+    * construction: the tombstone lands first and masks the id the
+    * moment anything is admitted under it, with no matched/unmatched
+    * special-casing. Ids never admitted are appended UNCONDITIONALLY —
+    * deliberate, not an oversight (the doc may be mid-admission, or
+    * arrive in a later crawl). The bloat this allows is bounded two
+    * ways: [[IndexMaintenance.compactUnifiedIfNeeded]] folds every
+    * tombstone whose rows it destroyed but RETAINS the pending ones
+    * (forgetting an erase request before it has destroyed anything
+    * would serve the doc when it arrives), and the fraction trigger
+    * caps the masked share of admitted docs, so the serve-path
+    * broadcast stays erase-ledger-sized.
     */
   def delete(cat: TableCatalog, ids: DataFrame, batchId: Long): Long =
     CatalogSink.commitBatchAppend(cat, batchId, Map(
-      "tombstones" -> ids.select(col(ids.columns.head).as("id"))))
+      "tombstones" -> ids.select(col(ids.columns.head).as("id"),
+        lit(ForgetFloor).as("kill_below"))))
 
   private def tomb(cat: TableCatalog): DataFrame =
     if (cat.latestGeneration().exists(g =>
         cat.memberNames(g).contains("tombstones")))
       cat.read("tombstones")
-    else cat.read("sizes").select(col("id")).limit(0)
+    else cat.read("sizes")
+      .select(col("id"), lit(ForgetFloor).as("kill_below")).limit(0)
+
+  /** Per-id kill floor at the head: MAX over the id's tombstones (a
+    * forget's [[ForgetFloor]] dominates any recrawl floor; among
+    * recrawl floors the newest masks everything the older ones did).
+    */
+  private def floors(cat: TableCatalog): DataFrame =
+    tomb(cat).groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
+
+  /** The kill-floor serve mask: drop rows whose revision sits below
+    * the id's floor. The floor relation is id-sized (erase ledger +
+    * currently-masked recrawls) and broadcast — the index side is
+    * scanned, never shuffled, for a maintenance event.
+    */
+  private def masked(rel: DataFrame, key: String, fl: DataFrame): DataFrame =
+    rel.as("__r").join(broadcast(fl).as("__k"),
+      col(s"__r.$key") === col("__k.id") &&
+        col("__r.rev") < col("__k.__kill"),
+      "left_anti")
 
   /** The LSH gate's live relations (bands, shingles, sizes) under the
-    * shared tombstones — pass these to `TextDedup.lshIndexLookup`;
+    * shared kill floors — pass these to `TextDedup.lshIndexLookup`;
     * sizes ride along so Jaccard denominators stay right for free.
     */
   def lshLive(cat: TableCatalog): (DataFrame, DataFrame, DataFrame) = {
-    val t = broadcast(tomb(cat))
-    def live(rel: String) = cat.read(rel).join(t, Seq("id"), "left_anti")
-    (live("bands"), live("shingles"), live("sizes"))
+    val fl = floors(cat)
+    (masked(cat.read("bands"), "id", fl),
+      masked(cat.read("shingles"), "id", fl),
+      masked(cat.read("sizes"), "id", fl))
   }
 
   /** The retrieval side's live relations (postings, doclen) under the
-    * SAME tombstones — one delete masks every family's serves.
+    * SAME kill floors — one delete or recrawl masks every family's
+    * serves.
     */
   def postingsLive(cat: TableCatalog): (DataFrame, DataFrame) = {
-    val t = broadcast(tomb(cat).select(col("id").as("doc_id")))
-    def live(rel: String) = cat.read(rel).join(t, Seq("doc_id"), "left_anti")
-    (live("postings"), live("doclen"))
+    val fl = floors(cat)
+    (masked(cat.read("postings"), "doc_id", fl),
+      masked(cat.read("doclen"), "doc_id", fl))
   }
 
-  /** The positional member's live relation under the SAME tombstones —
+  /** The positional member's live relation under the SAME kill floors —
     * phrase/proximity serving follows the one delete set too (a
     * forgotten doc must stop matching phrases in the same generation
-    * it stops ranking in BM25).
+    * it stops ranking in BM25; a recrawled one must stop matching its
+    * OLD phrases — positions shift, so serving a stale revision is a
+    * wrong answer, not a staleness).
     */
   def positionsLive(cat: TableCatalog): DataFrame =
-    cat.read("positions").join(
-      broadcast(tomb(cat).select(col("id").as("doc_id"))),
-      Seq("doc_id"), "left_anti")
+    masked(cat.read("positions"), "doc_id", floors(cat))
 
-  /** Distinct-id sets per family at generation `g`, keyed by their
-    * per-doc relation — None for an absent relation. `sizes` and
-    * `doclen` are per-doc already; `positions` needs the distinct.
+  /** Distinct (id, rev) sets per family at generation `g`, keyed by
+    * their per-doc relation — None for an absent relation. `sizes`
+    * and `doclen` are one-row-per-(id, rev) already; `positions`
+    * needs the distinct.
     */
   private def familyIds(cat: TableCatalog, g: Long): Seq[Option[DataFrame]] = {
     val present = cat.memberNames(g)
+    def keyed(rel: String, idc: String, distinct: Boolean) =
+      if (!present(rel)) None
+      else {
+        val k = cat.readAt(g, rel).select(col(idc).as("id"), col("rev"))
+        Some(if (distinct) k.distinct() else k)
+      }
     Seq(
-      if (present("sizes")) Some(cat.readAt(g, "sizes").select(col("id")))
-      else None,
-      if (present("doclen"))
-        Some(cat.readAt(g, "doclen").select(col("doc_id").as("id")))
-      else None,
-      if (present("positions"))
-        Some(cat.readAt(g, "positions").select(col("doc_id").as("id")).distinct())
-      else None)
+      keyed("sizes", "id", distinct = false),
+      keyed("doclen", "doc_id", distinct = false),
+      keyed("positions", "doc_id", distinct = true))
   }
 
   /** The cross-family membership invariant at a generation (head when
-    * None): ids indexed by the gate (`sizes`) ≡ ids served by
-    * retrieval (`doclen`) ≡ ids phrase-served (`positions`). All three
-    * families index exactly the ≥1-token docs (a 1-token doc still has
-    * its whole text as one shingle, one doclen row, and one position
-    * row; an empty doc has none), so equality is exact. This is the
-    * EXACT check — two `exceptAll` scans per family pair — kept for
-    * specs and forensics; production maintenance loops should pin
+    * None): (id, rev) pairs indexed by the gate (`sizes`) ≡ pairs
+    * served by retrieval (`doclen`) ≡ pairs phrase-served
+    * (`positions`). All three families index exactly the ≥1-token doc
+    * revisions (a 1-token doc still has its whole text as one
+    * shingle, one doclen row, and one position row; an empty doc has
+    * none), so equality is exact — and because the comparison is
+    * per-REVISION, a recrawl that landed its new rows in five
+    * relations but not the sixth is a torn state this flags even
+    * while the id itself is present everywhere. This is the EXACT
+    * check — two `exceptAll` scans per family pair — kept for specs
+    * and forensics; production maintenance loops should pin
     * [[membershipConsistentFast]] instead.
     */
   def membershipConsistent(cat: TableCatalog, gen: Option[Long] = None): Boolean =
@@ -170,10 +248,10 @@ object UnifiedIndex {
     }
 
   /** [[membershipConsistent]] as an O(aggregate) detector: per family,
-    * ONE map-side-combined aggregate — COUNT(DISTINCT id) and
-    * SUM(DISTINCT xxhash64(id)) — compared across families. Any id in
-    * one family and not another moves the count or the hash sum
-    * (two UNEQUAL id sets colliding on BOTH is a 128-bit-odds
+    * ONE map-side-combined aggregate — COUNT(DISTINCT id, rev) and
+    * SUM(DISTINCT xxhash64(id, rev)) — compared across families. Any
+    * (id, rev) in one family and not another moves the count or the
+    * hash sum (two UNEQUAL sets colliding on BOTH is a 128-bit-odds
     * accident), so every torn state the exceptAll path flags, this
     * flags — at the cost of one aggregate per family instead of two
     * full-relation exceptAll shuffles per pair, which is what makes it
@@ -186,14 +264,14 @@ object UnifiedIndex {
     checkMembership(cat, gen) { case (a, b) =>
       // raw count rides along so a DUPLICATED per-doc row (which the
       // exceptAll multiset compare flags) is caught too — the per-doc
-      // relations are one-row-per-id by contract, so raw == distinct
-      // on every healthy family
+      // relations are one-row-per-(id, rev) by contract, so raw ==
+      // distinct on every healthy family
       def sig(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
         val r = df.agg(
           count(lit(1)).as("rows"),
-          count_distinct(col("id")).as("n"),
+          count_distinct(col("id"), col("rev")).as("n"),
           coalesce(
-            sum_distinct(xxhash64(col("id"))
+            sum_distinct(xxhash64(col("id"), col("rev"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
             lit(java.math.BigDecimal.ZERO)).as("h")).head()
         (r.getLong(0), r.getLong(1), r.getDecimal(2))

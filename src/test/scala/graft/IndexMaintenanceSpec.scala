@@ -190,6 +190,56 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .select("doc_id").distinct().count() == 10)
   }
 
+  test("unified recrawl: one floor replaces a revision in all six relations; satisfied floors fold") {
+    import graft.operators.InvertedIndex
+    import graft.streaming.UnifiedIndex
+    val cat = tmpCat("graft-unirecrawl")
+    val docs = corpus10
+    UnifiedIndex.commitBatch(cat, docs, 0L)
+    // recrawl docs 1-3: rev-1 rows + a finite floor in ONE generation
+    val recrawl = docs.filter(col("doc_id") <= 3)
+      .withColumn("text", concat(lit("fresh crawl "), col("text")))
+    UnifiedIndex.commitBatch(cat, recrawl, 1L, replace = true)
+    assert(UnifiedIndex.membershipConsistent(cat),
+      "the recrawl tore a family (per-revision lockstep)")
+    // exactly one revision serves, and it is the NEW one
+    val (_, dl) = UnifiedIndex.postingsLive(cat)
+    assert(dl.filter(col("doc_id") <= 3).collect()
+      .forall(_.getAs[Long]("rev") == 1L), "a stale revision is serving")
+    assert(dl.groupBy(col("doc_id")).count().filter(col("count") > 1).isEmpty)
+    // the positional member serves the new token sequence only
+    val phrase = InvertedIndex.phraseCount(
+      UnifiedIndex.positionsLive(cat), Seq("fresh", "crawl"))
+    assert(phrase.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L), "phrase serving diverged from the recrawl")
+    // a forget OVERLAPPING a recrawled id: ∞ dominates the finite floor
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") === 2)
+      .select("doc_id"), 2L)
+    val (_, dl2) = UnifiedIndex.postingsLive(cat)
+    assert(dl2.filter(col("doc_id") === 2).isEmpty,
+      "the forget failed to dominate the recrawl floor")
+    // fold: dead revisions destroyed, EVERY floor here is satisfied
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 3L,
+      threshold = 1e-9).nonEmpty)
+    assert(cat.read("tombstones").isEmpty,
+      "a satisfied floor survived its compaction")
+    assert(cat.read("sizes").filter(col("id") <= 3 && col("rev") === 0L).isEmpty
+      && cat.read("positions").filter(col("doc_id") === 2L).isEmpty,
+      "the fold kept dead revisions")
+    assert(UnifiedIndex.membershipConsistent(cat))
+    // post-fold, the erase is SATISFIED: a later re-crawl of id 2 is a
+    // new ingestion event and serves normally (an erase destroys data
+    // held then, it is not a forever-ban on the id)
+    UnifiedIndex.commitBatch(cat,
+      docs.filter(col("doc_id") === 2)
+        .withColumn("text", concat(lit("second life "), col("text"))),
+      4L, replace = true)
+    val (_, dl3) = UnifiedIndex.postingsLive(cat)
+    assert(dl3.filter(col("doc_id") === 2).count() == 1L,
+      "a re-crawl after a satisfied erase must serve")
+    assert(UnifiedIndex.membershipConsistent(cat))
+  }
+
   test("unified index: positions fold in the same transact; erase-before-admit survives it") {
     import graft.streaming.UnifiedIndex
     val cat = tmpCat("graft-uniposc")

@@ -725,6 +725,38 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "the index was SHUFFLED for a maintenance mask:\n" + plan.take(2000))
   }
 
+  test("unified recrawl serve: kill-floor mask is a broadcast anti-join, index never shuffled") {
+    // inline catalog with LIVE floors (w37 itself ends compacted, and
+    // an empty tombstone side lets AQE erase the join — correct, but
+    // then there is no mask to assert on): ingest + recrawl + forget,
+    // no fold, so both tombstone classes are present in the mask
+    import graft.streaming.UnifiedIndex
+    import org.apache.spark.sql.functions.{col => c, concat, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft-planrecrawl")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(spark, root)
+    val docs = Tables(spark, dir, "documents").select(c("doc_id"), c("text"))
+    UnifiedIndex.commitBatch(cat, docs, 0L)
+    UnifiedIndex.commitBatch(cat,
+      docs.filter(c("doc_id") % 10 === 4)
+        .withColumn("text", concat(lit("merge window "), c("text"))),
+      1L, replace = true)
+    UnifiedIndex.delete(cat, docs.filter(c("doc_id") % 7 === 0)
+      .select(c("doc_id")), 2L)
+    val (tf, _) = UnifiedIndex.postingsLive(cat)
+    val plan = planString(tf)
+    // the revision mask (rev < MAX kill_below per id) must stay an
+    // id-sized broadcast anti-join — the range term must not demote
+    // it to a shuffled join or a nested-loop over the index
+    assert(!plan.contains("documents.parquet"),
+      "recrawl serve re-tokenized the raw corpus:\n" + plan.take(2000))
+    assert("BroadcastHashJoin [^\\n]*LeftAnti[^\\n]*rev".r.findFirstIn(plan).nonEmpty,
+      "kill-floor mask must ride a broadcast anti-join:\n" + plan.take(2000))
+    assert(!"SortMergeJoin [^\\n]*LeftAnti".r.findFirstIn(plan).nonEmpty
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      "the index was shuffled or nested-looped for the mask:\n" + plan.take(2000))
+  }
+
   test("hybrid fusion serves from both indexes — neither corpus rescanned") {
     val df = queries.SemanticQueries.s23_hybrid_index_serve(spark, dir)
     val plan = planString(df)

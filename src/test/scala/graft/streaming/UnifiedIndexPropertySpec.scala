@@ -176,10 +176,12 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
     import graft.sources.TableCatalog
     def freshCat(tag: String) = new TableCatalog(spark, java.nio.file.Files
       .createTempDirectory(s"graft-torn$tag").toFile.getAbsolutePath + "/cat")
-    def ids(xs: Long*) = xs.toDF("id")
+    def ids(xs: Long*) = xs.toDF("id").withColumn("rev", lit(0L))
     def docIds(xs: Long*) = xs.toDF("doc_id").withColumn("dl", lit(1L))
+      .withColumn("rev", lit(0L))
     def posRows(xs: Long*) = xs.toDF("doc_id")
       .withColumn("pos", lit(1L)).withColumn("tok", lit("x"))
+      .withColumn("rev", lit(0L))
     def both(cat: TableCatalog): (Boolean, Boolean) =
       (UnifiedIndex.membershipConsistent(cat),
         UnifiedIndex.membershipConsistentFast(cat))
@@ -210,6 +212,19 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
       "doclen" -> docIds(1L, 1L, 2L),
       "positions" -> posRows(1L, 2L)), 0L)
     assert(both(c4) == (false, false), "duplicated doclen row")
+    // a RECRAWL tear: id 1's new revision landed in the gate and
+    // retrieval but not positions — the id is present everywhere, only
+    // the per-REVISION compare can see it (the torn window the
+    // replace=true path closes)
+    val c6 = freshCat("revskew")
+    def withRev(df: org.apache.spark.sql.DataFrame, r: Long) =
+      df.drop("rev").withColumn("rev", lit(r))
+    c6.commitAll(Map(
+      "sizes" -> ids(1L, 2L).withColumn("n", lit(3L))
+        .unionByName(withRev(ids(1L).withColumn("n", lit(3L)), 1L)),
+      "doclen" -> docIds(1L, 2L).unionByName(withRev(docIds(1L), 1L)),
+      "positions" -> posRows(1L, 2L)), 0L)
+    assert(both(c6) == (false, false), "recrawl revision skew")
     // and the healthy state passes both
     val c5 = freshCat("ok")
     c5.commitAll(Map(
