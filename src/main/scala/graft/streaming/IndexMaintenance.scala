@@ -175,7 +175,11 @@ object IndexMaintenance {
   private def deadFraction(cat: TableCatalog, perDocRel: String,
       mask: (DataFrame, DataFrame) => DataFrame): Double =
     cat.latestGeneration() match {
-      case Some(head) if cat.memberNames(head).contains("tombstones") =>
+      case Some(head) if cat.memberNames(head).contains("tombstones")
+          // an erase ledger can exist before ANY ingest (the
+          // races-ahead contract): with no per-doc relation yet there
+          // is nothing to be dead
+          && cat.memberNames(head).contains(perDocRel) =>
         val tomb = cat.read("tombstones")
         if (tomb.isEmpty) 0.0
         else {

@@ -10,13 +10,15 @@ import graft.operators.InvertedIndex
 import graft.sources.TableCatalog
 
 /** Property-based check of the unified index's cross-family contract:
-  * for ANY interleaving of ingest batches, deletes, redeliveries, and
-  * fraction-triggered compactions, (a) the membership invariant holds
-  * at every generation, (b) both families' live id sets equal an
-  * independent sequential interpreter's surviving ≥1-token docs, and
-  * (c) phrase serving from the live positions-free index matches the
-  * interpreter's corpus — whether tombstones are currently masked or
-  * folded is invisible.
+  * for ANY interleaving of ingest batches, RECRAWLS (replace=true kill
+  * floors), forgets, redeliveries, and fraction-triggered compactions,
+  * (a) the membership invariant holds at every generation, (b) every
+  * family's live (id, rev) set equals an independent sequential
+  * interpreter's surviving revisions (the interpreter replays the
+  * kill-floor arithmetic in plain Scala — max floor per id, pending
+  * erases surviving folds, post-fold revival), and (c) the stored
+  * token sequences ARE the live revision's text — whether floors are
+  * currently masked or folded is invisible.
   */
 class UnifiedIndexPropertySpec extends AnyFunSuite {
 
@@ -31,7 +33,9 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
 
   sealed trait Step
   case class Ingest(docs: List[(Long, String)]) extends Step
+  case class Recrawl(docs: List[(Long, String)]) extends Step
   case class Delete(ids: List[Long]) extends Step
+  case object Compact extends Step
   case object RedeliverLast extends Step
 
   private val words = Vector("alpha", "beta", "merge", "scan", "", "x")
@@ -41,19 +45,35 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
   } yield ws.mkString(" ")
 
   // ids are drawn fresh per ingest from a counter the driver owns, so
-  // every doc lands in exactly one batch (the maintenance contract)
+  // every doc REVISION lands in exactly one batch (the maintenance
+  // contract); recrawls and deletes draw from the already-issued range
   private def stepsGen: Gen[List[Step]] = {
     var nextId = 0L
     def ingest: Gen[Step] = for {
       n <- Gen.choose(1, 4)
       texts <- Gen.listOfN(n, textGen)
     } yield Ingest(texts.map { t => nextId += 1; (nextId, t) })
-    def delete: Gen[Step] = for {
-      n <- Gen.choose(1, 3)
-      ids <- Gen.listOfN(n, Gen.choose(1L, math.max(1L, nextId)))
-    } yield Delete(ids.distinct)
-    Gen.listOfN(6, Gen.frequency(3 -> ingest, 2 -> delete,
-      1 -> Gen.const(RedeliverLast)))
+    // recrawls/deletes reference ISSUED ids only — before any ingest
+    // they degrade to an ingest (an id fabricated ahead of the counter
+    // would later collide with a fresh ingest of the same id, which is
+    // exactly what the upstream admission gate makes impossible)
+    def recrawl: Gen[Step] = Gen.delay {
+      if (nextId == 0) ingest
+      else for {
+        n <- Gen.choose(1, 2)
+        ids <- Gen.listOfN(n, Gen.choose(1L, nextId))
+        texts <- Gen.listOfN(n, textGen)
+      } yield Recrawl(ids.distinct.zip(texts))
+    }
+    def delete: Gen[Step] = Gen.delay {
+      if (nextId == 0) ingest
+      else for {
+        n <- Gen.choose(1, 3)
+        ids <- Gen.listOfN(n, Gen.choose(1L, nextId))
+      } yield Delete(ids.distinct)
+    }
+    Gen.listOfN(7, Gen.frequency(3 -> ingest, 2 -> recrawl, 2 -> delete,
+      1 -> Gen.const(Compact), 1 -> Gen.const(RedeliverLast)))
   }
 
   private def samples[T](gen: Gen[T], n: Int, seed: Long = 7L): Seq[T] =
@@ -91,27 +111,75 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
     samples(stepsGen, 6).zipWithIndex.foreach { case (steps, i) =>
       val cat = new TableCatalog(spark, java.nio.file.Files
         .createTempDirectory(s"graft-uniprop$i").toFile.getAbsolutePath + "/cat")
-      // the independent interpreter: id -> text of live docs
-      var model = Map.empty[Long, String]
+      // the independent interpreter mirrors the REVISION semantics:
+      // physical rows per (id, rev) and per-id kill floors — exactly
+      // what the catalog holds, derived sequentially in plain Scala
+      def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toList
+      var revs = Map.empty[Long, List[(Long, List[String])]] // id -> (rev, toks)*
+      var floors = Map.empty[Long, Long]                     // id -> max kill floor
+      def floorOf(id: Long) = floors.getOrElse(id, Long.MinValue)
       var batchId = 0L
-      var last: Option[(Boolean, Any)] = None // (isIngest, payload)
+      var compactSeq = 0L
+      var last: Option[Step] = None
+      def addRev(id: Long, t: String): Unit = {
+        val tk = toks(t)
+        if (tk.nonEmpty) revs += id -> (revs.getOrElse(id, Nil) :+ (batchId, tk))
+      }
+      def doCompact(): Unit = {
+        // the interpreter's trigger replay: ≥1 dead SIZES row (a dead
+        // revision of a ≥1-token doc) with tombstone rows present
+        val total = revs.valuesIterator.map(_.size).sum
+        val dead = revs.iterator.map { case (id, rs) =>
+          rs.count(_._1 < floorOf(id)) }.sum
+        val shouldFire = floors.nonEmpty && total > 0 && dead > 0
+        val fired = IndexMaintenance.compactUnifiedIfNeeded(cat,
+          100000L + compactSeq, threshold = 1e-9)
+        compactSeq += 1
+        assert(fired.nonEmpty == shouldFire,
+          s"sample $i: trigger fired=${fired.nonEmpty}, model says $shouldFire")
+        if (shouldFire) {
+          // pending erases (∞ floor, no rows to destroy) survive the
+          // fold; every satisfied floor goes with the rows it masked —
+          // so a LATER recrawl of a folded-erase id revives by design
+          val pending = floors.filter { case (id, f) =>
+            f == Long.MaxValue && revs.getOrElse(id, Nil).isEmpty }
+          revs = revs.map { case (id, rs) =>
+            id -> rs.filter(_._1 >= floorOf(id)) }.filter(_._2.nonEmpty)
+          floors = pending
+        }
+      }
       steps.foreach {
-        case Ingest(docs) =>
+        case st @ Ingest(docs) =>
           UnifiedIndex.commitBatch(cat, docs.toDF("doc_id", "text"), batchId)
-          model ++= docs
-          last = Some((true, docs)); batchId += 1
-        case Delete(ids) =>
+          docs.foreach { case (id, t) => addRev(id, t) }
+          last = Some(st); batchId += 1
+        case st @ Recrawl(docs) =>
+          UnifiedIndex.commitBatch(cat, docs.toDF("doc_id", "text"), batchId,
+            replace = true)
+          docs.foreach { case (id, t) =>
+            floors += id -> math.max(floorOf(id), batchId)
+            addRev(id, t)
+          }
+          last = Some(st); batchId += 1
+        case st @ Delete(ids) =>
           UnifiedIndex.delete(cat, ids.toDF("doc_id"), batchId)
-          model --= ids
-          last = Some((false, ids)); batchId += 1
+          ids.foreach(id => floors += id -> Long.MaxValue)
+          last = Some(st); batchId += 1
+        case Compact => doCompact()
         case RedeliverLast =>
           // crash-replay of the previous micro-batch: must no-op and
-          // must NOT disturb the model
+          // must NOT disturb the model (a compaction in between does
+          // not reopen the window — the batch ledger is generation-
+          // independent)
           last.foreach {
-            case (true, docs: List[(Long, String)] @unchecked) =>
+            case Ingest(docs) =>
               assert(UnifiedIndex.commitBatch(cat,
                 docs.toDF("doc_id", "text"), batchId - 1) == -1L)
-            case (false, ids: List[Long] @unchecked) =>
+            case Recrawl(docs) =>
+              assert(UnifiedIndex.commitBatch(cat,
+                docs.toDF("doc_id", "text"), batchId - 1,
+                replace = true) == -1L)
+            case Delete(ids) =>
               assert(UnifiedIndex.delete(cat,
                 ids.toDF("doc_id"), batchId - 1) == -1L)
             case _ => ()
@@ -121,9 +189,17 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
         .exists(g => cat.memberNames(g).contains("sizes"))
       if (!built) () // no ingest ever happened: nothing to serve
       else {
-        // sometimes fold the tombstones: serving must not change
-        if (i % 2 == 0)
-          IndexMaintenance.compactUnifiedIfNeeded(cat, 1000L, threshold = 1e-9)
+        // sometimes fold at the end too: serving must not change
+        if (i % 2 == 0) doCompact()
+        // at most one revision of an id can clear its floor (every
+        // non-newest revision sits under the floor of the recrawl
+        // that superseded it); the interpreter's live corpus
+        val live: Map[Long, List[String]] = revs.flatMap { case (id, rs) =>
+          val alive = rs.filter(_._1 >= floorOf(id))
+          assert(alive.size <= 1,
+            s"sample $i: model invariant broke: id=$id rs=$rs floors=$floors steps=$steps")
+          alive.headOption.map(r => id -> r._2)
+        }
         // (a) lockstep at every surviving generation — and the
         // O(aggregate) fast detector agrees with the exceptAll
         // forensic on every consistent state
@@ -133,26 +209,23 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
           assert(UnifiedIndex.membershipConsistentFast(cat, Some(g)),
             s"sample $i: fast detector false-alarmed at generation $g")
         }
-        // (b) both live id sets == interpreter's ≥1-token survivors
-        val expected = model.collect {
-          case (id, t) if t.trim.split("\\s+").exists(_.nonEmpty) => id
-        }.toSet
+        // (b) both live id sets == interpreter's surviving revisions
+        val expected = live.keySet
         val (_, _, sizes) = UnifiedIndex.lshLive(cat)
         val (_, dl) = UnifiedIndex.postingsLive(cat)
         val gateIds = sizes.select("id").collect().map(_.getLong(0)).toSet
         val retrIds = dl.select("doc_id").collect().map(_.getLong(0)).toSet
         assert(gateIds == expected, s"sample $i: gate ids diverged")
         assert(retrIds == expected, s"sample $i: retrieval ids diverged")
-        // (c) doclen values match the interpreter's token counts
+        // (c) doclen values match the live revision's token counts —
+        // a recrawled doc MUST serve its newest text's length
         val dlMap = dl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val expDl = model.collect {
-          case (id, t) if t.trim.split("\\s+").exists(_.nonEmpty) =>
-            id -> t.trim.split("\\s+").count(_.nonEmpty).toLong
-        }
-        assert(dlMap == expDl.toMap, s"sample $i: doc lengths diverged")
+        assert(dlMap == live.map { case (id, tk) => id -> tk.size.toLong },
+          s"sample $i: doc lengths diverged")
         // (d) the positional member rides the SAME lifecycle: live ids
-        // in lockstep, per-doc position counts equal the doc lengths,
-        // and the stored token sequence IS the interpreter's text
+        // in lockstep and the stored token sequence IS the live
+        // revision's text (one stale-revision position row anywhere
+        // would corrupt the sequence)
         val posLive = UnifiedIndex.positionsLive(cat)
         val posIds = posLive.select("doc_id").distinct()
           .collect().map(_.getLong(0)).toSet
@@ -162,12 +235,7 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
           .map { case (id, rows) =>
             id -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toList
           }
-        val expSeq = model.collect {
-          case (id, t) if t.trim.split("\\s+").exists(_.nonEmpty) =>
-            id -> t.trim.split("\\s+").filter(_.nonEmpty).toList
-        }
-        assert(posSeq == expSeq.toMap,
-          s"sample $i: stored token sequences diverged")
+        assert(posSeq == live, s"sample $i: stored token sequences diverged")
       }
     }
   }
