@@ -917,6 +917,58 @@ object EngineQueries {
     bm25Tail(tf.filter(col("tok").isin(Bm25Terms: _*)), dl)
   }
 
+  // ─────────── w38: reproducible retrieval snapshots (index AS OF)
+
+  /** INDEX TIME TRAVEL — serve the unified index AS OF a past
+    * generation, with the kill floors that were ACTIVE THEN
+    * ([[graft.streaming.UnifiedIndex.postingsLiveAt]]). The
+    * training-data-lineage use: a sampled batch's provenance is "what
+    * did retrieval serve at generation g", and because every
+    * maintenance event is a pure append (recrawls mask, never rewrite;
+    * compaction is a new generation, never an edit), that question has
+    * an exact answer after any amount of later churn. Lifecycle:
+    * ingest → snapshot the generation → recrawl wave → forget wave →
+    * serve BOTH heads: the AS-OF serve must carry zero recrawl
+    * revisions (max rev pinned 0) and the head/AS-OF id sets must
+    * differ by exactly the lifecycle algebra (ids only at head are
+    * newly-tokenized recrawls; ids only at AS-OF are the forgotten) —
+    * both pins data-independent. Output is the AS-OF BM25, so the
+    * oracle is t19's replay over the ORIGINAL corpus verbatim: one
+    * leaked recrawl revision or floor applied retroactively shifts
+    * the ranking and fails the hash.
+    */
+  val w38_index_asof: Q = (s, dir) => {
+    import graft.streaming.UnifiedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-idxasof")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    UnifiedIndex.commitBatch(cat, d, 0L)
+    val g0 = cat.latestGeneration().get
+    UnifiedIndex.commitBatch(cat,
+      d.filter(col("doc_id") % 10 === 4)
+        .withColumn("text", concat(lit("merge window "), col("text"))),
+      1L, replace = true)
+    UnifiedIndex.delete(cat, d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), 2L)
+    val (asofTf, asofDl) = UnifiedIndex.postingsLiveAt(cat, g0)
+    val (_, headDl) = UnifiedIndex.postingsLive(cat)
+    // the snapshot predates the recrawl: no served revision above 0
+    require(asofDl.agg(max(col("rev"))).head().getLong(0) == 0L,
+      "a later recrawl revision leaked into the AS-OF serve")
+    // head vs AS-OF id algebra: only newly-tokenized recrawls appear,
+    // only forgotten docs disappear (data-independent either way)
+    val asofIds = asofDl.select(col("doc_id"))
+    val headIds = headDl.select(col("doc_id"))
+    require(headIds.join(asofIds, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 10 =!= 4).isEmpty,
+      "an id absent from the snapshot serves at head without a recrawl")
+    require(asofIds.join(headIds, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 7 =!= 0).isEmpty,
+      "an id left the head serve without a forget")
+    bm25Tail(asofTf.filter(col("tok").isin(Bm25Terms: _*)), asofDl)
+  }
+
   /** w10's admission CTE chain (who is in the corpus) composed with
     * t19's BM25 scoring tail (how the corpus ranks) — both shared
     * verbatim with their owning queries, so a divergence in EITHER
@@ -1619,6 +1671,7 @@ object EngineQueries {
     "w35_unified_phrase" -> w35_unified_phrase,
     "w36_postings_defrag" -> w36_postings_defrag,
     "w37_unified_recrawl" -> w37_unified_recrawl,
+    "w38_index_asof" -> w38_index_asof,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1681,5 +1734,10 @@ object EngineQueries {
         |        CASE WHEN doc_id % 10 = 4
         |             THEN 'merge window ' || text ELSE text END AS text
         | FROM documents WHERE doc_id % 7 <> 0)""".stripMargin),
+    // the AS-OF serve predates every recrawl/forget: t19's replay over
+    // the ORIGINAL corpus verbatim (declared sharing, t30-style — time
+    // travel is an execution strategy; the in-query pins carry the
+    // head-vs-snapshot divergence)
+    "w38_index_asof" -> t19_sql,
     "v20_catalog_snapshot" -> v20_sql)
 }

@@ -153,17 +153,25 @@ object UnifiedIndex {
       "tombstones" -> ids.select(col(ids.columns.head).as("id"),
         lit(ForgetFloor).as("kill_below"))))
 
-  private def tomb(cat: TableCatalog): DataFrame =
-    if (cat.latestGeneration().exists(g =>
-        cat.memberNames(g).contains("tombstones")))
-      cat.read("tombstones")
-    else cat.read("sizes")
+  private def tombAt(cat: TableCatalog, g: Long): DataFrame =
+    if (cat.memberNames(g).contains("tombstones"))
+      cat.readAt(g, "tombstones")
+    else cat.readAt(g, "sizes")
       .select(col("id"), lit(ForgetFloor).as("kill_below")).limit(0)
 
-  /** Per-id kill floor at the head: MAX over the id's tombstones (a
-    * forget's [[ForgetFloor]] dominates any recrawl floor; among
+  private def tomb(cat: TableCatalog): DataFrame =
+    cat.latestGeneration() match {
+      case Some(g) => tombAt(cat, g)
+      case None => throw new IllegalStateException("serving an empty catalog")
+    }
+
+  /** Per-id kill floor at a generation: MAX over the id's tombstones
+    * (a forget's [[ForgetFloor]] dominates any recrawl floor; among
     * recrawl floors the newest masks everything the older ones did).
     */
+  private def floorsAt(cat: TableCatalog, g: Long): DataFrame =
+    tombAt(cat, g).groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
+
   private def floors(cat: TableCatalog): DataFrame =
     tomb(cat).groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
 
@@ -208,6 +216,28 @@ object UnifiedIndex {
     */
   def positionsLive(cat: TableCatalog): DataFrame =
     masked(cat.read("positions"), "doc_id", floors(cat))
+
+  /** [[postingsLive]] AS OF generation `g`: the index exactly as it
+    * served then — relations at `g` under the floors that were active
+    * at `g`. This is what makes a retrieval snapshot REPRODUCIBLE
+    * (which corpus ranked when a training batch was sampled, what a
+    * dedup gate saw when it admitted): later recrawls and forgets
+    * leave history untouched, because every maintenance event is a
+    * pure append and compaction is a new generation, never an edit.
+    * GDPR note: an erase therefore stays time-travelable until
+    * [[graft.sources.TableCatalog]] vacuum expires the pre-erase
+    * generations — destruction becomes absolute at retention, the
+    * standard table-format contract.
+    */
+  def postingsLiveAt(cat: TableCatalog, g: Long): (DataFrame, DataFrame) = {
+    val fl = floorsAt(cat, g)
+    (masked(cat.readAt(g, "postings"), "doc_id", fl),
+      masked(cat.readAt(g, "doclen"), "doc_id", fl))
+  }
+
+  /** [[positionsLive]] AS OF generation `g` (see [[postingsLiveAt]]). */
+  def positionsLiveAt(cat: TableCatalog, g: Long): DataFrame =
+    masked(cat.readAt(g, "positions"), "doc_id", floorsAt(cat, g))
 
   /** Distinct (id, rev) sets per family at generation `g`, keyed by
     * their per-doc relation — None for an absent relation. `sizes`

@@ -240,6 +240,39 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(UnifiedIndex.membershipConsistent(cat))
   }
 
+  test("index AS OF: a snapshot serves identically across later churn and a fold") {
+    import graft.streaming.UnifiedIndex
+    val cat = tmpCat("graft-idxasof")
+    val docs = corpus10
+    UnifiedIndex.commitBatch(cat, docs, 0L)
+    val g0 = cat.latestGeneration().get
+    def snapshot() = {
+      val (tf, dl) = UnifiedIndex.postingsLiveAt(cat, g0)
+      (tf.collect().map(_.toSeq).toSet, dl.collect().map(_.toSeq).toSet,
+        UnifiedIndex.positionsLiveAt(cat, g0).collect().map(_.toSeq).toSet)
+    }
+    val before = snapshot()
+    // churn: recrawl + forget + a fold that rewrites the head
+    UnifiedIndex.commitBatch(cat,
+      docs.filter(col("doc_id") <= 3)
+        .withColumn("text", concat(lit("fresh "), col("text"))),
+      1L, replace = true)
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") === 7)
+      .select("doc_id"), 2L)
+    assert(snapshot() == before,
+      "later maintenance leaked into the AS-OF serve")
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 3L,
+      threshold = 1e-9).nonEmpty)
+    // compaction is a NEW generation: the snapshot still serves
+    // bit-identically (history is never edited)
+    assert(snapshot() == before, "the fold rewrote history")
+    // and the head moved on: doc 7 gone, docs 1-3 at revision 1
+    val (_, headDl) = UnifiedIndex.postingsLive(cat)
+    assert(headDl.filter(col("doc_id") === 7).isEmpty)
+    assert(headDl.filter(col("doc_id") <= 3).collect()
+      .forall(_.getAs[Long]("rev") == 1L))
+  }
+
   test("unified index: positions fold in the same transact; erase-before-admit survives it") {
     import graft.streaming.UnifiedIndex
     val cat = tmpCat("graft-uniposc")
