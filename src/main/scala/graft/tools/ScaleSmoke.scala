@@ -72,7 +72,85 @@ object ScaleSmoke {
     if (mode == "lshserve100") lshServeSmoke(spark, Seq(1000000L)) // opt-in: minutes
     if (mode == "tombcurve") tombCurveSmoke(spark, 100000L)
     if (mode == "fragcurve") fragCurveSmoke(spark, 100000L)
+    if (mode == "revcurve") revCurveSmoke(spark, 100000L)
     spark.stop()
+  }
+
+  /** Serve-cost-vs-recrawl-churn curve for the REVISIONED unified
+    * index (w37): over a 100k-doc corpus, recrawl waves replace
+    * cumulative shares of the corpus (each wave ONE six-relation
+    * commit with finite kill floors), and at churn c ∈ {0, 0.1, 0.3,
+    * 0.5} the masked serves are timed — the 6-term scoring aggregate
+    * over postingsLive and a 2-term phrase count over positionsLive.
+    * Dead fraction at churn c is c/(1+c) of the per-doc relation
+    * (replaced rev-0 rows over original + replacement rows), so the
+    * curve prices exactly what the w37 mask pays that a compacted
+    * index would not; the final fold + post-fold serve complete the
+    * amortization read. Numbers land in COVERAGE.md.
+    */
+  private def revCurveSmoke(spark: SparkSession, n: Long): Unit = {
+    import graft.operators.InvertedIndex
+    import graft.streaming.{IndexMaintenance, UnifiedIndex}
+    def clustered(m: Long) = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(floor(col("id") / 10).cast("long").cast("string"),
+          lit(s"_$j"))), 1, 7))
+      spark.range(m).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    val corpus = clustered(n).repartition(32).persist()
+    corpus.count()
+    val terms = corpus.filter(col("doc_id") === (n - 1))
+      .select(explode(split(col("text"), " ")))
+      .collect().map(_.getString(0)).take(6)
+    def serveOnce(cat: graft.sources.TableCatalog): Long = {
+      val (tf, dl) = UnifiedIndex.postingsLive(cat)
+      tf.filter(col("tok").isin(terms.toSeq: _*))
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("s"))
+        .join(dl, "doc_id")
+        .agg(count(lit(1)), sum(expr("s * dl"))).collect()(0).getLong(0)
+    }
+    def phraseOnce(cat: graft.sources.TableCatalog): Long =
+      InvertedIndex.phraseCount(UnifiedIndex.positionsLive(cat),
+        Seq(terms(0), terms(1))).count()
+    val root = Files.createTempDirectory("revcurve").toString + "/cat"
+    val cat = new graft.sources.TableCatalog(spark, root)
+    time(s"unified build, $n docs") {
+      UnifiedIndex.commitBatch(cat, corpus, 0L)
+    }
+    // cumulative churn points: wave k recrawls a DISJOINT slice so
+    // the total replaced share hits the target fraction
+    val waves = Seq(0.0 -> 0L, 0.1 -> 10L, 0.3 -> 20L, 0.5 -> 20L)
+    var lo = 0L
+    waves.zipWithIndex.foreach { case ((c, pct), k) =>
+      if (pct > 0) {
+        val hi = lo + n * pct / 100L
+        val wave = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .withColumn("text", concat(lit("re "), col("text")))
+        time(f"recrawl wave to churn $c%.1f (${hi - lo} docs)") {
+          UnifiedIndex.commitBatch(cat, wave, k.toLong, replace = true)
+        }
+        lo = hi
+      }
+      serveOnce(cat); phraseOnce(cat) // warm constants per point
+      time(f"scoring serve, churn $c%.1f (dead ${c / (1 + c)}%.2f)") {
+        println(s"[scale]   scored docs: ${serveOnce(cat)}")
+      }
+      time(f"phrase serve,  churn $c%.1f") {
+        println(s"[scale]   phrase docs: ${phraseOnce(cat)}")
+      }
+    }
+    time("unified fold (churn 0.5 -> snapshot)") {
+      require(IndexMaintenance.compactUnifiedIfNeeded(cat, 999L).nonEmpty,
+        "0.33 dead must clear the default threshold")
+    }
+    time("scoring serve post-fold") {
+      println(s"[scale]   scored docs: ${serveOnce(cat)}")
+    }
+    time("phrase serve post-fold") {
+      println(s"[scale]   phrase docs: ${phraseOnce(cat)}")
+    }
+    corpus.unpersist()
   }
 
   /** Serve-cost-vs-chain-length curve — the measurement behind

@@ -105,6 +105,25 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
     // a crash-replay of micro-batch 1 through the same sink no-ops
     assert(UnifiedIndex.commitBatch(cat,
       Seq(3L -> "merge scan filter").toDF("doc_id", "text"), 1L) == -1L)
+    // a RECRAWL feed binds the same way: replace=true per micro-batch
+    val ms2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q2 = ms2.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-unistream-ckpt2").toFile.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        UnifiedIndex.commitBatch(cat, batch, 100L + id, replace = true); ()
+      }
+      .start()
+    try {
+      ms2.addData(2L -> "replaced text entirely")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(UnifiedIndex.membershipConsistent(cat))
+    val (_, dl) = UnifiedIndex.postingsLive(cat)
+    assert(dl.count() == 3, "recrawl must replace, not add")
+    assert(dl.filter($"doc_id" === 2L).head().getAs[Long]("dl") == 3L,
+      "the stream-maintained recrawl is not serving its new text")
   }
 
   test("any interleaving: families stay in lockstep and serve the interpreter's corpus") {
