@@ -1077,6 +1077,157 @@ object SemanticQueries {
       .select(col("doc_id"), col("rrf"), col("rank_lex"), col("rank_sem"))
   }
 
+  // ── w39: cross-MODAL atomic admission (text + vector, one commit) ──
+
+  /** ONE GENERATION, EVERY MODALITY — the w32/w35 unified transaction
+    * extended across the text/vector boundary: the admitted batch's
+    * IVF-PQ code relation ([[VectorSearch.encodeIvfPq]] — row-local,
+    * so an O(batch) append like the six text relations) rides the
+    * SAME atomic commit via
+    * [[graft.streaming.UnifiedIndex.commitBatch]]'s `extraMembers`,
+    * so a document becomes dedup-gated, BM25-ranked,
+    * phrase-searchable AND ANN-searchable in one generation — a crash
+    * cannot strand a doc lexically-findable but semantically
+    * invisible (the tear a hybrid-retrieval serving stack can least
+    * afford, because RRF silently degrades instead of failing).
+    * Require-pinned: redelivery no-ops across all SEVEN relations in
+    * one batch-id check; cross-modal membership — every text-indexed
+    * (id, rev) has its code row in the same generation (exceptAll,
+    * exact); ONE forget masks the vector serve too
+    * ([[graft.streaming.UnifiedIndex.memberLive]] under the shared
+    * kill floors). Serve = hybrid RRF fused from BOTH live members of
+    * the one catalog (s23's fusion, re-rooted on the unified family):
+    * lexical top-50 from postingsLive, semantic top-50 from
+    * searchIvfPq over the live codes. Oracle composes s19/s23's lex
+    * CTEs and s14's IVF-PQ replay over the SURVIVING doc∩embedding
+    * corpus — one leaked forgotten doc, torn modality, or stale
+    * revision shifts a rank list and fails the fused hash.
+    */
+  val w39_multimodal_admission: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.UnifiedIndex
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val e = Tables(s, dir, "embeddings")
+    // the multimodal corpus: docs WITH embeddings (the admission join
+    // is the upstream contract that makes cross-modal membership exact)
+    val adm = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding")).persist()
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-mmidx")
+        .toFile.getAbsolutePath + "/cat")
+    def commit() = UnifiedIndex.commitBatch(cat, adm, 0L, extraMembers =
+      Map("codes" -> VectorSearch.encodeIvfPq(adm, "doc_id", "embedding",
+        planes, codebooks)))
+    commit()
+    require(commit() == -1L, "redelivered seven-relation batch was re-applied")
+    // cross-modal membership: text-indexed ⊆ vector-indexed, same rev
+    // (codes may hold MORE ids — an empty-text doc still embeds)
+    require(cat.read("sizes").select(col("id"), col("rev"))
+      .exceptAll(cat.read("codes").select(col("id"), col("rev"))).isEmpty,
+      "a text-indexed doc is not ANN-searchable in its own generation")
+    // ONE forget masks all four serve paths (query vec 0 never hit)
+    UnifiedIndex.delete(cat, adm.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id")), 1L)
+    val codesLive = UnifiedIndex.memberLive(cat, "codes", "id")
+    require(codesLive.filter(col("id") % 7 === 3).isEmpty,
+      "a forgotten doc is still ANN-searchable")
+    // lexical top-50 from the live postings (s23's lex shape)
+    val terms = Seq("vector", "stream", "merge", "window", "filter", "scan")
+    val (tfAll, dl) = UnifiedIndex.postingsLive(cat)
+    val tf = tfAll.filter(col("tok").isin(terms: _*))
+    val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val lexTop = tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("rarity", expr("(1000 * (n_docs - df)) div n_docs"))
+      .withColumn("contrib", expr(
+        "(rarity * 22 * tf * sumdl) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id"))
+      .limit(50)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("score_num").desc, col("doc_id")))) // 50-row frame
+      .select(col("doc_id"), col("rank_lex"))
+    // semantic top-50 from the LIVE stored codes of the SAME catalog
+    val sem = VectorSearch.searchIvfPq(codesLive,
+        e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", planes, codebooks, k = 50, nProbe = 2)
+      .select(col("id").as("doc_id"), col("rank").cast("int").as("rank_sem"))
+    val out = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L))
+        + coalesce(expr("1000000 div (60 + rank_sem)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("rrf"), col("rank_lex"), col("rank_sem"))
+    adm.unpersist()
+    out
+  }
+
+  /** s23's fused oracle re-rooted on the surviving doc∩embedding
+    * corpus: lex CTEs read the join, the sem replay's `vecs` corpus
+    * takes the same join + survivor filter (encode is row-local, so
+    * filtering assignments ≡ filtering inputs), centroids stay
+    * derived from the RAW embeddings table exactly like the Spark
+    * side's derivedPlanes.
+    */
+  val w39_sql: String = {
+    val semReplay = s14_sql
+      .replace("rn <= 2 AND vec_id < 5", "rn <= 2 AND vec_id = 0")
+      .replace("WHERE vec_id < 5", "WHERE vec_id = 0")
+      .replace("WHERE rank <= 10", "WHERE rank <= 50")
+      .replace(
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec" +
+          " FROM embeddings JOIN documents ON doc_id = vec_id" +
+          " WHERE vec_id % 7 <> 3)")
+    s"""WITH corpus AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |  WHERE d.doc_id % 7 <> 3
+       |), toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                x -> x <> '')) AS tok
+       |  FROM corpus
+       |), dl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+       |), totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |  WHERE tok IN ('vector', 'stream', 'merge', 'window', 'filter', 'scan')
+       |  GROUP BY doc_id, tok
+       |), dft AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ((1000 * (n_docs - df)) // n_docs) * 22 * tf * sumdl
+       |      // (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs) AS contrib
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), totals
+       |), lex AS (
+       |  SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score_num DESC, doc_id) AS INT) AS rank_lex
+       |  FROM (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_num
+       |        FROM scored GROUP BY doc_id)
+       |  QUALIFY rank_lex <= 50
+       |), sem AS (
+       |  SELECT id AS doc_id, CAST(rank AS INT) AS rank_sem
+       |  FROM ($semReplay) ivfpq
+       |)
+       |SELECT doc_id,
+       |  COALESCE(1000000 // (60 + rank_lex), 0)
+       |    + COALESCE(1000000 // (60 + rank_sem), 0) AS rrf,
+       |  rank_lex, rank_sem
+       |FROM lex FULL JOIN sem USING (doc_id)
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** Lex CTEs are s19's verbatim (t23's contract: index-serving ≡
     * scan-time BM25); the sem list is s14's IVF-PQ replay narrowed to
     * query 0 / top-50 by targeted replaces (the s22 string-surgery
@@ -1129,6 +1280,7 @@ object SemanticQueries {
 
   val queries: Map[String, Q] = Map(
     "s23_hybrid_index_serve" -> s23_hybrid_index_serve,
+    "w39_multimodal_admission" -> w39_multimodal_admission,
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
     "s12_kmeans" -> s12_kmeans,
@@ -1143,6 +1295,7 @@ object SemanticQueries {
 
   val oracles: Map[String, String] = Map(
     "s23_hybrid_index_serve" -> s23_sql,
+    "w39_multimodal_admission" -> w39_sql,
     "d27_semantic_dedup" -> d27_sql,
     "s09_embedding_decontam" -> s09_sql,
     "s12_kmeans" -> s12_sql,

@@ -164,12 +164,22 @@ object IndexMaintenance {
     * pending tombstone masks zero rows, so it never counts toward the
     * dead fraction it is retained past).
     */
+  /** @param extraMembers rider relations committed through
+    *   [[UnifiedIndex.commitBatch]]'s `extraMembers` (member name →
+    *   its id column, e.g. `Map("codes" -> "id")` for the w39 vector
+    *   codes): they fold in the SAME transact under the same floors —
+    *   leaving one out would strand dead revisions in that modality
+    *   while the text families compact (the cross-modal tear this
+    *   whole family exists to prevent).
+    */
   def compactUnifiedIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double = DefaultThreshold,
-      maxSegments: Int = DefaultMaxSegments): Option[Long] =
+      maxSegments: Int = DefaultMaxSegments,
+      extraMembers: Map[String, String] = Map.empty): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, unifiedDeadFraction,
       Seq("bands", "shingles", "sizes").map(_ -> killMask("id")).toMap ++
-        Seq("postings", "doclen", "positions").map(_ -> killMask("doc_id")).toMap,
+        Seq("postings", "doclen", "positions").map(_ -> killMask("doc_id")).toMap ++
+        extraMembers.map { case (m, key) => m -> killMask(key) },
       retainUnmatched = Some("sizes"), maxSegments = maxSegments)
 
   private def deadFraction(cat: TableCatalog, perDocRel: String,

@@ -87,10 +87,21 @@ object UnifiedIndex {
     * Structured Streaming contract): revisions and recrawl floors are
     * compared numerically, and compaction folds finite floors on the
     * strength of it.
+    *
+    * `extraMembers` ride the SAME atomic generation — the cross-MODAL
+    * extension point (w39 passes the IVF-PQ code relation derived
+    * from the batch's embeddings, so a document becomes dedup-gated,
+    * BM25-ranked, phrase-searchable AND ANN-searchable in one
+    * generation, and none without the others). Each extra relation
+    * must be row-local over the batch (an O(batch) append), carry the
+    * doc id in some column, and gets this batch's `rev` stamped like
+    * the six built-ins; serve it through [[memberLive]] and fold it
+    * by naming it to [[IndexMaintenance.compactUnifiedIfNeeded]].
     */
   def commitBatch(cat: TableCatalog, adm: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      replace: Boolean = false): Long =
+      replace: Boolean = false,
+      extraMembers: Map[String, DataFrame] = Map.empty): Long =
     CacheScope.scoped { implicit cs =>
       val lsh = TextDedup.lshIndexRelations(adm, idCol, textCol)
       // ONE tokenize feeds all three text-side relations: positions
@@ -116,7 +127,8 @@ object UnifiedIndex {
           "doclen" -> toks.groupBy(col("doc_id"))
             .agg(count(lit(1)).as("dl")).withColumn("rev", rev),
           "positions" -> toks.select(col("doc_id"), col("pos"),
-            col("tok")).withColumn("rev", rev))
+            col("tok")).withColumn("rev", rev)) ++
+          extraMembers.map { case (m, df) => m -> df.withColumn("rev", rev) }
         val withFloors =
           if (!replace) appends
           else appends + ("tombstones" -> adm
@@ -238,6 +250,14 @@ object UnifiedIndex {
   /** [[positionsLive]] AS OF generation `g` (see [[postingsLiveAt]]). */
   def positionsLiveAt(cat: TableCatalog, g: Long): DataFrame =
     masked(cat.readAt(g, "positions"), "doc_id", floorsAt(cat, g))
+
+  /** Live view of an EXTRA member committed through
+    * [[commitBatch]]'s `extraMembers` (e.g. the w39 vector codes),
+    * under the SAME kill floors as the built-in families — one
+    * forget/recrawl masks every modality at once.
+    */
+  def memberLive(cat: TableCatalog, member: String, keyCol: String): DataFrame =
+    masked(cat.read(member), keyCol, floors(cat))
 
   /** Distinct (id, rev) sets per family at generation `g`, keyed by
     * their per-doc relation — None for an absent relation. `sizes`

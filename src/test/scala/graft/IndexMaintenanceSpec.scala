@@ -240,6 +240,42 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(UnifiedIndex.membershipConsistent(cat))
   }
 
+  test("extra member: a rider relation lives, masks, and folds with the six built-ins") {
+    import graft.streaming.UnifiedIndex
+    val cat = tmpCat("graft-unirider")
+    val docs = corpus10
+    def rider(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"), length(col("text")).as("feat"))
+    UnifiedIndex.commitBatch(cat, docs, 0L,
+      extraMembers = Map("codes" -> rider(docs)))
+    // the rider carries the batch's revision like the built-ins
+    assert(cat.read("codes").collect().forall(_.getAs[Long]("rev") == 0L))
+    // recrawl: the rider's new revision rides the same floor commit
+    val re = docs.filter(col("doc_id") <= 2)
+      .withColumn("text", concat(lit("fresh "), col("text")))
+    UnifiedIndex.commitBatch(cat, re, 1L, replace = true,
+      extraMembers = Map("codes" -> rider(re)))
+    val live = UnifiedIndex.memberLive(cat, "codes", "id")
+    assert(live.count() == 10 && live.filter(col("id") <= 2).collect()
+      .forall(_.getAs[Long]("rev") == 1L),
+      "the rider served a stale revision after the recrawl")
+    // one forget masks the rider with every other modality
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") === 5)
+      .select("doc_id"), 2L)
+    assert(UnifiedIndex.memberLive(cat, "codes", "id")
+      .filter(col("id") === 5).isEmpty, "forget did not reach the rider")
+    // the fold covers the rider in the SAME transact
+    val before = UnifiedIndex.memberLive(cat, "codes", "id")
+      .collect().map(_.toSeq).toSet
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 3L,
+      threshold = 1e-9, extraMembers = Map("codes" -> "id")).nonEmpty)
+    assert(cat.read("codes").count() == 9,
+      "dead rider revisions survived the fold")
+    assert(UnifiedIndex.memberLive(cat, "codes", "id")
+      .collect().map(_.toSeq).toSet == before,
+      "folding changed the rider's serve")
+  }
+
   test("index AS OF: a snapshot serves identically across later churn and a fold") {
     import graft.streaming.UnifiedIndex
     val cat = tmpCat("graft-idxasof")
