@@ -702,6 +702,72 @@ object EngineQueries {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ───────────────────────────── t32: field-weighted BM25F
+
+  /** BM25F — field-weighted retrieval, the multi-field half of the
+    * BM25 family (Robertson's simple-BM25F: per-field weights fold
+    * into a weighted term frequency and a weighted document length
+    * BEFORE the saturation curve, so a title hit saturates jointly
+    * with body hits instead of scoring as an independent query). The
+    * document's title is its first 3 tokens (weight 3), the body the
+    * rest (weight 1) — a deterministic split both engines derive from
+    * the text alone. Because weights are integers, wtf = Σw per
+    * (doc, term) and wdl = Σw per doc stay corpus integers and the
+    * ENTIRE t19 integer-exact scoring tail applies verbatim — one
+    * shared implementation, so BM25 and BM25F cannot drift. Shape:
+    * the positional projection (one posexplode) replaces t19's plain
+    * explode; the tf side filters to query terms BEFORE aggregation;
+    * everything else is t19's plan — no extra shuffle for the field
+    * dimension, which is the point at 100 TB (field weighting is a
+    * map-side expression, not a join against a field table).
+    */
+  val t32_bm25f_fields: Q = (s, dir) => {
+    import graft.operators.InvertedIndex
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val weighted = InvertedIndex.positions(docs, "doc_id", "text")
+      .withColumn("w", when(col("pos") <= 3, lit(3L)).otherwise(lit(1L)))
+    val dl = weighted.groupBy(col("doc_id")).agg(sum(col("w")).as("dl"))
+    val tf = weighted.filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(sum(col("w")).as("tf"))
+    bm25Tail(tf, dl)
+  }
+
+  /** t19's scoring tail over WEIGHTED tf/dl — COUNT(*) becomes SUM(w)
+    * with w from the same position split, nothing else moves.
+    */
+  val t32_sql: String = {
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $ToksSql AS t FROM documents
+       |), posed AS (
+       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM toks
+       |), wtok AS (
+       |  SELECT doc_id, t[pos] AS tok,
+       |         CASE WHEN pos <= 3 THEN 3 ELSE 1 END AS w
+       |  FROM posed
+       |), dl AS (
+       |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS dl FROM wtok GROUP BY doc_id
+       |), totals AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(SUM(w) AS BIGINT) AS tf FROM wtok
+       |  WHERE tok IN ($termsList) GROUP BY doc_id, tok
+       |), dft AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ((1000 * (n_docs - df)) // n_docs) * 22 * tf * sumdl
+       |      // (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs) AS contrib
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), totals
+       |)
+       |SELECT doc_id, COUNT(*) AS matched_terms,
+       |  CAST(SUM(contrib) AS BIGINT) AS score_num
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY score_num DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   // ───────────────────────────── w31: scheduled postings compaction
 
   /** w30's maintained index with the COMPACTION TRIGGER in the loop —
@@ -1663,6 +1729,7 @@ object EngineQueries {
     "w31_postings_autocompact" -> w31_postings_autocompact,
     "t28_phrase_search" -> t28_phrase_search,
     "t29_proximity_search" -> t29_proximity_search,
+    "t32_bm25f_fields" -> t32_bm25f_fields,
     "t30_phrase_index_serve" -> t30_phrase_index_serve,
     "t31_proximity_index_serve" -> t31_proximity_index_serve,
     "w34_positional_maintenance" -> w34_positional_maintenance,
@@ -1709,6 +1776,7 @@ object EngineQueries {
         " WHERE doc_id % 3 <> 0 AND doc_id % 10 <> 7)"),
     "t28_phrase_search" -> t28_sql,
     "t29_proximity_search" -> t29_sql,
+    "t32_bm25f_fields" -> t32_sql,
     // index-serving is an execution strategy: t28's replay verbatim
     "t30_phrase_index_serve" -> t28_sql,
     // index-serving is an execution strategy: t29's replay verbatim
