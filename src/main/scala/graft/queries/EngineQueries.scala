@@ -768,6 +768,44 @@ object EngineQueries {
        |LIMIT 20""".stripMargin
   }
 
+  // ──────────────── t33: BM25F served from the stored positional member
+
+  /** t32 WITHOUT A SCAN — the stored positional member already holds
+    * (doc_id, pos, tok), and field membership is a FUNCTION OF
+    * POSITION, so the positional index SUBSUMES field-weighted
+    * serving: no per-field postings, no second index, no schema
+    * change — the BM25F weights derive at serve time from the same
+    * relation phrase/proximity queries read, under the same kill
+    * floors (a forgotten doc drops out of field-weighted ranking in
+    * the generation it stops phrase-matching). The tf postings member
+    * alone could NOT serve this (it stores Σtf, the position split is
+    * gone) — exactly the argument that put positions in the unified
+    * commit. Lifecycle: one ingest generation, a forget wave, then
+    * the weighted t32 scoring over `positionsLive`. Oracle = t32's
+    * replay over the surviving corpus: one unmasked position row or a
+    * lost field weight shifts wtf/wdl and fails the hash.
+    */
+  val t33_bm25f_index_serve: Q = (s, dir) => {
+    import graft.streaming.UnifiedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25fidx")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    UnifiedIndex.commitBatch(cat, d, 0L)
+    UnifiedIndex.delete(cat, d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), 1L)
+    val weighted = UnifiedIndex.positionsLive(cat)
+      .withColumn("w", when(col("pos") <= 3, lit(3L)).otherwise(lit(1L)))
+    val dl = weighted.groupBy(col("doc_id")).agg(sum(col("w")).as("dl"))
+    val tf = weighted.filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(sum(col("w")).as("tf"))
+    bm25Tail(tf, dl)
+  }
+
+  /** t32's weighted replay over the forget's survivors. */
+  val t33_sql: String = t32_sql.replace("FROM documents",
+    "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) surv")
+
   // ───────────────────────────── w31: scheduled postings compaction
 
   /** w30's maintained index with the COMPACTION TRIGGER in the loop —
@@ -1730,6 +1768,7 @@ object EngineQueries {
     "t28_phrase_search" -> t28_phrase_search,
     "t29_proximity_search" -> t29_proximity_search,
     "t32_bm25f_fields" -> t32_bm25f_fields,
+    "t33_bm25f_index_serve" -> t33_bm25f_index_serve,
     "t30_phrase_index_serve" -> t30_phrase_index_serve,
     "t31_proximity_index_serve" -> t31_proximity_index_serve,
     "w34_positional_maintenance" -> w34_positional_maintenance,
@@ -1777,6 +1816,9 @@ object EngineQueries {
     "t28_phrase_search" -> t28_sql,
     "t29_proximity_search" -> t29_sql,
     "t32_bm25f_fields" -> t32_sql,
+    // t32's weighted replay over the forget's survivors — the stored
+    // positional member must reproduce scan-time BM25F bit-identically
+    "t33_bm25f_index_serve" -> t33_sql,
     // index-serving is an execution strategy: t28's replay verbatim
     "t30_phrase_index_serve" -> t28_sql,
     // index-serving is an execution strategy: t29's replay verbatim
