@@ -1168,14 +1168,109 @@ object SemanticQueries {
     out
   }
 
-  /** s23's fused oracle re-rooted on the surviving doc∩embedding
-    * corpus: lex CTEs read the join, the sem replay's `vecs` corpus
-    * takes the same join + survivor filter (encode is row-local, so
-    * filtering assignments ≡ filtering inputs), centroids stay
-    * derived from the RAW embeddings table exactly like the Spark
-    * side's derivedPlanes.
+  // ── w40: the cross-modal index under streaming maintenance ────────
+
+  /** w39's SEVEN-RELATION FAMILY UNDER CONTINUOUS MAINTENANCE — the
+    * w30/w31 streaming story lifted across the modality boundary:
+    * micro-batches ingest the multimodal corpus in halves, a RECRAWL
+    * wave replaces documents' text (two prepended query terms move
+    * the lexical ranking by construction; the embedding re-encodes at
+    * the new revision), a forget wave erases a third of the corpus,
+    * and [[graft.streaming.IndexMaintenance.compactUnifiedIfNeeded]]
+    * runs IN THE LOOP with the code relation named as a rider — the
+    * trigger pattern is require-pinned (fires exactly once, after the
+    * forget wave pushes the dead fraction past the default 0.3;
+    * never on the ingest halves or the 10% recrawl). Redelivery of
+    * the recrawl batch no-ops across all seven relations + the floor
+    * in one batch-id check. The serve after the fold is w39's hybrid
+    * RRF from the live members — identical masked or folded, which
+    * is what the oracle checks: the s19/s23 lex CTEs over the
+    * recrawled surviving corpus fused with s14's IVF-PQ replay over
+    * the surviving vectors.
     */
-  val w39_sql: String = {
+  val w40_multimodal_stream: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.{IndexMaintenance, UnifiedIndex}
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map(sub =>
+      planes.map(_.slice(sub * 16, sub * 16 + 16)))
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val e = Tables(s, dir, "embeddings")
+    val adm = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding")).persist()
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-mmstream")
+        .toFile.getAbsolutePath + "/cat")
+    def codesOf(b: org.apache.spark.sql.DataFrame) =
+      VectorSearch.encodeIvfPq(b, "doc_id", "embedding", planes, codebooks)
+    val recrawl = adm.filter(col("doc_id") % 10 === 6)
+      .withColumn("text", concat(lit("vector stream "), col("text")))
+    val batches: Seq[(org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+      adm.filter(col("doc_id") % 2 === 0) -> false,
+      adm.filter(col("doc_id") % 2 === 1) -> false,
+      recrawl -> true)
+    val fired = (batches.zipWithIndex.map { case ((b, rep), i) =>
+      UnifiedIndex.commitBatch(cat, b, i.toLong, replace = rep,
+        extraMembers = Map("codes" -> codesOf(b)))
+      IndexMaintenance.compactUnifiedIfNeeded(cat, 100L + i,
+        extraMembers = Map("codes" -> "id")).nonEmpty
+    }) :+ {
+      UnifiedIndex.delete(cat, adm.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")), 3L)
+      IndexMaintenance.compactUnifiedIfNeeded(cat, 103L,
+        extraMembers = Map("codes" -> "id")).nonEmpty
+    }
+    require(fired == Seq(false, false, false, true),
+      s"compaction trigger pattern diverged: $fired")
+    require(UnifiedIndex.commitBatch(cat, recrawl, 2L, replace = true,
+      extraMembers = Map("codes" -> codesOf(recrawl))) == -1L,
+      "redelivered recrawl batch was re-applied")
+    // post-fold: no dead revision anywhere, one revision serves per doc
+    val (tfAll, dl) = UnifiedIndex.postingsLive(cat)
+    require(dl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).isEmpty, "a stale revision is still serving")
+    val codesLive = UnifiedIndex.memberLive(cat, "codes", "id")
+    require(codesLive.filter(col("id") % 3 === 2).isEmpty,
+      "a forgotten doc is still ANN-searchable after the fold")
+    // w39's fused serve from the folded members
+    val terms = Seq("vector", "stream", "merge", "window", "filter", "scan")
+    val tf = tfAll.filter(col("tok").isin(terms: _*))
+    val totals = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val lexTop = tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("rarity", expr("(1000 * (n_docs - df)) div n_docs"))
+      .withColumn("contrib", expr(
+        "(rarity * 22 * tf * sumdl) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_num"))
+      .orderBy(col("score_num").desc, col("doc_id"))
+      .limit(50)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("score_num").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val sem = VectorSearch.searchIvfPq(codesLive,
+        e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", planes, codebooks, k = 50, nProbe = 2)
+      .select(col("id").as("doc_id"), col("rank").cast("int").as("rank_sem"))
+    val out = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L))
+        + coalesce(expr("1000000 div (60 + rank_sem)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("rrf"), col("rank_lex"), col("rank_sem"))
+    adm.unpersist()
+    out
+  }
+
+  /** w39's fused oracle with the stream's lifecycle folded in: the
+    * lex corpus carries the recrawled texts and drops the forgotten
+    * third; the sem replay's corpus drops them too (embeddings are
+    * revision-invariant, so the recrawl moves only the lexical list).
+    */
+  // lazy: composed from w39_sql/w39SemReplay which are declared below
+  lazy val w40_sql: String = {
     val semReplay = s14_sql
       .replace("rn <= 2 AND vec_id < 5", "rn <= 2 AND vec_id = 0")
       .replace("WHERE vec_id < 5", "WHERE vec_id = 0")
@@ -1184,7 +1279,47 @@ object SemanticQueries {
         "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
         "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec" +
           " FROM embeddings JOIN documents ON doc_id = vec_id" +
-          " WHERE vec_id % 7 <> 3)")
+          " WHERE vec_id % 3 <> 2)")
+    w39_sql
+      .replace(
+        """WITH corpus AS (
+          |  SELECT d.doc_id, d.text
+          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          |  WHERE d.doc_id % 7 <> 3
+          |)""".stripMargin,
+        """WITH corpus AS (
+          |  SELECT d.doc_id,
+          |         CASE WHEN d.doc_id % 10 = 6
+          |              THEN 'vector stream ' || d.text ELSE d.text END AS text
+          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          |  WHERE d.doc_id % 3 <> 2
+          |)""".stripMargin)
+      .replace(w39SemReplay, semReplay)
+  }
+
+  /** s23's fused oracle re-rooted on the surviving doc∩embedding
+    * corpus: lex CTEs read the join, the sem replay's `vecs` corpus
+    * takes the same join + survivor filter (encode is row-local, so
+    * filtering assignments ≡ filtering inputs), centroids stay
+    * derived from the RAW embeddings table exactly like the Spark
+    * side's derivedPlanes.
+    */
+  /** s14's IVF-PQ replay narrowed to query 0 / top-50 over the
+    * surviving doc∩embedding vectors — shared with w40, whose
+    * lifecycle uses a different forget predicate.
+    */
+  private val w39SemReplay: String = s14_sql
+    .replace("rn <= 2 AND vec_id < 5", "rn <= 2 AND vec_id = 0")
+    .replace("WHERE vec_id < 5", "WHERE vec_id = 0")
+    .replace("WHERE rank <= 10", "WHERE rank <= 50")
+    .replace(
+      "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+      "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec" +
+        " FROM embeddings JOIN documents ON doc_id = vec_id" +
+        " WHERE vec_id % 7 <> 3)")
+
+  val w39_sql: String = {
+    val semReplay = w39SemReplay
     s"""WITH corpus AS (
        |  SELECT d.doc_id, d.text
        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -1281,6 +1416,7 @@ object SemanticQueries {
   val queries: Map[String, Q] = Map(
     "s23_hybrid_index_serve" -> s23_hybrid_index_serve,
     "w39_multimodal_admission" -> w39_multimodal_admission,
+    "w40_multimodal_stream" -> w40_multimodal_stream,
     "d27_semantic_dedup" -> d27_semantic_dedup,
     "s09_embedding_decontam" -> s09_embedding_decontam,
     "s12_kmeans" -> s12_kmeans,
@@ -1296,6 +1432,7 @@ object SemanticQueries {
   val oracles: Map[String, String] = Map(
     "s23_hybrid_index_serve" -> s23_sql,
     "w39_multimodal_admission" -> w39_sql,
+    "w40_multimodal_stream" -> w40_sql,
     "d27_semantic_dedup" -> d27_sql,
     "s09_embedding_decontam" -> s09_sql,
     "s12_kmeans" -> s12_sql,
