@@ -309,6 +309,43 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .forall(_.getAs[Long]("rev") == 1L))
   }
 
+  test("vacuum makes an erase absolute: expired snapshots unreadable, erased bytes off disk") {
+    import graft.streaming.UnifiedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-gdprvac")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(spark, root)
+    val docs = corpus10
+    UnifiedIndex.commitBatch(cat, docs, 0L)
+    val g0 = cat.latestGeneration().get
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") <= 4)
+      .select("doc_id"), 1L)
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 2L).nonEmpty)
+    // pre-vacuum: the erase is TIME-TRAVELABLE (w38's documented
+    // contract — history is append-only until retention)
+    assert(UnifiedIndex.postingsLiveAt(cat, g0)._2
+      .filter(col("doc_id") <= 4).count() == 4)
+    // retention: keep only the post-fold head — the pre-erase
+    // generations expire and their data directories reclaim
+    val dropped = cat.vacuum(keepLast = 1)
+    assert(dropped.contains(g0), s"vacuum kept the pre-erase generation: $dropped")
+    // the expired snapshot no longer serves (destruction is absolute)
+    intercept[Exception] {
+      UnifiedIndex.postingsLiveAt(cat, g0)._2.count()
+    }
+    // ...and the erased rows' BYTES are gone: no parquet file under
+    // the member directories still holds a forgotten doc (the GDPR
+    // assertion — masking hides, folding rewrites, vacuum destroys)
+    Seq("doclen", "positions", "sizes").foreach { m =>
+      val all = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/tables/$m")
+      val key = if (m == "sizes") "id" else "doc_id"
+      assert(all.filter(col(key) <= 4).isEmpty,
+        s"erased bytes of $m survive on disk after vacuum")
+    }
+    // the live head is untouched by retention
+    assert(UnifiedIndex.postingsLive(cat)._2.count() == 6)
+  }
+
   test("unified index: positions fold in the same transact; erase-before-admit survives it") {
     import graft.streaming.UnifiedIndex
     val cat = tmpCat("graft-uniposc")
