@@ -164,23 +164,46 @@ object IndexMaintenance {
     * pending tombstone masks zero rows, so it never counts toward the
     * dead fraction it is retained past).
     */
-  /** @param extraMembers rider relations committed through
-    *   [[UnifiedIndex.commitBatch]]'s `extraMembers` (member name →
-    *   its id column, e.g. `Map("codes" -> "id")` for the w39 vector
-    *   codes): they fold in the SAME transact under the same floors —
-    *   leaving one out would strand dead revisions in that modality
-    *   while the text families compact (the cross-modal tear this
-    *   whole family exists to prevent).
+  /** The six built-in unified members plus the tombstone relation —
+    * any OTHER member of a unified catalog is a rider.
+    */
+  private val UnifiedBuiltins = Set("bands", "shingles", "sizes",
+    "postings", "doclen", "positions", "tombstones")
+
+  /** Rider relations fold AUTOMATICALLY: any member of the head
+    * generation beyond the six built-ins that carries a `rev` column
+    * and an `id`/`doc_id` key (the [[UnifiedIndex.commitBatch]]
+    * `extraMembers` contract) joins the fold under the same floors —
+    * the fold set derives from the generation's own member manifest,
+    * so a maintenance loop cannot strand dead revisions in a modality
+    * by forgetting to name it (the cross-modal tear this family
+    * exists to prevent). `extraMembers` remains as an explicit
+    * override for riders whose key column the convention cannot
+    * infer. Discovery costs one schema (parquet footer) read per
+    * rider, single-writer maintenance loop assumed as everywhere.
     */
   def compactUnifiedIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double = DefaultThreshold,
       maxSegments: Int = DefaultMaxSegments,
-      extraMembers: Map[String, String] = Map.empty): Option[Long] =
+      extraMembers: Map[String, String] = Map.empty): Option[Long] = {
+    val discovered: Map[String, String] = cat.latestGeneration() match {
+      case Some(g) => cat.memberNames(g)
+        .filterNot(UnifiedBuiltins).filterNot(extraMembers.keySet)
+        .flatMap { m =>
+          val cols = cat.readAt(g, m).columns.toSet
+          if (!cols("rev")) None
+          else if (cols("id")) Some(m -> "id")
+          else if (cols("doc_id")) Some(m -> "doc_id")
+          else None
+        }.toMap
+      case None => Map.empty
+    }
     compactIfNeeded(cat, batchId, threshold, unifiedDeadFraction,
       Seq("bands", "shingles", "sizes").map(_ -> killMask("id")).toMap ++
         Seq("postings", "doclen", "positions").map(_ -> killMask("doc_id")).toMap ++
-        extraMembers.map { case (m, key) => m -> killMask(key) },
+        (extraMembers ++ discovered).map { case (m, key) => m -> killMask(key) },
       retainUnmatched = Some("sizes"), maxSegments = maxSegments)
+  }
 
   private def deadFraction(cat: TableCatalog, perDocRel: String,
       mask: (DataFrame, DataFrame) => DataFrame): Double =

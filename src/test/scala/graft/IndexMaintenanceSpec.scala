@@ -264,11 +264,13 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .select("doc_id"), 2L)
     assert(UnifiedIndex.memberLive(cat, "codes", "id")
       .filter(col("id") === 5).isEmpty, "forget did not reach the rider")
-    // the fold covers the rider in the SAME transact
+    // the fold covers the rider in the SAME transact — WITHOUT being
+    // named: the fold set derives from the generation's member
+    // manifest (a loop that forgets a rider cannot strand it)
     val before = UnifiedIndex.memberLive(cat, "codes", "id")
       .collect().map(_.toSeq).toSet
     assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 3L,
-      threshold = 1e-9, extraMembers = Map("codes" -> "id")).nonEmpty)
+      threshold = 1e-9).nonEmpty)
     assert(cat.read("codes").count() == 9,
       "dead rider revisions survived the fold")
     assert(UnifiedIndex.memberLive(cat, "codes", "id")
