@@ -136,6 +136,10 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
       def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toList
       var revs = Map.empty[Long, List[(Long, List[String])]] // id -> (rev, toks)*
       var floors = Map.empty[Long, Long]                     // id -> max kill floor
+      // the RIDER member (w39's extraMembers contract) rides every
+      // commit: one (id, feat) row per admitted doc — 0-token docs
+      // included, unlike the text families
+      var riderRevs = Map.empty[Long, List[(Long, Long)]]    // id -> (rev, feat)*
       def floorOf(id: Long) = floors.getOrElse(id, Long.MinValue)
       var batchId = 0L
       var compactSeq = 0L
@@ -143,7 +147,12 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
       def addRev(id: Long, t: String): Unit = {
         val tk = toks(t)
         if (tk.nonEmpty) revs += id -> (revs.getOrElse(id, Nil) :+ (batchId, tk))
+        riderRevs += id ->
+          (riderRevs.getOrElse(id, Nil) :+ (batchId, tk.size.toLong))
       }
+      def riderDf(docs: List[(Long, String)]) =
+        docs.map { case (id, t) => (id, toks(t).size.toLong) }
+          .toDF("id", "feat")
       def doCompact(): Unit = {
         // the interpreter's trigger replay: ≥1 dead SIZES row (a dead
         // revision of a ≥1-token doc) with tombstone rows present
@@ -157,24 +166,31 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
         assert(fired.nonEmpty == shouldFire,
           s"sample $i: trigger fired=${fired.nonEmpty}, model says $shouldFire")
         if (shouldFire) {
-          // pending erases (∞ floor, no rows to destroy) survive the
-          // fold; every satisfied floor goes with the rows it masked —
-          // so a LATER recrawl of a folded-erase id revives by design
+          // pending erases (∞ floor, no rows to destroy — judged on
+          // SIZES, the trigger's proxy relation) survive the fold;
+          // every satisfied floor goes with the rows it masked — so a
+          // LATER recrawl of a folded-erase id revives by design.
+          // Rider rows fold by the same floors (auto-discovered): a
+          // pending erase's rider rows are destroyed even as the
+          // tombstone survives to mask future arrivals.
           val pending = floors.filter { case (id, f) =>
             f == Long.MaxValue && revs.getOrElse(id, Nil).isEmpty }
           revs = revs.map { case (id, rs) =>
+            id -> rs.filter(_._1 >= floorOf(id)) }.filter(_._2.nonEmpty)
+          riderRevs = riderRevs.map { case (id, rs) =>
             id -> rs.filter(_._1 >= floorOf(id)) }.filter(_._2.nonEmpty)
           floors = pending
         }
       }
       steps.foreach {
         case st @ Ingest(docs) =>
-          UnifiedIndex.commitBatch(cat, docs.toDF("doc_id", "text"), batchId)
+          UnifiedIndex.commitBatch(cat, docs.toDF("doc_id", "text"), batchId,
+            extraMembers = Map("codes" -> riderDf(docs)))
           docs.foreach { case (id, t) => addRev(id, t) }
           last = Some(st); batchId += 1
         case st @ Recrawl(docs) =>
           UnifiedIndex.commitBatch(cat, docs.toDF("doc_id", "text"), batchId,
-            replace = true)
+            replace = true, extraMembers = Map("codes" -> riderDf(docs)))
           docs.foreach { case (id, t) =>
             floors += id -> math.max(floorOf(id), batchId)
             addRev(id, t)
@@ -255,6 +271,18 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
             id -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toList
           }
         assert(posSeq == live, s"sample $i: stored token sequences diverged")
+        // (e) the RIDER member rides the same lifecycle: exactly the
+        // newest unmasked (id, rev, feat) rows serve — including rows
+        // for 0-token docs the text families never see — and folds
+        // (auto-discovered) destroyed everything below a floor
+        val riderGot = UnifiedIndex.memberLive(cat, "codes", "id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val riderExp = riderRevs.flatMap { case (id, rs) =>
+          val alive = rs.filter(_._1 >= floorOf(id))
+          assert(alive.size <= 1, s"sample $i: rider model invariant broke")
+          alive.headOption.map(r => (id, r._2, r._1)) // (id, feat, rev)
+        }.toSet
+        assert(riderGot == riderExp, s"sample $i: rider member diverged")
       }
     }
   }
