@@ -806,6 +806,68 @@ object EngineQueries {
   val t33_sql: String = t32_sql.replace("FROM documents",
     "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) surv")
 
+  // ───────────────────────────── t34: collocation mining (integer PMI)
+
+  /** COLLOCATION EXTRACTION — the phrase-vocabulary miner a tokenizer/
+    * phrase-merge pipeline runs over a corpus (Mikolov-style word2vec
+    * phrase scoring is this same ratio): bigrams whose observed count
+    * beats what their parts' frequencies predict, ranked by an
+    * integer PMI surrogate `(c_ab · N · 1000) div (c_a · c_b)` —
+    * transcendentals monotone-eliminated exactly like BM25's idf
+    * (t13's surrogate discipline), so the ranking replays
+    * bit-identically in the oracle. Shape: bigram pairs are a PURE
+    * PROJECTION of the token array (transform over 0-based adjacent
+    * indexes — no self-join, no window, no shuffle to FORM pairs);
+    * one groupBy counts them; the HAVING ≥ 3 prune lands BEFORE the
+    * frequency joins, so only the frequent-bigram sliver joins the
+    * vocabulary counts (term-keyed) and the 1-row total broadcast.
+    * BIGINT carries c_ab·N·1000 to ~10¹⁸; past that the same
+    * expressions move to decimal(38,0) — the standard caveat.
+    */
+  val t34_collocations: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val toksArr = docs.select(TextFunctions.tokens(col("text")).as("t"))
+    val uniCnt = toksArr.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = uniCnt.agg(sum(col("c")).as("n"))
+    val bcnt = toksArr.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+    bcnt
+      .join(uniCnt.select(col("tok").as("a"), col("c").as("ca")), "a")
+      .join(uniCnt.select(col("tok").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"),
+        expr("(cab * n * 1000) div (ca * cb)").as("pmi_k"))
+      .orderBy(col("pmi_k").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val t34_sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $ToksSql AS t FROM documents
+       |), uni AS (
+       |  SELECT unnest(t) AS tok FROM toks
+       |), ucnt AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni
+       |), big AS (
+       |  SELECT t[pos] AS a, t[pos + 1] AS b
+       |  FROM (SELECT doc_id, unnest(range(1, len(t))) AS pos, t FROM toks) z
+       |), bcnt AS (
+       |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM big
+       |  GROUP BY a, b HAVING COUNT(*) >= 3
+       |)
+       |SELECT a, b, cab, (cab * n * 1000) // (ca.c * cb.c) AS pmi_k
+       |FROM bcnt JOIN ucnt ca ON ca.tok = a JOIN ucnt cb ON cb.tok = b, tot
+       |ORDER BY pmi_k DESC, a, b
+       |LIMIT 20""".stripMargin
+
   // ───────────────────────────── w31: scheduled postings compaction
 
   /** w30's maintained index with the COMPACTION TRIGGER in the loop —
@@ -1769,6 +1831,7 @@ object EngineQueries {
     "t29_proximity_search" -> t29_proximity_search,
     "t32_bm25f_fields" -> t32_bm25f_fields,
     "t33_bm25f_index_serve" -> t33_bm25f_index_serve,
+    "t34_collocations" -> t34_collocations,
     "t30_phrase_index_serve" -> t30_phrase_index_serve,
     "t31_proximity_index_serve" -> t31_proximity_index_serve,
     "w34_positional_maintenance" -> w34_positional_maintenance,
@@ -1819,6 +1882,7 @@ object EngineQueries {
     // t32's weighted replay over the forget's survivors — the stored
     // positional member must reproduce scan-time BM25F bit-identically
     "t33_bm25f_index_serve" -> t33_sql,
+    "t34_collocations" -> t34_sql,
     // index-serving is an execution strategy: t28's replay verbatim
     "t30_phrase_index_serve" -> t28_sql,
     // index-serving is an execution strategy: t29's replay verbatim
