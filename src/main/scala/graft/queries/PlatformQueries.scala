@@ -1598,6 +1598,48 @@ object PlatformQueries {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  // ───────────────────────────── q62: NTILE decile distribution
+
+  /** DISTRIBUTION WINDOWS — the ANALYZE-style decile summary a data
+    * profiler emits per group: NTILE(10) over integer cents inside
+    * each order priority, then per-bucket count/min/max (exact decile
+    * boundaries without any percentile approximation — Spark's
+    * approx_percentile could not oracle-match, NTILE rank math is
+    * engine-exact). The window's ORDER BY carries the key as a
+    * tiebreak, so equal prices bucket identically on any engine —
+    * the same total-order discipline every ranking query here uses.
+    * Shape: ONE hash exchange by priority for the window, map-side
+    * partials into the 50-row aggregate; at 100 TB the partition key
+    * (priority) is low-cardinality but the buckets aggregate cuts
+    * each partition to 10 rows before anything global.
+    */
+  val q62_decile_profile: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    o.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+        max(col("cents")).as("hi"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+  }
+
+  val q62_sql: String =
+    """SELECT o_orderpriority, decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(cents) AS lo, MAX(cents) AS hi
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |    NTILE(10) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+      |      AS decile
+      |  FROM orders) t
+      |GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin
+
   // ───────────────────────────── v33: consistent export / verified import
 
   /** BACKUP/PROMOTE a catalog cut ([[graft.sources.CatalogExport]]):
@@ -3311,6 +3353,7 @@ object PlatformQueries {
     "d55_multi_signal_dedup" -> d55_multi_signal_dedup,
     "v33_catalog_export" -> v33_catalog_export,
     "q61_star_join" -> q61_star_join,
+    "q62_decile_profile" -> q62_decile_profile,
     "v34_catalog_history" -> v34_catalog_history,
     "v35_as_of_timestamp" -> v35_as_of_timestamp,
     "v36_catalog_restore" -> v36_catalog_restore,
@@ -3364,6 +3407,7 @@ object PlatformQueries {
     "d55_multi_signal_dedup" -> d55_sql,
     "v33_catalog_export" -> v33_sql,
     "q61_star_join" -> q61_sql,
+    "q62_decile_profile" -> q62_sql,
     "v34_catalog_history" -> v34_sql,
     "v35_as_of_timestamp" -> v35_sql,
     "v36_catalog_restore" -> v36_sql,

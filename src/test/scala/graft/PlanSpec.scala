@@ -757,6 +757,20 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "the index was shuffled or nested-looped for the mask:\n" + plan.take(2000))
   }
 
+  test("multimodal fusion serves from ONE catalog's live members — corpus text never rescanned") {
+    val df = queries.SemanticQueries.w39_multimodal_admission(spark, dir)
+    val plan = planString(df)
+    // both fused lists come from the unified catalog's stored members
+    // (postings/doclen + codes) under kill-floor masks: the raw text
+    // is never re-tokenized at serve time, and embeddings appears
+    // solely as the 1-row query-vector scan (inherently raw; bounded).
+    assert(!plan.contains("documents.parquet"),
+      "fused serve re-scanned the raw corpus text:\n" + plan.take(2000))
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(embScans <= 2, // query vector + (pre-AQE) its probe twin
+      s"fused serve re-read corpus vectors ($embScans scans):\n" + plan.take(2000))
+  }
+
   test("hybrid fusion serves from both indexes — neither corpus rescanned") {
     val df = queries.SemanticQueries.s23_hybrid_index_serve(spark, dir)
     val plan = planString(df)
