@@ -64,20 +64,14 @@ object IndexMaintenance {
   private val IdMask: (DataFrame, DataFrame) => DataFrame =
     (rel, tomb) => rel.join(broadcast(tomb), Seq("id"), "left_anti")
 
-  /** The unified family's kill-floor mask ([[UnifiedIndex]]'s serve
-    * semantics, reused at the fold so compaction destroys EXACTLY the
-    * rows serving masks): per id the MAX kill_below dominates (a
-    * forget's [[UnifiedIndex.ForgetFloor]] over any recrawl floor),
-    * and a row dies iff its revision sits below it.
+  /** The unified family's kill-floor mask: LITERALLY
+    * [[UnifiedIndex]]'s serve semantics — the fold calls the same
+    * `killFloors` aggregation and `masked` anti-join the serve path
+    * uses, so compaction destroys EXACTLY the rows serving masks and
+    * a future edit to the floor arithmetic cannot diverge the two.
     */
   private def killMask(key: String): (DataFrame, DataFrame) => DataFrame =
-    (rel, tomb) => {
-      val floors = tomb.groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
-      rel.as("__r").join(broadcast(floors).as("__k"),
-        col(s"__r.$key") === col("__k.id") &&
-          col("__r.rev") < col("__k.__kill"),
-        "left_anti")
-    }
+    (rel, tomb) => UnifiedIndex.masked(rel, key, UnifiedIndex.killFloors(tomb))
 
   /** Segment-count ceiling: an append member's serve cost ALSO
     * degrades with CHAIN LENGTH, independent of dead rows — every
@@ -118,7 +112,8 @@ object IndexMaintenance {
       threshold: Double = DefaultThreshold,
       maxSegments: Int = DefaultMaxSegments): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, lshDeadFraction,
-      Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap,
+      Seq("bands", "shingles", "sizes"),
+      _ => FoldPlan(Seq("bands", "shingles", "sizes").map(_ -> IdMask).toMap),
       maxSegments = maxSegments)
 
   /** Compact the postings index iff its dead fraction crossed
@@ -132,7 +127,9 @@ object IndexMaintenance {
       threshold: Double = DefaultThreshold,
       maxSegments: Int = DefaultMaxSegments): Option[Long] =
     compactIfNeeded(cat, batchId, threshold, postingsDeadFraction,
-      Seq("postings", "doclen").map(_ -> (InvertedIndex.liveView _)).toMap,
+      Seq("postings", "doclen"),
+      _ => FoldPlan(Seq("postings", "doclen")
+        .map(_ -> (InvertedIndex.liveView _)).toMap),
       maxSegments = maxSegments)
 
   /** Masked-row fraction of the unified (w32) index — one tombstone
@@ -141,6 +138,17 @@ object IndexMaintenance {
     * invariant). Dead rows here are REVISIONS below their id's kill
     * floor: replaced recrawl revisions count beside forgotten docs,
     * which is right — the serve mask pays for both.
+    *
+    * DOCUMENTED APPROXIMATION: rider-member rows for ids that never
+    * got a `sizes` row (a 0-token doc whose only modality is a rider,
+    * the w39 empty-text-still-embeds case) are invisible to this
+    * fraction — their dead revisions accumulate without moving the
+    * trigger, and such a rider-heavy churn pattern compacts only when
+    * the SEGMENT-COUNT ceiling trips (which it always eventually does:
+    * every rider append extends a chain). Pricing riders exactly would
+    * cost a count per rider per maintenance commit against a relation
+    * the membership invariant doesn't govern; the segment ceiling
+    * bounds the miss instead.
     */
   def unifiedDeadFraction(cat: TableCatalog): Double =
     deadFraction(cat, "sizes", killMask("id"))
@@ -170,7 +178,7 @@ object IndexMaintenance {
   private val UnifiedBuiltins = Set("bands", "shingles", "sizes",
     "postings", "doclen", "positions", "tombstones")
 
-  /** Rider relations fold AUTOMATICALLY: any member of the head
+  /** Rider relations fold AUTOMATICALLY: any member of the snapshot
     * generation beyond the six built-ins that carries a `rev` column
     * and an `id`/`doc_id` key (the [[UnifiedIndex.commitBatch]]
     * `extraMembers` contract) joins the fold under the same floors —
@@ -180,30 +188,51 @@ object IndexMaintenance {
     * exists to prevent). `extraMembers` remains as an explicit
     * override for riders whose key column the convention cannot
     * infer. Discovery costs one schema (parquet footer) read per
-    * rider, single-writer maintenance loop assumed as everywhere.
+    * rider and runs ONLY once a trigger has fired (the cheap-first
+    * check short-circuits first — a per-commit probe on a healthy
+    * index touches no rider footers), against the exact snapshot the
+    * transact validated; MoR members sharing the catalog are skipped
+    * (they are not commitBatch riders and have no snapshot directory
+    * to footer-read). Single-writer maintenance loop assumed as
+    * everywhere.
     */
   def compactUnifiedIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double = DefaultThreshold,
       maxSegments: Int = DefaultMaxSegments,
-      extraMembers: Map[String, String] = Map.empty): Option[Long] = {
-    val discovered: Map[String, String] = cat.latestGeneration() match {
-      case Some(g) => cat.memberNames(g)
-        .filterNot(UnifiedBuiltins).filterNot(extraMembers.keySet)
-        .flatMap { m =>
-          val cols = cat.readAt(g, m).columns.toSet
-          if (!cols("rev")) None
-          else if (cols("id")) Some(m -> "id")
-          else if (cols("doc_id")) Some(m -> "doc_id")
-          else None
-        }.toMap
-      case None => Map.empty
-    }
+      extraMembers: Map[String, String] = Map.empty): Option[Long] =
+    // Fragmentation trigger checks the built-ins only: `sizes` appends
+    // in EVERY commitBatch generation while a rider appends in at most
+    // those, so the longest built-in chain bounds every rider chain
+    // and the trigger fires no later than a rider-inclusive check —
+    // without reading any rider footer on the no-op path.
     compactIfNeeded(cat, batchId, threshold, unifiedDeadFraction,
-      Seq("bands", "shingles", "sizes").map(_ -> killMask("id")).toMap ++
-        Seq("postings", "doclen", "positions").map(_ -> killMask("doc_id")).toMap ++
-        (extraMembers ++ discovered).map { case (m, key) => m -> killMask(key) },
-      retainUnmatched = Some("sizes"), maxSegments = maxSegments)
-  }
+      UnifiedBuiltins - "tombstones",
+      plan = g => {
+        val discovered: Map[String, String] = cat.memberNames(g)
+          .filterNot(UnifiedBuiltins).filterNot(extraMembers.keySet)
+          .filterNot(cat.morVersions(g).keySet)
+          .flatMap { m =>
+            val cols = cat.readAt(g, m).columns.toSet
+            if (!cols("rev")) None
+            else if (cols("id")) Some(m -> "id")
+            else if (cols("doc_id")) Some(m -> "doc_id")
+            else None
+          }.toMap
+        val riders = extraMembers ++ discovered
+        FoldPlan(
+          Seq("bands", "shingles", "sizes").map(_ -> killMask("id")).toMap ++
+            Seq("postings", "doclen", "positions").map(_ -> killMask("doc_id")).toMap ++
+            riders.map { case (m, key) => m -> killMask(key) },
+          // erase satisfaction is judged against EVERY id-bearing
+          // member, riders included: a forget whose only rows lived in
+          // a rider (0-token doc, w39) is SATISFIED by this fold and
+          // must not linger as a pending tombstone that would mask a
+          // later legitimate re-admission (the revival contract —
+          // an erase is not a forever-ban). Built-ins beyond `sizes`
+          // add no ids by the membership invariant.
+          retainUnmatched = Some(Seq("sizes" -> "id") ++ riders.toSeq))
+      },
+      maxSegments = maxSegments)
 
   private def deadFraction(cat: TableCatalog, perDocRel: String,
       mask: (DataFrame, DataFrame) => DataFrame): Double =
@@ -224,45 +253,62 @@ object IndexMaintenance {
       case _ => 0.0
     }
 
+  /** One fold's worth of work, computed against the exact snapshot
+    * generation the transact validated: which members fold under which
+    * mask, and (unified family only) which (member, keyCol) relations
+    * define "this id has rows" for erase-satisfaction.
+    */
+  private final case class FoldPlan(
+      masks: Map[String, (DataFrame, DataFrame) => DataFrame],
+      retainUnmatched: Option[Seq[(String, String)]] = None)
+
   private def compactIfNeeded(cat: TableCatalog, batchId: Long,
       threshold: Double, fraction: TableCatalog => Double,
-      members: Map[String, (DataFrame, DataFrame) => DataFrame],
-      retainUnmatched: Option[String] = None,
+      fragMembers: Iterable[String], plan: Long => FoldPlan,
       maxSegments: Int = DefaultMaxSegments): Option[Long] = {
     require(threshold > 0.0,
       s"threshold $threshold must be positive (0 would compact on every delete)")
     require(maxSegments > 1,
       s"maxSegments $maxSegments must exceed 1 (every append starts a 1-chain)")
     // cheap-first: fragmentation is one generation-file read; the dead
-    // fraction costs two counts over the smallest member relation
-    if (fragmentation(cat, members.keys) < maxSegments &&
+    // fraction costs two counts over the smallest member relation.
+    // The plan (and any rider footer reads inside it) is only built
+    // past this point — the healthy-index probe stays metadata-cheap.
+    if (fragmentation(cat, fragMembers) < maxSegments &&
         fraction(cat) < threshold) None
     else Some(cat.transact(batchId) { snap =>
       // fold against the SNAPSHOT the transact validated — a conflict
-      // retry re-invokes this body with the fresh snapshot
+      // retry re-invokes this body, rebuilding the plan on the fresh
+      // snapshot (rider discovery included)
       val g = snap.getOrElse(
         throw new IllegalStateException("compacting an empty catalog"))
+      val p = plan(g)
+      val present = cat.memberNames(g)
       // a fragmentation-triggered fold on a delete-free stream has no
       // tombstone relation yet: fold with an empty mask (pure
       // defragmentation — the snapshot commit resets every chain)
-      val hasTomb = cat.memberNames(g).contains("tombstones")
+      val hasTomb = present.contains("tombstones")
       def tombAt = cat.readAt(g, "tombstones")
-      val folded = members.map { case (m, mask) =>
+      val folded = p.masks.collect { case (m, mask) if present(m) =>
         m -> (if (hasTomb) mask(cat.readAt(g, m), broadcast(tombAt))
               else cat.readAt(g, m))
       }
       if (!hasTomb) folded
       else {
         // retained tombstones: PENDING erase requests — forget floors
-        // whose id matched NOTHING in the per-doc relation, i.e. the
-        // erases whose documents have not arrived (unified family
-        // only; the standalone revisioned families revive by design).
-        // Satisfied forgets and finite recrawl floors fold with the
-        // rows they masked.
-        val survivors = retainUnmatched match {
-          case Some(perDoc) => tombAt
-            .filter(col("kill_below") === UnifiedIndex.ForgetFloor)
-            .join(cat.readAt(g, perDoc).select(col("id")), Seq("id"), "left_anti")
+        // whose id matched NOTHING in any id-bearing member (riders
+        // included), i.e. the erases whose documents have not arrived
+        // in ANY modality (unified family only; the standalone
+        // revisioned families revive by design). Satisfied forgets and
+        // finite recrawl floors fold with the rows they masked.
+        val survivors = p.retainUnmatched match {
+          case Some(rels) =>
+            val ids = rels.collect { case (m, key) if present(m) =>
+              cat.readAt(g, m).select(col(key).as("id"))
+            }.reduceOption(_ unionByName _)
+            val pendings = tombAt
+              .filter(col("kill_below") === UnifiedIndex.ForgetFloor)
+            ids.fold(pendings)(p => pendings.join(p, Seq("id"), "left_anti"))
           case None => tombAt.limit(0)
         }
         folded + ("tombstones" -> survivors)

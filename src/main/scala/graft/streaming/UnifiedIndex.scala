@@ -177,22 +177,31 @@ object UnifiedIndex {
       case None => throw new IllegalStateException("serving an empty catalog")
     }
 
-  /** Per-id kill floor at a generation: MAX over the id's tombstones
-    * (a forget's [[ForgetFloor]] dominates any recrawl floor; among
-    * recrawl floors the newest masks everything the older ones did).
+  /** Per-id kill floor from a raw tombstone relation: MAX over the
+    * id's tombstones (a forget's [[ForgetFloor]] dominates any recrawl
+    * floor; among recrawl floors the newest masks everything the older
+    * ones did). Package-visible so [[IndexMaintenance]]'s compaction
+    * fold derives floors through the SAME aggregation the serve path
+    * uses — one implementation, so fold and serve can never disagree
+    * on which rows a tombstone kills.
     */
+  private[graft] def killFloors(tomb: DataFrame): DataFrame =
+    tomb.groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
+
   private def floorsAt(cat: TableCatalog, g: Long): DataFrame =
-    tombAt(cat, g).groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
+    killFloors(tombAt(cat, g))
 
   private def floors(cat: TableCatalog): DataFrame =
-    tomb(cat).groupBy(col("id")).agg(max(col("kill_below")).as("__kill"))
+    killFloors(tomb(cat))
 
   /** The kill-floor serve mask: drop rows whose revision sits below
     * the id's floor. The floor relation is id-sized (erase ledger +
     * currently-masked recrawls) and broadcast — the index side is
-    * scanned, never shuffled, for a maintenance event.
+    * scanned, never shuffled, for a maintenance event. Package-visible
+    * for the same reason as [[killFloors]]: compaction destroys
+    * EXACTLY the rows this mask hides, by calling this mask.
     */
-  private def masked(rel: DataFrame, key: String, fl: DataFrame): DataFrame =
+  private[graft] def masked(rel: DataFrame, key: String, fl: DataFrame): DataFrame =
     rel.as("__r").join(broadcast(fl).as("__k"),
       col(s"__r.$key") === col("__k.id") &&
         col("__r.rev") < col("__k.__kill"),

@@ -278,6 +278,56 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "folding changed the rider's serve")
   }
 
+  test("rider-only erase is SATISFIED by the fold: no lingering tombstone masks re-admission") {
+    import graft.streaming.UnifiedIndex
+    val cat = tmpCat("graft-rideronly")
+    val docs = corpus10
+    def rider(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"), length(col("text")).as("feat"))
+    // doc 42 is the w39 empty-text-still-embeds case: 0 tokens, so the
+    // text families never see it — its ONLY rows live in the rider
+    val withEmpty = docs.unionByName(Seq((42L, "")).toDF("doc_id", "text"))
+    UnifiedIndex.commitBatch(cat, withEmpty, 0L,
+      extraMembers = Map("codes" -> rider(withEmpty)))
+    assert(cat.read("sizes").filter(col("id") === 42L).isEmpty
+      && cat.read("codes").filter(col("id") === 42L).count() == 1L,
+      "fixture broke: the empty-text doc must be rider-only")
+    // forget the rider-only doc (plus enough text docs to fire the
+    // sizes-based trigger) and fold
+    UnifiedIndex.delete(cat, Seq(42L).toDF("doc_id"), 1L)
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") <= 4)
+      .select("doc_id"), 2L)
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 3L).nonEmpty)
+    // the fold destroyed the rider rows — that SATISFIES the erase:
+    // the tombstone must fold with them (judged against the union of
+    // id-bearing members, not `sizes` alone), or a later legitimate
+    // re-admission would be silently masked and destroyed
+    assert(cat.read("codes").filter(col("id") === 42L).isEmpty,
+      "the fold kept the forgotten rider rows")
+    assert(cat.read("tombstones").filter(col("id") === 42L).isEmpty,
+      "a rider-satisfied erase lingered as a pending tombstone")
+    // the revival contract: re-admission of id 42 serves in every
+    // modality it now has rows for
+    val revived = Seq((42L, "second life text")).toDF("doc_id", "text")
+    UnifiedIndex.commitBatch(cat, revived, 4L,
+      extraMembers = Map("codes" -> rider(revived)))
+    assert(UnifiedIndex.memberLive(cat, "codes", "id")
+      .filter(col("id") === 42L).count() == 1L,
+      "re-admission after a satisfied rider-only erase must serve")
+    assert(UnifiedIndex.postingsLive(cat)._2
+      .filter(col("doc_id") === 42L).count() == 1L)
+    // contrast pin: a NEVER-admitted id's erase stays pending through
+    // the same fold (the durable races-ahead ledger is untouched)
+    UnifiedIndex.delete(cat, Seq(777L).toDF("doc_id"), 5L)
+    // 3 of the 7 live sizes rows dead (docs 5-7; 42 re-admitted with
+    // text counts as the 7th) ≈ 0.43 ≥ 0.3 — the trigger fires
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") >= 5
+      && col("doc_id") <= 7).select("doc_id"), 6L)
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 7L).nonEmpty)
+    assert(cat.read("tombstones").collect().map(_.getLong(0)).toSet
+      == Set(777L), "the never-admitted erase must survive as pending")
+  }
+
   test("index AS OF: a snapshot serves identically across later churn and a fold") {
     import graft.streaming.UnifiedIndex
     val cat = tmpCat("graft-idxasof")

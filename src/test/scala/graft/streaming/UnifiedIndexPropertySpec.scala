@@ -166,15 +166,17 @@ class UnifiedIndexPropertySpec extends AnyFunSuite {
         assert(fired.nonEmpty == shouldFire,
           s"sample $i: trigger fired=${fired.nonEmpty}, model says $shouldFire")
         if (shouldFire) {
-          // pending erases (∞ floor, no rows to destroy — judged on
-          // SIZES, the trigger's proxy relation) survive the fold;
+          // pending erases (∞ floor, no rows to destroy in ANY
+          // id-bearing member — riders included) survive the fold;
           // every satisfied floor goes with the rows it masked — so a
-          // LATER recrawl of a folded-erase id revives by design.
-          // Rider rows fold by the same floors (auto-discovered): a
-          // pending erase's rider rows are destroyed even as the
-          // tombstone survives to mask future arrivals.
+          // LATER recrawl of a folded-erase id revives by design. An
+          // erase whose only rows lived in the rider (a 0-token doc)
+          // is SATISFIED by destroying those rider rows: the tombstone
+          // folds with them, it must not linger to mask a legitimate
+          // re-admission (ADVICE r12 — an erase is not a forever-ban).
           val pending = floors.filter { case (id, f) =>
-            f == Long.MaxValue && revs.getOrElse(id, Nil).isEmpty }
+            f == Long.MaxValue && revs.getOrElse(id, Nil).isEmpty &&
+              riderRevs.getOrElse(id, Nil).isEmpty }
           revs = revs.map { case (id, rs) =>
             id -> rs.filter(_._1 >= floorOf(id)) }.filter(_._2.nonEmpty)
           riderRevs = riderRevs.map { case (id, rs) =>
