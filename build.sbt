@@ -32,3 +32,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Scratch (temp catalogs, Spark local dirs) on tmpfs when a big one is
+// mounted: isolates bench figures from disk write epochs — measured on
+// d19 (temp-catalog heavy): median 4.10→3.67 s and max run 4.52→3.96
+// with /dev/shm vs /dev/vda-backed /tmp; pure-compute queries unmoved.
+// Guarded on ≥32 GiB usable so a small shm mount never fills. The
+// Bench/Verify mains sweep stale run dirs, so tmpfs RAM is reclaimed
+// even after a SIGKILLed run.
+javaOptions ++= {
+  val shm = file("/dev/shm")
+  if (shm.isDirectory && shm.canWrite
+      && shm.getUsableSpace > 32L * 1024 * 1024 * 1024) {
+    val d = file("/dev/shm/graft-tmp"); d.mkdirs()
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
+  } else Seq.empty
+}

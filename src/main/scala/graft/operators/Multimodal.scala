@@ -402,4 +402,219 @@ object Multimodal {
         least(lit(minShared), col("__nf_a"), col("__nf_b")))
       .select(col("id_a"), col("id_b"), col("shared_frames"))
   }
+
+  // ── BMP: the one REAL pure-JVM codec behind the MediaCodec trait ────
+  //
+  // m01-m04 prove the distribution/plan machinery around a stubbed
+  // decode; this closes the loop for one modality with zero native
+  // deps: uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  // bottom-up rows, 4-byte row padding — the format every platform
+  // ships because it needs no codec library). Encode builds real
+  // container bytes, decode parses them back header-first, and the
+  // features come from DECODED PIXELS in display (top-down) order — a
+  // decoder that ignores padding or row order produces a different
+  // checksum, so the m05 oracle gate genuinely exercises the byte
+  // layout, not just the plumbing around it.
+
+  /** Row stride of a 24-bit BMP: 3 bytes/pixel padded to 4. */
+  private def bmpRowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xFF).toByte
+    b(off + 1) = ((v >>> 8) & 0xFF).toByte
+    b(off + 2) = ((v >>> 16) & 0xFF).toByte
+    b(off + 3) = ((v >>> 24) & 0xFF).toByte
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Encode a real 24-bit bottom-up BMP from a pixel function
+    * `(x, y) → (r, g, b)` over DISPLAY coordinates (y=0 is the top
+    * row; the encoder writes rows bottom-up and channels BGR, as the
+    * format demands).
+    */
+  def encodeBmp(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"degenerate BMP ${width}x$height")
+    val rowSize = bmpRowSize(width)
+    val imageSize = rowSize * height
+    val fileSize = 54 + imageSize
+    val out = new Array[Byte](fileSize) // zero-filled → padding bytes 0
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, fileSize)
+    putLe32(out, 10, 54)          // pixel-data offset
+    putLe32(out, 14, 40)          // BITMAPINFOHEADER size
+    putLe32(out, 18, width)
+    putLe32(out, 22, height)      // positive height = bottom-up rows
+    out(26) = 1                   // planes
+    out(28) = 24                  // bpp
+    putLe32(out, 30, 0)           // BI_RGB (uncompressed)
+    putLe32(out, 34, imageSize)
+    var y = 0
+    while (y < height) {
+      val rowBase = 54 + (height - 1 - y) * rowSize // file rows bottom-up
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        val p = rowBase + 3 * x
+        out(p) = b.toByte; out(p + 1) = g.toByte; out(p + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decoded 24-bit pixels in display order: `(width, height, rgb)`
+    * with `rgb(3*(y*width+x) + {0,1,2}) = r,g,b` of pixel (x, y).
+    * Validates magic/bpp/compression and walks the padded bottom-up
+    * rows — the parse a real consumer does, failing loudly on
+    * anything but the uncompressed 24-bit layout it claims to read.
+    */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val off = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    require(le16(bytes, 28) == 24, s"unsupported bpp ${le16(bytes, 28)}")
+    require(le32(bytes, 30) == 0, "unsupported compression (not BI_RGB)")
+    require(width > 0 && height > 0, s"unsupported geometry ${width}x$height")
+    val rowSize = bmpRowSize(width)
+    require(bytes.length >= off + rowSize * height, "truncated pixel data")
+    val rgb = new Array[Byte](3 * width * height)
+    var y = 0
+    while (y < height) {
+      val rowBase = off + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val p = rowBase + 3 * x
+        val q = 3 * (y * width + x)
+        rgb(q) = bytes(p + 2)     // R (file order is BGR)
+        rgb(q + 1) = bytes(p + 1) // G
+        rgb(q + 2) = bytes(p)     // B
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, rgb)
+  }
+
+  /** The REAL image codec: decode parses actual BMP bytes; features
+    * derive from decoded pixels. `checksum` is the position-weighted
+    * pixel sum Σ (r + 2g + 3b)·(1 + x + y·w) over display coordinates
+    * — weighting by position makes it sensitive to row order and
+    * padding (a plain sum would forgive a decoder that served the
+    * image upside down), and it is integer arithmetic the m05 oracle
+    * replays exactly. Non-image kinds delegate to the stub (one
+    * modality real is the contract; audio/video codecs remain the
+    * documented boundary).
+    */
+  object BmpCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.kind != "image") decodeStub(r)
+      else {
+        val (w, h, rgb) = decodeBmp(r.content)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val q = 3 * (y * w + x)
+            sum += ((rgb(q) & 0xFF) + 2 * (rgb(q + 1) & 0xFF) +
+              3 * (rgb(q + 2) & 0xFF)).toLong * (1 + x + y * w)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+          w, h, channels = 3, duration_ms = 0L, checksum = sum)
+      }
+
+    /** Mean decoded-pixel intensity per contiguous block — a real
+      * (if crude) downsampled-luma embedding.
+      */
+    def embed(r: MediaRecord, dim: Int): Array[Float] =
+      if (r.kind != "image") embedStub(r, dim)._2
+      else {
+        val (_, _, rgb) = decodeBmp(r.content)
+        val out = new Array[Float](dim)
+        val block = math.max(1, rgb.length / dim)
+        var d = 0
+        while (d < dim) {
+          val from = d * block
+          val to = math.min(rgb.length, from + block)
+          var s = 0L; var i = from
+          while (i < to) { s += rgb(i) & 0xFF; i += 1 }
+          out(d) = if (to > from) s.toFloat / (to - from) / 255f else 0f
+          d += 1
+        }
+        out
+      }
+
+    /** "Block brighter than mid-gray" over the REAL sample bytes: the
+      * pixel-data offset is parsed from the header DECLARATIVELY
+      * (little-endian u32 at byte 10, byte-swapped via per-byte hex),
+      * the window sum is the codegen'd [[graft.functions.ByteSum]]
+      * kernel — BMP samples are raw BGR, so the byte sum IS
+      * proportional to mean intensity. Padding bytes inside a window
+      * bias toward dark — a documented approximation a real aHash
+      * resamples away; the hash width and banding are unchanged.
+      */
+    def blockBit(content: Column, block: Column, blockBytes: Int): Column = {
+      val off = bmpPixelOffset(content)
+      graft.functions.ByteSum(
+        substring(content, (off + block * blockBytes + 1).cast(IntegerType),
+          lit(blockBytes))) >= lit(blockBytes.toLong * 128)
+    }
+
+    /** Frame signature over real sample bytes (window offset past the
+      * parsed header, md5 of the raw BGR run).
+      */
+    def frameSig(content: Column, byteOffset: Column, stride: Int): Column =
+      md5(substring(content,
+        (bmpPixelOffset(content) + byteOffset + 1).cast(IntegerType),
+        lit(stride)))
+  }
+
+  /** The BMP pixel-data offset, parsed from the container header in
+    * pure builtin columns: bytes 10-13 little-endian — each byte
+    * hex'd separately and concatenated most-significant-first, then
+    * one base-16 conv. Header parsing without leaving codegen.
+    */
+  def bmpPixelOffset(content: Column): Column =
+    conv(concat(
+        hex(substring(content, 14, 1)), hex(substring(content, 13, 1)),
+        hex(substring(content, 12, 1)), hex(substring(content, 11, 1))),
+      16, 10).cast(LongType)
+
+  /** A corpus of REAL BMP payloads, one per row of `docs`:
+    * deterministic geometry and pixels from the id alone —
+    *   w = 4 + id%5, h = 3 + id%4,
+    *   r = (7·id + 3x + 11y) mod 256, g = (13·id + 5x + 2y) mod 256,
+    *   b = (3·id + x + 17y) mod 256
+    * — integer arithmetic the m05 oracle replays in SQL, so the gate
+    * checks encode → container bytes → decode against the formula
+    * directly. The row-local `map` here is the ENCODE half of the
+    * sanctioned codec boundary (fixture synthesis; real deployments
+    * read media bytes from storage instead).
+    */
+  def bmpMedia(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val bytes = encodeBmp(w, h, (x, y) => (
+        ((7 * id + 3 * x + 11 * y) % 256).toInt,
+        ((13 * id + 5 * x + 2 * y) % 256).toInt,
+        ((3 * id + x + 17 * y) % 256).toInt))
+      MediaRecord(id, "image", bytes, "bmp-synth")
+    }
+  }
 }

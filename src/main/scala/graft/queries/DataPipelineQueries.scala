@@ -1724,6 +1724,50 @@ object DataPipelineQueries {
        |WHERE b.rn = 1 AND b.aligned >= LEAST(4, na.n, nb.n)
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** REAL media bytes end-to-end (r12 verdict item 3): every row's
+    * payload is an actual 24-bit BMP — header, bottom-up padded rows,
+    * BGR channels — built by [[Multimodal.encodeBmp]] from a
+    * deterministic per-id pixel formula, then DECODED BACK by the real
+    * [[Multimodal.BmpCodec]] through the same partition-batched
+    * `processBatches` path m01 drives with the stub. The features are
+    * decoded-pixel arithmetic: geometry from the parsed header,
+    * byte_size pinning the padding math, and a position-weighted pixel
+    * checksum that changes if the decoder misreads row order, padding,
+    * or channel order. The oracle replays the pixel formula directly
+    * in SQL — the Spark side must round-trip the formula through real
+    * container bytes to match it.
+    */
+  val m05_bmp_decode: Q = (s, dir) => {
+    val media = Multimodal.bmpMedia(
+      Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.processBatches(media, codec = Multimodal.BmpCodec).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("byte_size"), col("checksum").as("pix_checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val m05_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+      |),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, x.x, y.y,
+      |         (7*d.doc_id + 3*x.x + 11*y.y) % 256 AS r,
+      |         (13*d.doc_id + 5*x.x + 2*y.y) % 256 AS g,
+      |         (3*d.doc_id + x.x + 17*y.y) % 256 AS b
+      |  FROM d,
+      |       (SELECT unnest(range(0, 8)) AS x) x,
+      |       (SELECT unnest(range(0, 6)) AS y) y
+      |  WHERE x.x < d.w AND y.y < d.h
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(54 + h * ((3*w + 3) // 4) * 4 AS BIGINT) AS byte_size,
+      |  CAST(SUM((r + 2*g + 3*b) * (1 + x + y*w)) AS BIGINT) AS pix_checksum
+      |FROM px
+      |GROUP BY doc_id, w, h
+      |ORDER BY media_id""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1782,7 +1826,8 @@ object DataPipelineQueries {
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_video_neardup" -> m02_video_neardup,
     "m03_image_neardup" -> m03_image_neardup,
-    "m04_audio_neardup" -> m04_audio_neardup)
+    "m04_audio_neardup" -> m04_audio_neardup,
+    "m05_bmp_decode" -> m05_bmp_decode)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -1822,5 +1867,6 @@ object DataPipelineQueries {
     "m01_multimodal_features" -> m01_sql,
     "m02_video_neardup" -> m02_sql,
     "m03_image_neardup" -> m03_sql,
-    "m04_audio_neardup" -> m04_sql)
+    "m04_audio_neardup" -> m04_sql,
+    "m05_bmp_decode" -> m05_sql)
 }

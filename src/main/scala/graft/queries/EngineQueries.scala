@@ -1135,6 +1135,74 @@ object EngineQueries {
     bm25Tail(asofTf.filter(col("tok").isin(Bm25Terms: _*)), asofDl)
   }
 
+  // ─────────── w41: tag-pinned retrieval cuts (index AS-OF × tags × vacuum)
+
+  /** NAMED, VACUUM-PROOF RETRIEVAL CUTS — w38 answers "what did
+    * retrieval serve at generation g" by raw generation id; this
+    * closes the loop with the catalog's immutable tags (v30): the cut
+    * a training run sampled is pinned BY NAME
+    * ([[graft.sources.TableCatalog.createTag]]) and the pin is a
+    * RETENTION contract — vacuum reclaims every untagged pre-fold
+    * generation, including append-chain segments nothing else
+    * references, but must keep every segment of the tagged cut's
+    * chains, so "the index as this model's training run saw it"
+    * survives recrawl + forget + compaction + vacuum. Extra teeth vs
+    * w38: the tag lands AFTER a forget wave but BEFORE the fold — the
+    * tagged cut has ACTIVE kill floors, so the tag-time serve must
+    * replay the floors that were live then (masking, not folding),
+    * while the head serves the folded post-recrawl state. Lifecycle:
+    * ingest → forget wave → TAG → recrawl wave → fold → vacuum to the
+    * head. Pins: the untagged root generation is reclaimed while the
+    * tagged one survives by name; the tag serve carries zero recrawl
+    * revisions and zero forgotten ids (its floors applied, later churn
+    * invisible); the head serves the recrawl revision. Output is the
+    * tag-time BM25 top-k, so the oracle is t19's replay over the
+    * tag-time logical corpus (original text, forgotten ids removed) —
+    * one reclaimed chain segment, leaked recrawl revision, or
+    * retroactively-applied fold shifts the ranking and fails the hash.
+    */
+  val w41_tagged_retrieval_cut: Q = (s, dir) => {
+    import graft.streaming.{IndexMaintenance, UnifiedIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft-tagcut")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(s, root)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    UnifiedIndex.commitBatch(cat, d, 0L)
+    val g0 = cat.latestGeneration().get
+    // forget wave, THEN the tag: the pinned cut masks via live floors
+    UnifiedIndex.delete(cat, d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), 1L)
+    val gTag = cat.createTag("train-v1")
+    require(gTag > g0 && cat.tagGeneration("train-v1") == gTag,
+      "the tag must pin the post-forget head")
+    // later churn: a recrawl wave, then the fold rewrites the head
+    UnifiedIndex.commitBatch(cat,
+      d.filter(col("doc_id") % 10 === 4)
+        .withColumn("text", concat(lit("merge window "), col("text"))),
+      2L, replace = true)
+    require(IndexMaintenance.compactUnifiedIfNeeded(cat, 3L,
+      threshold = 1e-9).nonEmpty, "the post-recrawl fold must fire")
+    // retention: keep the folded head only — the untagged root dies,
+    // the tagged cut (and transitively its chain segments) survives
+    val dropped = cat.vacuum(keepLast = 1)
+    require(dropped.contains(g0),
+      "vacuum kept the untagged pre-forget generation")
+    require(!dropped.contains(gTag), "vacuum reclaimed a tagged cut")
+    // the tag serve AFTER vacuum: its floors applied, later churn
+    // invisible — data-independent pins, then the ranked output
+    val (asofTf, asofDl) =
+      UnifiedIndex.postingsLiveAt(cat, cat.tagGeneration("train-v1"))
+    require(asofDl.agg(max(col("rev"))).head().getLong(0) == 0L,
+      "a post-tag recrawl revision leaked into the tagged serve")
+    require(asofDl.filter(col("doc_id") % 7 === 0).isEmpty,
+      "the tagged cut failed to mask its own forget wave")
+    val (_, headDl) = UnifiedIndex.postingsLive(cat)
+    require(headDl.filter(col("doc_id") % 10 === 4
+        && col("doc_id") % 7 =!= 0).agg(min(col("rev"))).head().getLong(0) == 2L,
+      "the post-vacuum head is not serving the recrawl revision")
+    bm25Tail(asofTf.filter(col("tok").isin(Bm25Terms: _*)), asofDl)
+  }
+
   /** w10's admission CTE chain (who is in the corpus) composed with
     * t19's BM25 scoring tail (how the corpus ranks) — both shared
     * verbatim with their owning queries, so a divergence in EITHER
@@ -1841,6 +1909,7 @@ object EngineQueries {
     "w36_postings_defrag" -> w36_postings_defrag,
     "w37_unified_recrawl" -> w37_unified_recrawl,
     "w38_index_asof" -> w38_index_asof,
+    "w41_tagged_retrieval_cut" -> w41_tagged_retrieval_cut,
     "v20_catalog_snapshot" -> v20_catalog_snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -1913,5 +1982,11 @@ object EngineQueries {
     // travel is an execution strategy; the in-query pins carry the
     // head-vs-snapshot divergence)
     "w38_index_asof" -> t19_sql,
+    // the tagged cut's logical corpus: original text (the recrawl
+    // postdates the tag), forgotten ids removed (the forget predates
+    // it) — declared sharing of the one BM25 scoring body, w38-style;
+    // the in-query pins carry the tag/vacuum/chain-retention teeth
+    "w41_tagged_retrieval_cut" ->
+      bm25OracleSql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
     "v20_catalog_snapshot" -> v20_sql)
 }

@@ -398,6 +398,57 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(UnifiedIndex.postingsLive(cat)._2.count() == 6)
   }
 
+  test("a tag pins its append-chain cut through vacuum, kill floors replayed at the tag") {
+    import graft.streaming.UnifiedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-tagchain")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new TableCatalog(spark, root)
+    val docs = corpus10
+    // THREE ingest batches: the tagged cut's members are CHAINS of
+    // three append segments — the retention case the snapshot-member
+    // tag tests never exercise (a chain pins old directories
+    // transitively; losing any one segment corrupts the cut)
+    (0 until 3).foreach(i => UnifiedIndex.commitBatch(cat,
+      docs.filter(col("doc_id") % 3 === i), i.toLong))
+    // a forget BEFORE the tag: the tagged cut has an ACTIVE floor
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") === 4)
+      .select("doc_id"), 3L)
+    val gTag = cat.createTag("cut")
+    assert(cat.appendVersions(gTag)("sizes").size == 3,
+      "fixture broke: the tagged cut must be a 3-segment chain")
+    val tagServe = UnifiedIndex.postingsLiveAt(cat, gTag)._2
+      .collect().map(_.toSeq).toSet
+    assert(!tagServe.exists(_.head == 4L),
+      "the tag-time serve must replay the tag-time floor")
+    // churn past the tag: more forgets, then the fold rewrites the
+    // head to snapshot members (the chains become garbage to every
+    // generation EXCEPT the tagged one)
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") <= 3)
+      .select("doc_id"), 4L)
+    assert(IndexMaintenance.compactUnifiedIfNeeded(cat, 5L).nonEmpty)
+    val dropped = cat.vacuum(keepLast = 1)
+    assert(dropped.nonEmpty && !dropped.contains(gTag))
+    // every segment directory of the tagged chain is still on disk
+    cat.appendVersions(gTag).foreach { case (m, chain) =>
+      chain.foreach { v =>
+        assert(new java.io.File(s"$root/tables/$m/v=$v").exists(),
+          s"vacuum reclaimed tagged chain segment $m/v=$v")
+      }
+    }
+    // ...and the tag serves bit-identically after the sweep, floors
+    // included (the head, meanwhile, reflects the later churn)
+    assert(UnifiedIndex.postingsLiveAt(cat, cat.tagGeneration("cut"))._2
+      .collect().map(_.toSeq).toSet == tagServe,
+      "the tagged cut's serve changed across vacuum")
+    assert(UnifiedIndex.postingsLive(cat)._2
+      .filter(col("doc_id") <= 4).isEmpty)
+    // drop the tag: the next vacuum reclaims the cut (pin released)
+    cat.dropTag("cut")
+    val dropped2 = cat.vacuum(keepLast = 1)
+    assert(dropped2.contains(gTag),
+      "an untagged cut must become reclaimable")
+  }
+
   test("unified index: positions fold in the same transact; erase-before-admit survives it") {
     import graft.streaming.UnifiedIndex
     val cat = tmpCat("graft-uniposc")
