@@ -595,6 +595,44 @@ object VectorSearch {
     rankTopK(scored, "score", k)
   }
 
+  /** IVF-PQ with an exact REFINE stage — FAISS's IndexRefineFlat shape
+    * and the standard answer to corpora where quantized distance gaps
+    * are thinner than quantization noise (this repo's synthetic
+    * embeddings are isotropic unit vectors — the measured worst case:
+    * top-10 cosine gaps of 0.002-0.03 against 40-bit codes, see
+    * PqRecallProbe / COVERAGE.md). Stage 1 is [[searchIvfPq]] fetching
+    * `candidates` ≫ k by ADC (cells pruned, codes only); stage 2
+    * re-scores ONLY the shortlist against the raw vectors by exact
+    * cosine. Scale shape: the shortlist (|queries|·candidates rows) is
+    * broadcast against the corpus — the raw vectors are scanned once
+    * and never shuffled, and the expensive double scoring runs on the
+    * shortlist, not the corpus. An exact top-k member is missed only
+    * if ADC demotes it below `candidates`-th within the probed cells —
+    * recall converges to the IVF routing ceiling as `candidates`
+    * grows, at linear shortlist cost.
+    */
+  def searchIvfPqRefined(
+      encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, candidates: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true, residual: Boolean = false): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val shortlist = searchIvfPq(encoded, queries, queryIdCol, vecCol,
+        centroids, codebooks, candidates, nProbe, excludeSelf, residual)
+      .select(col("query_id"), col("id"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"),
+      norm(col(vecCol)).as("__cnorm"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qvec"), norm(col(vecCol)).as("__qnorm"))
+    val rescored = broadcast(shortlist)
+      .join(c, "id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", cosineFromParts(
+        dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
+    rankTopK(rescored, "cosine", k)
+  }
+
   /** Filter-aware IVF-PQ search — retrieval under a selective
     * metadata predicate over an indexed corpus, where a FIXED nProbe
     * fails both ways: probing few cells can leave under k predicate
@@ -923,24 +961,71 @@ object VectorSearch {
     */
   def quantizedKMeansModel(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int)(implicit cs: CacheScope): Seq[Seq[Double]] = {
-    val (_, cents, scale) = lloydTrain(df, idCol, vecCol, k, iters)
+      k: Int, iters: Int, seeding: String = "first")(
+      implicit cs: CacheScope): Seq[Seq[Double]] = {
+    val (_, cents, scale) = lloydTrain(df, idCol, vecCol, k, iters, seeding)
     cents.map(_.map(ci => ci.toDouble * scale / 127.0))
   }
 
   /** Shared Lloyd loop: returns the persisted quantized corpus, the
     * final INT centroids, and the quantization scale.
+    *
+    * Seeding (all three deterministic and engine-replayable):
+    *  - "first": the `k` lowest-id vectors — one scan, the original
+    *    contract the s12/s20 oracles replay. Risk: consecutive ids can
+    *    be CORRELATED vectors, starting the codebook in one region.
+    *  - "stride": the k evenly-strided vectors of the id order (ranks
+    *    ⌊1 + i·(n−1)/(k−1)⌋) — the deterministic analogue of random
+    *    seeding, sampling the data distribution instead of its id
+    *    prefix. Measured the best recall of the three on trained PQ
+    *    (PqRecallProbe / COVERAGE.md); one extra count + one window
+    *    pass at build time.
+    *  - "farthest": greedy farthest-point (seed 0 = lowest id, each
+    *    next seed maximizes distance to the nearest chosen, ties to
+    *    lower id) — the k-means++ SHAPE, but without D² sampling it
+    *    chases outliers: measured WORSE than "first" on this corpus
+    *    (0.08 vs 0.26 overlap@10) — kept as the documented negative
+    *    result and for corpora whose hull is the structure.
     */
   private def lloydTrain(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int)(implicit cs: CacheScope): (DataFrame, Seq[Seq[Int]], Double) = {
+      k: Int, iters: Int, seeding: String = "first")(
+      implicit cs: CacheScope): (DataFrame, Seq[Seq[Int]], Double) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val scale = quantScale(df, vecCol)
     val q = cs.persist(quantize(df, idCol, vecCol, scale)
       .withColumn("__vv", graft.functions.IntDot(col("qvec"), col("qvec"))))
-    val seeds = q.orderBy(col("id")).limit(k).collect()
-    require(seeds.length == k, s"k=$k exceeds corpus size ${seeds.length}")
-    var cents: Seq[Seq[Int]] = seeds.map(_.getSeq[Int](1)).toSeq
+    def seedRows(): Seq[Seq[Int]] = seeding match {
+      case "first" =>
+        val s = q.orderBy(col("id")).limit(k).collect()
+        require(s.length == k, s"k=$k exceeds corpus size ${s.length}")
+        s.map(_.getSeq[Int](1)).toSeq
+      case "stride" =>
+        val n = q.count()
+        require(n >= k, s"k=$k exceeds corpus size $n")
+        val ranks: Seq[Long] =
+          if (k == 1) Seq(1L)
+          else (0 until k).map(i => 1L + i.toLong * (n - 1) / (k - 1))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        q.select(col("qvec"), row_number().over(w).as("__rn"))
+          .filter(col("__rn").isin(ranks.distinct: _*))
+          .orderBy(col("__rn")).collect().map(_.getSeq[Int](0).toSeq).toSeq
+      case "farthest" =>
+        require(q.count() >= k, s"k=$k exceeds corpus size")
+        var chosen = Seq(q.orderBy(col("id")).limit(1).collect()(0)
+          .getSeq[Int](1).toSeq)
+        while (chosen.size < k) {
+          val dmin = array_min(array(chosen.map(c =>
+            qCentDist2(col("__vv"), col("qvec"), c)): _*))
+          val next = q.select(col("id"), col("qvec"), dmin.as("__d"))
+            .orderBy(col("__d").desc, col("id")).limit(1).collect()(0)
+          chosen = chosen :+ next.getSeq[Int](1).toSeq
+        }
+        chosen
+      case other => throw new IllegalArgumentException(
+        s"unknown seeding '$other' (first | stride | farthest)")
+    }
+    var cents: Seq[Seq[Int]] = seedRows()
     for (_ <- 1 until iters) {
       val stats = q
         .select(nearestQCentroid(col("__vv"), col("qvec"), cents).as("__c"),

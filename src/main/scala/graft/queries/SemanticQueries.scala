@@ -798,6 +798,79 @@ object SemanticQueries {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ── s24: IVF-PQ + exact refine (the recall lever that works here) ──
+
+  /** s20's trained IVF-PQ with the FAISS refine stage
+    * ([[graft.operators.VectorSearch.searchIvfPqRefined]]): ADC
+    * shortlists 50 candidates from 4 probed cells, exact cosine
+    * re-ranks only those. WHY this is the quality item's answer
+    * (r12 verdict 4, measured in PqRecallProbe → COVERAGE): the
+    * synthetic embeddings are isotropic unit vectors whose top-10
+    * cosine gaps (0.002-0.03) sit far below 40-bit quantization
+    * noise, so codebook levers stall — k=32, 8 subspaces, more Lloyd
+    * passes, farthest-point seeding all measured ≤ 0.36 overlap@10,
+    * and pure farthest seeding REGRESSED to 0.08 (outlier-chasing;
+    * kept as a documented negative result). Refine instead converges
+    * to the IVF routing ceiling (0.44/0.72/1.00 at nProbe 2/4/8):
+    * measured 0.58 here vs 0.26 for s20 — past the ≥ 0.5 bar with
+    * the exact scoring confined to |queries|×50 rows. The oracle IS
+    * s20's full training+ADC replay, shortlist widened to 50 and
+    * probe depth to 4, plus the cosine re-rank tail — one hash pins
+    * training, routing, shortlist, and refine together.
+    */
+  val s24_ivfpq_refined: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val planes = derivedPlanes(s, dir, 8)
+    val codebooks = (0 until 4).map { sub =>
+      VectorSearch.quantizedKMeansModel(
+        e.select(col("vec_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 3)
+    }
+    val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
+      planes, codebooks)
+    VectorSearch.searchIvfPqRefined(enc, e, e.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", planes, codebooks,
+        k = 10, candidates = 50, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s20's replay with probe depth 4, the shortlist kept at 50, and
+    * an exact-cosine re-rank tail (s01's `list_cosine_similarity`
+    * convention) — string surgery on the shared text, s22-style, so
+    * the training/ADC replay can never drift from s20's.
+    */
+  val s24_sql: String = s20_sql
+    .replace("WHERE rn <= 2 AND vec_id < 5", "WHERE rn <= 4 AND vec_id < 5")
+    .replace(
+      """SELECT query_id, rank, id FROM (
+        |  SELECT query_id, id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+        |  FROM scores) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+      """, short AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT query_id, id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+        |    FROM scores) t
+        |  WHERE rank <= 50
+        |),
+        |rer AS (
+        |  SELECT sh.query_id, sh.id,
+        |         list_cosine_similarity(cv.vec, qv.vec) AS cosine
+        |  FROM short sh
+        |  JOIN vecs cv ON cv.vec_id = sh.id
+        |  JOIN vecs qv ON qv.vec_id = sh.query_id
+        |)
+        |SELECT query_id, rank, id FROM (
+        |  SELECT query_id, id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rank
+        |  FROM rer) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)
+
   // ── s21: residual encoding with residual-TRAINED codebooks ─────────
 
   /** The full IVFADC arc, closed: s16 proved residual MACHINERY but
@@ -1427,7 +1500,8 @@ object SemanticQueries {
     "s16_ivf_pq_residual" -> s16_ivf_pq_residual,
     "s20_trained_pq" -> s20_trained_pq,
     "s21_residual_trained" -> s21_residual_trained,
-    "s22_ann_deletions" -> s22_ann_deletions)
+    "s22_ann_deletions" -> s22_ann_deletions,
+    "s24_ivfpq_refined" -> s24_ivfpq_refined)
 
   val oracles: Map[String, String] = Map(
     "s23_hybrid_index_serve" -> s23_sql,
@@ -1443,5 +1517,6 @@ object SemanticQueries {
     "s16_ivf_pq_residual" -> s16_sql,
     "s20_trained_pq" -> s20_sql,
     "s21_residual_trained" -> s21_sql,
-    "s22_ann_deletions" -> s22_sql)
+    "s22_ann_deletions" -> s22_sql,
+    "s24_ivfpq_refined" -> s24_sql)
 }

@@ -5,8 +5,13 @@ import graft.Tables
 import graft.operators.VectorSearch
 import graft.queries.DataPipelineQueries.derivedPlanes
 
-/** Scratch: overlap@10 with the exact cosine ranking — slice-derived
-  * vs k-means-trained PQ codebooks (s14 vs s20).
+/** Recall instrumentation for the trained-PQ path: overlap@10 against
+  * the exact cosine ranking, swept over the levers that matter —
+  * probe depth (the IVF routing ceiling: even perfect codes cannot
+  * recall a neighbor in an unprobed cell), codebook size, Lloyd
+  * passes, farthest-point vs lowest-id seeding, and subspace count.
+  * The "ivf nProbe=N" rows are the ceiling for every PQ row at that
+  * depth (exact scoring within probed cells).
   */
 object PqRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -14,41 +19,63 @@ object PqRecallProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    for (dir <- dirs) {
       val e = Tables(spark, dir, "embeddings")
       val planes = derivedPlanes(spark, dir, 8)
-      val sliceBooks = (0 until 4).map(sub => planes.map(_.slice(sub * 16, sub * 16 + 16)))
-      val trainedBooks = (0 until 4).map { sub =>
-        VectorSearch.quantizedKMeansModel(
-          e.select(col("vec_id"), slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
-          "vec_id", "embedding", k = 8, iters = 3)
-      }
       val q = e.filter(col("vec_id") < 5)
       def sets(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1))
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
       val exact = sets(VectorSearch.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", 10))
-      def overlap(books: Seq[Seq[Seq[Double]]], residual: Boolean = false) = {
-        val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
-          planes, books, residual = residual)
-        val got = sets(VectorSearch.searchIvfPq(enc, q, "vec_id", "embedding",
-          planes, books, 10, 2, residual = residual))
-        exact.keys.toSeq.map(k => (got.getOrElse(k, Set.empty[Long]) & exact(k)).size).sum.toDouble /
-          (exact.size * 10)
+      def score(got: Map[Long, Set[Long]]) =
+        exact.keys.toSeq.map(k => (got.getOrElse(k, Set.empty[Long]) & exact(k)).size)
+          .sum.toDouble / (exact.size * 10)
+      // routing ceiling: exact scoring within the probed cells
+      val ceil = Seq(1, 2, 4, 8).map { np =>
+        np -> score(sets(VectorSearch.ivfTopK(e, q, "vec_id", "embedding",
+          "vec_id", planes, 10, nProbe = np)))
       }
-      val centsLit = typedLit(planes.map(_.toArray).toArray)
-      val resid = VectorSearch.assignCells(e, "vec_id", "embedding", planes)
-        .select(col("id").as("vec_id"),
-          zip_with(col("__vec").cast("array<double>"),
-            element_at(centsLit, col("cell") + 1), (a, b) => a - b).as("embedding"))
-      val residBooks = (0 until 4).map { sub =>
-        VectorSearch.quantizedKMeansModel(
-          resid.select(col("vec_id"), slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
-          "vec_id", "embedding", k = 8, iters = 3)
+      println(f"$dir ivf-ceiling " +
+        ceil.map { case (np, s) => f"np$np=$s%.2f" }.mkString(" "))
+      // trained codebooks: m subspaces of 64/m dims, k codewords
+      def books(m: Int, k: Int, iters: Int, seeding: String) = {
+        val sd = 64 / m
+        (0 until m).map(sub => VectorSearch.quantizedKMeansModel(
+          e.select(col("vec_id"),
+            slice(col("embedding"), sub * sd + 1, sd).as("embedding")),
+          "vec_id", "embedding", k = k, iters = iters, seeding = seeding))
       }
-      println(f"$dir slice=${overlap(sliceBooks)}%.2f trained=${overlap(trainedBooks)}%.2f " +
-        f"residual-slice=${overlap(sliceBooks, residual = true)}%.2f " +
-        f"residual-trained=${overlap(residBooks, residual = true)}%.2f")
+      def pq(m: Int, k: Int, iters: Int, seeding: String, np: Int) = {
+        val cb = books(m, k, iters, seeding)
+        val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding", planes, cb)
+        score(sets(VectorSearch.searchIvfPq(enc, q, "vec_id", "embedding",
+          planes, cb, 10, np)))
+      }
+      val cfgs = Seq(
+        ("m4k8i3-first", 4, 8, 3, "first"),
+        ("m4k32i3-first", 4, 32, 3, "first"),
+        ("m8k16i3-first", 8, 16, 3, "first"),
+        ("m4k32i8-stride", 4, 32, 8, "stride"),
+        ("m8k16i8-stride", 8, 16, 8, "stride"),
+        ("m8k32i8-stride", 8, 32, 8, "stride"),
+        ("m4k8i8-far", 4, 8, 8, "farthest"))
+      for ((tag, m, k, it, sd) <- cfgs; np <- Seq(2, 4)) {
+        println(f"$dir pq $tag np$np=${pq(m, k, it, sd, np)}%.2f")
+      }
+      // IVFPQ + exact refine (FAISS refine shape): ADC shortlist of R,
+      // exact cosine re-rank — converges to the routing ceiling as R
+      // grows; the lever that works on isotropic unit vectors where
+      // codebook quality cannot (gaps thinner than quantization noise)
+      for ((m, k) <- Seq((4, 8), (8, 16)); np <- Seq(2, 4); r <- Seq(30, 50)) {
+        val cb = books(m, k, 3, "first")
+        val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding", planes, cb)
+        val got = score(sets(VectorSearch.searchIvfPqRefined(enc, e, q,
+          "vec_id", "vec_id", "embedding", planes, cb, 10,
+          candidates = r, nProbe = np)))
+        println(f"$dir pq-refined m${m}k$k np$np R$r=$got%.2f")
+      }
     }
     spark.stop()
   }
