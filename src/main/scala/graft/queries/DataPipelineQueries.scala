@@ -1768,6 +1768,44 @@ object DataPipelineQueries {
       |GROUP BY doc_id, w, h
       |ORDER BY media_id""".stripMargin
 
+  /** REAL audio bytes end-to-end — m05's contract for the second
+    * modality: every payload is an actual RIFF/WAVE container (16-bit
+    * mono PCM), a third of them carrying a JUNK chunk between `fmt `
+    * and `data`, so [[Multimodal.decodeWav]]'s chunk walk is load-
+    * bearing (a reader that hardcodes samples-at-44 fails the hash on
+    * exactly those rows). Features are decoded-sample arithmetic:
+    * duration from the parsed rate, byte_size pinning the container
+    * layout, and a position-weighted PCM checksum. Oracle replays the
+    * sample formula directly in SQL.
+    */
+  val m06_wav_decode: Q = (s, dir) => {
+    val media = Multimodal.wavMedia(
+      Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.processBatches(media, codec = Multimodal.WavCodec).toDF()
+      .select(col("media_id"), col("channels"), col("duration_ms"),
+        col("byte_size"), col("checksum").as("pcm_checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val m06_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 40 + doc_id % 32 AS n FROM documents
+      |),
+      |sm AS (
+      |  SELECT d.doc_id, d.n, i.i,
+      |         ((31*d.doc_id + 7*i.i*i.i) % 65536) - 32768 AS s
+      |  FROM d, (SELECT unnest(range(0, 72)) AS i) i
+      |  WHERE i.i < d.n
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(44 + CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 0 END + 2*n AS BIGINT) AS byte_size,
+      |  CAST(SUM(s * (1 + i)) AS BIGINT) AS pcm_checksum
+      |FROM sm
+      |GROUP BY doc_id, n
+      |ORDER BY media_id""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1827,7 +1865,8 @@ object DataPipelineQueries {
     "m02_video_neardup" -> m02_video_neardup,
     "m03_image_neardup" -> m03_image_neardup,
     "m04_audio_neardup" -> m04_audio_neardup,
-    "m05_bmp_decode" -> m05_bmp_decode)
+    "m05_bmp_decode" -> m05_bmp_decode,
+    "m06_wav_decode" -> m06_wav_decode)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -1868,5 +1907,6 @@ object DataPipelineQueries {
     "m02_video_neardup" -> m02_sql,
     "m03_image_neardup" -> m03_sql,
     "m04_audio_neardup" -> m04_sql,
-    "m05_bmp_decode" -> m05_sql)
+    "m05_bmp_decode" -> m05_sql,
+    "m06_wav_decode" -> m06_sql)
 }
