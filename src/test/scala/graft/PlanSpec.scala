@@ -892,4 +892,31 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val hot = SkewJoin.sketchHotKeys(sketch, dim, "user_id", 1L, 4, 1024, 3)
     assert(hot.nonEmpty)
   }
+
+  test("IVF-PQ refine stage: shortlist and queries broadcast, corpus never shuffled") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CacheScope, VectorSearch}
+    import graft.queries.DataPipelineQueries.derivedPlanes
+    implicit val cs: CacheScope = CacheScope.processOwned
+    val e = Tables(spark, dir, "embeddings")
+    val planes = derivedPlanes(spark, dir, 8)
+    val cb = (0 until 4).map(sub => VectorSearch.quantizedKMeansModel(
+      e.select(col("vec_id"),
+        slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+      "vec_id", "embedding", k = 8, iters = 2))
+    val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding", planes, cb)
+    val plan = planString(VectorSearch.searchIvfPqRefined(enc, e,
+      e.filter(col("vec_id") < 3), "vec_id", "vec_id", "embedding",
+      planes, cb, k = 5, candidates = 20, nProbe = 2))
+    // ADC table, shortlist, and query vectors each ride a broadcast;
+    // the raw-vector corpus is scanned for the refine join, never
+    // hash-exchanged (the only shuffles are the two per-query rank
+    // windows) — the shape that keeps refine viable at corpus scale
+    assert(plan.split("BroadcastExchange").length - 1 >= 3,
+      "refine must broadcast the ADC table, the shortlist, and the queries:\n" +
+        plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning(id"),
+      "the corpus side was shuffled by id — refine must scan it in place:\n" +
+        plan.take(3000))
+  }
 }
