@@ -1806,6 +1806,87 @@ object DataPipelineQueries {
       |GROUP BY doc_id, n
       |ORDER BY media_id""".stripMargin
 
+  /** Perceptual near-dup over REAL image bytes — m03's banded-hamming
+    * pipeline with every stub replaced: the corpus is actual 24-bit
+    * BMPs (8×40 — exactly 60 full 16-byte pixel blocks, so every hash
+    * bit is live and the 4×15-bit banding keys stay selective), the
+    * block bits come from [[Multimodal.BmpCodec.blockBit]] — the
+    * declarative header parse + codegen'd ByteSum over real BGR
+    * samples — and the planted structure is CODEC-level: exact copies
+    * share the pixel seed, near copies perturb ONE pixel (≤1 block
+    * flips, the image analogue of m03's 'zz' text edit). The oracle
+    * rebuilds each hash from the pixel formula + the BMP byte layout
+    * (bottom-up rows, BGR order) and verifies with an all-pairs
+    * popcount — the Spark side must reproduce it from banded chunk
+    * collisions over real container bytes only.
+    */
+  val m07_bmp_neardup: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id"))
+    val plan = ids.select(col("doc_id").as("media_id"),
+        col("doc_id").as("seed"), lit(0).as("p"))
+      .unionAll(ids.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(0).as("p")))
+      .unionAll(ids.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(1).as("p")))
+      .repartition(s.sparkContext.defaultParallelism)
+    val media = plan.as[(Long, Long, Int)].map { case (mid, seed, p) =>
+      Multimodal.MediaRecord(mid, "image", Multimodal.encodeBmp(8, 40,
+        (x, y) =>
+          if (p == 1 && x == 0 && y == 0) (255, 255, 255)
+          else (((7 * seed + 3 * x + 11 * y) % 256).toInt,
+            ((13 * seed + 5 * x + 2 * y) % 256).toInt,
+            ((3 * seed + x + 17 * y) % 256).toInt)), "bmp-synth")
+    }
+    Multimodal.imageNearDupPairs(media, blockBytes = 16, maxHamming = 3,
+        codec = Multimodal.BmpCodec)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The hash replay maps each pixel-area byte k back through the BMP
+    * layout: file row k//24 (bottom-up ⇒ display y = 39 − k//24),
+    * x = (k%24)//3, channel k%3 in BGR order — then the pixel formula,
+    * 16-byte block sums against the mid-gray threshold, and m03's
+    * all-pairs popcount.
+    */
+  val m07_sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS p FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 5
+      |),
+      |px AS (
+      |  SELECT m.media_id, k.k // 16 AS block,
+      |    CASE
+      |      WHEN m.p = 1 AND (39 - k.k // 24) = 0 AND ((k.k % 24) // 3) = 0 THEN 255
+      |      ELSE CASE k.k % 3
+      |        WHEN 0 THEN (3*m.seed + ((k.k % 24) // 3) + 17*(39 - k.k // 24)) % 256
+      |        WHEN 1 THEN (13*m.seed + 5*((k.k % 24) // 3) + 2*(39 - k.k // 24)) % 256
+      |        ELSE (7*m.seed + 3*((k.k % 24) // 3) + 11*(39 - k.k // 24)) % 256
+      |      END
+      |    END AS v
+      |  FROM m, (SELECT unnest(range(0, 960)) AS k) k
+      |),
+      |bits AS (
+      |  SELECT media_id, block,
+      |         CASE WHEN SUM(v) >= 2048 THEN 1 ELSE 0 END AS bit
+      |  FROM px GROUP BY media_id, block
+      |),
+      |hashes AS (
+      |  SELECT media_id,
+      |         CAST(SUM(bit * (CAST(1 AS BIGINT) << block)) AS BIGINT) AS h
+      |  FROM bits GROUP BY media_id
+      |)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1866,7 +1947,8 @@ object DataPipelineQueries {
     "m03_image_neardup" -> m03_image_neardup,
     "m04_audio_neardup" -> m04_audio_neardup,
     "m05_bmp_decode" -> m05_bmp_decode,
-    "m06_wav_decode" -> m06_wav_decode)
+    "m06_wav_decode" -> m06_wav_decode,
+    "m07_bmp_neardup" -> m07_bmp_neardup)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -1908,5 +1990,6 @@ object DataPipelineQueries {
     "m03_image_neardup" -> m03_sql,
     "m04_audio_neardup" -> m04_sql,
     "m05_bmp_decode" -> m05_sql,
-    "m06_wav_decode" -> m06_sql)
+    "m06_wav_decode" -> m06_sql,
+    "m07_bmp_neardup" -> m07_sql)
 }
