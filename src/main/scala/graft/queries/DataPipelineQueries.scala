@@ -1832,13 +1832,20 @@ object DataPipelineQueries {
         .select((col("doc_id") + 2000000000L).as("media_id"),
           col("doc_id").as("seed"), lit(1).as("p")))
       .repartition(s.sparkContext.defaultParallelism)
+    // the seed×position CROSS terms (mod distinct primes) matter: a
+    // formula linear in the seed is 256-periodic mod 256, so seeds 256
+    // apart would render IDENTICAL images — at sf1 that manufactured
+    // ~8M chance hamming-0 pairs (measured before the fix) and turned
+    // the oracle's all-pairs verify quadratic-output. With the cross
+    // term, distinct seeds render unrelated pixels: binomial hamming
+    // ≈ 30, chance pairs ≈ 0 — the output is the planted structure.
     val media = plan.as[(Long, Long, Int)].map { case (mid, seed, p) =>
       Multimodal.MediaRecord(mid, "image", Multimodal.encodeBmp(8, 40,
         (x, y) =>
           if (p == 1 && x == 0 && y == 0) (255, 255, 255)
-          else (((7 * seed + 3 * x + 11 * y) % 256).toInt,
-            ((13 * seed + 5 * x + 2 * y) % 256).toInt,
-            ((3 * seed + x + 17 * y) % 256).toInt)), "bmp-synth")
+          else (((7 * seed + 3 * x + 11 * y + (seed * (x + 40 * y + 1)) % 251) % 256).toInt,
+            ((13 * seed + 5 * x + 2 * y + (seed * (x + 40 * y + 2)) % 241) % 256).toInt,
+            ((3 * seed + x + 17 * y + (seed * (x + 40 * y + 3)) % 239) % 256).toInt)), "bmp-synth")
     }
     Multimodal.imageNearDupPairs(media, blockBytes = 16, maxHamming = 3,
         codec = Multimodal.BmpCodec)
@@ -1864,9 +1871,12 @@ object DataPipelineQueries {
       |    CASE
       |      WHEN m.p = 1 AND (39 - k.k // 24) = 0 AND ((k.k % 24) // 3) = 0 THEN 255
       |      ELSE CASE k.k % 3
-      |        WHEN 0 THEN (3*m.seed + ((k.k % 24) // 3) + 17*(39 - k.k // 24)) % 256
-      |        WHEN 1 THEN (13*m.seed + 5*((k.k % 24) // 3) + 2*(39 - k.k // 24)) % 256
-      |        ELSE (7*m.seed + 3*((k.k % 24) // 3) + 11*(39 - k.k // 24)) % 256
+      |        WHEN 0 THEN (3*m.seed + ((k.k % 24) // 3) + 17*(39 - k.k // 24)
+      |                     + (m.seed * (((k.k % 24) // 3) + 40*(39 - k.k // 24) + 3)) % 239) % 256
+      |        WHEN 1 THEN (13*m.seed + 5*((k.k % 24) // 3) + 2*(39 - k.k // 24)
+      |                     + (m.seed * (((k.k % 24) // 3) + 40*(39 - k.k // 24) + 2)) % 241) % 256
+      |        ELSE (7*m.seed + 3*((k.k % 24) // 3) + 11*(39 - k.k // 24)
+      |              + (m.seed * (((k.k % 24) // 3) + 40*(39 - k.k // 24) + 1)) % 251) % 256
       |      END
       |    END AS v
       |  FROM m, (SELECT unnest(range(0, 960)) AS k) k
