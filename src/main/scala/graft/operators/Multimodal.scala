@@ -739,6 +739,32 @@ object Multimodal {
       md5(substring(content, byteOffset + 1, lit(stride)))
   }
 
+  /** Integer pixel-block features from REAL decoded BMP pixels: one
+    * row per image, `array<int>` of per-block sample sums over the
+    * DISPLAY-ORDER RGB stream — the integer-exact feature vector a
+    * cross-modal index rider carries (w42). Exact integers (≤
+    * blockBytes·255 per component) so similarity scoring via
+    * [[graft.functions.IntDot]] replays bit-identically in the
+    * oracle, unlike a float embedding. Fixed-geometry corpora only:
+    * ragged vectors would poison the dot product downstream.
+    */
+  def bmpBlockSums(media: Dataset[MediaRecord], blockBytes: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (_, _, rgb) = decodeBmp(r.content)
+      val n = (rgb.length + blockBytes - 1) / blockBytes
+      val sums = Array.tabulate(n) { b =>
+        var s = 0
+        var i = b * blockBytes
+        val to = math.min(rgb.length, i + blockBytes)
+        while (i < to) { s += rgb(i) & 0xFF; i += 1 }
+        s
+      }
+      (r.media_id, sums)
+    }).toDF("id", "pixsums")
+  }
+
   /** A corpus of REAL WAV payloads, one per row of `docs`:
     * deterministic PCM from the id alone —
     *   n = 40 + id%32 samples at 8 kHz,

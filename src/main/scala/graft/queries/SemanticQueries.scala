@@ -1261,6 +1261,113 @@ object SemanticQueries {
     * recrawled surviving corpus fused with s14's IVF-PQ replay over
     * the surviving vectors.
     */
+  // ── w42: cross-modal admission from REAL container bytes ───────────
+
+  /** w39's atomic cross-modal admission with the vector modality
+    * derived from REAL image bytes: every doc renders to an actual
+    * 24-bit BMP (m07's fixed 8×40 geometry and seed-decorrelated pixel
+    * formula), [[graft.operators.Multimodal.decodeBmp]] parses the
+    * container back, and the rider the unified commit carries is the
+    * INTEGER pixel-block-sum vector
+    * ([[graft.operators.Multimodal.bmpBlockSums]]) — exact integers,
+    * so the image-similarity serve is [[graft.functions.IntDot]]
+    * scoring the oracle replays bit-identically (a float embedding
+    * could not). One generation makes a doc BM25-rankable AND
+    * image-searchable; one forget masks both; the fold auto-discovers
+    * the rider (ADVICE r12's rider-aware machinery under real bytes).
+    * Output: top-20 live docs by exact integer dot to the lowest live
+    * doc's image vector. Oracle replays pixel formula → display-order
+    * RGB block sums → forget-surviving corpus → dot ranking.
+    */
+  val w42_realmodal_admission: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.streaming.{IndexMaintenance, UnifiedIndex}
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val media = docs.select(col("doc_id")).as[Long].map { seed =>
+      Multimodal.MediaRecord(seed, "image", Multimodal.encodeBmp(8, 40,
+        (x, y) => (((7 * seed + 3 * x + 11 * y + (seed * (x + 40 * y + 1)) % 251) % 256).toInt,
+          ((13 * seed + 5 * x + 2 * y + (seed * (x + 40 * y + 2)) % 241) % 256).toInt,
+          ((3 * seed + x + 17 * y + (seed * (x + 40 * y + 3)) % 239) % 256).toInt)),
+        "bmp-synth")
+    }
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-realmodal")
+        .toFile.getAbsolutePath + "/cat")
+    // ONE atomic generation: six text relations + the real-pixel rider
+    val sums = Multimodal.bmpBlockSums(media)
+    UnifiedIndex.commitBatch(cat, docs, 0L,
+      extraMembers = Map("pixsums" -> sums))
+    require(UnifiedIndex.commitBatch(cat, docs, 0L,
+      extraMembers = Map("pixsums" -> sums)) == -1L,
+      "redelivered real-codec batch was re-applied")
+    // cross-modal membership: every text-indexed doc is image-indexed
+    // in the same generation (the rider may hold MORE — 0-token docs)
+    require(cat.read("sizes").select(col("id"), col("rev"))
+      .exceptAll(cat.read("pixsums").select(col("id"), col("rev"))).isEmpty,
+      "a text-indexed doc is not image-searchable in its own generation")
+    // one forget masks text AND image serving
+    UnifiedIndex.delete(cat, docs.filter(col("doc_id") % 9 === 2)
+      .select(col("doc_id")), 1L)
+    val live = UnifiedIndex.memberLive(cat, "pixsums", "id")
+    require(live.filter(col("id") % 9 === 2).isEmpty,
+      "a forgotten doc is still image-searchable")
+    require(UnifiedIndex.postingsLive(cat)._2
+      .filter(col("doc_id") % 9 === 2).isEmpty,
+      "a forgotten doc still ranks lexically")
+    // the fold auto-discovers the real-pixel rider and destroys its
+    // dead rows in the same transact (≥ 1/9 dead fires the 1e-9 bar)
+    require(IndexMaintenance.compactUnifiedIfNeeded(cat, 2L,
+      threshold = 1e-9).nonEmpty, "the forget wave must trigger the fold")
+    require(cat.read("pixsums").filter(col("id") % 9 === 2).isEmpty,
+      "the fold stranded dead rider rows")
+    val folded = UnifiedIndex.memberLive(cat, "pixsums", "id")
+    // image-similarity serve from the folded store: exact integer dot
+    // to the lowest live doc's vector (TakeOrderedAndProject top-20)
+    val qvec = folded.orderBy(col("id")).limit(1)
+      .select(col("pixsums")).head().getSeq[Int](0).toArray
+    folded.select(col("id"),
+        graft.functions.IntDot(col("pixsums"), lit(qvec)).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(20)
+  }
+
+  /** Pixel formula → display-order RGB block sums → forget survivors →
+    * integer dot ranking (query = lowest surviving doc), all exact.
+    */
+  val w42_sql: String =
+    """WITH live AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 9 <> 2
+      |),
+      |px AS (
+      |  SELECT l.doc_id, j.j // 16 AS block,
+      |    CASE j.j % 3
+      |      WHEN 0 THEN (7*l.doc_id + 3*((j.j % 24) // 3) + 11*(j.j // 24)
+      |                   + (l.doc_id * (((j.j % 24) // 3) + 40*(j.j // 24) + 1)) % 251) % 256
+      |      WHEN 1 THEN (13*l.doc_id + 5*((j.j % 24) // 3) + 2*(j.j // 24)
+      |                   + (l.doc_id * (((j.j % 24) // 3) + 40*(j.j // 24) + 2)) % 241) % 256
+      |      ELSE (3*l.doc_id + ((j.j % 24) // 3) + 17*(j.j // 24)
+      |            + (l.doc_id * (((j.j % 24) // 3) + 40*(j.j // 24) + 3)) % 239) % 256
+      |    END AS v
+      |  FROM live l, (SELECT unnest(range(0, 960)) AS j) j
+      |),
+      |sums AS (
+      |  SELECT doc_id, block, CAST(SUM(v) AS BIGINT) AS bs
+      |  FROM px GROUP BY doc_id, block
+      |),
+      |q AS (
+      |  SELECT block, bs AS qb FROM sums
+      |  WHERE doc_id = (SELECT MIN(doc_id) FROM live)
+      |),
+      |dots AS (
+      |  SELECT s.doc_id AS id, CAST(SUM(s.bs * q.qb) AS BIGINT) AS score
+      |  FROM sums s JOIN q USING (block)
+      |  GROUP BY s.doc_id
+      |)
+      |SELECT id, score FROM dots
+      |ORDER BY score DESC, id
+      |LIMIT 20""".stripMargin
+
   val w40_multimodal_stream: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.{IndexMaintenance, UnifiedIndex}
@@ -1501,7 +1608,8 @@ object SemanticQueries {
     "s20_trained_pq" -> s20_trained_pq,
     "s21_residual_trained" -> s21_residual_trained,
     "s22_ann_deletions" -> s22_ann_deletions,
-    "s24_ivfpq_refined" -> s24_ivfpq_refined)
+    "s24_ivfpq_refined" -> s24_ivfpq_refined,
+    "w42_realmodal_admission" -> w42_realmodal_admission)
 
   val oracles: Map[String, String] = Map(
     "s23_hybrid_index_serve" -> s23_sql,
@@ -1518,5 +1626,6 @@ object SemanticQueries {
     "s20_trained_pq" -> s20_sql,
     "s21_residual_trained" -> s21_sql,
     "s22_ann_deletions" -> s22_sql,
-    "s24_ivfpq_refined" -> s24_sql)
+    "s24_ivfpq_refined" -> s24_sql,
+    "w42_realmodal_admission" -> w42_sql)
 }
