@@ -327,8 +327,27 @@ object Bench {
       // can pollute it (post-run load is self-contaminated by the
       // bench's own 32-thread bursts, so it stays advisory only) —
       // r11 quiet was 2.3, r12 loaded was 4.7; > 3.0 splits them.
+      // Known false-positive mode, accepted as cautious: a just-
+      // finished sibling job (the driver's own Verify) leaves a
+      // decaying load tail that trips the gate while fcpu stays ~0.
       val contended = benchForeign > 0.10 || dirtyIds.nonEmpty ||
         loadBefore > 3.0
+      // Epoch telemetry (round-13 finding): r12's inflated round had
+      // fcpu 0.00 — the slowdown was the BOX EPOCH (CPU throttling /
+      // platform drift), which no load or foreign-CPU signal can see.
+      // `infl` is the median cur/prior ratio over MEASURED queries
+      // with a stable prior (≥ 0.5 s; carried entries excluded — they
+      // ARE the prior): ~1.0 on the prior's epoch, uniformly high
+      // (e.g. 1.25) when the box got slower wholesale. Readers should
+      // deflate cross-round wall comparisons by it.
+      val inflRatio = {
+        val rs = medians.collect {
+          case (k, v) if v > 0 && !carriedIds.contains(k) =>
+            prior.get(k).orElse(prior.get(k.split('_').head))
+              .filter(_ >= 0.5).map(v / _)
+        }.flatten.toSeq.sorted
+        if (rs.isEmpty) 1.0 else rs((rs.size - 1) / 2)
+      }
       val spread = res
         .map { case (_, (v, _)) => spreadOf(keptTimes(v)) }
         .foldLeft(1.0)(math.max)
@@ -343,7 +362,7 @@ object Bench {
            else short.take(retryCap) :+ s"+${short.size - retryCap}")
             .map("\"" + _ + "\"").mkString("[", ",", "]")
         }
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","quiet":${fmt(quietTotal, 2)},"contended":$contended$partialField$extra,"queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadNow, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)},"carried":${capped(carriedIds.toSeq.sorted)}}"""
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","quiet":${fmt(quietTotal, 2)},"contended":$contended$partialField$extra,"queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadNow, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"infl":${fmt(inflRatio, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)},"carried":${capped(carriedIds.toSeq.sorted)}}"""
       }
       def mapOf(keyOf: String => String, fmtVal: Double => String): String =
         medians.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmtVal(v) }
@@ -443,7 +462,10 @@ object Bench {
     // quiet-rescued at the end (used by both tiers below)
     val SoloAlways = Set("q17_cdc_merge", "q18_cdc_pipeline_file")
     val roundNo = roundNumber()
-    val heavyPool = ordered.map(_._1)
+    // rotation only at the official scale factor: priors are sf0.1
+    // figures, so carrying them into an sf0.001/sf1 dev artifact would
+    // plant wrong-scale numbers in its queries map
+    val heavyPool = (if (sfDir.endsWith("sf0.1")) ordered.map(_._1) else Nil)
       .filter(n => priorOf(n) >= HeavyThresh && !SoloAlways(n) &&
         (prior.contains(n) || prior.contains(n.split('_').head)))
       .sorted

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFingerprint, WordGrams, ZInterleave}
+import graft.functions.{ByteSum, DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFingerprint, WordGrams, ZInterleave}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -18,6 +18,7 @@ import graft.functions.{DoubleDot, IntDot, MinHashAgg, SimHashAgg, WinnowedFinge
   *   SELECT simhash_signature(h, 60) ... GROUP BY doc         -- SimHash agg
   *   SELECT word_grams(toks, 3)                   -- compiled n-gram shingles
   *   SELECT z_interleave(x, y)                    -- Morton/Z-order layout code
+  *   SELECT byte_sum(payload)                     -- unsigned-byte sum of a binary
   *
   * Wire up with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -46,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "int_dot(a, b) takes two arrays")
         IntDot(args.head, args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("byte_sum"),
+      new ExpressionInfo(classOf[ByteSum].getName, "byte_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "byte_sum(binary) takes one argument")
+        ByteSum(args.head)
       }))
 
     // aggregate builders return the bare AggregateFunction — the

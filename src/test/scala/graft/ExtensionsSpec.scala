@@ -52,6 +52,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT z_interleave(65535, 65535) AS z").head().getLong(0) == 0xFFFFFFFFL)
   }
 
+  test("byte_sum callable from SQL, unsigned semantics") {
+    // 0xFF must count as 255, not -1 — the unsigned contract real
+    // sample bytes (BMP BGR, PCM) depend on
+    val r = spark.sql("SELECT byte_sum(unhex('FF01')) AS s")
+      .head().getLong(0)
+    assert(r == 256L, s"unsigned byte sum diverged: $r")
+    assert(spark.sql("SELECT byte_sum(CAST('' AS BINARY)) AS s")
+      .head().getLong(0) == 0L)
+  }
+
   test("dot kernels reject dimension mismatch instead of truncating") {
     val ei = intercept[Exception] {
       spark.sql("SELECT int_dot(array(1, 2, 3), array(1, 2))").head()
