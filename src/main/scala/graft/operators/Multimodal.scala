@@ -347,9 +347,21 @@ object Multimodal {
       hop: Int = 16, maxWins: Int = 16, minAligned: Int = 4,
       maxSigDf: Int = 64, codec: MediaCodec = StubCodec)(
       implicit cs: CacheScope): DataFrame = {
-    require(hop > 0 && windowBytes > 0 && maxWins > 0 &&
-      minAligned > 0 && maxSigDf > 0)
-    val raw = audioFingerprints(media, windowBytes, hop, maxWins, codec)
+    require(hop > 0 && windowBytes > 0 && maxWins > 0)
+    landmarkAlignPairs(
+      audioFingerprints(media, windowBytes, hop, maxWins, codec),
+      minAligned, maxSigDf)
+  }
+
+  /** The landmark-ALIGNMENT join on any (media_id, win_no, sig)
+    * fingerprint relation — extracted from [[audioNearDupPairs]] so
+    * the m04 container-byte path and the m08 decoded-PCM path share
+    * one implementation of the df cap, the delta-consistent count,
+    * and the shorter-clip bound.
+    */
+  def landmarkAlignPairs(raw: DataFrame, minAligned: Int = 4,
+      maxSigDf: Int = 64)(implicit cs: CacheScope): DataFrame = {
+    require(minAligned > 0 && maxSigDf > 0)
     val dfreq = raw.groupBy(col("sig")).agg(count(lit(1)).as("__df"))
     // persisted: both self-join sides + the per-audio counts read it
     // (self-join sides compute independently; measured, CcPlanCheck)
@@ -374,6 +386,40 @@ object Multimodal {
         least(lit(minAligned.toLong), col("__nw_a"), col("__nw_b")))
       .select(col("id_a"), col("id_b"), col("offset_delta"),
         col("aligned_matches"))
+  }
+
+  /** Landmark fingerprints from REAL DECODED PCM: overlapping
+    * `windowSamples`-sample windows every `hop` samples (full windows
+    * only — a truncated tail window would hash differently on a
+    * sample-shifted copy and break alignment), signature = the
+    * position-weighted sample sum Σ s_i·(1+i) over the window — an
+    * exact integer the oracle replays from the sample formula, unlike
+    * an md5 over container bytes DuckDB cannot rebuild. Weighting
+    * within the window makes the signature discriminative (a plain
+    * sum would collide permutations) while staying shift-COMPATIBLE:
+    * the same samples at a different window index produce the same
+    * signature, which is exactly what delta-consistent alignment
+    * needs.
+    */
+  def pcmWindowSigs(media: Dataset[MediaRecord],
+      windowSamples: Int = 32, hop: Int = 16): DataFrame = {
+    require(windowSamples > 0 && hop > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val (_, samples) = decodeWav(r.content)
+      val nWins = if (samples.length < windowSamples) 0
+        else (samples.length - windowSamples) / hop + 1
+      (0 until nWins).iterator.map { w =>
+        var sig = 0L
+        var i = 0
+        while (i < windowSamples) {
+          sig += samples(w * hop + i).toLong * (1 + i)
+          i += 1
+        }
+        (r.media_id, w, sig)
+      }
+    }).toDF("media_id", "win_no", "sig")
   }
 
   /** Near-dup videos: pairs agreeing on ≥ `least(minShared, frames_a,

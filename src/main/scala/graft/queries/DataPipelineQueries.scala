@@ -1897,6 +1897,94 @@ object DataPipelineQueries {
       |WHERE bit_count(xor(a.h, b.h)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shift-invariant audio near-dup over REAL DECODED PCM — the
+    * alignment semantics m04's text-byte stub could never exercise:
+    * the planted copies here are SAMPLE-SHIFTED (16 junk samples
+    * prepended to the base clip — an intro/ad cut into a stream), so
+    * the delta-consistent landmark join must find them at offset
+    * delta −1, not 0. Every payload is an actual RIFF/WAVE container;
+    * fingerprints come from [[Multimodal.pcmWindowSigs]] (decoded
+    * 32-sample windows every 16, position-weighted integer sums —
+    * exact, unlike container-byte md5s the oracle could not rebuild)
+    * and pair through the SAME [[Multimodal.landmarkAlignPairs]] join
+    * m04 uses. Oracle replays the junk+base sample stream, the df
+    * cap, and the alignment argmax from the formulas alone.
+    */
+  val m08_wav_neardup: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id"))
+    val plan = ids.select(col("doc_id").as("media_id"),
+        col("doc_id").as("seed"), lit(0).as("shift"))
+      .unionAll(ids.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(0).as("shift")))
+      .unionAll(ids.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(16).as("shift")))
+      .repartition(s.sparkContext.defaultParallelism)
+    val media = plan.as[(Long, Long, Int)].map { case (mid, seed, shift) =>
+      val n = (96 + seed % 32).toInt
+      val junk = Array.tabulate(shift)(t =>
+        (((1000 + 13 * seed + 5L * t) % 65536) - 32768).toShort)
+      val base = Array.tabulate(n)(i =>
+        (((31 * seed + 7L * i * i) % 65536) - 32768).toShort)
+      Multimodal.MediaRecord(mid, "audio",
+        Multimodal.encodeWav(8000, junk ++ base), "wav-synth")
+    }
+    Multimodal.landmarkAlignPairs(
+        Multimodal.pcmWindowSigs(media, windowSamples = 32, hop = 16),
+        minAligned = 4, maxSigDf = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m08_sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS shift,
+      |         96 + doc_id % 32 AS n
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 0, 96 + doc_id % 32
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, doc_id, 16, 96 + doc_id % 32
+      |  FROM documents WHERE doc_id % 10 = 5
+      |),
+      |sigs AS (
+      |  SELECT media_id, w.w AS win_no,
+      |    CAST(SUM((CASE WHEN (w.w*16 + i.i) < m.shift
+      |      THEN ((1000 + 13*m.seed + 5*(w.w*16 + i.i)) % 65536) - 32768
+      |      ELSE ((31*m.seed + 7*(w.w*16 + i.i - m.shift)*(w.w*16 + i.i - m.shift)) % 65536) - 32768
+      |      END) * (1 + i.i)) AS BIGINT) AS sig
+      |  FROM m,
+      |       (SELECT unnest(range(0, 9)) AS w) w,
+      |       (SELECT unnest(range(0, 32)) AS i) i
+      |  WHERE w.w*16 + 32 <= m.shift + m.n
+      |  GROUP BY media_id, w.w
+      |),
+      |dfreq AS (SELECT sig, COUNT(*) AS df FROM sigs GROUP BY sig),
+      |fw AS (SELECT s.media_id, s.win_no, s.sig
+      |       FROM sigs s JOIN dfreq USING (sig) WHERE dfreq.df <= 64),
+      |nw AS (SELECT media_id, COUNT(*) AS n FROM fw GROUP BY media_id),
+      |mm AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |         a.win_no - b.win_no AS delta, COUNT(*) AS aligned
+      |  FROM fw a JOIN fw b ON a.sig = b.sig AND a.media_id < b.media_id
+      |  GROUP BY 1, 2, 3
+      |),
+      |best AS (
+      |  SELECT id_a, id_b, delta, aligned,
+      |         ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+      |                            ORDER BY aligned DESC, delta ASC) AS rn
+      |  FROM mm
+      |)
+      |SELECT b.id_a, b.id_b, CAST(b.delta AS INT) AS offset_delta,
+      |       CAST(b.aligned AS BIGINT) AS aligned_matches
+      |FROM best b
+      |JOIN nw na ON na.media_id = b.id_a
+      |JOIN nw nb ON nb.media_id = b.id_b
+      |WHERE b.rn = 1 AND b.aligned >= LEAST(4, na.n, nb.n)
+      |ORDER BY id_a, id_b""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1958,7 +2046,8 @@ object DataPipelineQueries {
     "m04_audio_neardup" -> m04_audio_neardup,
     "m05_bmp_decode" -> m05_bmp_decode,
     "m06_wav_decode" -> m06_wav_decode,
-    "m07_bmp_neardup" -> m07_bmp_neardup)
+    "m07_bmp_neardup" -> m07_bmp_neardup,
+    "m08_wav_neardup" -> m08_wav_neardup)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -2001,5 +2090,6 @@ object DataPipelineQueries {
     "m04_audio_neardup" -> m04_sql,
     "m05_bmp_decode" -> m05_sql,
     "m06_wav_decode" -> m06_sql,
-    "m07_bmp_neardup" -> m07_sql)
+    "m07_bmp_neardup" -> m07_sql,
+    "m08_wav_neardup" -> m08_sql)
 }
