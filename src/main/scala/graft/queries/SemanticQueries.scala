@@ -841,9 +841,18 @@ object SemanticQueries {
     * convention) — string surgery on the shared text, s22-style, so
     * the training/ADC replay can never drift from s20's.
     */
-  val s24_sql: String = s20_sql
-    .replace("WHERE rn <= 2 AND vec_id < 5", "WHERE rn <= 4 AND vec_id < 5")
-    .replace(
+  val s24_sql: String = validatedS24Sql
+
+  /** Build + VALIDATE the surgery: `String.replace` silently no-ops on
+    * a pattern mismatch, so an edit to s20's shared text would
+    * otherwise leave s24's oracle quietly replaying the wrong probe
+    * depth/shortlist until the hash gate failed with a confusing diff.
+    * The requires turn that into an immediate, named failure.
+    */
+  private def validatedS24Sql: String = {
+    val r = s20_sql
+      .replace("WHERE rn <= 2 AND vec_id < 5", "WHERE rn <= 4 AND vec_id < 5")
+      .replace(
       """SELECT query_id, rank, id FROM (
         |  SELECT query_id, id,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
@@ -870,6 +879,12 @@ object SemanticQueries {
         |  FROM rer) t
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin)
+    require(r.contains("WHERE rn <= 4 AND vec_id < 5"),
+      "s24 oracle surgery: the probe-depth pattern no longer matches s20's text")
+    require(r.contains("WHERE rank <= 50") && r.contains("list_cosine_similarity"),
+      "s24 oracle surgery: the shortlist/re-rank tail pattern no longer matches s20's text")
+    r
+  }
 
   // ── s21: residual encoding with residual-TRAINED codebooks ─────────
 
