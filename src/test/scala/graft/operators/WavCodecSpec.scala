@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The real WAV codec: RIFF containers round-trip exactly, and the
@@ -57,6 +58,38 @@ class WavCodecSpec extends AnyFunSuite {
     val stereo = good.clone(); stereo(22) = 2
     intercept[IllegalArgumentException](Multimodal.decodeWav(stereo))
     intercept[IllegalArgumentException](Multimodal.decodeWav(good.dropRight(2)))
+  }
+
+  test("pcmWindowSigs: full-window rule, exact sig replay, shift aligns at nonzero delta") {
+    val spark: SparkSession = SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    implicit val cs: CacheScope = CacheScope.processOwned
+    val base = samplesOf(5L, 70) // (70-32)/16+1 = 3 full windows
+    val junk = Array.tabulate(16)(t => (t * 100 - 800).toShort)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", Multimodal.encodeWav(8000, base), "t"),
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.encodeWav(8000, junk ++ base), "t"))
+    val sigs = Multimodal.pcmWindowSigs(spark.createDataset(recs),
+        windowSamples = 32, hop = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // full windows only: 3 for the base, (86-32)/16+1 = 4 for the copy
+    assert(sigs.keys.count(_._1 == 1L) == 3 && sigs.keys.count(_._1 == 2L) == 4)
+    // exact replay of window 0's weighted sum from the raw samples
+    val expect0 = (0 until 32).map(i => base(i).toLong * (1 + i)).sum
+    assert(sigs((1L, 0)) == expect0, "sig formula diverged from the samples")
+    // shift compatibility: copy window k+1 equals base window k
+    (0 until 3).foreach(k => assert(sigs((2L, k + 1)) == sigs((1L, k)),
+      s"window $k did not survive the 16-sample shift"))
+    // ...and the alignment join finds the pair at the SHIFT delta
+    val pairs = Multimodal.landmarkAlignPairs(
+        Multimodal.pcmWindowSigs(spark.createDataset(recs), 32, 16),
+        minAligned = 3, maxSigDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, -1, 3L)),
+      s"shifted pair must align at delta -1 on 3 windows: ${pairs.toSeq}")
   }
 
   test("WavCodec features: duration from the parsed rate, position-weighted checksum") {
