@@ -833,6 +833,38 @@ object Multimodal {
     }
   }
 
+  /** The seed-decorrelated fixture pixel formula shared by the
+    * fixed-geometry BMP corpora (m07 near-dup, w42 cross-modal rider,
+    * d59 cross-modal groups): per-channel linear terms plus a
+    * seed×position CROSS term mod distinct primes — without the cross
+    * term the formula is 256-periodic in the seed and seeds 256 apart
+    * render IDENTICAL images (m07's measured ~8M-chance-pair failure).
+    * Every oracle replays this arithmetic verbatim in SQL.
+    */
+  /** md5-scramble a raw fixture seed to a 32-bit value (first four
+    * digest bytes of the seed's decimal string, big-endian) — replayed
+    * in SQL as `CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 8))
+    * AS BIGINT)`. Needed wherever seed-derived images feed a GRAPH
+    * operator: [[seedPixel]] is (deliberately cheap) modular
+    * arithmetic, so nearby raw seeds render hamming-ADJACENT hashes —
+    * fine for pair queries (m07's chance tail is linear and
+    * oracle-matched) but fatal for connected components, where the
+    * corpus becomes one giant hamming chain whose diameter defeats
+    * any bounded fixpoint (measured: d59's CC blew past its round cap
+    * at sf1 before this scramble; ~3 rounds after).
+    */
+  def scrambleSeed(raw: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.toString.getBytes("US-ASCII"))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  def seedPixel(seed: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((7 * seed + 3 * x + 11 * y + (seed * (x + 40 * y + 1)) % 251) % 256).toInt,
+    ((13 * seed + 5 * x + 2 * y + (seed * (x + 40 * y + 2)) % 241) % 256).toInt,
+    ((3 * seed + x + 17 * y + (seed * (x + 40 * y + 3)) % 239) % 256).toInt)
+
   /** A corpus of REAL BMP payloads, one per row of `docs`:
     * deterministic geometry and pixels from the id alone —
     *   w = 4 + id%5, h = 3 + id%4,

@@ -1843,9 +1843,7 @@ object DataPipelineQueries {
       Multimodal.MediaRecord(mid, "image", Multimodal.encodeBmp(8, 40,
         (x, y) =>
           if (p == 1 && x == 0 && y == 0) (255, 255, 255)
-          else (((7 * seed + 3 * x + 11 * y + (seed * (x + 40 * y + 1)) % 251) % 256).toInt,
-            ((13 * seed + 5 * x + 2 * y + (seed * (x + 40 * y + 2)) % 241) % 256).toInt,
-            ((3 * seed + x + 17 * y + (seed * (x + 40 * y + 3)) % 239) % 256).toInt)), "bmp-synth")
+          else Multimodal.seedPixel(seed)(x, y)), "bmp-synth")
     }
     Multimodal.imageNearDupPairs(media, blockBytes = 16, maxHamming = 3,
         codec = Multimodal.BmpCodec)
@@ -1985,6 +1983,127 @@ object DataPipelineQueries {
       |WHERE b.rn = 1 AND b.aligned >= LEAST(4, na.n, nb.n)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** CROSS-MODAL dup groups — the dedup decision no single modality
+    * can make: a RE-RENDERED page keeps its text but gets a brand-new
+    * image (text-only match), a RE-OCR'd scan keeps its image but
+    * garbles the text to noise (image-only match). Each planted copy
+    * here is catchable by EXACTLY one modality — +1e9 copies share
+    * text with an unrelated image, +2e9 copies share the image under
+    * md5-scrambled text — so neither d03's LSH pairs nor m07's
+    * perceptual pairs alone resolve the groups; the union of both
+    * edge sets through connected components does (base, re-render,
+    * re-scan → ONE component via the base). Text pairs come from the
+    * full MinHash+LSH path, image pairs from real BMP bytes through
+    * the declarative perceptual hash; the oracle replays both pair
+    * semantics and the min-label fixpoint in one WITH RECURSIVE.
+    */
+  val d59_crossmodal_groups: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val textCorpus = d
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          md5(col("text")).as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
+    val textPairs = TextDedup.minhashLshPairs(textCorpus, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    // image seeds: the re-render (+1e9) draws an UNRELATED image (seed
+    // offset past every base id at any SF); the re-scan (+2e9) reuses
+    // the base image exactly
+    val plan = d.select(col("doc_id").as("media_id"), col("doc_id").as("seed"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("media_id"),
+          (col("doc_id") + 10000000L).as("seed")))
+      .unionAll(d.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000000L).as("media_id"),
+          col("doc_id").as("seed")))
+      .repartition(s.sparkContext.defaultParallelism)
+    // seeds are md5-SCRAMBLED before rendering: seedPixel's modular
+    // arithmetic makes nearby raw seeds hamming-adjacent, and under a
+    // GRAPH operator that turns the corpus into one giant chain whose
+    // diameter defeats the CC fixpoint (measured at sf1); scrambled
+    // seeds render unrelated images, so the edge set is the planted
+    // structure
+    val media = plan.as[(Long, Long)].map { case (mid, raw) =>
+      Multimodal.MediaRecord(mid, "image", Multimodal.encodeBmp(8, 40,
+        Multimodal.seedPixel(Multimodal.scrambleSeed(raw))), "bmp-synth")
+    }
+    val imgPairs = Multimodal.imageNearDupPairs(media, blockBytes = 16,
+      maxHamming = 3, codec = Multimodal.BmpCodec)
+    val edges = textPairs.select(col("id_a"), col("id_b"))
+      .unionAll(imgPairs.select(col("id_a"), col("id_b")))
+    ConnectedComponents.dedupGroups(textCorpus.select(col("doc_id")),
+        edges, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val d59_sql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000000, md5(text) FROM documents WHERE doc_id % 10 = 5
+       |),
+       |$ShinglesSql,
+       |$JaccardCtesSql,
+       |im AS (
+       |  SELECT media_id, CAST(('0x' || substr(md5(CAST(raw AS VARCHAR)), 1, 8)) AS BIGINT) AS seed
+       |  FROM (
+       |    SELECT doc_id AS media_id, doc_id AS raw FROM documents
+       |    UNION ALL
+       |    SELECT doc_id + 1000000000, doc_id + 10000000 FROM documents WHERE doc_id % 10 = 0
+       |    UNION ALL
+       |    SELECT doc_id + 2000000000, doc_id FROM documents WHERE doc_id % 10 = 5
+       |  ) r
+       |),
+       |ipx AS (
+       |  SELECT im.media_id, k.k // 16 AS block,
+       |    CASE k.k % 3
+       |      WHEN 0 THEN (3*im.seed + ((k.k % 24) // 3) + 17*(39 - k.k // 24)
+       |                   + (im.seed * (((k.k % 24) // 3) + 40*(39 - k.k // 24) + 3)) % 239) % 256
+       |      WHEN 1 THEN (13*im.seed + 5*((k.k % 24) // 3) + 2*(39 - k.k // 24)
+       |                   + (im.seed * (((k.k % 24) // 3) + 40*(39 - k.k // 24) + 2)) % 241) % 256
+       |      ELSE (7*im.seed + 3*((k.k % 24) // 3) + 11*(39 - k.k // 24)
+       |            + (im.seed * (((k.k % 24) // 3) + 40*(39 - k.k // 24) + 1)) % 251) % 256
+       |    END AS v
+       |  FROM im, (SELECT unnest(range(0, 960)) AS k) k
+       |),
+       |ibits AS (
+       |  SELECT media_id, block,
+       |         CASE WHEN SUM(v) >= 2048 THEN 1 ELSE 0 END AS bit
+       |  FROM ipx GROUP BY media_id, block
+       |),
+       |ihash AS (
+       |  SELECT media_id,
+       |         CAST(SUM(bit * (CAST(1 AS BIGINT) << block)) AS BIGINT) AS h
+       |  FROM ibits GROUP BY media_id
+       |),
+       |ipairs AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM ihash a JOIN ihash b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 3
+       |),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.8
+       |  UNION
+       |  SELECT id_a, id_b FROM ipairs
+       |),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+       |  UNION
+       |  SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT c.doc_id,
+       |       COALESCE(mp.component, c.doc_id) AS component,
+       |       COALESCE(mp.component, c.doc_id) = c.doc_id AS is_survivor
+       |FROM corpus c LEFT JOIN comp mp ON mp.id = c.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val m01_sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -2047,7 +2166,8 @@ object DataPipelineQueries {
     "m05_bmp_decode" -> m05_bmp_decode,
     "m06_wav_decode" -> m06_wav_decode,
     "m07_bmp_neardup" -> m07_bmp_neardup,
-    "m08_wav_neardup" -> m08_wav_neardup)
+    "m08_wav_neardup" -> m08_wav_neardup,
+    "d59_crossmodal_groups" -> d59_crossmodal_groups)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -2091,5 +2211,6 @@ object DataPipelineQueries {
     "m05_bmp_decode" -> m05_sql,
     "m06_wav_decode" -> m06_sql,
     "m07_bmp_neardup" -> m07_sql,
-    "m08_wav_neardup" -> m08_sql)
+    "m08_wav_neardup" -> m08_sql,
+    "d59_crossmodal_groups" -> d59_sql)
 }

@@ -1300,11 +1300,8 @@ object SemanticQueries {
     import graft.streaming.{IndexMaintenance, UnifiedIndex}
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val media = docs.select(col("doc_id")).as[Long].map { seed =>
-      Multimodal.MediaRecord(seed, "image", Multimodal.encodeBmp(8, 40,
-        (x, y) => (((7 * seed + 3 * x + 11 * y + (seed * (x + 40 * y + 1)) % 251) % 256).toInt,
-          ((13 * seed + 5 * x + 2 * y + (seed * (x + 40 * y + 2)) % 241) % 256).toInt,
-          ((3 * seed + x + 17 * y + (seed * (x + 40 * y + 3)) % 239) % 256).toInt)),
-        "bmp-synth")
+      Multimodal.MediaRecord(seed, "image",
+        Multimodal.encodeBmp(8, 40, Multimodal.seedPixel(seed)), "bmp-synth")
     }
     val cat = new graft.sources.TableCatalog(s,
       java.nio.file.Files.createTempDirectory("graft-realmodal")
