@@ -144,18 +144,24 @@ object Bench {
       f(11).toLong + f(12).toLong // utime, stime (fields 14,15 1-indexed)
     } catch { case _: Throwable => 0L }
 
-  /** Current round number, inferred from the newest BENCH_r{N}.json in
-    * the cwd (that artifact trails this run by one round). Drives the
-    * rotating-pool parity below; 1 when no artifact exists yet.
+  /** Current round number: explicit SPARK_GRAFT_ROUND env when set
+    * (ADVICE r13 — run from a different cwd, or after a round whose
+    * artifact never landed, the file scan's parity sticks constant and
+    * the same rotating-pool half would be carried forever), else
+    * inferred from the newest BENCH_r{N}.json in the cwd (that
+    * artifact trails this run by one round). Drives the rotating-pool
+    * parity below; 1 when no artifact exists yet.
     */
   private def roundNumber(): Int =
-    try {
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .map(_.getName)
-        .collect { case n if n.matches("BENCH_r\\d+\\.json") =>
-          n.replaceAll("\\D", "").toInt }
-        .foldLeft(0)(math.max) + 1
-    } catch { case _: Throwable => 1 }
+    sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
+      try {
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .map(_.getName)
+          .collect { case n if n.matches("BENCH_r\\d+\\.json") =>
+            n.replaceAll("\\D", "").toInt }
+          .foldLeft(0)(math.max) + 1
+      } catch { case _: Throwable => 1 }
+    }
 
   def main(args: Array[String]): Unit = {
     graft.tools.Scratch.sweepStale()
@@ -272,11 +278,39 @@ object Bench {
     // pool below) — listed in the artifact so a reader never mistakes
     // a carried number for a fresh measurement
     val carriedIds = scala.collection.mutable.Set[String]()
+    // ids whose figure is a SINGLE run forced by the wall-budget cap
+    // (r13 verdict item 1b: BENCH_r13 shipped w27 16.8 s-class single-
+    // shot noise with nothing in the artifact saying so) — listed like
+    // `carried`, so a reader knows which figures lack a steady run
+    val degradedIds = scala.collection.mutable.Set[String]()
     def record(k: String, v: (Seq[(Double, Double)], Int)): Unit =
       resultsLock.synchronized { results(k) = v }
     def snapshot(): Seq[(String, (Seq[(Double, Double)], Int))] =
       resultsLock.synchronized { results.toSeq }
     val totalQueries = SparkEntry.queries.size
+
+    // Median cur/prior ratio over the MEASURED results so far (stable
+    // priors only, carried entries excluded — they ARE the prior): the
+    // same epoch telemetry the final summary emits as `infl`, computed
+    // incrementally so the wall budget can react to it.
+    def runningInfl(): Double = {
+      val rs = snapshot().collect {
+        case (k, (v, _)) if !carriedIds.contains(k) =>
+          val m = median(v)
+          prior.get(k).orElse(prior.get(k.split('_').head))
+            .filter(p => p >= 0.5 && m > 0).map(m / _)
+      }.flatten.sorted
+      if (rs.isEmpty) 1.0 else rs((rs.size - 1) / 2)
+    }
+    // Epoch-scaled wall budget (r13 verdict item 1c): round 13's box
+    // ran ~20% slower wholesale (infl 1.19, fcpu 0.00 — throttling, not
+    // load), pushed elapsed past the FIXED soft cap, and every query
+    // after it silently degraded to one unlabeled run. A uniformly
+    // slower box deserves a uniformly longer budget — the cap scales by
+    // the running inflation estimate, clamped to 1.35× so a genuinely
+    // runaway suite still terminates well inside the driver's kill.
+    def softCapMs: Long =
+      (SoftCapMs * math.min(1.35, math.max(1.0, runningInfl()))).toLong
 
     def fmt(d: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
@@ -362,7 +396,7 @@ object Bench {
            else short.take(retryCap) :+ s"+${short.size - retryCap}")
             .map("\"" + _ + "\"").mkString("[", ",", "]")
         }
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","quiet":${fmt(quietTotal, 2)},"contended":$contended$partialField$extra,"queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadNow, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"infl":${fmt(inflRatio, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)},"carried":${capped(carriedIds.toSeq.sorted)}}"""
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","quiet":${fmt(quietTotal, 2)},"contended":$contended$partialField$extra,"queries":$qs,"sf":"$sf","load":[${fmt(loadBefore, 1)},${fmt(loadNow, 1)}],"spread":${fmt(spread, 1)},"fcpu":${fmt(benchForeign, 2)},"infl":${fmt(inflRatio, 2)},"retried":${capped(retriedIds)},"dirty":${capped(dirtyIds)},"carried":${capped(carriedIds.toSeq.sorted)},"degraded":${capped(degradedIds.toSeq.sorted)}}"""
       }
       def mapOf(keyOf: String => String, fmtVal: Double => String): String =
         medians.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmtVal(v) }
@@ -442,7 +476,17 @@ object Bench {
     // shuffle service) into its first timed run — measured 5.8 s extra.
     val priorOf: String => Double = n =>
       prior.get(n).orElse(prior.get(n.split('_').head)).getOrElse(1.0)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => -priorOf(n) }
+    // the BASELINE.md comparables: never paired, never carried, never
+    // cap-degraded, and quiet-rescued (used throughout the run loop)
+    val SoloAlways = Set("q17_cdc_merge", "q18_cdc_pipeline_file")
+    // Pinned comparables run FIRST (r13 verdict item 1a: the quiet
+    // rescue was gated on the same soft cap the slow box exhausted, so
+    // it silently skipped in the one run it was built for — running
+    // q17/q18 at the top of the suite means their full protocol AND
+    // their rescue execute while the wall budget cannot yet be spent),
+    // then descending prior median as before.
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      (if (SoloAlways(n)) 0 else 1, -priorOf(n)) }
     // ---- rotating timed pool for the heavy tier (r12 verdict 1) ----
     // The lifecycle-heavy class (prior ≥ HeavyThresh) costs 5-18 s per
     // query and keeps growing (~10 queries/round) against the driver's
@@ -458,9 +502,6 @@ object Bench {
     // a fresh measurement. q17/q18 (the BASELINE.md comparables) are
     // pinned SoloAlways and never carried; a heavy with no usable
     // prior (new this round) is always timed.
-    // the BASELINE.md comparables: never paired, never carried, and
-    // quiet-rescued at the end (used by both tiers below)
-    val SoloAlways = Set("q17_cdc_merge", "q18_cdc_pipeline_file")
     val roundNo = roundNumber()
     // Rotation band: everything from RotateThresh up (the ≥ 2.5 s
     // class is lifecycle composites — the same driver-sequential
@@ -474,8 +515,14 @@ object Bench {
     // round. Rotation only at the official scale factor: priors are
     // sf0.1 figures, so carrying them into an sf0.001/sf1 dev
     // artifact would plant wrong-scale numbers in its queries map.
+    // SPARK_GRAFT_TIME_ALL disables the rotation outright: a priors-
+    // regeneration run (r13 verdict item 3) must TIME every query on
+    // the current epoch — recycling carried figures into the new priors
+    // would smuggle the old epoch forward.
     val RotateThresh = 2.5
-    val heavyPool = (if (sfDir.endsWith("sf0.1")) ordered.map(_._1) else Nil)
+    val timeAll = sys.env.contains("SPARK_GRAFT_TIME_ALL")
+    val heavyPool =
+      (if (sfDir.endsWith("sf0.1") && !timeAll) ordered.map(_._1) else Nil)
       .filter(n => priorOf(n) >= RotateThresh && !SoloAlways(n) &&
         (prior.contains(n) || prior.contains(n.split('_').head)))
       .sorted
@@ -495,7 +542,8 @@ object Bench {
     // the cost of the heavy lifecycle composites the descending order
     // would otherwise pick — measured ~15 s of untimed wall returned
     // to the budget.
-    toRun.sortBy { case (n, _) => math.abs(priorOf(n) - 1.0) }
+    toRun.filterNot { case (n, _) => SoloAlways(n) }
+      .sortBy { case (n, _) => math.abs(priorOf(n) - 1.0) }
       .take(3).foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         try spark.catalog.clearCache() catch { case _: Throwable => () }
@@ -550,8 +598,12 @@ object Bench {
       if (stopping) ()
       else {
         // heavy tier rides the degraded path: 1 run, prior-seeded
-        // rescue when the cold run lands ≥10× the prior
-        val degraded = elapsedMs > SoftCapMs ||
+        // rescue when the cold run lands ≥10× the prior. Cap-forced
+        // degradation (unlike the deterministic heavy tier) is listed
+        // in the artifact's `degraded` field.
+        val capDegraded = elapsedMs > softCapMs
+        if (capDegraded) degradedIds += name
+        val degraded = capDegraded ||
           (priorOf(name) >= HeavyThresh && !SoloAlways(name))
         var runs = measure(name, fn, degraded, clear = true)
         var retries = 0
@@ -568,7 +620,8 @@ object Bench {
     }
     lightTail.grouped(2).foreach { pair =>
       if (!stopping) {
-        val degraded = elapsedMs > SoftCapMs
+        val degraded = elapsedMs > softCapMs
+        if (degraded) pair.foreach { case (n, _) => degradedIds += n }
         val threads = pair.map { case (name, fn) =>
           val t = new Thread(() => {
             val runs = measure(name, fn, degraded, clear = false)
@@ -600,7 +653,7 @@ object Bench {
         s"[bench] ${backoffIds.size} queries still contended after retries " +
           s"(${backoffIds.mkString(",")}); backing off ${BackoffMs / 1000} s")
       Thread.sleep(BackoffMs)
-      for (k <- backoffIds if !stopping && elapsedMs < SoftCapMs) {
+      for (k <- backoffIds if !stopping && elapsedMs < softCapMs) {
         val fn = SparkEntry.queries(k)
         val (runs, retries) = resultsLock.synchronized(results(k))
         record(k, (runs :+ once(k, fn), retries + 1))
@@ -617,8 +670,14 @@ object Bench {
     // re-run with spacing until one quiet figure lands (bounded —
     // artifact survival still outranks noise reduction). The rescue
     // rides the retried list, so a round that needed it is visible.
+    // The rescue holds a RESERVED budget past the soft cap (r13 verdict
+    // item 1a: gating it on the same cap the slow box exhausted is how
+    // it silently skipped in the one official run it was built for).
+    // Bounded work regardless of wall: ≤ PinnedExtra runs per pinned
+    // query of ~2-5 s each — artifact survival is not at risk.
     val PinnedExtra = 2
-    for (k <- SoloAlways.toSeq.sorted if !stopping && elapsedMs < SoftCapMs) {
+    def rescueCapMs: Long = softCapMs + 120000L
+    for (k <- SoloAlways.toSeq.sorted if !stopping && elapsedMs < rescueCapMs) {
       resultsLock.synchronized(results.get(k)).foreach { case (r0, t0) =>
         var runs = r0; var retries = t0; var extra = 0
         def quietless = kept(runs).forall { case (t, f) =>
@@ -626,7 +685,7 @@ object Bench {
         def inflated = prior.get(k).orElse(prior.get(k.split('_').head))
           .exists(p => p >= 0.15 && median(runs) > 1.3 * p)
         while ((quietless || inflated) && extra < PinnedExtra &&
-            !stopping && elapsedMs < SoftCapMs) {
+            !stopping && elapsedMs < rescueCapMs) {
           Thread.sleep(5000)
           runs = runs :+ once(k, SparkEntry.queries(k))
           retries += 1; extra += 1

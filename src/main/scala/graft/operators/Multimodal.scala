@@ -431,10 +431,21 @@ object Multimodal {
     */
   def videoNearDupPairs(media: Dataset[MediaRecord], stride: Int = 1000,
       maxFrames: Int = 8, minShared: Int = 4,
-      codec: MediaCodec = StubCodec)(implicit cs: CacheScope): DataFrame = {
+      codec: MediaCodec = StubCodec)(implicit cs: CacheScope): DataFrame =
+    samePositionPairs(frameSignatures(media, stride, maxFrames, codec),
+      minShared)
+
+  /** The same-POSITION near-dup join on any (media_id, frame_no,
+    * frame_sig) relation — extracted from [[videoNearDupPairs]] so the
+    * m02 container-byte path and the m10 decoded-Y-plane path
+    * ([[y4mFrameSigs]]) share one implementation of the positional
+    * equi-join, the shared count, and the shorter-video bound.
+    */
+  def samePositionPairs(sigs: DataFrame, minShared: Int = 4)(
+      implicit cs: CacheScope): DataFrame = {
     // three references below (both join sides + the per-video counts):
-    // uncached, each would re-run the sample + signature pipeline
-    val f = cs.persist(frameSignatures(media, stride, maxFrames, codec))
+    // uncached, each would re-run the signature pipeline
+    val f = cs.persist(sigs)
     val counts = f.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
     f.as("a").join(f.as("b"),
         col("a.frame_no") === col("b.frame_no") &&
@@ -706,6 +717,9 @@ object Multimodal {
         s"chunk $id overruns the payload")
       id match {
         case "fmt " =>
+          // a 14-byte (WAVEFORMAT) or truncated fmt chunk would otherwise
+          // be read past its declared boundary (ADVICE r13)
+          require(size >= 16, s"short fmt chunk ($size)")
           require(le16(bytes, p + 8) == 1, "not PCM")
           require(le16(bytes, p + 10) == 1, "not mono")
           require(le16(bytes, p + 22) == 16, "not 16-bit")
@@ -783,6 +797,256 @@ object Multimodal {
 
     def frameSig(content: Column, byteOffset: Column, stride: Int): Column =
       md5(substring(content, byteOffset + 1, lit(stride)))
+  }
+
+  // ── Y4M: the REAL video codec (yuv4mpeg2 stream walk, planar YCbCr) ─
+  //
+  // The last stubbed modality (r13 verdict item 4): yuv4mpeg2 is the
+  // uncompressed interchange format the ffmpeg/mjpegtools world speaks —
+  // an ASCII stream header (`YUV4MPEG2 W… H… F… …\n`, parameters
+  // space-separated in ANY order), then per frame an ASCII `FRAME`
+  // marker line (optionally carrying its own parameters) followed by
+  // raw planar YCbCr whose size depends on the header's colorspace tag.
+  // Three codec-level traps make the parse load-bearing, like m06's
+  // JUNK chunk: (1) the frame RATE header is honored (duration derives
+  // from F, which varies per payload); (2) frame-data boundaries depend
+  // on the C tag (C444 frames are twice the size of C420 — a reader
+  // hardcoding 4:2:0 subsampling misreads every frame after the first);
+  // (3) some FRAME marker lines carry parameters (a fixed 6-byte-stride
+  // reader lands mid-plane).
+
+  /** Bytes per frame of raw plane data for a parsed colorspace tag. */
+  private def y4mFrameBytes(cs: String, w: Int, h: Int): Int = cs match {
+    case "420jpeg" | "420mpeg2" | "420paldv" | "420" =>
+      w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+    case "444" => 3 * w * h
+    case other => throw new IllegalArgumentException(
+      s"unsupported colorspace C$other")
+  }
+
+  /** Encode a real yuv4mpeg2 stream: `nFrames` frames of `width`×
+    * `height` at `fpsNum`/`fpsDen`, luma from `(frame, x, y) → Y` in
+    * raster order, chroma planes filled deterministically (subsampled
+    * 4:2:0 by default; full-resolution 4:4:4 with `c444`). Style knobs
+    * exercise the format's legal variability: `cTagFirst` reorders the
+    * header parameters (they are order-free per the spec), `headerX`
+    * adds an application X parameter, and `frameX` puts parameters on
+    * individual FRAME marker lines.
+    */
+  def encodeY4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      nFrames: Int, luma: (Int, Int, Int) => Int, c444: Boolean = false,
+      cTagFirst: Boolean = false, headerX: Option[String] = None,
+      frameX: Int => String = _ => ""): Array[Byte] = {
+    require(width > 0 && height > 0 && fpsNum > 0 && fpsDen > 0 &&
+      nFrames > 0, "degenerate Y4M")
+    val cTag = if (c444) "C444" else "C420jpeg"
+    val core = Seq(s"W$width", s"H$height", s"F$fpsNum:$fpsDen", "Ip", "A1:1")
+    val tags = (if (cTagFirst) cTag +: core else core :+ cTag) ++ headerX
+    val header = ("YUV4MPEG2" +: tags).mkString(" ") + "\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header.getBytes("US-ASCII"))
+    val (cw, ch) = if (c444) (width, height) else ((width + 1) / 2, (height + 1) / 2)
+    var f = 0
+    while (f < nFrames) {
+      val xp = frameX(f)
+      val marker = if (xp.isEmpty) "FRAME\n" else s"FRAME $xp\n"
+      out.write(marker.getBytes("US-ASCII"))
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { out.write(luma(f, x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      // chroma planes: deterministic fill (features derive from luma;
+      // the SIZES are what the decoder must honor per the C tag)
+      var plane = 0
+      while (plane < 2) {
+        var cy = 0
+        while (cy < ch) {
+          var cx = 0
+          while (cx < cw) {
+            out.write((9 + plane + f + cx + 2 * cy) & 0xFF)
+            cx += 1
+          }
+          cy += 1
+        }
+        plane += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a yuv4mpeg2 stream by PARSING ITS HEADERS (the walk a real
+    * consumer does): the stream header's space-separated parameters in
+    * any order (W/H/F required; C defaults to 420jpeg per the spec;
+    * I/A/X skipped), then per frame a FRAME marker line — parameters
+    * after the tag legal and skipped — followed by C-tag-sized plane
+    * data. Returns (width, height, fpsNum, fpsDen, Y planes in raster
+    * order, one per frame). 4:2:0 and 4:4:4 only; anything else fails
+    * loudly.
+    */
+  def decodeY4m(bytes: Array[Byte]): (Int, Int, Int, Int, Vector[Array[Byte]]) = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      require(i < bytes.length, "unterminated Y4M header line")
+      i
+    }
+    val hEnd = lineEnd(0)
+    val header = new String(bytes, 0, hEnd, "US-ASCII")
+    val parts = header.split(" ")
+    require(parts.nonEmpty && parts(0) == "YUV4MPEG2", "not a Y4M payload")
+    var w = -1; var h = -1; var num = -1; var den = -1
+    var cs = "420jpeg"
+    parts.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      (t.charAt(0), t.substring(1)) match {
+        case ('W', v) => w = v.toInt
+        case ('H', v) => h = v.toInt
+        case ('F', v) =>
+          val Array(n, d) = v.split(":", 2)
+          num = n.toInt; den = d.toInt
+        case ('C', v) => cs = v
+        case _ => () // Ip/A/X — legal, irrelevant here
+      }
+    }
+    require(w > 0 && h > 0, s"missing or bad geometry ${w}x$h")
+    require(num > 0 && den > 0, "missing or bad frame rate")
+    val frameBytes = y4mFrameBytes(cs, w, h)
+    val frames = Vector.newBuilder[Array[Byte]]
+    var p = hEnd + 1
+    while (p < bytes.length) {
+      val mEnd = lineEnd(p)
+      val marker = new String(bytes, p, mEnd - p, "US-ASCII")
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"bad frame marker '$marker'")
+      p = mEnd + 1
+      require(p + frameBytes <= bytes.length, "truncated frame data")
+      frames += java.util.Arrays.copyOfRange(bytes, p, p + w * h)
+      p += frameBytes
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "no frames")
+    (w, h, num, den, fs)
+  }
+
+  /** The REAL video codec: decode walks actual yuv4mpeg2 headers;
+    * features derive from decoded Y planes. `duration_ms` comes from
+    * the parsed frame-rate header (nFrames·1000·den/num in integer
+    * arithmetic — a decoder ignoring F fails on mixed-rate corpora)
+    * and `checksum` is the position-AND-frame-weighted luma sum
+    * Σ_f Σ_i y_i·(1 + i + f·w·h) — sensitive to frame order, frame
+    * boundaries (a C-tag misparse shifts every later frame), and
+    * raster order, in integer arithmetic the m09 oracle replays
+    * exactly. Non-video kinds delegate to the stub.
+    */
+  object Y4mCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.kind != "video") decodeStub(r)
+      else {
+        val (w, h, num, den, frames) = decodeY4m(r.content)
+        var sum = 0L
+        var f = 0
+        while (f < frames.length) {
+          val plane = frames(f)
+          val base = f.toLong * w * h
+          var i = 0
+          while (i < plane.length) {
+            sum += (plane(i) & 0xFF).toLong * (1 + base + i)
+            i += 1
+          }
+          f += 1
+        }
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+          w, h, channels = 3,
+          duration_ms = frames.length.toLong * 1000 * den / num,
+          checksum = sum)
+      }
+
+    /** Block-mean luma over the concatenated decoded Y planes. */
+    def embed(r: MediaRecord, dim: Int): Array[Float] =
+      if (r.kind != "video") embedStub(r, dim)._2
+      else {
+        val (_, _, _, _, frames) = decodeY4m(r.content)
+        val ys = frames.toArray.flatten
+        val out = new Array[Float](dim)
+        val block = math.max(1, ys.length / dim)
+        var d = 0
+        while (d < dim) {
+          val from = d * block
+          val to = math.min(ys.length, from + block)
+          var s = 0L; var i = from
+          while (i < to) { s += ys(i) & 0xFF; i += 1 }
+          out(d) = if (to > from) s.toFloat / (to - from) / 255f else 0f
+          d += 1
+        }
+        out
+      }
+
+    /** Documented approximation for the COLUMN hooks, as in
+      * [[WavCodec]]: windows over raw container bytes (the variable-
+      * length ASCII headers have no cheap pure-column parse). The
+      * row-level paths above — and [[y4mFrameSigs]] — decode properly.
+      */
+    def blockBit(content: Column, block: Column, blockBytes: Int): Column =
+      graft.functions.ByteSum(
+        substring(content, block * blockBytes + 1, lit(blockBytes))) >=
+        lit(blockBytes.toLong * 128)
+
+    def frameSig(content: Column, byteOffset: Column, stride: Int): Column =
+      md5(substring(content, byteOffset + 1, lit(stride)))
+  }
+
+  /** Per-frame signatures from REAL DECODED Y planes: one row per
+    * (media_id, frame_no), signature = the position-weighted luma sum
+    * Σ y_i·(1+i) over the frame's raster-order plane — an exact
+    * integer the m10 oracle replays from the pixel formula, unlike an
+    * md5 over container bytes. Same-position near-dup join input
+    * ([[samePositionPairs]]); the decode is the sanctioned row-level
+    * codec boundary, as in [[pcmWindowSigs]].
+    */
+  def y4mFrameSigs(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val (_, _, _, _, frames) = decodeY4m(r.content)
+      frames.iterator.zipWithIndex.map { case (plane, f) =>
+        var sig = 0L
+        var i = 0
+        while (i < plane.length) {
+          sig += (plane(i) & 0xFF).toLong * (1 + i)
+          i += 1
+        }
+        (r.media_id, f, sig)
+      }
+    }).toDF("media_id", "frame_no", "frame_sig")
+  }
+
+  /** A corpus of REAL Y4M payloads, one per row of `docs`:
+    * deterministic from the id alone — n = 2 + id%4 frames of 8×6
+    * luma y(f,x,y) = (17·id + 5f + 3x + 7y) mod 256, with the format's
+    * legal variability planted so every trap is live on a third of
+    * the corpus each: id%3=0 → F25:1 C420jpeg canonical header;
+    * id%3=1 → C444 (double-size frames) with the C tag REORDERED
+    * before the geometry; id%3=2 → F30:1 with an X header parameter
+    * and parameters on every odd FRAME marker line. Integer arithmetic
+    * the m09 oracle replays in SQL, byte sizes included (the header
+    * and marker lengths are fixed per class).
+    */
+  def y4mMedia(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val n = (2 + id % 4).toInt
+      val c = (id % 3).toInt
+      val num = c match { case 0 => 25; case 1 => 10; case _ => 30 }
+      val bytes = encodeY4m(8, 6, num, 1, n,
+        luma = (f, x, y) => ((17 * id + 5 * f + 3 * x + 7 * y) % 256).toInt,
+        c444 = c == 1, cTagFirst = c == 1,
+        headerX = if (c == 2) Some("Xgraft") else None,
+        frameX = f => if (c == 2 && f % 2 == 1) "Xg" else "")
+      MediaRecord(id, "video", bytes, "y4m-synth")
+    }
   }
 
   /** Integer pixel-block features from REAL decoded BMP pixels: one

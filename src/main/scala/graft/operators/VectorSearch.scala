@@ -1003,13 +1003,22 @@ object VectorSearch {
       case "stride" =>
         val n = q.count()
         require(n >= k, s"k=$k exceeds corpus size $n")
-        val ranks: Seq[Long] =
-          if (k == 1) Seq(1L)
-          else (0 until k).map(i => 1L + i.toLong * (n - 1) / (k - 1))
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-        q.select(col("qvec"), row_number().over(w).as("__rn"))
-          .filter(col("__rn").isin(ranks.distinct: _*))
-          .orderBy(col("__rn")).collect().map(_.getSeq[Int](0).toSeq).toSeq
+        // 0-based strided positions in the id order (distinct while
+        // n ≥ k: the step (n−1)/(k−1) is ≥ 1)
+        val ranks: Set[Long] =
+          if (k == 1) Set(0L)
+          else (0 until k).map(i => i.toLong * (n - 1) / (k - 1)).toSet
+        // global rank via sorted-RDD zipWithIndex: range-partitioned
+        // sort + per-partition counting — never the single-task global
+        // window a partitionBy-less row_number serializes the whole
+        // quantized corpus through (ADVICE r13)
+        val picked = q.select(col("id"), col("qvec")).orderBy(col("id"))
+          .rdd.zipWithIndex()
+          .filter { case (_, idx) => ranks(idx) }
+          .map { case (r, idx) => (idx, r.getSeq[Int](1).toSeq) }
+          .collect()
+        require(picked.length == k, s"stride seeding picked ${picked.length} of $k")
+        picked.sortBy(_._1).map(_._2).toSeq
       case "farthest" =>
         require(q.count() >= k, s"k=$k exceeds corpus size")
         var chosen = Seq(q.orderBy(col("id")).limit(1).collect()(0)

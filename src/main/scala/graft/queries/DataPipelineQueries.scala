@@ -1983,6 +1983,128 @@ object DataPipelineQueries {
       |WHERE b.rn = 1 AND b.aligned >= LEAST(4, na.n, nb.n)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** REAL video bytes end-to-end — the THIRD modality's m05/m06
+    * contract, closing the last stubbed decode (r13 verdict item 4):
+    * every payload is an actual yuv4mpeg2 stream built by
+    * [[Multimodal.encodeY4m]] and decoded back by the real
+    * [[Multimodal.Y4mCodec]] header walk, with the format's legal
+    * variability planted a third of the corpus each so the parse is
+    * load-bearing: mixed frame RATES (duration_ms derives from the F
+    * header), a C444 class whose frame boundaries double (a reader
+    * hardcoding 4:2:0 subsampling misreads every frame after the
+    * first), reordered header parameters, and FRAME marker lines
+    * carrying parameters (a fixed-stride reader lands mid-plane).
+    * Features are decoded-luma arithmetic: byte_size pins the exact
+    * container layout (headers, markers, chroma-plane sizes) and the
+    * checksum is the frame-and-position-weighted luma sum. The oracle
+    * replays the pixel formula and the per-class layout constants
+    * directly in SQL.
+    */
+  val m09_y4m_decode: Q = (s, dir) => {
+    val media = Multimodal.y4mMedia(
+      Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.processBatches(media, codec = Multimodal.Y4mCodec).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("duration_ms"), col("byte_size"),
+        col("checksum").as("y_checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Byte-size constants per class (verified against the encoder):
+    * canonical header 39 B, C-first C444 header 35 B, X-param header
+    * 46 B; frames 6 B marker + 72 B planes (4:2:0) or 150 B total
+    * (C444), +3 B for each odd frame's marker parameter in class 2.
+    */
+  val m09_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS n, doc_id % 3 AS c FROM documents
+      |),
+      |px AS (
+      |  SELECT d.doc_id, d.n, d.c, f.f, x.x, y.y,
+      |         (17*d.doc_id + 5*f.f + 3*x.x + 7*y.y) % 256 AS yv
+      |  FROM d,
+      |       (SELECT unnest(range(0, 5)) AS f) f,
+      |       (SELECT unnest(range(0, 8)) AS x) x,
+      |       (SELECT unnest(range(0, 6)) AS y) y
+      |  WHERE f.f < d.n
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  CAST(CASE c WHEN 0 THEN 40*n WHEN 1 THEN 100*n
+      |       ELSE (n*1000) // 30 END AS BIGINT) AS duration_ms,
+      |  CAST(CASE c WHEN 0 THEN 39 + 78*n WHEN 1 THEN 35 + 150*n
+      |       ELSE 46 + 78*n + 3*(n // 2) END AS BIGINT) AS byte_size,
+      |  CAST(SUM(yv * (1 + x + 8*y + 48*f)) AS BIGINT) AS y_checksum
+      |FROM px
+      |GROUP BY doc_id, n, c
+      |ORDER BY media_id""".stripMargin
+
+  /** Video near-dup over REAL DECODED FRAMES — m02's same-position
+    * frame-signature join with the stub replaced end-to-end: the
+    * corpus is actual yuv4mpeg2 streams (6 frames of 8×6), per-frame
+    * signatures are position-weighted luma sums over DECODED Y planes
+    * ([[Multimodal.y4mFrameSigs]] — exact integers the oracle replays
+    * from the pixel formula, where m02's md5-of-container-bytes could
+    * not be rebuilt), and the pairing rides the SAME
+    * [[Multimodal.samePositionPairs]] join m02 uses. Planted structure
+    * is codec-level, like m07: exact copies share the pixel seed, near
+    * copies perturb ONE pixel of ONE frame (5 of 6 frames still
+    * match). The luma formula carries a seed×position cross term mod a
+    * prime — m07's measured lesson: without it the formula is
+    * 256-periodic in the seed and seeds 256 apart render identical
+    * frames, manufacturing chance pairs at scale.
+    */
+  val m10_y4m_neardup: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id"))
+    val plan = ids.select(col("doc_id").as("media_id"),
+        col("doc_id").as("seed"), lit(0).as("p"))
+      .unionAll(ids.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(0).as("p")))
+      .unionAll(ids.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(1).as("p")))
+      .repartition(s.sparkContext.defaultParallelism)
+    val media = plan.as[(Long, Long, Int)].map { case (mid, seed, p) =>
+      Multimodal.MediaRecord(mid, "video", Multimodal.encodeY4m(8, 6, 25, 1, 6,
+        luma = (f, x, y) =>
+          if (p == 1 && f == 2 && x == 0 && y == 0) 255
+          else ((17 * seed + 5 * f + 3 * x + 7 * y +
+            (seed * (x + 8 * y + 48 * f + 1)) % 211) % 256).toInt), "y4m-synth")
+    }
+    Multimodal.samePositionPairs(Multimodal.y4mFrameSigs(media), minShared = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m10_sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS p FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 5
+      |),
+      |sigs AS (
+      |  SELECT m.media_id, f.f,
+      |    SUM(CASE WHEN m.p = 1 AND f.f = 2 AND x.x = 0 AND y.y = 0 THEN 255
+      |         ELSE (17*m.seed + 5*f.f + 3*x.x + 7*y.y
+      |               + (m.seed * (x.x + 8*y.y + 48*f.f + 1)) % 211) % 256
+      |         END * (1 + x.x + 8*y.y)) AS sig
+      |  FROM m,
+      |       (SELECT unnest(range(0, 6)) AS f) f,
+      |       (SELECT unnest(range(0, 8)) AS x) x,
+      |       (SELECT unnest(range(0, 6)) AS y) y
+      |  GROUP BY m.media_id, f.f
+      |)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |       CAST(COUNT(*) AS BIGINT) AS shared_frames
+      |FROM sigs a JOIN sigs b
+      |  ON a.f = b.f AND a.sig = b.sig AND a.media_id < b.media_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** CROSS-MODAL dup groups — the dedup decision no single modality
     * can make: a RE-RENDERED page keeps its text but gets a brand-new
     * image (text-only match), a RE-OCR'd scan keeps its image but
@@ -2167,6 +2289,8 @@ object DataPipelineQueries {
     "m06_wav_decode" -> m06_wav_decode,
     "m07_bmp_neardup" -> m07_bmp_neardup,
     "m08_wav_neardup" -> m08_wav_neardup,
+    "m09_y4m_decode" -> m09_y4m_decode,
+    "m10_y4m_neardup" -> m10_y4m_neardup,
     "d59_crossmodal_groups" -> d59_crossmodal_groups)
 
   val oracles: Map[String, String] = Map(
@@ -2212,5 +2336,7 @@ object DataPipelineQueries {
     "m06_wav_decode" -> m06_sql,
     "m07_bmp_neardup" -> m07_sql,
     "m08_wav_neardup" -> m08_sql,
+    "m09_y4m_decode" -> m09_sql,
+    "m10_y4m_neardup" -> m10_sql,
     "d59_crossmodal_groups" -> d59_sql)
 }
