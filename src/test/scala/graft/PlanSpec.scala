@@ -919,4 +919,21 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "the corpus side was shuffled by id — refine must scan it in place:\n" +
         plan.take(3000))
   }
+
+  test("m10 decoded-frame near-dup: sigs cached once, join stays hashed equi") {
+    val plan = executedPlan(
+      queries.DataPipelineQueries.m10_y4m_neardup(spark, dir))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "same-position join planned quadratic:\n" + s.take(2000))
+    // the persisted frame-sig relation feeds both self-join sides and
+    // the per-video counts — three cached reads, zero re-decodes
+    val cached = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("InMemoryTableScan") => p
+    }
+    assert(cached.size >= 2,
+      s"frame sigs must be persisted and reused, saw ${cached.size} cached scans:\n" +
+        s.take(2000))
+  }
 }
