@@ -68,7 +68,12 @@ object PqRecallProbe {
       // exact cosine re-rank — converges to the routing ceiling as R
       // grows; the lever that works on isotropic unit vectors where
       // codebook quality cannot (gaps thinner than quantization noise)
-      for ((m, k) <- Seq((4, 8), (8, 16)); np <- Seq(2, 4); r <- Seq(30, 50)) {
+      // np8 included since round 14: at sf0.1 the np4 ROUTING ceiling
+      // fell to 0.56 (10× corpus, same cell count — neighbors spread
+      // over more cells per probe), so restoring recall is a DEPTH
+      // adjustment, not a codebook one; R100 shows the shortlist side
+      // of the same scaling
+      for ((m, k) <- Seq((4, 8), (8, 16)); np <- Seq(2, 4, 8); r <- Seq(30, 50, 100)) {
         val cb = books(m, k, 3, "first")
         val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding", planes, cb)
         val got = score(sets(VectorSearch.searchIvfPqRefined(enc, e, q,
