@@ -289,13 +289,16 @@ object Bench {
       resultsLock.synchronized { results.toSeq }
     val totalQueries = SparkEntry.queries.size
 
-    // Median cur/prior ratio over the MEASURED results so far (stable
-    // priors only, carried entries excluded — they ARE the prior): the
-    // same epoch telemetry the final summary emits as `infl`, computed
+    // Median cur/prior ratio over the PROPERLY-MEASURED results so far
+    // (stable priors only; carried entries excluded — they ARE the
+    // prior; cap-degraded entries excluded — a single cold run against
+    // a steady-state prior reads ~1.2× on a quiet same-epoch box, and
+    // folding those in made a clean round report infl 1.18): the same
+    // epoch telemetry the final summary emits as `infl`, computed
     // incrementally so the wall budget can react to it.
     def runningInfl(): Double = {
       val rs = snapshot().collect {
-        case (k, (v, _)) if !carriedIds.contains(k) =>
+        case (k, (v, _)) if !carriedIds.contains(k) && !degradedIds.contains(k) =>
           val m = median(v)
           prior.get(k).orElse(prior.get(k.split('_').head))
             .filter(p => p >= 0.5 && m > 0).map(m / _)
@@ -380,8 +383,11 @@ object Bench {
       // (e.g. 1.25) when the box got slower wholesale. Readers should
       // deflate cross-round wall comparisons by it.
       val inflRatio = {
+        // degraded entries excluded like carried ones: a single cold
+        // run vs a steady-state prior is not an epoch reading
         val rs = medians.collect {
-          case (k, v) if v > 0 && !carriedIds.contains(k) =>
+          case (k, v) if v > 0 && !carriedIds.contains(k) &&
+              !degradedIds.contains(k) =>
             prior.get(k).orElse(prior.get(k.split('_').head))
               .filter(_ >= 0.5).map(v / _)
         }.flatten.toSeq.sorted
