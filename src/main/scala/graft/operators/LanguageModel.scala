@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextFunctions
+
+/** N-gram language-model quality scoring — the CCNet-shaped
+  * "perplexity filter" for training-data curation: train a cheap
+  * bigram model on a trusted reference slice, score every document by
+  * how well the model predicts its tokens, and gate the corpus on the
+  * score. (The reference pipeline delegates its data-quality gates to
+  * warehouse SQL — DATA_VALIDATION_QUERIES.sql,
+  * validate_data_redshift_firebolt.py; this operator is the
+  * corpus-quality analogue a 100 TB pre-training pipeline runs before
+  * ingestion.)
+  *
+  * Probability model: stupid backoff (Brants et al. 2007, "Large
+  * Language Models in Machine Translation") —
+  *
+  *   S(w₂|w₁) = c(w₁w₂)/c(w₁·)      when the bigram was seen
+  *            = 0.4 · c(w₂)/N       backoff to the unigram
+  *            = 0                   out-of-vocabulary
+  *
+  * kept integer-exact in MILLI-probability units (t13/t19's surrogate
+  * discipline: every score is a ratio of corpus counts, so ranking
+  * replays bit-identically in the oracle):
+  *
+  *   milli(w₁,w₂) = (1000·c₁₂) div c₁  |  (400·c₂) div N  |  0
+  *
+  * The document score is the arithmetic mean of per-token milli
+  * scores — a declared surrogate for perplexity (which is the
+  * geometric mean): both order documents by "how expected are this
+  * document's tokens", the arithmetic form needs no transcendental
+  * log so the driver gate stays hash-exact, and for a FILTER the
+  * decision boundary is a threshold on either. n_oov rides along
+  * (tokens unseen even as unigrams — the strongest single noise
+  * signal).
+  *
+  * Scale shape (the 100 TB contract):
+  *  - TRAIN is one corpus scan: one explode → one (w₁,w₂) hash
+  *    aggregate with map-side partials; the context, unigram and
+  *    total relations DERIVE from the persisted bigram counts
+  *    (model-sized re-aggregations, never a second corpus pass).
+  *  - The model is vocabulary-bounded (≤ |V|² rows, in practice ~the
+  *    distinct-bigram count), so SCORING joins broadcast it against
+  *    one exploded corpus scan; the per-document aggregate partials
+  *    map-side (explode keeps a document's tokens co-partitioned), so
+  *    the only full shuffle carries one row per document. A web-scale
+  *    vocabulary must be pruned to top-V unigrams before training
+  *    (standard CCNet practice; prune = one filter on c₂) — set
+  *    `broadcastModel = false` to run the same plan with shuffle
+  *    joins when the model outgrows the broadcast budget.
+  */
+object LanguageModel {
+
+  /** Sentence-start pseudo-token: the first real token is conditioned
+    * on it, so documents opening with an improbable word score low on
+    * their first token too. Lowercase-free so it can never collide
+    * with a real token from [[TextFunctions.tokens]] (which lowercases).
+    */
+  val SentenceStart = "<S>"
+
+  /** Trained bigram model: count relations, all vocabulary-bounded.
+    * `bigrams` (w1, w2, c12) is the persisted base; `contexts`
+    * (w1, c1), `unigrams` (w2, c2) and `totals` (n_train, 1 row) are
+    * derived re-aggregations of it.
+    */
+  final case class BigramLm(
+      bigrams: DataFrame, contexts: DataFrame,
+      unigrams: DataFrame, totals: DataFrame)
+
+  /** (id, w1, w2) bigram stream: one row per TOKEN, conditioned on its
+    * predecessor (the first token on [[SentenceStart]]). Empty or
+    * whitespace-only text yields no rows.
+    */
+  def bigramTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      // zip_with pads to the LONGER array: an empty token list would
+      // zip against the one-element ["<S>"] prefix into a null-w2 row
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__prev", concat(array(lit(SentenceStart)),
+        expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))")))
+      .select(col(idCol), explode(zip_with(col("__prev"), col("__toks"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+  /** Train on `df` (the trusted reference slice). ONE corpus pass: the
+    * bigram aggregate persists (vocabulary-bounded, via the caller's
+    * [[CacheScope]]) and every other model relation derives from it —
+    * c₁ = Σ_w₂ c₁₂, c₂ = Σ_w₁ c₁₂ (each token is the w₂ of exactly one
+    * bigram), N = Σ c₁₂.
+    */
+  def train(df: DataFrame, idCol: String, textCol: String)(
+      implicit cs: CacheScope): BigramLm = {
+    val bi = cs.persist(bigramTokens(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    BigramLm(
+      bigrams = bi,
+      contexts = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1")),
+      unigrams = bi.groupBy(col("w2")).agg(sum(col("c12")).as("c2")),
+      totals = bi.agg(sum(col("c12")).as("n_train")))
+  }
+
+  /** Score every document of `df` under the model: per-token stupid-
+    * backoff milli-probabilities summed per document. Output one row
+    * per input document (token-less documents score 0 with
+    * n_tokens = 0): (id, n_tokens, n_oov, sum_milli, avg_milli).
+    */
+  def score(df: DataFrame, lm: BigramLm, idCol: String, textCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    def side(m: DataFrame): DataFrame = if (broadcastModel) broadcast(m) else m
+    val scored = bigramTokens(df, idCol, textCol)
+      .join(side(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(side(lm.contexts), Seq("w1"), "left")
+      .join(side(lm.unigrams), Seq("w2"), "left")
+      .crossJoin(broadcast(lm.totals)) // always 1 row
+      .withColumn("__milli", expr(
+        "CASE WHEN c12 IS NOT NULL THEN (1000 * c12) div c1 " +
+          "WHEN c2 IS NOT NULL THEN (400 * c2) div n_train " +
+          "ELSE 0 END"))
+      .withColumn("__oov",
+        when(col("c12").isNull && col("c2").isNull, 1L).otherwise(0L))
+    val agg = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("__oov")).as("n_oov"),
+      sum(col("__milli")).as("sum_milli"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).cast(LongType).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).cast(LongType).as("n_oov"),
+        coalesce(col("sum_milli"), lit(0L)).cast(LongType).as("sum_milli"))
+      .withColumn("avg_milli",
+        when(col("n_tokens") > 0, expr("sum_milli div n_tokens"))
+          .otherwise(lit(0L)))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -650,6 +650,60 @@ object Multimodal {
         hex(substring(content, 12, 1)), hex(substring(content, 11, 1))),
       16, 10).cast(LongType)
 
+  /** Integer box-filter downsample of a real 24-bit BMP by `factor`:
+    * decode → average each factor×factor block per channel (floor
+    * division — exact, oracle-replayable) → re-encode. Output geometry
+    * is `w/factor × h/factor`; remainder columns/rows that don't fill
+    * a block are CROPPED (the standard crop-to-multiple convention),
+    * and crop is in DISPLAY coordinates — odd heights drop the bottom
+    * display row, which lives at the START of the bottom-up pixel
+    * array, so a resizer that averages file-order rows crops the wrong
+    * row and mis-pairs every vertical neighborhood on those images.
+    * The round trip (decode → integer resample → encode) is the
+    * feature-extraction shape a real thumbnail/vision-preprocessing
+    * pass runs; only the pixel math here is fixture-simple.
+    */
+  def resizeBmp(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"bad resize factor $factor")
+    val (w, h, rgb) = decodeBmp(bytes)
+    val ow = w / factor
+    val oh = h / factor
+    require(ow > 0 && oh > 0, s"resize ${w}x$h by $factor is degenerate")
+    val n = factor * factor
+    encodeBmp(ow, oh, (xx, yy) => {
+      var r = 0; var g = 0; var b = 0
+      var dy = 0
+      while (dy < factor) {
+        var dx = 0
+        while (dx < factor) {
+          val q = 3 * ((yy * factor + dy) * w + (xx * factor + dx))
+          r += rgb(q) & 0xFF
+          g += rgb(q + 1) & 0xFF
+          b += rgb(q + 2) & 0xFF
+          dx += 1
+        }
+        dy += 1
+      }
+      (r / n, g / n, b / n)
+    })
+  }
+
+  /** Dataset-level resize at the sanctioned codec boundary: image
+    * payloads are decoded, box-filtered and re-encoded row-locally
+    * (constant work per record — the map distributes like any other
+    * narrow transformation, no shuffle); non-image kinds pass through
+    * untouched. This is the "resize" stage of a multimodal training-
+    * data pipeline: runs BEFORE near-dup/embedding passes to normalize
+    * geometry, and its output is again a valid container every
+    * downstream codec path accepts.
+    */
+  def resizeImages(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    media.map(r =>
+      if (r.kind != "image") r
+      else r.copy(content = resizeBmp(r.content, factor)))
+  }
+
   // ── WAV: the REAL audio codec (RIFF chunk walk, 16-bit PCM) ─────────
 
   private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
@@ -1020,6 +1074,49 @@ object Multimodal {
         (r.media_id, f, sig)
       }
     }).toDF("media_id", "frame_no", "frame_sig")
+  }
+
+  /** Frame-sampling at a target rate — the temporal-downsample stage a
+    * video training pipeline runs before per-frame feature extraction
+    * ("take k frames per second, whatever the source rate"). Sample
+    * instants are t_k = k/targetFps; the frame shown at t_k under the
+    * PARSED rate header is floor(k·num/(den·targetFps)), emitted while
+    * it exists — so a 30 fps source at target 15 keeps every second
+    * frame, and a 10 fps source at target 15 emits some frames TWICE
+    * (upsampling repeats the nearest-earlier frame: real resampler
+    * semantics, and a cardinality trap for implementations that
+    * ignore the F header or dedup by frame). One row per (media_id,
+    * sample_no): the frame index, its source timestamp (ms, floor),
+    * and the same position-weighted luma signature as
+    * [[y4mFrameSigs]] from the decoded plane. Row-local decode at the
+    * sanctioned codec boundary; constant work per record, no shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], targetFps: Int): DataFrame = {
+    require(targetFps > 0, s"bad target rate $targetFps")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val (_, _, num, den, frames) = decodeY4m(r.content)
+      val n = frames.length
+      val sigs = new Array[Long](n) // memoize: upsampling revisits frames
+      java.util.Arrays.fill(sigs, -1L)
+      def sig(f: Int): Long = {
+        if (sigs(f) < 0) {
+          val plane = frames(f)
+          var s = 0L
+          var i = 0
+          while (i < plane.length) { s += (plane(i) & 0xFF).toLong * (1 + i); i += 1 }
+          sigs(f) = s
+        }
+        sigs(f)
+      }
+      Iterator.from(0)
+        .map(k => (k, (k.toLong * num / (den.toLong * targetFps)).toInt))
+        .takeWhile(_._2 < n)
+        .map { case (k, f) =>
+          (r.media_id, k, f, f.toLong * 1000 * den / num, sig(f))
+        }
+    }).toDF("media_id", "sample_no", "frame_no", "frame_ts_ms", "frame_sig")
   }
 
   /** A corpus of REAL Y4M payloads, one per row of `docs`:

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{TextFunctions, WinnowedFingerprint}
-import graft.operators.{ConnectedComponents, Decontaminate, IncrementalDedup, Multimodal, PageRank, Sampling, TextDedup, VectorSearch}
+import graft.operators.{ConnectedComponents, Decontaminate, IncrementalDedup, LanguageModel, Multimodal, PageRank, Sampling, TextDedup, VectorSearch}
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
   * text analysis, multimodal) as driver-checked queries.
@@ -2244,6 +2244,157 @@ object DataPipelineQueries {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  // ── m11: real image resize (decode → box filter → re-encode) ────────
+
+  /** The RESIZE stage of a multimodal pipeline over real bytes: every
+    * m05 BMP is decoded, 2×2 box-filtered (integer floor average per
+    * channel) and re-encoded, then the RESIZED container goes back
+    * through the full real-decode path — so the gate pins the whole
+    * decode → resample → encode → decode round trip. The m05 corpus's
+    * varying geometry makes the resize arithmetic load-bearing:
+    * odd widths/heights crop (bottom display row = FIRST file row, so
+    * file-order resizers crop wrong), widths 5/6/7 give padded input
+    * rows a raw-stride resampler misreads, and the asymmetric checksum
+    * weights catch any BGR/RGB confusion in the re-encode. Oracle
+    * replays the box-filter over the m05 pixel formula in SQL.
+    */
+  val m11_bmp_resize: Q = (s, dir) => {
+    val media = Multimodal.bmpMedia(
+      Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+    val resized = Multimodal.resizeImages(media, factor = 2)
+    Multimodal.processBatches(resized, codec = Multimodal.BmpCodec).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("byte_size"), col("checksum").as("pix_checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val m11_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+      |),
+      |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+      |px AS (
+      |  SELECT o.doc_id, o.ow, o.oh, x.x, y.y,
+      |    SUM((7*o.doc_id + 3*(2*x.x + t.dx) + 11*(2*y.y + t.dy)) % 256) // 4 AS r,
+      |    SUM((13*o.doc_id + 5*(2*x.x + t.dx) + 2*(2*y.y + t.dy)) % 256) // 4 AS g,
+      |    SUM((3*o.doc_id + (2*x.x + t.dx) + 17*(2*y.y + t.dy)) % 256) // 4 AS b
+      |  FROM o,
+      |       (SELECT unnest(range(0, 4)) AS x) x,
+      |       (SELECT unnest(range(0, 3)) AS y) y,
+      |       (SELECT dx.dx, dy.dy
+      |        FROM (SELECT unnest(range(0, 2)) AS dx) dx,
+      |             (SELECT unnest(range(0, 2)) AS dy) dy) t
+      |  WHERE x.x < o.ow AND y.y < o.oh
+      |  GROUP BY o.doc_id, o.ow, o.oh, x.x, y.y
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+      |  CAST(54 + oh * ((3*ow + 3) // 4) * 4 AS BIGINT) AS byte_size,
+      |  CAST(SUM((r + 2*g + 3*b) * (1 + x + y*ow)) AS BIGINT) AS pix_checksum
+      |FROM px
+      |GROUP BY doc_id, ow, oh
+      |ORDER BY media_id""".stripMargin
+
+  // ── m12: frame-sampling at a target rate over real Y4M streams ──────
+
+  /** Temporal downsample of the m09 mixed-rate video corpus to a fixed
+    * 15 fps: the sampled frame index is floor arithmetic over the
+    * PARSED F header (25 fps class keeps frames 0,1,3,…; the 30 fps
+    * class every second frame; the 10 fps class emits frames TWICE —
+    * upsampling repeats the nearest-earlier frame, so the gate pins
+    * exact row cardinality against rate-ignoring or frame-deduping
+    * implementations). Each sample carries its source timestamp and
+    * the decoded-plane luma signature; the oracle replays index
+    * selection, timestamps and signatures from the pixel formula.
+    */
+  val m12_frame_sample: Q = (s, dir) => {
+    val media = Multimodal.y4mMedia(
+      Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.sampleFrames(media, targetFps = 15)
+      .orderBy(col("media_id"), col("sample_no"))
+  }
+
+  val m12_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS n,
+      |         CASE doc_id % 3 WHEN 0 THEN 25 WHEN 1 THEN 10 ELSE 30 END AS num
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, n, num, k.k AS sample_no, (k.k * num) // 15 AS f
+      |  FROM d, (SELECT unnest(range(0, 16)) AS k) k
+      |  WHERE (k.k * num) // 15 < n
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(sample_no AS INT) AS sample_no,
+      |  CAST(f AS INT) AS frame_no,
+      |  CAST(f * 1000 // num AS BIGINT) AS frame_ts_ms,
+      |  CAST((SELECT SUM(((17*s.doc_id + 5*s.f + 3*x.x + 7*y.y) % 256) * (1 + x.x + 8*y.y))
+      |        FROM (SELECT unnest(range(0, 8)) AS x) x,
+      |             (SELECT unnest(range(0, 6)) AS y) y) AS BIGINT) AS frame_sig
+      |FROM s
+      |ORDER BY media_id, sample_no""".stripMargin
+
+  // ── t35: bigram-LM quality scoring (CCNet-shaped perplexity filter) ──
+
+  /** Train a stupid-backoff bigram LM on the trusted slice
+    * (doc_id % 5 = 0 — in production, the curated reference corpus)
+    * and score EVERY document by integer-exact mean token
+    * milli-likelihood (see [[graft.operators.LanguageModel]] for the
+    * surrogate contract). One training scan (single bigram aggregate,
+    * everything else model-sized), one scoring scan (broadcast model
+    * joins, per-doc aggregate partials map-side) — the 100 TB quality
+    * gate at two corpus passes total.
+    */
+  val t35_lm_quality: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val lm = LanguageModel.train(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    LanguageModel.score(docs, lm, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  val t35_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextFunctions.ToksSql} AS toks FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN p.pos = 1 THEN '<S>' ELSE toks[p.pos - 1] END AS w1,
+       |         toks[p.pos] AS w2
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS pos) p
+       |),
+       |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+       |uni AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_train FROM bi),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    CASE WHEN bi.c12 IS NOT NULL THEN (1000 * bi.c12) // ctx.c1
+       |         WHEN uni.c2 IS NOT NULL THEN (400 * uni.c2) // tot.n_train
+       |         ELSE 0 END AS milli,
+       |    CASE WHEN bi.c12 IS NULL AND uni.c2 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bg
+       |  LEFT JOIN bi USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN uni USING (w2)
+       |  CROSS JOIN tot
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |         CAST(SUM(milli) AS BIGINT) AS sum_milli
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+       |       CAST(COALESCE(a.sum_milli, 0) AS BIGINT) AS sum_milli,
+       |       CAST(CASE WHEN a.n_tokens > 0 THEN a.sum_milli // a.n_tokens
+       |            ELSE 0 END AS BIGINT) AS avg_milli
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -2291,7 +2442,10 @@ object DataPipelineQueries {
     "m08_wav_neardup" -> m08_wav_neardup,
     "m09_y4m_decode" -> m09_y4m_decode,
     "m10_y4m_neardup" -> m10_y4m_neardup,
-    "d59_crossmodal_groups" -> d59_crossmodal_groups)
+    "d59_crossmodal_groups" -> d59_crossmodal_groups,
+    "m11_bmp_resize" -> m11_bmp_resize,
+    "m12_frame_sample" -> m12_frame_sample,
+    "t35_lm_quality" -> t35_lm_quality)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -2338,5 +2492,8 @@ object DataPipelineQueries {
     "m08_wav_neardup" -> m08_sql,
     "m09_y4m_decode" -> m09_sql,
     "m10_y4m_neardup" -> m10_sql,
-    "d59_crossmodal_groups" -> d59_sql)
+    "d59_crossmodal_groups" -> d59_sql,
+    "m11_bmp_resize" -> m11_sql,
+    "m12_frame_sample" -> m12_sql,
+    "t35_lm_quality" -> t35_sql)
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram-LM quality scoring: the bigram stream's sentence-start
+  * conditioning, the hand-computed stupid-backoff arithmetic (each
+  * tier hit separately), OOV accounting, token-less documents, and
+  * the scale contract — the scoring plan broadcasts the model and
+  * never exchanges the token stream for the model joins.
+  */
+class LanguageModelSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("bigramTokens conditions the first token on <S> and chains the rest") {
+    val bg = LanguageModel.bigramTokens(df((1L, "a b c")), "id", "text")
+      .select("w1", "w2").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bg.toSeq == Seq(("<S>", "a"), ("a", "b"), ("b", "c")))
+  }
+
+  test("bigramTokens yields no rows for empty or whitespace-only text") {
+    val bg = LanguageModel.bigramTokens(df((1L, ""), (2L, "   ")), "id", "text")
+    assert(bg.count() == 0)
+  }
+
+  test("bigramTokens lowercases, so <S> cannot collide with a real token") {
+    val bg = LanguageModel.bigramTokens(df((1L, "<S> A")), "id", "text")
+      .select("w1", "w2").collect().map(r => (r.getString(0), r.getString(1)))
+    // the literal "<S>" in TEXT becomes lowercase "<s>" ≠ the pseudo-token
+    assert(bg.toSeq == Seq(("<S>", "<s>"), ("<s>", "a")))
+  }
+
+  test("stupid-backoff tiers score by hand: bigram, unigram backoff, OOV") {
+    implicit val cs: CacheScope = CacheScope.processOwned
+    // train: "a b" ×2, "a c" ×1 → N=6 tokens; contexts: <S>=3, a=3
+    val lm = LanguageModel.train(
+      df((1L, "a b"), (2L, "a b"), (3L, "a c")), "id", "text")
+    // score "a b x": (<S>,a) seen c12=3,c1=3 → 1000; (a,b) c12=2,c1=3 → 666;
+    // (b,x): bigram unseen, x unseen as unigram → OOV 0
+    val r1 = LanguageModel.score(df((10L, "a b x")), lm, "id", "text")
+      .head()
+    assert(r1.getLong(1) == 3L, "n_tokens")
+    assert(r1.getLong(2) == 1L, "n_oov")
+    assert(r1.getLong(3) == 1000L + 666L, "sum_milli")
+    assert(r1.getLong(4) == 1666L / 3, "avg_milli")
+    // score "c a": (<S>,c) bigram unseen but c IS a unigram (c2=1, N=6)
+    // → 400*1 div 6 = 66; (c,a) unseen bigram, a unigram c2=3 → 400*3 div 6 = 200
+    val r2 = LanguageModel.score(df((11L, "c a")), lm, "id", "text").head()
+    assert(r2.getLong(2) == 0L, "no OOV")
+    assert(r2.getLong(3) == 66L + 200L, "backoff sum")
+    lm.bigrams.unpersist()
+  }
+
+  test("token-less documents still emit a zeroed row") {
+    implicit val cs: CacheScope = CacheScope.processOwned
+    val lm = LanguageModel.train(df((1L, "a b")), "id", "text")
+    val out = LanguageModel.score(df((20L, ""), (21L, "a")), lm, "id", "text")
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(3) == 0L &&
+      out(0).getLong(4) == 0L)
+    assert(out(1).getLong(1) == 1L)
+    lm.bigrams.unpersist()
+  }
+
+  test("scoring plan broadcasts the model; no shuffle before the doc aggregate") {
+    implicit val cs: CacheScope = CacheScope.processOwned
+    val lm = LanguageModel.train(df((1L, "a b c a b")), "id", "text")
+    val out = LanguageModel.score(df((2L, "a b q")), lm, "id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("BroadcastHashJoin") => p
+    }
+    assert(bhj.size >= 3,
+      s"model joins must broadcast (bigram/context/unigram):\n$plan")
+    // the only exchanges allowed: the per-doc aggregate (rows = docs,
+    // after map-side partials) and the final left-join back to ids —
+    // never the raw token stream into a model join
+    val sortMerge = collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("SortMergeJoin") => p
+    }
+    val docJoins = 1 // the id re-attach join may legitimately sort-merge
+    assert(sortMerge.size <= docJoins,
+      s"token stream must not shuffle into model joins:\n$plan")
+    lm.bigrams.unpersist()
+  }
+
+  test("broadcastModel=false runs the same semantics with shuffle joins") {
+    implicit val cs: CacheScope = CacheScope.processOwned
+    val lm = LanguageModel.train(df((1L, "a b c a b")), "id", "text")
+    val b = LanguageModel.score(df((2L, "a b q"), (3L, "c c")), lm, "id", "text")
+      .orderBy("id").collect().toSeq
+    val s = LanguageModel.score(df((2L, "a b q"), (3L, "c c")), lm, "id", "text",
+      broadcastModel = false).orderBy("id").collect().toSeq
+    assert(b == s)
+    lm.bigrams.unpersist()
+  }
+}
