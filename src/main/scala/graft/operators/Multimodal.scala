@@ -838,19 +838,60 @@ object Multimodal {
         out
       }
 
-    /** Documented approximation for the COLUMN hooks: windows over the
-      * raw container bytes (PCM dominates the payload; the ≤64-byte
-      * header biases only the first block) — RIFF's variable chunk
-      * layout has no cheap pure-column parse, unlike BMP's fixed
-      * header. The row-level hooks above decode properly.
+    /** Little-endian u32 at 0-based byte `off`, in pure columns
+      * (per-byte hex concatenated most-significant-first, one base-16
+      * conv — the [[bmpPixelOffset]] technique generalized to a
+      * column offset).
+      */
+    private def le32At(c: Column, off: Column): Column =
+      conv(concat(
+          hex(substring(c, (off + 4).cast(IntegerType), lit(1))),
+          hex(substring(c, (off + 3).cast(IntegerType), lit(1))),
+          hex(substring(c, (off + 2).cast(IntegerType), lit(1))),
+          hex(substring(c, (off + 1).cast(IntegerType), lit(1)))),
+        16, 10).cast(LongType)
+
+    /** Declarative RIFF chunk walk to the `data` payload: from the
+      * first chunk (byte 12) read each 8-byte chunk header — 4-byte
+      * tag, le32 size — and step over non-`data` chunks (odd sizes
+      * padded, per RIFF) up to `maxChunks` deep. A when-chain is a
+      * BOUNDED walk by construction; depth 4 covers `fmt ` plus two
+      * metadata chunks (JUNK/LIST/fact — more than real encoders put
+      * before `data`). Beyond the depth the column is null, so a
+      * downstream bit/signature is null rather than silently computed
+      * over header bytes — the loud-failure contract, column-side.
+      */
+    def wavDataOffset(content: Column, maxChunks: Int = 4): Column = {
+      val dataTag = lit("data".getBytes("US-ASCII"))
+      def walk(off: Column, depth: Int): Column =
+        if (depth == 0) lit(null).cast(LongType)
+        else {
+          val size = le32At(content, off + 4)
+          when(substring(content, (off + 1).cast(IntegerType), lit(4)) === dataTag,
+            off + 8)
+            .otherwise(walk(off + 8 + size + size % 2, depth - 1))
+        }
+      walk(lit(12L), maxChunks)
+    }
+
+    /** "Block louder than the byte-sum midpoint" over the REAL PCM
+      * bytes: the window starts at the [[wavDataOffset]]-parsed sample
+      * data (block 0 is samples, never header — a JUNK chunk shifts
+      * the offset, not the features), summed by the codegen'd
+      * [[graft.functions.ByteSum]]. The bit itself stays the crude
+      * byte-sum heuristic every codec's column hook uses; what the
+      * parse guarantees is ALIGNMENT.
       */
     def blockBit(content: Column, block: Column, blockBytes: Int): Column =
       graft.functions.ByteSum(
-        substring(content, block * blockBytes + 1, lit(blockBytes))) >=
-        lit(blockBytes.toLong * 128)
+        substring(content,
+          (wavDataOffset(content) + block * blockBytes + 1).cast(IntegerType),
+          lit(blockBytes))) >= lit(blockBytes.toLong * 128)
 
     def frameSig(content: Column, byteOffset: Column, stride: Int): Column =
-      md5(substring(content, byteOffset + 1, lit(stride)))
+      md5(substring(content,
+        (wavDataOffset(content) + byteOffset + 1).cast(IntegerType),
+        lit(stride)))
   }
 
   // ── Y4M: the REAL video codec (yuv4mpeg2 stream walk, planar YCbCr) ─

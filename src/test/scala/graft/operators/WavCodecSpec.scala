@@ -107,4 +107,48 @@ class WavCodecSpec extends AnyFunSuite {
       Multimodal.encodeWav(8000, s.reverse), "t")
     assert(Multimodal.WavCodec.decode(rev).checksum != f.checksum)
   }
+
+  test("wavDataOffset column walk: 44 plain, 64 past a JUNK chunk, null past depth") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val s = samplesOf(3L, 16)
+    val rows = Seq(
+      (1L, Multimodal.encodeWav(8000, s)),
+      (2L, Multimodal.encodeWav(8000, s, junkChunk = true)))
+      .toDF("id", "content")
+    val offs = rows.select(col("id"),
+        Multimodal.WavCodec.wavDataOffset(col("content")).as("off"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(offs == Map(1L -> 44L, 2L -> 64L))
+    // depth exhausted → null, not a silent header-window
+    val shallow = rows.filter(col("id") === 2L)
+      .select(Multimodal.WavCodec.wavDataOffset(col("content"), maxChunks = 2))
+      .head()
+    assert(shallow.isNullAt(0), "beyond-depth walk must be null")
+  }
+
+  test("blockBit block 0 is PCM-aligned: identical samples give identical bits across layouts") {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = samplesOf(11L, 64)
+    val rows = Seq(
+      (1L, Multimodal.encodeWav(8000, s)),
+      (2L, Multimodal.encodeWav(8000, s, junkChunk = true)))
+      .toDF("id", "content")
+    val bits = rows.select(col("id"),
+        Multimodal.WavCodec.blockBit(col("content"), lit(0L), 16).as("b0"),
+        Multimodal.WavCodec.blockBit(col("content"), lit(3L), 16).as("b3"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(bits(1L) == bits(2L),
+      "a JUNK chunk shifted the feature windows: blockBit is not sample-aligned")
+    // replay block 0's bit from the raw sample bytes (LE pairs)
+    val sum0 = (0 until 8).map { i =>
+      (s(i) & 0xFF) + ((s(i) >> 8) & 0xFF)
+    }.sum
+    assert(bits(1L)._1 == (sum0 >= 16 * 128), "block-0 bit diverged from samples")
+  }
 }
