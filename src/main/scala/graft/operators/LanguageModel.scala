@@ -63,59 +63,77 @@ object LanguageModel {
   val SentenceStart = "<S>"
 
   /** Trained bigram model: count relations, all vocabulary-bounded.
-    * `bigrams` (w1, w2, c12) is the persisted base; `contexts`
-    * (w1, c1), `unigrams` (w2, c2) and `totals` (n_train, 1 row) are
+    * `bigrams` ([groups…,] w1, w2, c12) is the persisted base;
+    * `contexts` (…, w1, c1), `unigrams` (…, w2, c2) and `totals`
+    * (…, n_train — one row per group, one total when ungrouped) are
     * derived re-aggregations of it.
     */
   final case class BigramLm(
       bigrams: DataFrame, contexts: DataFrame,
       unigrams: DataFrame, totals: DataFrame)
 
-  /** (id, w1, w2) bigram stream: one row per TOKEN, conditioned on its
-    * predecessor (the first token on [[SentenceStart]]). Empty or
-    * whitespace-only text yields no rows.
+  /** (id[, groups…], w1, w2) bigram stream: one row per TOKEN,
+    * conditioned on its predecessor (the first token on
+    * [[SentenceStart]]). Empty or whitespace-only text yields no rows.
     */
-  def bigramTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+  def bigramTokens(df: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: groupCols.map(col) :+
+        TextFunctions.tokens(col(textCol)).as("__toks"): _*)
       // zip_with pads to the LONGER array: an empty token list would
       // zip against the one-element ["<S>"] prefix into a null-w2 row
       .filter(size(col("__toks")) > 0)
       .withColumn("__prev", concat(array(lit(SentenceStart)),
         expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))")))
-      .select(col(idCol), explode(zip_with(col("__prev"), col("__toks"),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .select(col(idCol) +: groupCols.map(col) :+
+        explode(zip_with(col("__prev"), col("__toks"),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+      .select(col(idCol) +: groupCols.map(col) :+
+        col("__bg.w1").as("w1") :+ col("__bg.w2").as("w2"): _*)
 
   /** Train on `df` (the trusted reference slice). ONE corpus pass: the
     * bigram aggregate persists (vocabulary-bounded, via the caller's
     * [[CacheScope]]) and every other model relation derives from it —
     * c₁ = Σ_w₂ c₁₂, c₂ = Σ_w₁ c₁₂ (each token is the w₂ of exactly one
     * bigram), N = Σ c₁₂.
+    *
+    * With `groupCols` every model relation is keyed by the group too —
+    * ONE model per group trained in the same single pass (the CCNet
+    * per-language design: a document is judged against ITS language's
+    * model, not a global mixture). Model size stays group-count ×
+    * vocabulary-bounded.
     */
-  def train(df: DataFrame, idCol: String, textCol: String)(
-      implicit cs: CacheScope): BigramLm = {
-    val bi = cs.persist(bigramTokens(df, idCol, textCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+  def train(df: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String] = Nil)(implicit cs: CacheScope): BigramLm = {
+    val g = groupCols.map(col)
+    val bi = cs.persist(bigramTokens(df, idCol, textCol, groupCols)
+      .groupBy(g :+ col("w1") :+ col("w2"): _*).agg(count(lit(1)).as("c12")))
     BigramLm(
       bigrams = bi,
-      contexts = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1")),
-      unigrams = bi.groupBy(col("w2")).agg(sum(col("c12")).as("c2")),
-      totals = bi.agg(sum(col("c12")).as("n_train")))
+      contexts = bi.groupBy(g :+ col("w1"): _*).agg(sum(col("c12")).as("c1")),
+      unigrams = bi.groupBy(g :+ col("w2"): _*).agg(sum(col("c12")).as("c2")),
+      totals = bi.groupBy(g: _*).agg(sum(col("c12")).as("n_train")))
   }
 
   /** Score every document of `df` under the model: per-token stupid-
     * backoff milli-probabilities summed per document. Output one row
     * per input document (token-less documents score 0 with
-    * n_tokens = 0): (id, n_tokens, n_oov, sum_milli, avg_milli).
+    * n_tokens = 0): (id[, groups…], n_tokens, n_oov, sum_milli,
+    * avg_milli). `groupCols` must match training: every model join
+    * adds the group to its key, so a document only ever consults its
+    * own group's counts (a group absent from training scores all-OOV,
+    * exactly like an unseen vocabulary).
     */
   def score(df: DataFrame, lm: BigramLm, idCol: String, textCol: String,
-      broadcastModel: Boolean = true): DataFrame = {
+      groupCols: Seq[String] = Nil, broadcastModel: Boolean = true): DataFrame = {
     def side(m: DataFrame): DataFrame = if (broadcastModel) broadcast(m) else m
-    val scored = bigramTokens(df, idCol, textCol)
-      .join(side(lm.bigrams), Seq("w1", "w2"), "left")
-      .join(side(lm.contexts), Seq("w1"), "left")
-      .join(side(lm.unigrams), Seq("w2"), "left")
-      .crossJoin(broadcast(lm.totals)) // always 1 row
+    val withTotals: DataFrame => DataFrame = bg =>
+      if (groupCols.isEmpty) bg.crossJoin(broadcast(lm.totals)) // 1 row
+      else bg.join(side(lm.totals), groupCols, "left")
+    val scored = withTotals(bigramTokens(df, idCol, textCol, groupCols)
+      .join(side(lm.bigrams), groupCols ++ Seq("w1", "w2"), "left")
+      .join(side(lm.contexts), groupCols :+ "w1", "left")
+      .join(side(lm.unigrams), groupCols :+ "w2", "left"))
       .withColumn("__milli", expr(
         "CASE WHEN c12 IS NOT NULL THEN (1000 * c12) div c1 " +
           "WHEN c2 IS NOT NULL THEN (400 * c2) div n_train " +
@@ -126,11 +144,12 @@ object LanguageModel {
       count(lit(1)).as("n_tokens"),
       sum(col("__oov")).as("n_oov"),
       sum(col("__milli")).as("sum_milli"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).cast(LongType).as("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).cast(LongType).as("n_oov"),
-        coalesce(col("sum_milli"), lit(0L)).cast(LongType).as("sum_milli"))
+    df.select(col(idCol) +: groupCols.map(col): _*)
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol) +: groupCols.map(col) :+
+        coalesce(col("n_tokens"), lit(0L)).cast(LongType).as("n_tokens") :+
+        coalesce(col("n_oov"), lit(0L)).cast(LongType).as("n_oov") :+
+        coalesce(col("sum_milli"), lit(0L)).cast(LongType).as("sum_milli"): _*)
       .withColumn("avg_milli",
         when(col("n_tokens") > 0, expr("sum_milli div n_tokens"))
           .otherwise(lit(0L)))

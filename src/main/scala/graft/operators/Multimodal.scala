@@ -1223,6 +1223,46 @@ object Multimodal {
     * row-local `map` is the ENCODE half of the codec boundary, as in
     * [[bmpMedia]].
     */
+  /** Integer decimation of a real WAV by `factor`: decode, average
+    * each run of `factor` consecutive samples (truncating integer
+    * division — the exact arithmetic DuckDB's `//` replays, including
+    * toward-zero on negative sums), re-encode at `rate/factor`.
+    * Trailing samples that don't fill a block are cropped. The crude
+    * box average is the honest cheap anti-alias (a plain every-k-th
+    * pick would fold noise); the CONTRACT being pinned is the
+    * round trip — chunk-walked decode (JUNK-bearing inputs keep their
+    * samples), exact resample arithmetic, and a re-encoded container
+    * whose rate header reflects the decimation.
+    */
+  def decimateWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"bad decimation factor $factor")
+    val (rate, samples) = decodeWav(bytes)
+    require(rate % factor == 0, s"rate $rate not divisible by $factor")
+    val outN = samples.length / factor
+    require(outN > 0, s"decimating ${samples.length} samples by $factor is degenerate")
+    val out = new Array[Short](outN)
+    var i = 0
+    while (i < outN) {
+      var s = 0
+      var j = 0
+      while (j < factor) { s += samples(i * factor + j); j += 1 }
+      out(i) = (s / factor).toShort
+      i += 1
+    }
+    encodeWav(rate / factor, out)
+  }
+
+  /** Dataset-level audio decimation at the codec boundary — the
+    * temporal counterpart of [[resizeImages]]: row-local decode →
+    * resample → re-encode, non-audio kinds untouched, no shuffle.
+    */
+  def decimateAudio(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    media.map(r =>
+      if (r.kind != "audio") r
+      else r.copy(content = decimateWav(r.content, factor)))
+  }
+
   def wavMedia(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._

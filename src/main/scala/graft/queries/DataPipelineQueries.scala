@@ -2335,6 +2335,50 @@ object DataPipelineQueries {
       |FROM s
       |ORDER BY media_id, sample_no""".stripMargin
 
+  // ── m13: audio decimation (decode → box average → re-encode) ────────
+
+  /** The audio counterpart of m11/m12 — temporal downsample of the m06
+    * WAV corpus by 4 (8000 → 2000 Hz): every container (a third
+    * carrying JUNK chunks, so the chunk walk feeds the resampler) is
+    * decoded, each 4-sample run box-averaged with truncating integer
+    * division, and re-encoded; the DECIMATED container then runs the
+    * full real-decode path, so duration pins the new rate header,
+    * byte_size the rebuilt layout, and the position-weighted checksum
+    * the exact resample arithmetic (negative PCM sums make the
+    * toward-zero division semantics load-bearing). Oracle replays the
+    * sample formula through the 4-tap average in SQL.
+    */
+  val m13_audio_decimate: Q = (s, dir) => {
+    val media = Multimodal.wavMedia(
+      Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+    val dec = Multimodal.decimateAudio(media, factor = 4)
+    Multimodal.processBatches(dec, codec = Multimodal.WavCodec).toDF()
+      .select(col("media_id"), col("duration_ms"),
+        col("byte_size"), col("checksum").as("pcm_checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val m13_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, (40 + doc_id % 32) // 4 AS m FROM documents
+      |),
+      |dec AS (
+      |  SELECT d.doc_id, i.i,
+      |    SUM((31*d.doc_id + 7*(4*i.i + j.j)*(4*i.i + j.j)) % 65536 - 32768) // 4 AS v
+      |  FROM d,
+      |       (SELECT unnest(range(0, 18)) AS i) i,
+      |       (SELECT unnest(range(0, 4)) AS j) j
+      |  WHERE i.i < d.m
+      |  GROUP BY d.doc_id, i.i
+      |)
+      |SELECT dec.doc_id AS media_id,
+      |  CAST(d.m * 1000 // 2000 AS BIGINT) AS duration_ms,
+      |  CAST(44 + 2 * d.m AS BIGINT) AS byte_size,
+      |  CAST(SUM(dec.v * (1 + dec.i)) AS BIGINT) AS pcm_checksum
+      |FROM dec JOIN d USING (doc_id)
+      |GROUP BY dec.doc_id, d.m
+      |ORDER BY media_id""".stripMargin
+
   // ── t35: bigram-LM quality scoring (CCNet-shaped perplexity filter) ──
 
   /** Train a stupid-backoff bigram LM on the trusted slice
@@ -2395,6 +2439,67 @@ object DataPipelineQueries {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ── t36: per-language LM quality (one model per language) ───────────
+
+  /** The CCNet refinement of t35: ONE bigram model per language,
+    * trained in the same single corpus pass (group-keyed aggregates),
+    * each document scored against ITS OWN language's model — a fluent
+    * Spanish document no longer scores as noise against an
+    * English-dominated mixture. All model joins carry the language in
+    * their key, so the plan is t35's (broadcast model, map-side doc
+    * partials) with wider join keys, not per-language jobs.
+    */
+  val t36_lm_per_lang: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val lm = LanguageModel.train(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+      groupCols = Seq("lang"))
+    LanguageModel.score(docs, lm, "doc_id", "text", groupCols = Seq("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t36_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, ${TextFunctions.ToksSql} AS toks FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN p.pos = 1 THEN '<S>' ELSE toks[p.pos - 1] END AS w1,
+       |         toks[p.pos] AS w2
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS pos) p
+       |),
+       |bi AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+       |ctx AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1, 2),
+       |uni AS (SELECT lang, w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS n_train FROM bi GROUP BY 1),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    CASE WHEN bi.c12 IS NOT NULL THEN (1000 * bi.c12) // ctx.c1
+       |         WHEN uni.c2 IS NOT NULL THEN (400 * uni.c2) // tot.n_train
+       |         ELSE 0 END AS milli,
+       |    CASE WHEN bi.c12 IS NULL AND uni.c2 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bg
+       |  LEFT JOIN bi USING (lang, w1, w2)
+       |  LEFT JOIN ctx USING (lang, w1)
+       |  LEFT JOIN uni USING (lang, w2)
+       |  LEFT JOIN tot USING (lang)
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |         CAST(SUM(milli) AS BIGINT) AS sum_milli
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT d.doc_id, d.lang,
+       |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+       |       CAST(COALESCE(a.sum_milli, 0) AS BIGINT) AS sum_milli,
+       |       CAST(CASE WHEN a.n_tokens > 0 THEN a.sum_milli // a.n_tokens
+       |            ELSE 0 END AS BIGINT) AS avg_milli
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -2445,7 +2550,9 @@ object DataPipelineQueries {
     "d59_crossmodal_groups" -> d59_crossmodal_groups,
     "m11_bmp_resize" -> m11_bmp_resize,
     "m12_frame_sample" -> m12_frame_sample,
-    "t35_lm_quality" -> t35_lm_quality)
+    "t35_lm_quality" -> t35_lm_quality,
+    "t36_lm_per_lang" -> t36_lm_per_lang,
+    "m13_audio_decimate" -> m13_audio_decimate)
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01_sql,
@@ -2495,5 +2602,7 @@ object DataPipelineQueries {
     "d59_crossmodal_groups" -> d59_sql,
     "m11_bmp_resize" -> m11_sql,
     "m12_frame_sample" -> m12_sql,
-    "t35_lm_quality" -> t35_sql)
+    "t35_lm_quality" -> t35_sql,
+    "t36_lm_per_lang" -> t36_sql,
+    "m13_audio_decimate" -> m13_sql)
 }

@@ -99,6 +99,26 @@ class LanguageModelSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     lm.bigrams.unpersist()
   }
 
+  test("grouped models isolate languages: a doc only consults its own group") {
+    import spark.implicits._
+    implicit val cs: CacheScope = CacheScope.processOwned
+    val train = Seq((1L, "en", "a b"), (2L, "en", "a b"),
+      (3L, "de", "x y")).toDF("id", "lang", "text")
+    val lm = LanguageModel.train(train, "id", "text", groupCols = Seq("lang"))
+    // "a b" under lang=de: 'a'/'b' exist ONLY in the en model → all OOV
+    val test = Seq((10L, "de", "a b"), (11L, "en", "a b"))
+      .toDF("id", "lang", "text")
+    val out = LanguageModel.score(test, lm, "id", "text",
+        groupCols = Seq("lang")).orderBy("id").collect()
+    // grouped output is (id, lang, n_tokens, n_oov, sum_milli, avg_milli)
+    assert(out(0).getLong(3) == 2L, "de doc must not see en counts (all OOV)")
+    assert(out(0).getLong(5) == 0L)
+    // same text under en: (<S>,a) c12=2/c1=2 → 1000; (a,b) 2/2 → 1000
+    assert(out(1).getLong(3) == 0L)
+    assert(out(1).getLong(5) == 1000L)
+    lm.bigrams.unpersist()
+  }
+
   test("broadcastModel=false runs the same semantics with shuffle joins") {
     implicit val cs: CacheScope = CacheScope.processOwned
     val lm = LanguageModel.train(df((1L, "a b c a b")), "id", "text")

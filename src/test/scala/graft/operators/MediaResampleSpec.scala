@@ -63,6 +63,31 @@ class MediaResampleSpec extends AnyFunSuite {
     assert(out.head.content.toSeq == wav.toSeq)
   }
 
+  test("decimateWav box-averages with toward-zero division and drops the remainder") {
+    // 9 samples by 4 → 2 outputs, 1 cropped; negative sums pin the
+    // truncating (not floor) division: (-7-8-9-10)/4 = -8 (floor −9)
+    val s = Array[Short](1, 2, 3, 5, -7, -8, -9, -10, 999)
+    val out = Multimodal.decimateWav(Multimodal.encodeWav(8000, s), 4)
+    val (rate, got) = Multimodal.decodeWav(out)
+    assert(rate == 2000, "rate header must reflect the decimation")
+    assert(got.toSeq == Seq[Short](2, -8)) // (1+2+3+5)/4=2; (-34)/4=-8
+  }
+
+  test("decimateWav walks chunks: a JUNK-bearing input decimates identically") {
+    val s = Array.tabulate(16)(i => (100 * i - 500).toShort)
+    val plain = Multimodal.decodeWav(
+      Multimodal.decimateWav(Multimodal.encodeWav(8000, s), 4))._2
+    val junked = Multimodal.decodeWav(
+      Multimodal.decimateWav(Multimodal.encodeWav(8000, s, junkChunk = true), 4))._2
+    assert(plain.toSeq == junked.toSeq)
+  }
+
+  test("decimateWav rejects non-divisible rates and degenerate outputs") {
+    val bytes = Multimodal.encodeWav(8000, Array[Short](1, 2, 3))
+    intercept[IllegalArgumentException](Multimodal.decimateWav(bytes, 3)) // 8000 % 3
+    intercept[IllegalArgumentException](Multimodal.decimateWav(bytes, 4)) // 3/4 = 0
+  }
+
   test("sampleFrames honors the parsed rate: stride on fast, repeat on slow") {
     import spark.implicits._
     def vid(id: Long, fps: Int) = Multimodal.MediaRecord(id, "video",
