@@ -1380,6 +1380,116 @@ object SemanticQueries {
       |ORDER BY score DESC, id
       |LIMIT 20""".stripMargin
 
+  // ── w43: LM-quality-gated admission into the unified index ──────────
+
+  /** The quality gate AT the ingestion boundary — t35's bigram-LM
+    * scoring deciding what enters the index at all, with the scores
+    * riding the SAME atomic generation as the six text relations (so
+    * "why was this admitted" is answerable from the index forever):
+    * train on the trusted slice, score the incoming batch, commit ONLY
+    * documents at or above the integer gate (avg_milli ≥ 34 — mid-
+    * distribution, exact integer comparison), the per-doc scores as a
+    * rider member. Require-pinned: redelivery is a no-op, no rejected
+    * document is lexically servable, every admitted document is
+    * searchable in its own generation, and the rider holds exactly the
+    * admitted set. Output: the per-language admission report FROM THE
+    * INDEX RIDER (not the transient scoring frame), the oracle
+    * replaying score → gate → report in SQL.
+    */
+  val w43_lm_gated_admission: Q = (s, dir) => {
+    import graft.operators.LanguageModel
+    import graft.streaming.UnifiedIndex
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val lm = LanguageModel.train(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")(
+      graft.operators.CacheScope.processOwned)
+    // skinny (id, scores) frame feeds the gate, three require-pins and
+    // the rider — persist so the corpus is scored once (t09 contract:
+    // Verify/Bench clear the cache between runs)
+    val scored = LanguageModel.score(docs, lm, "doc_id", "text").persist()
+    val admittedIds = scored.filter(col("avg_milli") >= 34)
+    val adm = docs.join(admittedIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-lmgate")
+        .toFile.getAbsolutePath + "/cat")
+    val rider = admittedIds.select(col("doc_id").as("id"),
+      col("avg_milli"), col("n_oov"))
+    UnifiedIndex.commitBatch(cat, adm, 0L,
+      extraMembers = Map("lmq" -> rider))
+    require(UnifiedIndex.commitBatch(cat, adm, 0L,
+      extraMembers = Map("lmq" -> rider)) == -1L,
+      "redelivered gated batch was re-applied")
+    // no rejected document serves lexically
+    require(UnifiedIndex.postingsLive(cat)._2.select(col("doc_id")).distinct()
+      .join(scored.filter(col("avg_milli") < 34), Seq("doc_id"), "left_semi")
+      .isEmpty, "a rejected document is lexically searchable")
+    // every admitted document is searchable in its own generation
+    require(admittedIds.select(col("doc_id").as("id"))
+      .exceptAll(cat.read("sizes").select(col("id"))).isEmpty,
+      "an admitted document is not searchable")
+    // the rider IS the admitted set
+    val live = UnifiedIndex.memberLive(cat, "lmq", "id")
+    require(live.select(col("id"))
+      .exceptAll(admittedIds.select(col("doc_id"))).isEmpty &&
+      admittedIds.select(col("doc_id"))
+        .exceptAll(live.select(col("id"))).isEmpty,
+      "rider and admitted set diverge")
+    live.join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("avg_milli")).as("sum_avg_milli"),
+        sum(col("n_oov")).as("n_oov_total"),
+        min(col("avg_milli")).as("min_avg_milli"))
+      .orderBy(col("lang"))
+  }
+
+  /** t35's score replay → integer gate → per-language report. */
+  val w43_sql: String = {
+    val toks = graft.functions.TextFunctions.ToksSql
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN p.pos = 1 THEN '<S>' ELSE toks[p.pos - 1] END AS w1,
+       |         toks[p.pos] AS w2
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS pos) p
+       |),
+       |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+       |uni AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_train FROM bi),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    CASE WHEN bi.c12 IS NOT NULL THEN (1000 * bi.c12) // ctx.c1
+       |         WHEN uni.c2 IS NOT NULL THEN (400 * uni.c2) // tot.n_train
+       |         ELSE 0 END AS milli,
+       |    CASE WHEN bi.c12 IS NULL AND uni.c2 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bg
+       |  LEFT JOIN bi USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN uni USING (w2)
+       |  CROSS JOIN tot
+       |),
+       |q AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |         CAST(SUM(milli) // COUNT(*) AS BIGINT) AS avg_milli
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT d.lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_admitted,
+       |       CAST(SUM(q.avg_milli) AS BIGINT) AS sum_avg_milli,
+       |       CAST(SUM(q.n_oov) AS BIGINT) AS n_oov_total,
+       |       CAST(MIN(q.avg_milli) AS BIGINT) AS min_avg_milli
+       |FROM q JOIN documents d USING (doc_id)
+       |WHERE q.avg_milli >= 34
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+  }
+
   val w40_multimodal_stream: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.{IndexMaintenance, UnifiedIndex}
@@ -1621,7 +1731,8 @@ object SemanticQueries {
     "s21_residual_trained" -> s21_residual_trained,
     "s22_ann_deletions" -> s22_ann_deletions,
     "s24_ivfpq_refined" -> s24_ivfpq_refined,
-    "w42_realmodal_admission" -> w42_realmodal_admission)
+    "w42_realmodal_admission" -> w42_realmodal_admission,
+    "w43_lm_gated_admission" -> w43_lm_gated_admission)
 
   val oracles: Map[String, String] = Map(
     "s23_hybrid_index_serve" -> s23_sql,
@@ -1639,5 +1750,6 @@ object SemanticQueries {
     "s21_residual_trained" -> s21_sql,
     "s22_ann_deletions" -> s22_sql,
     "s24_ivfpq_refined" -> s24_sql,
-    "w42_realmodal_admission" -> w42_sql)
+    "w42_realmodal_admission" -> w42_sql,
+    "w43_lm_gated_admission" -> w43_sql)
 }
