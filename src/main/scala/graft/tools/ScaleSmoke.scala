@@ -663,6 +663,32 @@ object ScaleSmoke {
         .filter(col("n_kept") =!= 5).count()
       require(bad == 0, s"expected exactly the boilerplate line dropped, $bad docs differ")
     }
+
+    // bigram-LM quality gate at 500k docs / ~7.5M tokens over a
+    // ~4k-word vocabulary (md5-derived "words" shared across docs via
+    // id%4096 — a realistic Zipf-free stress: the model stays
+    // vocabulary-bounded while every scoring token hits a real count)
+    val lmDocs = {
+      val words = (0 until 15).map(j =>
+        substring(md5(concat(((col("id") * 7 + j) % 4096).cast("string"),
+          lit("_w"))), 1, 6))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }.repartition(32).persist()
+    lmDocs.count()
+    time(s"t35 bigram-LM train (20% slice) + score, $n docs") {
+      implicit val cs: graft.operators.CacheScope =
+        graft.operators.CacheScope.processOwned
+      val lm = graft.operators.LanguageModel.train(
+        lmDocs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      val scored = graft.operators.LanguageModel
+        .score(lmDocs, lm, "doc_id", "text")
+      println(s"[scale]   scored: ${scored.count()}, model bigrams: " +
+        s"${lm.bigrams.count()}")
+      lm.bigrams.unpersist()
+    }
+    lmDocs.unpersist()
+    spark.catalog.clearCache()
   }
 
   /** Shuffle-byte telemetry: sum of task shuffle WRITE bytes during `f`
