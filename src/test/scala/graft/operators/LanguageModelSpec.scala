@@ -119,6 +119,39 @@ class LanguageModelSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     lm.bigrams.unpersist()
   }
 
+  test("scores are bounded: 0 ≤ avg_milli ≤ 1000 whatever the corpus") {
+    implicit val cs: CacheScope = CacheScope.processOwned
+    // c12 ≤ c1 bounds the bigram tier at 1000; the backoff tier at 400
+    val corpus = df((0L until 40L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 5} w${(i * i) % 11} w${i % 3}")): _*)
+    val lm = LanguageModel.train(corpus.filter(col("id") % 2 === 0), "id", "text")
+    val out = LanguageModel.score(corpus, lm, "id", "text")
+    assert(out.filter(col("avg_milli") < 0 || col("avg_milli") > 1000).isEmpty,
+      "avg_milli out of [0, 1000]")
+    assert(out.filter(col("sum_milli") > col("n_tokens") * 1000).isEmpty,
+      "sum_milli exceeds the per-token bound")
+    lm.bigrams.unpersist()
+  }
+
+  test("training is additive: counts over a union equal summed batch counts") {
+    implicit val cs: CacheScope = CacheScope.processOwned
+    // the streaming-maintenance property: bigram counts are a pure sum,
+    // so an incremental model update is a count merge, never a retrain
+    val b1 = df((1L, "a b c"), (2L, "b c a"))
+    val b2 = df((3L, "c a b"), (4L, "a b"))
+    val union = LanguageModel.train(b1.unionAll(b2), "id", "text")
+    val m1 = LanguageModel.train(b1, "id", "text")
+    val m2 = LanguageModel.train(b2, "id", "text")
+    val merged = m1.bigrams
+      .unionAll(m2.bigrams)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c12")).as("c12"))
+    assert(union.bigrams.exceptAll(merged).isEmpty &&
+      merged.exceptAll(union.bigrams).isEmpty,
+      "union-trained bigram counts != merged batch counts")
+    Seq(union, m1, m2).foreach(_.bigrams.unpersist())
+  }
+
   test("broadcastModel=false runs the same semantics with shuffle joins") {
     implicit val cs: CacheScope = CacheScope.processOwned
     val lm = LanguageModel.train(df((1L, "a b c a b")), "id", "text")

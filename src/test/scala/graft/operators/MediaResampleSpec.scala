@@ -50,6 +50,13 @@ class MediaResampleSpec extends AnyFunSuite {
     }
   }
 
+  test("factor 1 is the identity for both resamplers (container-exact)") {
+    val bmp = Multimodal.encodeBmp(5, 3, (x, y) => (x * 7, y * 5, x + y))
+    assert(Multimodal.resizeBmp(bmp, 1).toSeq == bmp.toSeq)
+    val wav = Multimodal.encodeWav(8000, Array[Short](3, -4, 5, -6))
+    assert(Multimodal.decimateWav(wav, 1).toSeq == wav.toSeq)
+  }
+
   test("resizeBmp rejects a resize to nothing") {
     val bmp = Multimodal.encodeBmp(2, 2, (_, _) => (1, 2, 3))
     intercept[IllegalArgumentException](Multimodal.resizeBmp(bmp, 3))
