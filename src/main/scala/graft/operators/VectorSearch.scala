@@ -944,8 +944,9 @@ object VectorSearch {
     */
   def quantizedKMeans(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int)(implicit cs: CacheScope): DataFrame = {
-    val (q, cents, _) = lloydTrain(df, idCol, vecCol, k, iters)
+      k: Int, iters: Int, seeding: String = "first")(
+      implicit cs: CacheScope): DataFrame = {
+    val (q, cents, _) = lloydTrain(df, idCol, vecCol, k, iters, seeding)
     val best = array_min(array(cents.zipWithIndex.map { case (p, i) =>
       struct(qCentDist2(col("__vv"), col("qvec"), p).as("d"), lit(i).as("c"))
     }: _*))
@@ -986,6 +987,16 @@ object VectorSearch {
     *    chases outliers: measured WORSE than "first" on this corpus
     *    (0.08 vs 0.26 overlap@10) — kept as the documented negative
     *    result and for corpora whose hull is the structure.
+    *  - "kmpp": k-means|| (Bahmani et al. 2012, "Scalable k-means++")
+    *    made deterministic — candidate centers D²-proportionally
+    *    sampled with the repo's md5-threshold trick (2 rounds, ~2k
+    *    expected picks each, one corpus pass per round), weighted by
+    *    the corpus mass each attracts (one assignment pass), final k
+    *    picked driver-side by weight·D² greedy maximization over the
+    *    ≤ O(k) candidates. D² sampling keeps candidates
+    *    mass-proportional (what "farthest" lacks), and the weight term
+    *    suppresses the outliers that survive sampling. Cost: ~3 extra
+    *    corpus passes at build time, zero at search.
     */
   private def lloydTrain(
       df: DataFrame, idCol: String, vecCol: String,
@@ -995,30 +1006,84 @@ object VectorSearch {
     val scale = quantScale(df, vecCol)
     val q = cs.persist(quantize(df, idCol, vecCol, scale)
       .withColumn("__vv", graft.functions.IntDot(col("qvec"), col("qvec"))))
+    def strideSeeds(): Seq[Seq[Int]] = {
+      val n = q.count()
+      require(n >= k, s"k=$k exceeds corpus size $n")
+      // 0-based strided positions in the id order (distinct while
+      // n ≥ k: the step (n−1)/(k−1) is ≥ 1)
+      val ranks: Set[Long] =
+        if (k == 1) Set(0L)
+        else (0 until k).map(i => i.toLong * (n - 1) / (k - 1)).toSet
+      // global rank via sorted-RDD zipWithIndex: range-partitioned
+      // sort + per-partition counting — never the single-task global
+      // window a partitionBy-less row_number serializes the whole
+      // quantized corpus through (ADVICE r13)
+      val picked = q.select(col("id"), col("qvec")).orderBy(col("id"))
+        .rdd.zipWithIndex()
+        .filter { case (_, idx) => ranks(idx) }
+        .map { case (r, idx) => (idx, r.getSeq[Int](1).toSeq) }
+        .collect()
+      require(picked.length == k, s"stride seeding picked ${picked.length} of $k")
+      picked.sortBy(_._1).map(_._2).toSeq
+    }
     def seedRows(): Seq[Seq[Int]] = seeding match {
       case "first" =>
         val s = q.orderBy(col("id")).limit(k).collect()
         require(s.length == k, s"k=$k exceeds corpus size ${s.length}")
         s.map(_.getSeq[Int](1)).toSeq
-      case "stride" =>
-        val n = q.count()
-        require(n >= k, s"k=$k exceeds corpus size $n")
-        // 0-based strided positions in the id order (distinct while
-        // n ≥ k: the step (n−1)/(k−1) is ≥ 1)
-        val ranks: Set[Long] =
-          if (k == 1) Set(0L)
-          else (0 until k).map(i => i.toLong * (n - 1) / (k - 1)).toSet
-        // global rank via sorted-RDD zipWithIndex: range-partitioned
-        // sort + per-partition counting — never the single-task global
-        // window a partitionBy-less row_number serializes the whole
-        // quantized corpus through (ADVICE r13)
-        val picked = q.select(col("id"), col("qvec")).orderBy(col("id"))
-          .rdd.zipWithIndex()
-          .filter { case (_, idx) => ranks(idx) }
-          .map { case (r, idx) => (idx, r.getSeq[Int](1).toSeq) }
-          .collect()
-        require(picked.length == k, s"stride seeding picked ${picked.length} of $k")
-        picked.sortBy(_._1).map(_._2).toSeq
+      case "stride" => strideSeeds()
+      case "kmpp" =>
+        // D²-proportional candidate sampling, deterministic: the
+        // md5-uniform u(id, round) ∈ [0, M) accepts a point when
+        // u/M < 2k·d²/Σd² (the k-means|| overselection probability);
+        // doubles only decide SAMPLING (row-local, deterministic on
+        // the same data) — distances and the final selection stay
+        // integer-exact
+        val M = 1000000000L
+        var cand = Seq(q.orderBy(col("id")).limit(1).collect()(0)
+          .getSeq[Int](1).toSeq)
+        for (r <- 1 to 2) {
+          val dmin = array_min(array(cand.map(c =>
+            qCentDist2(col("__vv"), col("qvec"), c)): _*)).cast(LongType)
+          val withD = q.select(col("id"), col("qvec"), dmin.as("__d"))
+          val sumd = withD.agg(sum(col("__d"))).head().getLong(0)
+          if (sumd > 0) {
+            val u = conv(substring(md5(concat(col("id").cast(StringType),
+              lit(s"_kmpp$r"))), 1, 15), 16, 10).cast(LongType) % M
+            val picked = withD.filter(col("__d") > 0)
+              .filter(u.cast(DoubleType) / M.toDouble <
+                lit(2.0 * k) * col("__d").cast(DoubleType) / sumd.toDouble)
+              .orderBy(col("id")).limit(8 * k).collect()
+            cand = (cand ++ picked.map(_.getSeq[Int](1).toSeq)).distinct
+          }
+        }
+        if (cand.size < k) cand = (cand ++ strideSeeds()).distinct
+        require(cand.size >= k,
+          s"kmpp found ${cand.size} distinct candidates for k=$k")
+        // mass each candidate attracts (one assignment pass)
+        val weight = q
+          .select(nearestQCentroid(col("__vv"), col("qvec"), cand).as("__c"))
+          .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        def d2(a: Seq[Int], b: Seq[Int]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { val d = a(i).toLong - b(i); s += d * d; i += 1 }
+          s
+        }
+        // greedy weighted D²: heaviest candidate first, then argmax of
+        // mass × distance²-to-nearest-chosen (integer, ties to lower
+        // candidate index). weight ≤ |corpus|, d² ≤ dims·(2·127)² —
+        // the product stays far under Long overflow below ~10¹² rows.
+        var chosen = List(cand.indices.maxBy(i => (weight.getOrElse(i, 0L), -i)))
+        while (chosen.size < k) {
+          val next = cand.indices.filterNot(chosen.contains)
+            .maxBy { i =>
+              val dm = chosen.iterator.map(j => d2(cand(i), cand(j))).min
+              (weight.getOrElse(i, 0L) * dm, -i.toLong)
+            }
+          chosen = next :: chosen
+        }
+        chosen.reverse.map(cand(_))
       case "farthest" =>
         require(q.count() >= k, s"k=$k exceeds corpus size")
         var chosen = Seq(q.orderBy(col("id")).limit(1).collect()(0)
@@ -1032,7 +1097,7 @@ object VectorSearch {
         }
         chosen
       case other => throw new IllegalArgumentException(
-        s"unknown seeding '$other' (first | stride | farthest)")
+        s"unknown seeding '$other' (first | stride | farthest | kmpp)")
     }
     var cents: Seq[Seq[Int]] = seedRows()
     for (_ <- 1 until iters) {

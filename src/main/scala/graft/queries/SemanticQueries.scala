@@ -886,6 +886,80 @@ object SemanticQueries {
     r
   }
 
+  // ── s25: refined IVF-PQ through TRAINED coarse cells ────────────────
+
+  /** s24 with the COARSE quantizer trained too — the round-14 probe
+    * finding that moves the binding constraint itself: the 8 derived
+    * planes route np4 at a 0.72 ceiling (0.56 at sf0.1), while
+    * k-means cells (full-64-dim s12 Lloyd, k=8, iters=3, first
+    * seeding — exactly the replay depth the s20 oracle already pins)
+    * measure **np2=0.88 / np4=0.94** at sf0.01 (`PqRecallProbe`
+    * ivf-ceiling-trained rows). Everything downstream is s24
+    * unchanged: trained sub-codebooks, ADC shortlist of 50, exact
+    * cosine re-rank. The oracle trains the coarse quantizer as a
+    * FIFTH subspace (s=4, the full 64-dim slice) inside s20's
+    * existing per-subspace Lloyd replay, so one chain pins all five
+    * trainings plus the search.
+    */
+  val s25_trained_cells: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val coarse = VectorSearch.quantizedKMeansModel(
+      e, "vec_id", "embedding", k = 8, iters = 3)
+    val codebooks = (0 until 4).map { sub =>
+      VectorSearch.quantizedKMeansModel(
+        e.select(col("vec_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 3)
+    }
+    val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
+      coarse, codebooks)
+    VectorSearch.searchIvfPqRefined(enc, e, e.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", coarse, codebooks,
+        k = 10, candidates = 50, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s24's replay with the coarse quantizer trained in-chain: the
+    * `subs` relation gains an s=4 branch carrying the FULL vector
+    * (so the shared Lloyd CTEs train it like any other subspace) and
+    * the cell-assignment join reads the s=4 trained centroids from
+    * `cbl` instead of the derived-planes `cents` CTE (left in place,
+    * unused — CTEs may dangle). Same validated-surgery discipline as
+    * s24: a silent replace no-op must fail loudly here, not at the
+    * hash gate.
+    */
+  val s25_sql: String = {
+    val subsOld =
+      """subs AS (
+        |  SELECT v.vec_id, ss.s, list_slice(v.vec, ss.s*16 + 1, ss.s*16 + 16) AS sub
+        |  FROM vecs v CROSS JOIN ss
+        |),""".stripMargin
+    val subsNew =
+      """subs AS (
+        |  SELECT v.vec_id, ss.s, list_slice(v.vec, ss.s*16 + 1, ss.s*16 + 16) AS sub
+        |  FROM vecs v CROSS JOIN ss
+        |  UNION ALL
+        |  SELECT v.vec_id, 4 AS s, v.vec AS sub FROM vecs v
+        |),""".stripMargin
+    val centsJoinOld = "FROM vecs v CROSS JOIN cents c"
+    val centsJoinNew =
+      "FROM vecs v CROSS JOIN (SELECT c AS j, cvec FROM cbl WHERE s = 4) c"
+    val r = s24_sql.replace(subsOld, subsNew)
+      .replace(centsJoinOld, centsJoinNew)
+      // balanced trained cells capture the neighborhood at depth 2;
+      // deeper probes only dilute the fixed shortlist with ADC noise
+      // (measured: np2 R50 = 0.76 vs np4 R50 = 0.64 at sf0.01)
+      .replace("WHERE rn <= 4 AND vec_id < 5", "WHERE rn <= 2 AND vec_id < 5")
+    require(r.contains("WHERE rn <= 2 AND vec_id < 5"),
+      "s25 oracle surgery: the probe-depth pattern no longer matches s24's text")
+    require(r.contains("UNION ALL") && r.contains("4 AS s"),
+      "s25 oracle surgery: the subs pattern no longer matches s20's text")
+    require(r.contains("FROM cbl WHERE s = 4"),
+      "s25 oracle surgery: the cell-assignment pattern no longer matches s20's text")
+    r
+  }
+
   // ── s21: residual encoding with residual-TRAINED codebooks ─────────
 
   /** The full IVFADC arc, closed: s16 proved residual MACHINERY but
@@ -1732,7 +1806,8 @@ object SemanticQueries {
     "s22_ann_deletions" -> s22_ann_deletions,
     "s24_ivfpq_refined" -> s24_ivfpq_refined,
     "w42_realmodal_admission" -> w42_realmodal_admission,
-    "w43_lm_gated_admission" -> w43_lm_gated_admission)
+    "w43_lm_gated_admission" -> w43_lm_gated_admission,
+    "s25_trained_cells" -> s25_trained_cells)
 
   val oracles: Map[String, String] = Map(
     "s23_hybrid_index_serve" -> s23_sql,
@@ -1751,5 +1826,6 @@ object SemanticQueries {
     "s22_ann_deletions" -> s22_sql,
     "s24_ivfpq_refined" -> s24_sql,
     "w42_realmodal_admission" -> w42_sql,
-    "w43_lm_gated_admission" -> w43_sql)
+    "w43_lm_gated_admission" -> w43_sql,
+    "s25_trained_cells" -> s25_sql)
 }

@@ -39,6 +39,23 @@ object PqRecallProbe {
       }
       println(f"$dir ivf-ceiling " +
         ceil.map { case (np, s) => f"np$np=$s%.2f" }.mkString(" "))
+      // TRAINED coarse quantizer (round 14): the routing ceiling is
+      // the binding constraint at scale (np4 fell 0.72 → 0.56 at 10×
+      // corpus), and the 8 derived planes are NOT trained cells —
+      // k-means cells (Lloyd over the full 64-dim vectors) with each
+      // seeding, including the new deterministic k-means|| ("kmpp"),
+      // measured at the same depths
+      for ((sd, it) <- Seq(("first", 8), ("first", 3), ("stride", 8),
+          ("kmpp", 8))) {
+        val tc = VectorSearch.quantizedKMeansModel(e, "vec_id", "embedding",
+          k = 8, iters = it, seeding = sd)
+        val tceil = Seq(2, 4).map { np =>
+          np -> score(sets(VectorSearch.ivfTopK(e, q, "vec_id", "embedding",
+            "vec_id", tc, 10, nProbe = np)))
+        }
+        println(f"$dir ivf-ceiling-trained-$sd-i$it " +
+          tceil.map { case (np, s) => f"np$np=$s%.2f" }.mkString(" "))
+      }
       // trained codebooks: m subspaces of 64/m dims, k codewords
       def books(m: Int, k: Int, iters: Int, seeding: String) = {
         val sd = 64 / m
@@ -60,6 +77,8 @@ object PqRecallProbe {
         ("m4k32i8-stride", 4, 32, 8, "stride"),
         ("m8k16i8-stride", 8, 16, 8, "stride"),
         ("m8k32i8-stride", 8, 32, 8, "stride"),
+        ("m4k32i8-kmpp", 4, 32, 8, "kmpp"),
+        ("m8k16i8-kmpp", 8, 16, 8, "kmpp"),
         ("m4k8i8-far", 4, 8, 8, "farthest"))
       for ((tag, m, k, it, sd) <- cfgs; np <- Seq(2, 4)) {
         println(f"$dir pq $tag np$np=${pq(m, k, it, sd, np)}%.2f")
@@ -80,6 +99,20 @@ object PqRecallProbe {
           "vec_id", "vec_id", "embedding", planes, cb, 10,
           candidates = r, nProbe = np)))
         println(f"$dir pq-refined m${m}k$k np$np R$r=$got%.2f")
+      }
+      // the s25 configuration: refined search through TRAINED cells
+      // (full-dim Lloyd k=8 i=3 first — the oracle-replayable config)
+      {
+        val tc = VectorSearch.quantizedKMeansModel(e, "vec_id", "embedding",
+          k = 8, iters = 3)
+        val cb = books(4, 8, 3, "first")
+        val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding", tc, cb)
+        for (np <- Seq(2, 4); r <- Seq(50, 100)) {
+          val got = score(sets(VectorSearch.searchIvfPqRefined(enc, e, q,
+            "vec_id", "vec_id", "embedding", tc, cb, 10,
+            candidates = r, nProbe = np)))
+          println(f"$dir pq-refined-trainedcells m4k8 np$np R$r=$got%.2f")
+        }
       }
     }
     spark.stop()

@@ -448,6 +448,38 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(run(vecs.repartition(7)) == out)
   }
 
+  test("kmpp seeding lands one seed per mass region before any Lloyd round") {
+    import spark.implicits._
+    // three tight, well-separated clusters ALL of whose lowest ids sit
+    // in cluster A — "first" seeding with iters=1 (pure seeding, no
+    // update) cannot separate them; k-means|| must: D²-sampling pulls
+    // candidates from every distant mass, and the weight·D² greedy
+    // keeps one per region rather than an outlier
+    def around(base: Int, i: Long): Array[Float] =
+      Array.tabulate(8)(d => (if (d == base) 1.0 else 0.0).toFloat +
+        (math.sin(i * 13 + d) * 0.02).toFloat)
+    val rows = (1L to 20L).map(i => (i, around(0, i))) ++
+      (21L to 40L).map(i => (i, around(3, i))) ++
+      (41L to 60L).map(i => (i, around(6, i)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    def bands(seeding: String): Seq[Seq[Int]] = {
+      val out = VectorSearch.quantizedKMeans(vecs, "vec_id", "embedding",
+          k = 3, iters = 1, seeding = seeding)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      Seq(1L to 20L, 21L to 40L, 41L to 60L)
+        .map(b => out.filter(t => b.contains(t._1)).map(_._2).distinct.toSeq)
+    }
+    val kmpp = bands("kmpp")
+    assert(kmpp.forall(_.size == 1) && kmpp.flatten.distinct.size == 3,
+      s"kmpp seeds must separate the three planted clusters: $kmpp")
+    // the control: lowest-id seeding starts all three seeds inside
+    // cluster A, so cluster A SPLITS across labels and the bands
+    // cannot come out one-label-each without Lloyd rounds
+    val first = bands("first")
+    assert(!(first.forall(_.size == 1) && first.flatten.distinct.size == 3),
+      s"control failed — 'first' cleanly separated the clusters at iters=1: $first")
+  }
+
   test("embedding decontamination flags only near-eval vectors") {
     import spark.implicits._
     def unit(d0: Int): Array[Float] = Array.tabulate(8)(d => if (d == d0) 1.0f else 0.0f)
