@@ -960,6 +960,142 @@ object SemanticQueries {
     r
   }
 
+  // ── s26: the trained index PERSISTED — model + codes + flat store ──
+
+  /** s25's trained-cells index as a SERVING artifact — the FAISS
+    * IndexRefineFlat architecture made durable: ONE atomic catalog
+    * commit carries the quantization MODEL (coarse centroids + the
+    * four sub-codebooks, tiny relations), the PQ `codes`, and the raw
+    * vectors as the refine `flat` store. Serving reads ONLY stored
+    * relations — the model is reconstructed from its relations
+    * (require-pinned EXACTLY equal to the trained one: doubles
+    * round-trip parquet bit-exact), the ADC scan runs over the stored
+    * codes, the refine join over the stored flat member; the
+    * embeddings table is touched only for the bounded query-vector
+    * fetch (s23's convention). WHY the model must ride the commit: a
+    * code store without its codebooks is unreadable, and a crash
+    * between "codes written" and "model written" would strand exactly
+    * that — the multi-table generation makes the tear impossible.
+    * Oracle: s25's replay verbatim (declared sharing — the output
+    * contract is identical; what this query adds is the storage
+    * round trip, pinned by the same hash).
+    */
+  val s26_trained_index_serve: Q = (s, dir) => {
+    import graft.streaming.CatalogSink
+    val e = Tables(s, dir, "embeddings")
+    val coarse = VectorSearch.quantizedKMeansModel(
+      e, "vec_id", "embedding", k = 8, iters = 3)
+    val codebooks = (0 until 4).map { sub =>
+      VectorSearch.quantizedKMeansModel(
+        e.select(col("vec_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 3)
+    }
+    val spark = s
+    import spark.implicits._
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-trainedidx")
+        .toFile.getAbsolutePath + "/cat")
+    def modelRelations: Map[String, (Option[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame] = Map(
+      "codes" -> ((_, b) => VectorSearch.encodeIvfPq(b, "vec_id", "embedding",
+        coarse, codebooks)),
+      "flat" -> ((_, b) => b.select(col("vec_id"), col("embedding"))),
+      "coarse" -> ((_, _) => coarse.zipWithIndex
+        .map { case (c, j) => (j, c) }.toDF("j", "cvec")),
+      "books" -> ((_, _) => codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, j) => (sub, j, c) }
+      }.toDF("s", "j", "cvec")))
+    CatalogSink.commitBatch(cat, e, 0L, modelRelations)
+    require(CatalogSink.commitBatch(cat, e, 0L, modelRelations) == -1L,
+      "redelivered index-build batch was re-applied")
+    // reconstruct the model FROM THE STORE; it must be the trained one
+    val storedCoarse = cat.read("coarse").orderBy(col("j")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    require(storedCoarse == coarse,
+      "coarse centroids did not round-trip the catalog bit-exact")
+    val storedBooks = (0 until 4).map { sub =>
+      cat.read("books").filter(col("s") === sub).orderBy(col("j"))
+        .collect().map(_.getSeq[Double](2).toSeq).toSeq
+    }
+    require(storedBooks == codebooks,
+      "codebooks did not round-trip the catalog bit-exact")
+    VectorSearch.searchIvfPqRefined(cat.read("codes"), cat.read("flat"),
+        e.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", storedCoarse, storedBooks,
+        k = 10, candidates = 50, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ── s27: forget on the persisted trained index (flat store too) ────
+
+  /** The deletion lifecycle s22 pins for CODES, extended to the piece
+    * a refine-stage index uniquely adds: the raw-vector FLAT store. A
+    * code-only forget leaves the refine join able to RESURRECT a
+    * deleted vector with its exact cosine — the quiet GDPR failure a
+    * two-stage index invites, because stage-1 masking makes stage 2
+    * look correct in every test that doesn't probe it. Here the forget
+    * is one catalog generation rewriting codes AND flat together (a
+    * reader can never see one masked and the other not), redelivery
+    * no-ops, and the require-pins check BOTH relations plus the served
+    * output. Oracle: s25's replay with the deletion predicate on the
+    * candidate side (s22's surgery discipline).
+    */
+  val s27_trained_index_forget: Q = (s, dir) => {
+    import graft.streaming.CatalogSink
+    val e = Tables(s, dir, "embeddings")
+    val coarse = VectorSearch.quantizedKMeansModel(
+      e, "vec_id", "embedding", k = 8, iters = 3)
+    val codebooks = (0 until 4).map { sub =>
+      VectorSearch.quantizedKMeansModel(
+        e.select(col("vec_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 3)
+    }
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-trainedfgt")
+        .toFile.getAbsolutePath + "/cat")
+    CatalogSink.commitBatch(cat, e, 0L, Map(
+      "codes" -> ((_, b: org.apache.spark.sql.DataFrame) =>
+        VectorSearch.encodeIvfPq(b, "vec_id", "embedding", coarse, codebooks)),
+      "flat" -> ((_, b: org.apache.spark.sql.DataFrame) =>
+        b.select(col("vec_id"), col("embedding")))))
+    // the forget wave: ONE generation rewrites both relations
+    val forget = Map(
+      "codes" -> ((p: Option[org.apache.spark.sql.DataFrame],
+          _: org.apache.spark.sql.DataFrame) =>
+        p.get.filter(col("id") % 9 =!= 4)), // encode renames the key
+      "flat" -> ((p: Option[org.apache.spark.sql.DataFrame],
+          _: org.apache.spark.sql.DataFrame) =>
+        p.get.filter(col("vec_id") % 9 =!= 4)))
+    CatalogSink.commitBatch(cat, e.limit(0), 1L, forget)
+    require(CatalogSink.commitBatch(cat, e.limit(0), 1L, forget) == -1L,
+      "redelivered forget wave was re-applied")
+    require(cat.read("codes").filter(col("id") % 9 === 4).isEmpty,
+      "a forgotten vector still has codes")
+    require(cat.read("flat").filter(col("vec_id") % 9 === 4).isEmpty,
+      "a forgotten vector survives in the refine flat store")
+    val out = VectorSearch.searchIvfPqRefined(cat.read("codes"),
+        cat.read("flat"), e.filter(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", coarse, codebooks,
+        k = 10, candidates = 50, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("id"))
+    require(out.filter(col("id") % 9 === 4).isEmpty,
+      "the refine stage resurrected a forgotten vector")
+    out.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s25's replay minus the forgotten vectors on the candidate side
+    * (the s22 surgery discipline, validated). */
+  val s27_sql: String = {
+    val r = s25_sql.replace(
+      "a.vec_id <> p.vec_id",
+      "a.vec_id <> p.vec_id AND a.vec_id % 9 <> 4")
+    require(r.contains("a.vec_id % 9 <> 4"),
+      "s27 oracle surgery: the candidate pattern no longer matches s20's text")
+    r
+  }
+
   // ── s21: residual encoding with residual-TRAINED codebooks ─────────
 
   /** The full IVFADC arc, closed: s16 proved residual MACHINERY but
@@ -1807,7 +1943,9 @@ object SemanticQueries {
     "s24_ivfpq_refined" -> s24_ivfpq_refined,
     "w42_realmodal_admission" -> w42_realmodal_admission,
     "w43_lm_gated_admission" -> w43_lm_gated_admission,
-    "s25_trained_cells" -> s25_trained_cells)
+    "s25_trained_cells" -> s25_trained_cells,
+    "s26_trained_index_serve" -> s26_trained_index_serve,
+    "s27_trained_index_forget" -> s27_trained_index_forget)
 
   val oracles: Map[String, String] = Map(
     "s23_hybrid_index_serve" -> s23_sql,
@@ -1827,5 +1965,7 @@ object SemanticQueries {
     "s24_ivfpq_refined" -> s24_sql,
     "w42_realmodal_admission" -> w42_sql,
     "w43_lm_gated_admission" -> w43_sql,
-    "s25_trained_cells" -> s25_sql)
+    "s25_trained_cells" -> s25_sql,
+    "s26_trained_index_serve" -> s25_sql,
+    "s27_trained_index_forget" -> s27_sql)
 }
