@@ -115,6 +115,95 @@ object LanguageModel {
       totals = bi.groupBy(g: _*).agg(sum(col("c12")).as("n_train")))
   }
 
+  /** (id, w1, w2, w3) trigram stream: one row per TOKEN, conditioned
+    * on its two predecessors (positions before the document start read
+    * [[SentenceStart]], the standard double-pad). The (w2, w3)
+    * projection of this stream IS the [[bigramTokens]] stream — which
+    * is what lets the trigram model derive every lower order from one
+    * aggregate.
+    */
+  def trigramTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__p1", concat(array(lit(SentenceStart)),
+        expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))")))
+      // truncate the double-pad to the token count: a 1-token document
+      // would otherwise leave __p2 one LONGER than the zip partners and
+      // zip_with pads with a null row
+      .withColumn("__p2", expr(
+        "slice(concat(array('" + SentenceStart + "', '" + SentenceStart +
+          "'), slice(__toks, 1, greatest(size(__toks) - 2, 0))), 1, size(__toks))"))
+      .select(col(idCol), explode(zip_with(col("__p2"),
+        zip_with(col("__p1"), col("__toks"),
+          (b, c) => struct(b.as("w2"), c.as("w3"))),
+        (a, bc) => struct(a.as("w1"), bc.getField("w2").as("w2"),
+          bc.getField("w3").as("w3")))).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"),
+        col("__tg.w2").as("w2"), col("__tg.w3").as("w3"))
+
+  /** Trained trigram model: ONE corpus aggregate (w1,w2,w3 counts);
+    * every backoff relation derives from it model-sized — c(w1w2·) by
+    * summing over w3, the bigram tier c(w2w3) by summing over w1
+    * (each token is the w3 of exactly one trigram), its context
+    * c(w2·) from that, unigrams and N likewise.
+    */
+  final case class TrigramLm(
+      trigrams: DataFrame, ctx12: DataFrame,
+      bigrams23: DataFrame, ctx2: DataFrame,
+      unigrams: DataFrame, totals: DataFrame)
+
+  def trainTrigram(df: DataFrame, idCol: String, textCol: String)(
+      implicit cs: CacheScope): TrigramLm = {
+    val tri = cs.persist(trigramTokens(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123")))
+    val bi23 = tri.groupBy(col("w2"), col("w3")).agg(sum(col("c123")).as("c23"))
+    TrigramLm(
+      trigrams = tri,
+      ctx12 = tri.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12")),
+      bigrams23 = bi23,
+      ctx2 = bi23.groupBy(col("w2")).agg(sum(col("c23")).as("c2")),
+      unigrams = bi23.groupBy(col("w3")).agg(sum(col("c23")).as("c3")),
+      totals = tri.agg(sum(col("c123")).as("n_train")))
+  }
+
+  /** Trigram stupid backoff in the same integer milli units as
+    * [[score]], one more tier deep:
+    *   (1000·c₁₂₃) div c₁₂ | (400·c₂₃) div c₂ | (160·c₃) div N | 0
+    * (0.4 per backoff level — 0.4² = 0.16 at the unigram tier). Same
+    * output contract as the bigram scorer.
+    */
+  def scoreTrigram(df: DataFrame, lm: TrigramLm, idCol: String,
+      textCol: String, broadcastModel: Boolean = true): DataFrame = {
+    def side(m: DataFrame): DataFrame = if (broadcastModel) broadcast(m) else m
+    val scored = trigramTokens(df, idCol, textCol)
+      .join(side(lm.trigrams), Seq("w1", "w2", "w3"), "left")
+      .join(side(lm.ctx12), Seq("w1", "w2"), "left")
+      .join(side(lm.bigrams23), Seq("w2", "w3"), "left")
+      .join(side(lm.ctx2), Seq("w2"), "left")
+      .join(side(lm.unigrams), Seq("w3"), "left")
+      .crossJoin(broadcast(lm.totals))
+      .withColumn("__milli", expr(
+        "CASE WHEN c123 IS NOT NULL THEN (1000 * c123) div c12 " +
+          "WHEN c23 IS NOT NULL THEN (400 * c23) div c2 " +
+          "WHEN c3 IS NOT NULL THEN (160 * c3) div n_train " +
+          "ELSE 0 END"))
+      .withColumn("__oov", when(col("c123").isNull && col("c23").isNull &&
+        col("c3").isNull, 1L).otherwise(0L))
+    val agg = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("__oov")).as("n_oov"),
+      sum(col("__milli")).as("sum_milli"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).cast(LongType).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).cast(LongType).as("n_oov"),
+        coalesce(col("sum_milli"), lit(0L)).cast(LongType).as("sum_milli"))
+      .withColumn("avg_milli",
+        when(col("n_tokens") > 0, expr("sum_milli div n_tokens"))
+          .otherwise(lit(0L)))
+  }
+
   /** Score every document of `df` under the model: per-token stupid-
     * backoff milli-probabilities summed per document. Output one row
     * per input document (token-less documents score 0 with

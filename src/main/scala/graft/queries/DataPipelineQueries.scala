@@ -2500,6 +2500,72 @@ object DataPipelineQueries {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ── t37: trigram LM quality (one tier deeper, one aggregate still) ──
+
+  /** t35 one backoff tier deeper — the trigram stupid-backoff scorer
+    * (CCNet trains 5-grams; the tier STRUCTURE is what this pins):
+    * (1000·c₁₂₃)÷c₁₂ | (400·c₂₃)÷c₂ | (160·c₃)÷N | OOV. Training is
+    * still ONE corpus aggregate: the (w2,w3) projection of the trigram
+    * stream IS the bigram stream, so every backoff relation derives
+    * from the trigram counts model-sized (`LanguageModel.trainTrigram`).
+    */
+  val t37_lm_trigram: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val lm = LanguageModel.trainTrigram(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    LanguageModel.scoreTrigram(docs, lm, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val t37_sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextFunctions.ToksSql} AS toks FROM documents
+       |),
+       |tg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN p.pos <= 2 THEN '<S>' ELSE toks[p.pos - 2] END AS w1,
+       |         CASE WHEN p.pos <= 1 THEN '<S>' ELSE toks[p.pos - 1] END AS w2,
+       |         toks[p.pos] AS w3
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS pos) p
+       |),
+       |tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+       |        FROM tg WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+       |cx AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12 FROM tri GROUP BY 1, 2),
+       |b23 AS (SELECT w2, w3, CAST(SUM(c123) AS BIGINT) AS c23 FROM tri GROUP BY 1, 2),
+       |c2 AS (SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2 FROM b23 GROUP BY 1),
+       |uni AS (SELECT w3, CAST(SUM(c23) AS BIGINT) AS c3 FROM b23 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c123) AS BIGINT) AS n_train FROM tri),
+       |sc AS (
+       |  SELECT tg.doc_id,
+       |    CASE WHEN tri.c123 IS NOT NULL THEN (1000 * tri.c123) // cx.c12
+       |         WHEN b23.c23 IS NOT NULL THEN (400 * b23.c23) // c2.c2
+       |         WHEN uni.c3 IS NOT NULL THEN (160 * uni.c3) // tot.n_train
+       |         ELSE 0 END AS milli,
+       |    CASE WHEN tri.c123 IS NULL AND b23.c23 IS NULL AND uni.c3 IS NULL
+       |         THEN 1 ELSE 0 END AS oov
+       |  FROM tg
+       |  LEFT JOIN tri USING (w1, w2, w3)
+       |  LEFT JOIN cx USING (w1, w2)
+       |  LEFT JOIN b23 USING (w2, w3)
+       |  LEFT JOIN c2 USING (w2)
+       |  LEFT JOIN uni USING (w3)
+       |  CROSS JOIN tot
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |         CAST(SUM(milli) AS BIGINT) AS sum_milli
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+       |       CAST(COALESCE(a.sum_milli, 0) AS BIGINT) AS sum_milli,
+       |       CAST(CASE WHEN a.n_tokens > 0 THEN a.sum_milli // a.n_tokens
+       |            ELSE 0 END AS BIGINT) AS avg_milli
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ── registry ────────────────────────────────────────────────────────
 
   val queries: Map[String, Q] = Map(
@@ -2552,6 +2618,7 @@ object DataPipelineQueries {
     "m12_frame_sample" -> m12_frame_sample,
     "t35_lm_quality" -> t35_lm_quality,
     "t36_lm_per_lang" -> t36_lm_per_lang,
+    "t37_lm_trigram" -> t37_lm_trigram,
     "m13_audio_decimate" -> m13_audio_decimate)
 
   val oracles: Map[String, String] = Map(
@@ -2604,5 +2671,6 @@ object DataPipelineQueries {
     "m12_frame_sample" -> m12_sql,
     "t35_lm_quality" -> t35_sql,
     "t36_lm_per_lang" -> t36_sql,
+    "t37_lm_trigram" -> t37_sql,
     "m13_audio_decimate" -> m13_sql)
 }

@@ -119,6 +119,33 @@ class LanguageModelSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     lm.bigrams.unpersist()
   }
 
+  test("trigramTokens double-pads the sentence start") {
+    val tg = LanguageModel.trigramTokens(df((1L, "a b c")), "id", "text")
+      .select("w1", "w2", "w3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(tg.toSeq == Seq(("<S>", "<S>", "a"), ("<S>", "a", "b"), ("a", "b", "c")))
+  }
+
+  test("trigram backoff tiers score by hand: trigram, bigram, unigram, OOV") {
+    implicit val cs: CacheScope = CacheScope.processOwned
+    // train "a b c" ×2, "a b d" ×1 → N = 9
+    val lm = LanguageModel.trainTrigram(
+      df((1L, "a b c"), (2L, "a b c"), (3L, "a b d")), "id", "text")
+    // "a b c": (<S><S>a) 3/3 → 1000; (<S>ab) 3/3 → 1000; (abc) 2/3 → 666
+    val r1 = LanguageModel.scoreTrigram(df((10L, "a b c")), lm, "id", "text").head()
+    assert(r1.getLong(3) == 1000L + 1000L + 666L)
+    // "b c": trigram (<S><S>b) unseen; bigram tier (<S>,b) unseen;
+    // unigram b c3=3, N=9 → 160*3 div 9 = 53. then (<S> b c): trigram
+    // unseen, bigram (b,c) c23=2, c2(b)=3 → 400*2 div 3 = 266
+    val r2 = LanguageModel.scoreTrigram(df((11L, "b c")), lm, "id", "text").head()
+    assert(r2.getLong(3) == 53L + 266L, s"got ${r2.getLong(3)}")
+    assert(r2.getLong(2) == 0L)
+    // OOV: "x" at every tier
+    val r3 = LanguageModel.scoreTrigram(df((12L, "x")), lm, "id", "text").head()
+    assert(r3.getLong(2) == 1L && r3.getLong(3) == 0L)
+    lm.trigrams.unpersist()
+  }
+
   test("scores are bounded: 0 ≤ avg_milli ≤ 1000 whatever the corpus") {
     implicit val cs: CacheScope = CacheScope.processOwned
     // c12 ≤ c1 bounds the bigram tier at 1000; the backoff tier at 400
