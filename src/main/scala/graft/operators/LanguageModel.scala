@@ -72,6 +72,29 @@ object LanguageModel {
       bigrams: DataFrame, contexts: DataFrame,
       unigrams: DataFrame, totals: DataFrame)
 
+  /** The shared output tail of every scorer: per-document aggregate of
+    * (__milli, __oov) token rows, re-attached to the input so token-
+    * less documents emit zeroed rows, avg_milli last. One definition —
+    * the column contract (names, LongType, zero-fill) is what the
+    * t35/t36/t37/w43 oracles hash, so it must not fork per scorer.
+    */
+  private def aggregateScores(scored: DataFrame, df: DataFrame,
+      idCol: String, groupCols: Seq[String] = Nil): DataFrame = {
+    val agg = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("__oov")).as("n_oov"),
+      sum(col("__milli")).as("sum_milli"))
+    df.select(col(idCol) +: groupCols.map(col): _*)
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol) +: groupCols.map(col) :+
+        coalesce(col("n_tokens"), lit(0L)).cast(LongType).as("n_tokens") :+
+        coalesce(col("n_oov"), lit(0L)).cast(LongType).as("n_oov") :+
+        coalesce(col("sum_milli"), lit(0L)).cast(LongType).as("sum_milli"): _*)
+      .withColumn("avg_milli",
+        when(col("n_tokens") > 0, expr("sum_milli div n_tokens"))
+          .otherwise(lit(0L)))
+  }
+
   /** (id[, groups…], w1, w2) bigram stream: one row per TOKEN,
     * conditioned on its predecessor (the first token on
     * [[SentenceStart]]). Empty or whitespace-only text yields no rows.
@@ -190,18 +213,7 @@ object LanguageModel {
           "ELSE 0 END"))
       .withColumn("__oov", when(col("c123").isNull && col("c23").isNull &&
         col("c3").isNull, 1L).otherwise(0L))
-    val agg = scored.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(col("__oov")).as("n_oov"),
-      sum(col("__milli")).as("sum_milli"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).cast(LongType).as("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).cast(LongType).as("n_oov"),
-        coalesce(col("sum_milli"), lit(0L)).cast(LongType).as("sum_milli"))
-      .withColumn("avg_milli",
-        when(col("n_tokens") > 0, expr("sum_milli div n_tokens"))
-          .otherwise(lit(0L)))
+    aggregateScores(scored, df, idCol)
   }
 
   /** Score every document of `df` under the model: per-token stupid-
@@ -229,18 +241,6 @@ object LanguageModel {
           "ELSE 0 END"))
       .withColumn("__oov",
         when(col("c12").isNull && col("c2").isNull, 1L).otherwise(0L))
-    val agg = scored.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(col("__oov")).as("n_oov"),
-      sum(col("__milli")).as("sum_milli"))
-    df.select(col(idCol) +: groupCols.map(col): _*)
-      .join(agg, Seq(idCol), "left")
-      .select(col(idCol) +: groupCols.map(col) :+
-        coalesce(col("n_tokens"), lit(0L)).cast(LongType).as("n_tokens") :+
-        coalesce(col("n_oov"), lit(0L)).cast(LongType).as("n_oov") :+
-        coalesce(col("sum_milli"), lit(0L)).cast(LongType).as("sum_milli"): _*)
-      .withColumn("avg_milli",
-        when(col("n_tokens") > 0, expr("sum_milli div n_tokens"))
-          .otherwise(lit(0L)))
+    aggregateScores(scored, df, idCol, groupCols)
   }
 }

@@ -1132,11 +1132,11 @@ object Multimodal {
     * [[y4mFrameSigs]] from the decoded plane. Row-local decode at the
     * sanctioned codec boundary; constant work per record, no shuffle.
     */
-  def sampleFrames(media: Dataset[MediaRecord], targetFps: Int): DataFrame = {
+  def sampleFramesAtRate(media: Dataset[MediaRecord], targetFps: Int): DataFrame = {
     require(targetFps > 0, s"bad target rate $targetFps")
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.flatMap { r =>
+    media.mapPartitions(_.filter(_.kind == "video").flatMap { r =>
       val (_, _, num, den, frames) = decodeY4m(r.content)
       val n = frames.length
       val sigs = new Array[Long](n) // memoize: upsampling revisits frames

@@ -1045,7 +1045,11 @@ object VectorSearch {
         for (r <- 1 to 2) {
           val dmin = array_min(array(cand.map(c =>
             qCentDist2(col("__vv"), col("qvec"), c)): _*)).cast(LongType)
-          val withD = q.select(col("id"), col("qvec"), dmin.as("__d"))
+          // persisted: the D² column feeds TWO actions (the Σd²
+          // aggregate and the sampled collect) — without the persist
+          // each round scans the corpus twice computing |cand|
+          // quantized distances per row
+          val withD = q.select(col("id"), col("qvec"), dmin.as("__d")).persist()
           val sumd = withD.agg(sum(col("__d"))).head().getLong(0)
           if (sumd > 0) {
             val u = conv(substring(md5(concat(col("id").cast(StringType),
@@ -1056,6 +1060,7 @@ object VectorSearch {
               .orderBy(col("id")).limit(8 * k).collect()
             cand = (cand ++ picked.map(_.getSeq[Int](1).toSeq)).distinct
           }
+          withD.unpersist()
         }
         if (cand.size < k) cand = (cand ++ strideSeeds()).distinct
         require(cand.size >= k,

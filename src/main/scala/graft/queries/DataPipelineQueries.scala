@@ -2310,7 +2310,7 @@ object DataPipelineQueries {
   val m12_frame_sample: Q = (s, dir) => {
     val media = Multimodal.y4mMedia(
       Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
-    Multimodal.sampleFrames(media, targetFps = 15)
+    Multimodal.sampleFramesAtRate(media, targetFps = 15)
       .orderBy(col("media_id"), col("sample_no"))
   }
 

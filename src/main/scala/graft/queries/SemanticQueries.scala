@@ -886,6 +886,26 @@ object SemanticQueries {
     r
   }
 
+  /** The ONE trained-index configuration s25/s26/s27 share — coarse
+    * cells (full-dim Lloyd) plus the four sub-codebooks, all k=8
+    * iters=3 first-seeded (the depth the s20 oracle replay pins). A
+    * single definition: the three queries must train the SAME index or
+    * s26/s27 would persist and forget a different one than s25's
+    * oracle replays.
+    */
+  private def trainedIndexModel(e: DataFrame)(
+      implicit cs: graft.operators.CacheScope): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val coarse = VectorSearch.quantizedKMeansModel(
+      e, "vec_id", "embedding", k = 8, iters = 3)
+    val codebooks = (0 until 4).map { sub =>
+      VectorSearch.quantizedKMeansModel(
+        e.select(col("vec_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
+        "vec_id", "embedding", k = 8, iters = 3)
+    }
+    (coarse, codebooks)
+  }
+
   // ── s25: refined IVF-PQ through TRAINED coarse cells ────────────────
 
   /** s24 with the COARSE quantizer trained too — the round-14 probe
@@ -903,14 +923,7 @@ object SemanticQueries {
     */
   val s25_trained_cells: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    val coarse = VectorSearch.quantizedKMeansModel(
-      e, "vec_id", "embedding", k = 8, iters = 3)
-    val codebooks = (0 until 4).map { sub =>
-      VectorSearch.quantizedKMeansModel(
-        e.select(col("vec_id"),
-          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
-        "vec_id", "embedding", k = 8, iters = 3)
-    }
+    val (coarse, codebooks) = trainedIndexModel(e)
     val enc = VectorSearch.encodeIvfPq(e, "vec_id", "embedding",
       coarse, codebooks)
     VectorSearch.searchIvfPqRefined(enc, e, e.filter(col("vec_id") < 5),
@@ -983,14 +996,7 @@ object SemanticQueries {
   val s26_trained_index_serve: Q = (s, dir) => {
     import graft.streaming.CatalogSink
     val e = Tables(s, dir, "embeddings")
-    val coarse = VectorSearch.quantizedKMeansModel(
-      e, "vec_id", "embedding", k = 8, iters = 3)
-    val codebooks = (0 until 4).map { sub =>
-      VectorSearch.quantizedKMeansModel(
-        e.select(col("vec_id"),
-          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
-        "vec_id", "embedding", k = 8, iters = 3)
-    }
+    val (coarse, codebooks) = trainedIndexModel(e)
     val spark = s
     import spark.implicits._
     val cat = new graft.sources.TableCatalog(s,
@@ -1044,14 +1050,7 @@ object SemanticQueries {
   val s27_trained_index_forget: Q = (s, dir) => {
     import graft.streaming.CatalogSink
     val e = Tables(s, dir, "embeddings")
-    val coarse = VectorSearch.quantizedKMeansModel(
-      e, "vec_id", "embedding", k = 8, iters = 3)
-    val codebooks = (0 until 4).map { sub =>
-      VectorSearch.quantizedKMeansModel(
-        e.select(col("vec_id"),
-          slice(col("embedding"), sub * 16 + 1, 16).as("embedding")),
-        "vec_id", "embedding", k = 8, iters = 3)
-    }
+    val (coarse, codebooks) = trainedIndexModel(e)
     val cat = new graft.sources.TableCatalog(s,
       java.nio.file.Files.createTempDirectory("graft-trainedfgt")
         .toFile.getAbsolutePath + "/cat")
@@ -1654,50 +1653,41 @@ object SemanticQueries {
       .orderBy(col("lang"))
   }
 
-  /** t35's score replay → integer gate → per-language report. */
+  /** t35's score replay → integer gate → per-language report: string
+    * surgery on [[DataPipelineQueries.t35_sql]] (the validated-replace
+    * discipline of s24/s25/s27) — the scoring CTEs are shared TEXT, so
+    * a fix to t35's tokenization, backoff constants or OOV rule
+    * propagates here by construction instead of drifting.
+    */
   val w43_sql: String = {
-    val toks = graft.functions.TextFunctions.ToksSql
-    s"""WITH t AS (
-       |  SELECT doc_id, $toks AS toks FROM documents
-       |),
-       |bg AS (
-       |  SELECT doc_id,
-       |         CASE WHEN p.pos = 1 THEN '<S>' ELSE toks[p.pos - 1] END AS w1,
-       |         toks[p.pos] AS w2
-       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS pos) p
-       |),
-       |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-       |       FROM bg WHERE doc_id % 5 = 0 GROUP BY 1, 2),
-       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
-       |uni AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_train FROM bi),
-       |sc AS (
-       |  SELECT bg.doc_id,
-       |    CASE WHEN bi.c12 IS NOT NULL THEN (1000 * bi.c12) // ctx.c1
-       |         WHEN uni.c2 IS NOT NULL THEN (400 * uni.c2) // tot.n_train
-       |         ELSE 0 END AS milli,
-       |    CASE WHEN bi.c12 IS NULL AND uni.c2 IS NULL THEN 1 ELSE 0 END AS oov
-       |  FROM bg
-       |  LEFT JOIN bi USING (w1, w2)
-       |  LEFT JOIN ctx USING (w1)
-       |  LEFT JOIN uni USING (w2)
-       |  CROSS JOIN tot
-       |),
-       |q AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |         CAST(SUM(oov) AS BIGINT) AS n_oov,
-       |         CAST(SUM(milli) // COUNT(*) AS BIGINT) AS avg_milli
-       |  FROM sc GROUP BY 1
-       |)
-       |SELECT d.lang,
-       |       CAST(COUNT(*) AS BIGINT) AS n_admitted,
-       |       CAST(SUM(q.avg_milli) AS BIGINT) AS sum_avg_milli,
-       |       CAST(SUM(q.n_oov) AS BIGINT) AS n_oov_total,
-       |       CAST(MIN(q.avg_milli) AS BIGINT) AS min_avg_milli
-       |FROM q JOIN documents d USING (doc_id)
-       |WHERE q.avg_milli >= 34
-       |GROUP BY d.lang
-       |ORDER BY d.lang""".stripMargin
+    val t35Tail =
+      """SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+        |       CAST(COALESCE(a.sum_milli, 0) AS BIGINT) AS sum_milli,
+        |       CAST(CASE WHEN a.n_tokens > 0 THEN a.sum_milli // a.n_tokens
+        |            ELSE 0 END AS BIGINT) AS avg_milli
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    val gateTail =
+      """, q AS (
+        |  SELECT doc_id, n_tokens, n_oov,
+        |         CAST(sum_milli // n_tokens AS BIGINT) AS avg_milli
+        |  FROM agg WHERE n_tokens > 0
+        |)
+        |SELECT d.lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_admitted,
+        |       CAST(SUM(q.avg_milli) AS BIGINT) AS sum_avg_milli,
+        |       CAST(SUM(q.n_oov) AS BIGINT) AS n_oov_total,
+        |       CAST(MIN(q.avg_milli) AS BIGINT) AS min_avg_milli
+        |FROM q JOIN documents d USING (doc_id)
+        |WHERE q.avg_milli >= 34
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin
+    val r = DataPipelineQueries.t35_sql.replace(t35Tail, gateTail)
+    require(r.contains("q.avg_milli >= 34") && !r.contains("ORDER BY doc_id"),
+      "w43 oracle surgery: the per-doc tail pattern no longer matches t35's text")
+    r
   }
 
   val w40_multimodal_stream: Q = (s, dir) => {

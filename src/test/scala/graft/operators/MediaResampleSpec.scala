@@ -101,7 +101,7 @@ class MediaResampleSpec extends AnyFunSuite {
       Multimodal.encodeY4m(8, 6, fps, 1, 4,
         luma = (f, x, y) => (f + x + y) % 256), "t")
     val ds = Seq(vid(1L, 10), vid(2L, 30)).toDS()
-    val rows = Multimodal.sampleFrames(ds, targetFps = 15)
+    val rows = Multimodal.sampleFramesAtRate(ds, targetFps = 15)
       .orderBy("media_id", "sample_no")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     // 10 fps @ target 15: floor(10k/15) = 0,0,1,2,2,3 — frames REPEAT
@@ -120,7 +120,7 @@ class MediaResampleSpec extends AnyFunSuite {
         luma = (f, x, y) => (31 * f + 5 * x + 11 * y) % 256), "t")).toDS()
     val all = Multimodal.y4mFrameSigs(ds).collect()
       .map(r => (r.getInt(1), r.getLong(2))).toMap
-    val sampled = Multimodal.sampleFrames(ds, targetFps = 25).collect()
+    val sampled = Multimodal.sampleFramesAtRate(ds, targetFps = 25).collect()
     assert(sampled.nonEmpty)
     sampled.foreach { r =>
       assert(r.getLong(4) == all(r.getInt(2)), s"frame ${r.getInt(2)}")
