@@ -124,6 +124,57 @@ object Boilerplate {
     mergeIntervals(occ)
   }
 
+  /** GLOBAL exact-substring dedup spans with a CANONICAL SURVIVOR —
+    * the keep-one-copy semantic of suffix-style training-data
+    * deduplication (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": exact duplicated substrings are
+    * removed so each survives once in the corpus). Every n-gram
+    * shared by ≥ 2 distinct documents elects the minimal carrier doc
+    * id as its owner; token intervals covered by such a gram are
+    * to-excise coverage in every document EXCEPT the gram's owner.
+    * Returned spans (per-doc merged, same columns as
+    * [[passageSpans]]) mark coverage in doc d sourced ONLY from
+    * duplicated grams owned by docs ≠ d — a gram is never the REASON
+    * its own owner loses tokens, so each duplicated region keeps its
+    * canonical copy (the exact guarantee: an owner's occurrence is
+    * excised only where OVERLAPPED by foreign duplicated coverage,
+    * the same boundary behavior suffix-cluster dedup has at region
+    * overlaps). Two deliberate edges: within-doc repeats INSIDE the
+    * owner are kept (intra-doc de-repetition is a different operator
+    * — cf. `TextDedup`'s de-repetition family), and adjacent
+    * intervals sourced from grams with DIFFERENT owners still merge
+    * into one span (the merge is coverage-level, like [[matchSpans]]).
+    *
+    * Contrast within this module: [[passageSpans]] mines FREQUENT
+    * grams (df ≥ minDf boilerplate, all occurrences marked);
+    * [[matchSpans]] marks occurrences of an EXTERNAL pattern set;
+    * this one runs the corpus against itself and spares one carrier.
+    *
+    * Scale shape: the owner election is ONE gram-keyed aggregation
+    * (min + partial-distinct count, map-side combined); the
+    * occurrence join shuffles gram-keyed rows and keeps only
+    * duplicated, non-owner occurrences; the merge windows are
+    * doc-partitioned. No pair join anywhere — a gram seen in k docs
+    * costs k rows, never k², so stop-gram skew cannot explode it.
+    */
+  def canonicalDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int)(implicit cs: CacheScope): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val grams = cs.persist(toks.select(col("id"), size(col("toks")).as("n_toks"),
+      posexplode(WordGrams(col("toks"), n)).as(Seq("pos", "gram"))))
+    val owners = grams.groupBy(col("gram"))
+      .agg(min(col("id")).as("__owner"), countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("gram"), col("__owner"))
+    val occ = grams
+      .join(owners, "gram")
+      .filter(col("id") =!= col("__owner"))
+      .select(col("id"), col("pos").as("s"),
+        least(col("pos") + n, col("n_toks")).as("e"))
+    mergeIntervals(occ)
+  }
+
   /** Documents with [[matchSpans]] intervals excised (tokens inside
     * any span dropped, remainder re-joined with single spaces) —
     * normalizing by construction, like [[stripPassages]].

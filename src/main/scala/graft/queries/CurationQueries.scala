@@ -2272,6 +2272,72 @@ object CurationQueries {
        |GROUP BY d.lang
        |ORDER BY d.lang""".stripMargin
 
+  // ── d60: exact substring dedup, canonical survivor ──────────────────
+
+  /** Corpus-level EXACT duplicated-substring dedup with a canonical
+    * survivor ([[Boilerplate.canonicalDupSpans]], n = 8): every
+    * 8-token span shared by ≥ 2 documents is marked for excision in
+    * all but the minimal carrier doc, so each duplicated substring
+    * survives exactly once in the corpus — the keep-one-copy step of
+    * suffix-style training-data dedup, where the winnowed-fingerprint
+    * family (d21/d23/d56) is the approximate detector and THIS is the
+    * exact one. Output: per affected doc, the integer token
+    * accounting (merged span count, excised tokens, remainder);
+    * n_remaining derives arithmetically from the disjoint merged
+    * spans — no second pass over the text. d25 mines frequent
+    * boilerplate (df ≥ 5, ALL occurrences marked), d48 excises against
+    * an EXTERNAL eval set; d60's pattern set is the corpus against
+    * itself, minus one elected carrier per gram.
+    */
+  val d60_substring_dedup: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val perdoc = Boilerplate.canonicalDupSpans(docs, "doc_id", "text", n = 8)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_tokens")).as("n_excised"))
+    docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .join(perdoc, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("n_excised"),
+        (col("n_tokens") - col("n_excised")).as("n_remaining"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d60_sql: String =
+    s"""WITH ${ngramPosSql(8)},
+       |own AS (
+       |  SELECT gram, MIN(doc_id) AS owner FROM occ
+       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+       |),
+       |iv AS (
+       |  SELECT o.doc_id, o.pos AS s, LEAST(o.pos + 8, o.n_toks) AS e
+       |  FROM occ o JOIN own w ON o.gram = w.gram AND o.doc_id <> w.owner
+       |),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM iv
+       |),
+       |sp AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM m
+       |),
+       |spans AS (
+       |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM sp GROUP BY doc_id, span
+       |),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |         CAST(SUM(e - s) AS BIGINT) AS n_excised
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, p.n_spans,
+       |       p.n_excised, CAST(len(t.toks) AS BIGINT) - p.n_excised AS n_remaining
+       |FROM toks t JOIN perdoc p ON p.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w07_asof_join" -> w07_asof_join,
     "d12_domain_mix" -> d12_domain_mix,
@@ -2305,6 +2371,7 @@ object CurationQueries {
     "d24_frequent_ngrams" -> d24_frequent_ngrams,
     "d25_passage_spans" -> d25_passage_spans,
     "d48_excise_contamination" -> d48_excise_contamination,
+    "d60_substring_dedup" -> d60_substring_dedup,
     "d26_token_budget" -> d26_token_budget,
     "q29_rank_functions" -> q29_rank_functions,
     "t12_readability" -> t12_readability,
@@ -2360,6 +2427,7 @@ object CurationQueries {
     "d24_frequent_ngrams" -> d24_sql,
     "d25_passage_spans" -> d25_sql,
     "d48_excise_contamination" -> d48_sql,
+    "d60_substring_dedup" -> d60_sql,
     "d26_token_budget" -> d26_sql,
     "q29_rank_functions" -> q29_sql,
     "t12_readability" -> t12_sql,

@@ -82,6 +82,77 @@ class BoilerplateSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference model for [[Boilerplate.canonicalDupSpans]]: per gram,
+    * carriers and min-id owner; per doc, intervals of duplicated grams
+    * NOT owned by this doc, merged (adjacent merge too).
+    */
+  private def canonicalModel(corpus: Seq[(Long, String)], n: Int) = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(ts: Seq[String]): Seq[(Int, String)] =
+      if (ts.isEmpty) Seq.empty
+      else (0 until math.max(ts.size - n, 0) + 1)
+        .map(i => i -> ts.slice(i, i + n).mkString(" "))
+    val byDoc = corpus.map { case (id, t) => id -> grams(toks(t)) }
+    val owner = byDoc.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (g, xs) if xs.map(_._2).distinct.size >= 2 =>
+        g -> xs.map(_._2).min
+      }
+    byDoc.map { case (id, gs) =>
+      val nToks = corpus.find(_._1 == id).map(c => toks(c._2).size).get
+      val ivs = gs.collect { case (p, g) if owner.get(g).exists(_ != id) =>
+        (p, math.min(p + n, nToks))
+      }.sortBy(identity)
+      val merged = ivs.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+          case _ => (s, e) :: acc
+        }
+      }.reverse
+      id -> merged
+    }.toMap
+  }
+
+  test("canonicalDupSpans: owner election and spans match the reference model") {
+    import spark.implicits._
+    samples(genCorpus, 5, seed = 23L).zipWithIndex.foreach { case (texts, ci) =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+      val exp = canonicalModel(corpus, n = 2).filter(_._2.nonEmpty)
+      val got = Boilerplate.canonicalDupSpans(df, "doc_id", "text", 2)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.map(r => (r.getInt(1), r.getInt(2))).sortBy(identity).toList
+        }
+      assert(got == exp, s"corpus $ci: got $got expected $exp")
+    }
+  }
+
+  test("canonicalDupSpans pins the keep-one-copy semantics") {
+    import spark.implicits._
+    // P = "red fox jumps" shared by docs 1,2,3 → owner 1 keeps it.
+    // Q = "old gray wall" shared by docs 2,4 → owner 2 keeps it.
+    // Doc 2 carries P (foreign, owner 1) ADJACENT to Q (owned):
+    // only P's interval is excised there; the merge never bleeds into
+    // owned coverage that foreign coverage does not overlap.
+    val corpus = Seq(
+      1L -> "red fox jumps over things",
+      2L -> "red fox jumps old gray wall",
+      3L -> "we saw red fox jumps today",
+      4L -> "near the old gray wall stones",
+      5L -> "nothing shared here at all")
+    val got = Boilerplate.canonicalDupSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(identity)
+    // doc 1 (owner of P): untouched. doc 5: untouched. doc 2: P at
+    // [0,3) (Q at [3,6) is OWNED — kept). doc 3: P at [2,5). doc 4:
+    // Q at [2,5) (owner is doc 2).
+    assert(got.toSeq == Seq((2L, 0, 3, 3), (3L, 2, 5, 3), (4L, 2, 5, 3)))
+  }
+
   test("stripPassages drops exactly the covered token positions") {
     import spark.implicits._
     samples(genCorpus, 4).foreach { texts =>

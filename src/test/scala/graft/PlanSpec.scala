@@ -427,8 +427,10 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // whole corpus through one task
     val spans = operators.Boilerplate.passageSpans(
       Tables(spark, dir, "documents"), "doc_id", "text", 3, 5L)
+    val canon = operators.Boilerplate.canonicalDupSpans(
+      Tables(spark, dir, "documents"), "doc_id", "text", 8)
     val budget = queries.CurationQueries.queries("d26_token_budget")(spark, dir)
-    Seq("d25" -> spans, "d26" -> budget).foreach { case (name, df) =>
+    Seq("d25" -> spans, "d26" -> budget, "d60" -> canon).foreach { case (name, df) =>
       val wins = df.queryExecution.optimizedPlan.collect {
         case w: logical.Window => w
       }
