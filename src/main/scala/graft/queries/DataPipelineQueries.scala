@@ -2105,6 +2105,130 @@ object DataPipelineQueries {
       |HAVING COUNT(*) >= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Temporally-ALIGNED video near-dup over REAL DECODED FRAMES — the
+    * m08 alignment semantic for the THIRD modality, closing the
+    * asymmetry where audio had shift-invariant matching and video
+    * only m10's same-position join. Real re-encodes are TRIMMED (an
+    * intro cut, a cold open dropped), so the planted copies here are
+    * FRAME-SHIFTED: the +1e9 copy's frame f is the base's frame f+2
+    * (two frames trimmed off the head, 6 of the base's 8 frames
+    * kept) — same-position agreement is ZERO by construction, and
+    * only the delta-consistent landmark join
+    * ([[Multimodal.landmarkAlignPairs]], the SAME implementation
+    * m04/m08 ride) finds the pair, at offset_delta +2. The +2e9
+    * copies are shifted by ONE frame and perturb one pixel of one
+    * frame (5 of 6 frames still align at delta +1 — trim plus damage,
+    * the m10 near-copy lesson carried to alignment). Frame signatures
+    * are [[Multimodal.y4mFrameSigs]] over decoded Y planes — content-
+    * only (position-weighted WITHIN the frame, not by frame index),
+    * which is precisely the shift-COMPATIBILITY the delta join needs.
+    * The luma formula is m10's with THREE prime cross terms instead
+    * of one, under md5-scrambled seeds — both measured load-bearing
+    * against manufactured chance pairs (see the fixture comment: the
+    * delta≠0 channel and the mod-54016 birthday space are two
+    * DIFFERENT collision mechanisms, each found by counting pairs).
+    */
+  val m14_y4m_align: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id"))
+    val plan = ids.select(col("doc_id").as("media_id"),
+        col("doc_id").as("seed"), lit(0).as("off"), lit(8).as("n"), lit(0).as("p"))
+      .unionAll(ids.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(2).as("off"), lit(6).as("n"), lit(0).as("p")))
+      .unionAll(ids.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(1).as("off"), lit(6).as("n"), lit(1).as("p")))
+      .repartition(s.sparkContext.defaultParallelism)
+    // Seeds md5-scrambled (the d59/m07 lesson) AND the luma formula
+    // widened to THREE prime cross terms — both measured load-bearing:
+    // raw seeds collide through the delta≠0 channel this query opens
+    // (85 chance pairs per 500 docs — arithmetically related seeds
+    // align at nonzero offsets), and m10's single-prime formula
+    // depends on the seed only mod 256·211 = 54016, a space small
+    // enough that SCRAMBLED 32-bit seeds birthday-collide in it
+    // (measured: 3 identical-clip pairs at 500 docs, ~quadratic at
+    // sf1). Three distinct primes (the BMP formula's design) put the
+    // effective seed space at ~3·10^12: the pair set is the planted
+    // structure at every SF.
+    val media = plan.as[(Long, Long, Int, Int, Int)].map {
+      case (mid, raw, off, n, p) =>
+        val seed = Multimodal.scrambleSeed(raw)
+        Multimodal.MediaRecord(mid, "video", Multimodal.encodeY4m(8, 6, 25, 1, n,
+          luma = (f, x, y) => {
+            val g = f + off
+            if (p == 1 && f == 3 && x == 0 && y == 0) 255
+            else ((17 * seed + 5 * g + 3 * x + 7 * y +
+              (seed * (x + 8 * y + 48 * g + 1)) % 211 +
+              (seed * (x + 8 * y + 48 * g + 2)) % 241 +
+              (seed * (x + 8 * y + 48 * g + 3)) % 239) % 256).toInt
+          }),
+          "y4m-synth")
+    }
+    Multimodal.landmarkAlignPairs(
+        Multimodal.y4mFrameSigs(media)
+          .select(col("media_id"), col("frame_no").as("win_no"),
+            col("frame_sig").as("sig")),
+        minAligned = 4, maxSigDf = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m14_sql: String =
+    """WITH m0 AS (
+      |  SELECT doc_id AS media_id, doc_id AS raw, 0 AS off, 8 AS n, 0 AS p
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 2, 6, 0
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, doc_id, 1, 6, 1
+      |  FROM documents WHERE doc_id % 10 = 5
+      |),
+      |m AS (
+      |  SELECT media_id,
+      |         CAST(('0x' || substr(md5(CAST(raw AS VARCHAR)), 1, 8)) AS BIGINT) AS seed,
+      |         off, n, p
+      |  FROM m0
+      |),
+      |sigs AS (
+      |  SELECT m.media_id, f.f AS win_no,
+      |    CAST(SUM(CASE WHEN m.p = 1 AND f.f = 3 AND x.x = 0 AND y.y = 0 THEN 255
+      |         ELSE (17*m.seed + 5*(f.f + m.off) + 3*x.x + 7*y.y
+      |               + (m.seed * (x.x + 8*y.y + 48*(f.f + m.off) + 1)) % 211
+      |               + (m.seed * (x.x + 8*y.y + 48*(f.f + m.off) + 2)) % 241
+      |               + (m.seed * (x.x + 8*y.y + 48*(f.f + m.off) + 3)) % 239) % 256
+      |         END * (1 + x.x + 8*y.y)) AS BIGINT) AS sig
+      |  FROM m,
+      |       (SELECT unnest(range(0, 8)) AS f) f,
+      |       (SELECT unnest(range(0, 8)) AS x) x,
+      |       (SELECT unnest(range(0, 6)) AS y) y
+      |  WHERE f.f < m.n
+      |  GROUP BY m.media_id, f.f
+      |),
+      |dfreq AS (SELECT sig, COUNT(*) AS df FROM sigs GROUP BY sig),
+      |fw AS (SELECT s.media_id, s.win_no, s.sig
+      |       FROM sigs s JOIN dfreq USING (sig) WHERE dfreq.df <= 64),
+      |nw AS (SELECT media_id, COUNT(*) AS n FROM fw GROUP BY media_id),
+      |mm AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |         a.win_no - b.win_no AS delta, COUNT(*) AS aligned
+      |  FROM fw a JOIN fw b ON a.sig = b.sig AND a.media_id < b.media_id
+      |  GROUP BY 1, 2, 3
+      |),
+      |best AS (
+      |  SELECT id_a, id_b, delta, aligned,
+      |         ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+      |                            ORDER BY aligned DESC, delta ASC) AS rn
+      |  FROM mm
+      |)
+      |SELECT b.id_a, b.id_b, CAST(b.delta AS INT) AS offset_delta,
+      |       CAST(b.aligned AS BIGINT) AS aligned_matches
+      |FROM best b
+      |JOIN nw na ON na.media_id = b.id_a
+      |JOIN nw nb ON nb.media_id = b.id_b
+      |WHERE b.rn = 1 AND b.aligned >= LEAST(4, na.n, nb.n)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** CROSS-MODAL dup groups — the dedup decision no single modality
     * can make: a RE-RENDERED page keeps its text but gets a brand-new
     * image (text-only match), a RE-OCR'd scan keeps its image but
@@ -2613,6 +2737,7 @@ object DataPipelineQueries {
     "m08_wav_neardup" -> m08_wav_neardup,
     "m09_y4m_decode" -> m09_y4m_decode,
     "m10_y4m_neardup" -> m10_y4m_neardup,
+    "m14_y4m_align" -> m14_y4m_align,
     "d59_crossmodal_groups" -> d59_crossmodal_groups,
     "m11_bmp_resize" -> m11_bmp_resize,
     "m12_frame_sample" -> m12_frame_sample,
@@ -2666,6 +2791,7 @@ object DataPipelineQueries {
     "m08_wav_neardup" -> m08_sql,
     "m09_y4m_decode" -> m09_sql,
     "m10_y4m_neardup" -> m10_sql,
+    "m14_y4m_align" -> m14_sql,
     "d59_crossmodal_groups" -> d59_sql,
     "m11_bmp_resize" -> m11_sql,
     "m12_frame_sample" -> m12_sql,

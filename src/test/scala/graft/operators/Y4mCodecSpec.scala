@@ -128,4 +128,42 @@ class Y4mCodecSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 6L), (1L, 3L, 5L), (2L, 3L, 5L)),
       s"planted structure not recovered: $pairs")
   }
+
+  test("m14 semantics: head-trimmed copies escape same-position, align at the trim delta") {
+    val spark: SparkSession = SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    def vid(id: Long, seed: Long, off: Int, n: Int, perturb: Boolean) =
+      Multimodal.MediaRecord(id, "video",
+        Multimodal.encodeY4m(8, 6, 25, 1, n, (f, x, y) =>
+          if (perturb && f == 3 && x == 0 && y == 0) 255
+          else ((17 * seed + 5 * (f + off) + 3 * x + 7 * y +
+            (seed * (x + 8 * y + 48 * (f + off) + 1)) % 211) % 256).toInt), "t")
+    val recs = Seq(
+      vid(1L, 10L, off = 0, n = 8, perturb = false), // base, 8 frames
+      vid(2L, 10L, off = 2, n = 6, perturb = false), // head-trim 2: frames 2..7
+      vid(3L, 10L, off = 1, n = 6, perturb = true),  // trim 1 + frame damage
+      vid(4L, 999L, off = 0, n = 8, perturb = false)) // unrelated
+    val sigs = Multimodal.y4mFrameSigs(spark.createDataset(recs))
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("frame_no").as("win_no"),
+        org.apache.spark.sql.functions.col("frame_sig").as("sig"))
+    // the motivating negative: same-position agreement is ZERO for a
+    // trimmed copy, so m10's join cannot pair it...
+    val samePos = Multimodal.samePositionPairs(
+        Multimodal.y4mFrameSigs(spark.createDataset(recs)), minShared = 4)
+      .collect()
+    assert(samePos.isEmpty, s"trimmed copies must not share positions: ${samePos.toSeq}")
+    // ...and the delta-consistent landmark join pairs both: the pure
+    // trim with ALL its frames at delta +2, the damaged trim with 5
+    // of 6 at delta +1
+    val aligned = Multimodal.landmarkAlignPairs(sigs, minAligned = 4, maxSigDf = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // (2,3): 5 frame overlaps at delta −1, minus the one clip-3 frame
+    // the damage broke → 4, exactly at the least(4,·,·) floor
+    assert(aligned == Set((1L, 2L, 2, 6L), (1L, 3L, 1, 5L), (2L, 3L, -1, 4L)),
+      s"alignment structure not recovered: $aligned")
+  }
 }
