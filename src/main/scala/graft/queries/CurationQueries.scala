@@ -2338,6 +2338,164 @@ object CurationQueries {
        |FROM toks t JOIN perdoc p ON p.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ── w44: novelty-gated admission (exact-dup fraction vs the index) ──
+
+  /** The DEDUP decision at the ingestion boundary — d48's span
+    * machinery pointed at the ALREADY-INDEXED corpus, deciding what
+    * enters at all: generation 0 commits the base slice (doc_id % 3
+    * = 0) ungated, then the incoming batch is admitted only where its
+    * 8-gram coverage against the BASE corpus stays at or below 500
+    * permille of its tokens (integer `div` arithmetic — exact,
+    * engine-portable), and the per-doc dup accounting (n_tokens,
+    * n_dup, dup_permille) rides the SAME atomic generation as the six
+    * text relations, so "why was this admitted" is answerable from
+    * the index forever (the w43 contract, with novelty instead of LM
+    * quality as the gate). Intra-batch duplicates deliberately do NOT
+    * gate each other — the gate is vs the INDEX; batch-internal dedup
+    * is d01/d09's job upstream. Require-pinned like w43: redelivery
+    * is a no-op, no rejected document is lexically servable, every
+    * admitted document is searchable in its own generation, and the
+    * riders hold exactly the admitted / rejected sets. TWO riders
+    * ride the generation: "novelty" (the admitted accounting) and
+    * "rejects" — the REJECTION LOG (id, tokens, dup coverage,
+    * permille), the DLQ discipline (w18/w19) applied to a quality
+    * gate: what was refused, and why, is index history too (the
+    * planted dup structure is bimodal — near-total copies — so
+    * without the reject rider the gate's action would be invisible
+    * in the admitted side's zeros). Output: the per-language report
+    * reading BOTH riders, the oracle replaying base-gram coverage →
+    * island merge → permille gate → two-sided report.
+    */
+  val w44_novelty_admission: Q = (s, dir) => {
+    import graft.streaming.UnifiedIndex
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+    val patterns = TextDedup.shingles(base, "doc_id", "text", n = 8)
+      .select(col("shingle").as("gram"))
+    val dup = Boilerplate.matchSpans(incoming, "doc_id", "text", 8, patterns)
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("n_tokens")).cast(LongType).as("n_dup"))
+    // skinny scored frame feeds the gate, the require-pins and the
+    // rider — persisted so the span join runs once (the w43 contract)
+    val scored = incoming
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_permille",
+        when(col("n_tokens") > 0,
+          expr("(n_dup * 1000) div n_tokens")).otherwise(lit(0L)))
+      .persist()
+    val admittedIds = scored.filter(col("dup_permille") <= 500)
+    val adm = docs.join(admittedIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cat = new graft.sources.TableCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-novgate")
+        .toFile.getAbsolutePath + "/cat")
+    UnifiedIndex.commitBatch(cat, base, 0L)
+    val rider = admittedIds.select(col("doc_id").as("id"),
+      col("n_tokens"), col("n_dup"), col("dup_permille"))
+    val rejects = scored.filter(col("dup_permille") > 500)
+      .select(col("doc_id").as("id"),
+        col("n_tokens"), col("n_dup"), col("dup_permille"))
+    UnifiedIndex.commitBatch(cat, adm, 1L,
+      extraMembers = Map("novelty" -> rider, "rejects" -> rejects))
+    require(UnifiedIndex.commitBatch(cat, adm, 1L,
+      extraMembers = Map("novelty" -> rider, "rejects" -> rejects)) == -1L,
+      "redelivered gated batch was re-applied")
+    // no rejected document serves lexically
+    require(UnifiedIndex.postingsLive(cat)._2.select(col("doc_id")).distinct()
+      .join(scored.filter(col("dup_permille") > 500), Seq("doc_id"), "left_semi")
+      .isEmpty, "a rejected document is lexically searchable")
+    // every admitted document (and the whole base) is searchable
+    require(adm.select(col("doc_id").as("id"))
+      .unionAll(base.select(col("doc_id").as("id")))
+      .exceptAll(cat.read("sizes").select(col("id"))).isEmpty,
+      "an admitted or base document is not searchable")
+    // the riders ARE the admitted / rejected sets
+    val live = UnifiedIndex.memberLive(cat, "novelty", "id")
+    require(live.select(col("id"))
+      .exceptAll(admittedIds.select(col("doc_id"))).isEmpty &&
+      admittedIds.select(col("doc_id"))
+        .exceptAll(live.select(col("id"))).isEmpty,
+      "rider and admitted set diverge")
+    val rejLive = UnifiedIndex.memberLive(cat, "rejects", "id")
+    require(rejLive.select(col("id"))
+      .exceptAll(rejects.select(col("id"))).isEmpty &&
+      rejects.select(col("id"))
+        .exceptAll(rejLive.select(col("id"))).isEmpty,
+      "reject log and rejected set diverge")
+    val langs = docs.select(col("doc_id").as("id"), col("lang"))
+    val admRep = live.join(langs, Seq("id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("n_tokens")).as("sum_tokens"))
+    val rejRep = rejLive.join(langs, Seq("id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rejected"),
+        sum(col("n_dup")).as("sum_dup_rejected"),
+        min(col("dup_permille")).as("min_rejected_permille"))
+    admRep.join(rejRep, Seq("lang"), "left")
+      .select(col("lang"), col("n_admitted"), col("sum_tokens"),
+        coalesce(col("n_rejected"), lit(0L)).as("n_rejected"),
+        coalesce(col("sum_dup_rejected"), lit(0L)).as("sum_dup_rejected"),
+        coalesce(col("min_rejected_permille"), lit(0L)).as("min_rejected_permille"))
+      .orderBy(col("lang"))
+  }
+
+  val w44_sql: String =
+    s"""WITH ${ngramPosSql(8)},
+       |bg AS (SELECT DISTINCT gram FROM occ WHERE doc_id % 3 = 0),
+       |iv AS (
+       |  SELECT doc_id, pos AS s, LEAST(pos + 8, n_toks) AS e
+       |  FROM occ WHERE doc_id % 3 <> 0 AND gram IN (SELECT gram FROM bg)
+       |),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM iv
+       |),
+       |sp AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM m
+       |),
+       |spans AS (
+       |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM sp GROUP BY doc_id, span
+       |),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_dup FROM spans GROUP BY doc_id
+       |),
+       |sc AS (
+       |  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |         CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+       |         CAST(CASE WHEN len(t.toks) > 0
+       |              THEN (COALESCE(p.n_dup, 0) * 1000) // len(t.toks)
+       |              ELSE 0 END AS BIGINT) AS dup_permille
+       |  FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+       |  WHERE t.doc_id % 3 <> 0
+       |)
+       |SELECT d.lang,
+       |       CAST(COUNT(*) FILTER (WHERE sc.dup_permille <= 500) AS BIGINT)
+       |         AS n_admitted,
+       |       CAST(COALESCE(SUM(sc.n_tokens)
+       |         FILTER (WHERE sc.dup_permille <= 500), 0) AS BIGINT) AS sum_tokens,
+       |       CAST(COUNT(*) FILTER (WHERE sc.dup_permille > 500) AS BIGINT)
+       |         AS n_rejected,
+       |       CAST(COALESCE(SUM(sc.n_dup)
+       |         FILTER (WHERE sc.dup_permille > 500), 0) AS BIGINT) AS sum_dup_rejected,
+       |       CAST(COALESCE(MIN(sc.dup_permille)
+       |         FILTER (WHERE sc.dup_permille > 500), 0) AS BIGINT) AS min_rejected_permille
+       |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       |GROUP BY d.lang
+       |HAVING COUNT(*) FILTER (WHERE sc.dup_permille <= 500) > 0
+       |ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w07_asof_join" -> w07_asof_join,
     "d12_domain_mix" -> d12_domain_mix,
@@ -2372,6 +2530,7 @@ object CurationQueries {
     "d25_passage_spans" -> d25_passage_spans,
     "d48_excise_contamination" -> d48_excise_contamination,
     "d60_substring_dedup" -> d60_substring_dedup,
+    "w44_novelty_admission" -> w44_novelty_admission,
     "d26_token_budget" -> d26_token_budget,
     "q29_rank_functions" -> q29_rank_functions,
     "t12_readability" -> t12_readability,
@@ -2428,6 +2587,7 @@ object CurationQueries {
     "d25_passage_spans" -> d25_sql,
     "d48_excise_contamination" -> d48_sql,
     "d60_substring_dedup" -> d60_sql,
+    "w44_novelty_admission" -> w44_sql,
     "d26_token_budget" -> d26_sql,
     "q29_rank_functions" -> q29_sql,
     "t12_readability" -> t12_sql,

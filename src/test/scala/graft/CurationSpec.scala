@@ -447,6 +447,30 @@ class CurationSpec extends AnyFunSuite {
     assert(run(corpus) == run(corpus.repartition(7)))
   }
 
+  test("w44 gate boundary: 500 permille admits inclusively, riders split the batch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-w44fix")
+      .toFile.getAbsolutePath
+    val baseText = (1 to 16).map(i => s"b$i").mkString(" ")
+    // doc 3 (base, %3=0): the indexed corpus. doc 1: its first 8-gram
+    // (8 of 16 tokens) + 8 novel → exactly 500 permille → ADMIT (the
+    // gate is inclusive). doc 2: 9 consecutive base tokens (two
+    // overlapping grams merge to one 9-token island) → 562 → REJECT.
+    // doc 4: fully novel → 0 → admit.
+    val docs = Seq(
+      (3L, baseText, "en"),
+      (1L, ((1 to 8).map(i => s"b$i") ++ (1 to 8).map(i => s"n$i")).mkString(" "), "en"),
+      (2L, ((1 to 9).map(i => s"b$i") ++ (1 to 7).map(i => s"m$i")).mkString(" "), "en"),
+      (4L, "entirely novel content here", "en"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CurationQueries.queries("w44_novelty_admission")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("en", 2L, 20L, 1L, 9L, 562L)),
+      s"gate boundary broke: ${out.toSeq}")
+  }
+
   test("line dedup: repetition within ONE doc is not boilerplate") {
     import spark.implicits._
     val corpus = Seq(
