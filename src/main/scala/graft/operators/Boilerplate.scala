@@ -184,6 +184,17 @@ object Boilerplate {
     dropSpanTokens(df, idCol, textCol,
       matchSpans(df, idCol, textCol, n, patterns))
 
+  /** The corpus after canonical-survivor dedup: documents with
+    * [[canonicalDupSpans]] intervals excised — each duplicated region
+    * now lives in its owner only, everything else re-joined with
+    * single spaces (normalizing by construction, like
+    * [[stripPassages]]).
+    */
+  def canonicalExcise(df: DataFrame, idCol: String, textCol: String,
+      n: Int)(implicit cs: CacheScope): DataFrame =
+    dropSpanTokens(df, idCol, textCol,
+      canonicalDupSpans(df, idCol, textCol, n))
+
   /** Documents with boilerplate passages stripped: tokens inside any
     * [[passageSpans]] interval are dropped and the remainder re-joined
     * with single spaces. Documents with no frequent-gram coverage pass

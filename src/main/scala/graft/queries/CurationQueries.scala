@@ -2338,6 +2338,70 @@ object CurationQueries {
        |FROM toks t JOIN perdoc p ON p.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ── d61: the canonically-deduped corpus, rebuilt and hash-pinned ────
+
+  /** d60's excision EXECUTED — the cleaned corpus materialized, not
+    * just accounted: for every document that loses tokens, the
+    * rebuilt text ([[Boilerplate.canonicalExcise]]: non-owned
+    * duplicated coverage dropped, remainder re-joined) hash-pinned
+    * next to its before/after token counts. The md5 over the rebuilt
+    * string makes the REASSEMBLY oracle-gated — a span-merge bug and
+    * a reassembly bug cannot cancel the way two count errors could
+    * (the d48 lesson, applied to the rebuild side). Docs excised to
+    * NOTHING hash the empty string — pinned by the planted near-total
+    * copies, whose remainder is 0-2 tokens.
+    */
+  val d61_canonical_excise: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val spans = Boilerplate.canonicalDupSpans(docs, "doc_id", "text", n = 8)
+    val affected = spans.select(col("id")).distinct()
+    Boilerplate.canonicalExcise(docs, "doc_id", "text", n = 8)
+      .join(affected, Seq("id"), "left_semi")
+      .join(docs.select(col("doc_id").as("id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_before")), Seq("id"))
+      .select(col("id").as("doc_id"), col("n_before"),
+        TextFunctions.tokenCount(col("clean_text")).cast(LongType).as("n_after"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d61_sql: String =
+    s"""WITH ${ngramPosSql(8)},
+       |tk AS (
+       |  SELECT doc_id, g.pos AS pos, g.tok AS tok
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(toks) = 0 THEN []
+       |                  ELSE list_transform(range(0, len(toks)),
+       |                    i -> {'pos': i, 'tok': toks[i + 1]}) END) AS g
+       |    FROM toks) t
+       |),
+       |own AS (
+       |  SELECT gram, MIN(doc_id) AS owner FROM occ
+       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+       |),
+       |iv AS (
+       |  SELECT o.doc_id, o.pos AS s, LEAST(o.pos + 8, o.n_toks) AS e
+       |  FROM occ o JOIN own w ON o.gram = w.gram AND o.doc_id <> w.owner
+       |),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, r.r AS pos
+       |  FROM iv, LATERAL (SELECT unnest(range(iv.s, iv.e)) AS r) r
+       |),
+       |clean AS (
+       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS ctext,
+       |         CAST(COUNT(*) AS BIGINT) AS n_after
+       |  FROM tk t ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT a.doc_id, CAST(len(tt.toks) AS BIGINT) AS n_before,
+       |       COALESCE(cl.n_after, 0) AS n_after,
+       |       md5(COALESCE(cl.ctext, '')) AS clean_md5
+       |FROM (SELECT DISTINCT doc_id FROM iv) a
+       |JOIN toks tt ON tt.doc_id = a.doc_id
+       |LEFT JOIN clean cl ON cl.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
   // ── w44: novelty-gated admission (exact-dup fraction vs the index) ──
 
   /** The DEDUP decision at the ingestion boundary — d48's span
@@ -2530,6 +2594,7 @@ object CurationQueries {
     "d25_passage_spans" -> d25_passage_spans,
     "d48_excise_contamination" -> d48_excise_contamination,
     "d60_substring_dedup" -> d60_substring_dedup,
+    "d61_canonical_excise" -> d61_canonical_excise,
     "w44_novelty_admission" -> w44_novelty_admission,
     "d26_token_budget" -> d26_token_budget,
     "q29_rank_functions" -> q29_rank_functions,
@@ -2587,6 +2652,7 @@ object CurationQueries {
     "d25_passage_spans" -> d25_sql,
     "d48_excise_contamination" -> d48_sql,
     "d60_substring_dedup" -> d60_sql,
+    "d61_canonical_excise" -> d61_sql,
     "w44_novelty_admission" -> w44_sql,
     "d26_token_budget" -> d26_sql,
     "q29_rank_functions" -> q29_sql,

@@ -153,6 +153,25 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 0, 3, 3), (3L, 2, 5, 3), (4L, 2, 5, 3)))
   }
 
+  test("canonicalExcise drops exactly the non-owned duplicated positions") {
+    import spark.implicits._
+    samples(genCorpus, 4, seed = 31L).foreach { texts =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+      val spans = canonicalModel(corpus, n = 2)
+      val got = Boilerplate.canonicalExcise(df, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      corpus.foreach { case (id, t) =>
+        val ts = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val covered = spans(id).flatMap { case (s, e) => s until e }.toSet
+        val expect = ts.zipWithIndex.collect {
+          case (tok, i) if !covered(i) => tok
+        }.mkString(" ")
+        assert(got(id) == expect, s"doc $id: got '${got(id)}' expect '$expect'")
+      }
+    }
+  }
+
   test("stripPassages drops exactly the covered token positions") {
     import spark.implicits._
     samples(genCorpus, 4).foreach { texts =>
