@@ -1768,6 +1768,53 @@ object DataPipelineQueries {
       |GROUP BY doc_id, w, h
       |ORDER BY media_id""".stripMargin
 
+  /** The COMPRESSED image path end-to-end — m05's contract through a
+    * container whose pixel bytes do not exist in the payload: every
+    * record is an actual PNG (zlib-deflated, CRC-chunked,
+    * filter-predicted scanlines), decoded by the real
+    * [[Multimodal.decodePng]] — JDK-Inflater inflation with an exact
+    * length contract, CRC verification on every chunk, and byte-exact
+    * inversion of all five scanline filters, which CYCLE per row
+    * across the corpus so each inversion is load-bearing (a reader
+    * mis-inverting Paeth or Average fails the hash on most images). A
+    * third of the corpus splits the zlib stream across three IDAT
+    * chunks; another third carries an ancillary tEXt chunk before the
+    * image data. Features are decoded-pixel arithmetic ONLY (the same
+    * position-weighted checksum as m05 — byte_size is deliberately
+    * absent: deflate output is container-internal, not oracle
+    * surface); the oracle replays the pixel formula, so any misparse
+    * anywhere in the CRC→inflate→unfilter chain breaks the hash.
+    */
+  val m15_png_decode: Q = (s, dir) => {
+    val media = Multimodal.pngMedia(
+      Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.processBatches(media, codec = Multimodal.PngCodec).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("checksum").as("pix_checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val m15_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+      |),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, x.x, y.y,
+      |         (7*d.doc_id + 3*x.x + 11*y.y) % 256 AS r,
+      |         (13*d.doc_id + 5*x.x + 2*y.y) % 256 AS g,
+      |         (3*d.doc_id + x.x + 17*y.y) % 256 AS b
+      |  FROM d,
+      |       (SELECT unnest(range(0, 8)) AS x) x,
+      |       (SELECT unnest(range(0, 6)) AS y) y
+      |  WHERE x.x < d.w AND y.y < d.h
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(SUM((r + 2*g + 3*b) * (1 + x + y*w)) AS BIGINT) AS pix_checksum
+      |FROM px
+      |GROUP BY doc_id, w, h
+      |ORDER BY media_id""".stripMargin
+
   /** REAL audio bytes end-to-end — m05's contract for the second
     * modality: every payload is an actual RIFF/WAVE container (16-bit
     * mono PCM), a third of them carrying a JUNK chunk between `fmt `
@@ -2732,6 +2779,7 @@ object DataPipelineQueries {
     "m03_image_neardup" -> m03_image_neardup,
     "m04_audio_neardup" -> m04_audio_neardup,
     "m05_bmp_decode" -> m05_bmp_decode,
+    "m15_png_decode" -> m15_png_decode,
     "m06_wav_decode" -> m06_wav_decode,
     "m07_bmp_neardup" -> m07_bmp_neardup,
     "m08_wav_neardup" -> m08_wav_neardup,
@@ -2786,6 +2834,7 @@ object DataPipelineQueries {
     "m03_image_neardup" -> m03_sql,
     "m04_audio_neardup" -> m04_sql,
     "m05_bmp_decode" -> m05_sql,
+    "m15_png_decode" -> m15_sql,
     "m06_wav_decode" -> m06_sql,
     "m07_bmp_neardup" -> m07_sql,
     "m08_wav_neardup" -> m08_sql,
