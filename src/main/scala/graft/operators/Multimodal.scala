@@ -1595,6 +1595,46 @@ object Multimodal {
       StubCodec.frameSig(content, byteOffset, stride)
   }
 
+  /** Container-independent CONTENT KEYS from decoded pixels: two
+    * independent position-weighted integer sums per image —
+    * c1 = Σ (r+2g+3b)·(1 + x + y·w) (the m05 checksum) and
+    * c2 = Σ (3r+2g+b)·(1 + y + x·h) (transposed weights) — computed
+    * over DISPLAY-order pixels through whatever decoder the container
+    * needs. This is the row-level decode route the compressed
+    * containers require (a PNG has no pixel bytes at any
+    * column-computable offset), shared with [[bmpBlockSums]]'s
+    * pattern; exact integers, so the oracle replays both sums from
+    * the pixel formula and a cross-CONTAINER identity join stays
+    * engine-portable. Two independent keys because either sum alone
+    * spans only ~2²² values on small fixtures — jointly with the
+    * geometry the chance-collision expectation stays ≪ 1 at sf1, and
+    * any survivor replicates identically in the oracle.
+    */
+  def imageContentKeys(media: Dataset[MediaRecord],
+      decode: Array[Byte] => (Int, Int, Array[Byte])): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, rgb) = decode(r.content)
+      var c1 = 0L; var c2 = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val q = 3 * (y * w + x)
+          val rr = rgb(q) & 0xFF
+          val gg = rgb(q + 1) & 0xFF
+          val bb = rgb(q + 2) & 0xFF
+          c1 += (rr + 2 * gg + 3 * bb).toLong * (1 + x + y * w)
+          c2 += (3 * rr + 2 * gg + bb).toLong * (1 + y + x * h)
+          x += 1
+        }
+        y += 1
+      }
+      (r.media_id, w, h, c1, c2)
+    }).toDF("media_id", "width", "height", "c1", "c2")
+  }
+
   /** A corpus of REAL PNG payloads, one per row of `docs`: the SAME
     * geometry and pixel formula as [[bmpMedia]] (so the m05 oracle
     * arithmetic carries over), with every compression-layer trap live

@@ -1815,6 +1815,105 @@ object DataPipelineQueries {
       |GROUP BY doc_id, w, h
       |ORDER BY media_id""".stripMargin
 
+  /** CROSS-CONTAINER content dedup — the crawl problem no single
+    * codec sees: the same image fetched twice, once as BMP and once
+    * as PNG, is byte-DISJOINT at the container level (one stores
+    * bottom-up padded BGR verbatim, the other deflates filtered
+    * top-down scanlines), so container-byte hashing can never pair
+    * them. Identity lives only in DECODED pixels: each half of the
+    * corpus decodes through its own real codec
+    * ([[Multimodal.decodeBmp]] / [[Multimodal.decodePng]]) into the
+    * shared [[Multimodal.imageContentKeys]] route — two independent
+    * position-weighted integer sums — and re-encodes pair on
+    * (geometry, c1, c2) in ONE equi-join, no pair scan. Planted: even
+    * doc ids re-encode the SAME md5-scrambled seedPixel image as PNG
+    * (+1e9); odd ids draw an unrelated seed. The PNG half keeps every
+    * compression trap live (cycling filters, ⅓ multi-IDAT, ⅓ tEXt).
+    * The oracle replays both sums from the pixel formula for both
+    * halves — a misdecode on EITHER side breaks the join.
+    */
+  val m16_crosscontainer_dedup: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id"))
+    val bmpPlan = ids.select(col("doc_id").as("media_id"),
+      col("doc_id").as("raw"))
+    // unrelated seeds come from the NEGATIVE raw space: doc ids are
+    // nonnegative at every SF but NOT dense (sf1 shards them across a
+    // 90M range), so any positive offset eventually lands on a real
+    // id — measured: doc_id + 1e7 re-rendered shard-1's images for
+    // 22.5k of sf1's odd docs and manufactured exactly that many
+    // cross pairs
+    val pngPlan = ids.select((col("doc_id") + 1000000000L).as("media_id"),
+      when(col("doc_id") % 2 === 0, col("doc_id"))
+        .otherwise(-col("doc_id") - 1L).as("raw"))
+    val bmps = bmpPlan.repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Long)].map { case (mid, raw) =>
+        val seed = Multimodal.scrambleSeed(raw)
+        val w = (4 + seed % 5).toInt
+        val h = (3 + seed % 4).toInt
+        Multimodal.MediaRecord(mid, "image",
+          Multimodal.encodeBmp(w, h, Multimodal.seedPixel(seed)), "bmp-synth")
+      }
+    val pngs = pngPlan.repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Long)].map { case (mid, raw) =>
+        val seed = Multimodal.scrambleSeed(raw)
+        val w = (4 + seed % 5).toInt
+        val h = (3 + seed % 4).toInt
+        Multimodal.MediaRecord(mid, "image",
+          Multimodal.encodePng(w, h, Multimodal.seedPixel(seed),
+            filterForRow = y => ((seed + y) % 5).toInt,
+            idatSplit = if (mid % 3 == 1) 3 else 1,
+            textChunk = if (mid % 3 == 2) Some("graft-fixture") else None),
+          "png-synth")
+      }
+    val kb = Multimodal.imageContentKeys(bmps, Multimodal.decodeBmp)
+    val kp = Multimodal.imageContentKeys(pngs, Multimodal.decodePng)
+    kb.select(col("media_id").as("id_a"), col("width"), col("height"),
+        col("c1"), col("c2"))
+      .join(kp.select(col("media_id").as("id_b"), col("width"), col("height"),
+        col("c1"), col("c2")), Seq("width", "height", "c1", "c2"))
+      .select(col("id_a"), col("id_b"), col("width"), col("height"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m16_sql: String =
+    """WITH im AS (
+      |  SELECT media_id,
+      |         CAST(('0x' || substr(md5(CAST(raw AS VARCHAR)), 1, 8)) AS BIGINT) AS seed
+      |  FROM (
+      |    SELECT doc_id AS media_id, doc_id AS raw FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 1000000000,
+      |           CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE -doc_id - 1 END
+      |    FROM documents
+      |  ) r
+      |),
+      |g AS (
+      |  SELECT media_id, seed, 4 + seed % 5 AS w, 3 + seed % 4 AS h FROM im
+      |),
+      |px AS (
+      |  SELECT g.media_id, g.w, g.h, x.x, y.y,
+      |    (7*g.seed + 3*x.x + 11*y.y + (g.seed * (x.x + 40*y.y + 1)) % 251) % 256 AS r,
+      |    (13*g.seed + 5*x.x + 2*y.y + (g.seed * (x.x + 40*y.y + 2)) % 241) % 256 AS gg,
+      |    (3*g.seed + x.x + 17*y.y + (g.seed * (x.x + 40*y.y + 3)) % 239) % 256 AS b
+      |  FROM g,
+      |       (SELECT unnest(range(0, 8)) AS x) x,
+      |       (SELECT unnest(range(0, 6)) AS y) y
+      |  WHERE x.x < g.w AND y.y < g.h
+      |),
+      |keys AS (
+      |  SELECT media_id, w, h,
+      |         CAST(SUM((r + 2*gg + 3*b) * (1 + x + y*w)) AS BIGINT) AS c1,
+      |         CAST(SUM((3*r + 2*gg + b) * (1 + y + x*h)) AS BIGINT) AS c2
+      |  FROM px GROUP BY media_id, w, h
+      |)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |       CAST(a.w AS INT) AS width, CAST(a.h AS INT) AS height
+      |FROM keys a JOIN keys b
+      |  ON a.w = b.w AND a.h = b.h AND a.c1 = b.c1 AND a.c2 = b.c2
+      |  AND a.media_id < 1000000000 AND b.media_id >= 1000000000
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** REAL audio bytes end-to-end — m05's contract for the second
     * modality: every payload is an actual RIFF/WAVE container (16-bit
     * mono PCM), a third of them carrying a JUNK chunk between `fmt `
@@ -2780,6 +2879,7 @@ object DataPipelineQueries {
     "m04_audio_neardup" -> m04_audio_neardup,
     "m05_bmp_decode" -> m05_bmp_decode,
     "m15_png_decode" -> m15_png_decode,
+    "m16_crosscontainer_dedup" -> m16_crosscontainer_dedup,
     "m06_wav_decode" -> m06_wav_decode,
     "m07_bmp_neardup" -> m07_bmp_neardup,
     "m08_wav_neardup" -> m08_wav_neardup,
@@ -2835,6 +2935,7 @@ object DataPipelineQueries {
     "m04_audio_neardup" -> m04_sql,
     "m05_bmp_decode" -> m05_sql,
     "m15_png_decode" -> m15_sql,
+    "m16_crosscontainer_dedup" -> m16_sql,
     "m06_wav_decode" -> m06_sql,
     "m07_bmp_neardup" -> m07_sql,
     "m08_wav_neardup" -> m08_sql,
