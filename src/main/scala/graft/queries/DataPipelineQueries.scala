@@ -2401,13 +2401,16 @@ object DataPipelineQueries {
       .repartition(s.sparkContext.defaultParallelism)
     val textPairs = TextDedup.minhashLshPairs(textCorpus, "doc_id", "text",
       n = 3, numHashes = 128, bands = 32, threshold = 0.8)
-    // image seeds: the re-render (+1e9) draws an UNRELATED image (seed
-    // offset past every base id at any SF); the re-scan (+2e9) reuses
-    // the base image exactly
+    // image seeds: the re-render (+1e9) draws an UNRELATED image from
+    // the NEGATIVE raw space — doc ids are nonnegative but NOT dense
+    // (sf1 shards them across a 90M range), so a positive offset
+    // eventually lands on a real id and silently reuses that doc's
+    // image (the m16 measurement: +1e7 hit shard-1 ids for 22.5k sf1
+    // docs); the re-scan (+2e9) reuses the base image exactly
     val plan = d.select(col("doc_id").as("media_id"), col("doc_id").as("seed"))
       .unionAll(d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000000L).as("media_id"),
-          (col("doc_id") + 10000000L).as("seed")))
+          (-col("doc_id") - 1L).as("seed")))
       .unionAll(d.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 2000000000L).as("media_id"),
           col("doc_id").as("seed")))
@@ -2446,7 +2449,7 @@ object DataPipelineQueries {
        |  FROM (
        |    SELECT doc_id AS media_id, doc_id AS raw FROM documents
        |    UNION ALL
-       |    SELECT doc_id + 1000000000, doc_id + 10000000 FROM documents WHERE doc_id % 10 = 0
+       |    SELECT doc_id + 1000000000, -doc_id - 1 FROM documents WHERE doc_id % 10 = 0
        |    UNION ALL
        |    SELECT doc_id + 2000000000, doc_id FROM documents WHERE doc_id % 10 = 5
        |  ) r
