@@ -795,6 +795,150 @@ object Multimodal {
     (rate, samples)
   }
 
+  /** Encode G.711 μ-law codes into a RIFF/WAVE container: fmt tag 7,
+    * 8 bits/sample, block align 1 — one code byte per sample, the
+    * telephony layout. An ODD sample count leaves an odd-sized data
+    * chunk, which RIFF pads to even: the pad byte is in the container
+    * but not the data size field, so readers that advance by the raw
+    * size misparse any chunk after data (and byte_size oracles must
+    * add the pad).
+    */
+  def encodeWavMulaw(sampleRate: Int, codes: Array[Byte],
+      junkChunk: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0 && codes.nonEmpty, "degenerate WAV")
+    val junk = if (junkChunk) 20 else 0
+    val pad = codes.length & 1
+    val out = new Array[Byte](44 + junk + codes.length + pad)
+    putTag(out, 0, "RIFF"); putLe32(out, 4, out.length - 8)
+    putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); putLe32(out, 16, 16)
+    putLe16(out, 20, 7)              // WAVE_FORMAT_MULAW
+    putLe16(out, 22, 1)              // mono
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate)     // byte rate = rate (1 byte/sample)
+    putLe16(out, 32, 1)              // block align
+    putLe16(out, 34, 8)              // bits/sample
+    var p = 36
+    if (junkChunk) {
+      putTag(out, p, "JUNK"); putLe32(out, p + 4, 12)
+      p += 20
+    }
+    putTag(out, p, "data"); putLe32(out, p + 4, codes.length)
+    System.arraycopy(codes, 0, out, p + 8, codes.length)
+    out // trailing pad byte (if any) stays zero
+  }
+
+  /** G.711 μ-law expansion, exact ITU integer arithmetic: invert the
+    * stored byte, split sign/exponent/mantissa, reconstruct the
+    * biased magnitude `((mant·8 + 132) << exp) − 132`. Pure integer
+    * CASE math — the m17 oracle replays it verbatim in SQL.
+    */
+  def mulawDecode(code: Int): Int = {
+    val u = ~code & 0xFF
+    val mag = (((u & 0x0F) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 μ-law compression (the encode direction, spec-pinned via
+    * the round-trip law decode∘encode∘decode = decode).
+    */
+  def mulawEncode(sample: Int): Int = {
+    val sign = if (sample < 0) 0x80 else 0
+    val x = math.min(if (sample < 0) -sample else sample, 32635) + 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    ~(sign | (exp << 4) | ((x >> (exp + 3)) & 0x0F)) & 0xFF
+  }
+
+  /** The format-DISPATCHING wav decode: the same RIFF chunk walk as
+    * [[decodeWav]], but fmt fields and raw data bytes are collected
+    * FIRST and interpreted after the walk — chunk order cannot break
+    * the dispatch (fmt after data is legal RIFF). Format 1/16-bit
+    * returns PCM verbatim; format 7/8-bit expands each μ-law code
+    * through [[mulawDecode]]. Anything else fails loudly, like every
+    * decoder here.
+    */
+  def decodeWavExpanded(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 44, "truncated WAV")
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE payload")
+    var p = 12
+    var fmt = -1; var bits = -1; var rate = -1
+    var dataAt = -1; var dataLen = -1
+    while (p + 8 <= bytes.length && (rate < 0 || dataAt < 0)) {
+      val id = tag(p); val size = le32(bytes, p + 4)
+      require(size >= 0 && p + 8 + size <= bytes.length,
+        s"chunk $id overruns the payload")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"short fmt chunk ($size)")
+          fmt = le16(bytes, p + 8)
+          require(le16(bytes, p + 10) == 1, "not mono")
+          bits = le16(bytes, p + 22)
+          rate = le32(bytes, p + 12)
+        case "data" =>
+          dataAt = p + 8; dataLen = size
+        case _ => ()
+      }
+      p += 8 + size + (size & 1)
+    }
+    require(rate > 0, "no fmt chunk")
+    require(dataAt >= 0, "no data chunk")
+    (fmt, bits) match {
+      case (1, 16) =>
+        require(dataLen % 2 == 0, "odd PCM data size")
+        val samples = new Array[Short](dataLen / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = le16(bytes, dataAt + 2 * i).toShort
+          i += 1
+        }
+        (rate, samples)
+      case (7, 8) =>
+        val samples = new Array[Short](dataLen)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = mulawDecode(bytes(dataAt + i) & 0xFF).toShort
+          i += 1
+        }
+        (rate, samples)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported wav encoding $other")
+    }
+  }
+
+  /** The format-dispatching audio codec: PCM and G.711 μ-law payloads
+    * through ONE decode ([[decodeWavExpanded]]), features over the
+    * EXPANDED samples — so the fmt tag is load-bearing corpus-wide (a
+    * reader assuming PCM turns μ-law bytes into noise and fails the
+    * hash on half the corpus). Same checksum shape as [[WavCodec]].
+    */
+  object TelephonyCodec extends MediaCodec {
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.kind != "audio") decodeStub(r)
+      else {
+        val (rate, samples) = decodeWavExpanded(r.content)
+        var sum = 0L
+        var i = 0
+        while (i < samples.length) {
+          sum += samples(i).toLong * (1 + i)
+          i += 1
+        }
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+          width = 0, height = 0, channels = 1,
+          duration_ms = samples.length.toLong * 1000 / rate, checksum = sum)
+      }
+
+    def embed(r: MediaRecord, dim: Int): Array[Float] = WavCodec.embed(r, dim)
+
+    def blockBit(content: Column, block: Column, blockBytes: Int): Column =
+      WavCodec.blockBit(content, block, blockBytes)
+
+    def frameSig(content: Column, byteOffset: Column, stride: Int): Column =
+      WavCodec.frameSig(content, byteOffset, stride)
+  }
+
   /** The REAL audio codec: decode walks actual RIFF chunks; features
     * derive from decoded PCM samples. `checksum` is the position-
     * weighted sample sum Σ s_i·(1+i) — sensitive to sample order and

@@ -1815,6 +1815,74 @@ object DataPipelineQueries {
       |GROUP BY doc_id, w, h
       |ORDER BY media_id""".stripMargin
 
+  /** Mixed-encoding audio decode — the SECOND real audio encoding,
+    * G.711 μ-law (the telephony codec), dispatched inside one RIFF
+    * walk: half the corpus is 16-bit PCM (m06's formula), half is
+    * 8-bit μ-law codes expanded through the exact ITU integer
+    * arithmetic ([[Multimodal.mulawDecode]]: invert, split
+    * sign/exponent/mantissa, `((mant·8+132) << exp) − 132`), and
+    * [[Multimodal.decodeWavExpanded]] collects fmt fields and data
+    * position BEFORE interpreting either — chunk order cannot break
+    * the dispatch. The fmt tag is load-bearing corpus-wide (a reader
+    * assuming PCM turns μ-law bytes into noise on half the rows), the
+    * JUNK-chunk third keeps the walk honest, and odd μ-law sample
+    * counts leave RIFF pad bytes in the container but not the size
+    * field (byte_size pins that, too). Features are expanded-sample
+    * arithmetic; the oracle replays BOTH formulas — the m06 PCM
+    * stream and the full μ-law expansion in integer CASE math.
+    */
+  val m17_mulaw_decode: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id"))
+    val media = ids.repartition(s.sparkContext.defaultParallelism)
+      .as[Long].map { id =>
+        val n = (40 + id % 32).toInt
+        val junk = id % 3 == 0
+        if (id % 2 == 0) {
+          val samples = Array.tabulate(n)(i =>
+            (((31 * id + 7L * i * i) % 65536) - 32768).toShort)
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.encodeWav(8000, samples, junkChunk = junk), "wav-synth")
+        } else {
+          val codes = Array.tabulate(n)(i =>
+            ((29 * id + 11 * i + (id * (i + 1)) % 223) % 256).toByte)
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.encodeWavMulaw(8000, codes, junkChunk = junk), "wav-synth")
+        }
+      }
+    Multimodal.processBatches(media, codec = Multimodal.TelephonyCodec).toDF()
+      .select(col("media_id"), col("duration_ms"), col("byte_size"),
+        col("checksum").as("pcm_checksum"))
+      .orderBy(col("media_id"))
+  }
+
+  val m17_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 40 + doc_id % 32 AS n FROM documents
+      |),
+      |sm AS (
+      |  SELECT d.doc_id, d.n, i.i,
+      |    CASE WHEN d.doc_id % 2 = 0
+      |      THEN ((31*d.doc_id + 7*i.i*i.i) % 65536) - 32768
+      |      ELSE (CASE WHEN u.u >= 128 THEN -1 ELSE 1 END) *
+      |           (((u.u % 16) * 8 + 132) * (1 << ((u.u // 16) % 8)) - 132)
+      |    END AS s
+      |  FROM d,
+      |       (SELECT unnest(range(0, 72)) AS i) i,
+      |       LATERAL (SELECT 255 - ((29*d.doc_id + 11*i.i
+      |                  + (d.doc_id*(i.i+1)) % 223) % 256) AS u) u
+      |  WHERE i.i < d.n
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(44 + CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 0 END
+      |       + CASE WHEN doc_id % 2 = 0 THEN 2*n ELSE n + (n % 2) END
+      |       AS BIGINT) AS byte_size,
+      |  CAST(SUM(s * (1 + i)) AS BIGINT) AS pcm_checksum
+      |FROM sm
+      |GROUP BY doc_id, n
+      |ORDER BY media_id""".stripMargin
+
   /** CROSS-CONTAINER content dedup — the crawl problem no single
     * codec sees: the same image fetched twice, once as BMP and once
     * as PNG, is byte-DISJOINT at the container level (one stores
@@ -2883,6 +2951,7 @@ object DataPipelineQueries {
     "m05_bmp_decode" -> m05_bmp_decode,
     "m15_png_decode" -> m15_png_decode,
     "m16_crosscontainer_dedup" -> m16_crosscontainer_dedup,
+    "m17_mulaw_decode" -> m17_mulaw_decode,
     "m06_wav_decode" -> m06_wav_decode,
     "m07_bmp_neardup" -> m07_bmp_neardup,
     "m08_wav_neardup" -> m08_wav_neardup,
@@ -2939,6 +3008,7 @@ object DataPipelineQueries {
     "m05_bmp_decode" -> m05_sql,
     "m15_png_decode" -> m15_sql,
     "m16_crosscontainer_dedup" -> m16_sql,
+    "m17_mulaw_decode" -> m17_sql,
     "m06_wav_decode" -> m06_sql,
     "m07_bmp_neardup" -> m07_sql,
     "m08_wav_neardup" -> m08_sql,

@@ -129,6 +129,66 @@ class WavCodecSpec extends AnyFunSuite {
     assert(shallow.isNullAt(0), "beyond-depth walk must be null")
   }
 
+  test("G.711 μ-law: ITU reference points and the round-trip law") {
+    // spec anchors: both zero codes decode to 0, the extremes to ±32124
+    assert(Multimodal.mulawDecode(0xFF) == 0)
+    assert(Multimodal.mulawDecode(0x7F) == 0)
+    assert(Multimodal.mulawDecode(0x80) == 32124)
+    assert(Multimodal.mulawDecode(0x00) == -32124)
+    assert(Multimodal.mulawEncode(0) == 0xFF)
+    // decode ∘ encode ∘ decode = decode, over the whole code space
+    for (c <- 0 until 256) {
+      val s = Multimodal.mulawDecode(c)
+      assert(Multimodal.mulawDecode(Multimodal.mulawEncode(s)) == s,
+        s"round-trip broke at code $c (sample $s)")
+    }
+    // the +132 bias makes encode a ROUNDING quantizer on the first
+    // 8-wide step: |s| ≤ 3 rounds to 0, |s| ≥ 4 rounds to ±8 and
+    // keeps its sign
+    for (s <- Seq(1, 3, -3))
+      assert(Multimodal.mulawDecode(Multimodal.mulawEncode(s)) == 0,
+        s"|s|<=3 must round to 0, broke at $s")
+    for (s <- Seq(4, 8, 100, 5000, 32124, -32124, -100, -4))
+      assert(Multimodal.mulawDecode(Multimodal.mulawEncode(s)).sign == s.sign,
+        s"sign lost at $s")
+  }
+
+  test("decodeWavExpanded dispatches on the fmt tag; strict decode refuses μ-law") {
+    val pcm = samplesOf(5L, 50)
+    val pcmBytes = Multimodal.encodeWav(8000, pcm, junkChunk = true)
+    // PCM path: expanded decode ≡ strict decode
+    val (r1, s1) = Multimodal.decodeWavExpanded(pcmBytes)
+    val (r2, s2) = Multimodal.decodeWav(pcmBytes)
+    assert(r1 == r2 && s1.toSeq == s2.toSeq)
+    // μ-law path: expansion matches mulawDecode per code; odd count
+    // exercises the RIFF pad byte
+    val codes = Array.tabulate(41)(i => ((37 * i + 11) % 256).toByte)
+    val mu = Multimodal.encodeWavMulaw(8000, codes, junkChunk = true)
+    assert(mu.length == 44 + 20 + 41 + 1, "odd data chunk must be padded")
+    val (r3, s3) = Multimodal.decodeWavExpanded(mu)
+    assert(r3 == 8000 && s3.length == 41)
+    for (i <- codes.indices)
+      assert(s3(i) == Multimodal.mulawDecode(codes(i) & 0xFF).toShort,
+        s"expansion diverged at sample $i")
+    // the strict 16-bit decoder fails LOUDLY on format 7
+    assertThrows[IllegalArgumentException](Multimodal.decodeWav(mu))
+  }
+
+  test("decodeWavExpanded survives fmt-after-data chunk order") {
+    // legal RIFF: data before fmt. Hand-build it: RIFF hdr, data, fmt.
+    val codes = Array.tabulate(8)(i => (40 * i + 3).toByte)
+    val canonical = Multimodal.encodeWavMulaw(8000, codes)
+    val (_, want) = Multimodal.decodeWavExpanded(canonical)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(canonical, 0, 12)            // RIFF....WAVE
+    out.write(canonical, 36, 8 + 8)        // data chunk (8 hdr + 8 codes)
+    out.write(canonical, 12, 24)           // fmt chunk
+    val swapped = out.toByteArray
+    val (rate, got) = Multimodal.decodeWavExpanded(swapped)
+    assert(rate == 8000 && got.toSeq == want.toSeq,
+      "chunk order changed the decode")
+  }
+
   test("blockBit block 0 is PCM-aligned: identical samples give identical bits across layouts") {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
