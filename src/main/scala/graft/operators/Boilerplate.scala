@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.{TextFunctions, WordGrams}
 
@@ -183,6 +184,54 @@ object Boilerplate {
       n: Int, patterns: DataFrame): DataFrame =
     dropSpanTokens(df, idCol, textCol,
       matchSpans(df, idCol, textCol, n, patterns))
+
+  /** Canonical-survivor dedup under FORGET — what happens to the
+    * [[canonicalDupSpans]] decision when documents are deleted:
+    * ownership is a MIN aggregate over a gram's carriers, so
+    * forgetting the owner forces a RE-ELECTION (next-lowest live
+    * carrier), and a duplicated gram whose distinct-carrier count
+    * drops below 2 stops being duplicated at all — its coverage
+    * RESURFACES everywhere. Returns, per live doc with any
+    * before-forget coverage, the excised token counts before and
+    * after the forget; restoration is monotone by construction
+    * (owner1 = min over a SUBSET of carriers, so a doc that owned a
+    * gram before still owns it after — per-gram after-excision
+    * implies before-excision, proven in the spec's model test).
+    *
+    * Scale shape: ONE fused gram aggregate elects BOTH owners
+    * (min + conditional min, distinct + conditional distinct — one
+    * shuffle, not an election per epoch); both span merges read the
+    * same persisted gram relation. The d46 lesson applied to dedup:
+    * MIN is not algebraically retractable, but here the before/after
+    * pair is computable in one pass because liveness is a column
+    * predicate, not an ordering of deltas.
+    */
+  def canonicalReelection(df: DataFrame, idCol: String, textCol: String,
+      n: Int, liveId: Column => Column)(implicit cs: CacheScope): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val grams = cs.persist(toks.select(col("id"), size(col("toks")).as("n_toks"),
+      posexplode(WordGrams(col("toks"), n)).as(Seq("pos", "gram"))))
+    val own = grams.groupBy(col("gram")).agg(
+      min(col("id")).as("__o0"),
+      countDistinct(col("id")).as("__d0"),
+      min(when(liveId(col("id")), col("id"))).as("__o1"),
+      countDistinct(when(liveId(col("id")), col("id"))).as("__d1"))
+    val occ = grams.filter(liveId(col("id"))).join(own, "gram")
+    def spansOf(dup: Column, owner: Column) = mergeIntervals(
+      occ.filter(dup >= 2 && col("id") =!= owner)
+        .select(col("id"), col("pos").as("s"),
+          least(col("pos") + n, col("n_toks")).as("e")))
+    val before = spansOf(col("__d0"), col("__o0"))
+      .groupBy(col("id"))
+      .agg(sum(col("n_tokens")).cast(LongType).as("excised_before"))
+    val after = spansOf(col("__d1"), col("__o1"))
+      .groupBy(col("id"))
+      .agg(sum(col("n_tokens")).cast(LongType).as("excised_after"))
+    before.join(after, Seq("id"), "left")
+      .select(col("id"), col("excised_before"),
+        coalesce(col("excised_after"), lit(0L)).as("excised_after"))
+  }
 
   /** The corpus after canonical-survivor dedup: documents with
     * [[canonicalDupSpans]] intervals excised — each duplicated region

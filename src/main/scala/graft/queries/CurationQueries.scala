@@ -2402,6 +2402,94 @@ object CurationQueries {
        |LEFT JOIN clean cl ON cl.doc_id = a.doc_id
        |ORDER BY a.doc_id""".stripMargin
 
+  // ── d62: canonical re-election under forget ─────────────────────────
+
+  /** Dedup under DELETION — the question d60 leaves open: ownership
+    * is a MIN aggregate, so what happens when the canonical owner is
+    * forgotten? [[Boilerplate.canonicalReelection]] answers with one
+    * FUSED gram aggregate electing both the before- and after-forget
+    * owners (forget slice: doc_id % 17 = 3): a forgotten owner's
+    * grams re-elect their next-lowest LIVE carrier, and a pair that
+    * loses one member drops below df 2 — no longer duplicated, its
+    * coverage RESURFACES entirely. Output: per live doc that had
+    * coverage, before/after excised tokens and the restored delta
+    * (monotone ≥ 0 by construction — the spec proves it against the
+    * independent model). The oracle replays the fused election and
+    * BOTH island merges.
+    */
+  val d62_canonical_reelection: Q = (s, dir) => {
+    Boilerplate.canonicalReelection(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 8, liveId = _ % 17 =!= 3)
+      .filter(col("excised_before") > 0)
+      .select(col("id").as("doc_id"), col("excised_before"),
+        col("excised_after"),
+        (col("excised_before") - col("excised_after")).as("n_restored"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d62_sql: String =
+    s"""WITH ${ngramPosSql(8)},
+       |own AS (
+       |  SELECT gram, MIN(doc_id) AS o0, COUNT(DISTINCT doc_id) AS d0,
+       |         MIN(CASE WHEN doc_id % 17 <> 3 THEN doc_id END) AS o1,
+       |         COUNT(DISTINCT CASE WHEN doc_id % 17 <> 3 THEN doc_id END) AS d1
+       |  FROM occ GROUP BY gram
+       |),
+       |ivb AS (
+       |  SELECT o.doc_id, o.pos AS s, LEAST(o.pos + 8, o.n_toks) AS e
+       |  FROM occ o JOIN own w ON o.gram = w.gram
+       |  WHERE o.doc_id % 17 <> 3 AND w.d0 >= 2 AND o.doc_id <> w.o0
+       |),
+       |iva AS (
+       |  SELECT o.doc_id, o.pos AS s, LEAST(o.pos + 8, o.n_toks) AS e
+       |  FROM occ o JOIN own w ON o.gram = w.gram
+       |  WHERE o.doc_id % 17 <> 3 AND w.d1 >= 2 AND o.doc_id <> w.o1
+       |),
+       |mb AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM ivb
+       |),
+       |spb AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM mb
+       |),
+       |pb AS (
+       |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS excised_before
+       |  FROM (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM spb
+       |        GROUP BY doc_id, span) t
+       |  GROUP BY doc_id
+       |),
+       |ma AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM iva
+       |),
+       |spa AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM ma
+       |),
+       |pa AS (
+       |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS excised_after
+       |  FROM (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM spa
+       |        GROUP BY doc_id, span) t
+       |  GROUP BY doc_id
+       |)
+       |SELECT pb.doc_id, pb.excised_before,
+       |       COALESCE(pa.excised_after, 0) AS excised_after,
+       |       pb.excised_before - COALESCE(pa.excised_after, 0) AS n_restored
+       |FROM pb LEFT JOIN pa ON pa.doc_id = pb.doc_id
+       |WHERE pb.excised_before > 0
+       |ORDER BY pb.doc_id""".stripMargin
+
   // ── w44: novelty-gated admission (exact-dup fraction vs the index) ──
 
   /** The DEDUP decision at the ingestion boundary — d48's span
@@ -2595,6 +2683,7 @@ object CurationQueries {
     "d48_excise_contamination" -> d48_excise_contamination,
     "d60_substring_dedup" -> d60_substring_dedup,
     "d61_canonical_excise" -> d61_canonical_excise,
+    "d62_canonical_reelection" -> d62_canonical_reelection,
     "w44_novelty_admission" -> w44_novelty_admission,
     "d26_token_budget" -> d26_token_budget,
     "q29_rank_functions" -> q29_rank_functions,
@@ -2653,6 +2742,7 @@ object CurationQueries {
     "d48_excise_contamination" -> d48_sql,
     "d60_substring_dedup" -> d60_sql,
     "d61_canonical_excise" -> d61_sql,
+    "d62_canonical_reelection" -> d62_sql,
     "w44_novelty_admission" -> w44_sql,
     "d26_token_budget" -> d26_sql,
     "q29_rank_functions" -> q29_sql,

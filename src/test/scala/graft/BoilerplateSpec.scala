@@ -153,6 +153,53 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 0, 3, 3), (3L, 2, 5, 3), (4L, 2, 5, 3)))
   }
 
+  test("canonicalReelection matches two independent elections; restoration is monotone") {
+    import spark.implicits._
+    samples(genCorpus, 5, seed = 41L).zipWithIndex.foreach { case (texts, ci) =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def live(id: Long) = id % 3 != 1
+      val df = corpus.toDF("doc_id", "text")
+      // model: BEFORE = full-corpus election, coverage on live docs;
+      // AFTER = an election run on the live corpus alone
+      val beforeSpans = canonicalModel(corpus, n = 2).filter(k => live(k._1))
+      val afterSpans = canonicalModel(corpus.filter(c => live(c._1)), n = 2)
+      def tokensOf(spans: Map[Long, List[(Int, Int)]]) =
+        spans.view.mapValues(_.map { case (s, e) => e - s }.sum)
+          .filter(_._2 > 0).toMap
+      val expB = tokensOf(beforeSpans)
+      val expA = tokensOf(afterSpans)
+      val got = Boilerplate.canonicalReelection(df, "doc_id", "text", 2,
+          liveId = _ % 3 =!= 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.keySet == expB.keySet, s"corpus $ci: affected sets diverge")
+      got.foreach { case (id, (b, a)) =>
+        assert(b == expB(id), s"corpus $ci doc $id before")
+        assert(a == expA.getOrElse(id, 0L), s"corpus $ci doc $id after")
+        assert(a <= b, s"corpus $ci doc $id: restoration must be monotone")
+      }
+    }
+  }
+
+  test("canonicalReelection pins re-election and pair dissolution") {
+    import spark.implicits._
+    // P shared by 1,2,3 (owner 1). Q shared by 4,5 (owner 4).
+    // Forget {1, 4} (live = id % 3 != 1): P re-elects owner 2 → doc 2
+    // RESTORES its 3 tokens, doc 3 stays excised under the new owner;
+    // Q's pair dissolves (df 2 → 1) → doc 5 restores everything.
+    val corpus = Seq(
+      1L -> "red fox jumps over things",
+      2L -> "red fox jumps quiet stones",
+      3L -> "we saw red fox jumps today",
+      4L -> "old gray wall stands here",
+      5L -> "near old gray wall tonight")
+    val got = Boilerplate.canonicalReelection(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 3, liveId = _ % 3 =!= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 3L, 0L), (3L, 3L, 3L), (5L, 3L, 0L)),
+      s"re-election semantics broke: ${got.toSeq}")
+  }
+
   test("canonicalExcise drops exactly the non-owned duplicated positions") {
     import spark.implicits._
     samples(genCorpus, 4, seed = 31L).foreach { texts =>
