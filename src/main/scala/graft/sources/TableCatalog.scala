@@ -126,11 +126,32 @@ class TableCatalog(spark: SparkSession, root: String) {
     */
   private[graft] def stage(tables: Map[String, DataFrame]): Map[String, String] = {
     tables.keys.foreach(requireSafeName)
-    tables.map { case (t, df) =>
+    def writeOne(t: String, df: DataFrame): (String, String) = {
       val stageName = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
       df.write.mode("overwrite")
         .parquet(new Path(root, s"tables/$t/$stageName").toString)
       t -> stageName
+    }
+    if (tables.size <= 1) tables.map { case (t, df) => writeOne(t, df) }
+    else {
+      // A multi-member commit's staged writes are INDEPENDENT (disjoint
+      // nonce directories, nothing visible until publish), so they run
+      // as concurrent Spark jobs instead of a driver-sequential chain:
+      // the commit's write wall is the slowest member, not the sum of
+      // all members — on a unified-index commit (6-7 batch-sized
+      // relations per micro-batch) that is most of the commit latency,
+      // and each job is far narrower than the cluster. A failed write
+      // fails the whole stage (the commit never publishes); any sibling
+      // directory already written is an unreferenced orphan that the
+      // next vacuum reclaims — exactly the crash contract above.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = TableCatalog.stagingEc
+      Await.result(
+        Future.sequence(tables.toSeq.map { case (t, df) =>
+          Future(writeOne(t, df))
+        }),
+        Duration.Inf).toMap
     }
   }
 
@@ -478,7 +499,13 @@ class TableCatalog(spark: SparkSession, root: String) {
     val both = snapshots.keySet.intersect(appends.keySet)
     require(both.isEmpty,
       s"tables $both appear as BOTH snapshot and append in one commit")
-    publish(stage(snapshots), commitTsMillis, appended = stage(appends))
+    // one staging wave for both kinds (names are disjoint per the
+    // require above), so snapshot rewrites and append segments overlap
+    // too instead of forming two sequential write chains
+    val all = stage(snapshots ++ appends)
+    publish(all.filter { case (t, _) => snapshots.contains(t) },
+      commitTsMillis,
+      appended = all.filter { case (t, _) => appends.contains(t) })
   }
 
   private def swingRef(ref: String, g: Long): Unit = {
@@ -1086,4 +1113,20 @@ object TableCatalog {
 
   private def lockFor(qualifiedRoot: String): Object =
     commitLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
+
+  /** Shared pool for [[TableCatalog.stage]]'s concurrent member
+    * writes. Bounded: each task is one blocking Spark job submission,
+    * and 8 in flight saturates the commit path long before it
+    * saturates a cluster (a 6-7-member unified commit fits in one
+    * wave). Daemon threads — staging work must never hold the JVM
+    * open past the driver.
+    */
+  private[sources] lazy val stagingEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "catalog-stage")
+          t.setDaemon(true)
+          t
+        }))
 }

@@ -302,8 +302,27 @@ object UnifiedIndex {
     * [[membershipConsistentFast]] instead.
     */
   def membershipConsistent(cat: TableCatalog, gen: Option[Long] = None): Boolean =
-    checkMembership(cat, gen) { case (a, b) =>
-      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    checkMembership(cat, gen) { fams =>
+      // exact MULTISET equality across all families — the same
+      // invariant as the historical pairwise
+      // `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` (multiset
+      // equality is symmetric-difference emptiness), computed as ONE
+      // action: family-tagged union, one grouped count per (id, rev),
+      // keep any group whose per-family counts differ. The pairwise
+      // form cost two exceptAll shuffles per family pair (four jobs
+      // over the token-sized positions relation); this is one shuffle
+      // of the union, and the per-family scans are concurrent stages.
+      val tagged = fams.zipWithIndex
+        .map { case (df, i) => df.select(col("id"), col("rev"),
+          lit(i).as("__fam")) }
+        .reduce(_ unionAll _)
+      val perFam = fams.indices
+        .map(i => count(when(col("__fam") === i, 1)).as(s"__c$i"))
+      tagged.groupBy(col("id"), col("rev"))
+        .agg(perFam.head, perFam.tail: _*)
+        .filter(fams.indices.tail
+          .map(i => col(s"__c$i") =!= col("__c0")).reduce(_ || _))
+        .isEmpty
     }
 
   /** [[membershipConsistent]] as an O(aggregate) detector: per family,
@@ -320,27 +339,43 @@ object UnifiedIndex {
     * ids × 2⁶³ still sits 9 orders of magnitude under the decimal cap.
     */
   def membershipConsistentFast(cat: TableCatalog, gen: Option[Long] = None): Boolean =
-    checkMembership(cat, gen) { case (a, b) =>
+    checkMembership(cat, gen) { fams =>
       // raw count rides along so a DUPLICATED per-doc row (which the
       // exceptAll multiset compare flags) is caught too — the per-doc
       // relations are one-row-per-(id, rev) by contract, so raw ==
-      // distinct on every healthy family
-      def sig(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
-        val r = df.agg(
+      // distinct on every healthy family. All families' signatures
+      // come out of ONE action (family-tagged union, one grouped
+      // aggregate — the per-family scans are concurrent stages of one
+      // job) instead of one sequential aggregate job per family: this
+      // check is pinned after every maintenance commit, so its job
+      // count is per-batch latency.
+      val sigs = fams.zipWithIndex
+        .map { case (df, i) =>
+          df.select(lit(i).as("__fam"), col("id"), col("rev")) }
+        .reduce(_ unionAll _)
+        .groupBy(col("__fam")).agg(
           count(lit(1)).as("rows"),
           count_distinct(col("id"), col("rev")).as("n"),
           coalesce(
             sum_distinct(xxhash64(col("id"), col("rev"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-            lit(java.math.BigDecimal.ZERO)).as("h")).head()
-        (r.getLong(0), r.getLong(1), r.getDecimal(2))
+            lit(java.math.BigDecimal.ZERO)).as("h"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+      // a zero-row family produces no group: signature (0, 0, 0) —
+      // exactly what the per-family aggregate returned for it
+      val zero = (0L, 0L, java.math.BigDecimal.ZERO)
+      def sigOf(i: Int) = sigs.getOrElse(i, zero)
+      val (rh, nh, hh) = sigOf(0)
+      rh == nh && fams.indices.tail.forall { i =>
+        val (r, n, h) = sigOf(i)
+        r == rh && n == nh && h.compareTo(hh) == 0
       }
-      val (ra, na, ha) = sig(a); val (rb, nb, hb) = sig(b)
-      ra == rb && na == nb && ra == na && ha.compareTo(hb) == 0
     }
 
   private def checkMembership(cat: TableCatalog, gen: Option[Long])(
-      same: (DataFrame, DataFrame) => Boolean): Boolean = {
+      same: Seq[DataFrame] => Boolean): Boolean = {
     val g = gen.orElse(cat.latestGeneration()).getOrElse(return true)
     familyIds(cat, g) match {
       // a generation before any ingest (e.g. a tombstone-only first
@@ -348,9 +383,7 @@ object UnifiedIndex {
       // families present IS the torn state this invariant catches.
       case fams if fams.forall(_.isEmpty) => true
       case fams if fams.exists(_.isEmpty) => false
-      case fams =>
-        val ids = fams.flatten
-        ids.tail.forall(same(ids.head, _))
+      case fams => same(fams.flatten)
     }
   }
 }
