@@ -243,21 +243,27 @@ object IndexMaintenance {
           // is nothing to be dead
           && cat.memberNames(head).contains(perDocRel) =>
         val tomb = cat.read("tombstones")
-        val rel = cat.read(perDocRel)
-        // total and surviving counted in ONE action (the two scans are
-        // concurrent stages of one job) instead of three sequential
-        // jobs (isEmpty + count + count): this probe runs after EVERY
-        // maintenance commit, so its job count is pure serve-loop
-        // latency. An empty tombstone relation masks nothing and
-        // yields dead = 0 through the same aggregate — no special case.
-        val r = rel.select(lit(1L).as("__all"), lit(0L).as("__live"))
-          .unionAll(mask(rel, tomb)
-            .select(lit(0L).as("__all"), lit(1L).as("__live")))
-          .agg(sum(col("__all")).as("total"), sum(col("__live")).as("live"))
-          .head()
-        val total = if (r.isNullAt(0)) 0L else r.getLong(0)
-        val live = if (r.isNullAt(1)) 0L else r.getLong(1)
-        if (total == 0L) 0.0 else 1.0 - live.toDouble / total
+        // empty erase ledger (delete-free stream, or every tombstone
+        // folded): nothing can be dead, and the short-circuit keeps
+        // the per-commit probe of a healthy index to ONE limit-1 scan
+        // of the (empty) tombstone chain — never a per-doc-relation
+        // scan
+        if (tomb.isEmpty) 0.0
+        else {
+          val rel = cat.read(perDocRel)
+          // total and surviving counted in ONE action (the two scans
+          // are concurrent stages of one job) instead of two
+          // sequential count jobs: this probe runs after EVERY
+          // maintenance commit, so its job count is serve-loop latency
+          val r = rel.select(lit(1L).as("__all"), lit(0L).as("__live"))
+            .unionAll(mask(rel, tomb)
+              .select(lit(0L).as("__all"), lit(1L).as("__live")))
+            .agg(sum(col("__all")).as("total"), sum(col("__live")).as("live"))
+            .head()
+          val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+          val live = if (r.isNullAt(1)) 0L else r.getLong(1)
+          if (total == 0L) 0.0 else 1.0 - live.toDouble / total
+        }
       case _ => 0.0
     }
 
