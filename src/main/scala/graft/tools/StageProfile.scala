@@ -32,6 +32,7 @@ object StageProfile {
 
     if (args.length > 1 && args(1) == "lsh") { lshBreakdown(spark, dir, evalSet); spark.stop(); return }
     if (args.length > 1 && args(1) == "q18") { q18Breakdown(spark, dir); spark.stop(); return }
+    if (args.length > 1 && args(1) == "w33") { w33Breakdown(spark, dir); spark.stop(); return }
     // warm the JVM/codegen once
     DataPipelineQueries.d10_curation_pipeline(spark, dir).count()
     spark.catalog.clearCache()
@@ -70,6 +71,71 @@ object StageProfile {
         .count()
     }
     spark.stop()
+  }
+
+  /** w33 stage timing (warm): the unified-forget composite's phases,
+    * so the optimization loop can see which of commit / fold / probe /
+    * serve the wall actually lives in.
+    */
+  private def w33Breakdown(spark: SparkSession, dir: String): Unit = {
+    import graft.streaming.{IndexMaintenance, UnifiedIndex}
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[w33] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warm end-to-end once, as Bench does
+    graft.queries.EngineQueries.queries("w33_unified_forget")(spark, dir).count()
+    spark.catalog.clearCache()
+    val root = java.nio.file.Files.createTempDirectory("graft-w33prof")
+      .toFile.getAbsolutePath + "/cat"
+    val cat = new graft.sources.TableCatalog(spark, root)
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    time("commitBatch (full corpus)") { UnifiedIndex.commitBatch(cat, d, 0L) }
+    time("delete (bulk 1/3)") {
+      UnifiedIndex.delete(cat, d.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")), 2L)
+    }
+    time("fold (compactUnifiedIfNeeded)") {
+      IndexMaintenance.compactUnifiedIfNeeded(cat, 100L)
+    }
+    time("require: no masking tombstone") {
+      cat.read("tombstones").join(cat.read("sizes"),
+        Seq("id"), "left_semi").isEmpty
+    }
+    time("require: membershipConsistent (exact)") {
+      UnifiedIndex.membershipConsistent(cat)
+    }
+    time("delete (trickle)") {
+      UnifiedIndex.delete(cat, d.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id")), 3L)
+    }
+    time("probe (no compaction)") {
+      IndexMaintenance.compactUnifiedIfNeeded(cat, 101L)
+    }
+    val (bands, shingles, sizes) = UnifiedIndex.lshLive(cat)
+    val probes = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val matches = time("lshIndexLookup (probes)") {
+      val m = TextDedup.lshIndexLookup(probes, "doc_id", "text",
+        bands, shingles, sizes).persist()
+      m.count(); m
+    }
+    time("require: tombstoned-id scan") {
+      matches.filter(col("id_c") % 3 === 1 || col("id_c") % 10 === 2).isEmpty
+    }
+    time("require: copy-match count") {
+      matches.filter(col("id_c") === col("id_q") - 1000000000L).count()
+      d.filter(col("doc_id") % 20 === 0
+        && col("doc_id") % 3 =!= 1 && col("doc_id") % 10 =!= 2
+        && length(trim(col("text"))) > 0).count()
+    }
+    matches.unpersist()
+    time("bm25 serve tail") {
+      val (tf, dl) = UnifiedIndex.postingsLive(cat)
+      graft.queries.EngineQueries.queries("t19_bm25_topk") // touch
+      tf.filter(col("tok").isin(Seq("merge", "window", "filter",
+        "scan", "join", "sort"): _*)).join(dl, "doc_id").count()
+    }
   }
 
   /** q18 timing, bench shape (warm, fixture cached after the first run):
