@@ -69,6 +69,29 @@ object Constraints {
       s"stack(${rules.length}, ${entries.mkString(", ")}) AS (rule, violations)")
   }
 
+  /** Exact MULTISET equality of two same-schema relations in ONE
+    * action: side-tagged union, one grouped per-side count over all
+    * columns, any imbalanced group fails. Identical semantics to the
+    * require-pin shape `a.exceptAll(b).isEmpty &&
+    * b.exceptAll(a).isEmpty` (multiset equality ⟺ empty symmetric
+    * difference; GROUP BY and exceptAll share null-safe equality) at
+    * one shuffle of the union instead of two exceptAll shuffles — the
+    * lifecycle composites pin several of these per run, so the job
+    * count is query latency.
+    */
+  def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    require(b.columns.toSeq == cols,
+      s"sameMultiset: schemas differ (${cols.mkString(",")} vs ${b.columns.mkString(",")})")
+    a.withColumn("__side", lit(1))
+      .unionAll(b.withColumn("__side", lit(2)))
+      .groupBy(cols.map(col): _*)
+      .agg(count(when(col("__side") === 1, 1)).as("__na"),
+        count(when(col("__side") === 2, 1)).as("__nb"))
+      .filter(col("__na") =!= col("__nb"))
+      .isEmpty
+  }
+
   /** The DuckDB replay of one rule's violation count — the oracle SQL
     * is generated from the SAME rule objects as the audit plan, so the
     * two sides cannot desynchronize.

@@ -2568,16 +2568,12 @@ object CurationQueries {
       "an admitted or base document is not searchable")
     // the riders ARE the admitted / rejected sets
     val live = UnifiedIndex.memberLive(cat, "novelty", "id")
-    require(live.select(col("id"))
-      .exceptAll(admittedIds.select(col("doc_id"))).isEmpty &&
-      admittedIds.select(col("doc_id"))
-        .exceptAll(live.select(col("id"))).isEmpty,
+    require(graft.operators.Constraints.sameMultiset(
+      live.select(col("id")), admittedIds.select(col("doc_id").as("id"))),
       "rider and admitted set diverge")
     val rejLive = UnifiedIndex.memberLive(cat, "rejects", "id")
-    require(rejLive.select(col("id"))
-      .exceptAll(rejects.select(col("id"))).isEmpty &&
-      rejects.select(col("id"))
-        .exceptAll(rejLive.select(col("id"))).isEmpty,
+    require(graft.operators.Constraints.sameMultiset(
+      rejLive.select(col("id")), rejects.select(col("id"))),
       "reject log and rejected set diverge")
     val langs = docs.select(col("doc_id").as("id"), col("lang"))
     val admRep = live.join(langs, Seq("id"))

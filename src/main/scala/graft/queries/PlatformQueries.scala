@@ -2039,8 +2039,7 @@ object PlatformQueries {
     val direct = st.read().groupBy(col("st"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
         sum(col("cents")).as("sum_cents"))
-    require(view1.exceptAll(direct).isEmpty &&
-      direct.exceptAll(view1).isEmpty,
+    require(graft.operators.Constraints.sameMultiset(view1, direct),
       "maintained view diverged from the recompute")
     view1.orderBy(col("st"))
   }
@@ -2425,7 +2424,7 @@ object PlatformQueries {
     }
     val live = src.readLatest()
     val got = mirror.read()
-    require(got.exceptAll(live).isEmpty && live.exceptAll(got).isEmpty,
+    require(graft.operators.Constraints.sameMultiset(got, live),
       "mirror diverged from the source head")
     got.groupBy(col("st"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))

@@ -1639,10 +1639,8 @@ object SemanticQueries {
       "an admitted document is not searchable")
     // the rider IS the admitted set
     val live = UnifiedIndex.memberLive(cat, "lmq", "id")
-    require(live.select(col("id"))
-      .exceptAll(admittedIds.select(col("doc_id"))).isEmpty &&
-      admittedIds.select(col("doc_id"))
-        .exceptAll(live.select(col("id"))).isEmpty,
+    require(graft.operators.Constraints.sameMultiset(
+      live.select(col("id")), admittedIds.select(col("doc_id").as("id"))),
       "rider and admitted set diverge")
     live.join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
       .groupBy(col("lang"))

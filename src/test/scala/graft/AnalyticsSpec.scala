@@ -95,6 +95,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("in_set(status)") == 1L)  // 'X'; null status passes (NotNull's job)
   }
 
+  test("sameMultiset: duplicates counted, null-safe, order-free; one-row drift fails") {
+    import graft.operators.Constraints
+    import spark.implicits._
+    val a = Seq[(java.lang.Long, String)](
+      (1L, "x"), (1L, "x"), (2L, null), (null, "y")).toDF("k", "v")
+    // same multiset, different order/partitioning
+    val b = a.orderBy(col("v")).repartition(7)
+    assert(Constraints.sameMultiset(a, b))
+    // one duplicate dropped: sets equal, multisets not
+    assert(!Constraints.sameMultiset(a, a.dropDuplicates()))
+    // one extra row on the right
+    assert(!Constraints.sameMultiset(a,
+      a.unionAll(Seq((3L, "z")).toDF("k", "v"))))
+    // both empty
+    assert(Constraints.sameMultiset(a.limit(0), a.limit(0)))
+    // empty vs non-empty
+    assert(!Constraints.sameMultiset(a.limit(0), a))
+    // agrees with the exceptAll pair it replaces on a random-ish pair
+    val c = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    assert(Constraints.sameMultiset(a, a) ==
+      (a.exceptAll(a).isEmpty && a.exceptAll(a).isEmpty))
+    assert(Constraints.sameMultiset(a, c) ==
+      (a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty))
+  }
+
   // ── VectorSearch.ivfPqTopK ──────────────────────────────────────────
 
   test("ivfPqTopK: deterministic under repartitioning, k per query, exact-overlap sanity") {
