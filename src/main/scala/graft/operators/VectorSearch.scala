@@ -321,44 +321,55 @@ object VectorSearch {
         dot(col("__cvec"), col("__qvec")), col("__cnorm"), col("__qnorm")))
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("id").asc)
+    // __red carries the RUNNING redundancy max_{s∈picked} sim(d,s),
+    // seeded at −1.0 (the cosine floor, so the first greatest()
+    // returns the true sim bit-exactly). Folding the max one pick at
+    // a time is bit-identical to re-aggregating the whole picked set
+    // (double max is exactly associative), which is what the r14
+    // optimization replaced: the picked-set re-join + groupBy carried
+    // the candidate VECTORS through first() buffers, forcing a
+    // SortMergeJoin + SortAggregate pair per greedy step — 38 sort
+    // aggregates of plan for k=5, ~1.5 s of operator overhead on 60
+    // candidate rows.
     val cand = cs.persist(scored
       .withColumn("__crank", row_number().over(cw))
       .filter(col("__crank") <= candidates)
       .select(col("query_id"), col("id"), col("rel"),
-        col("__cvec"), col("__cnorm")))
+        col("__cvec"), col("__cnorm"))
+      .withColumn("__red", lit(-1.0)))
     val pickCols = Seq(col("query_id"), col("rank"), col("id"), col("rel"),
       col("__cvec"), col("__cnorm"))
-    // rank 1 = plain highest relevance (empty picked set ⇒ no penalty).
-    // Per-step PICKS are persisted individually (k tiny frames — one
-    // row per query each) and unioned once at the end: re-persisting
-    // the growing union re-materialized rank-1..i-1 rows every step.
-    var picks = Vector(cs.persist(cand
-      .withColumn("__r", row_number().over(cw))
-      .filter(col("__r") === 1)
-      .withColumn("rank", lit(1)).select(pickCols: _*)))
-    for (step <- 2 to k) {
-      val picked = picks.reduce(_ unionByName _).select(col("query_id"),
-        col("id").as("__sid"), col("__cvec").as("__svec"),
-        col("__cnorm").as("__snorm"))
-      // already-picked exclusion rides the aggregation as an exact
-      // integer id-equality flag — no per-step anti-join stage. The
-      // query_id-only join preserves cand's hash partitioning, so the
-      // aggregate and rank window need no further exchange.
-      val pick = cand
-        .join(picked, Seq("query_id"))
-        .withColumn("__sim", cosineFromParts(
-          dot(col("__cvec"), col("__svec")), col("__cnorm"), col("__snorm")))
-        .groupBy(col("query_id"), col("id"))
-        .agg(first(col("rel")).as("rel"), first(col("__cvec")).as("__cvec"),
-          first(col("__cnorm")).as("__cnorm"), max(col("__sim")).as("__red"),
-          max(when(col("id") === col("__sid"), 1).otherwise(0)).as("__ispicked"))
-        .filter(col("__ispicked") === 0)
-        .withColumn("__r", row_number().over(Window.partitionBy(col("query_id"))
+    // Each greedy step is ONE rank window over the (persisted,
+    // query_id-partitioned) shrinking pool: the step's arg-max row is
+    // every row's `first(...)` over the score-ordered window, so the
+    // pick is the `id === __sid` row and the survivors update their
+    // running __red against the pick's vector — no join, no broadcast
+    // barrier, no aggregation anywhere in the loop. Step 1 orders by
+    // plain relevance (empty picked set ⇒ no penalty — and score would
+    // be constant at λ=0); later steps by the MMR score. Per-step
+    // PICKS are persisted individually (k tiny frames — one row per
+    // query each) and unioned once at the end.
+    var picks = Vector.empty[DataFrame]
+    var pool = cand
+    for (step <- 1 to k) {
+      val sw =
+        if (step == 1) cw
+        else Window.partitionBy(col("query_id"))
           .orderBy((lit(lam) * col("rel") - lit(1.0 - lam) * col("__red")).desc,
-            col("id").asc)))
-        .filter(col("__r") === 1)
-        .withColumn("rank", lit(step)).select(pickCols: _*)
-      picks :+= cs.persist(pick)
+            col("id").asc)
+      val staged = pool
+        .withColumn("__sid", first(col("id")).over(sw))
+        .withColumn("__svec", first(col("__cvec")).over(sw))
+        .withColumn("__snorm", first(col("__cnorm")).over(sw))
+      picks :+= cs.persist(staged
+        .filter(col("id") === col("__sid"))
+        .withColumn("rank", lit(step)).select(pickCols: _*))
+      if (step < k) pool = cs.persist(staged
+        .filter(col("id") =!= col("__sid"))
+        .withColumn("__red", greatest(col("__red"), cosineFromParts(
+          dot(col("__cvec"), col("__svec")), col("__cnorm"), col("__snorm"))))
+        .select(col("query_id"), col("id"), col("rel"),
+          col("__cvec"), col("__cnorm"), col("__red")))
     }
     picks.reduce(_ unionByName _).select(col("query_id"), col("rank"), col("id"))
   }

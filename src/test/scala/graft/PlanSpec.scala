@@ -180,9 +180,14 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         k = k, candidates = 6))
       assert("InMemoryTableScan".r.findAllIn(plan).length >= k,
         "greedy steps must reuse cached candidates/picks, not recompute:\n" + plan.take(3000))
-      // cand + rank-1 + one running union per later step
-      assert(cs.trackedCount == k + 1,
-        s"expected ${k + 1} scoped caches, got ${cs.trackedCount}")
+      // r14 shape: no join/aggregate in the greedy loop — the picked
+      // row is first() over the score window, redundancy is a running
+      // greatest(); the loop must never sort-aggregate or shuffle
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("SortAggregate"),
+        "greedy loop must stay join/aggregate-free:\n" + plan.take(3000))
+      // cand + one pick per step + one surviving pool per non-final step
+      assert(cs.trackedCount == 2 * k,
+        s"expected ${2 * k} scoped caches, got ${cs.trackedCount}")
     }
   }
 
