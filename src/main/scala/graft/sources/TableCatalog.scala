@@ -446,7 +446,16 @@ class TableCatalog(spark: SparkSession, root: String) {
     require(both.isEmpty,
       s"tables $both appear as BOTH snapshot and MoR member — readAt " +
         "would silently prefer the snapshot and shadow the member")
-    val staged = stage(snapshots)
+    // snapshot staging overlaps the MoR delta commits: the two write
+    // families are independent until publish (stage dirs are
+    // nonce-isolated; MoR generations live in the member's own log and
+    // the catalog records only a pointer), so the commit wall is the
+    // slower family, not the sum. The future rides its own thread —
+    // NOT the staging pool, which stage() itself fans out on.
+    val stagedF = new java.util.concurrent.FutureTask(() => stage(snapshots))
+    val stagedT = new Thread(stagedF, "catalog-stage-snapshots")
+    stagedT.setDaemon(true)
+    stagedT.start()
     val morStaged = morDeltas.map { case (t, df) =>
       val store = morStore(t, morKeys(t))
       // crash-replay reuse must match the KIND this commit would
@@ -475,6 +484,11 @@ class TableCatalog(spark: SparkSession, root: String) {
       }
       t -> g
     }
+    val staged =
+      try stagedF.get()
+      catch { // surface the staging failure itself, not the wrapper
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
     publish(staged, commitTsMillis, morStaged)
   }
 

@@ -302,7 +302,12 @@ object IndexMaintenance {
       // tombstone relation yet: fold with an empty mask (pure
       // defragmentation — the snapshot commit resets every chain)
       val hasTomb = present.contains("tombstones")
-      def tombAt = cat.readAt(g, "tombstones")
+      // materialize the erase ledger ONCE for the whole fold: every
+      // member's kill-floor mask (and the survivor computation) reads
+      // this id-sized relation — without the checkpoint each of the
+      // 6-7 concurrent staged writes re-scans the tombstone chain and
+      // re-aggregates the floors for its own broadcast
+      lazy val tombAt = cat.readAt(g, "tombstones").localCheckpoint()
       val folded = p.masks.collect { case (m, mask) if present(m) =>
         m -> (if (hasTomb) mask(cat.readAt(g, m), broadcast(tombAt))
               else cat.readAt(g, m))
